@@ -1,0 +1,18 @@
+"""tax_compliance_engine_spark — a PySpark-native analytics engine.
+
+A from-scratch, Spark-first re-expression of the query and data-processing
+capabilities of the public ``stabrea/tax-compliance-engine`` reference
+(single-threaded Python ETL), redesigned for distributed execution:
+
+- all dimension lookups become broadcast hash joins against seed dims
+- the per-row tax decision tree becomes one Catalyst ``CASE WHEN`` column tree
+- batch aggregations become ``groupBy().agg()`` with map-side partials
+- the filing calendar becomes a ``sequence``+``explode`` generator
+- zero Python UDFs on the hot path; Arrow-batched pandas UDFs only where
+  built-ins genuinely cannot express the op (similarity / multimodal).
+
+Plus first-class large-scale data-pipeline operators (dedup, similarity
+search, text analysis, multimodal plumbing) the reference does not have.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,311 @@
+"""Tax calculation as one declarative Catalyst plan.
+
+Re-expresses the reference's per-row decision procedure
+(/root/reference/tax_engine/calculator.py:132-256) as:
+
+  broadcast joins (state_rates ⋈, category_aliases ⋈, state_exemptions ⋈,
+  local_rates ⋈)  →  a single chained CASE WHEN column tree
+
+Branch order is semantics (calculator.py:164-209): unknown state → no-tax
+state → exemption (customer type → certificate → category) → rate math.
+Per-component HALF_UP rounding at 2dp (calculator.py:116-118, 236-238):
+state_tax and local_tax are rounded *separately* then summed —
+sum-of-rounded ≠ rounded-sum, and tests pin this.
+
+Everything is built-in Column expressions: whole-stage codegen end-to-end,
+no Python on the executor path.  At 100 TB the only wide exchange in this
+plan is whatever aggregation the caller adds downstream — the four dim joins
+are all broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..dims import Dims
+from ..schemas import MONEY, RATE
+
+
+def normalize_transactions(df: DataFrame) -> DataFrame:
+    """Boundary normalization (reference cli.py:47-67).
+
+    Upper-cases state, null-ifies empty optional strings, defaults tax_paid
+    to 0, customer_type to 'retail', pricing_model to 'exclusive'.
+    Missing optional columns are added as nulls so downstream plans can rely
+    on the full TXN_SCHEMA surface.
+    """
+    for col_name in (
+        "city",
+        "item_category",
+        "tax_paid",
+        "exemption_certificate",
+        "customer_type",
+        "pricing_model",
+    ):
+        if col_name not in df.columns:
+            df = df.withColumn(col_name, F.lit(None).cast("string"))
+    blank_to_null = lambda c: F.nullif(F.trim(F.col(c)), F.lit(""))  # noqa: E731
+    return (
+        df.withColumn("state", F.upper(F.trim("state")))
+        .withColumn("city", blank_to_null("city"))
+        .withColumn("item_category", blank_to_null("item_category"))
+        .withColumn("exemption_certificate", blank_to_null("exemption_certificate"))
+        .withColumn(
+            "tax_paid", F.coalesce(F.col("tax_paid").cast(MONEY), F.lit(0).cast(MONEY))
+        )
+        .withColumn("customer_type", F.coalesce("customer_type", F.lit("retail")))
+        .withColumn("pricing_model", F.coalesce("pricing_model", F.lit("exclusive")))
+    )
+
+
+def _join_dims(txns: DataFrame, dims: Dims) -> DataFrame:
+    """The four broadcast dim joins (SURVEY §2.3 J1/J2/P2/J3)."""
+    sr = dims.state_rates.select(
+        F.col("state_code").alias("_sr_state"),
+        "state_name",
+        "base_rate",
+        "has_local_taxes",
+        "avg_combined_rate",
+    )
+    ca = dims.category_aliases.select(
+        F.col("alias").alias("_ca_alias"), F.col("category").alias("mapped_category")
+    )
+    ex = dims.state_exemptions.select(
+        F.col("state_code").alias("_ex_state"),
+        F.col("category").alias("_ex_category"),
+        F.lit(True).alias("category_exempt"),
+    )
+    lr = dims.local_rates.select(
+        F.col("state_code").alias("_lr_state"),
+        F.lower("jurisdiction").alias("_lr_city"),
+        F.col("rate").alias("city_local_rate"),
+    )
+    return (
+        txns.join(F.broadcast(sr), txns["state"] == sr["_sr_state"], "left")
+        .join(
+            F.broadcast(ca),
+            F.lower(F.trim(txns["item_category"])) == ca["_ca_alias"],
+            "left",
+        )
+        .join(
+            F.broadcast(ex),
+            (F.col("state") == ex["_ex_state"])
+            & (F.col("mapped_category") == ex["_ex_category"]),
+            "left",
+        )
+        .join(
+            F.broadcast(lr),
+            (F.col("state") == lr["_lr_state"])
+            & (F.lower(txns["city"]) == lr["_lr_city"]),
+            "left",
+        )
+        .drop("_sr_state", "_ca_alias", "_ex_state", "_ex_category", "_lr_state", "_lr_city")
+    )
+
+
+def _round2(c: Column) -> Column:
+    """HALF_UP to cents (calculator.py:116-118); Spark rounds decimals HALF_UP."""
+    return F.round(c, 2).cast(MONEY)
+
+
+def calculate_tax(txns: DataFrame, dims: Dims) -> DataFrame:
+    """Per-transaction tax results (reference TaxCalculator.calculate,
+    calculator.py:157-256) over an already-normalized transactions DataFrame.
+
+    Adds: taxable_amount, state_tax, local_tax, tax_amount, effective_rate,
+    is_exempt, exemption_reason, warnings — preserving all input columns.
+    """
+    df = _join_dims(txns, dims)
+
+    unknown_state = F.col("state_name").isNull()
+    zero = F.lit(0).cast(RATE)
+    no_tax_state = (F.col("base_rate") == zero) & (~F.col("has_local_taxes"))
+
+    exempt_customer = F.col("customer_type").isin("wholesale", "exempt")
+    exempt_cert = F.col("exemption_certificate").isNotNull()
+    exempt_category = F.coalesce(F.col("category_exempt"), F.lit(False))
+
+    # Exemption reason follows _resolve_exemption's arm order
+    # (calculator.py:141-153): customer type → certificate → category.
+    resolve_reason = (
+        F.when(exempt_customer, F.concat(F.lit("Customer type: "), "customer_type"))
+        .when(exempt_cert, F.concat(F.lit("Exemption cert: "), "exemption_certificate"))
+        .when(
+            exempt_category,
+            F.concat(F.col("state"), F.lit(" exempts "), "mapped_category"),
+        )
+    )
+    resolved_exempt = exempt_customer | exempt_cert | exempt_category
+
+    # Rate resolution ladder (calculator.py:211-224): exact city match →
+    # average-local fallback (both for unknown city and NULL city, iff the
+    # state has local taxes) → zero.
+    avg_local = F.greatest(
+        (F.col("avg_combined_rate") - F.col("base_rate")).cast(RATE), zero
+    )
+    local_rate = (
+        F.when(F.col("city_local_rate").isNotNull(), F.col("city_local_rate"))
+        .when(F.col("has_local_taxes"), avg_local)
+        .otherwise(zero)
+        .cast(RATE)
+    )
+    combined_rate = (F.col("base_rate") + local_rate).cast(RATE)
+
+    # Tax-inclusive back-out (calculator.py:229-232); exclusive passes through.
+    taxable_computed = F.when(
+        F.col("pricing_model") == "inclusive",
+        _round2(F.col("amount") / (F.lit(1) + combined_rate)),
+    ).otherwise(F.col("amount"))
+
+    # Master CASE tree — branch order is the reference's early-return order.
+    exempt_like = no_tax_state | resolved_exempt  # after unknown_state arm
+
+    money_zero = F.lit("0.00").cast(MONEY)
+    state_tax = F.when(unknown_state | exempt_like, money_zero).otherwise(
+        _round2(taxable_computed * F.col("base_rate"))
+    )
+    local_tax = F.when(unknown_state | exempt_like, money_zero).otherwise(
+        _round2(taxable_computed * local_rate)
+    )
+
+    taxable_amount = F.when(unknown_state | exempt_like, F.col("amount")).otherwise(
+        taxable_computed
+    )
+
+    is_exempt = F.when(unknown_state, F.lit(False)).otherwise(exempt_like)
+
+    exemption_reason = (
+        F.when(unknown_state, F.lit(""))
+        .when(no_tax_state, F.concat(F.col("state_name"), F.lit(" has no sales tax")))
+        .when(resolved_exempt, resolve_reason)
+        .otherwise(F.lit(""))
+    )
+
+    effective_rate = (
+        F.when(unknown_state | exempt_like, F.lit(0.0))
+        .otherwise(combined_rate.cast("double"))
+        .alias("effective_rate")
+    )
+
+    warnings = (
+        F.when(
+            unknown_state,
+            F.array(F.concat(F.lit("Unknown state code: "), F.col("state"))),
+        )
+        .when(exempt_like, F.array().cast("array<string>"))
+        .when(
+            F.col("city").isNull() & F.col("has_local_taxes"),
+            F.array(
+                F.concat(
+                    F.lit("No city specified for "),
+                    F.col("state"),
+                    F.lit("; used average local rate"),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+    return (
+        df.withColumn("taxable_amount", taxable_amount)
+        .withColumn("state_tax", state_tax)
+        .withColumn("local_tax", local_tax)
+        .withColumn("tax_amount", (state_tax + local_tax).cast(MONEY))
+        .withColumn("effective_rate", effective_rate)
+        .withColumn("is_exempt", is_exempt)
+        .withColumn("exemption_reason", exemption_reason)
+        .withColumn("warnings", warnings)
+        .drop(
+            "state_name",
+            "base_rate",
+            "has_local_taxes",
+            "avg_combined_rate",
+            "mapped_category",
+            "category_exempt",
+            "city_local_rate",
+        )
+    )
+
+
+def batch_totals(results: DataFrame) -> DataFrame:
+    """Global batch aggregation (calculate_batch, calculator.py:258-303).
+
+    ``total_exempt`` sums the *taxable_amount* of exempt rows
+    (calculator.py:281-283) — a reference quirk preserved on purpose.
+    One-row result; map-side partial aggregation, no keyed shuffle.
+    """
+    return results.agg(
+        F.count("*").alias("transaction_count"),
+        F.sum("taxable_amount").cast(MONEY).alias("total_taxable"),
+        F.sum("tax_amount").cast(MONEY).alias("total_tax"),
+        F.sum(F.when(F.col("is_exempt"), F.col("taxable_amount")).otherwise(F.lit(0)))
+        .cast(MONEY)
+        .alias("total_exempt"),
+        F.sum(F.when(F.col("is_exempt"), 1).otherwise(0))
+        .cast("int")
+        .alias("exempt_count"),
+    )
+
+
+def state_breakdown(results: DataFrame) -> DataFrame:
+    """Per-state tax totals (calculator.py:285-288)."""
+    return (
+        results.groupBy("state")
+        .agg(F.sum("tax_amount").cast(MONEY).alias("total_tax"))
+        .orderBy("state")
+    )
+
+
+def state_summary(results: DataFrame) -> DataFrame:
+    """Per-state liability summary (report_generator.py:83-108): counts,
+    taxable/tax/exempt totals, effective rate with div-0 guard."""
+    return (
+        results.groupBy("state")
+        .agg(
+            F.count("*").alias("transaction_count"),
+            F.sum("taxable_amount").cast(MONEY).alias("total_taxable"),
+            F.sum("tax_amount").cast(MONEY).alias("total_tax"),
+            F.sum(
+                F.when(F.col("is_exempt"), F.col("taxable_amount")).otherwise(F.lit(0))
+            )
+            .cast(MONEY)
+            .alias("exempt_amount"),
+        )
+        .withColumn(
+            "effective_rate",
+            F.when(
+                F.col("total_taxable") > 0,
+                (F.col("total_tax").cast("double") / F.col("total_taxable").cast("double")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .orderBy("state")
+    )
+
+
+def use_tax(
+    txns: DataFrame,
+    dims: Dims,
+    tax_already_paid_col: str = "tax_paid",
+) -> DataFrame:
+    """Use-tax with credit clamp (calculator.py:305-345):
+    credit = min(tax_already_paid, tax); net = round(tax - credit)."""
+    results = calculate_tax(txns, dims)
+    credit = F.least(F.col(tax_already_paid_col), F.col("tax_amount")).cast(MONEY)
+    return (
+        results.withColumn("credit_applied", credit)
+        .withColumn("net_use_tax", _round2(F.col("tax_amount") - credit))
+        .withColumn(
+            "warnings",
+            F.when(
+                credit > 0,
+                F.array(
+                    F.concat(
+                        F.lit("Credit applied for $"),
+                        F.format_number(credit, 2),
+                        F.lit(" tax already paid"),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )

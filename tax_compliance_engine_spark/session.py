@@ -1,0 +1,51 @@
+"""SparkSession factory with scale-ready defaults.
+
+Defaults are tuned for correctness-first local runs but express the choices
+that matter on a 1000-executor cluster: AQE on (runtime coalescing + skew-join
+splitting), explicit shuffle partitioning, Arrow for the few pandas-UDF
+operators, and ANSI mode off only because the reference semantics are
+permissive (unknown states warn instead of raising — SURVEY §2 P4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "tax-compliance-engine-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's standard config."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime shuffle-partition coalescing + skew-join splitting.
+        # State-keyed aggregations skew toward CA/TX/NY at 100 TB (SURVEY §4.2).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow transfer for the pandas-UDF escape hatches (similarity, multimodal).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Dims are KB-sized; keep the default 10 MB broadcast threshold, but be
+        # explicit that broadcasting is expected (we also mark joins F.broadcast).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        # Deterministic session timezone so date/timestamp semantics match the
+        # DuckDB oracle regardless of host TZ.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
