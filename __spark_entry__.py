@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship per-state tax-liability summary on the
+sf0.001 testdata.  ``queries()`` exposes every implemented operator family
+from SURVEY.md §2 as (spark, sf_dir) -> DataFrame callables, and
+``oracle_sql()`` provides the DuckDB twin for each (generated in
+tax_compliance_engine_spark/plans/oracle.py).
 """
 
 from __future__ import annotations
@@ -13,26 +13,66 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from tax_compliance_engine_spark.plans import oracle
+from tax_compliance_engine_spark.plans import queries as q
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q.tax_state_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # Tax-calculation family (SURVEY §2: S1-S4, P1-P4, J1-J3, F1-F5, F13)
+        "tax_calc": q.tax_calc,
+        "tax_state_summary": q.tax_state_summary,  # A2/A4/A5
+        "tax_batch_totals": q.tax_batch_totals,  # A1
+        # Refund family (P7-P9, J7, F8, F11, A6-A8, O7)
+        "refund_records": q.refund_records,
+        "refund_state_breakdown": q.refund_state_breakdown,
+        "refund_reason_breakdown": q.refund_reason_breakdown,
+        "refund_summary": q.refund_summary,
+        "refund_claims": q.refund_claims,
+        # Nexus / compliance family (A3, J4-J5, F15-F16, O4; alerts U1)
+        "nexus_status": q.nexus_status,
+        "nexus_alerts": q.nexus_alerts,
+        # Filing calendar (F7, F14, F17, J6, J8, P10-P11, O5)
+        "filing_calendar": q.filing_calendar,
+        # Rate-database queries (P5-P6, O1-O3)
+        "rates_top10": q.rates_top10,
+        "rates_lowest10": q.rates_lowest10,
+        "no_tax_states": q.no_tax_states,
+        "states_exempting_grocery": q.states_exempting_grocery,
+        # Generic relational / windowed surface over the star schema
+        "pricing_summary": q.pricing_summary,
+        "top_customers": q.top_customers,
+        "customer_order_ranks": q.customer_order_ranks,
+        "events_sessions": q.events_sessions,
+        "customers_without_orders": q.customers_without_orders,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tax_calc": oracle.tax_calc_sql(),
+        "tax_state_summary": oracle.tax_state_summary_sql(),
+        "tax_batch_totals": oracle.tax_batch_totals_sql(),
+        "refund_records": oracle.refund_records_sql(),
+        "refund_state_breakdown": oracle.refund_state_breakdown_sql(),
+        "refund_reason_breakdown": oracle.refund_reason_breakdown_sql(),
+        "refund_summary": oracle.refund_summary_sql(),
+        "refund_claims": oracle.refund_claims_sql(),
+        "nexus_status": oracle.nexus_status_sql(),
+        "nexus_alerts": oracle.nexus_alerts_sql(),
+        "filing_calendar": oracle.filing_calendar_sql(),
+        "rates_top10": oracle.rates_top10_sql(),
+        "rates_lowest10": oracle.rates_lowest10_sql(),
+        "no_tax_states": oracle.no_tax_states_sql(),
+        "states_exempting_grocery": oracle.states_exempting_grocery_sql(),
+        "pricing_summary": oracle.pricing_summary_sql(),
+        "top_customers": oracle.top_customers_sql(),
+        "customer_order_ranks": oracle.customer_order_ranks_sql(),
+        "events_sessions": oracle.events_sessions_sql(),
+        "customers_without_orders": oracle.customers_without_orders_sql(),
+    }

@@ -45,7 +45,11 @@ def normalize_transactions(df: DataFrame) -> DataFrame:
     ):
         if col_name not in df.columns:
             df = df.withColumn(col_name, F.lit(None).cast("string"))
-    blank_to_null = lambda c: F.nullif(F.trim(F.col(c)), F.lit(""))  # noqa: E731
+    # Reference boundary semantics (cli.py:47-67): state is trim+upper'd, but
+    # optional strings only go through `or None` — empty string → NULL, inner
+    # whitespace preserved (trimming happens at the category-alias lookup, not
+    # here).
+    blank_to_null = lambda c: F.nullif(F.col(c), F.lit(""))  # noqa: E731
     return (
         df.withColumn("state", F.upper(F.trim("state")))
         .withColumn("city", blank_to_null("city"))

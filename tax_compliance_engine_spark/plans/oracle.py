@@ -1,0 +1,561 @@
+"""DuckDB oracle SQL for the driver's correctness gate.
+
+For every query exposed in ``__spark_entry__.queries()`` this module emits an
+independent ANSI-SQL implementation runnable by DuckDB over the same parquet
+tables.  Dimension data is inlined as VALUES CTEs generated from the JSON
+seeds, and the `transactions` fact table is derived with the exact modulo
+arithmetic of plans/derived.py.
+
+Cross-engine determinism rules used throughout (see SURVEY §6 notes):
+- money never flows through floating point: CAST the 2dp-exact DOUBLEs to
+  DECIMAL(18,2) first, aggregate exactly, cast to DOUBLE only at the end
+  (both engines then produce the identical nearest-double);
+- ratios are computed as DOUBLE/DOUBLE division of identical inputs
+  (IEEE-deterministic in both engines);
+- no floats are ever formatted into strings in oracle-compared columns;
+- every ORDER BY ... LIMIT carries a unique tiebreak key.
+"""
+
+from __future__ import annotations
+
+from . import derived
+from ..dims import seed_rows
+
+# ---------------------------------------------------------------------------
+# VALUES-CTE helpers
+# ---------------------------------------------------------------------------
+
+
+def _q(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return str(v)
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def _values(rows: list[tuple]) -> str:
+    return ",\n    ".join("(" + ", ".join(_q(v) for v in r) + ")" for r in rows)
+
+
+def dim_ctes() -> str:
+    """All dimension tables as typed VALUES CTEs (from the JSON seeds)."""
+    sr = [
+        (
+            r["state_code"],
+            r["state_name"],
+            str(r["base_rate"]),
+            r["has_local_taxes"],
+            str(r["avg_combined_rate"]),
+        )
+        for r in seed_rows("state_rates")
+    ]
+    lr = [
+        (r["state_code"], r["jurisdiction"].lower(), str(r["rate"]))
+        for r in seed_rows("local_rates")
+    ]
+    ex = [(r["state_code"], r["category"]) for r in seed_rows("state_exemptions")]
+    ca = [(r["alias"], r["category"]) for r in seed_rows("category_aliases")]
+    nt = [
+        (
+            r["state_code"],
+            str(r["revenue_threshold"]),
+            r["transaction_threshold"],
+            r["measurement_period"],
+        )
+        for r in seed_rows("nexus_thresholds")
+    ]
+    sol = [(r["state_code"], r["years"]) for r in seed_rows("sol_years")]
+    dd = [(r["state_code"], r["due_day"]) for r in seed_rows("filing_due_day")]
+
+    return f"""
+state_rates_raw(state_code, state_name, base_rate_s, has_local_taxes, avg_combined_rate_s) AS (VALUES
+    {_values(sr)}),
+state_rates AS (
+  SELECT state_code, state_name,
+         CAST(base_rate_s AS DECIMAL(11,6)) AS base_rate,
+         has_local_taxes,
+         CAST(avg_combined_rate_s AS DECIMAL(11,6)) AS avg_combined_rate
+  FROM state_rates_raw),
+local_rates_raw(state_code, jurisdiction_lc, rate_s) AS (VALUES
+    {_values(lr)}),
+local_rates AS (
+  SELECT state_code, jurisdiction_lc, CAST(rate_s AS DECIMAL(11,6)) AS rate
+  FROM local_rates_raw),
+state_exemptions(state_code, category) AS (VALUES
+    {_values(ex)}),
+category_aliases(alias, category) AS (VALUES
+    {_values(ca)}),
+nexus_thresholds_raw(state_code, revenue_threshold_s, transaction_threshold, measurement_period) AS (VALUES
+    {_values(nt)}),
+nexus_thresholds AS (
+  SELECT state_code, CAST(revenue_threshold_s AS DECIMAL(18,2)) AS revenue_threshold,
+         CAST(transaction_threshold AS INTEGER) AS transaction_threshold,
+         measurement_period
+  FROM nexus_thresholds_raw),
+sol_years(state_code, years) AS (VALUES
+    {_values(sol)}),
+filing_due_day(state_code, due_day) AS (VALUES
+    {_values(dd)})"""
+
+
+def transactions_cte() -> str:
+    """SQL twin of derived.derive_transactions."""
+    st = list(enumerate(derived.state_list()))
+    cats = [
+        (i, c) for i, c in enumerate(derived.category_list()) if c is not None
+    ]
+    cities = derived.city_map()
+    paid_case = " ".join(
+        f"WHEN {i} THEN CAST({m} AS DECIMAL(6,4))"
+        for i, m in enumerate(derived.PAID_MULTIPLIERS)
+    )
+    return f"""
+statemap(sidx, state) AS (VALUES
+    {_values(st)}),
+catmap(cidx, item_category) AS (VALUES
+    {_values(cats)}),
+citymap(cm_state, cm_idx, city) AS (VALUES
+    {_values(cities)}),
+transactions_derived AS (
+  SELECT
+    CAST(o_orderkey AS VARCHAR) AS transaction_id,
+    CAST(o_orderdate AS DATE) AS transaction_date,
+    CAST(o_totalprice AS DECIMAL(18,2)) AS amount,
+    s.state,
+    cm.city,
+    c.item_category,
+    CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+               * (CASE o_orderkey % 5 {paid_case} END), 2) AS DECIMAL(18,2)) AS tax_paid,
+    CASE WHEN o_orderkey % 23 = 0
+         THEN 'CERT-' || CAST(o_orderkey AS VARCHAR) END AS exemption_certificate,
+    CASE o_custkey % 19 WHEN 0 THEN 'wholesale' WHEN 1 THEN 'exempt'
+         ELSE 'retail' END AS customer_type,
+    'exclusive' AS pricing_model
+  FROM orders
+  JOIN statemap s ON s.sidx = o_custkey % 53
+  LEFT JOIN catmap c ON c.cidx = o_orderkey % 8
+  LEFT JOIN citymap cm ON cm.cm_state = s.state AND cm.cm_idx = o_orderkey % 4
+)"""
+
+
+def tax_calc_ctes() -> str:
+    """Enrichment + master CASE tree: the SQL twin of operators/tax.py
+    (reference semantics calculator.py:157-256).  Pricing is always
+    'exclusive' in the derived data, so taxable_amount = amount."""
+    return f"""{dim_ctes()},
+{transactions_cte().lstrip()},
+tax_enriched AS (
+  SELECT t.*,
+    sr.state_name, sr.base_rate, sr.has_local_taxes, sr.avg_combined_rate,
+    (sr.state_name IS NULL) AS unknown_state,
+    (sr.base_rate = 0 AND NOT sr.has_local_taxes) AS no_tax_state,
+    (t.customer_type IN ('wholesale', 'exempt')) AS exempt_customer,
+    (t.exemption_certificate IS NOT NULL) AS exempt_cert,
+    (ex.category IS NOT NULL) AS exempt_category,
+    ca.category AS mapped_category,
+    lr.rate AS city_local_rate
+  FROM transactions_derived t
+  LEFT JOIN state_rates sr ON t.state = sr.state_code
+  LEFT JOIN category_aliases ca ON lower(trim(t.item_category)) = ca.alias
+  LEFT JOIN state_exemptions ex
+         ON ex.state_code = t.state AND ex.category = ca.category
+  LEFT JOIN local_rates lr
+         ON lr.state_code = t.state AND lr.jurisdiction_lc = lower(t.city)
+),
+tax_rates AS (
+  SELECT *,
+    (no_tax_state OR exempt_customer OR exempt_cert OR exempt_category) AS exempt_like,
+    CASE WHEN city_local_rate IS NOT NULL THEN city_local_rate
+         -- NB: duckdb's greatest() promotes DECIMAL to DOUBLE; use CASE to
+         -- keep the max(avg-base, 0) floor in exact decimal arithmetic
+         WHEN has_local_taxes AND avg_combined_rate - base_rate > 0
+           THEN CAST(avg_combined_rate - base_rate AS DECIMAL(11,6))
+         ELSE CAST(0 AS DECIMAL(11,6)) END AS local_rate
+  FROM tax_enriched
+),
+tax_results AS (
+  SELECT
+    transaction_id, transaction_date, state, city, item_category, customer_type,
+    amount, tax_paid,
+    amount AS taxable_amount,
+    CASE WHEN unknown_state OR exempt_like THEN CAST(0 AS DECIMAL(18,2))
+         ELSE CAST(ROUND(amount * base_rate, 2) AS DECIMAL(18,2)) END AS state_tax,
+    CASE WHEN unknown_state OR exempt_like THEN CAST(0 AS DECIMAL(18,2))
+         ELSE CAST(ROUND(amount * local_rate, 2) AS DECIMAL(18,2)) END AS local_tax,
+    CASE WHEN unknown_state OR exempt_like THEN 0.0
+         ELSE CAST(base_rate + local_rate AS DOUBLE) END AS effective_rate,
+    CASE WHEN unknown_state THEN FALSE ELSE exempt_like END AS is_exempt,
+    CASE WHEN unknown_state THEN ''
+         WHEN no_tax_state THEN state_name || ' has no sales tax'
+         WHEN exempt_customer THEN 'Customer type: ' || customer_type
+         WHEN exempt_cert THEN 'Exemption cert: ' || exemption_certificate
+         WHEN exempt_category THEN state || ' exempts ' || mapped_category
+         ELSE '' END AS exemption_reason,
+    CASE WHEN unknown_state THEN 1
+         WHEN exempt_like THEN 0
+         WHEN city IS NULL AND has_local_taxes THEN 1
+         ELSE 0 END AS n_warnings,
+    unknown_state, no_tax_state, exempt_like, has_local_taxes
+  FROM tax_rates
+),
+tax_final AS (
+  SELECT *, CAST(state_tax + local_tax AS DECIMAL(18,2)) AS tax_amount
+  FROM tax_results
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Per-query oracle SQL
+# ---------------------------------------------------------------------------
+
+
+def tax_calc_sql() -> str:
+    return f"""WITH {tax_calc_ctes().lstrip()}
+SELECT transaction_id, transaction_date, state, city, item_category,
+       CAST(amount AS DOUBLE) AS amount,
+       CAST(taxable_amount AS DOUBLE) AS taxable_amount,
+       CAST(state_tax AS DOUBLE) AS state_tax,
+       CAST(local_tax AS DOUBLE) AS local_tax,
+       CAST(tax_amount AS DOUBLE) AS tax_amount,
+       effective_rate, is_exempt, exemption_reason,
+       CAST(n_warnings AS INTEGER) AS n_warnings
+FROM tax_final"""
+
+
+def tax_state_summary_sql() -> str:
+    return f"""WITH {tax_calc_ctes().lstrip()}
+SELECT state,
+       count(*) AS transaction_count,
+       CAST(SUM(taxable_amount) AS DOUBLE) AS total_taxable,
+       CAST(SUM(tax_amount) AS DOUBLE) AS total_tax,
+       CAST(SUM(CASE WHEN is_exempt THEN taxable_amount
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS exempt_amount,
+       CASE WHEN SUM(taxable_amount) > 0
+            THEN CAST(SUM(tax_amount) AS DOUBLE) / CAST(SUM(taxable_amount) AS DOUBLE)
+            ELSE 0.0 END AS effective_rate
+FROM tax_final
+GROUP BY state"""
+
+
+def tax_batch_totals_sql() -> str:
+    return f"""WITH {tax_calc_ctes().lstrip()}
+SELECT count(*) AS transaction_count,
+       CAST(SUM(taxable_amount) AS DOUBLE) AS total_taxable,
+       CAST(SUM(tax_amount) AS DOUBLE) AS total_tax,
+       CAST(SUM(CASE WHEN is_exempt THEN taxable_amount
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total_exempt,
+       CAST(SUM(CASE WHEN is_exempt THEN 1 ELSE 0 END) AS INTEGER) AS exempt_count
+FROM tax_final"""
+
+
+def _refund_ctes() -> str:
+    """Overpayment records CTE (refund_analyzer.py:134-189 twin).
+
+    SOL cutoffs are precomputed per sol-years value (as_of is fixed), and
+    sol_date uses fixed-interval arithmetic per branch — both engines clamp
+    month-end identically."""
+    as_of = derived.AS_OF
+    cutoffs = {
+        y: as_of.replace(year=as_of.year - y) for y in (3, 4)
+    }
+    return f"""{tax_calc_ctes().lstrip()},
+refund_base AS (
+  SELECT f.*,
+    COALESCE(s.years, 3) AS sol_yrs,
+    CAST(ROUND(tax_paid - tax_amount, 2) AS DECIMAL(18,2)) AS overpayment
+  FROM tax_final f
+  LEFT JOIN sol_years s ON s.state_code = f.state
+),
+refund_records AS (
+  SELECT transaction_id, transaction_date, state, city,
+    amount AS sale_amount, tax_paid, tax_amount AS tax_owed, overpayment,
+    CASE WHEN is_exempt THEN 'Exempt transaction taxed'
+         WHEN tax_paid > tax_amount AND tax_amount > 0 THEN 'Rate mismatch'
+         WHEN tax_paid > tax_amount THEN 'Tax collected in no-tax jurisdiction'
+         ELSE 'Overpayment detected' END AS reason_prefix,
+    (transaction_date >= CASE sol_yrs
+        WHEN 4 THEN DATE '{cutoffs[4].isoformat()}'
+        ELSE DATE '{cutoffs[3].isoformat()}' END) AS refund_eligible,
+    CASE sol_yrs
+        WHEN 4 THEN transaction_date + INTERVAL 48 MONTH
+        ELSE transaction_date + INTERVAL 36 MONTH
+    END AS sol_ts,
+    sol_yrs
+  FROM refund_base
+  WHERE overpayment > 0
+)"""
+
+
+def refund_records_sql() -> str:
+    return f"""WITH {_refund_ctes().lstrip()}
+SELECT transaction_id, transaction_date, state, city,
+       CAST(sale_amount AS DOUBLE) AS sale_amount,
+       CAST(tax_paid AS DOUBLE) AS tax_paid,
+       CAST(tax_owed AS DOUBLE) AS tax_owed,
+       CAST(overpayment AS DOUBLE) AS overpayment,
+       reason_prefix, refund_eligible,
+       CAST(sol_ts AS DATE) AS statute_of_limitations_date
+FROM refund_records"""
+
+
+def refund_state_breakdown_sql() -> str:
+    return f"""WITH {_refund_ctes().lstrip()}
+SELECT state, CAST(SUM(overpayment) AS DOUBLE) AS amount
+FROM refund_records GROUP BY state"""
+
+
+def refund_reason_breakdown_sql() -> str:
+    return f"""WITH {_refund_ctes().lstrip()}
+SELECT reason_prefix AS reason, CAST(SUM(overpayment) AS DOUBLE) AS amount
+FROM refund_records GROUP BY reason_prefix"""
+
+
+def refund_summary_sql() -> str:
+    return f"""WITH {_refund_ctes().lstrip()}
+SELECT count(*) AS overpayment_count,
+       CAST(SUM(overpayment) AS DOUBLE) AS total_overpayment,
+       MIN(CASE WHEN refund_eligible THEN transaction_date END) AS oldest_eligible,
+       MAX(CASE WHEN refund_eligible THEN transaction_date END) AS newest_eligible,
+       CAST(ROUND(SUM(CASE WHEN refund_eligible THEN overpayment
+                      ELSE CAST(0 AS DECIMAL(18,2)) END)
+                  * CAST(0.85 AS DECIMAL(3,2)), 2) AS DOUBLE) AS estimated_recovery
+FROM refund_records"""
+
+
+def refund_claims_sql() -> str:
+    return f"""WITH {_refund_ctes().lstrip()}
+SELECT state AS state_code,
+       MIN(transaction_date) AS claim_period_start,
+       MAX(transaction_date) AS claim_period_end,
+       CAST(SUM(overpayment) AS DOUBLE) AS total_refund_requested,
+       count(*) AS transaction_count,
+       string_agg(DISTINCT reason_prefix, '|' ORDER BY reason_prefix) AS reasons_joined
+FROM refund_records
+WHERE refund_eligible
+GROUP BY state"""
+
+
+def nexus_status_sql() -> str:
+    no_nexus = ", ".join(_q(s) for s in ("DE", "MT", "NH", "OR"))
+    return f"""WITH {dim_ctes().lstrip()},
+{transactions_cte().lstrip()},
+activity AS (
+  SELECT state, CAST(SUM(amount) AS DECIMAL(18,2)) AS revenue,
+         count(*) AS txn_count
+  FROM transactions_derived GROUP BY state
+),
+joined AS (
+  SELECT a.*, t.revenue_threshold, t.transaction_threshold, t.measurement_period,
+    (a.state IN ({no_nexus})) AS is_no_nexus,
+    (t.revenue_threshold IS NULL) AS no_data
+  FROM activity a LEFT JOIN nexus_thresholds t ON a.state = t.state_code
+),
+status AS (
+  SELECT *,
+    (is_no_nexus OR no_data) AS special,
+    CASE WHEN revenue_threshold > 0
+         THEN CAST(revenue AS DOUBLE) / CAST(revenue_threshold AS DOUBLE) * 100
+         ELSE 0.0 END AS rev_pct_raw,
+    CASE WHEN transaction_threshold IS NOT NULL
+         THEN CAST(txn_count AS DOUBLE) / CAST(transaction_threshold AS DOUBLE) * 100
+         END AS txn_pct_raw,
+    (revenue >= revenue_threshold OR
+     (transaction_threshold IS NOT NULL AND txn_count >= transaction_threshold)) AS economic
+  FROM joined
+)
+SELECT state AS state_code,
+  CASE WHEN is_no_nexus THEN FALSE WHEN no_data THEN FALSE ELSE economic END AS has_nexus,
+  CAST(revenue AS DOUBLE) AS revenue_in_state,
+  txn_count AS transactions_in_state,
+  CAST(CASE WHEN special THEN CAST(0 AS DECIMAL(18,2)) ELSE revenue_threshold END AS DOUBLE)
+    AS revenue_threshold,
+  CASE WHEN special THEN NULL ELSE transaction_threshold END AS transaction_threshold,
+  CASE WHEN special THEN 0.0 ELSE rev_pct_raw END AS revenue_pct_of_threshold,
+  CASE WHEN special THEN NULL ELSE txn_pct_raw END AS transaction_pct_of_threshold,
+  CASE WHEN special THEN FALSE
+       ELSE (rev_pct_raw >= 80 OR COALESCE(txn_pct_raw >= 80, FALSE)) AND NOT economic
+       END AS approaching_threshold
+FROM status"""
+
+
+def nexus_alerts_sql() -> str:
+    """Wrap nexus_status_sql's final SELECT into a CTE and derive the two
+    alert branches (U1 union) from it."""
+    registered = ", ".join(_q(s) for s in derived.REGISTERED_STATES)
+    status_sql = nexus_status_sql()
+    # wrap: WITH <ctes...>, nexus_final AS (SELECT ...) SELECT alerts
+    body = status_sql.removeprefix("WITH ")
+    idx = body.rindex("\nSELECT state AS state_code")
+    ctes, final_select = body[:idx], body[idx + 1 :]
+    return f"""WITH {ctes},
+nexus_final AS (
+{final_select}
+)
+SELECT 'critical' AS severity, state_code,
+       'unregistered_nexus' AS alert_type,
+       revenue_in_state
+FROM nexus_final
+WHERE has_nexus AND state_code NOT IN ({registered})
+UNION ALL
+SELECT 'warning' AS severity, state_code,
+       'approaching_threshold' AS alert_type,
+       revenue_in_state
+FROM nexus_final
+WHERE (NOT has_nexus) AND approaching_threshold"""
+
+
+def filing_calendar_sql() -> str:
+    states = ", ".join(_q(s) for s in derived.REGISTERED_STATES)
+    filed = _values(
+        [(s, a.isoformat(), b.isoformat()) for s, a, b in derived.FILED_PERIODS]
+    )
+    y = derived.CALENDAR_YEAR
+    as_of = derived.CAL_AS_OF.isoformat()
+    return f"""WITH {dim_ctes().lstrip()},
+reg_states(state_code) AS (VALUES {'(' + "), (".join(_q(s) for s in derived.REGISTERED_STATES) + ')'}),
+filed_raw(state_code, ps, pe) AS (VALUES
+    {filed}),
+filed AS (SELECT state_code, CAST(ps AS DATE) AS ps, CAST(pe AS DATE) AS pe FROM filed_raw),
+months AS (
+  SELECT CAST(r.range AS DATE) AS period_start
+  FROM range(DATE '{y}-01-01', DATE '{y}-12-31', INTERVAL 1 MONTH) r
+),
+cal AS (
+  SELECT s.state_code, m.period_start,
+         last_day(m.period_start) AS period_end,
+         COALESCE(d.due_day, 20) AS due_day
+  FROM reg_states s CROSS JOIN months m
+  LEFT JOIN filing_due_day d ON d.state_code = s.state_code
+),
+cal2 AS (
+  SELECT state_code, period_start, period_end,
+         make_date(CAST(year(period_end + INTERVAL 1 DAY) AS INT),
+                   CAST(month(period_end + INTERVAL 1 DAY) AS INT),
+                   due_day) AS due_date
+  FROM cal
+),
+cal3 AS (
+  SELECT c.*, (f.state_code IS NOT NULL) AS is_filed
+  FROM cal2 c LEFT JOIN filed f
+    ON f.state_code = c.state_code AND f.ps = c.period_start AND f.pe = c.period_end
+)
+SELECT state_code, period_start, period_end, due_date,
+       'monthly' AS frequency,
+       (due_date < DATE '{as_of}' AND NOT is_filed) AS is_overdue,
+       CAST(date_diff('day', DATE '{as_of}', due_date) AS INTEGER) AS days_until_due,
+       CASE WHEN is_filed THEN 'filed'
+            WHEN due_date < DATE '{as_of}' THEN 'overdue'
+            ELSE 'pending' END AS status
+FROM cal3"""
+
+
+def rates_top10_sql() -> str:
+    return f"""WITH {dim_ctes().lstrip()}
+SELECT state_code, state_name, CAST(avg_combined_rate AS DOUBLE) AS avg_combined_rate
+FROM state_rates
+ORDER BY avg_combined_rate DESC, state_code
+LIMIT 10"""
+
+
+def rates_lowest10_sql() -> str:
+    return f"""WITH {dim_ctes().lstrip()}
+SELECT state_code, state_name, CAST(avg_combined_rate AS DOUBLE) AS avg_combined_rate
+FROM state_rates
+WHERE base_rate > 0
+ORDER BY avg_combined_rate ASC, state_code
+LIMIT 10"""
+
+
+def no_tax_states_sql() -> str:
+    return f"""WITH {dim_ctes().lstrip()}
+SELECT state_code FROM state_rates WHERE base_rate = 0 ORDER BY state_code"""
+
+
+def states_exempting_grocery_sql() -> str:
+    return f"""WITH {dim_ctes().lstrip()}
+SELECT state_code FROM state_exemptions WHERE category = 'grocery'
+ORDER BY state_code"""
+
+
+# ---------------------------------------------------------------------------
+# Generic relational / windowed oracle SQL (star schema + events)
+# ---------------------------------------------------------------------------
+
+
+def pricing_summary_sql() -> str:
+    return """SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))))
+            AS DOUBLE) AS sum_charge,
+       count(*) AS count_order,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def top_customers_sql() -> str:
+    return """SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20"""
+
+
+def customer_order_ranks_sql() -> str:
+    return """SELECT o_custkey, o_orderkey,
+       CAST(o_totalprice AS DOUBLE) AS totalprice,
+       CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders)
+WHERE rn <= 3"""
+
+
+def events_sessions_sql() -> str:
+    # exact integer-seconds arithmetic (epoch_ns // 1e9) to mirror the Spark
+    # side's nanos-as-long handling
+    return """WITH base AS (
+  SELECT user_id, event_id, ts, epoch_ns(ts) // 1000000000 AS ts_sec
+  FROM events),
+lagged AS (
+  SELECT *, lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+  FROM base),
+flagged AS (
+  SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 1800
+                 THEN 1 ELSE 0 END AS new_session
+  FROM lagged),
+sess AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
+       count(*) AS n_events,
+       strftime(to_timestamp(MIN(ts_sec)), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(to_timestamp(MAX(ts_sec)), '%Y-%m-%d %H:%M:%S') AS session_end
+FROM sess GROUP BY user_id, session_id"""
+
+
+def customers_without_orders_sql() -> str:
+    return """SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders"""

@@ -1,0 +1,394 @@
+"""Spark-side implementations of every declared query (driver contract).
+
+Each function takes (spark, sf_dir) and returns a DataFrame whose column
+names and types line up with the DuckDB oracle SQL in plans/oracle.py.
+Money flows as DECIMAL end-to-end and is cast to DOUBLE only in the final
+select (see oracle.py's determinism rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..dims import Dims, load_dims
+from ..operators import calendar as cal
+from ..operators import nexus, refund, tax
+from ..schemas import MONEY
+from . import derived
+
+_DIMS_CACHE: dict[int, Dims] = {}
+
+
+def _dims(spark: SparkSession) -> Dims:
+    key = id(spark)
+    if key not in _DIMS_CACHE:
+        _DIMS_CACHE[key] = load_dims(spark)
+    return _DIMS_CACHE[key]
+
+
+def _utc(spark: SparkSession) -> SparkSession:
+    """Pin the session TZ: the driver may hand us a session with a non-UTC
+    zone, which would shift timestamp→date casts relative to the (TZ-naive)
+    DuckDB oracle."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def _txns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tax.normalize_transactions(
+        derived.derive_transactions(_utc(spark), sf_dir)
+    )
+
+
+def _tax_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tax.calculate_tax(_txns(spark, sf_dir), _dims(spark))
+
+
+def _d(c: str) -> F.Column:
+    return F.col(c).cast("double").alias(c)
+
+
+# ── Tax family ───────────────────────────────────────────────────────
+
+
+def tax_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tax_results(spark, sf_dir).select(
+        "transaction_id",
+        "transaction_date",
+        "state",
+        "city",
+        "item_category",
+        _d("amount"),
+        _d("taxable_amount"),
+        _d("state_tax"),
+        _d("local_tax"),
+        _d("tax_amount"),
+        "effective_rate",
+        "is_exempt",
+        "exemption_reason",
+        F.size("warnings").alias("n_warnings"),
+    )
+
+
+def tax_state_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tax.state_summary(_tax_results(spark, sf_dir)).select(
+        "state",
+        "transaction_count",
+        _d("total_taxable"),
+        _d("total_tax"),
+        _d("exempt_amount"),
+        "effective_rate",
+    )
+
+
+def tax_batch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tax.batch_totals(_tax_results(spark, sf_dir)).select(
+        "transaction_count",
+        _d("total_taxable"),
+        _d("total_tax"),
+        _d("total_exempt"),
+        "exempt_count",
+    )
+
+
+# ── Refund family ────────────────────────────────────────────────────
+
+
+def _refund_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return refund.analyze_overpayments(
+        _txns(spark, sf_dir), _dims(spark), derived.AS_OF
+    )
+
+
+def refund_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _refund_records(spark, sf_dir).select(
+        "transaction_id",
+        "transaction_date",
+        "state",
+        "city",
+        _d("sale_amount"),
+        _d("tax_paid"),
+        _d("tax_owed"),
+        _d("overpayment"),
+        refund.reason_prefix().alias("reason_prefix"),
+        "refund_eligible",
+        "statute_of_limitations_date",
+    )
+
+
+def refund_state_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _refund_records(spark, sf_dir)
+        .groupBy("state")
+        .agg(F.sum("overpayment").cast(MONEY).cast("double").alias("amount"))
+    )
+
+
+def refund_reason_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _refund_records(spark, sf_dir)
+        .groupBy(refund.reason_prefix().alias("reason"))
+        .agg(F.sum("overpayment").cast(MONEY).cast("double").alias("amount"))
+    )
+
+
+def refund_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    summary, _, _, _ = refund.refund_summary(_refund_records(spark, sf_dir))
+    return summary.select(
+        "overpayment_count",
+        _d("total_overpayment"),
+        "oldest_eligible",
+        "newest_eligible",
+        _d("estimated_recovery"),
+    )
+
+
+def refund_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    recs = _refund_records(spark, sf_dir)
+    return (
+        recs.filter(F.col("refund_eligible"))
+        .groupBy(F.col("state").alias("state_code"))
+        .agg(
+            F.min("transaction_date").alias("claim_period_start"),
+            F.max("transaction_date").alias("claim_period_end"),
+            F.sum("overpayment")
+            .cast(MONEY)
+            .cast("double")
+            .alias("total_refund_requested"),
+            F.count("*").alias("transaction_count"),
+            F.array_join(
+                F.sort_array(F.collect_set(refund.reason_prefix())), "|"
+            ).alias("reasons_joined"),
+        )
+    )
+
+
+# ── Nexus / compliance family ────────────────────────────────────────
+
+
+def _nexus_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    activity = nexus.state_activity(_txns(spark, sf_dir))
+    return nexus.check_nexus(activity, _dims(spark))
+
+
+def nexus_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _nexus_status(spark, sf_dir).select(
+        "state_code",
+        "has_nexus",
+        _d("revenue_in_state"),
+        "transactions_in_state",
+        _d("revenue_threshold"),
+        "transaction_threshold",
+        "revenue_pct_of_threshold",
+        "transaction_pct_of_threshold",
+        "approaching_threshold",
+    )
+
+
+def nexus_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    status = _nexus_status(spark, sf_dir)
+    registered = [s.upper() for s in derived.REGISTERED_STATES]
+    critical = (
+        status.filter(F.col("has_nexus") & ~F.col("state_code").isin(*registered))
+        .select(
+            F.lit("critical").alias("severity"),
+            "state_code",
+            F.lit("unregistered_nexus").alias("alert_type"),
+            _d("revenue_in_state"),
+        )
+    )
+    warning = (
+        status.filter(~F.col("has_nexus") & F.col("approaching_threshold"))
+        .select(
+            F.lit("warning").alias("severity"),
+            "state_code",
+            F.lit("approaching_threshold").alias("alert_type"),
+            _d("revenue_in_state"),
+        )
+    )
+    return critical.unionByName(warning)
+
+
+def filing_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    filed = spark.createDataFrame(
+        derived.FILED_PERIODS,
+        "state_code string, period_start date, period_end date",
+    )
+    return cal.filing_deadlines(
+        spark,
+        _dims(spark),
+        derived.REGISTERED_STATES,
+        derived.CALENDAR_YEAR,
+        derived.CAL_AS_OF,
+        frequency="monthly",
+        filed_periods=filed,
+    ).select(
+        "state_code",
+        "period_start",
+        "period_end",
+        "due_date",
+        "frequency",
+        "is_overdue",
+        "days_until_due",
+        "status",
+    )
+
+
+# ── Rate-database family ─────────────────────────────────────────────
+
+
+def rates_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _dims(spark)
+        .state_rates.select("state_code", "state_name", _d("avg_combined_rate"))
+        .orderBy(F.desc("avg_combined_rate"), "state_code")
+        .limit(10)
+    )
+
+
+def rates_lowest10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _dims(spark)
+        .state_rates.filter(F.col("base_rate") > 0)
+        .select("state_code", "state_name", _d("avg_combined_rate"))
+        .orderBy("avg_combined_rate", "state_code")
+        .limit(10)
+    )
+
+
+def no_tax_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _dims(spark)
+        .state_rates.filter(F.col("base_rate") == 0)
+        .select("state_code")
+        .orderBy("state_code")
+    )
+
+
+def states_exempting_grocery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _dims(spark)
+        .state_exemptions.filter(F.col("category") == "grocery")
+        .select("state_code")
+        .orderBy("state_code")
+    )
+
+
+# ── Generic relational / windowed queries over the star schema ───────
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregate: exact decimal sums, double at the edge."""
+    li = _utc(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax_ = F.col("l_tax").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (one - disc) * (one + tax_))
+            .cast("double")
+            .alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn(
+            "avg_qty", F.col("sum_qty") / F.col("count_order").cast("double")
+        )
+        .withColumn(
+            "avg_price", F.col("sum_base_price") / F.col("count_order").cast("double")
+        )
+    )
+
+
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        orders.join(
+            F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"]
+        )
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap via lag + running sum.
+
+    events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    rejects — read it as raw nanos (legacy conf) and do exact integer-seconds
+    arithmetic; the oracle uses epoch_ns for the same integers."""
+    from pyspark.sql.window import Window
+
+    _utc(spark).conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts_sec", F.expr("ts DIV 1000000000")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn("prev_sec", F.lag("ts_sec").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_sec").isNull()
+            | (F.col("ts_sec") - F.col("prev_sec") > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", F.col("session_id").cast("int").alias("session_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.from_unixtime(F.min("ts_sec"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.from_unixtime(F.max("ts_sec"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+        )
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return customer.select("c_custkey").subtract(
+        orders.select(F.col("o_custkey").alias("c_custkey"))
+    )
