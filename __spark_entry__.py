@@ -13,8 +13,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from tax_compliance_engine_spark.plans import oracle
+from tax_compliance_engine_spark.plans import oracle, oracle_dataops
 from tax_compliance_engine_spark.plans import queries as q
+from tax_compliance_engine_spark.plans import queries_dataops as qd
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -50,6 +51,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_ranks": q.customer_order_ranks,
         "events_sessions": q.events_sessions,
         "customers_without_orders": q.customers_without_orders,
+        # Text analysis over documents (training-data pipeline ops)
+        "doc_text_stats": qd.doc_text_stats,
+        "doc_quality": qd.doc_quality,
+        "doc_lang_id": qd.doc_lang_id,
+        "doc_fingerprints": qd.doc_fingerprints,
+        # Deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash
+        "dedup_exact": qd.dedup_exact,
+        "dedup_ngram_pairs": qd.dedup_ngram_pairs,
+        "dedup_minhash_sigs": qd.dedup_minhash_sigs,
+        "dedup_minhash_pairs": qd.dedup_minhash_pairs,
+        "dedup_simhash_sigs": qd.dedup_simhash_sigs,
+        "dedup_simhash_pairs": qd.dedup_simhash_pairs,
+        # Embedding similarity search
+        "knn_bruteforce": qd.knn_bruteforce,
+        "embedding_lsh_buckets": qd.embedding_lsh_buckets,
+        "embedding_dup_pairs": qd.embedding_dup_pairs,
+        "label_centroids": qd.label_centroids,  # rows-only (float avg order)
+        # Multimodal plumbing (binary payload + metadata; stubbed decoder)
+        "multimodal_metadata": qd.multimodal_metadata,
+        "multimodal_features": qd.multimodal_features,  # rows-only (mapInPandas)
     }
 
 
@@ -75,4 +96,20 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_ranks": oracle.customer_order_ranks_sql(),
         "events_sessions": oracle.events_sessions_sql(),
         "customers_without_orders": oracle.customers_without_orders_sql(),
+        "doc_text_stats": oracle_dataops.doc_text_stats_sql(),
+        "doc_quality": oracle_dataops.doc_quality_sql(),
+        "doc_lang_id": oracle_dataops.doc_lang_id_sql(),
+        "doc_fingerprints": oracle_dataops.doc_fingerprints_sql(),
+        "dedup_exact": oracle_dataops.dedup_exact_sql(),
+        "dedup_ngram_pairs": oracle_dataops.dedup_ngram_pairs_sql(),
+        "dedup_minhash_sigs": oracle_dataops.dedup_minhash_sigs_sql(),
+        "dedup_minhash_pairs": oracle_dataops.dedup_minhash_pairs_sql(),
+        "dedup_simhash_sigs": oracle_dataops.dedup_simhash_sigs_sql(),
+        "dedup_simhash_pairs": oracle_dataops.dedup_simhash_pairs_sql(),
+        "knn_bruteforce": oracle_dataops.knn_bruteforce_sql(),
+        "embedding_lsh_buckets": oracle_dataops.embedding_lsh_buckets_sql(),
+        "embedding_dup_pairs": oracle_dataops.embedding_dup_pairs_sql(),
+        # label_centroids: rows-only (double-sum order sensitivity)
+        "multimodal_metadata": oracle_dataops.multimodal_metadata_sql(),
+        # multimodal_features: rows-only (mapInPandas stub, non-SQL)
     }

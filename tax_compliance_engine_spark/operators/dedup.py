@@ -1,0 +1,273 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (100 TB, 1000 executors):
+- exact dedup: one shuffle on the 128-bit digest — no text comparison, no
+  skew (digests are uniform);
+- n-gram / MinHash / SimHash: candidate generation is *banded* (LSH), so the
+  only wide joins are bucket-equi-joins on band signatures; the quadratic
+  verify step runs per-bucket on candidates only, never all-pairs;
+- everything is built-in Column expressions; hashing is the portable
+  polynomial fold (oracle-checkable) with ``F.xxhash64`` as the drop-in
+  production alternative (see functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing
+from .textops import tokens_col
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup via md5 digest grouping: every doc mapped to the minimal
+    doc_id of its content group.  (SURVEY extension: hash-groupBy dedup.)"""
+    from pyspark.sql.window import Window
+
+    digest = F.md5(F.col(text_col))
+    w = Window.partitionBy("digest")
+    return (
+        docs.withColumn("digest", digest)
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("is_duplicate", F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id", "digest", "canonical_id", "is_duplicate")
+    )
+
+
+def _doc_tokens(docs: DataFrame, text_col: str) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("tok")
+    )
+
+
+def _doc_ngrams(docs: DataFrame, text_col: str, n: int) -> DataFrame:
+    """Distinct token n-grams (shingles) per document, as joined strings."""
+    toks = tokens_col(F.col(text_col))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+    return docs.select("doc_id", F.explode(grams).alias("gram"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Near-dup pairs by n-gram-shingle Jaccard similarity.
+
+    Candidates = pairs sharing ≥1 shingle (the bucket join); Jaccard is then
+    computed exactly from shared/total shingle counts.  At scale the shared-
+    shingle join is the LSH step — hot shingles should be frequency-capped
+    (df > ~1000 dropped) which changes candidates only for pathological
+    common-shingle pairs; kept un-capped here for oracle parity."""
+    grams = _doc_ngrams(docs, text_col, n).cache()
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+
+    a = grams.alias("a")
+    b = grams.alias("b")
+    shared = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    s1 = sizes.select(
+        F.col("doc_id").alias("doc1"), F.col("n_grams").alias("n1")
+    )
+    s2 = sizes.select(
+        F.col("doc_id").alias("doc2"), F.col("n_grams").alias("n2")
+    )
+    return (
+        shared.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "n_shared", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Banded MinHash signatures: (doc_id, band, band_sig).
+
+    16 fixed permutations over portable token hashes, folded into 4 bands of
+    4 (band_sig = '-'-joined mins).  Shuffle profile: one groupBy(doc_id,i)
+    on exploded tokens×perms, then a groupBy(doc_id,band) — both partial-agg
+    friendly."""
+    perms = [
+        (i, a, b) for i, (a, b) in enumerate(hashing.MINHASH_PERMS)
+    ]
+    perm_df = docs.sparkSession.createDataFrame(perms, "i int, a long, b long")
+    toks = _doc_tokens(docs, text_col).withColumn(
+        "tok_hash", hashing.tok_hash_col(F.col("tok"))
+    )
+    rows_per_band = len(hashing.MINHASH_PERMS) // hashing.MINHASH_BANDS
+    return (
+        toks.crossJoin(F.broadcast(perm_df))
+        .groupBy("doc_id", "i")
+        .agg(
+            F.min(
+                (F.col("a") * F.col("tok_hash") + F.col("b")) % hashing.HASH_MOD
+            ).alias("mh")
+        )
+        .groupBy("doc_id", (F.col("i") / rows_per_band).cast("int").alias("band"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("i"), F.col("mh")))
+                    ),
+                    lambda s: s["mh"].cast("string"),
+                ),
+                "-",
+            ).alias("band_sig")
+        )
+    )
+
+
+def minhash_dup_pairs(
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: bucket join on band signatures, then
+    exact token-Jaccard verification at ``threshold``."""
+    sigs = minhash_signatures(docs, text_col)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .distinct()
+    )
+    toks = _doc_tokens(docs, text_col)
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
+    t1 = toks.select(F.col("doc_id").alias("doc1"), "tok")
+    t2 = toks.select(F.col("doc_id").alias("doc2"), "tok")
+    shared = (
+        candidates.join(t1, "doc1")
+        .join(t2, ["doc2", "tok"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc1"), F.col("n_toks").alias("n1")),
+            "doc1",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc2"), F.col("n_toks").alias("n2")),
+            "doc2",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+def _bit_sum(toks_hashed: Column, b: int) -> Column:
+    # factory: `b` must be a Python int (shiftright's numBits), closed over
+    # so the aggregate lambda stays binary
+    return F.aggregate(
+        toks_hashed,
+        F.lit(0),
+        lambda acc, h: acc
+        + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    )
+
+
+def _simhash_col(toks_hashed: Column) -> Column:
+    """SimHash over an array of token hashes: per bit, sum ±1; bit set iff
+    the sum is positive.  Unrolled over the 30 bits at plan-build time —
+    still one whole-stage-codegen expression, no Python on executors."""
+    sig = F.lit(0).cast("long")
+    for b in range(hashing.SIMHASH_BITS):
+        sig = sig + F.when(
+            _bit_sum(toks_hashed, b) > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document 30-bit SimHash from distinct-token hashes."""
+    toks_hashed = F.transform(
+        F.array_distinct(tokens_col(F.col(text_col))),
+        lambda t: hashing.tok_hash_col(t),
+    )
+    return docs.select("doc_id", _simhash_col(toks_hashed).alias("simhash"))
+
+
+def simhash_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = hashing.SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """SimHash near-dup pairs: LSH banding on 8-bit chunks for candidates,
+    verified by Hamming distance ≤ max_hamming.  Banding is part of the
+    operator's semantics (recall is per-band-exact-match), so the oracle
+    replicates it identically."""
+    sigs = simhash_signatures(docs, text_col).cache()
+    n_bands = (hashing.SIMHASH_BITS + hashing.SIMHASH_BAND_BITS - 1) // (
+        hashing.SIMHASH_BAND_BITS
+    )
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        F.shiftright(
+                            F.col("simhash"), b * hashing.SIMHASH_BAND_BITS
+                        )
+                        .bitwiseAND(F.lit(255))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.band_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.simhash").alias("sim1"),
+            F.col("b.simhash").alias("sim2"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim1").bitwiseXOR(F.col("sim2"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc1", "doc2", "hamming")
+    )

@@ -1,0 +1,135 @@
+"""Text-analysis operators over a documents table — the building blocks a
+large-scale training-data pipeline needs (language ID, quality scoring,
+token counting, fingerprinting).
+
+All pure Column expressions (whole-stage codegen, zero Python on the
+executors); every operator is oracle-checkable against DuckDB.  At 100 TB
+these are embarrassingly parallel scans — no shuffle at all except where a
+caller aggregates the outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker-word lists for the n-gram/stopword heuristic
+# language ID.  Deterministic and SQL-expressible (no model weights).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "that"]
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens with empties removed (portable: split on single
+    space, filter '' — identical in DuckDB string_split)."""
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document statistics + a composite quality score.
+
+    Measures: char/token counts, type-token ratio, average token length,
+    punctuation/digit/whitespace ratios, stopword ratio.  The quality score
+    is a fixed linear combination — a deterministic stand-in for the usual
+    classifier-based scoring, with the same plumbing shape."""
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_alpha = F.length(F.regexp_replace(text, "[^a-z]", ""))
+    n_digit = F.length(F.regexp_replace(text, "[^0-9]", ""))
+    n_space = F.length(F.regexp_replace(text, "[^ ]", ""))
+    n_punct = n_chars - n_alpha - n_digit - n_space
+    nt_d = n_tokens.cast("double")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.when(n_tokens > 0, n_distinct.cast("double") / nt_d)
+        .otherwise(F.lit(0.0))
+        .alias("type_token_ratio"),
+        F.when(
+            n_tokens > 0,
+            (n_chars - n_space).cast("double") / nt_d,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("avg_token_len"),
+        F.when(n_chars > 0, n_punct.cast("double") / n_chars.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("punct_ratio"),
+        F.when(n_chars > 0, n_digit.cast("double") / n_chars.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("digit_ratio"),
+        F.when(n_tokens > 0, stop_hits.cast("double") / nt_d)
+        .otherwise(F.lit(0.0))
+        .alias("stopword_ratio"),
+    )
+
+
+def quality_score(stats: DataFrame) -> DataFrame:
+    """Composite quality score over text_stats output: rewards lexical
+    diversity and sane token lengths, penalizes punctuation/digit noise."""
+    score = (
+        F.lit(0.5) * F.col("type_token_ratio")
+        + F.lit(0.3)
+        * F.when(
+            F.col("avg_token_len").between(3.0, 10.0), F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.col("punct_ratio") - F.col("digit_ratio"))
+    )
+    return stats.withColumn("quality_score", score)
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: score each language by marker-token hits /
+    total tokens; argmax with 'und' (undetermined) when no marker hits.
+
+    Ties break by language code order — deterministic across engines."""
+    toks = tokens_col(F.col(text_col))
+    n_tokens = F.size(toks).cast("double")
+    def _hits(markers: list[str]) -> Column:
+        # factory so the lambda stays unary (extra params would be treated as
+        # lambda variables by PySpark's higher-order-function binding)
+        return F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("double")
+
+    scores = [
+        (lang, _hits(markers)) for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    best_score = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    for lang, s in reversed(scores):
+        pred = F.when(s == best_score, F.lit(lang)).otherwise(pred)
+    pred = F.when(best_score > 0, pred).otherwise(F.lit("und"))
+    conf = F.when(n_tokens > 0, best_score / n_tokens).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        pred.alias("predicted_lang"),
+        conf.alias("lang_confidence"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: full-text md5, normalized-text md5 (lowered,
+    whitespace-collapsed), and a bag-of-words md5 (sorted distinct tokens) —
+    the exact-dup, near-normalized-dup, and reordered-dup keys."""
+    text = F.col(text_col)
+    norm = F.regexp_replace(F.lower(F.trim(text)), " +", " ")
+    bow = F.array_join(F.array_sort(F.array_distinct(tokens_col(text))), " ")
+    return docs.select(
+        "doc_id",
+        F.md5(text).alias("fp_exact"),
+        F.md5(norm).alias("fp_normalized"),
+        F.md5(bow).alias("fp_bow"),
+    )

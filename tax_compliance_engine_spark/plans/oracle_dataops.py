@@ -1,0 +1,303 @@
+"""DuckDB oracle SQL for the data-pipeline operators (dedup, similarity,
+text analysis, multimodal metadata).
+
+Portability contract with the Spark implementations:
+- token split: split on single space, drop empties;
+- token hash: left fold (h*31 + ascii(char)) % 1e9+7 starting from 0
+  (list_reduce with a prepended 0 — identical to Spark's F.aggregate);
+- all dot products / float sums: sequential left fold over the array (no
+  list_dot_product — its summation order is unspecified);
+- regexp_replace always passes the 'g' flag (Spark replaces globally by
+  default, DuckDB does not).
+"""
+
+from __future__ import annotations
+
+from ..functions import hashing
+from ..operators import similarity, textops
+from . import oracle
+
+TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
+TOK_HASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, length({t})+1), i -> CAST(ascii(substr({t}, i, 1)) AS BIGINT))), "
+    f"(h, a) -> (h*31 + a) % {hashing.HASH_MOD})"
+)
+
+
+def doc_text_stats_sql() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in textops.STOPWORDS)
+    return f"""WITH base AS (
+  SELECT doc_id, text,
+    {TOKENS} AS toks,
+    length(text) AS n_chars,
+    length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+    length(regexp_replace(text, '[^ ]', '', 'g')) AS n_space
+  FROM documents),
+stats AS (
+  SELECT doc_id, n_chars,
+    len(toks) AS n_tokens,
+    len(list_distinct(toks)) AS n_distinct_tokens,
+    n_chars - n_alpha - n_digit - n_space AS n_punct,
+    n_digit, n_space,
+    len(list_filter(toks, t -> t IN ({stop_list}))) AS stop_hits
+  FROM base)
+SELECT doc_id, n_chars, n_tokens, n_distinct_tokens,
+  CASE WHEN n_tokens > 0 THEN CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS type_token_ratio,
+  CASE WHEN n_tokens > 0 THEN CAST(n_chars - n_space AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS avg_token_len,
+  CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+  CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS digit_ratio,
+  CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio
+FROM stats"""
+
+
+def doc_quality_sql() -> str:
+    return f"""WITH stats AS ({doc_text_stats_sql()})
+SELECT *,
+  0.5 * type_token_ratio
+  + 0.3 * (CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+  + 0.2 * (1.0 - punct_ratio - digit_ratio) AS quality_score
+FROM stats"""
+
+
+def doc_lang_id_sql() -> str:
+    score_exprs = []
+    for lang, markers in sorted(textops.LANG_MARKERS.items()):
+        lst = ", ".join(f"'{m}'" for m in markers)
+        score_exprs.append(
+            f"CAST(len(list_filter(toks, t -> t IN ({lst}))) AS DOUBLE) AS s_{lang}"
+        )
+    langs = sorted(textops.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    # argmax with code-order tiebreak: first lang matching best wins
+    pred = "CASE "
+    for la in langs:
+        pred += f"WHEN s_{la} = best THEN '{la}' "
+    pred += "END"
+    return f"""WITH base AS (
+  SELECT doc_id, {TOKENS} AS toks FROM documents),
+scored AS (
+  SELECT doc_id, len(toks) AS n_tokens, {", ".join(score_exprs)} FROM base),
+withbest AS (
+  SELECT *, {best} AS best FROM scored)
+SELECT doc_id,
+  CASE WHEN best > 0 THEN {pred} ELSE 'und' END AS predicted_lang,
+  CASE WHEN n_tokens > 0 THEN best / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS lang_confidence
+FROM withbest"""
+
+
+def doc_fingerprints_sql() -> str:
+    return f"""SELECT doc_id,
+  md5(text) AS fp_exact,
+  md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp_normalized,
+  md5(array_to_string(list_sort(list_distinct({TOKENS})), ' ')) AS fp_bow
+FROM documents"""
+
+
+def dedup_exact_sql() -> str:
+    return """SELECT doc_id, md5(text) AS digest,
+  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+FROM documents"""
+
+
+def _ngrams_cte(n: int) -> str:
+    return f"""doc_grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(0, len(toks) - {n} + 1),
+                   i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' '))
+  )) AS gram
+  FROM (SELECT doc_id, {TOKENS} AS toks FROM documents)
+  WHERE len(toks) >= {n}
+)"""
+
+
+def dedup_ngram_pairs_sql(n: int = 3, threshold: float = 0.2) -> str:
+    return f"""WITH {_ngrams_cte(n)},
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM doc_grams GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_shared
+  FROM doc_grams a JOIN doc_grams b
+    ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc1, doc2, n_shared,
+  CAST(n_shared AS DOUBLE) / CAST(s1.n_grams + s2.n_grams - n_shared AS DOUBLE) AS jaccard
+FROM shared
+JOIN sizes s1 ON s1.doc_id = doc1
+JOIN sizes s2 ON s2.doc_id = doc2
+WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n_grams + s2.n_grams - n_shared AS DOUBLE) >= {threshold}"""
+
+
+def _minhash_sig_ctes() -> str:
+    perms = oracle._values(
+        [(i, a, b) for i, (a, b) in enumerate(hashing.MINHASH_PERMS)]
+    )
+    rows_per_band = len(hashing.MINHASH_PERMS) // hashing.MINHASH_BANDS
+    th = TOK_HASH.format(t="tok")
+    return f"""doc_toks AS (
+  SELECT doc_id, unnest(list_distinct({TOKENS})) AS tok FROM documents),
+tok_hashes AS (
+  SELECT doc_id, {th} AS tok_hash FROM doc_toks),
+perms(i, a, b) AS (VALUES
+    {perms}),
+minhashes AS (
+  SELECT doc_id, i,
+         MIN((a * tok_hash + b) % {hashing.HASH_MOD}) AS mh
+  FROM tok_hashes CROSS JOIN perms
+  GROUP BY doc_id, i),
+band_sigs AS (
+  SELECT doc_id, CAST(i // {rows_per_band} AS INTEGER) AS band,
+         string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_sig
+  FROM minhashes GROUP BY doc_id, i // {rows_per_band})"""
+
+
+def dedup_minhash_sigs_sql() -> str:
+    return f"""WITH {_minhash_sig_ctes()}
+SELECT doc_id, band, band_sig FROM band_sigs"""
+
+
+def dedup_minhash_pairs_sql(threshold: float = 0.5) -> str:
+    return f"""WITH {_minhash_sig_ctes()},
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM band_sigs a JOIN band_sigs b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_toks FROM doc_toks GROUP BY doc_id),
+shared AS (
+  SELECT c.doc1, c.doc2, count(*) AS n_shared
+  FROM candidates c
+  JOIN doc_toks t1 ON t1.doc_id = c.doc1
+  JOIN doc_toks t2 ON t2.doc_id = c.doc2 AND t2.tok = t1.tok
+  GROUP BY c.doc1, c.doc2)
+SELECT doc1, doc2,
+  CAST(n_shared AS DOUBLE) / CAST(s1.n_toks + s2.n_toks - n_shared AS DOUBLE) AS jaccard
+FROM shared
+JOIN sizes s1 ON s1.doc_id = doc1
+JOIN sizes s2 ON s2.doc_id = doc2
+WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n_toks + s2.n_toks - n_shared AS DOUBLE) >= {threshold}"""
+
+
+def _simhash_cte() -> str:
+    th = TOK_HASH.format(t="t")
+    bits = hashing.SIMHASH_BITS
+    return f"""doc_tok_hashes AS (
+  SELECT doc_id,
+         list_transform(list_distinct({TOKENS}), t -> {th}) AS hashes
+  FROM documents),
+simhashes AS (
+  SELECT doc_id,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(0, {bits}), b ->
+        CASE WHEN list_reduce(list_prepend(0,
+               list_transform(hashes, h ->
+                 CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)),
+             (acc, v) -> acc + v) > 0
+        THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
+      (acc, v) -> acc + v) AS simhash
+  FROM doc_tok_hashes)"""
+
+
+def dedup_simhash_sigs_sql() -> str:
+    return f"""WITH {_simhash_cte()}
+SELECT doc_id, simhash FROM simhashes"""
+
+
+def dedup_simhash_pairs_sql() -> str:
+    bits = hashing.SIMHASH_BITS
+    band_bits = hashing.SIMHASH_BAND_BITS
+    n_bands = (bits + band_bits - 1) // band_bits
+    return f"""WITH {_simhash_cte()},
+banded AS (
+  SELECT doc_id, simhash, CAST(b AS INTEGER) AS band,
+         (simhash >> (b * {band_bits})) & 255 AS band_val
+  FROM simhashes, unnest(range(0, {n_bands})) AS u(b)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+         a.simhash AS sim1, b.simhash AS sim2
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+SELECT doc1, doc2, bit_count(xor(sim1, sim2)) AS hamming
+FROM pairs
+WHERE bit_count(xor(sim1, sim2)) <= {hashing.SIMHASH_MAX_HAMMING}"""
+
+
+# ── Embedding similarity ─────────────────────────────────────────────
+
+DOT_FOLD = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, {n}+1), "
+    "i -> {a}[i] * {b}[i])), (acc, v) -> acc + v)"
+)
+
+
+def _emb_cte() -> str:
+    dot_self = DOT_FOLD.format(n=similarity.DIM, a="v", b="v")
+    return f"""emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+emb_n AS (
+  SELECT vec_id, v, sqrt({dot_self}) AS nrm FROM emb)"""
+
+
+def knn_bruteforce_sql(k: int = 5, modulus: int = 50) -> str:
+    dot_qc = DOT_FOLD.format(n=similarity.DIM, a="q.v", b="c.v")
+    return f"""WITH {_emb_cte()},
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {dot_qc} / (q.nrm * c.nrm) AS cosine
+  FROM emb_n q CROSS JOIN emb_n c
+  WHERE q.vec_id % {modulus} = 0 AND q.vec_id <> c.vec_id),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}"""
+
+
+def _lsh_cte() -> str:
+    rows = []
+    for p, plane in enumerate(similarity.HYPERPLANES):
+        arr = "[" + ", ".join(f"{float(w)}" for w in plane) + "]"
+        rows.append(f"({p}, {arr}::DOUBLE[])")
+    proj = DOT_FOLD.format(n=similarity.DIM, a="e.v", b="h.plane")
+    return f"""{_emb_cte()},
+planes(p, plane) AS (VALUES
+    {", ".join(rows)}),
+projections AS (
+  SELECT e.vec_id, h.p, {proj} AS proj
+  FROM emb_n e CROSS JOIN planes h),
+lsh_sigs AS (
+  SELECT vec_id,
+         SUM(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS lsh_sig
+  FROM projections GROUP BY vec_id)"""
+
+
+def embedding_lsh_buckets_sql() -> str:
+    return f"""WITH {_lsh_cte()}
+SELECT vec_id, CAST(lsh_sig AS BIGINT) AS lsh_sig, CAST(b AS INTEGER) AS band,
+       CAST((lsh_sig >> (b * 4)) & 15 AS INTEGER) AS band_val
+FROM lsh_sigs, unnest(range(0, 4)) AS u(b)"""
+
+
+def embedding_dup_pairs_sql(threshold: float = 0.35) -> str:
+    dot_12 = DOT_FOLD.format(n=similarity.DIM, a="e1.v", b="e2.v")
+    return f"""WITH {_lsh_cte()},
+buckets AS (
+  SELECT vec_id, CAST(b AS INTEGER) AS band,
+         (lsh_sig >> (b * 4)) & 15 AS band_val
+  FROM lsh_sigs, unnest(range(0, 4)) AS u(b)),
+candidates AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id)
+SELECT c.id1, c.id2, {dot_12} / (e1.nrm * e2.nrm) AS cosine
+FROM candidates c
+JOIN emb_n e1 ON e1.vec_id = c.id1
+JOIN emb_n e2 ON e2.vec_id = c.id2
+WHERE {dot_12} / (e1.nrm * e2.nrm) >= {threshold}"""
+
+
+def multimodal_metadata_sql() -> str:
+    return """SELECT doc_id, 'text' AS media_type,
+  CAST(octet_length(encode(text)) AS INTEGER) AS payload_size,
+  'txt' AS format
+FROM documents"""

@@ -1,0 +1,91 @@
+"""Spark-side data-pipeline queries for the driver contract (documents +
+embeddings tables)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, textops
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.text_stats(_docs(spark, sf_dir))
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.quality_score(textops.text_stats(_docs(spark, sf_dir)))
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.lang_id(_docs(spark, sf_dir))
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.fingerprints(_docs(spark, sf_dir))
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+
+
+def dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(_docs(spark, sf_dir))
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_dup_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def dedup_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_signatures(_docs(spark, sf_dir))
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_dup_pairs(_docs(spark, sf_dir))
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.knn_bruteforce(
+        _emb(spark, sf_dir), query_pred=F.col("vec_id") % 50 == 0, k=5
+    )
+
+
+def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_bucket_assignments(_emb(spark, sf_dir))
+
+
+def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check: double averages are summation-order-sensitive, so no
+    # bit-exact oracle; shape/row-count is still verified
+    return similarity.label_centroids(_emb(spark, sf_dir))
+
+
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.to_media_table(_docs(spark, sf_dir)).select(
+        "doc_id", "media_type", "payload_size", "format"
+    )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check: exercises the Arrow/mapInPandas plumbing incl. the
+    # stubbed decoder
+    return multimodal.extract_features(
+        multimodal.to_media_table(_docs(spark, sf_dir))
+    )

@@ -1,0 +1,249 @@
+"""Unit tests for the training-data pipeline operators (dedup, similarity,
+text analysis, multimodal plumbing) on tiny hand-built DataFrames.
+
+These are extensions beyond the reference's surface (SURVEY §7 phase 5);
+correctness at scale is additionally oracle-checked by
+scripts/check_oracle.py against DuckDB.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from tax_compliance_engine_spark.functions import hashing
+from tax_compliance_engine_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    textops,
+)
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def emb_df(spark, vecs, labels=None):
+    labels = labels or [0] * len(vecs)
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], lab) for i, (v, lab) in enumerate(zip(vecs, labels))],
+        "vec_id long, embedding array<double>, label int",
+    )
+
+
+# ── text analysis ────────────────────────────────────────────────────
+
+
+def test_text_stats_golden(spark):
+    df = textops.text_stats(docs_df(spark, ["the cat sat on the mat"]))
+    r = df.collect()[0]
+    assert r.n_chars == 22
+    assert r.n_tokens == 6
+    assert r.n_distinct_tokens == 5  # 'the' twice
+    assert r.type_token_ratio == pytest.approx(5 / 6)
+    assert r.avg_token_len == pytest.approx(17 / 6)  # 22 chars - 5 spaces
+    assert r.punct_ratio == 0.0
+    assert r.stopword_ratio == pytest.approx(2 / 6)  # the, the ('on' not listed)
+
+
+def test_text_stats_empty(spark):
+    r = textops.text_stats(docs_df(spark, [""])).collect()[0]
+    assert r.n_tokens == 0
+    assert r.type_token_ratio == 0.0
+    assert r.avg_token_len == 0.0
+
+
+def test_quality_score_formula(spark):
+    df = textops.quality_score(
+        textops.text_stats(docs_df(spark, ["alpha beta gamma delta"]))
+    )
+    r = df.collect()[0]
+    # ttr=1.0, avg_token_len=19/4 in [3,10], no punct/digits
+    assert r.quality_score == pytest.approx(0.5 * 1.0 + 0.3 + 0.2)
+
+
+def test_lang_id(spark):
+    df = textops.lang_id(
+        docs_df(
+            spark,
+            [
+                "the cat and the dog went to a park of wonders",
+                "el perro y la casa de la playa que vimos",
+                "xyzzy plugh",  # no markers
+            ],
+        )
+    )
+    rows = {r.doc_id: r for r in df.collect()}
+    assert rows[0].predicted_lang == "en"
+    assert rows[1].predicted_lang == "es"
+    assert rows[2].predicted_lang == "und"
+    assert rows[2].lang_confidence == 0.0
+
+
+def test_fingerprints(spark):
+    df = textops.fingerprints(
+        docs_df(
+            spark,
+            [
+                "Hello   World",
+                "hello world",  # same normalized
+                "world hello",  # same bag-of-words as doc1
+            ],
+        )
+    )
+    rows = {r.doc_id: r for r in df.collect()}
+    assert rows[0].fp_exact == hashlib.md5(b"Hello   World").hexdigest()
+    assert rows[0].fp_exact != rows[1].fp_exact
+    assert rows[0].fp_normalized == rows[1].fp_normalized
+    assert rows[1].fp_bow == rows[2].fp_bow
+
+
+def test_tok_hash_portable(spark):
+    # polynomial fold matches a pure-Python reference implementation
+    from pyspark.sql import functions as F
+
+    tok = "spark"
+    expected = 0
+    for ch in tok:
+        expected = (expected * 31 + ord(ch)) % hashing.HASH_MOD
+    got = (
+        spark.range(1)
+        .select(hashing.tok_hash_col(F.lit(tok)).alias("h"))
+        .collect()[0]
+        .h
+    )
+    assert got == expected
+
+
+# ── dedup ────────────────────────────────────────────────────────────
+
+
+def test_exact_dedup(spark):
+    df = dedup.exact_dedup(docs_df(spark, ["aaa", "bbb", "aaa", "aaa"]))
+    rows = {r.doc_id: r for r in df.collect()}
+    assert not rows[0].is_duplicate
+    assert not rows[1].is_duplicate
+    assert rows[2].is_duplicate and rows[2].canonical_id == 0
+    assert rows[3].is_duplicate and rows[3].canonical_id == 0
+
+
+def test_ngram_jaccard_pairs(spark):
+    # doc0/doc1 share 2 of their trigram shingles; doc2 disjoint
+    d0 = "a b c d"  # shingles: {a b c, b c d}
+    d1 = "a b c d e"  # shingles: {a b c, b c d, c d e}
+    d2 = "x y z w"
+    df = dedup.ngram_jaccard_pairs(
+        docs_df(spark, [d0, d1, d2]), n=3, threshold=0.1
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc1, r.doc2) == (0, 1)
+    assert r.n_shared == 2
+    assert r.jaccard == pytest.approx(2 / 3)
+
+
+def test_minhash_identical_docs_pair(spark):
+    text = "the quick brown fox jumps over the lazy dog"
+    df = dedup.minhash_dup_pairs(
+        docs_df(spark, [text, text, "completely different words here entirely"]),
+        threshold=0.9,
+    )
+    rows = df.collect()
+    assert [(r.doc1, r.doc2, r.jaccard) for r in rows] == [(0, 1, 1.0)]
+
+
+def test_minhash_signature_shape(spark):
+    sigs = dedup.minhash_signatures(docs_df(spark, ["a b c", "a b c"])).collect()
+    by_doc = {}
+    for r in sigs:
+        by_doc.setdefault(r.doc_id, {})[r.band] = r.band_sig
+    assert set(by_doc[0]) == {0, 1, 2, 3}
+    assert by_doc[0] == by_doc[1]  # identical docs → identical signatures
+
+
+def test_simhash_identical_docs(spark):
+    text = "one two three four five six seven"
+    sigs = dedup.simhash_signatures(docs_df(spark, [text, text])).collect()
+    assert sigs[0].simhash == sigs[1].simhash
+    assert 0 <= sigs[0].simhash < (1 << hashing.SIMHASH_BITS)
+    pairs = dedup.simhash_dup_pairs(docs_df(spark, [text, text])).collect()
+    assert [(p.doc1, p.doc2, p.hamming) for p in pairs] == [(0, 1, 0)]
+
+
+# ── similarity ───────────────────────────────────────────────────────
+
+
+def test_knn_bruteforce_ordering(spark):
+    from pyspark.sql import functions as F
+
+    vecs = [
+        [1.0, 0.0, 0.0] + [0.0] * 61,  # query
+        [1.0, 0.1, 0.0] + [0.0] * 61,  # nearest
+        [0.5, 1.0, 0.0] + [0.0] * 61,  # second
+        [-1.0, 0.0, 0.0] + [0.0] * 61,  # opposite
+    ]
+    df = similarity.knn_bruteforce(
+        emb_df(spark, vecs), query_pred=F.col("vec_id") == 0, k=3
+    )
+    rows = sorted(df.collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in rows] == [1, 2, 3]
+    assert rows[0].cosine > rows[1].cosine > rows[2].cosine
+    assert rows[2].cosine == pytest.approx(-1.0)
+
+
+def test_lsh_identical_vectors_same_sig(spark):
+    v = [0.3, -1.2, 0.7, 2.0] * 16
+    df = similarity.lsh_bucket_assignments(emb_df(spark, [v, v]))
+    sigs = {r.vec_id: r.lsh_sig for r in df.collect()}
+    assert sigs[0] == sigs[1]
+    assert df.count() == 8  # 2 vecs x 4 bands
+
+
+def test_embedding_dup_pairs_identical(spark):
+    v1 = [0.5, -0.25, 1.5, -2.0] * 16
+    v2 = [x * 2 for x in v1]  # same direction → cosine 1
+    v3 = [-x for x in v1]  # opposite
+    df = similarity.embedding_dup_pairs(emb_df(spark, [v1, v2, v3]), threshold=0.99)
+    rows = df.collect()
+    assert [(r.id1, r.id2) for r in rows] == [(0, 1)]
+    assert rows[0].cosine == pytest.approx(1.0)
+
+
+def test_label_centroids(spark):
+    df = similarity.label_centroids(
+        emb_df(
+            spark,
+            [[1.0] * 64, [3.0] * 64, [10.0] * 64],
+            labels=[7, 7, 9],
+        )
+    )
+    rows = {r.label: r for r in df.collect()}
+    assert rows[7].n_vectors == 2
+    assert rows[7].centroid == [2.0] * 64
+    assert rows[9].centroid == [10.0] * 64
+
+
+# ── multimodal plumbing ──────────────────────────────────────────────
+
+
+def test_media_table_and_features(spark):
+    media = multimodal.to_media_table(docs_df(spark, ["hello!", "abc"]))
+    rows = {r.doc_id: r for r in media.collect()}
+    assert bytes(rows[0].payload) == b"hello!"
+    assert rows[0].payload_size == 6
+    assert rows[0].media_type == "text" and rows[0].format == "txt"
+
+    feats = {r.doc_id: r for r in multimodal.extract_features(media).collect()}
+    assert feats[0].feature == [ord(c) for c in "hello!"][:8]
+    assert feats[1].feature == [97, 98, 99]
+    assert feats[0].decoder == "stub-first8bytes"
+
+
+def test_decode_image_is_stubbed(spark):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(None)
