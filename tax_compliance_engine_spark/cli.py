@@ -1,0 +1,352 @@
+"""Command-line interface (SURVEY §3; reference cli.py:466-529).
+
+Mirrors the reference's five subcommands — calculate, rates, compliance,
+refund, report — over the Spark engine, with plain-text rendering (the
+reference uses ``rich``; the output content matches, the box-drawing
+styling intentionally does not).
+
+Every subcommand builds one declarative Spark plan and collects only
+report-sized aggregates to the driver (S10/S11 are driver-side renders by
+design — every rendered table is ≤51 states or alert-sized).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import sys
+from decimal import Decimal
+
+from pyspark.sql import Row, SparkSession
+from pyspark.sql import functions as F
+
+from . import reports
+from .dims import load_dims
+from .operators import alerts as alerts_op
+from .operators import calendar as cal
+from .operators import nexus, refund, tax
+from .schemas import TXN_SCHEMA
+from .session import get_spark
+from .sources.transactions import scan_transactions_csv
+
+
+def _spark() -> SparkSession:
+    return get_spark(app_name="tax-compliance-engine-cli")
+
+
+def _load(spark: SparkSession, path: str):
+    scan = scan_transactions_csv(spark, path)
+    n_rejects = scan.rejects.count()
+    if n_rejects:
+        for r in scan.rejects.limit(20).collect():
+            print(f"Warning: skipping row ({r.reject_reason}): {r.transaction_id}")
+        if n_rejects > 20:
+            print(f"Warning: ... and {n_rejects - 20} more skipped rows")
+    return scan.transactions
+
+
+def cmd_calculate(args: argparse.Namespace) -> None:
+    spark = _spark()
+    dims = load_dims(spark)
+
+    if args.file:
+        txns = _load(spark, args.file)
+        results = tax.calculate_tax(txns, dims).cache()
+        print(f"{'ID':<14}{'State':<7}{'City':<16}{'Amount':>12}{'Tax':>10}"
+              f"{'Rate':>9}  Exempt")
+        for r in results.collect():
+            print(
+                f"{r.transaction_id[:12]:<14}{r.state:<7}"
+                f"{(r.city or '-')[:14]:<16}"
+                f"${float(r.taxable_amount):>10,.2f}"
+                f"${float(r.tax_amount):>8,.2f}"
+                f"{r.effective_rate:>8.2%}  {'Y' if r.is_exempt else ''}"
+            )
+        t = tax.batch_totals(results).collect()[0]
+        print()
+        print(f"Total Taxable: ${float(t.total_taxable):,.2f}")
+        print(f"Total Tax: ${float(t.total_tax):,.2f}")
+        print(f"Exempt Transactions: {t.exempt_count}")
+
+        if args.export_json:
+            report = reports.tax_summary_report(
+                tax.batch_totals(results),
+                tax.state_summary(results),
+                period_label=args.period or "",
+            )
+            reports.to_json(
+                report, args.export_json, args.output_dir or "reports"
+            )
+            print(f"JSON exported to {args.export_json}")
+        return
+
+    if not args.amount or not args.state:
+        print("Provide --amount and --state, or --file", file=sys.stderr)
+        sys.exit(1)
+
+    txn = Row(
+        transaction_id="cli-calc",
+        transaction_date=dt.date.today(),
+        amount=Decimal(args.amount).quantize(Decimal("0.01")),
+        state=args.state.upper(),
+        city=args.city,
+        item_category=args.category,
+        tax_paid=Decimal("0.00"),
+        exemption_certificate=None,
+        customer_type="retail",
+        pricing_model="exclusive",
+    )
+    df = tax.normalize_transactions(spark.createDataFrame([txn], TXN_SCHEMA))
+    r = tax.calculate_tax(df, dims).collect()[0]
+    total_with_tax = r.taxable_amount + r.tax_amount
+    print(f"State: {r.state}")
+    print(f"City: {r.city or 'N/A'}")
+    print(f"Taxable Amount: ${float(r.taxable_amount):,.2f}")
+    print(f"State Tax: ${float(r.state_tax):,.2f}")
+    print(f"Local Tax: ${float(r.local_tax):,.2f}")
+    print(f"Total Tax: ${float(r.tax_amount):,.2f}")
+    print(f"Effective Rate: {r.effective_rate:.2%}")
+    print(f"Total w/ Tax: ${float(total_with_tax):,.2f}")
+    print(
+        "Exempt: "
+        + (f"Yes - {r.exemption_reason}" if r.is_exempt else "No")
+    )
+    for w in r.warnings:
+        print(f"Warning: {w}")
+
+
+def cmd_rates(args: argparse.Namespace) -> None:
+    spark = _spark()
+    dims = load_dims(spark)
+    if args.state:
+        code = args.state.upper()
+        rows = dims.state_rates.filter(F.col("state_code") == code).collect()
+        if not rows:
+            print(f"Unknown state code: {code}", file=sys.stderr)
+            sys.exit(1)
+        s = rows[0]
+        print(f"{s.state_name} ({s.state_code})")
+        print(f"Base rate: {float(s.base_rate):.2%}")
+        print(f"Avg combined rate: {float(s.avg_combined_rate):.2%}")
+        print(f"Max local rate: {float(s.max_local_rate):.2%}")
+        if s.notes:
+            print(f"Notes: {s.notes}")
+        locs = (
+            dims.local_rates.filter(F.col("state_code") == code)
+            .orderBy("jurisdiction")
+            .collect()
+        )
+        if locs:
+            print("Local jurisdictions:")
+            for loc in locs:
+                print(f"  {loc.jurisdiction}: {float(loc.rate):.2%}")
+        exemptions = (
+            dims.state_exemptions.filter(F.col("state_code") == code)
+            .orderBy("category")
+            .collect()
+        )
+        if exemptions:
+            print("Exemptions: " + ", ".join(e.category for e in exemptions))
+        return
+    print(f"{'State':<7}{'Base':>8}{'Avg Combined':>14}{'Local?':>8}")
+    for s in dims.state_rates.orderBy("state_code").collect():
+        print(
+            f"{s.state_code:<7}{float(s.base_rate):>7.2%}"
+            f"{float(s.avg_combined_rate):>13.2%}"
+            f"{'Y' if s.has_local_taxes else '':>8}"
+        )
+
+
+def cmd_compliance(args: argparse.Namespace) -> None:
+    spark = _spark()
+    dims = load_dims(spark)
+    if not args.file:
+        print("Provide --file", file=sys.stderr)
+        sys.exit(1)
+    registered = (
+        [s.strip().upper() for s in args.registered.split(",") if s.strip()]
+        if args.registered
+        else []
+    )
+    txns = _load(spark, args.file)
+    activity = nexus.state_activity(txns)
+    status = nexus.check_nexus(activity, dims).cache()
+
+    print(f"{'State':<7}{'Status':<13}{'Revenue':>14}{'Txns':>7}{'Rev %':>9}")
+    for r in status.collect():
+        bucket = (
+            "NEXUS"
+            if r.has_nexus
+            else "APPROACHING" if r.approaching_threshold else "below"
+        )
+        print(
+            f"{r.state_code:<7}{bucket:<13}"
+            f"${float(r.revenue_in_state):>12,.2f}"
+            f"{r.transactions_in_state:>7}"
+            f"{r.revenue_pct_of_threshold:>8.1f}%"
+        )
+
+    alert_df = alerts_op.generate_alerts(
+        spark, dims, status, registered_states=registered, as_of=dt.date.today()
+    )
+    alert_rows = alert_df.collect()
+    if alert_rows:
+        print()
+        print("ALERTS")
+        for a in alert_rows:
+            print(f"[{a.severity.upper()}] {a.state_code}: {a.message}")
+            print(f"        Action: {a.action_required}")
+
+    if args.export_json:
+        report = reports.nexus_report(status)
+        reports.to_json(report, args.export_json, args.output_dir or "reports")
+        print(f"JSON exported to {args.export_json}")
+
+
+def cmd_refund(args: argparse.Namespace) -> None:
+    spark = _spark()
+    dims = load_dims(spark)
+    txns = _load(spark, args.file)
+    as_of = dt.date.today()
+
+    if args.quick:
+        minimum = args.minimum or "0.50"
+        hits = refund.quick_scan(txns, dims, as_of, minimum).cache()
+        rows = hits.orderBy(F.desc("overpayment")).collect()
+        for r in rows:
+            print(
+                f"{r.transaction_id:<16}{r.state:<5}"
+                f"${float(r.overpayment):>9,.2f}  {r.reason}"
+            )
+        total = sum(float(r.overpayment) for r in rows)
+        print(f"\nPotential refunds found: {len(rows)}  (${total:,.2f})")
+        return
+
+    n_reviewed = txns.count()
+    records = refund.analyze_overpayments(txns, dims, as_of).cache()
+    summary, state_bd, reason_bd, warnings = refund.refund_summary(
+        records, total_transactions_reviewed=n_reviewed
+    )
+    claims = refund.refund_claims(records)
+    report = reports.refund_report(
+        summary, state_bd, reason_bd, records, warnings, claims
+    )
+    print(reports.format_text(report))
+    if args.export_json:
+        reports.to_json(report, args.export_json, args.output_dir or "reports")
+        print(f"JSON exported to {args.export_json}")
+
+
+def cmd_report(args: argparse.Namespace) -> None:
+    spark = _spark()
+    dims = load_dims(spark)
+    txns = _load(spark, args.file).cache()
+    as_of = dt.date.today()
+
+    results = tax.calculate_tax(txns, dims).cache()
+    tax_report = reports.tax_summary_report(
+        tax.batch_totals(results),
+        tax.state_summary(results),
+        period_label=args.period or "",
+    )
+    print(reports.format_text(tax_report))
+
+    records = refund.analyze_overpayments(txns, dims, as_of).cache()
+    summary, state_bd, reason_bd, warnings = refund.refund_summary(
+        records, total_transactions_reviewed=txns.count()
+    )
+    claims = refund.refund_claims(records)
+    ref_report = reports.refund_report(
+        summary, state_bd, reason_bd, records, warnings, claims
+    )
+    print(reports.format_text(ref_report))
+
+    if args.export_json:
+        reports.to_json(
+            tax_report, args.export_json, args.output_dir or "reports"
+        )
+        print(f"JSON exported to {args.export_json}")
+    if args.export_csv:
+        reports.to_csv(
+            tax_report,
+            args.export_csv,
+            section="state_breakdown",
+            output_dir=args.output_dir or "reports",
+        )
+        print(f"CSV exported to {args.export_csv}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="tax-engine-spark",
+        description=(
+            "Sales Tax Compliance Engine (PySpark) - multi-state tax "
+            "calculation, compliance monitoring, and refund analysis"
+        ),
+    )
+    sub = parser.add_subparsers(dest="command", help="Available commands")
+
+    calc_p = sub.add_parser("calculate", help="Calculate sales tax")
+    calc_p.add_argument("--amount", help="Transaction amount")
+    calc_p.add_argument("--state", help="Two-letter state code")
+    calc_p.add_argument("--city", help="City name for local rate lookup")
+    calc_p.add_argument("--category", help="Item category for exemption check")
+    calc_p.add_argument("--file", "-f", help="CSV file with transactions")
+    calc_p.add_argument("--period", help="Period label for reports")
+    calc_p.add_argument("--export-json", help="Export results to JSON file")
+    calc_p.add_argument("--output-dir", help="Output directory for exports")
+    calc_p.set_defaults(func=cmd_calculate)
+
+    rates_p = sub.add_parser("rates", help="View tax rate database")
+    rates_p.add_argument("--state", "-s", help="State code to look up")
+    rates_p.set_defaults(func=cmd_rates)
+
+    comp_p = sub.add_parser(
+        "compliance", help="Check nexus and filing compliance"
+    )
+    comp_p.add_argument("--file", "-f", help="CSV file with transactions")
+    comp_p.add_argument(
+        "--registered", help="Comma-separated list of registered state codes"
+    )
+    comp_p.add_argument("--export-json", help="Export report to JSON")
+    comp_p.add_argument("--output-dir", help="Output directory")
+    comp_p.set_defaults(func=cmd_compliance)
+
+    refund_p = sub.add_parser("refund", help="Analyze refund opportunities")
+    refund_p.add_argument(
+        "--file", "-f", required=True, help="CSV file with transactions"
+    )
+    refund_p.add_argument(
+        "--quick", "-q", action="store_true", help="Quick scan mode"
+    )
+    refund_p.add_argument(
+        "--minimum", help="Minimum overpayment to report (default: $0.50)"
+    )
+    refund_p.add_argument("--export-json", help="Export report to JSON")
+    refund_p.add_argument("--output-dir", help="Output directory")
+    refund_p.set_defaults(func=cmd_refund)
+
+    report_p = sub.add_parser("report", help="Generate full compliance report")
+    report_p.add_argument(
+        "--file", "-f", required=True, help="CSV file with transactions"
+    )
+    report_p.add_argument("--period", help="Report period label")
+    report_p.add_argument("--export-json", help="Export to JSON filename")
+    report_p.add_argument("--export-csv", help="Export to CSV filename")
+    report_p.add_argument("--output-dir", help="Output directory")
+    report_p.set_defaults(func=cmd_report)
+
+    return parser
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if not args.command:
+        parser.print_help()
+        sys.exit(0)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()
