@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refund_claims": q.refund_claims,
         # Nexus / compliance family (A3, J4-J5, F15-F16, O4; alerts U1)
         "nexus_status": q.nexus_status,
+        "nexus_periodized": q.nexus_periodized,  # measurement_period honored
         "nexus_alerts": q.nexus_alerts,
         # Filing calendar (F7, F14, F17, J6, J8, P10-P11, O5)
         "filing_calendar": q.filing_calendar,
@@ -85,6 +86,7 @@ def oracle_sql() -> dict[str, str]:
         "refund_summary": oracle.refund_summary_sql(),
         "refund_claims": oracle.refund_claims_sql(),
         "nexus_status": oracle.nexus_status_sql(),
+        "nexus_periodized": oracle.nexus_periodized_sql(),
         "nexus_alerts": oracle.nexus_alerts_sql(),
         "filing_calendar": oracle.filing_calendar_sql(),
         "rates_top10": oracle.rates_top10_sql(),

@@ -30,6 +30,78 @@ def state_activity(txns: DataFrame) -> DataFrame:
     )
 
 
+def periodized_activity(txns: DataFrame, dims: Dims, as_of) -> DataFrame:
+    """Per-state activity measured over each state's ``measurement_period``.
+
+    Extension beyond the reference (SURVEY §2.9): the reference stores the
+    period on every threshold (compliance.py:46) but compares against
+    all-time totals (compliance.py:305-310).  This operator honors it:
+
+    - ``current_year``: Jan 1 of as_of's year .. as_of
+    - ``prior_year``: the full previous calendar year
+    - ``rolling_12``: the 12 months ending at as_of (exclusive start)
+    - ``rolling_4q``: from the start of the quarter 12 months before as_of's
+      quarter, through as_of (4 complete quarters + the current partial one)
+    - ``current_or_prior``: the better of current_year and prior_year
+      (a state qualifies if either period crosses, so measure the max)
+    - states without a threshold row: all-time up to as_of
+
+    One broadcast join + one state-keyed shuffle with conditional partial
+    aggregation — the period logic costs nothing extra at scale."""
+    nt = dims.nexus_thresholds.select(
+        F.col("state_code").alias("_pa_state"),
+        F.col("measurement_period").alias("_mp"),
+    )
+    df = txns.join(F.broadcast(nt), F.col("state") == F.col("_pa_state"), "left")
+
+    d = F.col("transaction_date")
+    as_of_lit = F.lit(as_of)
+    in_cur = (d >= F.trunc(as_of_lit, "year")) & (d <= as_of_lit)
+    in_prior = F.year(d) == (F.year(as_of_lit) - 1)
+    in_r12 = (d > F.add_months(as_of_lit, -12)) & (d <= as_of_lit)
+    in_r4q = (d >= F.add_months(F.trunc(as_of_lit, "quarter"), -12)) & (
+        d <= as_of_lit
+    )
+    in_all = d <= as_of_lit
+
+    mp = F.col("_mp")
+    in_simple = (
+        F.when(mp == "current_year", in_cur)
+        .when(mp == "prior_year", in_prior)
+        .when(mp == "rolling_12", in_r12)
+        .when(mp == "rolling_4q", in_r4q)
+        .otherwise(in_all)  # no-threshold states; current_or_prior overridden
+    )
+
+    def _sum_if(cond) -> F.Column:
+        return F.coalesce(
+            F.sum(F.when(cond, F.col("amount"))), F.lit(0)
+        ).cast(MONEY)
+
+    def _cnt_if(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    agg = df.groupBy("state").agg(
+        _sum_if(in_simple).alias("_rev_simple"),
+        _cnt_if(in_simple).alias("_cnt_simple"),
+        _sum_if(in_cur).alias("_rev_cur"),
+        _cnt_if(in_cur).alias("_cnt_cur"),
+        _sum_if(in_prior).alias("_rev_prior"),
+        _cnt_if(in_prior).alias("_cnt_prior"),
+        F.first("_mp").alias("_mp"),
+    )
+    is_cop = F.col("_mp") == "current_or_prior"
+    return agg.select(
+        "state",
+        F.when(is_cop, F.greatest("_rev_cur", "_rev_prior"))
+        .otherwise(F.col("_rev_simple"))
+        .alias("revenue"),
+        F.when(is_cop, F.greatest("_cnt_cur", "_cnt_prior"))
+        .otherwise(F.col("_cnt_simple"))
+        .alias("txn_count"),
+    )
+
+
 def check_nexus(
     activity: DataFrame,
     dims: Dims,

@@ -29,6 +29,9 @@ from ..schemas import MONEY
 AS_OF = dt.date(2002, 6, 15)
 CALENDAR_YEAR = 2001
 CAL_AS_OF = dt.date(2001, 6, 15)  # mid-year → overdue/pending/filed mix
+# Inside the orders date range (1995..2001) so every measurement_period
+# (current/prior year, rolling 12m/4q) selects a distinct subset.
+NEXUS_AS_OF = dt.date(2000, 9, 15)
 REGISTERED_STATES = ["CA", "TX", "NY", "OH", "WA"]
 FILED_PERIODS = [("TX", dt.date(2001, 1, 1), dt.date(2001, 1, 31))]
 

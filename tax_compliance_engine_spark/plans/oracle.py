@@ -339,15 +339,71 @@ WHERE refund_eligible
 GROUP BY state"""
 
 
-def nexus_status_sql() -> str:
-    no_nexus = ", ".join(_q(s) for s in ("DE", "MT", "NH", "OR"))
-    return f"""WITH {dim_ctes().lstrip()},
-{transactions_cte().lstrip()},
-activity AS (
+ALL_TIME_ACTIVITY_CTE = """activity AS (
   SELECT state, CAST(SUM(amount) AS DECIMAL(18,2)) AS revenue,
          count(*) AS txn_count
   FROM transactions_derived GROUP BY state
+)"""
+
+
+def periodized_activity_cte() -> str:
+    """DuckDB twin of nexus.periodized_activity (same period predicates,
+    same greatest(current, prior) for current_or_prior)."""
+    as_of = derived.NEXUS_AS_OF.isoformat()
+    in_cur = (
+        f"(transaction_date >= date_trunc('year', DATE '{as_of}')"
+        f" AND transaction_date <= DATE '{as_of}')"
+    )
+    in_prior = (
+        f"(year(transaction_date) = year(DATE '{as_of}') - 1)"
+    )
+    in_r12 = (
+        f"(transaction_date > DATE '{as_of}' - INTERVAL 12 MONTH"
+        f" AND transaction_date <= DATE '{as_of}')"
+    )
+    in_r4q = (
+        f"(transaction_date >= CAST(date_trunc('quarter', DATE '{as_of}')"
+        f" - INTERVAL 12 MONTH AS DATE)"
+        f" AND transaction_date <= DATE '{as_of}')"
+    )
+    in_all = f"(transaction_date <= DATE '{as_of}')"
+    in_simple = f"""CASE measurement_period
+      WHEN 'current_year' THEN {in_cur}
+      WHEN 'prior_year' THEN {in_prior}
+      WHEN 'rolling_12' THEN {in_r12}
+      WHEN 'rolling_4q' THEN {in_r4q}
+      ELSE {in_all} END"""
+    return f"""joined_period AS (
+  SELECT d.*, t.measurement_period
+  FROM transactions_derived d
+  LEFT JOIN nexus_thresholds t ON d.state = t.state_code
 ),
+period_agg AS (
+  SELECT state,
+    CAST(COALESCE(SUM(CASE WHEN {in_simple} THEN amount END), 0) AS DECIMAL(18,2)) AS rev_simple,
+    SUM(CASE WHEN {in_simple} THEN 1 ELSE 0 END) AS cnt_simple,
+    CAST(COALESCE(SUM(CASE WHEN {in_cur} THEN amount END), 0) AS DECIMAL(18,2)) AS rev_cur,
+    SUM(CASE WHEN {in_cur} THEN 1 ELSE 0 END) AS cnt_cur,
+    CAST(COALESCE(SUM(CASE WHEN {in_prior} THEN amount END), 0) AS DECIMAL(18,2)) AS rev_prior,
+    SUM(CASE WHEN {in_prior} THEN 1 ELSE 0 END) AS cnt_prior,
+    ANY_VALUE(measurement_period) AS mp
+  FROM joined_period GROUP BY state
+),
+activity AS (
+  SELECT state,
+    CASE WHEN mp = 'current_or_prior' THEN greatest(rev_cur, rev_prior)
+         ELSE rev_simple END AS revenue,
+    CASE WHEN mp = 'current_or_prior' THEN greatest(cnt_cur, cnt_prior)
+         ELSE cnt_simple END AS txn_count
+  FROM period_agg
+)"""
+
+
+def nexus_status_sql(activity_cte: str = ALL_TIME_ACTIVITY_CTE) -> str:
+    no_nexus = ", ".join(_q(s) for s in ("DE", "MT", "NH", "OR"))
+    return f"""WITH {dim_ctes().lstrip()},
+{transactions_cte().lstrip()},
+{activity_cte},
 joined AS (
   SELECT a.*, t.revenue_threshold, t.transaction_threshold, t.measurement_period,
     (a.state IN ({no_nexus})) AS is_no_nexus,
@@ -380,6 +436,10 @@ SELECT state AS state_code,
        ELSE (rev_pct_raw >= 80 OR COALESCE(txn_pct_raw >= 80, FALSE)) AND NOT economic
        END AS approaching_threshold
 FROM status"""
+
+
+def nexus_periodized_sql() -> str:
+    return nexus_status_sql(periodized_activity_cte())
 
 
 def nexus_alerts_sql() -> str:

@@ -186,6 +186,25 @@ def nexus_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nexus_periodized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nexus status with measurement_period honored (SURVEY §2.9 extension):
+    per-state activity restricted to each state's measurement window."""
+    activity = nexus.periodized_activity(
+        _txns(spark, sf_dir), _dims(spark), derived.NEXUS_AS_OF
+    )
+    return nexus.check_nexus(activity, _dims(spark)).select(
+        "state_code",
+        "has_nexus",
+        _d("revenue_in_state"),
+        "transactions_in_state",
+        _d("revenue_threshold"),
+        "transaction_threshold",
+        "revenue_pct_of_threshold",
+        "transaction_pct_of_threshold",
+        "approaching_threshold",
+    )
+
+
 def nexus_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     status = _nexus_status(spark, sf_dir)
     registered = [s.upper() for s in derived.REGISTERED_STATES]

@@ -1,0 +1,167 @@
+"""Structured Streaming nexus monitor (SURVEY §2.9 / §7 phase 5).
+
+The reference's nexus check is batch-only: all-time per-state totals
+compared to thresholds (compliance.py:305-310), recomputed from scratch per
+run.  The streaming-native version keeps the per-state running totals as
+*streaming aggregation state* and emits threshold alerts continuously:
+
+    transactions stream
+      → (optional) watermarked tumbling-window rollup   (late-data bounded)
+      → running per-state totals                        (update mode)
+      → broadcast threshold join + crossing predicate
+      → alert rows
+
+State volume is tiny (≤51 states, or states×windows for the windowed
+variant) so the state store never becomes the bottleneck; at 100 TB/day the
+only wide exchange is the state-keyed shuffle, which partial aggregation
+keeps to one row per state per micro-batch per partition.
+
+All sinks/tests use ``trigger(availableNow=True)`` + the memory/file sink so
+the job is deterministic and runnable on local[32]; in production the same
+query writes to Kafka/Delta with a real trigger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..dims import Dims
+from ..schemas import MONEY, TXN_SCHEMA
+
+
+def stream_transactions(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    """File-source transaction stream with the declared schema.
+
+    ``maxFilesPerTrigger`` keeps micro-batches bounded when draining a
+    backlog; new files are discovered per trigger."""
+    reader = (
+        spark.readStream.schema(TXN_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .format(fmt)
+    )
+    if fmt == "csv":
+        reader = reader.option("header", True)
+    return reader.load(path)
+
+
+def state_running_totals(stream: DataFrame) -> DataFrame:
+    """Unbounded per-state running totals (the reference's all-time
+    semantics, compliance.py:305-310, kept incrementally).
+
+    No watermark on purpose: totals never expire.  51 keys of state."""
+    return stream.groupBy(F.upper(F.trim("state")).alias("state")).agg(
+        F.sum("amount").cast(MONEY).alias("revenue"),
+        F.count("*").cast("long").alias("txn_count"),
+    )
+
+
+def windowed_state_activity(
+    stream: DataFrame,
+    window_duration: str = "30 days",
+    watermark_delay: str = "7 days",
+) -> DataFrame:
+    """Watermarked tumbling-window per-state rollup — the building block for
+    time-bounded nexus measurement (rolling_12 etc. assemble from windows).
+
+    The watermark bounds state: windows older than the watermark close and
+    evict; late rows beyond the delay are dropped (counted by the metrics)."""
+    with_ts = stream.withColumn(
+        "event_time", F.col("transaction_date").cast("timestamp")
+    ).withWatermark("event_time", watermark_delay)
+    return with_ts.groupBy(
+        F.window("event_time", window_duration).alias("period"),
+        F.upper(F.trim("state")).alias("state"),
+    ).agg(
+        F.sum("amount").cast(MONEY).alias("revenue"),
+        F.count("*").cast("long").alias("txn_count"),
+    )
+
+
+def threshold_status(activity: DataFrame, dims: Dims) -> DataFrame:
+    """Join running totals to the broadcast thresholds and derive the
+    crossing/approaching flags (compliance.py:305-316 semantics).
+
+    Works on either the running-totals or the windowed stream (the join is
+    stateless, so it composes with any upstream aggregation)."""
+    nt = dims.nexus_thresholds.select(
+        F.col("state_code").alias("_nt_state"),
+        "revenue_threshold",
+        "transaction_threshold",
+        "measurement_period",
+    )
+    df = activity.join(
+        F.broadcast(nt), F.col("state") == F.col("_nt_state"), "left"
+    ).drop("_nt_state")
+    rev_hit = F.col("revenue") >= F.col("revenue_threshold")
+    txn_hit = F.col("transaction_threshold").isNotNull() & (
+        F.col("txn_count") >= F.col("transaction_threshold")
+    )
+    rev_pct = F.when(
+        F.col("revenue_threshold") > 0,
+        (F.col("revenue") / F.col("revenue_threshold")).cast("double") * 100,
+    ).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("has_nexus", F.coalesce(rev_hit | txn_hit, F.lit(False)))
+        .withColumn("revenue_pct_of_threshold", rev_pct)
+        .withColumn(
+            "approaching_threshold",
+            F.coalesce(
+                (rev_pct >= 80) & ~(rev_hit | txn_hit), F.lit(False)
+            ),
+        )
+    )
+
+
+def crossing_alerts(status: DataFrame) -> DataFrame:
+    """Alert projection for states at/over threshold — the sink payload."""
+    return status.filter(
+        F.col("has_nexus") | F.col("approaching_threshold")
+    ).select(
+        "state",
+        F.when(F.col("has_nexus"), "critical").otherwise("warning").alias(
+            "severity"
+        ),
+        "revenue",
+        "txn_count",
+        "revenue_pct_of_threshold",
+        F.when(
+            F.col("has_nexus"),
+            F.concat(
+                F.lit("Economic nexus threshold reached in "), F.col("state")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("Approaching nexus threshold in "), F.col("state")
+            )
+        )
+        .alias("message"),
+    )
+
+
+def run_monitor_once(
+    spark: SparkSession,
+    source_path: str,
+    dims: Dims,
+    checkpoint_dir: str,
+    table_name: str = "nexus_monitor",
+) -> DataFrame:
+    """Drain the source with availableNow into an in-memory sink; returns the
+    final alert snapshot DataFrame.  Complete output mode: the aggregate is
+    ≤51 rows, so re-emitting the full result per batch is the cheap option
+    and makes the memory sink a consistent snapshot."""
+    stream = stream_transactions(spark, source_path)
+    alerts = crossing_alerts(threshold_status(state_running_totals(stream), dims))
+    query = (
+        alerts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(table_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(table_name)

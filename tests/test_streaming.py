@@ -1,0 +1,128 @@
+"""Structured Streaming nexus monitor + periodized nexus measurement tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import Row
+
+from tax_compliance_engine_spark.operators import nexus
+from tax_compliance_engine_spark.schemas import TXN_SCHEMA
+from tax_compliance_engine_spark.streaming import nexus_monitor as nm
+
+
+def txn(i, state, amount, d=dt.date(2024, 3, 1)):
+    return Row(
+        transaction_id=f"t{i}",
+        transaction_date=d,
+        amount=Decimal(amount).quantize(Decimal("0.01")),
+        state=state,
+        city=None,
+        item_category=None,
+        tax_paid=Decimal("0.00"),
+        exemption_certificate=None,
+        customer_type="retail",
+        pricing_model="exclusive",
+    )
+
+
+@pytest.fixture(scope="module")
+def source_dir(spark, tmp_path_factory):
+    """Transactions parquet dir: CA over its $500k threshold, TX at 85%
+    of its $500k threshold, OK far below its $100k threshold."""
+    rows = (
+        [txn(i, "CA", "60000.00") for i in range(10)]  # 600k → nexus
+        + [txn(100 + i, "TX", "85000.00") for i in range(5)]  # 425k → 85%
+        + [txn(200 + i, "OK", "1000.00") for i in range(3)]  # 3k → below
+    )
+    path = str(tmp_path_factory.mktemp("stream_src") / "txns")
+    spark.createDataFrame(rows, TXN_SCHEMA).write.parquet(path)
+    return path
+
+
+def test_streaming_monitor_end_to_end(spark, dims, source_dir, tmp_path):
+    alerts = nm.run_monitor_once(
+        spark, source_dir, dims, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    by_state = {r.state: r for r in alerts.collect()}
+    assert by_state["CA"].severity == "critical"
+    assert "threshold reached" in by_state["CA"].message
+    assert by_state["TX"].severity == "warning"
+    assert by_state["TX"].revenue_pct_of_threshold == pytest.approx(85.0)
+    assert "OK" not in by_state
+
+
+def test_streaming_incremental_state(spark, dims, tmp_path):
+    """Totals accumulate across files added between triggers."""
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt2")
+    spark.createDataFrame(
+        [txn(1, "TX", "300000.00")], TXN_SCHEMA
+    ).write.mode("append").parquet(str(src))
+
+    first = nm.run_monitor_once(spark, str(src), dims, ckpt, "nm_inc")
+    assert first.count() == 0  # 300k of 500k: below the 80% line
+
+    spark.createDataFrame(
+        [txn(2, "TX", "250000.00")], TXN_SCHEMA
+    ).write.mode("append").parquet(str(src))
+    second = nm.run_monitor_once(spark, str(src), dims, ckpt, "nm_inc")
+    rows = second.collect()
+    assert len(rows) == 1  # running total 550k → crossed, despite new-file-only batch
+    assert rows[0].state == "TX" and rows[0].severity == "critical"
+
+
+def test_windowed_activity_watermark(spark, dims, tmp_path):
+    src = tmp_path / "wsrc"
+    rows = [
+        txn(1, "TX", "100.00", dt.date(2024, 1, 5)),
+        txn(2, "TX", "200.00", dt.date(2024, 1, 20)),
+        txn(3, "TX", "400.00", dt.date(2024, 3, 5)),
+    ]
+    spark.createDataFrame(rows, TXN_SCHEMA).write.parquet(str(src))
+    stream = nm.stream_transactions(spark, str(src))
+    windowed = nm.windowed_state_activity(stream, "30 days", "7 days")
+    q = (
+        windowed.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("nm_win")
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.period.start.date().isoformat(), float(r.revenue))
+        for r in spark.table("nm_win").collect()
+    }
+    # 30-day tumbling windows are epoch-aligned: Jan 5 (window ending
+    # Jan 18), Jan 20, and Mar 5 land in three distinct windows
+    revenues = sorted(v for _, v in got)
+    assert revenues == [100.0, 200.0, 400.0]
+    assert len({w for w, _ in got}) == 3
+
+
+# ── periodized nexus (batch extension) ───────────────────────────────
+
+
+def test_periodized_activity_windows(spark, dims):
+    as_of = dt.date(2024, 9, 15)
+    rows = [
+        # TX: rolling_12 → window (2023-09-15, 2024-09-15]
+        txn(1, "TX", "100.00", dt.date(2024, 1, 10)),  # in
+        txn(2, "TX", "50.00", dt.date(2023, 9, 15)),  # out (exclusive start)
+        txn(3, "TX", "25.00", dt.date(2023, 9, 16)),  # in
+        txn(4, "TX", "999.00", dt.date(2022, 5, 1)),  # out
+        # CA: current_or_prior → max(current-year, prior-year)
+        txn(5, "CA", "10.00", dt.date(2024, 2, 1)),  # current: 10
+        txn(6, "CA", "70.00", dt.date(2023, 3, 1)),  # prior: 70
+        txn(7, "CA", "5.00", dt.date(2022, 1, 1)),  # neither
+    ]
+    df = spark.createDataFrame(rows, TXN_SCHEMA)
+    act = {r.state: r for r in nexus.periodized_activity(df, dims, as_of).collect()}
+    assert act["TX"].revenue == Decimal("125.00")
+    assert act["TX"].txn_count == 2
+    assert act["CA"].revenue == Decimal("70.00")
+    assert act["CA"].txn_count == 1
