@@ -27,6 +27,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Tax-calculation family (SURVEY §2: S1-S4, P1-P4, J1-J3, F1-F5, F13)
         "tax_calc": q.tax_calc,
+        "use_tax": q.use_tax,  # F3 credit clamp
         "tax_state_summary": q.tax_state_summary,  # A2/A4/A5
         "tax_batch_totals": q.tax_batch_totals,  # A1
         # Refund family (P7-P9, J7, F8, F11, A6-A8, O7)
@@ -78,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "tax_calc": oracle.tax_calc_sql(),
+        "use_tax": oracle.use_tax_sql(),
         "tax_state_summary": oracle.tax_state_summary_sql(),
         "tax_batch_totals": oracle.tax_batch_totals_sql(),
         "refund_records": oracle.refund_records_sql(),

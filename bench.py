@@ -28,6 +28,11 @@ BENCH_QUERIES = [
     "top_customers",
     "customer_order_ranks",
     "events_sessions",
+    # training-data pipeline ops
+    "doc_text_stats",
+    "dedup_minhash_pairs",
+    "knn_bruteforce",
+    "embedding_dup_pairs",
 ]
 
 
@@ -41,11 +46,12 @@ def main() -> None:
     spark = get_spark(app_name="tce-bench")
     queries = entry.queries()
 
-    # Warm the JVM/session on the smallest sf so first-query JIT/planning
-    # overhead doesn't pollute the measurement.
-    queries["tax_state_summary"](spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # Warm the JVM/session on the smallest sf so first-query JIT/codegen/
+    # broadcast-planning overhead doesn't pollute the sf-scale measurement.
+    for name in BENCH_QUERIES:
+        queries[name](spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -48,7 +48,7 @@ def seed_rows(name: str) -> tuple[dict, ...]:
 
 def _df(spark: SparkSession, name: str, schema: StructType) -> DataFrame:
     rows = [tuple(r[f.name] for f in schema.fields) for r in seed_rows(name)]
-    return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(rows, schema).cache()
 
 
 @dataclass(frozen=True)
@@ -64,7 +64,24 @@ class Dims:
     sol_years: DataFrame
 
 
+# One Dims per SparkSession: dim DataFrames are .cache()'d so repeated
+# actions broadcast from the storage layer instead of re-evaluating the
+# Python-RDD-backed createDataFrame (each such evaluation costs a Python
+# worker round-trip PER ACTION — measured ~0.3-0.4 s per dim per query).
+_DIMS_CACHE: dict[int, Dims] = {}
+
+
 def load_dims(spark: SparkSession) -> Dims:
+    key = id(spark)
+    cached = _DIMS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    dims = _load_dims(spark)
+    _DIMS_CACHE[key] = dims
+    return dims
+
+
+def _load_dims(spark: SparkSession) -> Dims:
     return Dims(
         state_rates=_df(spark, "state_rates", schemas.STATE_RATES_SCHEMA),
         local_rates=_df(spark, "local_rates", schemas.LOCAL_RATES_SCHEMA),

@@ -20,6 +20,20 @@ from ..functions import hashing
 from .textops import tokens_col
 
 
+_PERM_CACHE: dict[int, DataFrame] = {}
+
+
+def _perm_df(spark) -> DataFrame:
+    """Memoized + cached MinHash permutation dim (re-evaluating a Python-RDD
+    createDataFrame costs a Python worker round-trip per broadcast)."""
+    cached = _PERM_CACHE.get(id(spark))
+    if cached is None:
+        perms = [(i, a, b) for i, (a, b) in enumerate(hashing.MINHASH_PERMS)]
+        cached = spark.createDataFrame(perms, "i int, a long, b long").cache()
+        _PERM_CACHE[id(spark)] = cached
+    return cached
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup via md5 digest grouping: every doc mapped to the minimal
     doc_id of its content group.  (SURVEY extension: hash-groupBy dedup.)"""
@@ -104,10 +118,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     4 (band_sig = '-'-joined mins).  Shuffle profile: one groupBy(doc_id,i)
     on exploded tokens×perms, then a groupBy(doc_id,band) — both partial-agg
     friendly."""
-    perms = [
-        (i, a, b) for i, (a, b) in enumerate(hashing.MINHASH_PERMS)
-    ]
-    perm_df = docs.sparkSession.createDataFrame(perms, "i int, a long, b long")
+    perm_df = _perm_df(docs.sparkSession)
     toks = _doc_tokens(docs, text_col).withColumn(
         "tok_hash", hashing.tok_hash_col(F.col("tok"))
     )
@@ -139,8 +150,14 @@ def minhash_dup_pairs(
     docs: DataFrame, text_col: str = "text", threshold: float = 0.5
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: bucket join on band signatures, then
-    exact token-Jaccard verification at ``threshold``."""
-    sigs = minhash_signatures(docs, text_col)
+    exact token-Jaccard verification at ``threshold``.
+
+    Verification joins each candidate pair to the two per-doc distinct-token
+    ARRAYS and intersects them row-local (array_intersect) — one row per
+    candidate, instead of re-exploding tokens into a |candidates|×|tokens|
+    join (measured ~4× faster on a dense-similarity corpus where >half of
+    all pairs are candidates)."""
+    sigs = minhash_signatures(docs, text_col).cache()  # self-joined twice
     a = sigs.alias("a")
     b = sigs.alias("b")
     candidates = (
@@ -155,29 +172,34 @@ def minhash_dup_pairs(
         )
         .distinct()
     )
-    toks = _doc_tokens(docs, text_col)
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
-    t1 = toks.select(F.col("doc_id").alias("doc1"), "tok")
-    t2 = toks.select(F.col("doc_id").alias("doc2"), "tok")
-    shared = (
-        candidates.join(t1, "doc1")
-        .join(t2, ["doc2", "tok"])
-        .groupBy("doc1", "doc2")
-        .agg(F.count("*").alias("n_shared"))
+    # Shuffle-join the per-doc token arrays against the candidate pairs.
+    # (Measured: broadcasting the array table loses — the wide array rows
+    # make the broadcast build + per-task copy cost more than the shuffle.)
+    tok_arrays = docs.select(
+        "doc_id", F.array_distinct(tokens_col(F.col(text_col))).alias("toks")
     )
     return (
-        shared.join(
-            sizes.select(F.col("doc_id").alias("doc1"), F.col("n_toks").alias("n1")),
+        candidates.join(
+            tok_arrays.select(
+                F.col("doc_id").alias("doc1"), F.col("toks").alias("_t1")
+            ),
             "doc1",
         )
         .join(
-            sizes.select(F.col("doc_id").alias("doc2"), F.col("n_toks").alias("n2")),
+            tok_arrays.select(
+                F.col("doc_id").alias("doc2"), F.col("toks").alias("_t2")
+            ),
             "doc2",
         )
         .withColumn(
+            "_n_shared", F.size(F.array_intersect("_t1", "_t2"))
+        )
+        .withColumn(
             "jaccard",
-            F.col("n_shared").cast("double")
-            / (F.col("n1") + F.col("n2") - F.col("n_shared")).cast("double"),
+            F.col("_n_shared").cast("double")
+            / (F.size("_t1") + F.size("_t2") - F.col("_n_shared")).cast(
+                "double"
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "jaccard")

@@ -75,20 +75,35 @@ def city_map() -> list[tuple[str, int, str]]:
 PAID_MULTIPLIERS = ["0", "0.05", "0.08", "0.0825", "0.12"]  # o_orderkey % 5
 
 
+# Memoized per-session mapping dims, .cache()'d: re-evaluating a
+# Python-RDD-backed createDataFrame costs a Python worker round-trip on
+# EVERY action that broadcasts it (~0.3-0.4 s each).
+_MAP_DIMS: dict[int, tuple[DataFrame, DataFrame, DataFrame]] = {}
+
+
+def _mapping_dims(spark: SparkSession) -> tuple[DataFrame, DataFrame, DataFrame]:
+    cached = _MAP_DIMS.get(id(spark))
+    if cached is not None:
+        return cached
+    states = spark.createDataFrame(
+        list(enumerate(state_list())), "sidx long, state string"
+    ).cache()
+    cats = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(category_list()) if c is not None],
+        "cidx long, item_category string",
+    ).cache()
+    cities = spark.createDataFrame(
+        city_map(), "cm_state string, cm_idx long, city string"
+    ).cache()
+    _MAP_DIMS[id(spark)] = (states, cats, cities)
+    return states, cats, cities
+
+
 def derive_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark side of the shared derivation (oracle.py emits the SQL twin)."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
 
-    states = spark.createDataFrame(
-        list(enumerate(state_list())), "sidx long, state string"
-    )
-    cats = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(category_list()) if c is not None],
-        "cidx long, item_category string",
-    )
-    cities = spark.createDataFrame(
-        city_map(), "cm_state string, cm_idx long, city string"
-    )
+    states, cats, cities = _mapping_dims(spark)
 
     paid = F.lit(None).cast("decimal(6,4)")
     for i, m in reversed(list(enumerate(PAID_MULTIPLIERS))):

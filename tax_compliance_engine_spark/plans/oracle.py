@@ -226,6 +226,17 @@ SELECT transaction_id, transaction_date, state, city, item_category,
 FROM tax_final"""
 
 
+def use_tax_sql() -> str:
+    return f"""WITH {tax_calc_ctes().lstrip()}
+SELECT transaction_id, state,
+       CAST(tax_amount AS DOUBLE) AS tax_amount,
+       CAST(tax_paid AS DOUBLE) AS tax_paid,
+       CAST(least(tax_paid, tax_amount) AS DOUBLE) AS credit_applied,
+       CAST(ROUND(tax_amount - least(tax_paid, tax_amount), 2) AS DOUBLE)
+         AS net_use_tax
+FROM tax_final"""
+
+
 def tax_state_summary_sql() -> str:
     return f"""WITH {tax_calc_ctes().lstrip()}
 SELECT state,
@@ -618,4 +629,5 @@ FROM sess GROUP BY user_id, session_id"""
 def customers_without_orders_sql() -> str:
     return """SELECT c_custkey FROM customer
 EXCEPT
-SELECT o_custkey AS c_custkey FROM orders"""
+SELECT o_custkey AS c_custkey FROM orders
+WHERE year(o_orderdate) = 1998"""

@@ -163,19 +163,19 @@ candidates AS (
   SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
   FROM band_sigs a JOIN band_sigs b
     ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
-sizes AS (SELECT doc_id, count(*) AS n_toks FROM doc_toks GROUP BY doc_id),
-shared AS (
-  SELECT c.doc1, c.doc2, count(*) AS n_shared
+tok_arrays AS (
+  SELECT doc_id, list_distinct({TOKENS}) AS toks FROM documents),
+verified AS (
+  SELECT c.doc1, c.doc2,
+    len(list_intersect(t1.toks, t2.toks)) AS n_shared,
+    len(t1.toks) AS n1, len(t2.toks) AS n2
   FROM candidates c
-  JOIN doc_toks t1 ON t1.doc_id = c.doc1
-  JOIN doc_toks t2 ON t2.doc_id = c.doc2 AND t2.tok = t1.tok
-  GROUP BY c.doc1, c.doc2)
+  JOIN tok_arrays t1 ON t1.doc_id = c.doc1
+  JOIN tok_arrays t2 ON t2.doc_id = c.doc2)
 SELECT doc1, doc2,
-  CAST(n_shared AS DOUBLE) / CAST(s1.n_toks + s2.n_toks - n_shared AS DOUBLE) AS jaccard
-FROM shared
-JOIN sizes s1 ON s1.doc_id = doc1
-JOIN sizes s2 ON s2.doc_id = doc2
-WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n_toks + s2.n_toks - n_shared AS DOUBLE) >= {threshold}"""
+  CAST(n_shared AS DOUBLE) / CAST(n1 + n2 - n_shared AS DOUBLE) AS jaccard
+FROM verified
+WHERE CAST(n_shared AS DOUBLE) / CAST(n1 + n2 - n_shared AS DOUBLE) >= {threshold}"""
 
 
 def _simhash_cte() -> str:

@@ -71,6 +71,20 @@ def tax_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def use_tax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Use-tax credit clamp (F3, calculator.py:305-345): credit =
+    min(tax_paid, tax); net = round(tax - credit)."""
+    results = tax.use_tax(_txns(spark, sf_dir), _dims(spark))
+    return results.select(
+        "transaction_id",
+        "state",
+        _d("tax_amount"),
+        _d("tax_paid"),
+        _d("credit_applied"),
+        _d("net_use_tax"),
+    )
+
+
 def tax_state_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tax.state_summary(_tax_results(spark, sf_dir)).select(
         "state",
@@ -406,8 +420,13 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join/EXCEPT: customers with no 1998 order.  (Restricted to one
+    year so the result is non-trivial — the testdata has every customer
+    ordering at least once overall.)"""
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.year("o_orderdate") == 1998
+    )
     return customer.select("c_custkey").subtract(
         orders.select(F.col("o_custkey").alias("c_custkey"))
     )

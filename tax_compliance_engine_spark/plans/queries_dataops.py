@@ -9,12 +9,23 @@ from pyspark.sql import functions as F
 from ..operators import dedup, multimodal, similarity, textops
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """The testdata parquet is one row group (one input split); round-robin
+    repartition so the CPU-heavy pre-shuffle stages (tokenize, hash, n-gram
+    explode, dot products) use every core.  At production scale the input
+    arrives in many splits and this becomes a no-op decision, not a shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
