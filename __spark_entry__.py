@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": qd.dedup_simhash_pairs,
         # Embedding similarity search
         "knn_bruteforce": qd.knn_bruteforce,
+        "ivf_knn": qd.ivf_knn,  # rows-only (float centroid probing)
         "embedding_lsh_buckets": qd.embedding_lsh_buckets,
         "embedding_dup_pairs": qd.embedding_dup_pairs,
         "label_centroids": qd.label_centroids,  # rows-only (float avg order)

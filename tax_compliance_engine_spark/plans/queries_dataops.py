@@ -74,6 +74,14 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check: IVF cell probing depends on float centroid means
+    # (summation-order-sensitive), so values are engine-specific by design
+    return similarity.ivf_knn(
+        _emb(spark, sf_dir), query_pred=F.col("vec_id") % 50 == 0, k=5, nprobe=2
+    )
+
+
 def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucket_assignments(_emb(spark, sf_dir))
 

@@ -1,0 +1,93 @@
+"""IVF approximate-nearest-neighbor + streaming dedup tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tax_compliance_engine_spark.operators import similarity
+from tax_compliance_engine_spark.streaming.dedup_stream import (
+    streaming_exact_dedup,
+)
+
+
+def clustered_emb(spark):
+    """3 well-separated clusters along different axes; label = cluster."""
+    rows = []
+    vid = 0
+    for cluster, axis in enumerate([0, 1, 2]):
+        for j in range(6):
+            v = [0.0] * 64
+            v[axis] = 10.0
+            v[(axis + 10 + j) % 64] = 1.0 + 0.1 * j  # slight spread
+            rows.append((vid, v, cluster))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+
+
+def test_ivf_matches_bruteforce_on_clustered_data(spark):
+    emb = clustered_emb(spark)
+    pred = F.col("vec_id") == 0  # a cluster-0 query
+    exact = similarity.knn_bruteforce(emb, pred, k=3).collect()
+    approx = similarity.ivf_knn(emb, pred, k=3, nprobe=1).collect()
+    # nprobe=1 probes the query's own cluster; the true top-3 live there
+    assert [(r.neighbor_id, r.rank) for r in approx] == [
+        (r.neighbor_id, r.rank) for r in exact
+    ]
+    for a, e in zip(approx, exact):
+        assert a.cosine == pytest.approx(e.cosine)
+
+
+def test_ivf_probe_limits_candidates(spark):
+    emb = clustered_emb(spark)
+    pred = F.col("vec_id") == 0
+    got = similarity.ivf_knn(emb, pred, k=10, nprobe=1).collect()
+    # cluster 0 has 6 vectors; minus self → only 5 candidates reachable
+    assert len(got) == 5
+    assert all(r.neighbor_id < 6 for r in got)
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    src = tmp_path / "docs"
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id long, text string"
+    ).write.mode("append").parquet(str(src))
+
+    out = tmp_path / "deduped"
+
+    def drain():
+        # parquet sink: append mode + checkpoint recovery across drains
+        # (memory sink cannot resume from a checkpoint)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(str(src))
+        )
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(str(out))
+
+    first = drain().collect()
+    assert sorted(r.text for r in first) == ["alpha", "beta"]
+
+    # second batch: one repeat (state suppresses), one new
+    spark.createDataFrame(
+        [(4, "beta"), (5, "gamma")], "doc_id long, text string"
+    ).write.mode("append").parquet(str(src))
+    texts = sorted(r.text for r in drain().collect())
+    assert texts == ["alpha", "beta", "gamma"]  # state persisted, no repeats
+
+
+def test_streaming_dedup_watermark_requires_event_time(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        streaming_exact_dedup(df, watermark_delay="1 hour")

@@ -1,0 +1,117 @@
+"""Property-based tests (SURVEY §5 item 4) with hypothesis: arithmetic
+identities and invariants the reference guarantees implicitly, checked over
+generated transaction batches run through the real Spark plans.
+
+One Spark round-trip per property (hypothesis drives the row generator, a
+single batch DataFrame goes through the plan) — keeps runtime sane."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from tax_compliance_engine_spark.operators import refund, tax
+from tax_compliance_engine_spark.schemas import TXN_SCHEMA
+
+STATES = ["TX", "CA", "NY", "OR", "MT", "AL", "CO", "ZZ"]
+CITIES = [None, "Houston", "Denver", "Nowhereville"]
+CATS = [None, "grocery", "food", "electronics", "  Grocery "]
+CUSTOMER_TYPES = ["retail", "wholesale", "exempt"]
+
+txn_strategy = st.builds(
+    dict,
+    amount=st.decimals(
+        min_value=Decimal("0.01"),
+        max_value=Decimal("99999.99"),
+        places=2,
+        allow_nan=False,
+        allow_infinity=False,
+    ),
+    state=st.sampled_from(STATES),
+    city=st.sampled_from(CITIES),
+    item_category=st.sampled_from(CATS),
+    tax_paid=st.decimals(
+        min_value=Decimal("0.00"),
+        max_value=Decimal("9999.99"),
+        places=2,
+    ),
+    customer_type=st.sampled_from(CUSTOMER_TYPES),
+    days_back=st.integers(min_value=0, max_value=3000),
+)
+
+AS_OF = dt.date(2026, 8, 13)
+
+
+def to_rows(spark, txn_dicts):
+    rows = [
+        Row(
+            transaction_id=f"p{i}",
+            transaction_date=AS_OF - dt.timedelta(days=d.pop("days_back")),
+            amount=d["amount"],
+            state=d["state"],
+            city=d["city"],
+            item_category=d["item_category"],
+            tax_paid=d["tax_paid"],
+            exemption_certificate=None,
+            customer_type=d["customer_type"],
+            pricing_model="exclusive",
+        )
+        for i, d in enumerate(txn_dicts)
+    ]
+    return tax.normalize_transactions(spark.createDataFrame(rows, TXN_SCHEMA))
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batch=st.lists(txn_strategy, min_size=1, max_size=30))
+def test_tax_identities(spark, dims, batch):
+    results = tax.calculate_tax(to_rows(spark, batch), dims).collect()
+    for r in results:
+        # tax_amount decomposes exactly into its separately-rounded parts
+        assert r.tax_amount == r.state_tax + r.local_tax
+        # each component is HALF_UP-rounded to cents
+        for c in (r.state_tax, r.local_tax, r.tax_amount):
+            assert c == c.quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+        # exempt or unknown-state rows owe nothing; taxed rows owe >= 0
+        unknown_state = any(w.startswith("Unknown state code") for w in r.warnings)
+        if r.is_exempt or unknown_state:
+            assert r.tax_amount == Decimal("0.00")
+        assert r.tax_amount >= 0
+        # effective rate consistent with the money math (1 cent slack/component)
+        if not r.is_exempt and not unknown_state:
+            expected = (r.taxable_amount * Decimal(str(r.effective_rate)))
+            assert abs(r.tax_amount - expected) <= Decimal("0.02")
+        # exemption implies a reason; taxation implies none
+        assert (r.exemption_reason != "") == r.is_exempt
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batch=st.lists(txn_strategy, min_size=1, max_size=30))
+def test_refund_record_iff_overpaid(spark, dims, batch):
+    txns = to_rows(spark, batch)
+    results = {r.transaction_id: r for r in tax.calculate_tax(txns, dims).collect()}
+    records = {
+        r.transaction_id: r
+        for r in refund.analyze_overpayments(txns, dims, AS_OF).collect()
+    }
+    for tid, res in results.items():
+        overpaid = res.tax_paid - res.tax_amount
+        if overpaid > 0:
+            rec = records[tid]
+            assert rec.overpayment == overpaid.quantize(Decimal("0.01"))
+            # SOL boundary: eligible iff date >= as_of minus sol_years
+            cutoff = AS_OF.replace(year=AS_OF.year - rec.sol_years)
+            assert rec.refund_eligible == (res.transaction_date >= cutoff)
+        else:
+            assert tid not in records
