@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q.top_customers,
         "customer_order_ranks": q.customer_order_ranks,
         "events_sessions": q.events_sessions,
+        "events_hourly": q.events_hourly,
+        "region_revenue": q.region_revenue,
         "customers_without_orders": q.customers_without_orders,
         # Text analysis over documents (training-data pipeline ops)
         "doc_text_stats": qd.doc_text_stats,
@@ -100,6 +102,8 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": oracle.top_customers_sql(),
         "customer_order_ranks": oracle.customer_order_ranks_sql(),
         "events_sessions": oracle.events_sessions_sql(),
+        "events_hourly": oracle.events_hourly_sql(),
+        "region_revenue": oracle.region_revenue_sql(),
         "customers_without_orders": oracle.customers_without_orders_sql(),
         "doc_text_stats": oracle_dataops.doc_text_stats_sql(),
         "doc_quality": oracle_dataops.doc_quality_sql(),

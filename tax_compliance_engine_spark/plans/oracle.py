@@ -626,6 +626,33 @@ SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
 FROM sess GROUP BY user_id, session_id"""
 
 
+def events_hourly_sql() -> str:
+    # integer-seconds hour bucketing from epoch nanos — mirrors the Spark
+    # side's nanosAsLong read (events.ts is parquet TIMESTAMP(NANOS))
+    return """SELECT
+  strftime(make_timestamp(((epoch_ns(ts) // 1000000000)
+                           - (epoch_ns(ts) // 1000000000) % 3600) * 1000000),
+           '%Y-%m-%d %H:%M:%S') AS hour_start,
+  event_type,
+  count(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+  count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2"""
+
+
+def region_revenue_sql() -> str:
+    return """SELECT r.r_name AS region,
+  count(*) AS n_orders,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  count(DISTINCT o.o_custkey) AS n_customers
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name"""
+
+
 def customers_without_orders_sql() -> str:
     return """SELECT c_custkey FROM customer
 EXCEPT

@@ -421,6 +421,51 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed rollup over the event stream table: per (hour, type)
+    counts and exact-decimal value sums (double sums are order-sensitive)."""
+    _utc(spark).conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts_sec", F.expr("ts DIV 1000000000")
+    )
+    hour_sec = F.col("ts_sec") - (F.col("ts_sec") % 3600)
+    return (
+        ev.groupBy(
+            F.from_unixtime(hour_sec, "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop star join (orders ⋈ customer ⋈ nation ⋈ region): revenue
+    rollup per region — the two dim hops broadcast, one keyed shuffle."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join/EXCEPT: customers with no 1998 order.  (Restricted to one
     year so the result is non-trivial — the testdata has every customer
