@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tax_batch_totals": q.tax_batch_totals,  # A1
         # Refund family (P7-P9, J7, F8, F11, A6-A8, O7)
         "refund_records": q.refund_records,
+        "refund_quick_scan": q.refund_quick_scan,  # P8
         "refund_state_breakdown": q.refund_state_breakdown,
         "refund_reason_breakdown": q.refund_reason_breakdown,
         "refund_summary": q.refund_summary,
@@ -86,6 +87,7 @@ def oracle_sql() -> dict[str, str]:
         "tax_state_summary": oracle.tax_state_summary_sql(),
         "tax_batch_totals": oracle.tax_batch_totals_sql(),
         "refund_records": oracle.refund_records_sql(),
+        "refund_quick_scan": oracle.refund_quick_scan_sql(),
         "refund_state_breakdown": oracle.refund_state_breakdown_sql(),
         "refund_reason_breakdown": oracle.refund_reason_breakdown_sql(),
         "refund_summary": oracle.refund_summary_sql(),

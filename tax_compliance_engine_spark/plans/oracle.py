@@ -313,6 +313,14 @@ SELECT transaction_id, transaction_date, state, city,
 FROM refund_records"""
 
 
+def refund_quick_scan_sql() -> str:
+    return f"""WITH {_refund_ctes().lstrip()}
+SELECT transaction_id, state,
+       CAST(overpayment AS DOUBLE) AS overpayment, reason_prefix
+FROM refund_records
+WHERE overpayment >= CAST(1.00 AS DECIMAL(18,2))"""
+
+
 def refund_state_breakdown_sql() -> str:
     return f"""WITH {_refund_ctes().lstrip()}
 SELECT state, CAST(SUM(overpayment) AS DOUBLE) AS amount

@@ -133,6 +133,18 @@ def refund_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def refund_quick_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 threshold scan: the record plan + a minimum-overpayment filter."""
+    return _refund_records(spark, sf_dir).filter(
+        F.col("overpayment") >= F.lit("1.00").cast("decimal(18,2)")
+    ).select(
+        "transaction_id",
+        "state",
+        _d("overpayment"),
+        "reason_prefix",
+    )
+
+
 def refund_state_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _refund_records(spark, sf_dir)

@@ -102,3 +102,16 @@ def read_transactions_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Parquet transactions (already typed); normalization still applied so
     the boundary semantics (upper state, blank→NULL, defaults) hold."""
     return normalize_transactions(spark.read.parquet(path))
+
+
+def write_results_partitioned(
+    results: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = ("state",),
+    mode: str = "overwrite",
+) -> None:
+    """Scale-out sink: results partitioned by state (and optionally a date
+    bucket) so downstream per-state reads prune partitions at the scan
+    (SURVEY §4.2).  At 100 TB add a month column to the partition spec to
+    bound per-directory file counts; state alone is 51 + unknowns."""
+    results.write.partitionBy(*partition_by).mode(mode).parquet(path)

@@ -247,3 +247,21 @@ def test_cli_report_file(capsys, tmp_path):
     assert "Tax Liability Summary" in out
     assert "Refund Analysis" in out
     assert (tmp_path / "r.json").exists()
+
+
+def test_partitioned_sink_prunes(spark, dims, spark_results, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tax_compliance_engine_spark.sources.transactions import (
+        write_results_partitioned,
+    )
+
+    out = str(tmp_path / "results")
+    write_results_partitioned(spark_results.drop("warnings"), out)
+    back = spark.read.parquet(out)
+    assert back.count() == spark_results.count()
+    # partition pruning: a state filter reads only that directory
+    tx_only = back.filter(F.col("state") == "TX")
+    plan = tx_only._jdf.queryExecution().executedPlan().toString()
+    assert tx_only.count() == spark_results.filter(F.col("state") == "TX").count()
+    assert (tmp_path / "results" / "state=TX").exists()
