@@ -60,12 +60,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_text_stats": qd.doc_text_stats,
         "doc_quality": qd.doc_quality,
         "doc_lang_id": qd.doc_lang_id,
+        "doc_token_counts": qd.doc_token_counts,
         "doc_fingerprints": qd.doc_fingerprints,
         # Deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash
         "dedup_exact": qd.dedup_exact,
         "dedup_ngram_pairs": qd.dedup_ngram_pairs,
         "dedup_minhash_sigs": qd.dedup_minhash_sigs,
         "dedup_minhash_pairs": qd.dedup_minhash_pairs,
+        "dedup_minhash_keep": qd.dedup_minhash_keep,
         "dedup_simhash_sigs": qd.dedup_simhash_sigs,
         "dedup_simhash_pairs": qd.dedup_simhash_pairs,
         # Embedding similarity search
@@ -110,11 +112,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_text_stats": oracle_dataops.doc_text_stats_sql(),
         "doc_quality": oracle_dataops.doc_quality_sql(),
         "doc_lang_id": oracle_dataops.doc_lang_id_sql(),
+        "doc_token_counts": oracle_dataops.doc_token_counts_sql(),
         "doc_fingerprints": oracle_dataops.doc_fingerprints_sql(),
         "dedup_exact": oracle_dataops.dedup_exact_sql(),
         "dedup_ngram_pairs": oracle_dataops.dedup_ngram_pairs_sql(),
         "dedup_minhash_sigs": oracle_dataops.dedup_minhash_sigs_sql(),
         "dedup_minhash_pairs": oracle_dataops.dedup_minhash_pairs_sql(),
+        "dedup_minhash_keep": oracle_dataops.dedup_minhash_keep_sql(),
         "dedup_simhash_sigs": oracle_dataops.dedup_simhash_sigs_sql(),
         "dedup_simhash_pairs": oracle_dataops.dedup_simhash_pairs_sql(),
         "knn_bruteforce": oracle_dataops.knn_bruteforce_sql(),

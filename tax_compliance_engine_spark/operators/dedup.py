@@ -206,6 +206,20 @@ def minhash_dup_pairs(
     )
 
 
+def near_dedup_filter(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The deduplicated corpus: drop every doc that near-dup-pairs with a
+    smaller-id doc (left anti join against the pairs' doc2 side).
+
+    Single-pass min-id representative selection — the standard at-scale
+    approximation of connected-component clustering (a chain a~b~c keeps
+    `a` and may keep `c` if (a,c) itself didn't pair; full transitive
+    clustering needs iterative label propagation, deliberately out of the
+    one-pass path).  Works with any pair source (minhash/simhash/ngram/
+    embedding pairs renamed to doc1/doc2)."""
+    losers = pairs.select(F.col("doc2").alias("doc_id")).distinct()
+    return docs.join(losers, "doc_id", "left_anti")
+
+
 def _bit_sum(toks_hashed: Column, b: int) -> Column:
     # factory: `b` must be a Python int (shiftright's numBits), closed over
     # so the aggregate lambda stays binary

@@ -78,6 +78,27 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# GPT-2-style pretokenizer shape, restricted to constructs with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB): contractions, letter
+# runs, digit runs, non-space-symbol runs — each with an optional leading
+# space.  No lookahead (RE2 has none).
+BPE_ISH_PATTERN = r"'[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting two ways (training-data budgeting): whitespace tokens
+    and a BPE-ish regex pretokenization (subword-ish unit count)."""
+    text = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(tokens_col(text)).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.length(text).alias("n_chars"),
+    )
+
+
 def quality_score(stats: DataFrame) -> DataFrame:
     """Composite quality score over text_stats output: rewards lexical
     diversity and sane token lengths, penalizes punctuation/digit noise."""

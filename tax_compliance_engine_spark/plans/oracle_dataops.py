@@ -87,6 +87,16 @@ SELECT doc_id,
 FROM withbest"""
 
 
+def doc_token_counts_sql() -> str:
+    from ..operators.textops import BPE_ISH_PATTERN
+
+    return f"""SELECT doc_id,
+  len({TOKENS}) AS n_ws_tokens,
+  len(regexp_extract_all(text, '{BPE_ISH_PATTERN.replace("'", "''")}', 0)) AS n_bpe_tokens,
+  length(text) AS n_chars
+FROM documents"""
+
+
 def doc_fingerprints_sql() -> str:
     return f"""SELECT doc_id,
   md5(text) AS fp_exact,
@@ -176,6 +186,15 @@ SELECT doc1, doc2,
   CAST(n_shared AS DOUBLE) / CAST(n1 + n2 - n_shared AS DOUBLE) AS jaccard
 FROM verified
 WHERE CAST(n_shared AS DOUBLE) / CAST(n1 + n2 - n_shared AS DOUBLE) >= {threshold}"""
+
+
+def dedup_minhash_keep_sql(threshold: float = 0.5) -> str:
+    pairs_sql = dedup_minhash_pairs_sql(threshold)
+    return f"""WITH pairs AS (
+{pairs_sql}
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc2 FROM pairs)"""
 
 
 def _simhash_cte() -> str:

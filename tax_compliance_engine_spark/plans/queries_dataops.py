@@ -40,6 +40,10 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.lang_id(_docs(spark, sf_dir))
 
 
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.token_counts(_docs(spark, sf_dir))
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.fingerprints(_docs(spark, sf_dir))
 
@@ -58,6 +62,13 @@ def dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dup_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus id-set after MinHash near-dup removal."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_dup_pairs(docs, threshold=0.5)
+    return dedup.near_dedup_filter(docs.select("doc_id"), pairs)
 
 
 def dedup_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -247,3 +247,25 @@ def test_media_table_and_features(spark):
 def test_decode_image_is_stubbed(spark):
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(None)
+
+
+def test_near_dedup_filter(spark):
+    text = "the quick brown fox jumps over the lazy dog"
+    docs = docs_df(spark, [text, text, "totally different content here now"])
+    pairs = dedup.minhash_dup_pairs(docs, threshold=0.9)
+    kept = sorted(
+        r.doc_id for r in dedup.near_dedup_filter(docs, pairs).collect()
+    )
+    assert kept == [0, 2]  # doc1 dropped (pairs with smaller-id doc0)
+
+
+def test_token_counts(spark):
+    df = textops.token_counts(
+        docs_df(spark, ["Hello, world's 42 cats!", ""])
+    )
+    rows = {r.doc_id: r for r in df.collect()}
+    # ws: ["Hello,", "world's", "42", "cats!"]
+    assert rows[0].n_ws_tokens == 4
+    # bpe-ish: [Hello][,][ world]['s][ 42][ cats][!]
+    assert rows[0].n_bpe_tokens == 7
+    assert rows[1].n_ws_tokens == 0 and rows[1].n_bpe_tokens == 0
