@@ -20,20 +20,6 @@ from ..functions import hashing
 from .textops import tokens_col
 
 
-_PERM_CACHE: dict[int, DataFrame] = {}
-
-
-def _perm_df(spark) -> DataFrame:
-    """Memoized + cached MinHash permutation dim (re-evaluating a Python-RDD
-    createDataFrame costs a Python worker round-trip per broadcast)."""
-    cached = _PERM_CACHE.get(id(spark))
-    if cached is None:
-        perms = [(i, a, b) for i, (a, b) in enumerate(hashing.MINHASH_PERMS)]
-        cached = spark.createDataFrame(perms, "i int, a long, b long").cache()
-        _PERM_CACHE[id(spark)] = cached
-    return cached
-
-
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup via md5 digest grouping: every doc mapped to the minimal
     doc_id of its content group.  (SURVEY extension: hash-groupBy dedup.)"""
@@ -115,34 +101,38 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Banded MinHash signatures: (doc_id, band, band_sig).
 
     16 fixed permutations over portable token hashes, folded into 4 bands of
-    4 (band_sig = '-'-joined mins).  Shuffle profile: one groupBy(doc_id,i)
-    on exploded tokens×perms, then a groupBy(doc_id,band) — both partial-agg
-    friendly."""
-    perm_df = _perm_df(docs.sparkSession)
+    4 (band_sig = '-'-joined mins, permutation order).  All 16 mins are
+    computed as parallel aggregates in ONE groupBy(doc_id) pass over the
+    exploded tokens — no tokens×perms crossJoin (16× less shuffle volume)
+    and no second banding aggregation (band sigs assemble column-wise)."""
     toks = _doc_tokens(docs, text_col).withColumn(
         "tok_hash", hashing.tok_hash_col(F.col("tok"))
     )
-    rows_per_band = len(hashing.MINHASH_PERMS) // hashing.MINHASH_BANDS
-    return (
-        toks.crossJoin(F.broadcast(perm_df))
-        .groupBy("doc_id", "i")
-        .agg(
-            F.min(
-                (F.col("a") * F.col("tok_hash") + F.col("b")) % hashing.HASH_MOD
-            ).alias("mh")
-        )
-        .groupBy("doc_id", (F.col("i") / rows_per_band).cast("int").alias("band"))
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("i"), F.col("mh")))
-                    ),
-                    lambda s: s["mh"].cast("string"),
-                ),
-                "-",
-            ).alias("band_sig")
-        )
+    mins = [
+        F.min(
+            (F.lit(a) * F.col("tok_hash") + F.lit(b)) % hashing.HASH_MOD
+        ).alias(f"_mh{i}")
+        for i, (a, b) in enumerate(hashing.MINHASH_PERMS)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*mins)
+    rpb = len(hashing.MINHASH_PERMS) // hashing.MINHASH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.col(f"_mh{b * rpb + j}").cast("string")
+                        for j in range(rpb)
+                    ],
+                ).alias("band_sig"),
+            )
+            for b in range(hashing.MINHASH_BANDS)
+        ]
+    )
+    return per_doc.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", "bb.band", "bb.band_sig"
     )
 
 
