@@ -16,3 +16,7 @@ search, text analysis, multimodal plumbing) the reference does not have.
 """
 
 __version__ = "0.1.0"
+
+from .dims import Dims, load_dims  # noqa: E402,F401
+from .rates_api import RateDatabase  # noqa: E402,F401
+from .session import get_spark  # noqa: E402,F401
