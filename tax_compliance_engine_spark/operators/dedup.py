@@ -196,6 +196,68 @@ def minhash_dup_pairs(
     )
 
 
+def dup_clusters(
+    docs: DataFrame, pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Transitive near-dup clusters: (doc_id, cluster_id) where cluster_id
+    is the minimum doc_id reachable through the pair graph (connected
+    components; docs in no pair are their own singleton cluster).
+
+    Iterative min-label propagation — each round, every node takes the min
+    of its own label and its neighbors' labels; converges in O(component
+    diameter) rounds (dense near-dup clusters have tiny diameters).  Each
+    round is one join + one groupBy; ``localCheckpoint`` truncates the
+    lineage so the plan stays constant-size — the standard large-scale
+    connected-components loop, no graph library needed.  Deterministic, so
+    the DuckDB oracle replicates it with a recursive CTE."""
+    edges = pairs.select(
+        F.col("doc1").cast("long").alias("node"),
+        F.col("doc2").cast("long").alias("nbr"),
+    )
+    adj = edges.unionByName(
+        edges.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
+    ).cache()
+
+    labels = (
+        docs.select(F.col("doc_id").cast("long").alias("node"))
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            adj.join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("label").alias("nbr_label")
+                ),
+                "nbr",
+            )
+            .groupBy("node")
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def near_dedup_filter(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """The deduplicated corpus: drop every doc that near-dup-pairs with a
     smaller-id doc (left anti join against the pairs' doc2 side).

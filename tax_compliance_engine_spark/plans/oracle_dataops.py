@@ -197,6 +197,27 @@ SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT doc2 FROM pairs)"""
 
 
+def dedup_minhash_clusters_sql(threshold: float = 0.5) -> str:
+    """Min-reachable-id connected components as a recursive CTE: the
+    reachability closure over the undirected pair graph, then MIN per node
+    — identical to Spark's converged min-label propagation."""
+    pairs_sql = dedup_minhash_pairs_sql(threshold)
+    return f"""WITH RECURSIVE pairs AS (
+{pairs_sql}
+),
+adj AS (
+  SELECT doc1 AS node, doc2 AS nbr FROM pairs
+  UNION ALL
+  SELECT doc2 AS node, doc1 AS nbr FROM pairs
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS lab FROM documents
+  UNION
+  SELECT a.node, r.lab FROM adj a JOIN reach r ON r.node = a.nbr
+)
+SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node"""
+
+
 def _simhash_cte() -> str:
     th = TOK_HASH.format(t="t")
     bits = hashing.SIMHASH_BITS

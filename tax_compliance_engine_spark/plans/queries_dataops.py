@@ -71,6 +71,13 @@ def dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dedup_filter(docs.select("doc_id"), pairs)
 
 
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters over the MinHash pair graph."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_dup_pairs(docs, threshold=0.5)
+    return dedup.dup_clusters(docs.select("doc_id"), pairs)
+
+
 def dedup_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_signatures(_docs(spark, sf_dir))
 

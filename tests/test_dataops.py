@@ -269,3 +269,16 @@ def test_token_counts(spark):
     # bpe-ish: [Hello][,][ world]['s][ 42][ cats][!]
     assert rows[0].n_bpe_tokens == 7
     assert rows[1].n_ws_tokens == 0 and rows[1].n_bpe_tokens == 0
+
+
+def test_dup_clusters_transitive(spark):
+    # chain 0-1, 1-2 → one cluster labeled 0; pair 3-4 → cluster 3; 5 singleton
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "doc1 long, doc2 long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dup_clusters(docs, pairs).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
