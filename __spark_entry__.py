@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_pairs": qd.dedup_ngram_pairs,
         "dedup_minhash_sigs": qd.dedup_minhash_sigs,
         "dedup_minhash_pairs": qd.dedup_minhash_pairs,
+        "dedup_minhash_est_pairs": qd.dedup_minhash_est_pairs,
         "dedup_minhash_keep": qd.dedup_minhash_keep,
         "dedup_minhash_clusters": qd.dedup_minhash_clusters,
         "dedup_simhash_sigs": qd.dedup_simhash_sigs,
@@ -119,6 +120,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_pairs": oracle_dataops.dedup_ngram_pairs_sql(),
         "dedup_minhash_sigs": oracle_dataops.dedup_minhash_sigs_sql(),
         "dedup_minhash_pairs": oracle_dataops.dedup_minhash_pairs_sql(),
+        "dedup_minhash_est_pairs": oracle_dataops.dedup_minhash_est_pairs_sql(),
         "dedup_minhash_keep": oracle_dataops.dedup_minhash_keep_sql(),
         "dedup_minhash_clusters": oracle_dataops.dedup_minhash_clusters_sql(),
         "dedup_simhash_sigs": oracle_dataops.dedup_simhash_sigs_sql(),

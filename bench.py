@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     # training-data pipeline ops
     "doc_text_stats",
     "dedup_minhash_pairs",
+    "dedup_minhash_est_pairs",
     "knn_bruteforce",
     "embedding_dup_pairs",
 ]

@@ -97,14 +97,10 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Banded MinHash signatures: (doc_id, band, band_sig).
-
-    16 fixed permutations over portable token hashes, folded into 4 bands of
-    4 (band_sig = '-'-joined mins, permutation order).  All 16 mins are
-    computed as parallel aggregates in ONE groupBy(doc_id) pass over the
-    exploded tokens — no tokens×perms crossJoin (16× less shuffle volume)
-    and no second banding aggregation (band sigs assemble column-wise)."""
+def _minhash_per_doc(docs: DataFrame, text_col: str) -> DataFrame:
+    """Per-doc full MinHash component columns `_mh0.._mh15`: all 16 mins as
+    parallel aggregates in ONE groupBy(doc_id) pass over the exploded tokens
+    — no tokens×perms crossJoin (16× less shuffle volume)."""
     toks = _doc_tokens(docs, text_col).withColumn(
         "tok_hash", hashing.tok_hash_col(F.col("tok"))
     )
@@ -114,7 +110,12 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias(f"_mh{i}")
         for i, (a, b) in enumerate(hashing.MINHASH_PERMS)
     ]
-    per_doc = toks.groupBy("doc_id").agg(*mins)
+    return toks.groupBy("doc_id").agg(*mins)
+
+
+def _banded(per_doc: DataFrame) -> DataFrame:
+    """(doc_id, band, band_sig) rows assembled column-wise from the per-doc
+    component columns — no second banding aggregation."""
     rpb = len(hashing.MINHASH_PERMS) // hashing.MINHASH_BANDS
     bands = F.array(
         *[
@@ -136,6 +137,86 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Banded MinHash signatures: (doc_id, band, band_sig).
+
+    16 fixed permutations over portable token hashes, folded into 4 bands of
+    4 (band_sig = '-'-joined mins, permutation order)."""
+    return _banded(_minhash_per_doc(docs, text_col))
+
+
+def _lsh_candidates(banded: DataFrame) -> DataFrame:
+    """Distinct (doc1 < doc2) pairs sharing any band signature."""
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .distinct()
+    )
+
+
+def minhash_est_pairs(
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """Scale-path MinHash near-dup pairs: LSH band candidates scored by the
+    SIGNATURE-ESTIMATED Jaccard — the fraction of the 16 minhash components
+    on which the two docs agree — with no exact token verification.
+
+    This is the standard trade at 100 TB: the verify step touches 16 ints
+    per candidate instead of re-materializing the two full token arrays, so
+    its cost is independent of document length and the only wide data in
+    the candidate join is the 16-element signature.  The estimate is an
+    unbiased estimator of true Jaccard (E[matches/16] = J, std ≈ 0.125 at
+    J=0.5); use `minhash_dup_pairs` when exactness is required downstream.
+    Deterministic given the fixed permutations, so the DuckDB oracle
+    replicates it bit-for-bit (estimates are multiples of 1/16 — exact in
+    binary floating point on both engines)."""
+    per_doc = _minhash_per_doc(docs, text_col).cache()  # bands + sig arrays
+    sig = F.array(
+        *[F.col(f"_mh{i}") for i in range(len(hashing.MINHASH_PERMS))]
+    )
+    sig_arrays = per_doc.select("doc_id", sig.alias("sig"))
+    n_perms = len(hashing.MINHASH_PERMS)
+    n_match = F.aggregate(
+        F.zip_with(
+            F.col("_s1"),
+            F.col("_s2"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        _lsh_candidates(_banded(per_doc))
+        .join(
+            sig_arrays.select(
+                F.col("doc_id").alias("doc1"), F.col("sig").alias("_s1")
+            ),
+            "doc1",
+        )
+        .join(
+            sig_arrays.select(
+                F.col("doc_id").alias("doc2"), F.col("sig").alias("_s2")
+            ),
+            "doc2",
+        )
+        .withColumn(
+            "est_jaccard",
+            n_match.cast("double") / F.lit(float(n_perms)),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc1", "doc2", "est_jaccard")
+    )
+
+
 def minhash_dup_pairs(
     docs: DataFrame, text_col: str = "text", threshold: float = 0.5
 ) -> DataFrame:
@@ -148,20 +229,7 @@ def minhash_dup_pairs(
     join (measured ~4× faster on a dense-similarity corpus where >half of
     all pairs are candidates)."""
     sigs = minhash_signatures(docs, text_col).cache()  # self-joined twice
-    a = sigs.alias("a")
-    b = sigs.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
-        )
-        .distinct()
-    )
+    candidates = _lsh_candidates(sigs)
     # Shuffle-join the per-doc token arrays against the candidate pairs.
     # (Measured: broadcasting the array table loses — the wide array rows
     # make the broadcast build + per-task copy cost more than the shuffle.)

@@ -188,6 +188,26 @@ FROM verified
 WHERE CAST(n_shared AS DOUBLE) / CAST(n1 + n2 - n_shared AS DOUBLE) >= {threshold}"""
 
 
+def dedup_minhash_est_pairs_sql(threshold: float = 0.5) -> str:
+    n = len(hashing.MINHASH_PERMS)
+    est = (
+        f"CAST(len(list_filter(range(1, {n}+1), i -> s1.sig[i] = s2.sig[i])) "
+        f"AS DOUBLE) / {float(n)}"
+    )
+    return f"""WITH {_minhash_sig_ctes()},
+sig_arrays AS (
+  SELECT doc_id, list(mh ORDER BY i) AS sig FROM minhashes GROUP BY doc_id),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM band_sigs a JOIN band_sigs b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)
+SELECT c.doc1, c.doc2, {est} AS est_jaccard
+FROM candidates c
+JOIN sig_arrays s1 ON s1.doc_id = c.doc1
+JOIN sig_arrays s2 ON s2.doc_id = c.doc2
+WHERE {est} >= {threshold}"""
+
+
 def dedup_minhash_keep_sql(threshold: float = 0.5) -> str:
     pairs_sql = dedup_minhash_pairs_sql(threshold)
     return f"""WITH pairs AS (

@@ -64,6 +64,12 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dup_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+def dedup_minhash_est_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path near-dup pairs: signature-estimated Jaccard, no exact
+    token verification (verify cost independent of document length)."""
+    return dedup.minhash_est_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
 def dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deduplicated corpus id-set after MinHash near-dup removal."""
     docs = _docs(spark, sf_dir)

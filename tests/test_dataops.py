@@ -157,6 +157,30 @@ def test_minhash_identical_docs_pair(spark):
     assert [(r.doc1, r.doc2, r.jaccard) for r in rows] == [(0, 1, 1.0)]
 
 
+def test_minhash_est_pairs(spark):
+    text = "the quick brown fox jumps over the lazy dog"
+    df = dedup.minhash_est_pairs(
+        docs_df(spark, [text, text, "completely different words here entirely"]),
+        threshold=0.5,
+    )
+    rows = df.collect()
+    # identical docs agree on all 16 components → est_jaccard exactly 1.0;
+    # the dissimilar doc shares no band signature, so it never pairs
+    assert [(r.doc1, r.doc2, r.est_jaccard) for r in rows] == [(0, 1, 1.0)]
+
+
+def test_minhash_est_is_component_fraction(spark):
+    # overlapping docs: est_jaccard must be a multiple of 1/16 and equal the
+    # fraction of matching signature components
+    d0 = "alpha beta gamma delta epsilon zeta eta theta"
+    d1 = "alpha beta gamma delta epsilon zeta iota kappa"
+    rows = dedup.minhash_est_pairs(docs_df(spark, [d0, d1]), threshold=0.0).collect()
+    if rows:  # pair only exists if some band collides
+        est = rows[0].est_jaccard
+        assert est * 16 == int(est * 16)
+        assert 0.0 <= est <= 1.0
+
+
 def test_minhash_signature_shape(spark):
     sigs = dedup.minhash_signatures(docs_df(spark, ["a b c", "a b c"])).collect()
     by_doc = {}
