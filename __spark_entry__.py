@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_buckets": qd.embedding_lsh_buckets,
         "embedding_dup_pairs": qd.embedding_dup_pairs,
         "label_centroids": qd.label_centroids,  # rows-only (float avg order)
+        "label_centroid_components": qd.label_centroid_components,
         # Multimodal plumbing (binary payload + metadata; stubbed decoder)
         "multimodal_metadata": qd.multimodal_metadata,
         "multimodal_features": qd.multimodal_features,  # rows-only (mapInPandas)
@@ -129,6 +130,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lsh_buckets": oracle_dataops.embedding_lsh_buckets_sql(),
         "embedding_dup_pairs": oracle_dataops.embedding_dup_pairs_sql(),
         # label_centroids: rows-only (double-sum order sensitivity)
+        "label_centroid_components": oracle_dataops.label_centroid_components_sql(),
         "multimodal_metadata": oracle_dataops.multimodal_metadata_sql(),
         # multimodal_features: rows-only (mapInPandas stub, non-SQL)
     }

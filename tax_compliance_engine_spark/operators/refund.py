@@ -187,39 +187,85 @@ def refund_summary(records: DataFrame, total_transactions_reviewed: int | None =
     return summary, state_bd, reason_bd, warnings
 
 
+_RECORD_COLS = (
+    "transaction_id",
+    "transaction_date",
+    "sale_amount",
+    "tax_paid",
+    "tax_owed",
+    "overpayment",
+    "reason",
+)
+
+
 def refund_claims(
-    records: DataFrame, include_records: bool = False
+    records: DataFrame,
+    include_records: bool = False,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Per-state refund claims over eligible records (generate_refund_claims,
     refund_analyzer.py:254-297), sorted by total requested desc (O7).
 
     ``include_records`` nests the full record structs via collect_list — fine
     for report-sized output, deliberately off by default at scale (SURVEY §7
-    hard-point 6)."""
+    hard-point 6).
+
+    ``salt_buckets`` enables the skew-safe two-level aggregation: stage 1
+    groups by (state, hash(transaction_id) % salt_buckets) so a hot state
+    (CA/TX at 100 TB) fans out over `salt_buckets` reducers with map-side
+    partial aggregation; stage 2 merges the ≤ 51 × salt_buckets partials on
+    the state key alone.  Results are identical to the one-level plan: sums/
+    counts/min/max merge associatively, reason sets union then sort, and
+    collect_list order was never guaranteed to begin with."""
     eligible = records.filter(F.col("refund_eligible"))
-    aggs = [
-        F.min("transaction_date").alias("claim_period_start"),
-        F.max("transaction_date").alias("claim_period_end"),
-        F.sum("overpayment").cast(MONEY).alias("total_refund_requested"),
-        F.count("*").cast("long").alias("transaction_count"),
-        F.sort_array(F.collect_set(reason_prefix())).alias("supporting_reasons"),
-        F.first("sol_years").alias("sol_years"),
-    ]
-    if include_records:
-        aggs.append(
-            F.collect_list(
-                F.struct(
-                    "transaction_id",
-                    "transaction_date",
-                    "sale_amount",
-                    "tax_paid",
-                    "tax_owed",
-                    "overpayment",
-                    "reason",
-                )
-            ).alias("records")
-        )
-    claims = eligible.groupBy(F.col("state").alias("state_code")).agg(*aggs)
+    if salt_buckets is None:
+        aggs = [
+            F.min("transaction_date").alias("claim_period_start"),
+            F.max("transaction_date").alias("claim_period_end"),
+            F.sum("overpayment").cast(MONEY).alias("total_refund_requested"),
+            F.count("*").cast("long").alias("transaction_count"),
+            F.sort_array(F.collect_set(reason_prefix())).alias(
+                "supporting_reasons"
+            ),
+            F.first("sol_years").alias("sol_years"),
+        ]
+        if include_records:
+            aggs.append(
+                F.collect_list(F.struct(*_RECORD_COLS)).alias("records")
+            )
+        claims = eligible.groupBy(F.col("state").alias("state_code")).agg(*aggs)
+    else:
+        salt = F.pmod(F.xxhash64("transaction_id"), F.lit(salt_buckets))
+        partial_aggs = [
+            F.min("transaction_date").alias("_start"),
+            F.max("transaction_date").alias("_end"),
+            F.sum("overpayment").cast(MONEY).alias("_total"),
+            F.count("*").cast("long").alias("_n"),
+            F.collect_set(reason_prefix()).alias("_reasons"),
+            F.first("sol_years").alias("sol_years"),
+        ]
+        if include_records:
+            partial_aggs.append(
+                F.collect_list(F.struct(*_RECORD_COLS)).alias("_records")
+            )
+        partials = eligible.groupBy(
+            F.col("state").alias("state_code"), salt.alias("_salt")
+        ).agg(*partial_aggs)
+        merge_aggs = [
+            F.min("_start").alias("claim_period_start"),
+            F.max("_end").alias("claim_period_end"),
+            F.sum("_total").cast(MONEY).alias("total_refund_requested"),
+            F.sum("_n").alias("transaction_count"),
+            F.sort_array(
+                F.array_distinct(F.flatten(F.collect_list("_reasons")))
+            ).alias("supporting_reasons"),
+            F.first("sol_years").alias("sol_years"),
+        ]
+        if include_records:
+            merge_aggs.append(
+                F.flatten(F.collect_list("_records")).alias("records")
+            )
+        claims = partials.groupBy("state_code").agg(*merge_aggs)
     return claims.withColumn(
         "filing_notes",
         F.format_string(

@@ -356,6 +356,23 @@ JOIN emb_n e2 ON e2.vec_id = c.id2
 WHERE {dot_12} / (e1.nrm * e2.nrm) >= {threshold}"""
 
 
+def label_centroid_components_sql() -> str:
+    """Sequential-fold centroid components (the ordered-sum portability
+    contract: Spark folds collect_list sorted by vec_id, DuckDB folds
+    list(val ORDER BY vec_id) — identical operand order, identical double)."""
+    dim = similarity.DIM
+    return f"""WITH emb AS (
+  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+exploded AS (
+  SELECT label, vec_id, CAST(i - 1 AS INTEGER) AS pos, v[i] AS val
+  FROM emb, unnest(range(1, {dim} + 1)) AS u(i))
+SELECT label, pos,
+  list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)), (acc, x) -> acc + x)
+    / count(*) AS mean_val,
+  count(*) AS n_vectors
+FROM exploded GROUP BY label, pos"""
+
+
 def multimodal_metadata_sql() -> str:
     return """SELECT doc_id, 'text' AS media_type,
   CAST(octet_length(encode(text)) AS INTEGER) AS payload_size,

@@ -120,6 +120,39 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroids(_emb(spark, sf_dir))
 
 
+def label_centroid_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-portable per-label centroid components: one (label, pos,
+    mean_val) row per dimension, with the per-dimension sum computed as a
+    SEQUENTIAL left fold in vec_id order so DuckDB reproduces the double
+    bit-for-bit.  The production operator (`similarity.label_centroids`)
+    keeps the parallel F.avg plan; this query exists to pin the centroid
+    math under the hash-parity gate."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import _vec_d
+
+    exploded = _emb(spark, sf_dir).select(
+        "label",
+        "vec_id",
+        F.posexplode(_vec_d(F.col("embedding"))).alias("pos", "val"),
+    )
+    ordered_sum = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
+            lambda s: s["val"],
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        exploded.groupBy("label", F.col("pos").cast("int").alias("pos"))
+        .agg(
+            (ordered_sum / F.count("*")).alias("mean_val"),
+            F.count("*").cast("long").alias("n_vectors"),
+        )
+    )
+
+
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.to_media_table(_docs(spark, sf_dir)).select(
         "doc_id", "media_type", "payload_size", "format"

@@ -157,6 +157,40 @@ def test_claims_sorted_and_notes(spark, dims):
     assert len(tx.records) == 1
 
 
+def test_claims_two_level_salted_parity(spark, dims):
+    # the skew-safe salted two-level aggregation must produce identical
+    # claims to the one-level plan (records compared order-insensitively)
+    records = analyze(
+        spark,
+        dims,
+        [
+            ("T1", D, "1000.00", "TX", "Houston", None, "100.00"),
+            ("T2", D, "500.00", "TX", "Houston", None, "60.00"),
+            ("T3", D, "250.00", "TX", None, "grocery", "20.00"),
+            ("T4", D, "500.00", "CA", "Los Angeles", None, "60.00"),
+        ],
+    )
+    def norm(rows):
+        return sorted(
+            (
+                r.state_code,
+                r.claim_period_start,
+                r.claim_period_end,
+                r.total_refund_requested,
+                r.transaction_count,
+                tuple(r.supporting_reasons),
+                r.filing_notes,
+                tuple(sorted(rec.transaction_id for rec in r.records)),
+            )
+            for r in rows
+        )
+    one = refund.refund_claims(records, include_records=True).collect()
+    two = refund.refund_claims(
+        records, include_records=True, salt_buckets=7
+    ).collect()
+    assert norm(one) == norm(two)
+
+
 def test_quick_scan_threshold(spark, dims):
     df = make_df(
         spark,
