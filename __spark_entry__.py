@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from tax_compliance_engine_spark.plans import oracle, oracle_dataops
+from tax_compliance_engine_spark.plans import oracle, oracle_corpus, oracle_dataops
 from tax_compliance_engine_spark.plans import queries as q
 from tax_compliance_engine_spark.plans import queries_dataops as qd
 
@@ -80,6 +80,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": qd.label_centroids,  # rows-only (float avg order)
         "label_centroid_components": qd.label_centroid_components,
         # Multimodal plumbing (binary payload + metadata; stubbed decoder)
+        "ivf_knn_portable": qd.ivf_knn_portable,
+        "embedding_quantize": qd.embedding_quantize,
+        "corpus_vocab_top": qd.corpus_vocab_top,
+        "doc_tfidf_top_terms": qd.doc_tfidf_top_terms,
+        "corpus_sample": qd.corpus_sample,
+        "corpus_stratified_sample": qd.corpus_stratified_sample,
+        "corpus_pack_bins": qd.corpus_pack_bins,
+        "corpus_decontaminate": qd.corpus_decontaminate,
         "multimodal_metadata": qd.multimodal_metadata,
         "multimodal_features": qd.multimodal_features,  # rows-only (mapInPandas)
     }
@@ -131,6 +139,14 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dup_pairs": oracle_dataops.embedding_dup_pairs_sql(),
         # label_centroids: rows-only (double-sum order sensitivity)
         "label_centroid_components": oracle_dataops.label_centroid_components_sql(),
+        "ivf_knn_portable": oracle_dataops.ivf_knn_portable_sql(),
+        "embedding_quantize": oracle_dataops.embedding_quantize_sql(),
+        "corpus_vocab_top": oracle_corpus.corpus_vocab_top_sql(),
+        "doc_tfidf_top_terms": oracle_corpus.doc_tfidf_top_terms_sql(),
+        "corpus_sample": oracle_corpus.corpus_sample_sql(),
+        "corpus_stratified_sample": oracle_corpus.corpus_stratified_sample_sql(),
+        "corpus_pack_bins": oracle_corpus.corpus_pack_bins_sql(),
+        "corpus_decontaminate": oracle_corpus.corpus_decontaminate_sql(),
         "multimodal_metadata": oracle_dataops.multimodal_metadata_sql(),
         # multimodal_features: rows-only (mapInPandas stub, non-SQL)
     }

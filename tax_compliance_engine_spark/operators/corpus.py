@@ -1,0 +1,204 @@
+"""Corpus-level training-data pipeline operators: vocabulary building,
+TF-IDF term scoring, deterministic & stratified sampling, sequence packing,
+and benchmark decontamination.
+
+These are the ops a 100 TB pre-training data pipeline runs between raw
+ingestion and tokenization (beyond the reference's scope — the reference,
+`/root/reference/`, has no corpus operators at all; this module is part of
+the SURVEY §7 phase-5 extension surface).
+
+Scale design:
+- vocabulary / TF-IDF: one explode + two hash aggregations with map-side
+  partial agg; the token key space is Zipfian, so AQE skew handling (on by
+  default in session.py) splits the hot-token partitions;
+- sampling is HASH-deterministic (a fixed LCG on doc_id), not RNG-based:
+  reproducible across runs, engines, and retries, and embarrassingly
+  parallel (no sampleBy / no seed-state coordination across executors);
+- packing uses the concat-then-chunk discipline (bin = prefix-sum / budget)
+  — a single window cumsum, no sequential driver loop;
+- decontamination is a shingle semi-join: benchmark n-grams are tiny
+  (broadcast at real scale), so the corpus side never shuffles.
+
+Everything is built-in Column expressions (no UDFs), deterministic, and
+replicated bit-for-bit by the DuckDB oracle SQL in
+plans/oracle_corpus.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _doc_ngrams, _doc_tokens
+
+# Fixed LCG multiplier/increment for hash-deterministic sampling (Knuth's
+# MMIX constants reduced mod 2^31-ish prime); any fixed pair works — the
+# point is determinism and portability, not cryptographic quality.
+SAMPLE_MULT = 2654435761
+SAMPLE_INC = 104729
+SAMPLE_MOD = 1_000_000_007
+
+
+def sample_hash_col(doc_id: Column) -> Column:
+    """Deterministic per-doc sampling key in [0, SAMPLE_MOD)."""
+    return (doc_id * F.lit(SAMPLE_MULT) + F.lit(SAMPLE_INC)) % F.lit(
+        SAMPLE_MOD
+    )
+
+
+def vocabulary(
+    docs: DataFrame, text_col: str = "text", min_doc_freq: int = 1
+) -> DataFrame:
+    """Corpus vocabulary: per-token total term count and document frequency.
+
+    One explode over tokens, one groupBy(token) — term_count counts every
+    occurrence, doc_freq counts distinct docs (computed from per-(doc,token)
+    partials so no count_distinct shuffle of raw occurrences)."""
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(_tokens(text_col)).alias("token"),
+    )
+    per_doc = toks.groupBy("doc_id", "token").agg(
+        F.count("*").alias("tf")
+    )
+    return (
+        per_doc.groupBy("token")
+        .agg(
+            F.sum("tf").alias("term_count"),
+            F.count("*").cast("long").alias("doc_freq"),
+        )
+        .filter(F.col("doc_freq") >= min_doc_freq)
+    )
+
+
+def top_vocabulary(
+    docs: DataFrame, k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Top-k vocabulary by term count, deterministic tiebreak on token."""
+    return (
+        vocabulary(docs, text_col)
+        .orderBy(F.desc("term_count"), "token")
+        .limit(k)
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (tf × ln(N/df)), deterministic
+    tiebreak on token.
+
+    N and df are exact integers and ln/× are single IEEE ops on identical
+    operands, so scores (and hence ranks) are engine-portable."""
+    toks = docs.select(
+        F.col("doc_id"), F.explode(_tokens(text_col)).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rank")
+    )
+
+
+def deterministic_sample(
+    docs: DataFrame, rate: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep ~rate of rows by fixed LCG hash on the id — reproducible across
+    runs/engines/retries, no RNG state, trivially parallel."""
+    threshold = int(rate * SAMPLE_MOD)
+    return docs.filter(sample_hash_col(F.col(id_col)) < F.lit(threshold))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    per_stratum: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly min(per_stratum, |stratum|) rows per stratum, chosen in
+    deterministic hash order (quota sampling for class-balanced corpora)."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        sample_hash_col(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_stratum)
+        .drop("_rn")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    token_budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: docs in id order are laid end to
+    end and cut every `token_budget` tokens; each doc is assigned the bin
+    its FIRST token lands in (bin = floor(exclusive-prefix-sum / budget)).
+
+    One window cumsum — no driver loop, no bin-packing heuristic state.  At
+    scale the global ORDER BY is a range-partitioned sort (Spark's standard
+    total ordering); for strictly local packing, partition the window by a
+    shard column instead."""
+    n_tok = F.size(_tokens(text_col))
+    w = Window.orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        docs.select(id_col, n_tok.alias("n_tokens"))
+        .withColumn("end_offset", F.sum("n_tokens").over(w))
+        .withColumn(
+            "bin_id",
+            F.floor(
+                (F.col("end_offset") - F.col("n_tokens"))
+                / F.lit(token_budget)
+            ).cast("long"),
+        )
+        .select(id_col, "n_tokens", "bin_id")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: drop every corpus doc sharing ANY token
+    n-gram with a benchmark doc (the standard pre-training hygiene filter).
+
+    Shingle anti-join: corpus n-grams ⟕ benchmark n-gram set.  The
+    benchmark side is distinct shingles only — small enough to broadcast at
+    real scale, so the corpus never shuffles."""
+    corpus_grams = _doc_ngrams(docs, text_col, n)
+    bench_grams = (
+        _doc_ngrams(benchmark, text_col, n).select("gram").distinct()
+    )
+    contaminated = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.join(contaminated, "doc_id", "left_anti")
+
+
+def _tokens(text_col: str) -> Column:
+    from .textops import tokens_col
+
+    return tokens_col(F.col(text_col))

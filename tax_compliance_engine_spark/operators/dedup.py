@@ -42,14 +42,21 @@ def _doc_tokens(docs: DataFrame, text_col: str) -> DataFrame:
 
 
 def _doc_ngrams(docs: DataFrame, text_col: str, n: int) -> DataFrame:
-    """Distinct token n-grams (shingles) per document, as joined strings."""
+    """Distinct token n-grams (shingles) per document, as joined strings.
+
+    Docs shorter than n tokens yield no shingles (guarded: Spark's
+    sequence(0, negative) would otherwise produce a DESCENDING index
+    sequence, not an empty one)."""
     toks = tokens_col(F.col(text_col))
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        )
-    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return docs.select("doc_id", F.explode(grams).alias("gram"))
 
 

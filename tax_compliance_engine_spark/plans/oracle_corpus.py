@@ -1,0 +1,99 @@
+"""DuckDB oracle SQL for the corpus-level training-data operators
+(operators/corpus.py).
+
+Portability notes:
+- sampling keys are pure integer arithmetic (fixed LCG) — bit-exact;
+- TF-IDF ranking computes tf·ln(N/df) in both engines, but the emitted
+  columns are INTEGERS only (tf, df, rank): JVM Math.log and C libm may
+  disagree by 1 ULP, which can never reorder distinct (tf, df) scores but
+  could fail a bit-exact float hash;
+- packing / vocabulary / decontamination are integer/string-only.
+"""
+
+from __future__ import annotations
+
+from ..operators import corpus
+from .oracle_dataops import TOKENS
+
+_HASH = (
+    f"(doc_id * {corpus.SAMPLE_MULT} + {corpus.SAMPLE_INC}) % {corpus.SAMPLE_MOD}"
+)
+
+
+def corpus_vocab_top_sql(k: int = 100) -> str:
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest({TOKENS}) AS token FROM documents),
+per_doc AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token)
+SELECT token, SUM(tf) AS term_count, COUNT(*) AS doc_freq
+FROM per_doc GROUP BY token
+ORDER BY term_count DESC, token LIMIT {k}"""
+
+
+def doc_tfidf_top_terms_sql(k: int = 3) -> str:
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest({TOKENS}) AS token FROM documents),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+df AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, token, tf, df,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, token) AS INTEGER) AS rank
+  FROM scored)
+SELECT doc_id, token, tf, df, rank FROM ranked WHERE rank <= {k}"""
+
+
+def corpus_sample_sql(rate: float = 0.25) -> str:
+    threshold = int(rate * corpus.SAMPLE_MOD)
+    return f"""SELECT doc_id, source, lang FROM documents
+WHERE {_HASH} < {threshold}"""
+
+
+def corpus_stratified_sample_sql(per_stratum: int = 10) -> str:
+    return f"""WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {_HASH}, doc_id) AS rn
+  FROM documents)
+SELECT doc_id, source FROM ranked WHERE rn <= {per_stratum}"""
+
+
+def corpus_pack_bins_sql(token_budget: int = 2048) -> str:
+    return f"""WITH sized AS (
+  SELECT doc_id, len({TOKENS}) AS n_tokens FROM documents),
+summed AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS end_offset
+  FROM sized)
+SELECT doc_id, n_tokens,
+       CAST((end_offset - n_tokens) // {token_budget} AS BIGINT) AS bin_id
+FROM summed"""
+
+
+def corpus_decontaminate_sql(n: int = 5, bench_mod: int = 97) -> str:
+    return f"""WITH toks AS (
+  SELECT doc_id, {TOKENS} AS t FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(0, len(t) - {n} + 1),
+                   i -> array_to_string(list_slice(t, i + 1, i + {n}), ' '))
+  )) AS gram
+  FROM toks WHERE len(t) >= {n}),
+bench_grams AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % {bench_mod} = 0),
+contaminated AS (
+  SELECT DISTINCT g.doc_id FROM grams g
+  JOIN bench_grams b USING (gram)
+  WHERE g.doc_id % {bench_mod} <> 0)
+SELECT doc_id FROM documents
+WHERE doc_id % {bench_mod} <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)"""

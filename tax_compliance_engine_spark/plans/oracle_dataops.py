@@ -373,6 +373,63 @@ SELECT label, pos,
 FROM exploded GROUP BY label, pos"""
 
 
+def embedding_quantize_sql() -> str:
+    dim = similarity.DIM
+    return f"""WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scaled AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM emb)
+SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+  CASE WHEN scale > 0 THEN CAST(floor(v[i] / scale + 0.5) AS INTEGER)
+       ELSE 0 END AS qval,
+  scale
+FROM scaled, unnest(range(1, {dim} + 1)) AS u(i)"""
+
+
+def ivf_knn_portable_sql(k: int = 5, nprobe: int = 2, modulus: int = 50) -> str:
+    dim = similarity.DIM
+    dot_vv = DOT_FOLD.format(n=dim, a="v", b="v")
+    dot_cc = DOT_FOLD.format(n=dim, a="cvec", b="cvec")
+    dot_qc = DOT_FOLD.format(n=dim, a="q.v", b="c.cvec")
+    dot_qn = DOT_FOLD.format(n=dim, a="p.v", b="nb.v")
+    return f"""WITH embL AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+embLn AS (
+  SELECT vec_id, label, v, sqrt({dot_vv}) AS nrm FROM embL),
+exploded AS (
+  SELECT label, vec_id, CAST(i - 1 AS INTEGER) AS pos, v[i] AS val
+  FROM embL, unnest(range(1, {dim} + 1)) AS u(i)),
+cent_comp AS (
+  SELECT label, pos,
+    list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)), (acc, x) -> acc + x)
+      / count(*) AS mean_val
+  FROM exploded GROUP BY label, pos),
+cents AS (
+  SELECT label, list(mean_val ORDER BY pos) AS cvec FROM cent_comp GROUP BY label),
+cents_n AS (
+  SELECT label, cvec, sqrt({dot_cc}) AS cnrm FROM cents),
+queries AS (
+  SELECT vec_id, v, nrm FROM embLn WHERE vec_id % {modulus} = 0),
+probes AS (
+  SELECT q.vec_id AS query_id, c.label, q.v, q.nrm,
+    row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY {dot_qc} / (q.nrm * c.cnrm) DESC, c.label) AS pr
+  FROM queries q CROSS JOIN cents_n c),
+scored AS (
+  SELECT p.query_id, nb.vec_id AS neighbor_id,
+    {dot_qn} / (p.nrm * nb.nrm) AS cosine
+  FROM (SELECT query_id, label, v, nrm FROM probes WHERE pr <= {nprobe}) p
+  JOIN embLn nb ON nb.label = p.label
+  WHERE nb.vec_id <> p.query_id),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}"""
+
+
 def multimodal_metadata_sql() -> str:
     return """SELECT doc_id, 'text' AS media_type,
   CAST(octet_length(encode(text)) AS INTEGER) AS payload_size,

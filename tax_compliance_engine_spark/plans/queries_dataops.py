@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, similarity, textops
+from ..operators import corpus, dedup, multimodal, similarity, textops
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -151,6 +151,65 @@ def label_centroid_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_vectors"),
         )
     )
+
+
+def ivf_knn_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with ordered-fold centroids: bit-portable end to end
+    (sqrt/mul/div are exactly-rounded IEEE ops, the fold order is pinned),
+    so unlike `ivf_knn` this variant sits under the full hash gate."""
+    comps = label_centroid_components(spark, sf_dir)
+    cents = comps.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
+            lambda s: s["mean_val"],
+        ).alias("centroid")
+    )
+    return similarity.ivf_knn(
+        _emb(spark, sf_dir),
+        query_pred=F.col("vec_id") % 50 == 0,
+        k=5,
+        nprobe=2,
+        centroids=cents,
+    )
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.quantize_embeddings(_emb(spark, sf_dir))
+
+
+def corpus_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.top_vocabulary(_docs(spark, sf_dir), k=100)
+
+
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # integer columns only: the float score orders the window internally but
+    # JVM/libm ln() may differ by 1 ULP, so it stays out of the hash gate
+    return corpus.tfidf_top_terms(_docs(spark, sf_dir), k=3).select(
+        "doc_id", "token", "tf", "df", "rank"
+    )
+
+
+def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.deterministic_sample(_docs(spark, sf_dir), rate=0.25).select(
+        "doc_id", "source", "lang"
+    )
+
+
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.stratified_sample(
+        _docs(spark, sf_dir), per_stratum=10, stratum_col="source"
+    ).select("doc_id", "source")
+
+
+def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.pack_sequences(_docs(spark, sf_dir), token_budget=2048)
+
+
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    rest = docs.filter(F.col("doc_id") % 97 != 0)
+    return corpus.decontaminate(rest, bench, n=5).select("doc_id")
 
 
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,107 @@
+"""Unit tests for the corpus-level training-data operators (vocabulary,
+TF-IDF, deterministic/stratified sampling, sequence packing,
+decontamination) on tiny hand-built DataFrames.
+
+Extensions beyond the reference's surface (SURVEY §7 phase 5); also
+oracle-checked at sf0.01 by scripts/check_oracle.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tax_compliance_engine_spark.operators import corpus
+
+
+def docs_df(spark, rows):
+    """rows: (doc_id, text, source)"""
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+
+def test_vocabulary_counts(spark):
+    df = docs_df(
+        spark,
+        [(0, "a b a", "s0"), (1, "a c", "s0"), (2, "c c c", "s1")],
+    )
+    vocab = {r.token: (r.term_count, r.doc_freq) for r in corpus.vocabulary(df).collect()}
+    assert vocab == {"a": (3, 2), "b": (1, 1), "c": (4, 2)}
+
+
+def test_top_vocabulary_order_and_tiebreak(spark):
+    df = docs_df(spark, [(0, "b b a a c", "s0")])
+    rows = corpus.top_vocabulary(df, k=2).collect()
+    # a and b tie at 2 — tiebreak on token ascending
+    assert [(r.token, r.term_count) for r in rows] == [("a", 2), ("b", 2)]
+
+
+def test_tfidf_ranks(spark):
+    df = docs_df(
+        spark,
+        [(0, "rare common common", "s0"), (1, "common common", "s0")],
+    )
+    rows = corpus.tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    d0 = sorted(by_doc[0], key=lambda r: r.rank)
+    # "rare" (df=1) outranks "common" (df=2, idf=0) for doc 0
+    assert d0[0].token == "rare" and d0[0].rank == 1
+    assert d0[0].tfidf == 1.0 * math.log(2 / 1)
+    # "common" appears in every doc → idf 0 → tfidf 0
+    assert d0[1].token == "common" and d0[1].tfidf == 0.0
+
+
+def test_deterministic_sample_is_stable_and_exact(spark):
+    df = docs_df(spark, [(i, "x", "s0") for i in range(200)])
+    kept1 = sorted(r.doc_id for r in corpus.deterministic_sample(df, 0.3).collect())
+    kept2 = sorted(r.doc_id for r in corpus.deterministic_sample(df, 0.3).collect())
+    assert kept1 == kept2  # no RNG: identical across runs
+    # matches the driver-side recomputation of the same LCG
+    expected = [
+        i
+        for i in range(200)
+        if (i * corpus.SAMPLE_MULT + corpus.SAMPLE_INC) % corpus.SAMPLE_MOD
+        < int(0.3 * corpus.SAMPLE_MOD)
+    ]
+    assert kept1 == expected
+
+
+def test_stratified_sample_quota(spark):
+    rows = [(i, "x", f"s{i % 3}") for i in range(30)]
+    out = corpus.stratified_sample(docs_df(spark, rows), per_stratum=4).collect()
+    per = {}
+    for r in out:
+        per[r.source] = per.get(r.source, 0) + 1
+    assert per == {"s0": 4, "s1": 4, "s2": 4}
+
+
+def test_pack_sequences_bins(spark):
+    # docs of 3 tokens each, budget 4: prefix starts 0,3,6,9 → bins 0,0,1,2
+    df = docs_df(spark, [(i, "a b c", "s0") for i in range(4)])
+    rows = sorted(corpus.pack_sequences(df, 4).collect(), key=lambda r: r.doc_id)
+    assert [r.bin_id for r in rows] == [0, 0, 1, 2]
+    assert all(r.n_tokens == 3 for r in rows)
+
+
+def test_decontaminate_drops_overlapping(spark):
+    bench = docs_df(spark, [(100, "the quick brown fox jumps", "b")])
+    docs = docs_df(
+        spark,
+        [
+            (0, "look the quick brown fox jumps here", "s0"),  # contaminated
+            (1, "completely unrelated text with many words", "s0"),
+            (2, "tiny", "s0"),  # shorter than n: no shingles, always kept
+        ],
+    )
+    kept = sorted(r.doc_id for r in corpus.decontaminate(docs, bench, n=5).collect())
+    assert kept == [1, 2]
+
+
+def test_vocab_min_doc_freq(spark):
+    df = docs_df(spark, [(0, "a b", "s0"), (1, "a c", "s0")])
+    rows = corpus.vocabulary(df, min_doc_freq=2).collect()
+    assert [r.token for r in rows] == ["a"]

@@ -9,6 +9,7 @@ scripts/check_oracle.py against DuckDB.
 from __future__ import annotations
 
 import hashlib
+import math
 
 import pytest
 
@@ -236,6 +237,51 @@ def test_embedding_dup_pairs_identical(spark):
     rows = df.collect()
     assert [(r.id1, r.id2) for r in rows] == [(0, 1)]
     assert rows[0].cosine == pytest.approx(1.0)
+
+
+def test_quantize_embeddings(spark):
+    df = emb_df(spark, [[1.0, -0.5, 0.25, 0.0], [0.0, 0.0, 0.0, 0.0]])
+    rows = similarity.quantize_embeddings(df).collect()
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, {})[r.pos] = (r.qval, r.scale)
+    # max|v| = 1.0 → scale = 1/127; qval = floor(v*127 + 0.5)
+    assert by_vec[0][0] == (127, pytest.approx(1 / 127))
+    assert by_vec[0][1][0] == math.floor(-0.5 * 127 + 0.5)  # -63
+    assert by_vec[0][2][0] == math.floor(0.25 * 127 + 0.5)  # 32
+    assert by_vec[0][3][0] == 0
+    # zero vector → all-zero qvals, scale 0
+    assert all(q == 0 for q, _ in by_vec[1].values())
+    assert by_vec[1][0][1] == 0.0
+
+
+def test_ivf_portable_centroids_match_default_cells(spark):
+    # with per-label cells and explicit ordered-fold centroids, the probe
+    # set and neighbor ranking agree with the default (avg-centroid) plan
+    # on well-separated clusters
+    vecs = [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [0.1, 0.9]]
+    labels = [0, 0, 1, 1]
+    df = emb_df(spark, vecs, labels)
+    from pyspark.sql import functions as F
+
+    comps = (
+        df.select(
+            "label", "vec_id", F.posexplode("embedding").alias("pos", "val")
+        )
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("mean_val"))
+    )
+    cents = comps.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
+            lambda s: s["mean_val"],
+        ).alias("centroid")
+    )
+    out = similarity.ivf_knn(
+        df, query_pred=F.col("vec_id") == 0, k=2, nprobe=1, centroids=cents
+    ).collect()
+    # nprobe=1 → only cell 0 scanned: neighbor is vec 1 alone
+    assert [(r.query_id, r.neighbor_id) for r in out] == [(0, 1)]
 
 
 def test_label_centroids(spark):
