@@ -14,7 +14,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Row
 
-from tax_compliance_engine_spark.operators import refund, tax
+from tax_compliance_engine_spark.operators import corpus, refund, tax
 from tax_compliance_engine_spark.schemas import TXN_SCHEMA
 
 STATES = ["TX", "CA", "NY", "OR", "MT", "AL", "CO", "ZZ"]
@@ -115,3 +115,79 @@ def test_refund_record_iff_overpaid(spark, dims, batch):
             assert rec.refund_eligible == (res.transaction_date >= cutoff)
         else:
             assert tid not in records
+
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+
+doc_strategy = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, f"s{i % 3}") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=doc_strategy)
+def test_corpus_invariants(spark, texts):
+    docs = _docs(spark, texts)
+    n = len(texts)
+
+    # vocabulary: term_count >= doc_freq >= 1; totals match token count
+    vocab = corpus.vocabulary(docs).collect()
+    total_tokens = sum(len(t.split()) for t in texts)
+    assert sum(r.term_count for r in vocab) == total_tokens
+    assert all(r.term_count >= r.doc_freq >= 1 for r in vocab)
+
+    # packing: every doc binned exactly once; bin ids start at 0 and are
+    # monotone in doc order (an over-budget doc may skip a bin entirely);
+    # per-bin token mass ≤ budget + longest doc (a doc may straddle the cut)
+    budget = 10
+    bins = corpus.pack_sequences(docs, budget).collect()
+    assert sorted(r.doc_id for r in bins) == list(range(n))
+    ordered = sorted(bins, key=lambda r: r.doc_id)
+    assert ordered[0].bin_id == 0
+    assert all(
+        a.bin_id <= b.bin_id for a, b in zip(ordered, ordered[1:])
+    )
+    per_bin: dict[int, int] = {}
+    for r in bins:
+        per_bin[r.bin_id] = per_bin.get(r.bin_id, 0) + r.n_tokens
+    longest = max(r.n_tokens for r in bins)
+    assert all(v <= budget + longest for v in per_bin.values())
+
+    # deterministic sampling: monotone in rate, and rate=1 keeps everything
+    kept_half = {r.doc_id for r in corpus.deterministic_sample(docs, 0.5).collect()}
+    kept_all = {r.doc_id for r in corpus.deterministic_sample(docs, 1.0).collect()}
+    assert kept_half <= kept_all == set(range(n))
+
+    # stratified: never more than quota per stratum, and exact when the
+    # stratum has at least quota members
+    quota = 3
+    out = corpus.stratified_sample(docs, quota).collect()
+    per_src: dict[str, int] = {}
+    for r in out:
+        per_src[r.source] = per_src.get(r.source, 0) + 1
+    sizes: dict[str, int] = {}
+    for i in range(n):
+        sizes[f"s{i % 3}"] = sizes.get(f"s{i % 3}", 0) + 1
+    for src, size in sizes.items():
+        assert per_src.get(src, 0) == min(quota, size)
+
+    # decontamination is idempotent and never keeps a doc sharing a shingle
+    bench = docs.limit(1)
+    clean1 = corpus.decontaminate(docs, bench, n=3)
+    clean2 = corpus.decontaminate(clean1, bench, n=3)
+    ids1 = sorted(r.doc_id for r in clean1.collect())
+    ids2 = sorted(r.doc_id for r in clean2.collect())
+    assert ids1 == ids2
