@@ -30,9 +30,12 @@ BENCH_QUERIES = [
     "events_sessions",
     # training-data pipeline ops
     "doc_text_stats",
+    "doc_tfidf_top_terms",
     "dedup_minhash_pairs",
     "dedup_minhash_est_pairs",
+    "corpus_decontaminate",
     "knn_bruteforce",
+    "ivf_knn_portable",
     "embedding_dup_pairs",
 ]
 
