@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_top_terms": qd.doc_tfidf_top_terms,
         "corpus_sample": qd.corpus_sample,
         "corpus_stratified_sample": qd.corpus_stratified_sample,
+        "corpus_mixture": qd.corpus_mixture,
         "corpus_pack_bins": qd.corpus_pack_bins,
         "corpus_decontaminate": qd.corpus_decontaminate,
         "multimodal_metadata": qd.multimodal_metadata,
@@ -145,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_tfidf_top_terms": oracle_corpus.doc_tfidf_top_terms_sql(),
         "corpus_sample": oracle_corpus.corpus_sample_sql(),
         "corpus_stratified_sample": oracle_corpus.corpus_stratified_sample_sql(),
+        "corpus_mixture": oracle_corpus.corpus_mixture_sql(),
         "corpus_pack_bins": oracle_corpus.corpus_pack_bins_sql(),
         "corpus_decontaminate": oracle_corpus.corpus_decontaminate_sql(),
         "multimodal_metadata": oracle_dataops.multimodal_metadata_sql(),

@@ -174,6 +174,37 @@ def pack_sequences(
     )
 
 
+def mixture(
+    docs: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Weighted dataset mixing: keep each stratum at its own sampling rate
+    (the pre-training 'data mixture' step — e.g. upweight curated sources,
+    downsample crawl).  Rates ≥ 1.0 keep everything (no duplication —
+    epoch-style upsampling belongs to the trainer, not the corpus filter).
+
+    One scan, no shuffle: the per-source rate is a broadcast-joined column
+    and the keep decision is the same LCG hash as deterministic_sample, so
+    mixtures are reproducible and composable with the other corpus ops."""
+    spark = docs.sparkSession
+    rates = spark.createDataFrame(
+        [(s, float(r)) for s, r in sorted(weights.items())],
+        f"{stratum_col} string, _rate double",
+    )
+    return (
+        docs.join(F.broadcast(rates), stratum_col, "left")
+        .withColumn("_rate", F.coalesce("_rate", F.lit(float(default_rate))))
+        .filter(
+            sample_hash_col(F.col(id_col)).cast("double")
+            < F.col("_rate") * F.lit(float(SAMPLE_MOD))
+        )
+        .drop("_rate")
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -65,6 +65,19 @@ def corpus_stratified_sample_sql(per_stratum: int = 10) -> str:
 SELECT doc_id, source FROM ranked WHERE rn <= {per_stratum}"""
 
 
+def corpus_mixture_sql(
+    weights: dict[str, float] | None = None, default_rate: float = 0.25
+) -> str:
+    weights = weights or {"src0": 1.0, "src1": 0.5, "src2": 0.1}
+    arms = " ".join(
+        f"WHEN source = '{s}' THEN {float(r)}"
+        for s, r in sorted(weights.items())
+    )
+    return f"""SELECT doc_id, source, lang FROM documents
+WHERE CAST({_HASH} AS DOUBLE) <
+      (CASE {arms} ELSE {float(default_rate)} END) * {float(corpus.SAMPLE_MOD)}"""
+
+
 def corpus_pack_bins_sql(token_budget: int = 2048) -> str:
     return f"""WITH sized AS (
   SELECT doc_id, len({TOKENS}) AS n_tokens FROM documents),

@@ -201,6 +201,14 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.mixture(
+        _docs(spark, sf_dir),
+        weights={"src0": 1.0, "src1": 0.5, "src2": 0.1},
+        default_rate=0.25,
+    ).select("doc_id", "source", "lang")
+
+
 def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.pack_sequences(_docs(spark, sf_dir), token_budget=2048)
 

@@ -105,3 +105,22 @@ def test_vocab_min_doc_freq(spark):
     df = docs_df(spark, [(0, "a b", "s0"), (1, "a c", "s0")])
     rows = corpus.vocabulary(df, min_doc_freq=2).collect()
     assert [r.token for r in rows] == ["a"]
+
+
+def test_mixture_rates_and_default(spark):
+    rows = [(i, "x", f"s{i % 2}") for i in range(100)]
+    out = corpus.mixture(
+        docs_df(spark, rows), weights={"s0": 1.0}, default_rate=0.0
+    ).collect()
+    # s0 fully kept, s1 (default 0) fully dropped
+    assert sorted(r.doc_id for r in out) == [i for i in range(100) if i % 2 == 0]
+    # fractional rate keeps the hash-selected subset, reproducibly
+    half = corpus.mixture(docs_df(spark, rows), weights={"s0": 0.5, "s1": 0.5})
+    kept1 = sorted(r.doc_id for r in half.collect())
+    kept2 = sorted(r.doc_id for r in half.collect())
+    assert kept1 == kept2
+    assert all(
+        (i * corpus.SAMPLE_MULT + corpus.SAMPLE_INC) % corpus.SAMPLE_MOD
+        < 0.5 * corpus.SAMPLE_MOD
+        for i in kept1
+    )
