@@ -32,7 +32,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tax_batch_totals": q.tax_batch_totals,  # A1
         # Refund family (P7-P9, J7, F8, F11, A6-A8, O7)
         "refund_records": q.refund_records,
-        "refund_quick_scan": q.refund_quick_scan,  # P8
+        # refund_quick_scan (P8): driver row dropped — refund_records + a filter
+        # covers the math; operator keeps pytest + oracle parity via check_oracle.
         "refund_state_breakdown": q.refund_state_breakdown,
         "refund_reason_breakdown": q.refund_reason_breakdown,
         "refund_summary": q.refund_summary,
@@ -45,7 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filing_calendar": q.filing_calendar,
         # Rate-database queries (P5-P6, O1-O3)
         "rates_top10": q.rates_top10,
-        "rates_lowest10": q.rates_lowest10,
+        # rates_lowest10: driver row dropped (reverse sort of rates_top10; pytest kept)
         "no_tax_states": q.no_tax_states,
         "states_exempting_grocery": q.states_exempting_grocery,
         # Generic relational / windowed surface over the star schema
@@ -65,19 +66,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash
         "dedup_exact": qd.dedup_exact,
         "dedup_ngram_pairs": qd.dedup_ngram_pairs,
-        "dedup_minhash_sigs": qd.dedup_minhash_sigs,
+        # dedup_minhash_sigs / dedup_simhash_sigs: driver rows dropped — both are
+        # strict prefixes of their *_pairs queries (still oracle-checked locally).
         "dedup_minhash_pairs": qd.dedup_minhash_pairs,
         "dedup_minhash_est_pairs": qd.dedup_minhash_est_pairs,
         "dedup_minhash_keep": qd.dedup_minhash_keep,
         "dedup_minhash_clusters": qd.dedup_minhash_clusters,
-        "dedup_simhash_sigs": qd.dedup_simhash_sigs,
         "dedup_simhash_pairs": qd.dedup_simhash_pairs,
         # Embedding similarity search
         "knn_bruteforce": qd.knn_bruteforce,
-        "ivf_knn": qd.ivf_knn,  # rows-only (float centroid probing)
+        # ivf_knn: dropped (no oracle; fully covered by hash-gated ivf_knn_portable)
         "embedding_lsh_buckets": qd.embedding_lsh_buckets,
         "embedding_dup_pairs": qd.embedding_dup_pairs,
-        "label_centroids": qd.label_centroids,  # rows-only (float avg order)
+        # label_centroids: dropped (array<float> column breaks the driver
+        # canonicalizer; the exploded label_centroid_components is equivalent)
         "label_centroid_components": qd.label_centroid_components,
         # Multimodal plumbing (binary payload + metadata; stubbed decoder)
         "ivf_knn_portable": qd.ivf_knn_portable,
@@ -90,7 +92,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_bins": qd.corpus_pack_bins,
         "corpus_decontaminate": qd.corpus_decontaminate,
         "multimodal_metadata": qd.multimodal_metadata,
-        "multimodal_features": qd.multimodal_features,  # rows-only (mapInPandas)
+        # multimodal_features: driver row dropped (rows-only mapInPandas stub;
+        # Arrow plumbing is pytest-verified in tests/test_dataops.py)
     }
 
 

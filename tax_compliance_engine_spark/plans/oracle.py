@@ -400,11 +400,11 @@ def periodized_activity_cte() -> str:
 period_agg AS (
   SELECT state,
     CAST(COALESCE(SUM(CASE WHEN {in_simple} THEN amount END), 0) AS DECIMAL(18,2)) AS rev_simple,
-    SUM(CASE WHEN {in_simple} THEN 1 ELSE 0 END) AS cnt_simple,
+    CAST(SUM(CASE WHEN {in_simple} THEN 1 ELSE 0 END) AS BIGINT) AS cnt_simple,
     CAST(COALESCE(SUM(CASE WHEN {in_cur} THEN amount END), 0) AS DECIMAL(18,2)) AS rev_cur,
-    SUM(CASE WHEN {in_cur} THEN 1 ELSE 0 END) AS cnt_cur,
+    CAST(SUM(CASE WHEN {in_cur} THEN 1 ELSE 0 END) AS BIGINT) AS cnt_cur,
     CAST(COALESCE(SUM(CASE WHEN {in_prior} THEN amount END), 0) AS DECIMAL(18,2)) AS rev_prior,
-    SUM(CASE WHEN {in_prior} THEN 1 ELSE 0 END) AS cnt_prior,
+    CAST(SUM(CASE WHEN {in_prior} THEN 1 ELSE 0 END) AS BIGINT) AS cnt_prior,
     ANY_VALUE(measurement_period) AS mp
   FROM joined_period GROUP BY state
 ),

@@ -25,7 +25,7 @@ def corpus_vocab_top_sql(k: int = 100) -> str:
   SELECT doc_id, unnest({TOKENS}) AS token FROM documents),
 per_doc AS (
   SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token)
-SELECT token, SUM(tf) AS term_count, COUNT(*) AS doc_freq
+SELECT token, CAST(SUM(tf) AS BIGINT) AS term_count, COUNT(*) AS doc_freq
 FROM per_doc GROUP BY token
 ORDER BY term_count DESC, token LIMIT {k}"""
 
