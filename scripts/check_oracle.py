@@ -1,17 +1,33 @@
 """Local replica of the driver's t2 check: run every queries() entry on Spark
 and its oracle_sql() twin on DuckDB over the same parquet dir; compare
-row counts, column names, and order-insensitive values.
+row counts, column name+type classes, and BIT-EXACT order-insensitive values.
+
+Strictness matches the driver (which hashes canonicalized values):
+- floats compare by shortest-round-trip repr (bit-exact for float64) — no
+  ``%.10g`` smoothing, so a 1-ULP engine divergence fails here too;
+- every cell carries its type class tag, so an int column on one side and a
+  Decimal/HUGEINT column on the other is a dtype mismatch, not a silent
+  string-equal pass (this is exactly the round-1 HUGEINT bug class);
+- column dtype classes come from Arrow on BOTH sides (``df.toArrow()`` /
+  duckdb ``.arrow()``), the same representation the driver canonicalizes.
+
+Oracle entries with no queries() registration (kept for reinstatement under
+the 50-slot cap) are still checked: the same-named function is looked up in
+plans.queries / plans.queries_dataops.
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import datetime as dt
 import math
 import sys
+from decimal import Decimal
 from pathlib import Path
 
 import duckdb
+import pyarrow as pa
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -29,21 +45,83 @@ TABLES = [
 ]
 
 
-def norm_cell(v):
+def type_class(t: pa.DataType) -> str:
+    """Canonical dtype class: width-insensitive ints, everything else kept
+    apart (int vs decimal vs float32 vs float64 are driver-visible)."""
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return f"float{t.bit_width}"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{type_class(t.value_type)}>"
+    return str(t)
+
+
+def norm_cell(v) -> str:
+    """Bit-exact, type-tagged cell canonicalization."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return f"b:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return f"{v:.10g}"
-    return str(v)
+            return "f:nan"
+        return f"f:{v!r}"  # repr round-trips float64 exactly
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, Decimal):
+        return f"d:{v}"
+    if isinstance(v, dt.datetime):
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, dt.date):
+        return f"dt:{v.isoformat()}"
+    if isinstance(v, (bytes, bytearray)):
+        return f"x:{bytes(v).hex()}"
+    if isinstance(v, list):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return f"s:{v}"
 
 
-def norm_rows(cols, rows):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm_cell(r[i]) for i in idx) for r in rows)
+def table_summary(tbl: pa.Table) -> tuple[list[str], list[str], list[tuple]]:
+    """(column names, per-column type classes, name-sorted normalized rows)."""
+    names = tbl.column_names
+    classes = [type_class(f.type) for f in tbl.schema]
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    cols = [tbl.column(i).to_pylist() for i in order]
+    rows = sorted(
+        tuple(norm_cell(col[r]) for col in cols) for r in range(tbl.num_rows)
+    )
+    return names, classes, rows
+
+
+def extra_spark_fns() -> dict:
+    """Spark callables for oracle_sql() entries not registered in queries()
+    (names displaced by the driver's 50-slot cap but kept verifiable)."""
+    from tax_compliance_engine_spark.plans import queries as q
+    from tax_compliance_engine_spark.plans import queries_dataops as qd
+
+    fns = {}
+    for mod in (q, qd):
+        for name in dir(mod):
+            if not name.startswith("_") and callable(getattr(mod, name)):
+                fns.setdefault(name, getattr(mod, name))
+    return fns
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entry
@@ -57,56 +135,66 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    queries = entry.queries()
+    queries = dict(entry.queries())
     oracles = entry.oracle_sql()
+    extras = extra_spark_fns()
+    for name in oracles:
+        if name not in queries and name in extras:
+            queries[name] = extras[name]
+
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir)
-            spark_cols = list(sdf.columns)
-            spark_rows = [tuple(r) for r in sdf.collect()]
+            stbl = fn(spark, sf_dir).toArrow()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"OK   {name}: rows-only ({len(spark_rows)} rows, no oracle)")
+            print(f"OK   {name}: rows-only ({stbl.num_rows} rows, no oracle)")
             continue
         try:
-            res = con.execute(oracles[name])
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
+            dtbl = con.execute(oracles[name]).arrow()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
             continue
 
-        if sorted(spark_cols) != sorted(duck_cols):
+        s_names, s_classes, s_rows = table_summary(stbl)
+        d_names, d_classes, d_rows = table_summary(dtbl)
+        if sorted(s_names) != sorted(d_names):
             print(
-                f"FAIL {name}: columns differ\n  spark: {sorted(spark_cols)}\n  duck:  {sorted(duck_cols)}"
+                f"FAIL {name}: columns differ\n  spark: {sorted(s_names)}\n  duck:  {sorted(d_names)}"
             )
             failures.append(name)
             continue
-        if len(spark_rows) != len(duck_rows):
+        s_sig = dict(zip(s_names, s_classes))
+        d_sig = dict(zip(d_names, d_classes))
+        if s_sig != d_sig:
+            diffs = {
+                c: (s_sig[c], d_sig[c]) for c in s_sig if s_sig[c] != d_sig[c]
+            }
+            print(f"FAIL {name}: dtype classes differ (spark, duck): {diffs}")
+            failures.append(name)
+            continue
+        if len(s_rows) != len(d_rows):
             print(
-                f"FAIL {name}: row count {len(spark_rows)} (spark) vs {len(duck_rows)} (duck)"
+                f"FAIL {name}: row count {len(s_rows)} (spark) vs {len(d_rows)} (duck)"
             )
             failures.append(name)
             continue
-        s_norm = norm_rows(spark_cols, spark_rows)
-        d_norm = norm_rows(duck_cols, duck_rows)
-        if s_norm != d_norm:
-            ndiff = sum(1 for a, b in zip(s_norm, d_norm) if a != b)
-            print(f"FAIL {name}: {ndiff}/{len(s_norm)} rows differ; first diff:")
-            for a, b in zip(s_norm, d_norm):
+        if s_rows != d_rows:
+            ndiff = sum(1 for a, b in zip(s_rows, d_rows) if a != b)
+            print(f"FAIL {name}: {ndiff}/{len(s_rows)} rows differ; first diff:")
+            for a, b in zip(s_rows, d_rows):
                 if a != b:
                     print(f"  spark: {a}\n  duck:  {b}")
                     break
             failures.append(name)
         else:
-            print(f"OK   {name}: {len(spark_rows)} rows match")
+            print(f"OK   {name}: {len(s_rows)} rows match")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0

@@ -147,22 +147,62 @@ def pack_sequences(
     token_budget: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Concat-then-chunk sequence packing: docs in id order are laid end to
     end and cut every `token_budget` tokens; each doc is assigned the bin
     its FIRST token lands in (bin = floor(exclusive-prefix-sum / budget)).
 
-    One window cumsum — no driver loop, no bin-packing heuristic state.  At
-    scale the global ORDER BY is a range-partitioned sort (Spark's standard
-    total ordering); for strictly local packing, partition the window by a
-    shard column instead."""
+    Two-level offsets, so the prefix sum is embarrassingly parallel (a
+    global ``Window.orderBy`` frame would collapse the whole cumsum into a
+    single task — the one plan shape that cannot survive a 100× scale-up):
+
+    1. ids are split into CONTIGUOUS range shards (bin assignment is
+       provably independent of where the shard boundaries fall, so the
+       cheap min/max-based equi-width split is enough — no sampling);
+    2. each shard computes its local running sum in parallel
+       (``Window.partitionBy(shard)``);
+    3. per-shard token totals (one tiny row per shard) are cumsum'd on the
+       driver into exclusive base offsets and broadcast-joined back.
+
+    ``end_offset = shard_base + local_end`` equals the global running sum
+    bit-for-bit, so the output is identical to the single-window form (the
+    DuckDB oracle computes exactly that global form).  Only the per-doc
+    (id, n_tokens) projection is cached between the totals pass and the
+    final pass — a few bytes per document, not the text."""
+    spark = docs.sparkSession
+    if n_shards is None:
+        n_shards = max(spark.sparkContext.defaultParallelism * 2, 1)
+
     n_tok = F.size(_tokens(text_col))
-    w = Window.orderBy(id_col).rowsBetween(
+    sized = docs.select(F.col(id_col), n_tok.alias("n_tokens"))
+
+    # Contiguous equi-width id-range shards from one column-pruned min/max.
+    bounds = docs.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).collect()[0]
+    lo = int(bounds["lo"]) if bounds["lo"] is not None else 0
+    hi = int(bounds["hi"]) if bounds["hi"] is not None else 0
+    width = max(1, -(-(hi - lo + 1) // n_shards))  # ceil division
+    shard = F.expr(f"({id_col} - {lo}) div {width}").cast("long")
+
+    sized = sized.withColumn("_shard", shard).cache()
+
+    w_local = Window.partitionBy("_shard").orderBy(id_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    local = sized.withColumn("_local_end", F.sum("n_tokens").over(w_local))
+
+    totals = sized.groupBy("_shard").agg(F.sum("n_tokens").alias("_tot")).collect()
+    base_rows, acc = [], 0
+    for r in sorted(totals, key=lambda r: r["_shard"]):
+        base_rows.append((int(r["_shard"]), acc))
+        acc += int(r["_tot"])
+    bases = spark.createDataFrame(base_rows, "_shard long, _base long")
+
     return (
-        docs.select(id_col, n_tok.alias("n_tokens"))
-        .withColumn("end_offset", F.sum("n_tokens").over(w))
+        local.join(F.broadcast(bases), "_shard")
+        .withColumn("end_offset", F.col("_base") + F.col("_local_end"))
         .withColumn(
             "bin_id",
             F.floor(

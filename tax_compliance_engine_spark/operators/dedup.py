@@ -65,15 +65,35 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.2,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by n-gram-shingle Jaccard similarity.
 
     Candidates = pairs sharing ≥1 shingle (the bucket join); Jaccard is then
-    computed exactly from shared/total shingle counts.  At scale the shared-
-    shingle join is the LSH step — hot shingles should be frequency-capped
-    (df > ~1000 dropped) which changes candidates only for pathological
-    common-shingle pairs; kept un-capped here for oracle parity."""
+    computed exactly from shared/total shingle counts.
+
+    ``max_doc_freq`` is the scale guard and is ON by default: shingles
+    present in more than that many documents are removed from the shingle
+    universe before sizes and the candidate join.  Without it, one
+    boilerplate shingle shared by k documents makes the self-join emit
+    k·(k-1)/2 candidate rows — quadratic on a single skewed key, the plan
+    that falls over at 100 TB.  With it, the hot-shingle list is tiny by
+    construction (few shingles can exceed the cap), so the filter is a
+    broadcast anti-join (a map-side drop, no extra wide shuffle), and both
+    similarity *and* candidate recall are then defined over the capped
+    universe — boilerplate carries no near-dup signal, which is why the df
+    cut is the standard production trade.  Pass ``max_doc_freq=None`` for
+    the exact textbook semantics over all shingles.  Both forms are
+    replicated by the DuckDB oracle (plans/oracle_dataops.py)."""
     grams = _doc_ngrams(docs, text_col, n).cache()
+    if max_doc_freq is not None:
+        hot = (
+            grams.groupBy("gram")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("gram")
+        )
+        grams = grams.join(F.broadcast(hot), "gram", "left_anti")
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
 
     a = grams.alias("a")

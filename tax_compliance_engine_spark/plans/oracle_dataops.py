@@ -123,12 +123,27 @@ def _ngrams_cte(n: int) -> str:
 )"""
 
 
-def dedup_ngram_pairs_sql(n: int = 3, threshold: float = 0.2) -> str:
-    return f"""WITH {_ngrams_cte(n)},
-sizes AS (SELECT doc_id, count(*) AS n_grams FROM doc_grams GROUP BY doc_id),
+def dedup_ngram_pairs_sql(
+    n: int = 3, threshold: float = 0.2, max_doc_freq: int | None = 1000
+) -> str:
+    """Twin of ngram_jaccard_pairs incl. its default document-frequency cap:
+    shingles with df > max_doc_freq leave the universe before sizes and the
+    candidate join (None replicates the uncapped textbook form)."""
+    cap_cte = (
+        f""",
+doc_grams_capped AS (
+  SELECT doc_id, gram FROM doc_grams
+  WHERE gram NOT IN (SELECT gram FROM doc_grams
+                     GROUP BY gram HAVING count(*) > {max_doc_freq}))"""
+        if max_doc_freq is not None
+        else ""
+    )
+    src = "doc_grams_capped" if max_doc_freq is not None else "doc_grams"
+    return f"""WITH {_ngrams_cte(n)}{cap_cte},
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM {src} GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_shared
-  FROM doc_grams a JOIN doc_grams b
+  FROM {src} a JOIN {src} b
     ON a.gram = b.gram AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id)
 SELECT doc1, doc2, n_shared,

@@ -87,6 +87,36 @@ def test_pack_sequences_bins(spark):
     assert all(r.n_tokens == 3 for r in rows)
 
 
+def test_pack_sequences_matches_global_prefix_sum(spark):
+    # Irregular doc lengths and sparse, shuffled ids across many shards:
+    # the two-level-offset packing must equal the global running sum exactly.
+    ids = [7, 1000, 3, 512, 64, 2, 999, 123, 500, 88, 4096, 9]
+    rows = [(i, " ".join(["w"] * ((i * 7) % 11 + 1)), "s0") for i in ids]
+    out = {
+        r.doc_id: (r.n_tokens, r.bin_id)
+        for r in corpus.pack_sequences(docs_df(spark, rows), 16, n_shards=5).collect()
+    }
+    acc = 0
+    for i in sorted(ids):
+        n = (i * 7) % 11 + 1
+        assert out[i] == (n, acc // 16)
+        acc += n
+
+
+def test_pack_sequences_plan_has_no_single_partition_exchange(spark):
+    # The scale guarantee: the cumsum window partitions by shard — no stage
+    # of the returned plan may funnel the corpus through one task.
+    import contextlib
+    import io
+
+    df = docs_df(spark, [(i, "a b c", "s0") for i in range(50)])
+    packed = corpus.pack_sequences(df, 8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        packed.explain("formatted")
+    assert "SinglePartition" not in buf.getvalue()
+
+
 def test_decontaminate_drops_overlapping(spark):
     bench = docs_df(spark, [(100, "the quick brown fox jumps", "b")])
     docs = docs_df(
