@@ -102,8 +102,12 @@ filing_due_day(state_code, due_day) AS (VALUES
     {_values(dd)})"""
 
 
-def transactions_cte() -> str:
-    """SQL twin of derived.derive_transactions."""
+def transactions_cte(inclusive_mod: int | None = None) -> str:
+    """SQL twin of derived.derive_transactions.
+
+    ``inclusive_mod`` flips pricing_model to 'inclusive' for order keys
+    divisible by it (the tax-inclusive query variant); None keeps the
+    all-'exclusive' base derivation."""
     st = list(enumerate(derived.state_list()))
     cats = [
         (i, c) for i, c in enumerate(derived.category_list()) if c is not None
@@ -112,6 +116,12 @@ def transactions_cte() -> str:
     paid_case = " ".join(
         f"WHEN {i} THEN CAST({m} AS DECIMAL(6,4))"
         for i, m in enumerate(derived.PAID_MULTIPLIERS)
+    )
+    pricing = (
+        "'exclusive'"
+        if inclusive_mod is None
+        else f"CASE WHEN o_orderkey % {inclusive_mod} = 0 "
+        "THEN 'inclusive' ELSE 'exclusive' END"
     )
     return f"""
 statemap(sidx, state) AS (VALUES
@@ -134,7 +144,7 @@ transactions_derived AS (
          THEN 'CERT-' || CAST(o_orderkey AS VARCHAR) END AS exemption_certificate,
     CASE o_custkey % 19 WHEN 0 THEN 'wholesale' WHEN 1 THEN 'exempt'
          ELSE 'retail' END AS customer_type,
-    'exclusive' AS pricing_model
+    {pricing} AS pricing_model
   FROM orders
   JOIN statemap s ON s.sidx = o_custkey % 53
   LEFT JOIN catmap c ON c.cidx = o_orderkey % 8
@@ -142,12 +152,25 @@ transactions_derived AS (
 )"""
 
 
-def tax_calc_ctes() -> str:
+def tax_calc_ctes(inclusive_mod: int | None = None) -> str:
     """Enrichment + master CASE tree: the SQL twin of operators/tax.py
-    (reference semantics calculator.py:157-256).  Pricing is always
-    'exclusive' in the derived data, so taxable_amount = amount."""
+    (reference semantics calculator.py:157-256).
+
+    The tax-inclusive back-out (calculator.py:229-232, F2) divides the
+    gross amount by (1 + combined rate) and HALF_UP-rounds to cents.
+    Spark does that in exact decimal; DuckDB's decimal division promotes
+    to DOUBLE (lossy — exact half-cent quotients like UT's 1.072 = 134/125
+    denominator DO occur and a double quotient can land a hair under), so
+    the twin uses exact BIGINT arithmetic instead: with A = amount in
+    cents and R = (1 + rate) × 10⁶, HALF_UP cents = (2·A·10⁶ + R) // (2·R).
+    This is bit-identical to Spark's round-at-scale-15-then-round-at-2
+    decimal path: a rational with denominator ≤ ~2.3e6 cannot lie within
+    1e-15 of a half-cent boundary without being exactly on it, so the
+    double-rounding window is empty.  With the default all-'exclusive'
+    derivation the back-out CASE never fires and taxable_computed =
+    amount exactly."""
     return f"""{dim_ctes()},
-{transactions_cte().lstrip()},
+{transactions_cte(inclusive_mod).lstrip()},
 tax_enriched AS (
   SELECT t.*,
     sr.state_name, sr.base_rate, sr.has_local_taxes, sr.avg_combined_rate,
@@ -177,15 +200,27 @@ tax_rates AS (
          ELSE CAST(0 AS DECIMAL(11,6)) END AS local_rate
   FROM tax_enriched
 ),
+tax_taxable AS (
+  SELECT *,
+    CASE WHEN pricing_model = 'inclusive'
+         THEN CAST(
+                (2 * CAST(amount * 100 AS BIGINT) * 1000000
+                 + CAST((1 + base_rate + local_rate) * 1000000 AS BIGINT))
+                // (2 * CAST((1 + base_rate + local_rate) * 1000000 AS BIGINT))
+              AS DECIMAL(18,0)) * CAST(0.01 AS DECIMAL(3,2))
+         ELSE amount END AS taxable_computed
+  FROM tax_rates
+),
 tax_results AS (
   SELECT
     transaction_id, transaction_date, state, city, item_category, customer_type,
-    amount, tax_paid,
-    amount AS taxable_amount,
+    pricing_model, amount, tax_paid,
+    CASE WHEN unknown_state OR exempt_like THEN amount
+         ELSE CAST(taxable_computed AS DECIMAL(18,2)) END AS taxable_amount,
     CASE WHEN unknown_state OR exempt_like THEN CAST(0 AS DECIMAL(18,2))
-         ELSE CAST(ROUND(amount * base_rate, 2) AS DECIMAL(18,2)) END AS state_tax,
+         ELSE CAST(ROUND(taxable_computed * base_rate, 2) AS DECIMAL(18,2)) END AS state_tax,
     CASE WHEN unknown_state OR exempt_like THEN CAST(0 AS DECIMAL(18,2))
-         ELSE CAST(ROUND(amount * local_rate, 2) AS DECIMAL(18,2)) END AS local_tax,
+         ELSE CAST(ROUND(taxable_computed * local_rate, 2) AS DECIMAL(18,2)) END AS local_tax,
     CASE WHEN unknown_state OR exempt_like THEN 0.0
          ELSE CAST(base_rate + local_rate AS DOUBLE) END AS effective_rate,
     CASE WHEN unknown_state THEN FALSE ELSE exempt_like END AS is_exempt,
@@ -200,7 +235,7 @@ tax_results AS (
          WHEN city IS NULL AND has_local_taxes THEN 1
          ELSE 0 END AS n_warnings,
     unknown_state, no_tax_state, exempt_like, has_local_taxes
-  FROM tax_rates
+  FROM tax_taxable
 ),
 tax_final AS (
   SELECT *, CAST(state_tax + local_tax AS DECIMAL(18,2)) AS tax_amount
@@ -223,6 +258,22 @@ SELECT transaction_id, transaction_date, state, city, item_category,
        CAST(tax_amount AS DOUBLE) AS tax_amount,
        effective_rate, is_exempt, exemption_reason,
        CAST(n_warnings AS INTEGER) AS n_warnings
+FROM tax_final"""
+
+
+def tax_calc_inclusive_sql(inclusive_mod: int = 2) -> str:
+    """F2 tax-inclusive back-out under the full hash gate: every other
+    order key is priced 'inclusive'.  All money emitted as integer cents
+    (exact decimal × 100 → BIGINT) so no float formatting enters the
+    compared values."""
+    return f"""WITH {tax_calc_ctes(inclusive_mod).lstrip()}
+SELECT transaction_id, state, pricing_model,
+       CAST(amount * 100 AS BIGINT) AS amount_cents,
+       CAST(taxable_amount * 100 AS BIGINT) AS taxable_cents,
+       CAST(state_tax * 100 AS BIGINT) AS state_tax_cents,
+       CAST(local_tax * 100 AS BIGINT) AS local_tax_cents,
+       CAST(tax_amount * 100 AS BIGINT) AS tax_cents,
+       is_exempt
 FROM tax_final"""
 
 

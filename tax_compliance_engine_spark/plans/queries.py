@@ -71,6 +71,37 @@ def tax_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tax_calc_inclusive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 tax-inclusive back-out (reference calculator.py:229-232) under the
+    oracle hash gate: every other order key is re-priced 'inclusive', so
+    taxable = round(amount / (1 + combined_rate), 2) and the taxes compound
+    on the backed-out base.  Money is emitted as integer cents (decimal ×
+    100 is exact, then a lossless cast to long) — no float ever enters the
+    compared values."""
+    txns = _txns(spark, sf_dir).withColumn(
+        "pricing_model",
+        F.when(
+            F.col("transaction_id").cast("long") % 2 == 0, F.lit("inclusive")
+        ).otherwise(F.lit("exclusive")),
+    )
+    res = tax.calculate_tax(txns, _dims(spark))
+
+    def cents(c: str, out: str) -> F.Column:
+        return (F.col(c) * 100).cast("long").alias(out)
+
+    return res.select(
+        "transaction_id",
+        "state",
+        "pricing_model",
+        cents("amount", "amount_cents"),
+        cents("taxable_amount", "taxable_cents"),
+        cents("state_tax", "state_tax_cents"),
+        cents("local_tax", "local_tax_cents"),
+        cents("tax_amount", "tax_cents"),
+        "is_exempt",
+    )
+
+
 def use_tax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Use-tax credit clamp (F3, calculator.py:305-345): credit =
     min(tax_paid, tax); net = round(tax - credit)."""

@@ -155,6 +155,24 @@ def test_inclusive_pricing_backout(spark, dims):
     assert r.tax_amount == Decimal("8.25")
 
 
+def test_inclusive_backout_half_cent_rounds_up(spark, dims):
+    # HALF_UP at an EXACT half-cent quotient: UT/Salt Lake City combined
+    # rate 4.85% + 2.35% = 7.2% → 1.072 = 134/125, and
+    # 383769.97 / 1.072 = 357994.375 exactly.  Decimal HALF_UP keeps the
+    # .5 → 357994.38 (a double-based path that computes the quotient
+    # lossily can land a hair under and round down — the exact case the
+    # integer-cents oracle twin exists for).
+    r = run_one(
+        spark,
+        dims,
+        amount=Decimal("383769.97"),
+        state="UT",
+        city="Salt Lake City",
+        pricing_model="inclusive",
+    )
+    assert r.taxable_amount == Decimal("357994.38")
+
+
 def test_per_component_rounding(spark, dims):
     # state and local tax each rounded before summing (calculator.py:236-238)
     r = run_one(spark, dims, amount=Decimal("0.99"), state="TX", city="Houston")
