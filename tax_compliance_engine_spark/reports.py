@@ -391,91 +391,116 @@ def export_transaction_details(
     return csv_str
 
 
-# ── text rendering (S10, report_generator.py:419-508) ────────────────
+# ── text rendering (S10) ─────────────────────────────────────────────
+# Output bytes are the contract: the byte-parity tests compare every
+# rendered report against the reference renderer
+# (report_generator.py:419-508), so the widths/templates below cannot
+# drift.  Structure is ours: one small renderer per section, composed at
+# the end, so each piece of the layout contract is auditable in isolation.
+
+_BANNER_W = 60
+_RULE_W = 40
+
+
+def _dollars(v: Any, width: int = 0) -> str:
+    """``$``-prefixed 2dp money with thousands separators; optional right
+    alignment of the numeric part."""
+    return f"${float(v):>{width},.2f}" if width else f"${float(v):,.2f}"
+
+
+def _section(title: str, body: list[str]) -> list[str]:
+    """Underlined section header + body + separating blank, or nothing when
+    the section has no rows."""
+    return [title, "-" * _RULE_W, *body, ""] if body else []
+
+
+def _banner_lines(report: dict[str, Any]) -> list[str]:
+    title = report.get("report_type", "report").replace("_", " ").title()
+    out = [
+        "=" * _BANNER_W,
+        f"  {title}",
+        f"  Generated: {report.get('generated_date', '')}",
+    ]
+    if report.get("period"):
+        out.append(f"  Period: {report['period']}")
+    out += ["=" * _BANNER_W, ""]
+    return out
+
+
+def _summary_body(summary: dict[str, Any]) -> list[str]:
+    out = []
+    for key, value in summary.items():
+        label = key.replace("_", " ").title()
+        if not isinstance(value, (float, Decimal)):
+            shown: Any = value
+        elif "rate" in key:
+            shown = f"{float(value):.2%}"
+        else:
+            shown = _dollars(value)
+        out.append(f"  {label}: {shown}")
+    return out
+
+
+def _state_body(state_data: Any) -> list[str]:
+    if isinstance(state_data, dict):
+        return [
+            f"  {state}: {_dollars(amount, 12)}"
+            for state, amount in state_data.items()
+        ]
+    if not isinstance(state_data, list):
+        return []
+    return [
+        f"  {sd.get('state', '??')}: "
+        f"{_dollars(sd.get('taxable_amount', 0), 12)} taxable | "
+        f"{_dollars(sd.get('tax_collected', sd.get('tax', 0)), 10)} tax | "
+        f"{sd.get('transaction_count', '')} txns"
+        for sd in state_data
+    ]
+
+
+def _alert_body(alerts: list[dict[str, Any]]) -> list[str]:
+    out = []
+    for a in alerts:
+        out.append(
+            f"  [{a.get('severity', 'info').upper()}] "
+            f"{a.get('state', '')}: {a.get('message', '')}"
+        )
+        out.append(f"          Action: {a.get('action', '')}")
+    return out
+
+
+def _overdue_body(overdue: list[dict[str, Any]]) -> list[str]:
+    return [
+        f"  {o['state']}: {o['period']} | Due: {o['due_date']} | "
+        f"Est. liability: {_dollars(o.get('estimated_liability', 0))}"
+        for o in overdue
+    ]
+
+
+def _reason_body(report: dict[str, Any]) -> list[str]:
+    if report.get("report_type") != "refund_analysis":
+        return []
+    return [
+        f"  {reason}: {_dollars(amount, 10)}"
+        for reason, amount in report.get("reason_breakdown", {}).items()
+    ]
+
+
+def _warning_body(warnings: list[str]) -> list[str]:
+    return [f"  * {w}" for w in warnings]
 
 
 def format_text(report: dict[str, Any]) -> str:
     """Fixed-width console text — byte-parity with the reference renderer."""
-    lines: list[str] = []
-    report_type = report.get("report_type", "report").replace("_", " ").title()
-    lines.append("=" * 60)
-    lines.append(f"  {report_type}")
-    lines.append(f"  Generated: {report.get('generated_date', '')}")
-    if report.get("period"):
-        lines.append(f"  Period: {report['period']}")
-    lines.append("=" * 60)
-    lines.append("")
-
-    summary = report.get("summary", {})
-    if summary:
-        lines.append("SUMMARY")
-        lines.append("-" * 40)
-        for key, value in summary.items():
-            label = key.replace("_", " ").title()
-            if isinstance(value, (float, Decimal)):
-                if "rate" in key:
-                    lines.append(f"  {label}: {float(value):.2%}")
-                else:
-                    lines.append(f"  {label}: ${float(value):,.2f}")
-            else:
-                lines.append(f"  {label}: {value}")
-        lines.append("")
-
-    state_data = report.get("state_breakdown", [])
-    if state_data:
-        lines.append("STATE BREAKDOWN")
-        lines.append("-" * 40)
-        if isinstance(state_data, list):
-            for sd in state_data:
-                state = sd.get("state", "??")
-                taxable = sd.get("taxable_amount", 0)
-                tax = sd.get("tax_collected", sd.get("tax", 0))
-                count = sd.get("transaction_count", "")
-                lines.append(
-                    f"  {state}: ${float(taxable):>12,.2f} taxable | "
-                    f"${float(tax):>10,.2f} tax | {count} txns"
-                )
-        elif isinstance(state_data, dict):
-            for state, amount in state_data.items():
-                lines.append(f"  {state}: ${float(amount):>12,.2f}")
-        lines.append("")
-
-    alerts = report.get("alerts", [])
-    if alerts:
-        lines.append("ALERTS")
-        lines.append("-" * 40)
-        for a in alerts:
-            sev = a.get("severity", "info").upper()
-            lines.append(f"  [{sev}] {a.get('state', '')}: {a.get('message', '')}")
-            lines.append(f"          Action: {a.get('action', '')}")
-        lines.append("")
-
-    overdue = report.get("overdue_filings", [])
-    if overdue:
-        lines.append("OVERDUE FILINGS")
-        lines.append("-" * 40)
-        for o in overdue:
-            lines.append(
-                f"  {o['state']}: {o['period']} | Due: {o['due_date']} | "
-                f"Est. liability: ${float(o.get('estimated_liability', 0)):,.2f}"
-            )
-        lines.append("")
-
-    if report.get("report_type") == "refund_analysis":
-        reason_data = report.get("reason_breakdown", {})
-        if reason_data:
-            lines.append("OVERPAYMENT REASONS")
-            lines.append("-" * 40)
-            for reason, amount in reason_data.items():
-                lines.append(f"  {reason}: ${float(amount):>10,.2f}")
-            lines.append("")
-
-    warnings = report.get("warnings", [])
-    if warnings:
-        lines.append("WARNINGS")
-        lines.append("-" * 40)
-        for w in warnings:
-            lines.append(f"  * {w}")
-        lines.append("")
-
+    lines = _banner_lines(report)
+    lines += _section("SUMMARY", _summary_body(report.get("summary", {})))
+    lines += _section(
+        "STATE BREAKDOWN", _state_body(report.get("state_breakdown", []))
+    )
+    lines += _section("ALERTS", _alert_body(report.get("alerts", [])))
+    lines += _section(
+        "OVERDUE FILINGS", _overdue_body(report.get("overdue_filings", []))
+    )
+    lines += _section("OVERPAYMENT REASONS", _reason_body(report))
+    lines += _section("WARNINGS", _warning_body(report.get("warnings", [])))
     return "\n".join(lines)

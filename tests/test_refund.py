@@ -191,6 +191,53 @@ def test_claims_two_level_salted_parity(spark, dims):
     assert norm(one) == norm(two)
 
 
+def test_claims_salted_parity_under_heavy_skew(spark, dims):
+    # 100 TB regression pin for the salted path's reason to exist: one hot
+    # state holding ~90% of all records.  The two-level aggregation must
+    # still match the direct one-level plan on every claim field — sums,
+    # period extents, counts, reason sets, and the formatted notes.
+    rows = []
+    for i in range(270):  # hot key
+        rows.append(
+            (
+                f"C{i}",
+                D,
+                f"{100 + i}.00",
+                "CA",
+                "Los Angeles" if i % 2 else None,
+                None,
+                f"{50 + i}.00",
+            )
+        )
+    for i in range(25):
+        rows.append(
+            (f"T{i}", D, f"{200 + i}.00", "TX", "Houston", None, f"{90 + i}.00")
+        )
+    for i, st in enumerate(["NY", "WA", "UT", "FL", "CO"]):
+        rows.append((f"X{i}", D, "300.00", st, None, None, "80.00"))
+    records = analyze(spark, dims, rows)
+
+    def norm(claims):
+        return sorted(
+            (
+                c.state_code,
+                c.claim_period_start,
+                c.claim_period_end,
+                c.total_refund_requested,
+                c.transaction_count,
+                tuple(c.supporting_reasons),
+                c.filing_notes,
+            )
+            for c in claims
+        )
+
+    base = refund.refund_claims(records).collect()
+    salted = refund.refund_claims(records, salt_buckets=8).collect()
+    assert norm(base) == norm(salted)
+    hot = next(c for c in base if c.state_code == "CA")
+    assert hot.transaction_count == 270
+
+
 def test_quick_scan_threshold(spark, dims):
     df = make_df(
         spark,
