@@ -404,9 +404,15 @@ FROM scaled, unnest(range(1, {dim} + 1)) AS u(i)"""
 
 
 def ivf_knn_portable_sql(k: int = 5, nprobe: int = 2, modulus: int = 50) -> str:
+    """Twin of queries_dataops.ivf_knn_portable incl. the one Lloyd
+    iteration: label-seeded ordered-fold centroids → nearest-centroid
+    re-assignment (E-step; identical IEEE dot folds → identical argmax) →
+    vec_id-ordered fold re-means (M-step) → probe + exact scoring over the
+    re-assigned inverted file."""
     dim = similarity.DIM
     dot_vv = DOT_FOLD.format(n=dim, a="v", b="v")
     dot_cc = DOT_FOLD.format(n=dim, a="cvec", b="cvec")
+    dot_ec = DOT_FOLD.format(n=dim, a="e.v", b="c.cvec")
     dot_qc = DOT_FOLD.format(n=dim, a="q.v", b="c.cvec")
     dot_qn = DOT_FOLD.format(n=dim, a="p.v", b="nb.v")
     return f"""WITH embL AS (
@@ -425,18 +431,38 @@ cents AS (
   SELECT label, list(mean_val ORDER BY pos) AS cvec FROM cent_comp GROUP BY label),
 cents_n AS (
   SELECT label, cvec, sqrt({dot_cc}) AS cnrm FROM cents),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.label AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {dot_ec} / (e.nrm * c.cnrm) DESC, c.label) AS r
+    FROM embLn e CROSS JOIN cents_n c) t
+  WHERE r = 1),
+exploded2 AS (
+  SELECT a.cell, x.vec_id, x.pos, x.val
+  FROM exploded x JOIN assign a USING (vec_id)),
+cent2_comp AS (
+  SELECT cell, pos,
+    list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)), (acc, x) -> acc + x)
+      / count(*) AS mean_val
+  FROM exploded2 GROUP BY cell, pos),
+cents2 AS (
+  SELECT cell, list(mean_val ORDER BY pos) AS cvec FROM cent2_comp GROUP BY cell),
+cents2_n AS (
+  SELECT cell, cvec, sqrt({dot_cc}) AS cnrm FROM cents2),
 queries AS (
   SELECT vec_id, v, nrm FROM embLn WHERE vec_id % {modulus} = 0),
 probes AS (
-  SELECT q.vec_id AS query_id, c.label, q.v, q.nrm,
+  SELECT q.vec_id AS query_id, c.cell, q.v, q.nrm,
     row_number() OVER (PARTITION BY q.vec_id
-                       ORDER BY {dot_qc} / (q.nrm * c.cnrm) DESC, c.label) AS pr
-  FROM queries q CROSS JOIN cents_n c),
+                       ORDER BY {dot_qc} / (q.nrm * c.cnrm) DESC, c.cell) AS pr
+  FROM queries q CROSS JOIN cents2_n c),
 scored AS (
   SELECT p.query_id, nb.vec_id AS neighbor_id,
     {dot_qn} / (p.nrm * nb.nrm) AS cosine
-  FROM (SELECT query_id, label, v, nrm FROM probes WHERE pr <= {nprobe}) p
-  JOIN embLn nb ON nb.label = p.label
+  FROM (SELECT query_id, cell, v, nrm FROM probes WHERE pr <= {nprobe}) p
+  JOIN assign an ON an.cell = p.cell
+  JOIN embLn nb ON nb.vec_id = an.vec_id
   WHERE nb.vec_id <> p.query_id),
 ranked AS (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id

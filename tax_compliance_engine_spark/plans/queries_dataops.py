@@ -153,23 +153,62 @@ def label_centroid_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ivf_knn_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k with ordered-fold centroids: bit-portable end to end
-    (sqrt/mul/div are exactly-rounded IEEE ops, the fold order is pinned),
-    so unlike `ivf_knn` this variant sits under the full hash gate."""
-    comps = label_centroid_components(spark, sf_dir)
-    cents = comps.groupBy("label").agg(
+def _assemble_centroids(comps: DataFrame, cell_col: str) -> DataFrame:
+    """(cell, pos, mean_val) component rows → (cell, centroid array)."""
+    return comps.groupBy(cell_col).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
             lambda s: s["mean_val"],
         ).alias("centroid")
     )
+
+
+def ivf_knn_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with ordered-fold centroids refined by ONE Lloyd
+    iteration, bit-portable end to end (sqrt/mul/div are exactly-rounded
+    IEEE ops, every sum is a pinned-order sequential fold), so unlike
+    `ivf_knn` this variant sits under the full hash gate.
+
+    The Lloyd step makes the coarse quantizer defensible on corpora whose
+    labels do NOT align with the embedding geometry: labels only SEED the
+    centroids; each vector is then re-assigned to its nearest centroid
+    (E-step, `nearest_cell_assignments`) and centroids are recomputed as
+    the vec_id-ordered fold mean of their new members (M-step), which is
+    what the probe list and the inverted file are built from."""
+    emb = _emb(spark, sf_dir)
+    seed_cents = _assemble_centroids(
+        label_centroid_components(spark, sf_dir), "label"
+    )
+    assign = similarity.nearest_cell_assignments(emb, seed_cents).cache()
+
+    from ..operators.similarity import _vec_d
+
+    exploded = emb.join(assign, "vec_id").select(
+        "cell",
+        "vec_id",
+        F.posexplode(_vec_d(F.col("embedding"))).alias("pos", "val"),
+    )
+    ordered_sum = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
+            lambda s: s["val"],
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    comps1 = exploded.groupBy(
+        "cell", F.col("pos").cast("int").alias("pos")
+    ).agg((ordered_sum / F.count("*")).alias("mean_val"))
+    refined = _assemble_centroids(comps1, "cell")
+
     return similarity.ivf_knn(
-        _emb(spark, sf_dir),
+        emb,
         query_pred=F.col("vec_id") % 50 == 0,
         k=5,
         nprobe=2,
-        centroids=cents,
+        cell_col="cell",
+        centroids=refined,
+        assignments=assign,
     )
 
 

@@ -49,6 +49,76 @@ def test_ivf_probe_limits_candidates(spark):
     assert all(r.neighbor_id < 6 for r in got)
 
 
+def misaligned_emb(spark):
+    """Two true geometric clusters (axis 0 vs axis 1) whose LABELS are
+    mixed 70/30 — the seed centroids are cluster mixtures, so label-seeded
+    IVF probes the wrong cell for many queries."""
+    rows = []
+    vid = 0
+    for i in range(20):  # cluster A
+        v = [0.0] * 16
+        v[0] = 10.0
+        v[2 + (i % 5)] = 1.0 + 0.05 * i
+        rows.append((vid, v, 0 if i < 14 else 1))
+        vid += 1
+    for i in range(20):  # cluster B
+        v = [0.0] * 16
+        v[1] = 10.0
+        v[8 + (i % 5)] = 1.0 + 0.05 * i
+        rows.append((vid, v, 1 if i < 14 else 0))
+        vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+
+
+def _recall(approx_rows, exact_rows):
+    ex: dict = {}
+    ap: dict = {}
+    for r in exact_rows:
+        ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx_rows:
+        ap.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(ids & ap.get(q, set())) for q, ids in ex.items())
+    return hits / sum(len(ids) for ids in ex.values())
+
+
+def test_lloyd_refinement_beats_label_seeded_on_misaligned_labels(spark):
+    # One E+M iteration from the label seeds must recover the true
+    # clusters: recall@5 (nprobe=1) ≥ the label-seeded baseline, and
+    # near-perfect, because the refined inverted file re-partitions each
+    # vector into its geometrically correct cell.
+    emb = misaligned_emb(spark)
+    pred = F.col("vec_id").isin(0, 5, 20, 25)
+    exact = similarity.knn_bruteforce(emb, pred, k=5).collect()
+
+    cents0 = similarity.label_centroids(emb)
+    seeded = similarity.ivf_knn(
+        emb, pred, k=5, nprobe=1, centroids=cents0
+    ).collect()
+
+    assign = similarity.nearest_cell_assignments(emb, cents0)
+    emb2 = (
+        emb.drop("label")
+        .join(assign, "vec_id")
+        .withColumnRenamed("cell", "label")
+    )
+    cents1 = similarity.label_centroids(emb2)
+    refined = similarity.ivf_knn(
+        emb,
+        pred,
+        k=5,
+        nprobe=1,
+        centroids=cents1,
+        assignments=assign,
+    ).collect()
+
+    r_seeded, r_refined = _recall(seeded, exact), _recall(refined, exact)
+    assert r_refined >= r_seeded
+    assert r_refined > 0.9
+    assert r_seeded < 1.0  # the misalignment actually bites the baseline
+
+
 def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     src = tmp_path / "docs"
     spark.createDataFrame(
