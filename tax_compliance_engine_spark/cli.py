@@ -1,9 +1,10 @@
 """Command-line interface (SURVEY §3; reference cli.py:466-529).
 
 Mirrors the reference's five subcommands — calculate, rates, compliance,
-refund, report — over the Spark engine, with plain-text rendering (the
-reference uses ``rich``; the output content matches, the box-drawing
-styling intentionally does not).
+refund, report — over the Spark engine.  Tables and panels are rendered
+with the native rich-style box renderer in :mod:`.console` (S11; the
+reference uses the ``rich`` library, unavailable here — same visual
+structure, same content, no ANSI markup).
 
 Every subcommand builds one declarative Spark plan and collects only
 report-sized aggregates to the driver (S10/S11 are driver-side renders by
@@ -21,6 +22,7 @@ from pyspark.sql import Row, SparkSession
 from pyspark.sql import functions as F
 
 from . import reports
+from .console import ROUNDED, SIMPLE, Table, panel
 from .dims import load_dims
 from .operators import alerts as alerts_op
 from .operators import calendar as cal
@@ -52,21 +54,37 @@ def cmd_calculate(args: argparse.Namespace) -> None:
     if args.file:
         txns = _load(spark, args.file)
         results = tax.calculate_tax(txns, dims).cache()
-        print(f"{'ID':<14}{'State':<7}{'City':<16}{'Amount':>12}{'Tax':>10}"
-              f"{'Rate':>9}  Exempt")
+        table = Table(
+            title="Tax Calculation Results", box=ROUNDED, show_lines=True
+        )
+        table.add_column("ID")
+        table.add_column("State")
+        table.add_column("City")
+        table.add_column("Amount", justify="right")
+        table.add_column("Tax", justify="right")
+        table.add_column("Rate", justify="right")
+        table.add_column("Exempt", justify="center")
         for r in results.collect():
-            print(
-                f"{r.transaction_id[:12]:<14}{r.state:<7}"
-                f"{(r.city or '-')[:14]:<16}"
-                f"${float(r.taxable_amount):>10,.2f}"
-                f"${float(r.tax_amount):>8,.2f}"
-                f"{r.effective_rate:>8.2%}  {'Y' if r.is_exempt else ''}"
+            table.add_row(
+                r.transaction_id[:12],
+                r.state,
+                (r.city or "-")[:14],
+                f"${float(r.taxable_amount):,.2f}",
+                f"${float(r.tax_amount):,.2f}",
+                f"{r.effective_rate:.2%}",
+                "Y" if r.is_exempt else "",
             )
+        print(table.render())
         t = tax.batch_totals(results).collect()[0]
         print()
-        print(f"Total Taxable: ${float(t.total_taxable):,.2f}")
-        print(f"Total Tax: ${float(t.total_tax):,.2f}")
-        print(f"Exempt Transactions: {t.exempt_count}")
+        print(
+            panel(
+                f"Total Taxable: ${float(t.total_taxable):,.2f}\n"
+                f"Total Tax: ${float(t.total_tax):,.2f}\n"
+                f"Exempt Transactions: {t.exempt_count}",
+                title="Batch Summary",
+            )
+        )
 
         if args.export_json:
             report = reports.tax_summary_report(
@@ -99,17 +117,20 @@ def cmd_calculate(args: argparse.Namespace) -> None:
     df = tax.normalize_transactions(spark.createDataFrame([txn], TXN_SCHEMA))
     r = tax.calculate_tax(df, dims).collect()[0]
     total_with_tax = r.taxable_amount + r.tax_amount
-    print(f"State: {r.state}")
-    print(f"City: {r.city or 'N/A'}")
-    print(f"Taxable Amount: ${float(r.taxable_amount):,.2f}")
-    print(f"State Tax: ${float(r.state_tax):,.2f}")
-    print(f"Local Tax: ${float(r.local_tax):,.2f}")
-    print(f"Total Tax: ${float(r.tax_amount):,.2f}")
-    print(f"Effective Rate: {r.effective_rate:.2%}")
-    print(f"Total w/ Tax: ${float(total_with_tax):,.2f}")
     print(
-        "Exempt: "
-        + (f"Yes - {r.exemption_reason}" if r.is_exempt else "No")
+        panel(
+            f"State: {r.state}\n"
+            f"City: {r.city or 'N/A'}\n"
+            f"Taxable Amount: ${float(r.taxable_amount):,.2f}\n"
+            f"State Tax: ${float(r.state_tax):,.2f}\n"
+            f"Local Tax: ${float(r.local_tax):,.2f}\n"
+            f"Total Tax: ${float(r.tax_amount):,.2f}\n"
+            f"Effective Rate: {r.effective_rate:.2%}\n"
+            f"Total w/ Tax: ${float(total_with_tax):,.2f}\n"
+            + "Exempt: "
+            + (f"Yes - {r.exemption_reason}" if r.is_exempt else "No"),
+            title="Tax Calculation",
+        )
     )
     for w in r.warnings:
         print(f"Warning: {w}")
@@ -125,36 +146,59 @@ def cmd_rates(args: argparse.Namespace) -> None:
             print(f"Unknown state code: {code}", file=sys.stderr)
             sys.exit(1)
         s = rows[0]
-        print(f"{s.state_name} ({s.state_code})")
-        print(f"Base rate: {float(s.base_rate):.2%}")
-        print(f"Avg combined rate: {float(s.avg_combined_rate):.2%}")
-        print(f"Max local rate: {float(s.max_local_rate):.2%}")
+        exemptions = (
+            dims.state_exemptions.filter(F.col("state_code") == code)
+            .orderBy("category")
+            .collect()
+        )
+        body = (
+            f"{s.state_name} ({s.state_code})\n"
+            f"Base rate: {float(s.base_rate):.2%}\n"
+            f"Avg combined rate: {float(s.avg_combined_rate):.2%}\n"
+            f"Max local rate: {float(s.max_local_rate):.2%}"
+        )
+        if exemptions:
+            body += "\nExemptions: " + ", ".join(
+                e.category for e in exemptions
+            )
         if s.notes:
-            print(f"Notes: {s.notes}")
+            body += f"\nNotes: {s.notes}"
+        print(panel(body, title=f"{s.state_name} Tax Profile"))
         locs = (
             dims.local_rates.filter(F.col("state_code") == code)
             .orderBy("jurisdiction")
             .collect()
         )
         if locs:
-            print("Local jurisdictions:")
+            table = Table(title="Local Rates", box=SIMPLE)
+            table.add_column("Jurisdiction")
+            table.add_column("Rate", justify="right")
+            table.add_column("Combined", justify="right")
             for loc in locs:
-                print(f"  {loc.jurisdiction}: {float(loc.rate):.2%}")
-        exemptions = (
-            dims.state_exemptions.filter(F.col("state_code") == code)
-            .orderBy("category")
-            .collect()
-        )
-        if exemptions:
-            print("Exemptions: " + ", ".join(e.category for e in exemptions))
+                table.add_row(
+                    loc.jurisdiction,
+                    f"{float(loc.rate):.2%}",
+                    f"{float(s.base_rate) + float(loc.rate):.2%}",
+                )
+            print(table.render())
         return
-    print(f"{'State':<7}{'Base':>8}{'Avg Combined':>14}{'Local?':>8}")
+    table = Table(title="US Sales Tax Rates - All States", box=ROUNDED)
+    table.add_column("State")
+    table.add_column("Name")
+    table.add_column("Base Rate", justify="right")
+    table.add_column("Avg Combined", justify="right")
+    table.add_column("Local", justify="center")
     for s in dims.state_rates.orderBy("state_code").collect():
-        print(
-            f"{s.state_code:<7}{float(s.base_rate):>7.2%}"
-            f"{float(s.avg_combined_rate):>13.2%}"
-            f"{'Y' if s.has_local_taxes else '':>8}"
+        table.add_row(
+            s.state_code,
+            s.state_name,
+            f"{float(s.base_rate):.2%}" if float(s.base_rate) > 0 else "None",
+            f"{float(s.avg_combined_rate):.2%}"
+            if float(s.avg_combined_rate) > 0
+            else "-",
+            "Y" if s.has_local_taxes else "",
         )
+    print(table.render())
 
 
 def cmd_compliance(args: argparse.Namespace) -> None:
@@ -172,19 +216,26 @@ def cmd_compliance(args: argparse.Namespace) -> None:
     activity = nexus.state_activity(txns)
     status = nexus.check_nexus(activity, dims).cache()
 
-    print(f"{'State':<7}{'Status':<13}{'Revenue':>14}{'Txns':>7}{'Rev %':>9}")
+    table = Table(title="Economic Nexus Status", box=ROUNDED)
+    table.add_column("State")
+    table.add_column("Status")
+    table.add_column("Revenue", justify="right")
+    table.add_column("Txns", justify="right")
+    table.add_column("% of Threshold", justify="right")
     for r in status.collect():
         bucket = (
             "NEXUS"
             if r.has_nexus
             else "APPROACHING" if r.approaching_threshold else "below"
         )
-        print(
-            f"{r.state_code:<7}{bucket:<13}"
-            f"${float(r.revenue_in_state):>12,.2f}"
-            f"{r.transactions_in_state:>7}"
-            f"{r.revenue_pct_of_threshold:>8.1f}%"
+        table.add_row(
+            r.state_code,
+            bucket,
+            f"${float(r.revenue_in_state):,.2f}",
+            str(r.transactions_in_state),
+            f"{r.revenue_pct_of_threshold:.1f}%",
         )
+    print(table.render())
 
     alert_df = alerts_op.generate_alerts(
         spark, dims, status, registered_states=registered, as_of=dt.date.today()
@@ -192,10 +243,13 @@ def cmd_compliance(args: argparse.Namespace) -> None:
     alert_rows = alert_df.collect()
     if alert_rows:
         print()
-        print("ALERTS")
         for a in alert_rows:
-            print(f"[{a.severity.upper()}] {a.state_code}: {a.message}")
-            print(f"        Action: {a.action_required}")
+            print(
+                panel(
+                    f"{a.message}\n\nAction: {a.action_required}",
+                    title=f"{a.severity.upper()} - {a.state_code}",
+                )
+            )
 
     if args.export_json:
         report = reports.nexus_report(status)
@@ -213,11 +267,22 @@ def cmd_refund(args: argparse.Namespace) -> None:
         minimum = args.minimum or "0.50"
         hits = refund.quick_scan(txns, dims, as_of, minimum).cache()
         rows = hits.orderBy(F.desc("overpayment")).collect()
+        if not rows:
+            print("No significant overpayments found.")
+            return
+        table = Table(title="Quick Scan: Overpayments Found", box=ROUNDED)
+        table.add_column("Transaction")
+        table.add_column("State")
+        table.add_column("Overpayment", justify="right")
+        table.add_column("Reason")
         for r in rows:
-            print(
-                f"{r.transaction_id:<16}{r.state:<5}"
-                f"${float(r.overpayment):>9,.2f}  {r.reason}"
+            table.add_row(
+                r.transaction_id[:12],
+                r.state,
+                f"${float(r.overpayment):,.2f}",
+                r.reason[:40],
             )
+        print(table.render())
         total = sum(float(r.overpayment) for r in rows)
         print(f"\nPotential refunds found: {len(rows)}  (${total:,.2f})")
         return
@@ -232,6 +297,24 @@ def cmd_refund(args: argparse.Namespace) -> None:
         summary, state_bd, reason_bd, records, warnings, claims
     )
     print(reports.format_text(report))
+    claim_rows = claims.collect()
+    if claim_rows:
+        print()
+        table = Table(title="Refund Claims to File", box=ROUNDED)
+        table.add_column("State")
+        table.add_column("Period")
+        table.add_column("Amount", justify="right")
+        table.add_column("Transactions", justify="right")
+        table.add_column("Reasons")
+        for c in claim_rows:
+            table.add_row(
+                c.state_code,
+                f"{c.claim_period_start} to {c.claim_period_end}",
+                f"${float(c.total_refund_requested):,.2f}",
+                str(c.transaction_count),
+                "; ".join(c.supporting_reasons[:2]),
+            )
+        print(table.render())
     if args.export_json:
         reports.to_json(report, args.export_json, args.output_dir or "reports")
         print(f"JSON exported to {args.export_json}")
