@@ -124,20 +124,29 @@ def ngram_jaccard_pairs(
     )
 
 
-def _minhash_per_doc(docs: DataFrame, text_col: str) -> DataFrame:
+def _minhash_per_doc(
+    docs: DataFrame, text_col: str, with_token_sets: bool = False
+) -> DataFrame:
     """Per-doc full MinHash component columns `_mh0.._mh15`: all 16 mins as
     parallel aggregates in ONE groupBy(doc_id) pass over the exploded tokens
-    — no tokens×perms crossJoin (16× less shuffle volume)."""
+    — no tokens×perms crossJoin (16× less shuffle volume).
+
+    ``with_token_sets`` additionally collects the distinct token-hash set
+    per doc (`tok_set`, array<long>) in the SAME aggregation — the exact
+    verify step consumes it without a second tokenization pass over the
+    corpus."""
     toks = _doc_tokens(docs, text_col).withColumn(
         "tok_hash", hashing.tok_hash_col(F.col("tok"))
     )
-    mins = [
+    aggs = [
         F.min(
             (F.lit(a) * F.col("tok_hash") + F.lit(b)) % hashing.HASH_MOD
         ).alias(f"_mh{i}")
         for i, (a, b) in enumerate(hashing.MINHASH_PERMS)
     ]
-    return toks.groupBy("doc_id").agg(*mins)
+    if with_token_sets:
+        aggs.append(F.collect_set("tok_hash").alias("tok_set"))
+    return toks.groupBy("doc_id").agg(*aggs)
 
 
 def _banded(per_doc: DataFrame) -> DataFrame:
@@ -248,21 +257,26 @@ def minhash_dup_pairs(
     docs: DataFrame, text_col: str = "text", threshold: float = 0.5
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: bucket join on band signatures, then
-    exact token-Jaccard verification at ``threshold``.
+    exact Jaccard verification at ``threshold``.
 
-    Verification joins each candidate pair to the two per-doc distinct-token
-    ARRAYS and intersects them row-local (array_intersect) — one row per
-    candidate, instead of re-exploding tokens into a |candidates|×|tokens|
-    join (measured ~4× faster on a dense-similarity corpus where >half of
-    all pairs are candidates)."""
-    sigs = minhash_signatures(docs, text_col).cache()  # self-joined twice
-    candidates = _lsh_candidates(sigs)
-    # Shuffle-join the per-doc token arrays against the candidate pairs.
+    Verification joins each candidate pair to the two per-doc distinct
+    token-HASH sets and intersects them row-local (array_intersect) — one
+    row per candidate, instead of re-exploding tokens into a
+    |candidates|×|tokens| join (measured ~4× faster on a dense-similarity
+    corpus where >half of all pairs are candidates).  The hash sets are the
+    same portable 30-bit token hashes the signatures use, collected in the
+    signature aggregation itself — no second tokenization pass, and the
+    verify shuffle carries long arrays instead of string arrays (strictly
+    smaller rows, cheaper intersects).  Jaccard is thus over the
+    hashed-token universe: identical to string-token Jaccard except under
+    hash collisions (P = 1e9+7 — negligible and fully deterministic), and
+    the DuckDB oracle replicates the same hashes bit-for-bit."""
+    per_doc = _minhash_per_doc(docs, text_col, with_token_sets=True).cache()
+    candidates = _lsh_candidates(_banded(per_doc))
+    # Shuffle-join the per-doc token-hash sets against the candidate pairs.
     # (Measured: broadcasting the array table loses — the wide array rows
     # make the broadcast build + per-task copy cost more than the shuffle.)
-    tok_arrays = docs.select(
-        "doc_id", F.array_distinct(tokens_col(F.col(text_col))).alias("toks")
-    )
+    tok_arrays = per_doc.select("doc_id", F.col("tok_set").alias("toks"))
     return (
         candidates.join(
             tok_arrays.select(

@@ -183,13 +183,18 @@ SELECT doc_id, band, band_sig FROM band_sigs"""
 
 
 def dedup_minhash_pairs_sql(threshold: float = 0.5) -> str:
+    """Twin of minhash_dup_pairs: same banded candidates, and the exact
+    verify intersects per-doc DISTINCT TOKEN-HASH sets (the portable
+    30-bit hashes the signatures use) — the hashed-token Jaccard the Spark
+    side computes, bit-for-bit."""
     return f"""WITH {_minhash_sig_ctes()},
 candidates AS (
   SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
   FROM band_sigs a JOIN band_sigs b
     ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
 tok_arrays AS (
-  SELECT doc_id, list_distinct({TOKENS}) AS toks FROM documents),
+  SELECT doc_id, list(DISTINCT tok_hash) AS toks
+  FROM tok_hashes GROUP BY doc_id),
 verified AS (
   SELECT c.doc1, c.doc2,
     len(list_intersect(t1.toks, t2.toks)) AS n_shared,

@@ -1,0 +1,107 @@
+"""Physical-plan audit over every registered driver query (scale guard).
+
+The correctness gate (driver + oracle twins) proves the *values*; this
+suite pins the *plans* so a future edit can't silently reintroduce a
+100 TB scale-killer while staying value-green:
+
+1. No ``Exchange SinglePartition`` anywhere, except queries whose final
+   result IS a global scalar aggregate (a handful of rows by definition —
+   the single-partition exchange there carries partial aggregates, not
+   data rows).  Global sorts range-partition and global top-k lowers to
+   ``TakeOrderedAndProject``, so neither needs an exemption.
+2. No row-at-a-time Python UDF (``BatchEvalPython``) in any plan — the
+   hot paths are all JVM-side per SURVEY §4.2.  (Arrow-batched
+   ``mapInPandas`` is allowed, and only the multimodal feature stub uses
+   it; it is not in ``queries()``.)
+
+Plans are built against sf0.001 but partition-count properties are
+data-size independent — the same plan shape ships at 100 TB.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Queries whose RESULT is a global scalar aggregate (1 row) or whose final
+# assembly folds ≤ tens of partial-aggregate rows: the SinglePartition
+# exchange is over aggregate state, not the data. Everything else must
+# keep full parallelism end-to-end.
+GLOBAL_AGG_OK = {
+    "tax_batch_totals",  # single summary row
+    "refund_summary",  # single summary row
+    "corpus_vocab_top",  # global top-k over the (small) distinct vocab
+    "dedup_minhash_keep",  # iterative CC convergence check aggregates
+    "dedup_minhash_clusters",  # same iterative CC core
+    "knn_bruteforce",  # global top-k per query over scored pairs
+    "ivf_knn_portable",  # centroid fold: |cells| rows by construction
+    "label_centroid_components",  # ≤ labels×dims rows after the fold
+    "corpus_mixture",  # per-source rate table is labels-sized
+    "corpus_pack_bins",  # shard-offset table is n_shards-sized
+    "events_sessions",  # sessionization windows partition by user;
+    # final global session ordering only
+    "customer_order_ranks",  # rank() partitions by customer; the audited
+    # plan's single partition is the final presentation sort at sf0.001
+    # (AQE coalesces the tiny range exchange), not a compute stage
+}
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    return {
+        name: _plan(fn(spark, SF_DIR))
+        for name, fn in entry.queries().items()
+    }
+
+
+def test_no_single_partition_exchange_outside_global_aggs(plans):
+    offenders = [
+        name
+        for name, plan in plans.items()
+        if "SinglePartition" in plan and name not in GLOBAL_AGG_OK
+    ]
+    assert offenders == [], (
+        "queries funneling data through one task: " + ", ".join(offenders)
+    )
+
+
+def test_exemption_list_is_not_stale(plans):
+    # If an exempted query no longer emits a SinglePartition exchange, drop
+    # it from GLOBAL_AGG_OK so regressions there get caught again.
+    stale = [
+        name
+        for name in GLOBAL_AGG_OK
+        if name in plans and "SinglePartition" not in plans[name]
+    ]
+    assert stale == [], "tighten GLOBAL_AGG_OK: " + ", ".join(stale)
+
+
+def test_no_row_python_udfs_anywhere(plans):
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert offenders == [], (
+        "row-at-a-time Python UDF on a hot path: " + ", ".join(offenders)
+    )
+
+
+def test_parquet_scans_prune_columns(plans):
+    # Every documents.parquet scan must project a subset of columns, never
+    # the full table (ReadSchema appears per scan in formatted plans).
+    # Spot-check the text queries: none of them needs `meta` or `source`
+    # columns... doc_text_stats reads only (doc_id, text).
+    plan = plans["doc_text_stats"]
+    assert "ReadSchema" in plan
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines and all("meta" not in ln for ln in scan_lines)
