@@ -29,26 +29,16 @@ import __spark_entry__ as entry
 
 SF_DIR = "/root/testdata/sf0.001"
 
-# Queries whose RESULT is a global scalar aggregate (1 row) or whose final
-# assembly folds ≤ tens of partial-aggregate rows: the SinglePartition
-# exchange is over aggregate state, not the data. Everything else must
-# keep full parallelism end-to-end.
+# Queries whose only SinglePartition exchange carries global scalar
+# AGGREGATE STATE (a handful of partial-aggregate rows), never data rows.
+# Everything else — including every dedup/packing/windowed query — must
+# keep full parallelism end-to-end; global sorts range-partition and
+# global top-k lowers to TakeOrderedAndProject, so they need no exemption.
 GLOBAL_AGG_OK = {
-    "tax_batch_totals",  # single summary row
-    "refund_summary",  # single summary row
-    "corpus_vocab_top",  # global top-k over the (small) distinct vocab
-    "dedup_minhash_keep",  # iterative CC convergence check aggregates
-    "dedup_minhash_clusters",  # same iterative CC core
-    "knn_bruteforce",  # global top-k per query over scored pairs
-    "ivf_knn_portable",  # centroid fold: |cells| rows by construction
-    "label_centroid_components",  # ≤ labels×dims rows after the fold
-    "corpus_mixture",  # per-source rate table is labels-sized
-    "corpus_pack_bins",  # shard-offset table is n_shards-sized
-    "events_sessions",  # sessionization windows partition by user;
-    # final global session ordering only
-    "customer_order_ranks",  # rank() partitions by customer; the audited
-    # plan's single partition is the final presentation sort at sf0.001
-    # (AQE coalesces the tiny range exchange), not a compute stage
+    "tax_batch_totals",  # the result IS one global summary row
+    "refund_summary",  # same
+    "doc_tfidf_top_terms",  # scalar count(*) = N for the IDF term, then
+    # broadcast back — one partial-count row per task through the exchange
 }
 
 
