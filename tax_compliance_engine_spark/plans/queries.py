@@ -425,18 +425,30 @@ def customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization: 30-min inactivity gap via lag + running sum.
+def _events_with_ts_sec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with an exact integer epoch-seconds column `ts_sec`.
 
-    events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    rejects — read it as raw nanos (legacy conf) and do exact integer-seconds
-    arithmetic; the oracle uses epoch_ns for the same integers."""
-    from pyspark.sql.window import Window
+    Handles both physical encodings the driver has generated for events.ts:
+    parquet TIMESTAMP(NANOS) (vectorized reader rejects it — read as raw
+    nanos via the legacy conf and integer-divide) and plain TIMESTAMP
+    (micros, NTZ) — cast through session-UTC timestamp to floor seconds.
+    Both match the oracle's ``epoch_ns(ts) // 1e9`` exactly."""
+    from pyspark.sql.types import LongType
 
     _utc(spark).conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts_sec", F.expr("ts DIV 1000000000")
-    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if isinstance(ev.schema["ts"].dataType, LongType):
+        ts_sec = F.expr("ts DIV 1000000000")
+    else:
+        ts_sec = F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG)")
+    return ev.withColumn("ts_sec", ts_sec)
+
+
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap via lag + running sum."""
+    from pyspark.sql.window import Window
+
+    ev = _events_with_ts_sec(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = ev.withColumn("prev_sec", F.lag("ts_sec").over(w)).withColumn(
         "new_session",
@@ -467,10 +479,7 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed rollup over the event stream table: per (hour, type)
     counts and exact-decimal value sums (double sums are order-sensitive)."""
-    _utc(spark).conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts_sec", F.expr("ts DIV 1000000000")
-    )
+    ev = _events_with_ts_sec(spark, sf_dir)
     hour_sec = F.col("ts_sec") - (F.col("ts_sec") % 3600)
     return (
         ev.groupBy(
