@@ -62,7 +62,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q.top_customers,
         "customer_order_ranks": q.customer_order_ranks,
         "events_sessions": q.events_sessions,
-        "events_hourly": q.events_hourly,
+        # events_hourly: driver row reclaimed for events_asof (same family;
+        # the hourly rollup stays oracle-swept + pytest-covered)
+        "events_asof": q.events_asof,  # union-marker windowed as-of join
         "region_revenue": q.region_revenue,
         "customers_without_orders": q.customers_without_orders,
         # Text analysis over documents (training-data pipeline ops)
@@ -138,6 +140,8 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_ranks": oracle.customer_order_ranks_sql(),
         "events_sessions": oracle.events_sessions_sql(),
         "events_hourly": oracle.events_hourly_sql(),
+        "events_asof": oracle.events_asof_sql(),
+        "events_range_pairs": oracle.events_range_pairs_sql(),
         "region_revenue": oracle.region_revenue_sql(),
         "customers_without_orders": oracle.customers_without_orders_sql(),
         "doc_text_stats": oracle_dataops.doc_text_stats_sql(),

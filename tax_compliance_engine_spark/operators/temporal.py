@@ -1,0 +1,147 @@
+"""Temporal join operators Spark lacks natively: as-of join and range join.
+
+Neither exists in the reference (its event handling is row-at-a-time Python;
+see `tax_engine/` generally) — these are the SURVEY extension family for
+event/time-series processing at training-pipeline scale.
+
+Scale design (100 TB, 1000 executors):
+- ``asof_join`` is the union-marker window formulation: tag both inputs,
+  union them, and take the last-preceding right row per key with one window
+  over one shuffle keyed on ``by``.  This is THE scalable as-of plan — the
+  naive ``l.ts >= r.ts`` theta-join is quadratic per key and unbounded in
+  shuffle width, while the sort-merge union is O(n log n) per key with no
+  intermediate blow-up.  Hot keys are the inherent risk of any per-key
+  as-of; the refinement at extreme skew is repartitionByRange on
+  (by, on) with per-range boundary seeding (carry the last right row of
+  each range forward), which keeps the same output.
+- ``range_join`` is the bucketized band join: the right side lands in
+  fixed-width time buckets, the left side explodes to the (≤2) buckets its
+  window can overlap, and the join is a plain equi-join on (by, bucket)
+  followed by the exact range filter.  Candidate volume is bounded by
+  window width × per-bucket density instead of |L|×|R| per key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    tiebreak: str,
+    right_cols: Sequence[str],
+    direction: str = "backward",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Left as-of join: for every left row, the single right row with the
+    greatest ``on`` ≤ left's (``backward``) or smallest ``on`` ≥ left's
+    (``forward``) within the same ``by`` key; unmatched left rows keep NULLs.
+
+    ``tiebreak`` must be a right-side column unique within (by, on) — among
+    equal-``on`` right rows the greatest (backward) / smallest (forward)
+    tiebreak wins, which makes the operator fully deterministic (DuckDB's
+    ASOF JOIN leaves that tie unspecified; the oracle twin uses an ordered
+    LATERAL instead).
+
+    Output: every left column, plus ``right_cols`` renamed with ``suffix``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+
+    lp = F.struct(*[F.col(c) for c in left.columns])
+    rp = F.struct(*[F.col(c) for c in right_cols])
+    lp_t = left.select(lp.alias("_lp")).schema["_lp"].dataType
+    rp_t = right.select(rp.alias("_rp")).schema["_rp"].dataType
+    tb_t = right.schema[tiebreak].dataType
+
+    l_side = left.select(
+        F.col(by).alias("_by"),
+        F.col(on).alias("_on"),
+        F.lit(1).alias("_m"),  # left sorts AFTER right at equal `on`:
+        F.lit(None).cast(tb_t).alias("_tb"),  # ties are at-or-before matches
+        lp.alias("_lp"),
+        F.lit(None).cast(rp_t).alias("_rp"),
+    )
+    r_side = right.select(
+        F.col(by).alias("_by"),
+        F.col(on).alias("_on"),
+        F.lit(0).alias("_m"),
+        F.col(tiebreak).alias("_tb"),
+        F.lit(None).cast(lp_t).alias("_lp"),
+        rp.alias("_rp"),
+    )
+    if direction == "backward":
+        order = [F.asc("_on"), F.asc("_m"), F.asc("_tb")]
+    else:
+        order = [F.desc("_on"), F.asc("_m"), F.desc("_tb")]
+    w = (
+        Window.partitionBy("_by")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = l_side.unionByName(r_side).withColumn(
+        "_match", F.last("_rp", ignorenulls=True).over(w)
+    )
+    return u.filter(F.col("_m") == 1).select(
+        *[F.col(f"_lp.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_match.{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    lower: int,
+    upper: int,
+) -> DataFrame:
+    """All (left × right) pairs with the same ``by`` key and
+    ``right_ts`` ∈ [left_ts + lower, left_ts + upper] (inclusive; ``lower``
+    may be negative for look-back windows).  Timestamps are integer columns
+    (any fixed unit — callers pick epoch seconds/micros).
+
+    Bucketized band join: bucket width = window width, right rows keyed by
+    their own bucket, left rows exploded to the distinct buckets the window
+    overlaps (≤2 by construction), then the exact range predicate filters
+    the equi-join output.  Each true pair is produced exactly once (a right
+    row has one bucket; the left explode list is distinct).
+
+    Output: all left columns, then right's ``by``-excluded columns suffixed
+    ``_r`` on name collisions.
+    """
+    if upper < lower:
+        raise ValueError("upper must be >= lower")
+    width = F.lit(int(upper - lower) if upper > lower else 1)
+
+    l_buckets = F.array_distinct(
+        F.array(
+            F.floor((F.col(left_ts) + F.lit(lower)) / width),
+            F.floor((F.col(left_ts) + F.lit(upper)) / width),
+        )
+    )
+    l_side = left.withColumn("_bucket", F.explode(l_buckets))
+    right_out = [c for c in right.columns if c != by]
+    renames = {c: (f"{c}_r" if c in left.columns else c) for c in right_out}
+    r_side = right.select(
+        F.col(by),
+        F.floor(F.col(right_ts) / width).alias("_bucket"),
+        *[F.col(c).alias(renames[c]) for c in right_out],
+    )
+    rts = renames[right_ts]
+    return (
+        l_side.join(r_side, [by, "_bucket"])
+        .filter(
+            (F.col(rts) >= F.col(left_ts) + F.lit(lower))
+            & (F.col(rts) <= F.col(left_ts) + F.lit(upper))
+        )
+        .drop("_bucket")
+    )

@@ -700,6 +700,44 @@ FROM events
 GROUP BY 1, 2"""
 
 
+def events_asof_sql() -> str:
+    # Deterministic as-of twin: ordered LATERAL (greatest ts, then greatest
+    # event_id) instead of DuckDB's ASOF JOIN, whose equal-ts tie-break is
+    # unspecified.  epoch_us keeps the full microsecond precision the Spark
+    # side's unix_micros uses.
+    return """WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS p_ts_us, value AS p_value
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS c_ts_us, value AS c_value
+  FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.p_ts_us, p.p_value,
+       l.click_event_id, l.click_ts_us, l.click_value,
+       p.p_ts_us - l.click_ts_us AS lag_us
+FROM p LEFT JOIN LATERAL (
+  SELECT c.event_id AS click_event_id, c.c_ts_us AS click_ts_us,
+         c.c_value AS click_value
+  FROM c
+  WHERE c.user_id = p.user_id AND c.c_ts_us <= p.p_ts_us
+  ORDER BY c.c_ts_us DESC, c.event_id DESC
+  LIMIT 1) l ON TRUE"""
+
+
+def events_range_pairs_sql(window_hours: int = 4) -> str:
+    # The textbook inequality join the bucketized band join replicates.
+    window_us = window_hours * 3600 * 1_000_000
+    return f"""SELECT p.user_id,
+  p.event_id AS p_event_id,
+  c.event_id AS click_event_id,
+  epoch_us(p.ts) AS p_ts_us,
+  epoch_us(c.ts) AS click_ts_us,
+  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - {window_us} AND epoch_us(p.ts)"""
+
+
 def region_revenue_sql() -> str:
     return """SELECT r.r_name AS region,
   count(*) AS n_orders,

@@ -444,6 +444,92 @@ def _events_with_ts_sec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.withColumn("ts_sec", ts_sec)
 
 
+def _events_with_ts_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with an exact integer epoch-MICROseconds column `ts_us`
+    (same dual-encoding handling as ``_events_with_ts_sec``; micros keep the
+    full stored precision so as-of/range ordering is exact)."""
+    from pyspark.sql.types import LongType
+
+    _utc(spark).conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if isinstance(ev.schema["ts"].dataType, LongType):
+        ts_us = F.expr("ts DIV 1000")
+    else:
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.withColumn("ts_us", ts_us)
+
+
+def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join over the event stream: every purchase matched to the SAME
+    user's most recent at-or-before click (attribution join).  Exercises the
+    union-marker windowed as-of operator (operators/temporal.py) — one
+    shuffle on user_id, no theta join.  Ties broken by greatest click
+    event_id, so the result is fully deterministic and the DuckDB twin is an
+    ordered LATERAL rather than DuckDB's tie-unspecified ASOF JOIN."""
+    from ..operators import temporal
+
+    ev = _events_with_ts_us(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", F.col("value").alias("p_value")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        "ts_us",
+        F.col("value").alias("click_value"),
+    )
+    joined = temporal.asof_join(
+        p,
+        c,
+        on="ts_us",
+        by="user_id",
+        tiebreak="click_event_id",
+        right_cols=["click_event_id", "ts_us", "click_value"],
+        suffix="_c",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("p_ts_us"),
+        "p_value",
+        F.col("click_event_id_c").alias("click_event_id"),
+        F.col("ts_us_c").alias("click_ts_us"),
+        F.col("click_value_c").alias("click_value"),
+        (F.col("ts_us") - F.col("ts_us_c")).alias("lag_us"),
+    )
+
+
+def events_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join over the event stream: all (purchase, click)
+    pairs of the same user with the click inside the purchase's 4-hour
+    look-back window.  Exercises the bucketized band join
+    (operators/temporal.py) — candidates come from a (user, time-bucket)
+    equi-join, never a per-user cross product."""
+    from ..operators import temporal
+
+    window_us = 4 * 3600 * 1_000_000
+    ev = _events_with_ts_us(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_event_id"), F.col("ts_us").alias("p_ts_us")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts_us").alias("click_ts_us"),
+    )
+    return temporal.range_join(
+        p, c, by="user_id", left_ts="p_ts_us", right_ts="click_ts_us",
+        lower=-window_us, upper=0,
+    ).select(
+        "user_id",
+        "p_event_id",
+        "click_event_id",
+        "p_ts_us",
+        "click_ts_us",
+        (F.col("p_ts_us") - F.col("click_ts_us")).alias("gap_us"),
+    )
+
+
 def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min inactivity gap via lag + running sum."""
     from pyspark.sql.window import Window

@@ -1,0 +1,150 @@
+"""Unit tests for the temporal join operators (as-of join, range join).
+
+The driver/oracle parity (events_asof, events_range_pairs vs their DuckDB
+twins) proves the big-data path; these tests pin the operator SEMANTICS on
+hand-built edges: equal-timestamp ties, unmatched left rows, forward
+direction, negative look-back windows, and exact window boundaries.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tax_compliance_engine_spark.operators import temporal
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    # (id, key, ts)
+    return spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 205), (3, "a", 300), (4, "b", 50), (5, "c", 10)],
+        "id long, key string, ts long",
+    )
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    # (qid, key, ts, px) — a/205 has two equal-ts quotes (tie), c has none
+    return spark.createDataFrame(
+        [
+            (10, "a", 90, 1.0),
+            (11, "a", 205, 2.0),
+            (12, "a", 205, 3.0),
+            (13, "a", 290, 4.0),
+            (14, "b", 60, 5.0),
+        ],
+        "qid long, key string, ts long, px double",
+    )
+
+
+def _rows(df):
+    return {r["id"]: r for r in df.collect()}
+
+
+def test_asof_backward(trades, quotes):
+    out = _rows(
+        temporal.asof_join(
+            trades, quotes, on="ts", by="key", tiebreak="qid",
+            right_cols=["qid", "px"],
+        )
+    )
+    assert out[1]["qid_r"] == 10  # plain last-preceding
+    # equal-ts quotes ARE eligible (at-or-before); greatest qid wins the tie
+    assert out[2]["qid_r"] == 12 and out[2]["px_r"] == 3.0
+    assert out[3]["qid_r"] == 13
+    # b@50 precedes b's only quote@60 -> unmatched, NULLs kept
+    assert out[4]["qid_r"] is None and out[4]["px_r"] is None
+    assert out[5]["qid_r"] is None  # key with no right rows at all
+
+
+def test_asof_forward(trades, quotes):
+    out = _rows(
+        temporal.asof_join(
+            trades, quotes, on="ts", by="key", tiebreak="qid",
+            right_cols=["qid", "px"], direction="forward",
+        )
+    )
+    assert out[1]["qid_r"] == 11  # earliest at-or-after; SMALLEST qid tie
+    assert out[2]["qid_r"] == 11
+    assert out[3]["qid_r"] is None  # nothing after 300
+    assert out[4]["qid_r"] == 14
+    assert out[5]["qid_r"] is None
+
+
+def test_asof_keeps_every_left_row_and_column(trades, quotes):
+    out = temporal.asof_join(
+        trades, quotes, on="ts", by="key", tiebreak="qid", right_cols=["px"]
+    )
+    assert out.count() == trades.count()
+    assert out.columns == ["id", "key", "ts", "px_r"]
+
+
+def test_asof_rejects_bad_direction(trades, quotes):
+    with pytest.raises(ValueError):
+        temporal.asof_join(
+            trades, quotes, on="ts", by="key", tiebreak="qid",
+            right_cols=["px"], direction="sideways",
+        )
+
+
+def test_range_join_exact_pairs(trades, quotes):
+    out = temporal.range_join(
+        trades, quotes, by="key", left_ts="ts", right_ts="ts",
+        lower=-100, upper=0,
+    )
+    pairs = sorted((r["id"], r["qid"]) for r in out.collect())
+    # brute-force expectation
+    t = [(1, "a", 100), (2, "a", 205), (3, "a", 300), (4, "b", 50), (5, "c", 10)]
+    q = [(10, "a", 90), (11, "a", 205), (12, "a", 205), (13, "a", 290), (14, "b", 60)]
+    expect = sorted(
+        (tid, qid)
+        for tid, tk, tts in t
+        for qid, qk, qts in q
+        if tk == qk and tts - 100 <= qts <= tts
+    )
+    assert pairs == expect
+
+
+def test_range_join_symmetric_window_matches_bruteforce(trades, quotes):
+    out = temporal.range_join(
+        trades, quotes, by="key", left_ts="ts", right_ts="ts",
+        lower=-60, upper=60,
+    )
+    pairs = sorted((r["id"], r["qid"]) for r in out.collect())
+    t = [(1, "a", 100), (2, "a", 205), (3, "a", 300), (4, "b", 50), (5, "c", 10)]
+    q = [(10, "a", 90), (11, "a", 205), (12, "a", 205), (13, "a", 290), (14, "b", 60)]
+    expect = sorted(
+        (tid, qid)
+        for tid, tk, tts in t
+        for qid, qk, qts in q
+        if tk == qk and tts - 60 <= qts <= tts + 60
+    )
+    assert pairs == expect
+
+
+def test_range_join_no_duplicate_pairs(trades, quotes):
+    out = temporal.range_join(
+        trades, quotes, by="key", left_ts="ts", right_ts="ts",
+        lower=-100, upper=0,
+    )
+    assert out.count() == out.select("id", "qid").distinct().count()
+
+
+def test_range_join_renames_colliding_right_columns(trades, quotes):
+    out = temporal.range_join(
+        trades, quotes, by="key", left_ts="ts", right_ts="ts",
+        lower=-100, upper=0,
+    )
+    assert "ts_r" in out.columns and "ts" in out.columns
+
+
+def test_asof_single_shuffle_plan(trades, quotes):
+    """The as-of plan must be ONE exchange on the by-key (plus broadcasts) —
+    no theta join, no single-partition exchange."""
+    out = temporal.asof_join(
+        trades, quotes, on="ts", by="key", tiebreak="qid", right_cols=["px"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
