@@ -149,6 +149,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": oracle_dataops.doc_lang_id_sql(),
         "doc_token_counts": oracle_dataops.doc_token_counts_sql(),
         "doc_fingerprints": oracle_dataops.doc_fingerprints_sql(),
+        "doc_repetition": oracle_dataops.doc_repetition_sql(),
         "dedup_exact": oracle_dataops.dedup_exact_sql(),
         "dedup_ngram_pairs": oracle_dataops.dedup_ngram_pairs_sql(),
         "dedup_minhash_sigs": oracle_dataops.dedup_minhash_sigs_sql(),

@@ -154,3 +154,97 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm).alias("fp_normalized"),
         F.md5(bow).alias("fp_bow"),
     )
+
+
+def _ngram_join_col(toks: Column, n: int) -> Column:
+    """All (non-distinct) token n-grams as joined strings; empty array for
+    docs shorter than n tokens (guarded — sequence(0, negative) would emit a
+    DESCENDING sequence, not an empty one)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document: top-unigram /
+    top-bigram / top-trigram mass fraction and the longest same-token run,
+    plus a composite ``is_repetitive`` flag.  (Gopher's duplicate-LINE
+    fractions degenerate on single-line documents, so the token-level
+    family is the portable core; the thresholds follow the same shape as
+    Rae et al. 2021 §A1.1.)
+
+    Fully relational — every shuffle is keyed by doc_id (or doc_id +
+    gram), so the operator is embarrassingly parallel over documents at
+    100 TB; no per-row O(n²) array expressions.
+    """
+    toks = docs.select("doc_id", tokens_col(F.col(text_col)).alias("toks"))
+
+    def top_frac(grams: DataFrame, out: str) -> DataFrame:
+        counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+        return counts.groupBy("doc_id").agg(
+            (
+                F.max("cnt").cast("double") / F.sum("cnt").cast("double")
+            ).alias(out)
+        )
+
+    uni = toks.select("doc_id", F.explode("toks").alias("gram"))
+    n_tokens = uni.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    top1 = top_frac(uni, "top_token_frac")
+    top2 = top_frac(
+        toks.select("doc_id", F.explode(_ngram_join_col(F.col("toks"), 2)).alias("gram")),
+        "top_bigram_frac",
+    )
+    top3 = top_frac(
+        toks.select("doc_id", F.explode(_ngram_join_col(F.col("toks"), 3)).alias("gram")),
+        "top_trigram_frac",
+    )
+
+    from pyspark.sql.window import Window
+
+    pos = toks.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        pos.withColumn("prev", F.lag("tok").over(w))
+        .withColumn(
+            "chg",
+            F.when(
+                F.col("prev").isNull() | (F.col("prev") != F.col("tok")), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "run_id")
+        .agg(F.count("*").alias("run_len"))
+        .groupBy("doc_id")
+        .agg(F.max("run_len").alias("max_token_run"))
+    )
+
+    out = (
+        docs.select("doc_id")
+        .join(n_tokens, "doc_id", "left")
+        .join(top1, "doc_id", "left")
+        .join(top2, "doc_id", "left")
+        .join(top3, "doc_id", "left")
+        .join(runs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("top_token_frac", F.lit(0.0)).alias("top_token_frac"),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce("top_trigram_frac", F.lit(0.0)).alias("top_trigram_frac"),
+            F.coalesce("max_token_run", F.lit(0)).alias("max_token_run"),
+        )
+    )
+    return out.withColumn(
+        "is_repetitive",
+        (F.col("top_token_frac") > 0.30)
+        | (F.col("top_bigram_frac") > 0.18)
+        | (F.col("top_trigram_frac") > 0.16)
+        | (F.col("max_token_run") >= 4),
+    )

@@ -105,6 +105,76 @@ def doc_fingerprints_sql() -> str:
 FROM documents"""
 
 
+def doc_repetition_sql() -> str:
+    """Twin of textops.repetition_stats: Gopher-style token-level repetition
+    signals.  Integer/double divisions and window framing mirror the Spark
+    side exactly (max(cnt)/sum(cnt) as BIGINT->DOUBLE division; run ids via
+    lag + running sum over position order)."""
+    return f"""WITH toks AS (
+  SELECT doc_id, {TOKENS} AS toks FROM documents),
+pos AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+  FROM toks),
+uni AS (
+  SELECT doc_id,
+    CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_token_frac,
+    CAST(sum(cnt) AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, tok, count(*) AS cnt FROM pos GROUP BY 1, 2)
+  GROUP BY doc_id),
+big AS (
+  SELECT doc_id,
+    CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_bigram_frac
+  FROM (
+    SELECT doc_id, gram, count(*) AS cnt FROM (
+      SELECT doc_id,
+        unnest(list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM toks)
+    GROUP BY 1, 2)
+  GROUP BY doc_id),
+tri AS (
+  SELECT doc_id,
+    CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_trigram_frac
+  FROM (
+    SELECT doc_id, gram, count(*) AS cnt FROM (
+      SELECT doc_id,
+        unnest(list_transform(range(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+      FROM toks)
+    GROUP BY 1, 2)
+  GROUP BY doc_id),
+chg AS (
+  SELECT doc_id, pos, tok,
+    CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+           OR lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) <> tok
+         THEN 1 ELSE 0 END AS chg
+  FROM pos),
+runid AS (
+  SELECT doc_id,
+    SUM(chg) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM chg),
+runs AS (
+  SELECT doc_id, max(run_len) AS max_token_run FROM (
+    SELECT doc_id, run_id, count(*) AS run_len FROM runid GROUP BY 1, 2)
+  GROUP BY doc_id)
+SELECT d.doc_id,
+  COALESCE(u.n_tokens, 0) AS n_tokens,
+  COALESCE(u.top_token_frac, 0.0) AS top_token_frac,
+  COALESCE(b.top_bigram_frac, 0.0) AS top_bigram_frac,
+  COALESCE(t.top_trigram_frac, 0.0) AS top_trigram_frac,
+  COALESCE(r.max_token_run, 0) AS max_token_run,
+  (COALESCE(u.top_token_frac, 0.0) > 0.30
+   OR COALESCE(b.top_bigram_frac, 0.0) > 0.18
+   OR COALESCE(t.top_trigram_frac, 0.0) > 0.16
+   OR COALESCE(r.max_token_run, 0) >= 4) AS is_repetitive
+FROM documents d
+LEFT JOIN uni u USING (doc_id)
+LEFT JOIN big b USING (doc_id)
+LEFT JOIN tri t USING (doc_id)
+LEFT JOIN runs r USING (doc_id)"""
+
+
 def dedup_exact_sql() -> str:
     return """SELECT doc_id, md5(text) AS digest,
   MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,

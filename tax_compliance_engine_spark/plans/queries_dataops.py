@@ -48,6 +48,10 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.fingerprints(_docs(spark, sf_dir))
 
 
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.repetition_stats(_docs(spark, sf_dir))
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_docs(spark, sf_dir))
 

@@ -352,3 +352,44 @@ def test_dup_clusters_transitive(spark):
         for r in dedup.dup_clusters(docs, pairs).collect()
     }
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+
+
+def test_repetition_stats_edges(spark):
+    from tax_compliance_engine_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),            # one token repeated: run=4, fracs=1
+            (2, "x y x y x y"),        # alternating: top bigram 'y x' or 'x y'
+            (3, "ten fully unique words with no repeated grams at all"),
+            (4, ""),                   # empty doc
+            (5, "solo"),               # single token: no bigrams/trigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.repetition_stats(docs).collect()}
+
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["top_token_frac"] == 1.0
+    assert out[1]["top_bigram_frac"] == 1.0  # all 3 bigrams are 'a a'
+    assert out[1]["max_token_run"] == 4
+    assert out[1]["is_repetitive"]
+
+    # x y x y x y: bigrams = [x y, y x, x y, y x, x y] -> top 3/5
+    assert out[2]["top_bigram_frac"] == pytest.approx(3 / 5)
+    assert out[2]["max_token_run"] == 1
+    assert out[2]["is_repetitive"]  # bigram frac 0.6 > 0.18
+
+    assert out[3]["top_token_frac"] == pytest.approx(1 / 10)
+    assert out[3]["top_bigram_frac"] == pytest.approx(1 / 9)
+    assert not out[3]["is_repetitive"]
+
+    assert out[4]["n_tokens"] == 0
+    assert out[4]["top_token_frac"] == 0.0
+    assert out[4]["max_token_run"] == 0
+    assert not out[4]["is_repetitive"]
+
+    assert out[5]["n_tokens"] == 1
+    assert out[5]["top_token_frac"] == 1.0  # single token is 100% of mass
+    assert out[5]["top_bigram_frac"] == 0.0  # but no n-grams exist
+    assert out[5]["is_repetitive"]  # top_token_frac > 0.3 by construction
