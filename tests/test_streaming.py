@@ -126,3 +126,112 @@ def test_periodized_activity_windows(spark, dims):
     assert act["TX"].txn_count == 2
     assert act["CA"].revenue == Decimal("70.00")
     assert act["CA"].txn_count == 1
+
+
+def test_streaming_sessionization_applyinpandaswithstate(spark, tmp_path):
+    """Stateful sessionizer (applyInPandasWithState) closes sessions on gap
+    crossings across micro-batches; emitted sessions match the batch
+    lag+running-sum semantics on the same events."""
+    from tax_compliance_engine_spark.streaming import sessionize
+
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+
+    def ev(eid, uid, offset_sec):
+        return Row(
+            event_id=eid, ts=t0 + dt.timedelta(seconds=offset_sec), user_id=uid
+        )
+
+    schema = "event_id long, ts timestamp, user_id long"
+    src = tmp_path / "ev_src"
+    # micro-batch 1: the real events (u1 has an in-batch gap crossing)
+    spark.createDataFrame(
+        [ev(1, 1, 0), ev(2, 1, 60), ev(3, 1, 2000), ev(4, 2, 10)], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    # micro-batch 2: far-future sentinel per user — advances the watermark
+    # and forces the open sessions closed (sentinel sessions stay open and
+    # are never emitted)
+    spark.createDataFrame(
+        [ev(90, 1, 5 * 86400), ev(91, 2, 5 * 86400)], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        sessionize.sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.session_start_sec, r.session_end_sec, r.n_events)
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert got == {
+        (1, base, base + 60, 2),
+        (1, base + 2000, base + 2000, 1),
+        (2, base + 10, base + 10, 1),
+    }
+
+
+def test_streaming_sessionization_timeout_closes_idle_session(spark, tmp_path):
+    """A user with no further events gets their open session closed by the
+    event-time timeout once later micro-batches advance the watermark."""
+    from tax_compliance_engine_spark.streaming import sessionize
+
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+
+    def ev(eid, uid, offset_sec):
+        return Row(
+            event_id=eid, ts=t0 + dt.timedelta(seconds=offset_sec), user_id=uid
+        )
+
+    schema = "event_id long, ts timestamp, user_id long"
+    src = tmp_path / "ev_src"
+    # u2 appears once, then goes idle; u1 keeps the watermark moving
+    spark.createDataFrame([ev(1, 1, 0), ev(2, 2, 5)], schema).coalesce(
+        1
+    ).write.parquet(str(src / "f1"))
+    spark.createDataFrame([ev(3, 1, 86400)], schema).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    spark.createDataFrame([ev(4, 1, 2 * 86400)], schema).coalesce(1).write.parquet(
+        str(src / "f3")
+    )
+    spark.createDataFrame([ev(5, 1, 3 * 86400)], schema).coalesce(1).write.parquet(
+        str(src / "f4")
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        sessionize.sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_timeout_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    got = {
+        (r.user_id, r.session_start_sec, r.session_end_sec, r.n_events)
+        for r in spark.sql("SELECT * FROM sessions_timeout_out").collect()
+    }
+    # u2's single-event session MUST have been closed by timeout, not data
+    assert (2, base + 5, base + 5, 1) in got
+    # u1's day-apart singleton sessions close on each next event's arrival
+    assert (1, base, base, 1) in got and (1, base + 86400, base + 86400, 1) in got
