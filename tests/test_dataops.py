@@ -393,3 +393,35 @@ def test_repetition_stats_edges(spark):
     assert out[5]["top_token_frac"] == 1.0  # single token is 100% of mass
     assert out[5]["top_bigram_frac"] == 0.0  # but no n-grams exist
     assert out[5]["is_repetitive"]  # top_token_frac > 0.3 by construction
+
+
+def test_bucketed_join_elides_shuffle(spark, tmp_path):
+    """Two tables bucketed on the same key with the same bucket count must
+    join with zero Exchange — the co-located-join contract at 100 TB."""
+    from tax_compliance_engine_spark.sources import bucketing
+
+    # (warehouse dir is static config — managed test tables land in the
+    # session default ./spark-warehouse and are dropped in the finally)
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    try:
+        bucketing.write_bucketed(
+            orders.withColumnRenamed("o_orderkey", "okey"), "b_orders", "okey", 8
+        )
+        bucketing.write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "okey"), "b_lineitem", "okey", 8
+        )
+        assert bucketing.bucketed_join_plan_is_shuffle_free(
+            spark, "b_orders", "b_lineitem", "okey"
+        )
+        # sanity: the join result is the same as the shuffled plain join
+        n_bucketed = (
+            spark.table("b_orders").join(spark.table("b_lineitem"), "okey").count()
+        )
+        n_plain = orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        ).count()
+        assert n_bucketed == n_plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
