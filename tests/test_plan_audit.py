@@ -49,11 +49,28 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
+def _all_checked_queries():
+    """Every driver-registered query PLUS the oracle-only swept entries
+    (same resolution rule as scripts/check_oracle.py: the same-named
+    function in plans.queries / plans.queries_dataops) — reclaiming a
+    driver slot must not drop a query out of the scale audit."""
+    from tax_compliance_engine_spark.plans import queries as q
+    from tax_compliance_engine_spark.plans import queries_dataops as qd
+
+    out = dict(entry.queries())
+    for name in entry.oracle_sql():
+        if name not in out:
+            fn = getattr(q, name, None) or getattr(qd, name, None)
+            if fn is not None:
+                out[name] = fn
+    return out
+
+
 @pytest.fixture(scope="module")
 def plans(spark):
     return {
         name: _plan(fn(spark, SF_DIR))
-        for name, fn in entry.queries().items()
+        for name, fn in _all_checked_queries().items()
     }
 
 
