@@ -248,3 +248,42 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         | (F.col("top_trigram_frac") > 0.16)
         | (F.col("max_token_run") >= 4),
     )
+
+
+# PII / noise scrub patterns — deliberately restricted to syntax that means
+# the same thing in Java regex (Spark) and RE2 (DuckDB): no lookaround, no
+# backreferences, ASCII word boundaries only.  (name, pattern, replacement)
+SCRUB_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://\S+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data hygiene: replace URLs / emails / IPv4s / phone numbers
+    with typed placeholder tokens and count what was removed, then collapse
+    the whitespace the removals may have disturbed.
+
+    Pure chained ``regexp_replace`` / ``regexp_count`` Column expressions —
+    embarrassingly parallel, whole-stage codegen, no shuffle; the count
+    columns let a pipeline quarantine high-PII documents instead of just
+    silently rewriting them."""
+    text = F.col(text_col)
+    counts = [
+        F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in SCRUB_PATTERNS
+    ]
+    scrubbed = text
+    for _, pat, repl in SCRUB_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    scrubbed = F.trim(F.regexp_replace(scrubbed, " +", " "))
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("text_scrubbed"),
+        *counts,
+        (sum(F.col(f"n_{name}") for name, _, _ in SCRUB_PATTERNS) > 0).alias(
+            "had_pii"
+        ),
+    )

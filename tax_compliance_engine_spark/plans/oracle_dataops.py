@@ -175,6 +175,31 @@ LEFT JOIN tri t USING (doc_id)
 LEFT JOIN runs r USING (doc_id)"""
 
 
+def doc_scrub_pii_sql() -> str:
+    """Twin of textops.scrub_pii, generated from the SAME SCRUB_PATTERNS
+    constant so the two engines can never drift.  Patterns are restricted
+    to the Java-regex/RE2 common subset; DuckDB needs the explicit 'g'
+    flag Spark applies by default."""
+    from ..operators.textops import SCRUB_PATTERNS
+
+    scrubbed = "text"
+    for _, pat, repl in SCRUB_PATTERNS:
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{repl}', 'g')"
+    scrubbed = f"trim(regexp_replace({scrubbed}, ' +', ' ', 'g'))"
+    counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in SCRUB_PATTERNS
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in SCRUB_PATTERNS
+    )
+    return f"""SELECT doc_id,
+  {scrubbed} AS text_scrubbed,
+  {counts},
+  ({total}) > 0 AS had_pii
+FROM documents"""
+
+
 def dedup_exact_sql() -> str:
     return """SELECT doc_id, md5(text) AS digest,
   MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,

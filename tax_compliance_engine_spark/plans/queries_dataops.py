@@ -52,6 +52,10 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.repetition_stats(_docs(spark, sf_dir))
 
 
+def doc_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.scrub_pii(_docs(spark, sf_dir))
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_docs(spark, sf_dir))
 

@@ -425,3 +425,53 @@ def test_bucketed_join_elides_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_scrub_pii_crafted(spark):
+    rows = {
+        r["doc_id"]: r
+        for r in textops.scrub_pii(
+            docs_df(
+                spark,
+                [
+                    "contact me at bob@example.com or 555-867-5309 today",
+                    "server 10.0.0.1 logs at https://logs.example.com/x?y=1 now",
+                    "perfectly clean text with no identifiers",
+                ],
+            )
+        ).collect()
+    }
+    assert rows[0].text_scrubbed == "contact me at <EMAIL> or <PHONE> today"
+    assert rows[0].n_email == 1 and rows[0].n_phone == 1 and rows[0].had_pii
+    assert rows[1].text_scrubbed == "server <IP> logs at <URL> now"
+    assert rows[1].n_ipv4 == 1 and rows[1].n_url == 1
+    assert rows[2].text_scrubbed == rows[2].text_scrubbed.strip()
+    assert not rows[2].had_pii and rows[2].n_email == 0
+
+
+def test_scrub_pii_matches_duckdb_on_pii_text(spark):
+    """Engine parity on text that actually CONTAINS PII (the synthetic
+    corpus is clean, so the swept oracle row alone can't prove the
+    patterns agree)."""
+    import duckdb
+
+    from tax_compliance_engine_spark.plans import oracle_dataops
+
+    texts = [
+        "a@b.io and c.d-e@f.org.uk wrote from 192.168.1.255",
+        "visit http://x.y/z or https://a.b/c?d=e#f then dial 123.456.7890",
+        "1.2.3.4.5 is not an ip boundary case 999.999.999.999 is matched",
+        "",
+    ]
+    sdf = textops.scrub_pii(docs_df(spark, texts))
+    got = {tuple(r) for r in sdf.collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(texts)))
+        + ") t(doc_id, text)",
+        texts,
+    )
+    want = {tuple(r) for r in con.execute(oracle_dataops.doc_scrub_pii_sql()).fetchall()}
+    assert got == want
