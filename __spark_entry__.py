@@ -163,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce": oracle_dataops.knn_bruteforce_sql(),
         "embedding_lsh_buckets": oracle_dataops.embedding_lsh_buckets_sql(),
         "embedding_dup_pairs": oracle_dataops.embedding_dup_pairs_sql(),
+        "embedding_dup_clusters": oracle_dataops.embedding_dup_clusters_sql(),
         # label_centroids: rows-only (double-sum order sensitivity)
         "label_centroid_components": oracle_dataops.label_centroid_components_sql(),
         "ivf_knn_portable": oracle_dataops.ivf_knn_portable_sql(),

@@ -471,6 +471,26 @@ JOIN emb_n e2 ON e2.vec_id = c.id2
 WHERE {dot_12} / (e1.nrm * e2.nrm) >= {threshold}"""
 
 
+def embedding_dup_clusters_sql(threshold: float = 0.35) -> str:
+    """Min-reachable-id connected components over the embedding pair graph
+    (recursive-CTE closure — same construction as the MinHash twin)."""
+    pairs_sql = embedding_dup_pairs_sql(threshold)
+    return f"""WITH RECURSIVE pairs AS (
+{pairs_sql}
+),
+adj AS (
+  SELECT id1 AS node, id2 AS nbr FROM pairs
+  UNION ALL
+  SELECT id2 AS node, id1 AS nbr FROM pairs
+),
+reach AS (
+  SELECT vec_id AS node, vec_id AS lab FROM embeddings
+  UNION
+  SELECT a.node, r.lab FROM adj a JOIN reach r ON r.node = a.nbr
+)
+SELECT node AS vec_id, MIN(lab) AS cluster_id FROM reach GROUP BY node"""
+
+
 def label_centroid_components_sql() -> str:
     """Sequential-fold centroid components (the ordered-sum portability
     contract: Spark folds collect_list sorted by vec_id, DuckDB folds

@@ -92,6 +92,19 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_clusters(docs.select("doc_id"), pairs)
 
 
+def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters over the embedding cosine pair graph —
+    the same iterative min-label propagation the MinHash path uses, fed by
+    LSH-banded embedding pairs (semantic dedup's clustering step)."""
+    emb = _emb(spark, sf_dir)
+    pairs = similarity.embedding_dup_pairs(emb).select(
+        F.col("id1").alias("doc1"), F.col("id2").alias("doc2")
+    )
+    return dedup.dup_clusters(
+        emb.select(F.col("vec_id").alias("doc_id")), pairs
+    ).select(F.col("doc_id").alias("vec_id"), "cluster_id")
+
+
 def dedup_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_signatures(_docs(spark, sf_dir))
 
