@@ -154,3 +154,53 @@ def test_mixture_rates_and_default(spark):
         < 0.5 * corpus.SAMPLE_MOD
         for i in kept1
     )
+
+
+def test_full_training_pipeline_composes(spark):
+    """End-to-end composition of the training-data pipeline over the real
+    documents table: PII scrub → repetition/quality filter → MinHash
+    near-dedup keep → benchmark decontamination → sequence packing.
+    Each stage consumes the previous stage's DataFrame unchanged — the
+    operators must compose without materialization barriers — and the
+    final packed corpus must be a subset of the input with sane bins."""
+    from pyspark.sql import functions as F
+
+    from tax_compliance_engine_spark.operators import corpus, dedup, textops
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n0 = docs.count()
+
+    # 1. scrub PII (rewrites text; synthetic corpus is clean so texts
+    #    survive unchanged — asserted via had_pii)
+    scrubbed = textops.scrub_pii(docs).withColumnRenamed("text_scrubbed", "text")
+    assert scrubbed.filter("had_pii").count() == 0
+
+    # 2. drop repetitive docs
+    rep = textops.repetition_stats(docs)
+    keep_ids = rep.filter(~F.col("is_repetitive")).select("doc_id")
+    clean = docs.join(keep_ids, "doc_id")
+    n_clean = clean.count()
+    assert 0 < n_clean <= n0
+
+    # 3. near-dedup (MinHash keep-list)
+    pairs = dedup.minhash_dup_pairs(clean, threshold=0.9)
+    deduped = dedup.near_dedup_filter(clean, pairs)
+    n_dedup = deduped.count()
+    assert 0 < n_dedup <= n_clean
+
+    # 4. decontaminate against a benchmark slice (doc_id % 97 == 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    decon = corpus.decontaminate(deduped, bench)
+    n_decon = decon.count()
+    assert 0 < n_decon <= n_dedup
+
+    # 5. pack into 512-token bins
+    packed = corpus.pack_sequences(decon, token_budget=512)
+    assert packed.count() == n_decon
+    stats = packed.agg(
+        F.min("bin_id").alias("lo"), F.max("bin_id").alias("hi")
+    ).collect()[0]
+    assert stats["lo"] == 0 and stats["hi"] > 0
+    # bin ids are dense: every bin below the max is non-empty
+    n_bins = packed.select("bin_id").distinct().count()
+    assert n_bins == stats["hi"] + 1
