@@ -99,3 +99,93 @@ def decode_image(media: DataFrame) -> DataFrame:
         "image decoding requires PIL/opencv which are not available in this "
         "environment; use extract_features() for the plumbing-equivalent stub"
     )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("target_w", IntegerType(), False),
+        StructField("target_h", IntegerType(), False),
+        StructField("thumb", BinaryType(), True),
+        StructField("thumb_size", IntegerType(), True),
+        StructField("decoder", StringType(), True),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_payload", BinaryType(), True),
+        StructField("frame_size", IntegerType(), True),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Thumbnail/resize plumbing over the media table (1 row in → 1 row
+    out, Arrow-batched, partition-parallel, no shuffle).
+
+    STUB decode: a real implementation decodes the payload and resamples to
+    (width, height); the deterministic stand-in emits the payload truncated
+    to a thumbnail budget so batch shapes, schema, and null handling are
+    fully exercised and a real resizer drops in behind the same schema."""
+    budget = max(64, (width * height) // 64)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            thumbs = [
+                bytes(p[:budget]) if p is not None else None
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "target_w": width,
+                    "target_h": height,
+                    "thumb": thumbs,
+                    "thumb_size": [
+                        len(t) if t is not None else None for t in thumbs
+                    ],
+                    "decoder": "stub-truncate",
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 32, every_n: int = 2
+) -> DataFrame:
+    """Frame-sampling plumbing (1 row in → N rows out — the UDTF-shaped
+    multimodal op): chop each payload into fixed-size pseudo-frames and
+    keep every ``every_n``-th.
+
+    STUB decode: a real implementation demuxes the container (ffmpeg) and
+    decodes every_n-th frame; the deterministic byte-chunk stand-in keeps
+    the row-explosion shape, Arrow batching, and per-frame indexing real.
+    Rows with NULL payloads produce no frames (same as undecodable media)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "frame_payload": [],
+                "frame_size": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                n_frames = len(payload) // frame_bytes
+                for i in range(0, n_frames, every_n):
+                    chunk = bytes(payload[i * frame_bytes : (i + 1) * frame_bytes])
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_payload"].append(chunk)
+                    out["frame_size"].append(len(chunk))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)

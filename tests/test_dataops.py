@@ -475,3 +475,32 @@ def test_scrub_pii_matches_duckdb_on_pii_text(spark):
     )
     want = {tuple(r) for r in con.execute(oracle_dataops.doc_scrub_pii_sql()).fetchall()}
     assert got == want
+
+
+def test_resize_media_plumbing(spark):
+    media = multimodal.to_media_table(
+        docs_df(spark, ["x" * 500, "short"])
+    )
+    rows = {r.doc_id: r for r in multimodal.resize_media(media, 64, 64).collect()}
+    # budget = max(64, 64*64//64) = 64
+    assert rows[0].thumb_size == 64 and len(rows[0].thumb) == 64
+    assert rows[1].thumb_size == 5  # shorter payloads pass through whole
+    assert rows[0].target_w == 64 and rows[0].decoder == "stub-truncate"
+
+
+def test_sample_frames_explodes_rows(spark):
+    media = multimodal.to_media_table(
+        docs_df(spark, ["a" * 200, "tiny"])
+    )
+    frames = multimodal.sample_frames(media, frame_bytes=32, every_n=2).collect()
+    by_doc = {}
+    for f in frames:
+        by_doc.setdefault(f.doc_id, []).append(f)
+    # 200 bytes → 6 full frames → indices 0,2,4 kept
+    assert sorted(f.frame_idx for f in by_doc[0]) == [0, 2, 4]
+    assert all(f.frame_size == 32 for f in by_doc[0])
+    # frame content is the corresponding payload slice
+    f0 = min(by_doc[0], key=lambda f: f.frame_idx)
+    assert bytes(f0.frame_payload) == b"a" * 32
+    # 4-byte payload has no full frame
+    assert 1 not in by_doc
