@@ -39,6 +39,7 @@ def asof_join(
     right_cols: Sequence[str],
     direction: str = "backward",
     suffix: str = "_r",
+    shard_width: int | None = None,
 ) -> DataFrame:
     """Left as-of join: for every left row, the single right row with the
     greatest ``on`` ≤ left's (``backward``) or smallest ``on`` ≥ left's
@@ -49,6 +50,15 @@ def asof_join(
     tiebreak wins, which makes the operator fully deterministic (DuckDB's
     ASOF JOIN leaves that tie unspecified; the oracle twin uses an ordered
     LATERAL instead).
+
+    ``shard_width`` is the hot-key hardening: with it, each key's timeline
+    is cut into fixed-width ``on``-ranges and the window runs per
+    (key, shard) — a hot key's rows spread over many tasks instead of
+    serializing through one.  Matches that cross shard boundaries come from
+    a carry-forward seed table with ONE ROW PER (key, shard) (each shard's
+    last right row, cumulated per key), so the per-key serial work drops
+    from O(rows) to O(shards).  Output is IDENTICAL to the unsharded form;
+    requires numeric ``on`` and ``tiebreak`` (negation trick for forward).
 
     Output: every left column, plus ``right_cols`` renamed with ``suffix``.
     """
@@ -77,20 +87,85 @@ def asof_join(
         F.lit(None).cast(lp_t).alias("_lp"),
         rp.alias("_rp"),
     )
-    if direction == "backward":
-        order = [F.asc("_on"), F.asc("_m"), F.asc("_tb")]
-    else:
-        order = [F.desc("_on"), F.asc("_m"), F.desc("_tb")]
-    w = (
-        Window.partitionBy("_by")
-        .orderBy(*order)
+    u = l_side.unionByName(r_side)
+
+    if shard_width is None:
+        if direction == "backward":
+            order = [F.asc("_on"), F.asc("_m"), F.asc("_tb")]
+        else:
+            order = [F.desc("_on"), F.asc("_m"), F.desc("_tb")]
+        w = (
+            Window.partitionBy("_by")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        u = u.withColumn("_match", F.last("_rp", ignorenulls=True).over(w))
+        return u.filter(F.col("_m") == 1).select(
+            *[F.col(f"_lp.{c}").alias(c) for c in left.columns],
+            *[F.col(f"_match.{c}").alias(f"{c}{suffix}") for c in right_cols],
+        )
+    return _asof_sharded(
+        u, left.columns, right_cols, direction, suffix, int(shard_width)
+    )
+
+
+def _asof_sharded(
+    u: DataFrame,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+    direction: str,
+    suffix: str,
+    shard_width: int,
+) -> DataFrame:
+    """Sharded as-of core: per-(key, shard) local windows + cumulative
+    per-shard seeds.  Direction is normalized to 'backward' by negating the
+    numeric sort keys (so 'latest earlier' is always the scan direction)."""
+    sign = 1 if direction == "backward" else -1
+    u = u.select(
+        "*",
+        (F.col("_on") * sign).alias("_s"),
+        (F.col("_tb") * sign).alias("_t"),
+    ).withColumn("_shard", F.floor(F.col("_s") / F.lit(shard_width)))
+
+    # 1. local pass: best right AT-OR-BEFORE each row within its own shard
+    w_local = (
+        Window.partitionBy("_by", "_shard")
+        .orderBy(F.asc("_s"), F.asc("_m"), F.asc("_t"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    u = l_side.unionByName(r_side).withColumn(
-        "_match", F.last("_rp", ignorenulls=True).over(w)
+    u = u.withColumn("_local", F.last("_rp", ignorenulls=True).over(w_local))
+
+    # 2. seed table: ONE row per (key, shard) — that shard's last right row
+    # (max (s, t) among rights; shards with no rights keep NULL), then the
+    # carry-forward: last non-null over all STRICTLY EARLIER shards.  The
+    # window here is over per-shard summary rows, so a hot key costs
+    # O(#shards), not O(#rows).
+    shard_last = (
+        u.groupBy("_by", "_shard")
+        .agg(
+            F.max_by(
+                F.when(F.col("_m") == 0, F.col("_rp")),
+                F.when(F.col("_m") == 0, F.struct("_s", "_t")),
+            ).alias("_shard_last")
+        )
     )
-    return u.filter(F.col("_m") == 1).select(
-        *[F.col(f"_lp.{c}").alias(c) for c in left.columns],
+    w_seed = (
+        Window.partitionBy("_by")
+        .orderBy(F.asc("_shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seeds = shard_last.withColumn(
+        "_seed", F.last("_shard_last", ignorenulls=True).over(w_seed)
+    ).select("_by", "_shard", "_seed")
+
+    # 3. left rows: in-shard match if any, else the carried seed
+    out = (
+        u.filter(F.col("_m") == 1)
+        .join(seeds, ["_by", "_shard"], "left")
+        .withColumn("_match", F.coalesce("_local", "_seed"))
+    )
+    return out.select(
+        *[F.col(f"_lp.{c}").alias(c) for c in left_cols],
         *[F.col(f"_match.{c}").alias(f"{c}{suffix}") for c in right_cols],
     )
 

@@ -148,3 +148,50 @@ def test_asof_single_shuffle_plan(trades, quotes):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def _random_frames(spark, seed=7, n_left=300, n_right=200, n_keys=5):
+    import random
+
+    rng = random.Random(seed)
+    lrows = [
+        (i, f"k{rng.randrange(n_keys)}", rng.randrange(0, 5000))
+        for i in range(n_left)
+    ]
+    rrows = [
+        (1000 + i, f"k{rng.randrange(n_keys)}", rng.randrange(0, 5000), rng.random())
+        for i in range(n_right)
+    ]
+    left = spark.createDataFrame(lrows, "id long, key string, ts long")
+    right = spark.createDataFrame(rrows, "qid long, key string, ts long, px double")
+    return left, right
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_sharded_equals_unsharded(spark, direction):
+    """The hot-key sharded plan must produce byte-identical output to the
+    single-window plan — on random data with duplicate timestamps, empty
+    shards, and keys missing from one side."""
+    left, right = _random_frames(spark)
+    kw = dict(
+        on="ts", by="key", tiebreak="qid", right_cols=["qid", "ts", "px"],
+        direction=direction,
+    )
+    plain = temporal.asof_join(left, right, **kw)
+    sharded = temporal.asof_join(left, right, shard_width=500, **kw)
+    key = lambda r: (r["id"],)
+    assert sorted(plain.collect(), key=key) == sorted(
+        sharded.collect(), key=key
+    )
+
+
+def test_asof_sharded_tiny_width_still_exact(spark):
+    """Width 1 = every timestamp its own shard: the pure seed-table path."""
+    left, right = _random_frames(spark, seed=11, n_left=80, n_right=60)
+    kw = dict(on="ts", by="key", tiebreak="qid", right_cols=["qid", "px"])
+    plain = temporal.asof_join(left, right, **kw)
+    sharded = temporal.asof_join(left, right, shard_width=1, **kw)
+    key = lambda r: (r["id"],)
+    assert sorted(plain.collect(), key=key) == sorted(
+        sharded.collect(), key=key
+    )
