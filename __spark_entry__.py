@@ -136,6 +136,7 @@ def oracle_sql() -> dict[str, str]:
         "no_tax_states": oracle.no_tax_states_sql(),
         "states_exempting_grocery": oracle.states_exempting_grocery_sql(),
         "pricing_summary": oracle.pricing_summary_sql(),
+        "pricing_rollup": oracle.pricing_rollup_sql(),
         "top_customers": oracle.top_customers_sql(),
         "customer_order_ranks": oracle.customer_order_ranks_sql(),
         "events_sessions": oracle.events_sessions_sql(),

@@ -700,6 +700,16 @@ FROM events
 GROUP BY 1, 2"""
 
 
+def pricing_rollup_sql() -> str:
+    return """SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       count(*) AS count_order,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
+
 def events_asof_sql() -> str:
     # Deterministic as-of twin: ordered LATERAL (greatest ts, then greatest
     # event_id) instead of DuckDB's ASOF JOIN, whose equal-ts tie-break is

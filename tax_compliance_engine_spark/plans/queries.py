@@ -385,6 +385,25 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level ROLLUP aggregation: per (returnflag, linestatus), per
+    returnflag subtotal, and grand total in ONE pass (Spark lowers rollup
+    to a single Expand + hash aggregate — no re-scan per level, the same
+    plan shape at 100 TB).  GROUPING() markers disambiguate subtotal rows
+    from any natural NULL group values."""
+    li = _utc(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.count("*").alias("count_order"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+    )
+
+
 def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
