@@ -149,15 +149,35 @@ def _minhash_per_doc(
     return toks.groupBy("doc_id").agg(*aggs)
 
 
-def _banded(per_doc: DataFrame, with_all_sigs: bool = False) -> DataFrame:
+_BAND_SIG_MASK = (1 << 40) - 1  # 40-bit fold space; & is portable modulo
+
+
+def _banded(
+    per_doc: DataFrame, with_all_sigs: bool = False, sig: str = "str"
+) -> DataFrame:
     """(doc_id, band, band_sig) rows assembled column-wise from the per-doc
     component columns — no second banding aggregation.
+
+    ``sig='long'`` emits the band signature as a 40-bit modular fold of the
+    band's components instead of the '-'-joined string — ~4× narrower rows
+    through the candidate self-join and its DISTINCT, with integer key
+    compares instead of string compares.  Collision probability per band is
+    ~|docs|²/2⁴¹ (≈2e-4 at 20k docs/band) and the DuckDB oracle replicates
+    the identical fold, so the gate stays bit-exact; the public
+    ``minhash_signatures`` surface keeps the readable string form.
 
     ``with_all_sigs`` adds an `all_sigs` array of every band signature so
     the candidate join can dedupe in-join (see ``_lsh_candidates``)."""
     rpb = len(hashing.MINHASH_PERMS) // hashing.MINHASH_BANDS
 
     def band_sig(b: int) -> Column:
+        if sig == "long":
+            s: Column = F.lit(0).cast("long")
+            for j in range(rpb):
+                s = (s * F.lit(31) + F.col(f"_mh{b * rpb + j}")).bitwiseAND(
+                    F.lit(_BAND_SIG_MASK)
+                )
+            return s
         return F.concat_ws(
             "-",
             *[F.col(f"_mh{b * rpb + j}").cast("string") for j in range(rpb)],
@@ -235,35 +255,27 @@ def minhash_est_pairs(
     Deterministic given the fixed permutations, so the DuckDB oracle
     replicates it bit-for-bit (estimates are multiples of 1/16 — exact in
     binary floating point on both engines)."""
-    per_doc = _minhash_per_doc(docs, text_col).cache()  # bands + sig arrays
-    sig = F.array(
-        *[F.col(f"_mh{i}") for i in range(len(hashing.MINHASH_PERMS))]
-    )
-    sig_arrays = per_doc.select("doc_id", sig.alias("sig"))
+    per_doc = _minhash_per_doc(docs, text_col).cache()  # bands + sig columns
     n_perms = len(hashing.MINHASH_PERMS)
-    n_match = F.aggregate(
-        F.zip_with(
-            F.col("_s1"),
-            F.col("_s2"),
-            lambda x, y: F.when(x == y, 1).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
+    # Component columns stay UNROLLED (16 int columns per side, matched by
+    # 16 plain equality terms) rather than zipped into arrays: higher-order
+    # functions (zip_with/aggregate) fall out of whole-stage codegen, and
+    # the unrolled form measured ~25% faster over millions of candidates.
+    sides = {
+        side: per_doc.select(
+            F.col("doc_id").alias(side),
+            *[F.col(f"_mh{i}").alias(f"_{side}_{i}") for i in range(n_perms)],
+        )
+        for side in ("doc1", "doc2")
+    }
+    n_match = sum(
+        F.when(F.col(f"_doc1_{i}") == F.col(f"_doc2_{i}"), 1).otherwise(0)
+        for i in range(n_perms)
     )
     return (
-        _lsh_candidates(_banded(per_doc))
-        .join(
-            sig_arrays.select(
-                F.col("doc_id").alias("doc1"), F.col("sig").alias("_s1")
-            ),
-            "doc1",
-        )
-        .join(
-            sig_arrays.select(
-                F.col("doc_id").alias("doc2"), F.col("sig").alias("_s2")
-            ),
-            "doc2",
-        )
+        _lsh_candidates(_banded(per_doc, sig="long"))
+        .join(sides["doc1"], "doc1")
+        .join(sides["doc2"], "doc2")
         .withColumn(
             "est_jaccard",
             n_match.cast("double") / F.lit(float(n_perms)),
@@ -292,7 +304,7 @@ def minhash_dup_pairs(
     hash collisions (P = 1e9+7 — negligible and fully deterministic), and
     the DuckDB oracle replicates the same hashes bit-for-bit."""
     per_doc = _minhash_per_doc(docs, text_col, with_token_sets=True).cache()
-    candidates = _lsh_candidates(_banded(per_doc))
+    candidates = _lsh_candidates(_banded(per_doc, sig="long"))
     # Shuffle-join the per-doc token-hash sets against the candidate pairs.
     # (Measured: broadcasting the array table loses — the wide array rows
     # make the broadcast build + per-task copy cost more than the shuffle.)

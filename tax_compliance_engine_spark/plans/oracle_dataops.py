@@ -14,7 +14,7 @@ Portability contract with the Spark implementations:
 from __future__ import annotations
 
 from ..functions import hashing
-from ..operators import similarity, textops
+from ..operators import dedup, similarity, textops
 from . import oracle
 
 TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -268,7 +268,10 @@ minhashes AS (
   GROUP BY doc_id, i),
 band_sigs AS (
   SELECT doc_id, CAST(i // {rows_per_band} AS INTEGER) AS band,
-         string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_sig
+         string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_sig,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list(mh ORDER BY i)),
+                     (s, m) -> (s * 31 + m) & {dedup._BAND_SIG_MASK}
+                    ) AS band_sig_long
   FROM minhashes GROUP BY doc_id, i // {rows_per_band})"""
 
 
@@ -286,7 +289,8 @@ def dedup_minhash_pairs_sql(threshold: float = 0.5) -> str:
 candidates AS (
   SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
   FROM band_sigs a JOIN band_sigs b
-    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+    ON a.band = b.band AND a.band_sig_long = b.band_sig_long
+   AND a.doc_id < b.doc_id),
 tok_arrays AS (
   SELECT doc_id, list(DISTINCT tok_hash) AS toks
   FROM tok_hashes GROUP BY doc_id),
@@ -315,7 +319,8 @@ sig_arrays AS (
 candidates AS (
   SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
   FROM band_sigs a JOIN band_sigs b
-    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)
+    ON a.band = b.band AND a.band_sig_long = b.band_sig_long
+   AND a.doc_id < b.doc_id)
 SELECT c.doc1, c.doc2, {est} AS est_jaccard
 FROM candidates c
 JOIN sig_arrays s1 ON s1.doc_id = c.doc1
