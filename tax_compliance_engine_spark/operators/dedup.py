@@ -217,12 +217,13 @@ def _lsh_candidates(banded: DataFrame) -> DataFrame:
     """Distinct (doc1 < doc2) pairs sharing any band signature.
 
     Deliberately a join + DISTINCT rather than in-join first-shared-band
-    dedup (the trick embedding_dup_pairs uses): band signatures here are
-    multi-int strings, so carrying every band's signature on both sides of
-    the self-join widens the shuffled rows ~4× — measured 2-3× slower than
-    re-shuffling the narrow (doc1, doc2) stream through DISTINCT.  The
-    embedding variant wins the same trade only because its full signature
-    is a single already-carried long."""
+    dedup (the trick embedding_dup_pairs uses): carrying every band's
+    signature on both sides of the self-join widens the shuffled rows ~4×
+    (4 signatures vs 1) — measured 2-3× slower than re-shuffling the
+    narrow (doc1, doc2) stream through DISTINCT.  The embedding variant
+    wins the same trade only because its full signature is a single
+    already-carried long.  Callers pass the ``sig='long'`` banded form so
+    the join keys and the DISTINCT stream are integers, not strings."""
     a = banded.alias("a")
     b = banded.alias("b")
     return (
