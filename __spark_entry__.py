@@ -152,6 +152,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": oracle_dataops.doc_fingerprints_sql(),
         "doc_repetition": oracle_dataops.doc_repetition_sql(),
         "doc_scrub_pii": oracle_dataops.doc_scrub_pii_sql(),
+        "corpus_length_profile": oracle_dataops.corpus_length_profile_sql(),
         "dedup_exact": oracle_dataops.dedup_exact_sql(),
         "dedup_ngram_pairs": oracle_dataops.dedup_ngram_pairs_sql(),
         "dedup_minhash_sigs": oracle_dataops.dedup_minhash_sigs_sql(),

@@ -200,6 +200,20 @@ def doc_scrub_pii_sql() -> str:
 FROM documents"""
 
 
+def corpus_length_profile_sql() -> str:
+    # quantile_cont == Spark's exact `percentile` (same (n-1)*p linear
+    # interpolation, bit-identical); sum needs the HUGEINT->BIGINT cast
+    return """SELECT source,
+  count(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  AVG(n_chars) AS avg_chars,
+  quantile_cont(n_chars, 0.5) AS median_chars,
+  quantile_cont(n_chars, 0.9) AS p90_chars,
+  MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY source"""
+
+
 def dedup_exact_sql() -> str:
     return """SELECT doc_id, md5(text) AS digest,
   MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,

@@ -56,6 +56,24 @@ def doc_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.scrub_pii(_docs(spark, sf_dir))
 
 
+def corpus_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length distribution profile: count, total/mean,
+    EXACT median and p90 (sort-based ``percentile`` — bit-identical linear
+    interpolation to DuckDB's quantile_cont), max.  The per-source exact
+    percentile shuffles only (source, n_chars) pairs; at extreme scale the
+    approx_percentile sketch is the drop-in (t-digest, mergeable,
+    one-pass) — kept exact here so the oracle can gate it."""
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.avg("n_chars").alias("avg_chars"),
+        F.expr("percentile(n_chars, 0.5)").alias("median_chars"),
+        F.expr("percentile(n_chars, 0.9)").alias("p90_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
