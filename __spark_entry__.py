@@ -55,8 +55,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Rate-database queries (P5-P6, O1-O3)
         "rates_top10": q.rates_top10,
         # rates_lowest10: driver row dropped (reverse sort of rates_top10; pytest kept)
-        "no_tax_states": q.no_tax_states,
+        # no_tax_states: slot reclaimed r4 for pricing_rollup — the P5 filter
+        # stays oracle-swept + pytest'd, and tax_calc exercises the same
+        # no-tax-state logic end-to-end
         "states_exempting_grocery": q.states_exempting_grocery,
+        "pricing_rollup": q.pricing_rollup,  # single-pass multi-level ROLLUP
         # Generic relational / windowed surface over the star schema
         "pricing_summary": q.pricing_summary,
         "top_customers": q.top_customers,
@@ -73,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": qd.doc_lang_id,
         "doc_token_counts": qd.doc_token_counts,
         "doc_fingerprints": qd.doc_fingerprints,
+        "doc_repetition": qd.doc_repetition,  # Gopher-style repetition flags
         # Deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash
         "dedup_exact": qd.dedup_exact,
         "dedup_ngram_pairs": qd.dedup_ngram_pairs,
@@ -97,7 +101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": qd.embedding_quantize,
         "corpus_vocab_top": qd.corpus_vocab_top,
         "doc_tfidf_top_terms": qd.doc_tfidf_top_terms,
-        "corpus_sample": qd.corpus_sample,
+        # corpus_sample: slot reclaimed r4 for doc_repetition — the stratified
+        # variant drives the same LCG hash-sampling primitive; plain sample
+        # stays oracle-swept + pytest'd
         "corpus_stratified_sample": qd.corpus_stratified_sample,
         "corpus_mixture": qd.corpus_mixture,
         "corpus_pack_bins": qd.corpus_pack_bins,
@@ -109,12 +115,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # Names present here but absent from queries() (refund_quick_scan,
-    # rates_lowest10, dedup_minhash_sigs, dedup_simhash_sigs) are
-    # intentionally retained: their driver slot was reclaimed under the
-    # 50-entry cap, but scripts/check_oracle.py sweeps oracle-only entries
-    # against the same-named plans.queries/queries_dataops function, so they
-    # stay bit-exact-verified locally and can be re-registered any time.
+    # Names present here but absent from queries() are intentionally
+    # retained: either their driver slot was reclaimed under the 50-entry
+    # cap or they were added oracle-first when the registry was full.
+    # scripts/check_oracle.py sweeps every oracle-only entry against the
+    # same-named plans.queries/queries_dataops function (and
+    # tests/test_plan_audit.py audits their physical plans), so they stay
+    # bit-exact-verified locally and can be re-registered any time.
     return {
         "tax_calc": oracle.tax_calc_sql(),
         "tax_calc_inclusive": oracle.tax_calc_inclusive_sql(),
