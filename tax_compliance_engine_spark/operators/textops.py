@@ -183,24 +183,50 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     toks = docs.select("doc_id", tokens_col(F.col(text_col)).alias("toks"))
 
-    def top_frac(grams: DataFrame, out: str) -> DataFrame:
-        counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
-        return counts.groupBy("doc_id").agg(
-            (
-                F.max("cnt").cast("double") / F.sum("cnt").cast("double")
-            ).alias(out)
+    # ONE corpus pass for all three gram sizes: tag each gram with its size
+    # and explode the concatenated arrays, then count/aggregate keyed by
+    # (doc_id, kind[, gram]).  Separate per-size passes would scan the
+    # corpus three times — the difference between one and three full reads
+    # at production scale.
+    def tagged(kind: int, grams: Column) -> Column:
+        return F.transform(
+            grams,
+            lambda g: F.struct(
+                F.lit(kind).alias("kind"), g.alias("gram")
+            ),
         )
 
-    uni = toks.select("doc_id", F.explode("toks").alias("gram"))
-    n_tokens = uni.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
-    top1 = top_frac(uni, "top_token_frac")
-    top2 = top_frac(
-        toks.select("doc_id", F.explode(_ngram_join_col(F.col("toks"), 2)).alias("gram")),
-        "top_bigram_frac",
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                tagged(1, F.col("toks")),
+                tagged(2, _ngram_join_col(F.col("toks"), 2)),
+                tagged(3, _ngram_join_col(F.col("toks"), 3)),
+            )
+        ).alias("kg"),
+    ).select("doc_id", "kg.kind", "kg.gram")
+    per_kind = (
+        grams.groupBy("doc_id", "kind", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id", "kind")
+        .agg(F.max("cnt").alias("top"), F.sum("cnt").alias("tot"))
     )
-    top3 = top_frac(
-        toks.select("doc_id", F.explode(_ngram_join_col(F.col("toks"), 3)).alias("gram")),
-        "top_trigram_frac",
+
+    def kind_col(kind: int, col: str) -> Column:
+        return F.max(F.when(F.col("kind") == kind, F.col(col)))
+
+    def frac(kind: int) -> Column:
+        return (
+            kind_col(kind, "top").cast("double")
+            / kind_col(kind, "tot").cast("double")
+        )
+
+    profile = per_kind.groupBy("doc_id").agg(
+        kind_col(1, "tot").alias("n_tokens"),
+        frac(1).alias("top_token_frac"),
+        frac(2).alias("top_bigram_frac"),
+        frac(3).alias("top_trigram_frac"),
     )
 
     from pyspark.sql.window import Window
@@ -227,10 +253,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     out = (
         docs.select("doc_id")
-        .join(n_tokens, "doc_id", "left")
-        .join(top1, "doc_id", "left")
-        .join(top2, "doc_id", "left")
-        .join(top3, "doc_id", "left")
+        .join(profile, "doc_id", "left")
         .join(runs, "doc_id", "left")
         .select(
             "doc_id",
