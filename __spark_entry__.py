@@ -149,6 +149,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": oracle.events_sessions_sql(),
         "events_hourly": oracle.events_hourly_sql(),
         "events_asof": oracle.events_asof_sql(),
+        "events_asof_next": oracle.events_asof_next_sql(),
         "events_range_pairs": oracle.events_range_pairs_sql(),
         "region_revenue": oracle.region_revenue_sql(),
         "customers_without_orders": oracle.customers_without_orders_sql(),

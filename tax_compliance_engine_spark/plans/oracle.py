@@ -733,6 +733,25 @@ FROM p LEFT JOIN LATERAL (
   LIMIT 1) l ON TRUE"""
 
 
+def events_asof_next_sql() -> str:
+    # forward twin: earliest at-or-after purchase, smallest-id tie-break
+    return """WITH c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS c_ts_us, value AS c_value
+  FROM events WHERE event_type = 'click'),
+p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS p_ts_us, value AS p_value
+  FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, c.c_ts_us, c.c_value,
+       l.p_event_id, l.p_ts_us, l.p_value,
+       l.p_ts_us - c.c_ts_us AS lead_us
+FROM c LEFT JOIN LATERAL (
+  SELECT p.event_id AS p_event_id, p.p_ts_us, p.p_value
+  FROM p
+  WHERE p.user_id = c.user_id AND p.p_ts_us >= c.c_ts_us
+  ORDER BY p.p_ts_us ASC, p.event_id ASC
+  LIMIT 1) l ON TRUE"""
+
+
 def events_range_pairs_sql(window_hours: int = 4) -> str:
     # The textbook inequality join the bucketized band join replicates.
     window_us = window_hours * 3600 * 1_000_000

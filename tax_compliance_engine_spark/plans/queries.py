@@ -518,6 +518,44 @@ def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_asof_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: every click matched to the same user's earliest
+    at-or-after purchase (conversion join) — the mirrored direction of
+    ``events_asof``, tie-broken by smallest purchase event_id."""
+    from ..operators import temporal
+
+    ev = _events_with_ts_us(spark, sf_dir)
+    c = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us", F.col("value").alias("c_value")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        "user_id",
+        "ts_us",
+        F.col("value").alias("p_value"),
+    )
+    joined = temporal.asof_join(
+        c,
+        p,
+        on="ts_us",
+        by="user_id",
+        tiebreak="p_event_id",
+        right_cols=["p_event_id", "ts_us", "p_value"],
+        suffix="_p",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("c_ts_us"),
+        "c_value",
+        F.col("p_event_id_p").alias("p_event_id"),
+        F.col("ts_us_p").alias("p_ts_us"),
+        F.col("p_value_p").alias("p_value"),
+        (F.col("ts_us_p") - F.col("ts_us")).alias("lead_us"),
+    )
+
+
 def events_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) join over the event stream: all (purchase, click)
     pairs of the same user with the click inside the purchase's 4-hour
