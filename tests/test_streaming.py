@@ -235,3 +235,50 @@ def test_streaming_sessionization_timeout_closes_idle_session(spark, tmp_path):
     assert (2, base + 5, base + 5, 1) in got
     # u1's day-apart singleton sessions close on each next event's arrival
     assert (1, base, base, 1) in got and (1, base + 86400, base + 86400, 1) in got
+
+
+def test_stream_stream_attribution_matches_batch_range_join(spark, tmp_path):
+    """The watermarked stream-stream interval join must produce exactly the
+    batch range_join's pair set when the whole corpus is drained."""
+    import shutil
+
+    from tax_compliance_engine_spark.plans import queries
+    from tax_compliance_engine_spark.streaming import attribution
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "events.parquet")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def stream(event_type):
+        return (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            .filter(f"event_type = '{event_type}'")
+        )
+
+    q = (
+        attribution.attribution_join(stream("purchase"), stream("click"))
+        .writeStream.format("memory")
+        .queryName("attr_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.user_id, r.p_event_id, r.click_event_id, r.gap_us)
+        for r in spark.sql("SELECT * FROM attr_out").collect()
+    }
+    want = {
+        (r.user_id, r.p_event_id, r.click_event_id, r.gap_us)
+        for r in queries.events_range_pairs(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == want and len(got) > 0
