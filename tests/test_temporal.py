@@ -195,3 +195,49 @@ def test_asof_sharded_tiny_width_still_exact(spark):
     assert sorted(plain.collect(), key=key) == sorted(
         sharded.collect(), key=key
     )
+
+
+def test_events_ts_helpers_handle_both_encodings(spark, tmp_path):
+    """The driver has shipped events.ts both as parquet TIMESTAMP(NANOS)
+    (read as raw int64 nanos) and as plain TIMESTAMP micros — the ts_sec /
+    ts_us derivations must yield identical integers for both encodings."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tax_compliance_engine_spark.plans.queries import (
+        _events_with_ts_sec,
+        _events_with_ts_us,
+    )
+
+    micros = [1_704_067_200_123_456, 1_704_070_800_999_999]
+    base = {
+        "event_id": [1, 2],
+        "user_id": [10, 10],
+        "event_type": ["click", "purchase"],
+        "value": [1.0, 2.0],
+        "props": ["{}", "{}"],
+    }
+
+    d_ts = tmp_path / "ts_us"
+    d_ts.mkdir()
+    pq.write_table(
+        pa.table({**base, "ts": pa.array(micros, pa.timestamp("us"))}),
+        d_ts / "events.parquet",
+    )
+    d_ns = tmp_path / "ts_ns"
+    d_ns.mkdir()
+    pq.write_table(
+        pa.table({**base, "ts": pa.array([m * 1000 for m in micros], pa.int64())}),
+        d_ns / "events.parquet",
+    )
+
+    for helper, col, expect in (
+        (_events_with_ts_sec, "ts_sec", [m // 1_000_000 for m in micros]),
+        (_events_with_ts_us, "ts_us", micros),
+    ):
+        for d in (d_ts, d_ns):
+            got = [
+                r[col]
+                for r in helper(spark, str(d)).orderBy("event_id").collect()
+            ]
+            assert got == expect, (helper.__name__, d.name)
