@@ -250,19 +250,29 @@ def decontaminate(
     benchmark: DataFrame,
     n: int = 5,
     text_col: str = "text",
+    max_broadcast_grams: int = 5_000_000,
 ) -> DataFrame:
     """Benchmark decontamination: drop every corpus doc sharing ANY token
     n-gram with a benchmark doc (the standard pre-training hygiene filter).
 
     Shingle anti-join: corpus n-grams ⟕ benchmark n-gram set.  The
-    benchmark side is distinct shingles only — small enough to broadcast at
-    real scale, so the corpus never shuffles."""
+    benchmark side is distinct shingles only — normally tiny, so it
+    broadcasts and the corpus side never shuffles.  Guarded: when the
+    distinct shingle count exceeds ``max_broadcast_grams`` (a huge decontam
+    list — every eval suite + held-out docs — would blow the broadcast
+    limit or the driver), the join falls back to a plain shuffle semi-join;
+    the tiny count(*) probe costs one aggregation over the (small)
+    benchmark side only.  Both paths produce identical results."""
     corpus_grams = _doc_ngrams(docs, text_col, n)
     bench_grams = (
-        _doc_ngrams(benchmark, text_col, n).select("gram").distinct()
+        _doc_ngrams(benchmark, text_col, n).select("gram").distinct().cache()
+    )
+    n_grams = bench_grams.count()  # also materializes the cache for the join
+    bench_side = (
+        F.broadcast(bench_grams) if n_grams <= max_broadcast_grams else bench_grams
     )
     contaminated = (
-        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        corpus_grams.join(bench_side, "gram")
         .select("doc_id")
         .distinct()
     )

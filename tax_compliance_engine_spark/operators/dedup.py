@@ -351,7 +351,15 @@ def dup_clusters(
     round is one join + one groupBy; ``localCheckpoint`` truncates the
     lineage so the plan stays constant-size — the standard large-scale
     connected-components loop, no graph library needed.  Deterministic, so
-    the DuckDB oracle replicates it with a recursive CTE."""
+    the DuckDB oracle replicates it with a recursive CTE.
+
+    Raises RuntimeError if ``max_iter`` rounds pass without convergence
+    (a component with diameter > max_iter — e.g. a long boilerplate chain)
+    rather than silently returning wrong labels; raise ``max_iter`` or
+    pre-split such graphs.  Plain min-label propagation needs diameter
+    rounds by design; the large-diameter refinement is the alternating
+    large-star/small-star algorithm (Kiveris et al. 2014), out of scope
+    while near-dup graphs stay dense/small-diameter."""
     edges = pairs.select(
         F.col("doc1").cast("long").alias("node"),
         F.col("doc2").cast("long").alias("nbr"),
@@ -365,6 +373,7 @@ def dup_clusters(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             adj.join(
@@ -394,7 +403,14 @@ def dup_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iter} rounds: the pair "
+            "graph has a component with diameter > max_iter; raise max_iter "
+            "(rounds needed = component diameter) or pre-split the graph"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

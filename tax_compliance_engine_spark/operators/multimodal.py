@@ -64,21 +64,33 @@ def _extract_features_batches(
 ) -> Iterator[pd.DataFrame]:
     """Arrow-batched feature extraction.
 
-    STUB: a real implementation decodes the payload (PIL/librosa/ffmpeg —
-    not available in this container) and emits model-ready features.  The
-    deterministic fake below (first 8 payload bytes as ints) keeps the
-    pipeline shape — batch in, batch out, columnar — fully exercised."""
+    PPM payloads get a REAL decode (numpy parse via ``_decode_ppm``) and
+    emit [w, h, mean_r, mean_g, mean_b] as the feature vector.  Other
+    formats fall back to the deterministic stand-in (first 8 payload bytes
+    as ints — a real JPEG/audio decoder needs PIL/librosa/ffmpeg, not
+    available in this container); either way the pipeline shape — batch
+    in, batch out, columnar — is fully exercised."""
+    import numpy as np
+
     for pdf in batches:
-        feats = [
-            list(p[:8]) if p is not None else None for p in pdf["payload"]
-        ]
+        feats, decoders = [], []
+        for fmt, p in zip(pdf["format"], pdf["payload"]):
+            arr = _decode_ppm(p) if fmt == "ppm" else None
+            if arr is not None:
+                h, w, _ = arr.shape
+                means = arr.astype(np.int64).sum(axis=(0, 1)) // (w * h)
+                feats.append([w, h, int(means[0]), int(means[1]), int(means[2])])
+                decoders.append("ppm-numpy")
+            else:
+                feats.append(list(p[:8]) if p is not None else None)
+                decoders.append("stub-first8bytes")
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "media_type": pdf["media_type"],
                 "payload_size": pdf["payload_size"],
                 "feature": feats,
-                "decoder": "stub-first8bytes",
+                "decoder": decoders,
             }
         )
 
@@ -89,16 +101,135 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract_features_batches, schema=FEATURE_SCHEMA)
 
 
-def decode_image(media: DataFrame) -> DataFrame:
-    """Real image decode entry point — intentionally unimplemented here.
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("img_w", IntegerType(), True),
+        StructField("img_h", IntegerType(), True),
+        StructField("n_pixels", LongType(), True),
+        StructField("sum_r", LongType(), True),
+        StructField("sum_g", LongType(), True),
+        StructField("sum_b", LongType(), True),
+    ]
+)
 
-    Raises NotImplementedError: image libraries (PIL/opencv) are not in this
-    container.  ``extract_features`` demonstrates the identical plumbing
-    with a deterministic stand-in."""
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv which are not available in this "
-        "environment; use extract_features() for the plumbing-equivalent stub"
-    )
+
+def synth_ppm(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic binary-P6 PPM payload per id (Arrow-batched
+    ``mapInPandas``) — the image-ingest fixture generator.
+
+    Dimensions and pixels are pure functions of the id (w = 4 + id%5,
+    h = 3 + id%4; row y is a constant color (id+y, 2id+3y, 5id+7y) mod
+    256), so downstream decode results are analytically derivable — the
+    property the DuckDB oracle uses to hash-gate the REAL decode path."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 4 + i % 5, 3 + i % 4
+                ys = np.arange(h, dtype=np.int64)
+                rows = np.stack(
+                    [(i + ys) % 256, (2 * i + 3 * ys) % 256, (5 * i + 7 * ys) % 256],
+                    axis=1,
+                ).astype(np.uint8)  # (h, 3) — one RGB color per row
+                pixels = np.repeat(rows[:, None, :], w, axis=1)  # (h, w, 3)
+                payloads.append(
+                    f"P6\n{w} {h}\n255\n".encode("ascii") + pixels.tobytes()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "payload_size": [len(p) for p in payloads],
+                    "format": "ppm",
+                }
+            )
+
+    return ids.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def _decode_ppm(payload: bytes):
+    """Parse one binary-P6 PPM into an (h, w, 3) uint8 array, or None for
+    malformed payloads.  Header = magic, width, height, maxval as
+    whitespace-separated tokens ('#' comment lines skipped), then one
+    whitespace byte, then raw RGB bytes."""
+    import numpy as np
+
+    if payload is None or not payload.startswith(b"P6"):
+        return None
+    tokens: list[bytes] = []
+    pos = 2
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c == b"#":  # comment: skip to end of line
+            pos = payload.find(b"\n", pos)
+            if pos < 0:
+                return None
+            pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end : end + 1].isspace():
+                end += 1
+            tokens.append(payload[pos:end])
+            pos = end
+    if len(tokens) < 3:
+        return None
+    try:
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    pos += 1  # the single whitespace byte after maxval
+    if maxval != 255 or w <= 0 or h <= 0 or len(payload) - pos < w * h * 3:
+        return None
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return arr.reshape(h, w, 3)
+
+
+def decode_image(media: DataFrame) -> DataFrame:
+    """REAL image decode over the media table for the dependency-free PPM
+    (P6) format: numpy header parse + frombuffer + per-channel integer
+    sums, Arrow-batched through ``mapInPandas`` (partition-parallel, no
+    shuffle).  Malformed PPM payloads decode to NULL stats.
+
+    Rows in any other format raise NotImplementedError (JPEG/PNG/audio
+    need PIL/opencv/librosa, which are not in this container); the PPM
+    path is the end-to-end-verified template a real codec drops into."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in IMAGE_STATS_SCHEMA}
+            for doc_id, fmt, payload in zip(
+                pdf["doc_id"], pdf["format"], pdf["payload"]
+            ):
+                if fmt != "ppm":
+                    raise NotImplementedError(
+                        f"no decoder for format {fmt!r}: only PPM decodes "
+                        "without imaging libraries (PIL/opencv unavailable)"
+                    )
+                arr = _decode_ppm(payload)
+                out["doc_id"].append(doc_id)
+                if arr is None:
+                    for k in ("img_w", "img_h", "n_pixels", "sum_r", "sum_g", "sum_b"):
+                        out[k].append(None)
+                    continue
+                h, w, _ = arr.shape
+                sums = arr.astype(np.int64).sum(axis=(0, 1))
+                out["img_w"].append(w)
+                out["img_h"].append(h)
+                out["n_pixels"].append(w * h)
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=IMAGE_STATS_SCHEMA)
 
 
 RESIZE_SCHEMA = StructType(

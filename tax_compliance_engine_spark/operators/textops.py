@@ -289,17 +289,21 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     with typed placeholder tokens and count what was removed, then collapse
     the whitespace the removals may have disturbed.
 
+    Each count is computed on the PROGRESSIVELY scrubbed text (pattern i
+    counts matches in the text after replacements 1..i-1 ran), so
+    ``n_<name>`` equals the number of replacements that pattern actually
+    performed — an email inside a URL counts once as a URL, not twice.
+
     Pure chained ``regexp_replace`` / ``regexp_count`` Column expressions —
     embarrassingly parallel, whole-stage codegen, no shuffle; the count
     columns let a pipeline quarantine high-PII documents instead of just
     silently rewriting them."""
-    text = F.col(text_col)
-    counts = [
-        F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}")
-        for name, pat, _ in SCRUB_PATTERNS
-    ]
-    scrubbed = text
-    for _, pat, repl in SCRUB_PATTERNS:
+    counts = []
+    scrubbed = F.col(text_col)
+    for name, pat, repl in SCRUB_PATTERNS:
+        counts.append(
+            F.regexp_count(scrubbed, F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     scrubbed = F.trim(F.regexp_replace(scrubbed, " +", " "))
     return docs.select(

@@ -384,6 +384,25 @@ SELECT reason_prefix AS reason, CAST(SUM(overpayment) AS DOUBLE) AS amount
 FROM refund_records GROUP BY reason_prefix"""
 
 
+def refund_breakdowns_sql() -> str:
+    """Twin of queries.refund_breakdowns: state + reason + quick-scan
+    aggregate arms over one records CTE, marker-tagged."""
+    return f"""WITH {_refund_ctes().lstrip()}
+SELECT 'state' AS dim, state AS key, count(*) AS n_records,
+       CAST(SUM(overpayment) AS DOUBLE) AS amount
+FROM refund_records GROUP BY state
+UNION ALL
+SELECT 'reason' AS dim, reason_prefix AS key, count(*) AS n_records,
+       CAST(SUM(overpayment) AS DOUBLE) AS amount
+FROM refund_records GROUP BY reason_prefix
+UNION ALL
+SELECT 'scan' AS dim, state AS key, count(*) AS n_records,
+       CAST(SUM(overpayment) AS DOUBLE) AS amount
+FROM refund_records
+WHERE overpayment >= CAST(1.00 AS DECIMAL(18,2))
+GROUP BY state"""
+
+
 def refund_summary_sql() -> str:
     return f"""WITH {_refund_ctes().lstrip()}
 SELECT count(*) AS overpayment_count,
@@ -605,6 +624,27 @@ def no_tax_states_sql() -> str:
 SELECT state_code FROM state_rates WHERE base_rate = 0 ORDER BY state_code"""
 
 
+def rates_extremes_sql() -> str:
+    """Twin of queries.rates_extremes: top-10 / lowest-10-nonzero / no-tax
+    buckets over the state_rates dim, marker-tagged."""
+    return f"""WITH {dim_ctes().lstrip()}
+SELECT 'top' AS bucket, * FROM (
+  SELECT state_code, state_name,
+         CAST(avg_combined_rate AS DOUBLE) AS avg_combined_rate
+  FROM state_rates
+  ORDER BY avg_combined_rate DESC, state_code LIMIT 10)
+UNION ALL
+SELECT 'low' AS bucket, * FROM (
+  SELECT state_code, state_name,
+         CAST(avg_combined_rate AS DOUBLE) AS avg_combined_rate
+  FROM state_rates WHERE base_rate > 0
+  ORDER BY avg_combined_rate ASC, state_code LIMIT 10)
+UNION ALL
+SELECT 'zero' AS bucket, state_code, state_name,
+       CAST(avg_combined_rate AS DOUBLE) AS avg_combined_rate
+FROM state_rates WHERE base_rate = 0"""
+
+
 def states_exempting_grocery_sql() -> str:
     return f"""WITH {dim_ctes().lstrip()}
 SELECT state_code FROM state_exemptions WHERE category = 'grocery'
@@ -750,6 +790,22 @@ FROM c LEFT JOIN LATERAL (
   WHERE p.user_id = c.user_id AND p.p_ts_us >= c.c_ts_us
   ORDER BY p.p_ts_us ASC, p.event_id ASC
   LIMIT 1) l ON TRUE"""
+
+
+def events_asof_both_sql() -> str:
+    """Twin of queries.events_asof_both: both ordered-LATERAL as-of
+    directions renamed to the common (event, matched) schema and unioned."""
+    return f"""SELECT 'backward' AS direction, event_id, user_id,
+       p_ts_us AS ts_us, p_value AS value,
+       click_event_id AS matched_event_id, click_ts_us AS matched_ts_us,
+       click_value AS matched_value, lag_us AS delta_us
+FROM ({events_asof_sql()})
+UNION ALL
+SELECT 'forward' AS direction, event_id, user_id,
+       c_ts_us AS ts_us, c_value AS value,
+       p_event_id AS matched_event_id, p_ts_us AS matched_ts_us,
+       p_value AS matched_value, lead_us AS delta_us
+FROM ({events_asof_next_sql()})"""
 
 
 def events_range_pairs_sql(window_hours: int = 4) -> str:

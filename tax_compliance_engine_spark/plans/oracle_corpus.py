@@ -65,6 +65,21 @@ def corpus_stratified_sample_sql(per_stratum: int = 10) -> str:
 SELECT doc_id, source FROM ranked WHERE rn <= {per_stratum}"""
 
 
+def corpus_samples_sql(rate: float = 0.25, per_stratum: int = 10) -> str:
+    """Twin of queries_dataops.corpus_samples: plain LCG rate sample and
+    per-stratum quota sample, marker-tagged (both arms carry lang)."""
+    threshold = int(rate * corpus.SAMPLE_MOD)
+    return f"""SELECT 'plain' AS method, doc_id, source, lang FROM documents
+WHERE {_HASH} < {threshold}
+UNION ALL
+SELECT 'stratified' AS method, doc_id, source, lang FROM (
+  SELECT doc_id, source, lang,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {_HASH}, doc_id) AS rn
+  FROM documents)
+WHERE rn <= {per_stratum}"""
+
+
 def corpus_mixture_sql(
     weights: dict[str, float] | None = None, default_rate: float = 0.25
 ) -> str:

@@ -179,25 +179,56 @@ def doc_scrub_pii_sql() -> str:
     """Twin of textops.scrub_pii, generated from the SAME SCRUB_PATTERNS
     constant so the two engines can never drift.  Patterns are restricted
     to the Java-regex/RE2 common subset; DuckDB needs the explicit 'g'
-    flag Spark applies by default."""
+    flag Spark applies by default.  Counts are progressive (pattern i
+    counted on the text after replacements 1..i-1), matching the Spark
+    side's replacements-actually-performed semantics."""
     from ..operators.textops import SCRUB_PATTERNS
 
-    scrubbed = "text"
-    for _, pat, repl in SCRUB_PATTERNS:
-        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{repl}', 'g')"
-    scrubbed = f"trim(regexp_replace({scrubbed}, ' +', ' ', 'g'))"
-    counts = ",\n  ".join(
-        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
-        for name, pat, _ in SCRUB_PATTERNS
-    )
-    total = " + ".join(
-        f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in SCRUB_PATTERNS
-    )
-    return f"""SELECT doc_id,
-  {scrubbed} AS text_scrubbed,
-  {counts},
-  ({total}) > 0 AS had_pii
-FROM documents"""
+    cur = "text"
+    count_exprs = []
+    for name, pat, repl in SCRUB_PATTERNS:
+        count_exprs.append(
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS BIGINT) AS n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    scrubbed = f"trim(regexp_replace({cur}, ' +', ' ', 'g'))"
+    counts = ",\n  ".join(count_exprs)
+    total = " + ".join(f"n_{name}" for name, _, _ in SCRUB_PATTERNS)
+    return f"""WITH counted AS (
+  SELECT doc_id,
+    {scrubbed} AS text_scrubbed,
+    {counts}
+  FROM documents)
+SELECT *, ({total}) > 0 AS had_pii FROM counted"""
+
+
+def doc_profile_sql() -> str:
+    """Twin of queries_dataops.doc_profile: quality (incl. text_stats) ⋈
+    lang_id ⋈ token_counts on doc_id — each arm reuses its own twin SQL."""
+    return f"""WITH q AS (
+{doc_quality_sql()}
+),
+l AS (
+{doc_lang_id_sql()}
+),
+t AS (
+{doc_token_counts_sql()}
+)
+SELECT q.*, l.predicted_lang, l.lang_confidence, t.n_ws_tokens, t.n_bpe_tokens
+FROM q JOIN l USING (doc_id) JOIN t USING (doc_id)"""
+
+
+def doc_signals_sql() -> str:
+    """Twin of queries_dataops.doc_signals: fingerprints ⋈ repetition."""
+    return f"""WITH f AS (
+{doc_fingerprints_sql()}
+),
+r AS (
+{doc_repetition_sql()}
+)
+SELECT f.*, r.n_tokens, r.top_token_frac, r.top_bigram_frac,
+       r.top_trigram_frac, r.max_token_run, r.is_repetitive
+FROM f JOIN r USING (doc_id)"""
 
 
 def corpus_length_profile_sql() -> str:
@@ -294,6 +325,18 @@ def dedup_minhash_sigs_sql() -> str:
 SELECT doc_id, band, band_sig FROM band_sigs"""
 
 
+def dedup_sigs_sql() -> str:
+    """Twin of queries_dataops.dedup_sigs: banded MinHash signatures
+    unioned with the SimHash (as a decimal string), marker-tagged."""
+    return f"""WITH {_minhash_sig_ctes()},
+{_simhash_cte().lstrip()}
+SELECT 'minhash' AS algo, doc_id, band, band_sig AS sig FROM band_sigs
+UNION ALL
+SELECT 'simhash' AS algo, doc_id, CAST(0 AS INTEGER) AS band,
+       CAST(simhash AS VARCHAR) AS sig
+FROM simhashes"""
+
+
 def dedup_minhash_pairs_sql(threshold: float = 0.5) -> str:
     """Twin of minhash_dup_pairs: same banded candidates, and the exact
     verify intersects per-doc DISTINCT TOKEN-HASH sets (the portable
@@ -370,6 +413,28 @@ reach AS (
   SELECT a.node, r.lab FROM adj a JOIN reach r ON r.node = a.nbr
 )
 SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node"""
+
+
+def dedup_minhash_resolution_sql(threshold: float = 0.5) -> str:
+    """Twin of queries_dataops.dedup_minhash_resolution: the recursive-CTE
+    cluster id plus the one-pass keep flag (not a loser doc2) per doc."""
+    pairs_sql = dedup_minhash_pairs_sql(threshold)
+    return f"""WITH RECURSIVE pairs AS (
+{pairs_sql}
+),
+adj AS (
+  SELECT doc1 AS node, doc2 AS nbr FROM pairs
+  UNION ALL
+  SELECT doc2 AS node, doc1 AS nbr FROM pairs
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS lab FROM documents
+  UNION
+  SELECT a.node, r.lab FROM adj a JOIN reach r ON r.node = a.nbr
+)
+SELECT node AS doc_id, MIN(lab) AS cluster_id,
+       node NOT IN (SELECT doc2 FROM pairs) AS kept
+FROM reach GROUP BY node"""
 
 
 def _simhash_cte() -> str:
@@ -615,3 +680,28 @@ def multimodal_metadata_sql() -> str:
   CAST(octet_length(encode(text)) AS INTEGER) AS payload_size,
   'txt' AS format
 FROM documents"""
+
+
+def multimodal_profile_sql() -> str:
+    """Twin of queries_dataops.multimodal_profile: the metadata projection
+    joined with the ANALYTIC form of the PPM decode stats.  The synthetic
+    P6 payload for doc d is (4 + d%5) × (3 + d%4) with row y a constant
+    color ((d+y)%256, (2d+3y)%256, (5d+7y)%256), so the per-channel pixel
+    sums are w × Σ_y of those row values — what the Spark side's REAL
+    numpy decode must reproduce from the actual bytes."""
+    return """WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+row_sums AS (
+  SELECT doc_id, w, h,
+    CAST(SUM((doc_id + y) % 256) * w AS BIGINT) AS sum_r,
+    CAST(SUM((2 * doc_id + 3 * y) % 256) * w AS BIGINT) AS sum_g,
+    CAST(SUM((5 * doc_id + 7 * y) % 256) * w AS BIGINT) AS sum_b
+  FROM dims, unnest(range(0, h)) AS u(y)
+  GROUP BY doc_id, w, h)
+SELECT d.doc_id, 'text' AS media_type,
+  CAST(octet_length(encode(d.text)) AS INTEGER) AS payload_size,
+  'txt' AS format,
+  CAST(s.w AS INTEGER) AS img_w, CAST(s.h AS INTEGER) AS img_h,
+  CAST(s.w * s.h AS BIGINT) AS n_pixels,
+  s.sum_r, s.sum_g, s.sum_b
+FROM documents d JOIN row_sums s USING (doc_id)"""

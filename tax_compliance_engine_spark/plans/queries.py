@@ -192,6 +192,30 @@ def refund_reason_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def refund_breakdowns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite of the three refund aggregate views in ONE union-with-marker
+    result (driver-slot composite): per-state totals (dim='state'), per-
+    reason totals (dim='reason'), and the P8 quick-scan per-state totals
+    (dim='scan' — only overpayments ≥ $1.00, exercising the threshold
+    filter under the hash gate).  One record plan feeds all three arms."""
+    recs = _refund_records(spark, sf_dir)
+
+    def arm(dim: str, key: F.Column, filtered: DataFrame) -> DataFrame:
+        return filtered.groupBy(key.alias("key")).agg(
+            F.count("*").alias("n_records"),
+            F.sum("overpayment").cast(MONEY).cast("double").alias("amount"),
+        ).select(F.lit(dim).alias("dim"), "key", "n_records", "amount")
+
+    scan = recs.filter(
+        F.col("overpayment") >= F.lit("1.00").cast("decimal(18,2)")
+    )
+    return (
+        arm("state", F.col("state"), recs)
+        .unionByName(arm("reason", refund.reason_prefix(), recs))
+        .unionByName(arm("scan", F.col("state"), scan))
+    )
+
+
 def refund_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary, _, _, _ = refund.refund_summary(_refund_records(spark, sf_dir))
     return summary.select(
@@ -342,6 +366,32 @@ def no_tax_states(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("state_code")
         .orderBy("state_code")
     )
+
+
+def rates_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite rate-database query (driver-slot composite): the top-10
+    highest combined rates (bucket='top'), the 10 lowest NONZERO rates
+    (bucket='low'), and every no-sales-tax state (bucket='zero') in one
+    marker-tagged union — O1 + O2 + P5 under a single hash gate."""
+    rates = _dims(spark).state_rates
+    cols = ["state_code", "state_name", _d("avg_combined_rate")]
+    top = (
+        rates.select(*cols)
+        .orderBy(F.desc("avg_combined_rate"), "state_code")
+        .limit(10)
+        .select(F.lit("top").alias("bucket"), "*")
+    )
+    low = (
+        rates.filter(F.col("base_rate") > 0)
+        .select(*cols)
+        .orderBy("avg_combined_rate", "state_code")
+        .limit(10)
+        .select(F.lit("low").alias("bucket"), "*")
+    )
+    zero = rates.filter(F.col("base_rate") == 0).select(
+        F.lit("zero").alias("bucket"), *cols
+    )
+    return top.unionByName(low).unionByName(zero)
 
 
 def states_exempting_grocery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -554,6 +604,37 @@ def events_asof_next(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_value_p").alias("p_value"),
         (F.col("ts_us_p") - F.col("ts_us")).alias("lead_us"),
     )
+
+
+def events_asof_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH as-of directions in one marker-tagged union (driver-slot
+    composite): 'backward' = purchases attributed to the latest at-or-
+    before click (events_asof), 'forward' = clicks converted by the
+    earliest at-or-after purchase (events_asof_next), renamed to a common
+    (event, matched) schema.  delta_us is the non-negative gap in both."""
+    back = events_asof(spark, sf_dir).select(
+        F.lit("backward").alias("direction"),
+        "event_id",
+        "user_id",
+        F.col("p_ts_us").alias("ts_us"),
+        F.col("p_value").alias("value"),
+        F.col("click_event_id").alias("matched_event_id"),
+        F.col("click_ts_us").alias("matched_ts_us"),
+        F.col("click_value").alias("matched_value"),
+        F.col("lag_us").alias("delta_us"),
+    )
+    fwd = events_asof_next(spark, sf_dir).select(
+        F.lit("forward").alias("direction"),
+        "event_id",
+        "user_id",
+        F.col("c_ts_us").alias("ts_us"),
+        F.col("c_value").alias("value"),
+        F.col("p_event_id").alias("matched_event_id"),
+        F.col("p_ts_us").alias("matched_ts_us"),
+        F.col("p_value").alias("matched_value"),
+        F.col("lead_us").alias("delta_us"),
+    )
+    return back.unionByName(fwd)
 
 
 def events_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

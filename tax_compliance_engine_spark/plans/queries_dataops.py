@@ -56,6 +56,30 @@ def doc_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.scrub_pii(_docs(spark, sf_dir))
 
 
+def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite per-document text profile (driver-slot composite): the
+    stats + quality-score family joined with language ID and token counts
+    on doc_id — text_stats, quality_score, lang_id, and token_counts each
+    contribute their full column set to one hash-gated row per doc."""
+    docs = _docs(spark, sf_dir)
+    quality = textops.quality_score(textops.text_stats(docs))
+    lang = textops.lang_id(docs)
+    toks = textops.token_counts(docs).select(
+        "doc_id", "n_ws_tokens", "n_bpe_tokens"  # n_chars already in stats
+    )
+    return quality.join(lang, "doc_id").join(toks, "doc_id")
+
+
+def doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite dedup-signal profile (driver-slot composite): the three
+    fingerprint digests joined with the Gopher-style repetition stats on
+    doc_id — fingerprints and repetition_stats under one hash gate."""
+    docs = _docs(spark, sf_dir)
+    return textops.fingerprints(docs).join(
+        textops.repetition_stats(docs), "doc_id"
+    )
+
+
 def corpus_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document-length distribution profile: count, total/mean,
     EXACT median and p90 (sort-based ``percentile`` — bit-identical linear
@@ -86,6 +110,27 @@ def dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(_docs(spark, sf_dir))
 
 
+def dedup_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite signature table (driver-slot composite): the banded
+    MinHash signatures (algo='minhash', one row per band) unioned with the
+    30-bit SimHash (algo='simhash', band=0, sig = decimal string) — both
+    signature families under one hash gate."""
+    docs = _docs(spark, sf_dir)
+    mh = dedup.minhash_signatures(docs).select(
+        F.lit("minhash").alias("algo"),
+        "doc_id",
+        "band",
+        F.col("band_sig").alias("sig"),
+    )
+    sh = dedup.simhash_signatures(docs).select(
+        F.lit("simhash").alias("algo"),
+        "doc_id",
+        F.lit(0).cast("int").alias("band"),
+        F.col("simhash").cast("string").alias("sig"),
+    )
+    return mh.unionByName(sh)
+
+
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dup_pairs(_docs(spark, sf_dir), threshold=0.5)
 
@@ -108,6 +153,27 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = dedup.minhash_dup_pairs(docs, threshold=0.5)
     return dedup.dup_clusters(docs.select("doc_id"), pairs)
+
+
+def dedup_minhash_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite near-dup resolution (driver-slot composite): the transitive
+    cluster id (dup_clusters) AND the one-pass keep decision
+    (near_dedup_filter) for every doc in one row — both resolution
+    strategies over the same MinHash pair graph under one hash gate.
+    ``kept`` is the single-pass min-id rule, so a chain a~b~c keeps c even
+    though c's cluster_id is a (the documented difference between the two
+    strategies, now pinned by the oracle)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_dup_pairs(docs, threshold=0.5)
+    clusters = dedup.dup_clusters(docs.select("doc_id"), pairs)
+    losers = pairs.select(F.col("doc2").alias("doc_id")).distinct().withColumn(
+        "_lost", F.lit(True)
+    )
+    return clusters.join(losers, "doc_id", "left").select(
+        "doc_id",
+        "cluster_id",
+        F.coalesce(~F.col("_lost"), F.lit(True)).alias("kept"),
+    )
 
 
 def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,6 +345,21 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def corpus_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite sampling query (driver-slot composite): the plain LCG-hash
+    rate sample (method='plain') unioned with the per-stratum quota sample
+    (method='stratified') — both deterministic sampling primitives under
+    one hash gate."""
+    docs = _docs(spark, sf_dir)
+    plain = corpus.deterministic_sample(docs, rate=0.25).select(
+        F.lit("plain").alias("method"), "doc_id", "source", "lang"
+    )
+    strat = corpus.stratified_sample(
+        docs, per_stratum=10, stratum_col="source"
+    ).select(F.lit("stratified").alias("method"), "doc_id", "source", "lang")
+    return plain.unionByName(strat)
+
+
 def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.mixture(
         _docs(spark, sf_dir),
@@ -302,6 +383,22 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.to_media_table(_docs(spark, sf_dir)).select(
         "doc_id", "media_type", "payload_size", "format"
     )
+
+
+def multimodal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite multimodal query (driver-slot composite): the media-table
+    metadata projection joined with REAL image-decode stats on doc_id.
+    The payloads are deterministic synthetic P6 PPMs (multimodal.synth_ppm
+    — dims and row colors are pure functions of doc_id), decoded for real
+    by numpy inside ``decode_image``'s mapInPandas; the DuckDB twin derives
+    the same per-channel pixel sums analytically, so the decode path itself
+    sits under the bit-exact hash gate."""
+    docs = _docs(spark, sf_dir)
+    meta = multimodal.to_media_table(docs).select(
+        "doc_id", "media_type", "payload_size", "format"
+    )
+    stats = multimodal.decode_image(multimodal.synth_ppm(docs.select("doc_id")))
+    return meta.join(stats, "doc_id")
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -17,8 +17,14 @@ streams.
 Semantics vs the batch twin: identical for in-order-within-watermark data —
 a session closes when a gap > ``gap_sec`` separates consecutive events; the
 session row carries (user_id, start, end, n_events) in epoch seconds.
-Late events *older than the watermark* are dropped by Spark before the
-operator runs (the standard streaming trade the batch job doesn't face).
+Cross-micro-batch late arrivals inside the watermark are handled, not just
+tolerated: an in-gap late event pulls the open session's START back
+(s = min(s, t)), and a late event more than a gap before the open session
+builds its own earlier closed session(s).  The one remaining skew (state
+keeps only the open-session summary, not its events) is that an
+already-emitted earlier session cannot be reopened by an even-later
+arrival.  Late events *older than the watermark* are dropped by Spark
+before the operator runs (the standard streaming trade).
 """
 
 from __future__ import annotations
@@ -71,15 +77,31 @@ def sessionize_stream(
                 s, e, n = state.get
             else:
                 s = e = n = None
+            # `early` buffers sessions built from late arrivals that precede
+            # the OPEN session's start by more than the gap: they can never
+            # merge into it, and sorted order puts them first in the batch.
+            early: tuple[int, int, int] | None = None
             for t in secs:
                 t = int(t)
                 if s is None:
                     s, e, n = t, t, 1
+                elif t < s - gap_sec:
+                    if early is not None and t - early[1] <= gap_sec:
+                        early = (early[0], t, early[2] + 1)
+                    else:
+                        if early is not None:
+                            closed.append((user_id, *early))
+                        early = (t, t, 1)
                 elif t - e > gap_sec:
                     closed.append((user_id, s, e, n))
                     s, e, n = t, t, 1
                 else:
-                    e, n = max(e, t), n + 1
+                    # in-gap arrival — possibly late (inside the watermark)
+                    # but before the open session's start: pull start back
+                    # so cross-batch disorder can't skew session_start_sec
+                    s, e, n = min(s, t), max(e, t), n + 1
+            if early is not None:
+                closed.append((user_id, *early))
             if s is not None:
                 state.update((s, e, n))
                 # fire once the watermark passes the gap horizon (ms epoch)
