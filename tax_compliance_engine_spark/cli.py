@@ -32,6 +32,11 @@ from .session import get_spark
 from .sources.transactions import scan_transactions_csv
 
 
+# Max per-transaction rows any CLI table renders (batch totals always come
+# from a full aggregation, so the cap only bounds the driver-side collect).
+RENDER_LIMIT = 50
+
+
 def _spark() -> SparkSession:
     return get_spark(app_name="tax-compliance-engine-cli")
 
@@ -64,7 +69,11 @@ def cmd_calculate(args: argparse.Namespace) -> None:
         table.add_column("Tax", justify="right")
         table.add_column("Rate", justify="right")
         table.add_column("Exempt", justify="center")
-        for r in results.collect():
+        # Per-transaction render is CAPPED: an unbounded .collect() on the
+        # one CLI path users feed big files to is a driver OOM at scale.
+        # Totals come from the separate aggregate, never the collected rows.
+        t = tax.batch_totals(results).collect()[0]
+        for r in results.limit(RENDER_LIMIT).collect():
             table.add_row(
                 r.transaction_id[:12],
                 r.state,
@@ -75,7 +84,11 @@ def cmd_calculate(args: argparse.Namespace) -> None:
                 "Y" if r.is_exempt else "",
             )
         print(table.render())
-        t = tax.batch_totals(results).collect()[0]
+        if t.transaction_count > RENDER_LIMIT:
+            print(
+                f"(showing {RENDER_LIMIT} of {t.transaction_count} "
+                "transactions; totals below cover all of them)"
+            )
         print()
         print(
             panel(
@@ -266,8 +279,11 @@ def cmd_refund(args: argparse.Namespace) -> None:
     if args.quick:
         minimum = args.minimum or "0.50"
         hits = refund.quick_scan(txns, dims, as_of, minimum).cache()
-        rows = hits.orderBy(F.desc("overpayment")).collect()
-        if not rows:
+        # count + total from an aggregation; the collect is capped
+        agg = hits.agg(
+            F.count("*").alias("n"), F.sum("overpayment").alias("total")
+        ).collect()[0]
+        if not agg.n:
             print("No significant overpayments found.")
             return
         table = Table(title="Quick Scan: Overpayments Found", box=ROUNDED)
@@ -275,6 +291,11 @@ def cmd_refund(args: argparse.Namespace) -> None:
         table.add_column("State")
         table.add_column("Overpayment", justify="right")
         table.add_column("Reason")
+        rows = (
+            hits.orderBy(F.desc("overpayment"), "transaction_id")
+            .limit(RENDER_LIMIT)
+            .collect()
+        )
         for r in rows:
             table.add_row(
                 r.transaction_id[:12],
@@ -283,8 +304,9 @@ def cmd_refund(args: argparse.Namespace) -> None:
                 r.reason[:40],
             )
         print(table.render())
-        total = sum(float(r.overpayment) for r in rows)
-        print(f"\nPotential refunds found: {len(rows)}  (${total:,.2f})")
+        if agg.n > RENDER_LIMIT:
+            print(f"(showing top {RENDER_LIMIT} of {agg.n} overpayments)")
+        print(f"\nPotential refunds found: {agg.n}  (${float(agg.total):,.2f})")
         return
 
     n_reviewed = txns.count()

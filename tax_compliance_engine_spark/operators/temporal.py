@@ -25,9 +25,22 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def _floor_div(col_expr: str, divisor: int) -> Column:
+    """Exact integer floor division over a named long column/expression.
+
+    ``F.floor(x / lit)`` would route through DOUBLE division — exact only
+    while |x| stays under 2^53, silently wrong for e.g. epoch nanoseconds
+    (~1.8e18), where a left-side explode and a right-side bucket could
+    disagree and drop matching pairs.  ``(x - pmod(x, w)) div w`` stays in
+    64-bit integer arithmetic at any magnitude (the numerator is an exact
+    multiple of w, so truncating `div` equals floor, negatives included)."""
+    d = int(divisor)
+    return F.expr(f"(({col_expr}) - pmod({col_expr}, {d})) div {d}")
 
 
 def asof_join(
@@ -125,7 +138,7 @@ def _asof_sharded(
         "*",
         (F.col("_on") * sign).alias("_s"),
         (F.col("_tb") * sign).alias("_t"),
-    ).withColumn("_shard", F.floor(F.col("_s") / F.lit(shard_width)))
+    ).withColumn("_shard", _floor_div("_s", shard_width))
 
     # 1. local pass: best right AT-OR-BEFORE each row within its own shard
     w_local = (
@@ -195,12 +208,12 @@ def range_join(
     """
     if upper < lower:
         raise ValueError("upper must be >= lower")
-    width = F.lit(int(upper - lower) if upper > lower else 1)
+    width = int(upper - lower) if upper > lower else 1
 
     l_buckets = F.array_distinct(
         F.array(
-            F.floor((F.col(left_ts) + F.lit(lower)) / width),
-            F.floor((F.col(left_ts) + F.lit(upper)) / width),
+            _floor_div(f"`{left_ts}` + {int(lower)}", width),
+            _floor_div(f"`{left_ts}` + {int(upper)}", width),
         )
     )
     l_side = left.withColumn("_bucket", F.explode(l_buckets))
@@ -208,7 +221,7 @@ def range_join(
     renames = {c: (f"{c}_r" if c in left.columns else c) for c in right_out}
     r_side = right.select(
         F.col(by),
-        F.floor(F.col(right_ts) / width).alias("_bucket"),
+        _floor_div(f"`{right_ts}`", width).alias("_bucket"),
         *[F.col(c).alias(renames[c]) for c in right_out],
     )
     rts = renames[right_ts]

@@ -45,12 +45,36 @@ def write_bucketed(
 def bucketed_join_plan_is_shuffle_free(
     spark: SparkSession, left_table: str, right_table: str, key: str
 ) -> bool:
-    """True iff joining the two bucketed tables on ``key`` plans with no
-    Exchange on either side (the layout actually co-locates the join).
+    """True iff joining the two bucketed tables on ``key`` plans as a
+    SortMergeJoin with no Exchange on either side (the layout actually
+    co-locates the join).
 
-    Use as an ETL-time guard: a False here means the bucket specs drifted
-    (different counts, wrong column, or a writer dropped the spec) and
-    every downstream join is paying a full-table shuffle it shouldn't."""
-    joined = spark.table(left_table).join(spark.table(right_table), key)
-    plan = joined._jdf.queryExecution().executedPlan().toString()
-    return "Exchange hashpartitioning" not in plan
+    The probe pins the planner into the shape bucketing is supposed to
+    win: broadcast joins are disabled (a BroadcastExchange plan proves
+    nothing about the bucket layout — small test tables would always pass)
+    and AQE is off (its re-planning can rewrite the plan string mid-probe).
+    A positive answer therefore requires the literal SortMergeJoin-over-
+    bucketed-scans plan, and a negative one means the bucket specs drifted
+    (different counts, wrong column, or a writer dropped the spec) — every
+    downstream join would pay a full-table shuffle it shouldn't."""
+    pinned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in pinned}
+    try:
+        for k, v in pinned.items():
+            spark.conf.set(k, v)
+        joined = spark.table(left_table).join(spark.table(right_table), key)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return (
+        "SortMergeJoin" in plan
+        and "Exchange hashpartitioning" not in plan
+        and "BroadcastExchange" not in plan
+    )

@@ -52,10 +52,22 @@ def read_documents(
 
     Parquet/ORC are schema-carrying (no corrupt-record concept — the reader
     validates against the declared schema); JSONL/CSV parse permissively
-    with malformed rows quarantined into ``rejects``."""
+    with malformed rows quarantined into ``rejects``.
+
+    ``rejects`` has the SAME single-column ``raw_record string`` schema for
+    every format (empty for schema-carrying ones), so format-generic
+    callers can union/inspect rejects without branching.
+
+    CSV caveat (Spark PERMISSIVE semantics): a short row is null-filled
+    WITHOUT setting the corrupt-record column, so truncated records land in
+    ``docs`` with trailing NULLs rather than in ``rejects`` — only rows
+    that fail to parse at all (e.g. type mismatches, malformed quoting)
+    are quarantined.  Filter ``docs`` on required-column nullness if
+    truncation must also be rejected."""
     if fmt in ("parquet", "orc"):
         df = spark.read.format(fmt).schema(DOCUMENTS_SCHEMA).load(path)
-        return DocumentScan(docs=df, rejects=df.limit(0))
+        empty_rejects = spark.createDataFrame([], "raw_record string")
+        return DocumentScan(docs=df, rejects=empty_rejects)
     if fmt not in ("jsonl", "csv"):
         raise ValueError(f"unsupported format: {fmt}")
 

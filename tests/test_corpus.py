@@ -131,6 +131,31 @@ def test_decontaminate_drops_overlapping(spark):
     assert kept == [1, 2]
 
 
+def test_decontaminate_shuffle_fallback_matches_broadcast(spark):
+    """The broadcast-size guard's shuffle semi-join fallback (forced via
+    max_broadcast_grams=0) must keep exactly the same documents as the
+    broadcast path."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "s0"),
+        (1, "one two three four five six seven", "s0"),
+        (2, "alpha beta gamma delta epsilon eta", "s0"),  # shares a 5-gram w/ 0
+        (3, "totally unrelated words in this document here", "s1"),
+    ]
+    docs = docs_df(spark, rows)
+    bench = docs.filter(F.col("doc_id") == 0)
+    rest = docs.filter(F.col("doc_id") != 0)
+    kept_bcast = sorted(
+        r.doc_id for r in corpus.decontaminate(rest, bench, n=5).collect()
+    )
+    kept_shuffle = sorted(
+        r.doc_id
+        for r in corpus.decontaminate(
+            rest, bench, n=5, max_broadcast_grams=0
+        ).collect()
+    )
+    assert kept_bcast == kept_shuffle == [1, 3]
+
+
 def test_vocab_min_doc_freq(spark):
     df = docs_df(spark, [(0, "a b", "s0"), (1, "a c", "s0")])
     rows = corpus.vocabulary(df, min_doc_freq=2).collect()

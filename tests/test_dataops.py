@@ -314,9 +314,56 @@ def test_media_table_and_features(spark):
     assert feats[0].decoder == "stub-first8bytes"
 
 
-def test_decode_image_is_stubbed(spark):
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(None)
+def test_decode_image_unsupported_format_raises(spark):
+    media = multimodal.to_media_table(docs_df(spark, ["some text"]))
+    with pytest.raises(Exception, match="no decoder for format"):
+        multimodal.decode_image(media).collect()  # format 'txt' ≠ 'ppm'
+
+
+def test_synth_ppm_decode_roundtrip(spark):
+    """The REAL decode path: synthesize binary-P6 PPMs, decode with numpy,
+    and check every stat against the analytic per-row-color formula."""
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    got = {
+        r.doc_id: r
+        for r in multimodal.decode_image(multimodal.synth_ppm(ids)).collect()
+    }
+    for d in range(12):
+        w, h = 4 + d % 5, 3 + d % 4
+        r = got[d]
+        assert (r.img_w, r.img_h, r.n_pixels) == (w, h, w * h)
+        assert r.sum_r == w * sum((d + y) % 256 for y in range(h))
+        assert r.sum_g == w * sum((2 * d + 3 * y) % 256 for y in range(h))
+        assert r.sum_b == w * sum((5 * d + 7 * y) % 256 for y in range(h))
+
+
+def test_decode_ppm_parser_edges():
+    from tax_compliance_engine_spark.operators.multimodal import _decode_ppm
+
+    ok = _decode_ppm(b"P6\n# a comment\n2 1\n255\n" + bytes(6))
+    assert ok is not None and ok.shape == (1, 2, 3)
+    assert _decode_ppm(b"JFIF....") is None  # wrong magic
+    assert _decode_ppm(b"P6\n2 2\n255\n" + bytes(3)) is None  # truncated
+    assert _decode_ppm(b"P6\n2 2\n65535\n" + bytes(12)) is None  # 16-bit
+    assert _decode_ppm(None) is None
+
+
+def test_decode_image_null_stats_for_malformed_ppm(spark):
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(b"P6\nnot a header"), 15, "ppm")],
+        multimodal.MEDIA_SCHEMA,
+    )
+    r = multimodal.decode_image(media).collect()[0]
+    assert r.doc_id == 0 and r.img_w is None and r.sum_r is None
+
+
+def test_extract_features_real_ppm_decode(spark):
+    ids = spark.createDataFrame([(7,)], "doc_id long")
+    r = multimodal.extract_features(multimodal.synth_ppm(ids)).collect()[0]
+    assert r.decoder == "ppm-numpy"
+    w, h = 4 + 7 % 5, 3 + 7 % 4
+    mean_r = (w * sum((7 + y) % 256 for y in range(h))) // (w * h)
+    assert r.feature[:3] == [w, h, mean_r]
 
 
 def test_near_dedup_filter(spark):
@@ -352,6 +399,22 @@ def test_dup_clusters_transitive(spark):
         for r in dedup.dup_clusters(docs, pairs).collect()
     }
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+
+
+def test_dup_clusters_long_chain_guard(spark):
+    """A chain component with diameter > max_iter must raise (not silently
+    return unconverged labels); with max_iter ≥ diameter it converges to
+    one cluster labeled by the chain's minimum id."""
+    n = 8  # path graph 0-1-...-7: diameter 7 (kept small — each round is
+    # a Spark job; the guard logic is identical at any chain length)
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc1 long, doc2 long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_clusters(docs, pairs, max_iter=4)
+    got = dedup.dup_clusters(docs, pairs, max_iter=n + 1).collect()
+    assert {r.cluster_id for r in got} == {0} and len(got) == n
 
 
 def test_repetition_stats_edges(spark):

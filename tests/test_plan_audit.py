@@ -103,6 +103,34 @@ def test_no_row_python_udfs_anywhere(plans):
     )
 
 
+def test_partitioned_output_read_back_prunes_partitions(spark, tmp_path):
+    """The table-layout story beyond bucketing: results written through
+    write_results_partitioned(state) must answer per-state reads with a
+    partition-PRUNED scan — the plan's PartitionFilters carries the state
+    predicate, so a 100 TB table only lists/reads one state's directories."""
+    from pyspark.sql import functions as F
+
+    from tax_compliance_engine_spark.sources.transactions import (
+        write_results_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(i, ["CA", "TX", "NY"][i % 3], float(i)) for i in range(30)],
+        "transaction_id long, state string, tax double",
+    )
+    path = str(tmp_path / "results_by_state")
+    write_results_partitioned(df, path)
+
+    read = spark.read.parquet(path).filter(F.col("state") == "CA")
+    plan = _plan(read)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf, "scan has no PartitionFilters section:\n" + plan
+    assert any("CA" in ln for ln in pf), (
+        "state predicate not pushed into PartitionFilters:\n" + "\n".join(pf)
+    )
+    assert read.count() == 10
+
+
 def test_parquet_scans_prune_columns(plans):
     # Every documents.parquet scan must project a subset of columns, never
     # the full table (ReadSchema appears per scan in formatted plans).

@@ -237,6 +237,66 @@ def test_streaming_sessionization_timeout_closes_idle_session(spark, tmp_path):
     assert (1, base, base, 1) in got and (1, base + 86400, base + 86400, 1) in got
 
 
+def test_streaming_sessionization_late_arrivals_within_watermark(spark, tmp_path):
+    """Cross-micro-batch late events inside the watermark: an in-gap late
+    event pulls the open session's START back (s = min(s, t)), and a late
+    event more than a gap before the open session becomes its own closed
+    earlier session — neither is silently folded forward."""
+    from tax_compliance_engine_spark.streaming import sessionize
+
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+
+    def ev(eid, uid, offset_sec):
+        return Row(
+            event_id=eid, ts=t0 + dt.timedelta(seconds=offset_sec), user_id=uid
+        )
+
+    schema = "event_id long, ts timestamp, user_id long"
+    src = tmp_path / "ev_src"
+    # batch 1: u1 opens (1000..1060); u2 opens at 3000 (this also sets the
+    # global max event time, so the 1h watermark keeps batch-2 lates alive)
+    spark.createDataFrame(
+        [ev(1, 1, 1000), ev(2, 1, 1060), ev(3, 2, 3000)], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    # batch 2: u1's late 980 is in-gap (980 ≥ 1000-1800) → merges, start
+    # pulled back; u2's late 1000 is > gap before its open 3000 → separate
+    # closed earlier singleton
+    spark.createDataFrame(
+        [ev(4, 1, 980), ev(5, 2, 1000)], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+    # batch 3: far-future sentinels close the open sessions
+    spark.createDataFrame(
+        [ev(90, 1, 5 * 86400), ev(91, 2, 5 * 86400)], schema
+    ).coalesce(1).write.parquet(str(src / "f3"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        sessionize.sessionize_stream(stream, watermark_delay="1 hour")
+        .writeStream.format("memory")
+        .queryName("sessions_late_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    got = {
+        (r.user_id, r.session_start_sec, r.session_end_sec, r.n_events)
+        for r in spark.sql("SELECT * FROM sessions_late_out").collect()
+    }
+    assert got == {
+        (1, base + 980, base + 1060, 3),  # start pulled back by the late 980
+        (2, base + 1000, base + 1000, 1),  # earlier closed singleton
+        (2, base + 3000, base + 3000, 1),
+    }
+
+
 def test_stream_stream_attribution_matches_batch_range_join(spark, tmp_path):
     """The watermarked stream-stream interval join must produce exactly the
     batch range_join's pair set when the whole corpus is drained."""

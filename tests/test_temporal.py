@@ -197,6 +197,56 @@ def test_asof_sharded_tiny_width_still_exact(spark):
     )
 
 
+def test_floor_div_exact_at_nano_magnitude(spark):
+    """Bucket/shard ids use exact integer floor division: ``F.floor(x/w)``
+    routes through DOUBLE (exact only under 2^53) and silently misbuckets
+    epoch-nanosecond timestamps (~1.8e18).  Pin the helper against
+    Python's // on magnitudes where the double path provably diverges."""
+    from tax_compliance_engine_spark.operators.temporal import _floor_div
+
+    w = 3_600 * 10**9  # 1h in ns
+    xs = [
+        1_600_000_000_000_000_001,
+        1_600_000_000_000_000_000 + w - 1,  # just under a boundary
+        2**62 + 12345,
+        -7,
+        -w - 1,
+        0,
+    ]
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    got = {
+        r.x: r.q
+        for r in df.select("x", _floor_div("x", w).alias("q")).collect()
+    }
+    assert got == {x: x // w for x in xs}
+
+
+def test_range_join_exact_at_nano_magnitude(spark):
+    """range_join over epoch-nanosecond timestamps finds exactly the pairs
+    a brute-force predicate join finds — the bucket assignment stays exact
+    where double division would fuzz boundaries by hundreds of ns."""
+    base = 1_600_000_000_000_000_000
+    w = 10**9  # 1s window in ns
+    lrows = [(i, "k", base + i * 997_000_007) for i in range(40)]
+    rrows = [(100 + i, "k", base + i * 611_000_003) for i in range(60)]
+    left = spark.createDataFrame(lrows, "id long, key string, lts long")
+    right = spark.createDataFrame(rrows, "qid long, key string, rts long")
+    got = sorted(
+        (r.id, r.qid)
+        for r in temporal.range_join(
+            left, right, by="key", left_ts="lts", right_ts="rts",
+            lower=-w, upper=0,
+        ).collect()
+    )
+    want = sorted(
+        (i, q)
+        for i, _, lt in lrows
+        for q, _, rt in rrows
+        if lt - w <= rt <= lt
+    )
+    assert got == want
+
+
 def test_events_ts_helpers_handle_both_encodings(spark, tmp_path):
     """The driver has shipped events.ts both as parquet TIMESTAMP(NANOS)
     (read as raw int64 nanos) and as plain TIMESTAMP micros — the ts_sec /
