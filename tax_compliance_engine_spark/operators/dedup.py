@@ -132,9 +132,10 @@ def _minhash_per_doc(
     — no tokens×perms crossJoin (16× less shuffle volume).
 
     ``with_token_sets`` additionally collects the distinct token-hash set
-    per doc (`tok_set`, array<long>) in the SAME aggregation — the exact
-    verify step consumes it without a second tokenization pass over the
-    corpus."""
+    per doc (`tok_set`, array<int> — token hashes are < HASH_MOD < 2^30,
+    so int32 halves the bytes the exact-verify shuffle carries per row vs
+    array<long>) in the SAME aggregation — the exact verify step consumes
+    it without a second tokenization pass over the corpus."""
     toks = _doc_tokens(docs, text_col).withColumn(
         "tok_hash", hashing.tok_hash_col(F.col("tok"))
     )
@@ -145,7 +146,9 @@ def _minhash_per_doc(
         for i, (a, b) in enumerate(hashing.MINHASH_PERMS)
     ]
     if with_token_sets:
-        aggs.append(F.collect_set("tok_hash").alias("tok_set"))
+        aggs.append(
+            F.collect_set(F.col("tok_hash").cast("int")).alias("tok_set")
+        )
     return toks.groupBy("doc_id").agg(*aggs)
 
 
@@ -299,8 +302,9 @@ def minhash_dup_pairs(
     corpus where >half of all pairs are candidates).  The hash sets are the
     same portable 30-bit token hashes the signatures use, collected in the
     signature aggregation itself — no second tokenization pass, and the
-    verify shuffle carries long arrays instead of string arrays (strictly
-    smaller rows, cheaper intersects).  Jaccard is thus over the
+    verify shuffle carries int32 arrays instead of string arrays (4-8×
+    smaller rows, cheaper intersects — this shuffle's byte volume is what
+    goes disk-bound first at scale, see BASELINE.md's 10× curve).  Jaccard is thus over the
     hashed-token universe: identical to string-token Jaccard except under
     hash collisions (P = 1e9+7 — negligible and fully deterministic), and
     the DuckDB oracle replicates the same hashes bit-for-bit."""
