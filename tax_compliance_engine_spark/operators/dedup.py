@@ -156,7 +156,10 @@ _BAND_SIG_MASK = (1 << 40) - 1  # 40-bit fold space; & is portable modulo
 
 
 def _banded(
-    per_doc: DataFrame, with_all_sigs: bool = False, sig: str = "str"
+    per_doc: DataFrame,
+    with_all_sigs: bool = False,
+    sig: str = "str",
+    extra: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, band, band_sig) rows assembled column-wise from the per-doc
     component columns — no second banding aggregation.
@@ -170,7 +173,10 @@ def _banded(
     ``minhash_signatures`` surface keeps the readable string form.
 
     ``with_all_sigs`` adds an `all_sigs` array of every band signature so
-    the candidate join can dedupe in-join (see ``_lsh_candidates``)."""
+    the candidate join can dedupe in-join (see ``_lsh_candidates``);
+    ``extra`` names per-doc columns carried through the explode (one copy
+    per band row — used by the bucket-local verify to ship token sets
+    alongside the band keys)."""
     rpb = len(hashing.MINHASH_PERMS) // hashing.MINHASH_BANDS
 
     def band_sig(b: int) -> Column:
@@ -204,8 +210,11 @@ def _banded(
             if with_all_sigs
             else []
         ),
+        *extra,
     )
-    return out.select(*cols, *(["all_sigs"] if with_all_sigs else []))
+    return out.select(
+        *cols, *(["all_sigs"] if with_all_sigs else []), *extra
+    )
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -295,47 +304,72 @@ def minhash_dup_pairs(
     """MinHash-LSH near-dup pairs: bucket join on band signatures, then
     exact Jaccard verification at ``threshold``.
 
-    Verification joins each candidate pair to the two per-doc distinct
-    token-HASH sets and intersects them row-local (array_intersect) — one
-    row per candidate, instead of re-exploding tokens into a
-    |candidates|×|tokens| join (measured ~4× faster on a dense-similarity
-    corpus where >half of all pairs are candidates).  The hash sets are the
-    same portable 30-bit token hashes the signatures use, collected in the
-    signature aggregation itself — no second tokenization pass, and the
-    verify shuffle carries int32 arrays instead of string arrays (4-8×
-    smaller rows, cheaper intersects — this shuffle's byte volume is what
-    goes disk-bound first at scale, see BASELINE.md's 10× curve).  Jaccard is thus over the
+    Verification is BUCKET-LOCAL: the per-doc distinct token-HASH sets
+    ride the banded explode (one copy per band row), so the band-bucket
+    self-join emits each candidate pair already carrying both sets, the
+    exact Jaccard is computed row-local (array_intersect) in the SAME
+    stage, and only narrow (doc1, doc2, jaccard) rows survive the join.
+    Candidate dedup happens in-join — a pair sharing several bands is
+    emitted only on its lowest shared band, checked against the `all_sigs`
+    both sides carry — so there is no post-verify DISTINCT at all.
+
+    Why this shape: the previous plan generated narrow candidates first,
+    then joined them twice against the token-set table — which re-shuffled
+    every CANDIDATE row wide (both arrays attached).  Candidate count grows
+    super-linearly on dense-similarity corpora, and that shuffle's byte
+    volume was the one measured scale cliff in the engine (35.6× wall at a
+    10× scale-up, disk-bound — BASELINE.md's 10× curve).  Bucket-local
+    verify bounds the wide bytes at BANDS × |docs| × avg-set-width —
+    linear in corpus size, independent of candidate count — and the single
+    banded exchange is reused for both sides of the self-join.
+
+    Token sets are the same portable 30-bit token hashes the signatures
+    use, collected in the signature aggregation itself (no second
+    tokenization pass), carried as int32 arrays.  Jaccard is thus over the
     hashed-token universe: identical to string-token Jaccard except under
     hash collisions (P = 1e9+7 — negligible and fully deterministic), and
     the DuckDB oracle replicates the same hashes bit-for-bit."""
+    from functools import reduce
+
     per_doc = _minhash_per_doc(docs, text_col, with_token_sets=True).cache()
-    candidates = _lsh_candidates(_banded(per_doc, sig="long"))
-    # Shuffle-join the per-doc token-hash sets against the candidate pairs.
-    # (Measured: broadcasting the array table loses — the wide array rows
-    # make the broadcast build + per-task copy cost more than the shuffle.)
-    tok_arrays = per_doc.select("doc_id", F.col("tok_set").alias("toks"))
+    banded = _banded(
+        per_doc, with_all_sigs=True, sig="long", extra=("tok_set",)
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    # Pair emitted only on its lowest shared band: for every band j before
+    # this row's band, the two docs' band-j signatures must differ.
+    first_shared_band = [
+        (F.col("a.band") <= j)
+        | (
+            F.element_at(F.col("a.all_sigs"), j + 1)
+            != F.element_at(F.col("b.all_sigs"), j + 1)
+        )
+        for j in range(hashing.MINHASH_BANDS - 1)
+    ]
+    cond = reduce(
+        lambda x, y: x & y,
+        [
+            F.col("a.band") == F.col("b.band"),
+            F.col("a.band_sig") == F.col("b.band_sig"),
+            F.col("a.doc_id") < F.col("b.doc_id"),
+            *first_shared_band,
+        ],
+    )
+    n_shared = F.size(F.array_intersect(F.col("a.tok_set"), F.col("b.tok_set")))
     return (
-        candidates.join(
-            tok_arrays.select(
-                F.col("doc_id").alias("doc1"), F.col("toks").alias("_t1")
-            ),
-            "doc1",
-        )
-        .join(
-            tok_arrays.select(
-                F.col("doc_id").alias("doc2"), F.col("toks").alias("_t2")
-            ),
-            "doc2",
-        )
-        .withColumn(
-            "_n_shared", F.size(F.array_intersect("_t1", "_t2"))
-        )
-        .withColumn(
-            "jaccard",
-            F.col("_n_shared").cast("double")
-            / (F.size("_t1") + F.size("_t2") - F.col("_n_shared")).cast(
-                "double"
-            ),
+        a.join(b, cond)
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            (
+                n_shared.cast("double")
+                / (
+                    F.size(F.col("a.tok_set"))
+                    + F.size(F.col("b.tok_set"))
+                    - n_shared
+                ).cast("double")
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "jaccard")

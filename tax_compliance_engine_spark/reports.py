@@ -372,20 +372,55 @@ def transaction_details(results: DataFrame) -> DataFrame:
     )
 
 
+# Above this many rows the detail export never touches the driver: it is
+# written as a distributed CSV directory instead of a collected string.
+DETAIL_EXPORT_DRIVER_ROW_CAP = 100_000
+
+
 def export_transaction_details(
     results: DataFrame,
     filename: str = "transaction_details.csv",
     output_dir: str | Path = "reports",
+    max_driver_rows: int = DETAIL_EXPORT_DRIVER_ROW_CAP,
 ) -> str:
-    """Driver-side CSV string + file for report-sized result sets (the
-    reference's exact output shape)."""
+    """S9 detail export with a size-gated sink choice.
+
+    Report-sized results (≤ ``max_driver_rows``, probed with an
+    early-terminating ``limit(cap+1).count()`` — never a full count) are
+    collected and rendered driver-side, byte-identical to the reference's
+    CSV shape, and the CSV string is returned.  Larger results take the
+    distributed path: ``df.write.csv`` with headers to
+    ``<output_dir>/<filename>.d/`` (one part file per partition, scales
+    with executors, zero driver materialization) and the returned string
+    is that directory path.  The same 10-column projection
+    (``transaction_details``) feeds both sinks."""
+    details = transaction_details(results)
+    probe = details.limit(max_driver_rows + 1).count()
+    out = Path(output_dir)
+    if probe > max_driver_rows:
+        target = out / f"{filename}.d"
+        # Match the driver-side csv module's byte conventions so both
+        # sinks emit identical rows: unquoted empty fields, and Python's
+        # True/False casing for booleans (Spark's CSV writer lowercases).
+        dist = details
+        for f_ in details.schema.fields:
+            if f_.dataType.simpleString() == "boolean":
+                dist = dist.withColumn(
+                    f_.name,
+                    F.when(F.col(f_.name), "True").when(
+                        ~F.col(f_.name), "False"
+                    ),
+                )
+        dist.write.mode("overwrite").option("header", True).option(
+            "emptyValue", ""
+        ).csv(str(target))
+        return str(target)
     output = io.StringIO()
     writer = csv.DictWriter(output, fieldnames=DETAIL_COLUMNS)
     writer.writeheader()
-    for r in transaction_details(results).collect():
+    for r in details.collect():
         writer.writerow(r.asDict())
     csv_str = output.getvalue()
-    out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
     (out / filename).write_text(csv_str, encoding="utf-8")
     return csv_str

@@ -211,6 +211,42 @@ def test_transaction_details_export(spark_results, tmp_path, ref_batch, referenc
     assert our_rows == ref_rows
 
 
+def test_transaction_details_export_distributed(
+    spark_results, tmp_path, monkeypatch
+):
+    """Above the row cap, S9 export writes a distributed CSV directory and
+    never collects to the driver (collect is poisoned to prove it)."""
+    import pyspark.sql
+
+    small_csv = reports.export_transaction_details(
+        spark_results, "small.csv", tmp_path
+    )
+    driver_rows = sorted(small_csv.strip().splitlines())
+
+    def _boom(self):
+        raise AssertionError("distributed export path must not collect()")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "collect", _boom)
+    out = reports.export_transaction_details(
+        spark_results, "big.csv", tmp_path, max_driver_rows=1
+    )
+    monkeypatch.undo()
+    assert out == str(tmp_path / "big.csv.d")
+    parts = sorted((tmp_path / "big.csv.d").glob("part-*.csv"))
+    assert parts
+    dist_rows: list[str] = []
+    header = None
+    for p in parts:
+        lines = p.read_text().strip().splitlines()
+        if not lines:
+            continue
+        header = lines[0]
+        dist_rows.extend(lines[1:])
+    # same 10-column projection, same row set, per-file headers
+    assert header is not None
+    assert sorted(dist_rows + [header]) == driver_rows
+
+
 def test_cli_calculate_single(capsys):
     from tax_compliance_engine_spark.cli import main
 

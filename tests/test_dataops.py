@@ -221,6 +221,18 @@ def test_knn_bruteforce_ordering(spark):
     assert rows[2].cosine == pytest.approx(-1.0)
 
 
+def test_knn_bruteforce_guards_broad_query_pred(spark):
+    """A caller-supplied predicate matching more than max_queries rows must
+    refuse to broadcast (the guard, not a silent quadratic scan)."""
+    from pyspark.sql import functions as F
+
+    vecs = [[float(i % 3), 1.0, 0.5] + [0.0] * 61 for i in range(8)]
+    with pytest.raises(ValueError, match="ivf_knn"):
+        similarity.knn_bruteforce(
+            emb_df(spark, vecs), query_pred=F.lit(True), k=2, max_queries=3
+        )
+
+
 def test_lsh_identical_vectors_same_sig(spark):
     v = [0.3, -1.2, 0.7, 2.0] * 16
     df = similarity.lsh_bucket_assignments(emb_df(spark, [v, v]))
