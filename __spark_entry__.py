@@ -109,8 +109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Multimodal: metadata projection + REAL PPM decode stats (numpy
         # inside mapInPandas) under the hash gate via analytic oracle
         "multimodal_profile": qd.multimodal_profile,
-        # multimodal_features: rows-only mapInPandas (pytest-verified);
-        # the decode path itself is hash-gated through multimodal_profile
+        # multimodal_features: oracle-only swept entry (REAL-decode feature
+        # vectors, bit-exact vs the analytic twin; slot cap keeps it out)
     }
 
 
@@ -195,5 +195,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_decontaminate": oracle_corpus.corpus_decontaminate_sql(),
         "multimodal_profile": oracle_dataops.multimodal_profile_sql(),
         "multimodal_metadata": oracle_dataops.multimodal_metadata_sql(),
-        # multimodal_features: rows-only (mapInPandas stub, non-SQL)
+        # multimodal_features: REAL-decode feature vectors over synth PPMs,
+        # analytic twin (the non-PPM stub branch stays pytest-pinned)
+        "multimodal_features": oracle_dataops.multimodal_features_sql(),
     }

@@ -2,10 +2,14 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode/resize/frame-sample are Arrow-batched pandas UDFs
-over ``mapInPandas``.  The decode itself is STUBBED (no imaging libs in this
-container — clearly marked below); the Spark-side plumbing — schema,
-partition-preserving batch iteration, UDF signatures, batch shapes — is real
-and tested, so a real decoder drops in without touching the plan.
+over ``mapInPandas``.  For the dependency-free binary-P6 PPM format the
+whole path is REAL — numpy decode, nearest-neighbor resize, and
+frame-boundary demux of concatenated-frame payloads, each verified against
+closed-form fixtures.  Formats needing imaging libraries (JPEG/PNG/audio —
+PIL/opencv/ffmpeg are not in this container) fall back to clearly-tagged
+deterministic stand-ins; the Spark-side plumbing — schema,
+partition-preserving batch iteration, UDF signatures, batch shapes — is the
+same either way, so a real codec drops in without touching the plan.
 """
 
 from __future__ import annotations
@@ -152,17 +156,15 @@ def synth_ppm(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return ids.mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
-def _decode_ppm(payload: bytes):
-    """Parse one binary-P6 PPM into an (h, w, 3) uint8 array, or None for
-    malformed payloads.  Header = magic, width, height, maxval as
+def _ppm_header(payload: bytes, start: int = 0):
+    """Parse one binary-P6 header at byte offset ``start`` →
+    (w, h, data_offset) or None.  Header = magic, width, height, maxval as
     whitespace-separated tokens ('#' comment lines skipped), then one
-    whitespace byte, then raw RGB bytes."""
-    import numpy as np
-
-    if payload is None or not payload.startswith(b"P6"):
+    whitespace byte, then raw RGB bytes at data_offset."""
+    if payload is None or payload[start : start + 2] != b"P6":
         return None
     tokens: list[bytes] = []
-    pos = 2
+    pos = start + 2
     while len(tokens) < 3 and pos < len(payload):
         c = payload[pos : pos + 1]
         if c == b"#":  # comment: skip to end of line
@@ -185,7 +187,21 @@ def _decode_ppm(payload: bytes):
     except ValueError:
         return None
     pos += 1  # the single whitespace byte after maxval
-    if maxval != 255 or w <= 0 or h <= 0 or len(payload) - pos < w * h * 3:
+    if maxval != 255 or w <= 0 or h <= 0:
+        return None
+    return w, h, pos
+
+
+def _decode_ppm(payload: bytes):
+    """Parse one binary-P6 PPM into an (h, w, 3) uint8 array, or None for
+    malformed payloads."""
+    import numpy as np
+
+    hdr = _ppm_header(payload)
+    if hdr is None:
+        return None
+    w, h, pos = hdr
+    if len(payload) - pos < w * h * 3:
         return None
     arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
     return arr.reshape(h, w, 3)
@@ -254,22 +270,52 @@ FRAME_SCHEMA = StructType(
 )
 
 
-def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Thumbnail/resize plumbing over the media table (1 row in → 1 row
-    out, Arrow-batched, partition-parallel, no shuffle).
+def _resize_nn(arr, width: int, height: int):
+    """Nearest-neighbor resample of an (h, w, 3) array to (height, width):
+    output pixel (ty, tx) takes source pixel (floor((ty+0.5)·sh/th),
+    floor((tx+0.5)·sw/tw)) — the standard pixel-center mapping, so the
+    result is a pure closed-form function of the source (the analytic
+    round-trip test derives it independently)."""
+    import numpy as np
 
-    STUB decode: a real implementation decodes the payload and resamples to
-    (width, height); the deterministic stand-in emits the payload truncated
-    to a thumbnail budget so batch shapes, schema, and null handling are
-    fully exercised and a real resizer drops in behind the same schema."""
+    sh, sw, _ = arr.shape
+    ys = ((np.arange(height) + 0.5) * sh / height).astype(np.int64)
+    xs = ((np.arange(width) + 0.5) * sw / width).astype(np.int64)
+    ys = np.clip(ys, 0, sh - 1)
+    xs = np.clip(xs, 0, sw - 1)
+    return arr[ys][:, xs]
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Thumbnail/resize over the media table (1 row in → 1 row out,
+    Arrow-batched, partition-parallel, no shuffle).
+
+    REAL for PPM: decode (``_decode_ppm``), nearest-neighbor resample to
+    (width, height) (``_resize_nn``), re-encode binary P6 — decoder tag
+    'ppm-numpy-nn'.  Malformed PPM payloads → NULL thumb.  Other formats
+    keep the deterministic byte-truncate stand-in (tag 'stub-truncate';
+    a real JPEG resizer needs PIL, not in this container) so batch
+    shapes, schema, and null handling stay exercised for every format."""
     budget = max(64, (width * height) // 64)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            thumbs = [
-                bytes(p[:budget]) if p is not None else None
-                for p in pdf["payload"]
-            ]
+            thumbs, decoders = [], []
+            for fmt, p in zip(pdf["format"], pdf["payload"]):
+                if fmt == "ppm":
+                    arr = _decode_ppm(p)
+                    if arr is None:
+                        thumbs.append(None)
+                    else:
+                        small = _resize_nn(arr, width, height)
+                        thumbs.append(
+                            f"P6\n{width} {height}\n255\n".encode("ascii")
+                            + small.tobytes()
+                        )
+                    decoders.append("ppm-numpy-nn")
+                else:
+                    thumbs.append(bytes(p[:budget]) if p is not None else None)
+                    decoders.append("stub-truncate")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -280,24 +326,45 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
                     "thumb_size": [
                         len(t) if t is not None else None for t in thumbs
                     ],
-                    "decoder": "stub-truncate",
+                    "decoder": decoders,
                 }
             )
 
     return media.mapInPandas(batches, schema=RESIZE_SCHEMA)
 
 
+def _split_ppm_frames(payload: bytes) -> list[bytes]:
+    """Split a concatenated-P6 'video' payload on REAL frame boundaries by
+    parsing each header (width × height × 3 data bytes per frame).  Stops
+    at the first malformed or truncated frame."""
+    frames: list[bytes] = []
+    pos = 0
+    while pos < len(payload):
+        hdr = _ppm_header(payload, pos)
+        if hdr is None:
+            break
+        w, h, data_off = hdr
+        end = data_off + w * h * 3
+        if end > len(payload):
+            break
+        frames.append(bytes(payload[pos:end]))
+        pos = end
+    return frames
+
+
 def sample_frames(
     media: DataFrame, frame_bytes: int = 32, every_n: int = 2
 ) -> DataFrame:
-    """Frame-sampling plumbing (1 row in → N rows out — the UDTF-shaped
-    multimodal op): chop each payload into fixed-size pseudo-frames and
-    keep every ``every_n``-th.
+    """Frame sampling (1 row in → N rows out — the UDTF-shaped multimodal
+    op): demux each payload into frames and keep every ``every_n``-th.
 
-    STUB decode: a real implementation demuxes the container (ffmpeg) and
-    decodes every_n-th frame; the deterministic byte-chunk stand-in keeps
-    the row-explosion shape, Arrow batching, and per-frame indexing real.
-    Rows with NULL payloads produce no frames (same as undecodable media)."""
+    REAL demux for PPM: a video payload is back-to-back binary-P6 frames,
+    and frame boundaries come from parsing each frame's header — every
+    emitted frame is itself a decodable PPM (``_decode_ppm``).  Other
+    formats keep the fixed-``frame_bytes`` chunk stand-in (a real
+    container demux needs ffmpeg, not in this container), preserving the
+    row-explosion shape, Arrow batching, and per-frame indexing.  Rows
+    with NULL payloads produce no frames (same as undecodable media)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -307,16 +374,24 @@ def sample_frames(
                 "frame_payload": [],
                 "frame_size": [],
             }
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for doc_id, fmt, payload in zip(
+                pdf["doc_id"], pdf["format"], pdf["payload"]
+            ):
                 if payload is None:
                     continue
-                n_frames = len(payload) // frame_bytes
-                for i in range(0, n_frames, every_n):
-                    chunk = bytes(payload[i * frame_bytes : (i + 1) * frame_bytes])
+                if fmt == "ppm":
+                    chunks = _split_ppm_frames(payload)
+                else:
+                    n_frames = len(payload) // frame_bytes
+                    chunks = [
+                        bytes(payload[i * frame_bytes : (i + 1) * frame_bytes])
+                        for i in range(n_frames)
+                    ]
+                for i in range(0, len(chunks), every_n):
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(i)
-                    out["frame_payload"].append(chunk)
-                    out["frame_size"].append(len(chunk))
+                    out["frame_payload"].append(chunks[i])
+                    out["frame_size"].append(len(chunks[i]))
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)

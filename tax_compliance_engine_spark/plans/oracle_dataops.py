@@ -705,3 +705,28 @@ SELECT d.doc_id, 'text' AS media_type,
   CAST(s.w * s.h AS BIGINT) AS n_pixels,
   s.sum_r, s.sum_g, s.sum_b
 FROM documents d JOIN row_sums s USING (doc_id)"""
+
+
+def multimodal_features_sql() -> str:
+    """Twin of queries_dataops.multimodal_features: the REAL-decode
+    feature vector [w, h, mean_r, mean_g, mean_b] derived analytically.
+    Means are the numpy integer floor divisions sum_c // (w·h); the P6
+    payload size is the 11-byte header ('P6\\n{w} {h}\\n255\\n' — w, h are
+    single digits by construction) plus 3·w·h pixel bytes."""
+    return """WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+sums AS (
+  SELECT doc_id, w, h,
+    SUM((doc_id + y) % 256) * w AS sum_r,
+    SUM((2 * doc_id + 3 * y) % 256) * w AS sum_g,
+    SUM((5 * doc_id + 7 * y) % 256) * w AS sum_b
+  FROM dims, unnest(range(0, h)) AS u(y)
+  GROUP BY doc_id, w, h)
+SELECT doc_id, 'image' AS media_type,
+  CAST(11 + 3 * w * h AS INTEGER) AS payload_size,
+  [CAST(w AS INTEGER), CAST(h AS INTEGER),
+   CAST(sum_r // (w * h) AS INTEGER),
+   CAST(sum_g // (w * h) AS INTEGER),
+   CAST(sum_b // (w * h) AS INTEGER)] AS feature,
+  'ppm-numpy' AS decoder
+FROM sums"""

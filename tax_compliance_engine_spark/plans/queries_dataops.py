@@ -402,8 +402,13 @@ def multimodal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only check: exercises the Arrow/mapInPandas plumbing incl. the
-    # stubbed decoder
+    """REAL-decode feature extraction under the bit-exact gate: the
+    [w, h, mean_r, mean_g, mean_b] feature vector over deterministic
+    synthetic P6 PPM payloads, decoded by numpy inside ``mapInPandas``.
+    The DuckDB twin derives the identical vector analytically from the
+    synth_ppm closed form (the stub branch for non-PPM formats stays
+    pinned by pytest byte-for-byte — it is not SQL-expressible)."""
+    docs = _docs(spark, sf_dir)
     return multimodal.extract_features(
-        multimodal.to_media_table(_docs(spark, sf_dir))
+        multimodal.synth_ppm(docs.select("doc_id"))
     )

@@ -413,20 +413,29 @@ def test_dup_clusters_transitive(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
 
 
-def test_dup_clusters_long_chain_guard(spark):
-    """A chain component with diameter > max_iter must raise (not silently
-    return unconverged labels); with max_iter ≥ diameter it converges to
-    one cluster labeled by the chain's minimum id."""
-    n = 8  # path graph 0-1-...-7: diameter 7 (kept small — each round is
-    # a Spark job; the guard logic is identical at any chain length)
+def test_dup_clusters_long_chain_logarithmic(spark):
+    """A 100-node path graph (diameter 99) must converge well inside a
+    logarithmic round budget — the case plain min-label propagation
+    (one hop per round) cannot touch — and still label every node with
+    the chain minimum.  max_iter=8 ≪ 99 pins the O(log d) behavior."""
+    n = 100
     docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "doc1 long, doc2 long"
     )
-    with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.dup_clusters(docs, pairs, max_iter=4)
-    got = dedup.dup_clusters(docs, pairs, max_iter=n + 1).collect()
+    got = dedup.dup_clusters(docs, pairs, max_iter=8).collect()
     assert {r.cluster_id for r in got} == {0} and len(got) == n
+
+
+def test_dup_clusters_guard_raises_without_fixed_point(spark):
+    """max_iter=1 cannot reach the star-forest fixed point on a chain —
+    the guard must raise rather than return unconverged labels."""
+    docs = spark.createDataFrame([(i,) for i in range(16)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "doc1 long, doc2 long"
+    )
+    with pytest.raises(RuntimeError, match="fixed point"):
+        dedup.dup_clusters(docs, pairs, max_iter=1)
 
 
 def test_repetition_stats_edges(spark):
@@ -579,6 +588,78 @@ def test_sample_frames_explodes_rows(spark):
     assert bytes(f0.frame_payload) == b"a" * 32
     # 4-byte payload has no full frame
     assert 1 not in by_doc
+
+
+def test_resize_media_ppm_analytic_roundtrip(spark):
+    """REAL resize path: nearest-neighbor thumbnails of synth_ppm payloads,
+    every output pixel checked against the closed-form source pixel
+    function (source row y is color ((i+y), (2i+3y), (5i+7y)) mod 256 and
+    NN maps target row ty to source row floor((ty+0.5)·h/th))."""
+    from tax_compliance_engine_spark.operators.multimodal import _decode_ppm
+
+    ids = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    media = multimodal.synth_ppm(ids)
+    tw, th = 3, 2
+    rows = {
+        r.doc_id: r for r in multimodal.resize_media(media, tw, th).collect()
+    }
+    for i in range(6):
+        w, h = 4 + i % 5, 3 + i % 4
+        r = rows[i]
+        assert r.decoder == "ppm-numpy-nn"
+        arr = _decode_ppm(bytes(r.thumb))
+        assert arr is not None and arr.shape == (th, tw, 3)
+        for ty in range(th):
+            sy = int((ty + 0.5) * h / th)
+            want = ((i + sy) % 256, (2 * i + 3 * sy) % 256, (5 * i + 7 * sy) % 256)
+            for tx in range(tw):
+                assert tuple(int(v) for v in arr[ty, tx]) == want
+
+
+def test_resize_media_malformed_ppm_null_thumb(spark):
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(b"P6\nnot a header"), 15, "ppm")],
+        multimodal.MEDIA_SCHEMA,
+    )
+    r = multimodal.resize_media(media, 4, 4).collect()[0]
+    assert r.thumb is None and r.thumb_size is None
+    assert r.decoder == "ppm-numpy-nn"
+
+
+def test_sample_frames_ppm_real_boundaries(spark):
+    """REAL demux path: a 'video' of back-to-back P6 frames with different
+    dimensions splits on parsed header boundaries (not byte chunks), and
+    every sampled frame decodes individually."""
+    from tax_compliance_engine_spark.operators.multimodal import _decode_ppm
+
+    ids = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    parts = {
+        r.doc_id: bytes(r.payload)
+        for r in multimodal.synth_ppm(ids).collect()
+    }
+    video = b"".join(parts[i] for i in range(5))
+    media = spark.createDataFrame(
+        [(99, "video", bytearray(video), len(video), "ppm")],
+        multimodal.MEDIA_SCHEMA,
+    )
+    frames = multimodal.sample_frames(media, every_n=2).collect()
+    assert sorted(f.frame_idx for f in frames) == [0, 2, 4]
+    for f in frames:
+        i = f.frame_idx
+        assert bytes(f.frame_payload) == parts[i]
+        arr = _decode_ppm(bytes(f.frame_payload))
+        assert arr is not None
+        assert arr.shape == (3 + i % 4, 4 + i % 5, 3)
+    # a truncated tail frame is dropped, earlier frames still demux
+    cut = spark.createDataFrame(
+        [(7, "video", bytearray(video[: len(video) - 4]), len(video) - 4, "ppm")],
+        multimodal.MEDIA_SCHEMA,
+    )
+    idxs = sorted(
+        f.frame_idx
+        for f in multimodal.sample_frames(cut, every_n=1).collect()
+    )
+    assert idxs == [0, 1, 2, 3]
 
 
 def test_corpus_io_roundtrip_all_formats(spark, tmp_path):

@@ -11,8 +11,8 @@ suite pins the *plans* so a future edit can't silently reintroduce a
    ``TakeOrderedAndProject``, so neither needs an exemption.
 2. No row-at-a-time Python UDF (``BatchEvalPython``) in any plan — the
    hot paths are all JVM-side per SURVEY §4.2.  (Arrow-batched
-   ``mapInPandas`` is allowed, and only the multimodal feature stub uses
-   it; it is not in ``queries()``.)
+   ``mapInPandas`` is allowed, and only the multimodal decode/feature
+   operators use it; they appear here as oracle-only swept entries.)
 
 Plans are built against sf0.001 but partition-count properties are
 data-size independent — the same plan shape ships at 100 TB.
