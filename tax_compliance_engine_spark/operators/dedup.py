@@ -298,40 +298,18 @@ def minhash_est_pairs(
     )
 
 
-def minhash_dup_pairs(
-    docs: DataFrame, text_col: str = "text", threshold: float = 0.5
-) -> DataFrame:
-    """MinHash-LSH near-dup pairs: bucket join on band signatures, then
-    exact Jaccard verification at ``threshold``.
-
-    Verification is BUCKET-LOCAL: the per-doc distinct token-HASH sets
-    ride the banded explode (one copy per band row), so the band-bucket
-    self-join emits each candidate pair already carrying both sets, the
-    exact Jaccard is computed row-local (array_intersect) in the SAME
-    stage, and only narrow (doc1, doc2, jaccard) rows survive the join.
-    Candidate dedup happens in-join — a pair sharing several bands is
-    emitted only on its lowest shared band, checked against the `all_sigs`
-    both sides carry — so there is no post-verify DISTINCT at all.
-
-    Why this shape: the previous plan generated narrow candidates first,
-    then joined them twice against the token-set table — which re-shuffled
-    every CANDIDATE row wide (both arrays attached).  Candidate count grows
-    super-linearly on dense-similarity corpora, and that shuffle's byte
-    volume was the one measured scale cliff in the engine (35.6× wall at a
-    10× scale-up, disk-bound — BASELINE.md's 10× curve).  Bucket-local
-    verify bounds the wide bytes at BANDS × |docs| × avg-set-width —
-    linear in corpus size, independent of candidate count — and the single
-    banded exchange is reused for both sides of the self-join.
-
-    Token sets are the same portable 30-bit token hashes the signatures
-    use, collected in the signature aggregation itself (no second
-    tokenization pass), carried as int32 arrays.  Jaccard is thus over the
-    hashed-token universe: identical to string-token Jaccard except under
-    hash collisions (P = 1e9+7 — negligible and fully deterministic), and
-    the DuckDB oracle replicates the same hashes bit-for-bit."""
+def _verify_bucket_local(per_doc: DataFrame, threshold: float) -> DataFrame:
+    """Bucket-local exact verify: the per-doc token-hash sets ride the
+    banded explode (one copy per band row), the band-bucket self-join
+    emits each candidate pair already carrying both sets, exact Jaccard
+    is computed row-local in the SAME stage, and only narrow
+    (doc1, doc2, jaccard) rows survive.  Candidate dedup happens in-join
+    (lowest shared band, checked against the `all_sigs` both sides
+    carry) so there is no post-verify DISTINCT.  Wide shuffle bytes are
+    BANDS × |docs| × avg-set-width — linear in corpus size, independent
+    of candidate count."""
     from functools import reduce
 
-    per_doc = _minhash_per_doc(docs, text_col, with_token_sets=True).cache()
     banded = _banded(
         per_doc, with_all_sigs=True, sig="long", extra=("tok_set",)
     )
@@ -374,6 +352,146 @@ def minhash_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "jaccard")
     )
+
+
+def _verify_candidates(per_doc: DataFrame, threshold: float) -> DataFrame:
+    """Candidate-stream exact verify: narrow (doc1, doc2) candidates from
+    the banded self-join + DISTINCT, then two joins against the token-set
+    table and a row-local intersect.  Wide shuffle bytes are proportional
+    to the CANDIDATE count (each surviving row re-shuffles with both
+    arrays attached) — the cheaper layout while candidates are modest,
+    the measured disk-bound cliff when they are not (35.6× wall at a 10×
+    scale-up; BASELINE.md's 10× curve)."""
+    candidates = _lsh_candidates(_banded(per_doc, sig="long"))
+    tok_arrays = per_doc.select("doc_id", F.col("tok_set").alias("toks"))
+    return (
+        candidates.join(
+            tok_arrays.select(
+                F.col("doc_id").alias("doc1"), F.col("toks").alias("_t1")
+            ),
+            "doc1",
+        )
+        .join(
+            tok_arrays.select(
+                F.col("doc_id").alias("doc2"), F.col("toks").alias("_t2")
+            ),
+            "doc2",
+        )
+        .withColumn("_n_shared", F.size(F.array_intersect("_t1", "_t2")))
+        .withColumn(
+            "jaccard",
+            F.col("_n_shared").cast("double")
+            / (F.size("_t1") + F.size("_t2") - F.col("_n_shared")).cast(
+                "double"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+# plan='auto' probe memo: (per_doc semanticHash, budget) -> chosen layout.
+# The probe is a data-dependent Spark job; within a session the same
+# logical per-doc plan yields the same stats, so repeated builds of the
+# same query (benchmark loops, retried stages of a driver program) pay it
+# once.  Sessions are per-batch in practice; a table mutating under an
+# unchanged plan mid-session would reuse the first decision — both
+# layouts are result-identical, so that can only affect speed, never
+# correctness.
+_VERIFY_PLAN_MEMO: dict[tuple[int, int], str] = {}
+
+
+def _choose_verify_plan(
+    per_doc: DataFrame, wide_shuffle_budget_bytes: int
+) -> str:
+    """Budget probe for ``plan='auto'``: estimate the candidate layout's
+    wide-shuffle volume as (Σ_bucket n·(n-1)/2) × 2 sides × avg token-set
+    width × 4 bytes, in ONE aggregation job over NARROW banded rows (the
+    token-set width rides the explode as a precomputed int).  The Σ
+    upper-bounds the candidate stream (multi-band pairs counted once per
+    shared band).  Above the budget the wide stream goes disk-bound on a
+    node, so the bucket-local layout (wide bytes linear in |docs|) wins;
+    below it the candidate layout's narrower explode wins."""
+    try:
+        key = (per_doc.semanticHash(), int(wide_shuffle_budget_bytes))
+    except Exception:  # pragma: no cover - semanticHash is stable API
+        key = None
+    if key is not None and key in _VERIFY_PLAN_MEMO:
+        return _VERIFY_PLAN_MEMO[key]
+    banded_n = _banded(
+        per_doc.withColumn("_w", F.size("tok_set")), sig="long", extra=("_w",)
+    )
+    row = (
+        banded_n.groupBy("band", "band_sig")
+        .agg(F.count("*").alias("n"), F.sum("_w").alias("sw"))
+        .agg(
+            F.sum(
+                F.col("n").cast("double") * (F.col("n") - 1) / 2
+            ).alias("p"),
+            (F.sum("sw") / F.sum("n")).alias("w"),
+        )
+        .first()
+    )
+    est_pairs = row["p"] or 0.0
+    avg_width = row["w"] or 0.0
+    est_wide_bytes = est_pairs * 2 * avg_width * 4
+    choice = (
+        "bucket_local"
+        if est_wide_bytes > wide_shuffle_budget_bytes
+        else "candidates"
+    )
+    if key is not None:
+        _VERIFY_PLAN_MEMO[key] = choice
+    return choice
+
+
+def minhash_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    plan: str = "auto",
+    wide_shuffle_budget_bytes: int = 8 << 30,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: bucket join on band signatures, then
+    exact Jaccard verification at ``threshold``.
+
+    Two physical layouts compute the IDENTICAL result (same candidates —
+    pairs sharing ≥1 band under the same 40-bit integer fold — same exact
+    Jaccard over the same token-hash sets), differing only in which rows
+    carry the wide token arrays across shuffles:
+
+    - ``plan='candidates'``: narrow candidate stream + token-set joins;
+      wide bytes ∝ candidate count.  Fastest while candidates are modest
+      (measured ~2× faster at sf0.1).
+    - ``plan='bucket_local'``: token sets ride the banded explode and
+      verify happens inside the band-bucket self-join; wide bytes =
+      BANDS × |docs| × avg-set-width, independent of candidate count.
+      This is the 100 TB layout — the candidate layout's wide stream was
+      the engine's one measured scale cliff (35.6× wall at a 10×
+      scale-up, disk-bound; bucket-local re-measured 6.9-8.8×).
+    - ``plan='auto'`` (default): two cheap aggregations over the cached
+      per-doc table estimate the candidate layout's wide-shuffle volume
+      and switch to bucket-local above ``wide_shuffle_budget_bytes``
+      (default 8 GiB ≈ where the wide stream stops fitting a node's page
+      cache; see ``_choose_verify_plan``).
+
+    Because both layouts are result-identical, the choice never affects
+    correctness gates — the driver row stays hash-green under either.
+
+    Token sets are the same portable 30-bit token hashes the signatures
+    use, collected in the signature aggregation itself (no second
+    tokenization pass), carried as int32 arrays.  Jaccard is thus over the
+    hashed-token universe: identical to string-token Jaccard except under
+    hash collisions (P = 1e9+7 — negligible and fully deterministic), and
+    the DuckDB oracle replicates the same hashes bit-for-bit."""
+    if plan not in ("auto", "candidates", "bucket_local"):
+        raise ValueError(f"plan must be auto|candidates|bucket_local: {plan}")
+    per_doc = _minhash_per_doc(docs, text_col, with_token_sets=True).cache()
+    if plan == "auto":
+        plan = _choose_verify_plan(per_doc, wide_shuffle_budget_bytes)
+    if plan == "bucket_local":
+        return _verify_bucket_local(per_doc, threshold)
+    return _verify_candidates(per_doc, threshold)
 
 
 def dup_clusters(

@@ -400,6 +400,33 @@ def test_token_counts(spark):
     assert rows[1].n_ws_tokens == 0 and rows[1].n_bpe_tokens == 0
 
 
+def test_minhash_dup_pairs_plans_identical(spark):
+    """The two exact-verify layouts (candidate-stream and bucket-local)
+    must produce the identical pair set with identical jaccards, and the
+    auto budget probe must pick bucket_local under a tiny budget and
+    candidates under a huge one."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "a completely different document about spark plans",
+        "the quick brown fox jumps over the lazy dog",
+        "yet another unrelated piece of text entirely here",
+    ]
+    docs = docs_df(spark, texts)
+    got = {}
+    for plan in ("candidates", "bucket_local"):
+        rows = dedup.minhash_dup_pairs(docs, threshold=0.3, plan=plan).collect()
+        got[plan] = sorted((r.doc1, r.doc2, r.jaccard) for r in rows)
+    assert got["candidates"] == got["bucket_local"]
+    assert got["candidates"]  # non-empty fixture
+
+    per_doc = dedup._minhash_per_doc(docs, "text", with_token_sets=True)
+    assert dedup._choose_verify_plan(per_doc, 1) == "bucket_local"
+    assert dedup._choose_verify_plan(per_doc, 1 << 60) == "candidates"
+    with pytest.raises(ValueError, match="plan must be"):
+        dedup.minhash_dup_pairs(docs, plan="nope")
+
+
 def test_dup_clusters_transitive(spark):
     # chain 0-1, 1-2 → one cluster labeled 0; pair 3-4 → cluster 3; 5 singleton
     docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
