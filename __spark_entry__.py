@@ -198,4 +198,7 @@ def oracle_sql() -> dict[str, str]:
         # multimodal_features: REAL-decode feature vectors over synth PPMs,
         # analytic twin (the non-PPM stub branch stays pytest-pinned)
         "multimodal_features": oracle_dataops.multimodal_features_sql(),
+        # multimodal_audio_profile: REAL RIFF/WAVE PCM-16 decode stats,
+        # analytic twin (audio parallel of the PPM image gate)
+        "multimodal_audio_profile": oracle_dataops.multimodal_audio_profile_sql(),
     }

@@ -248,6 +248,164 @@ def decode_image(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=IMAGE_STATS_SCHEMA)
 
 
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("peak", IntegerType(), True),
+        StructField("sum_abs", LongType(), True),
+        StructField("sum_sq", LongType(), True),
+    ]
+)
+
+
+def synth_wav(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic 16-bit PCM mono WAV payload per id
+    (Arrow-batched ``mapInPandas``) — the audio-ingest fixture generator.
+
+    Sample count and samples are pure functions of the id
+    (n = 20 + id%13 samples at 8 kHz; sample t = ((7·id + 31·t) mod
+    2048) − 1024), so downstream decode stats are analytically
+    derivable — the property the DuckDB oracle uses to hash-gate the
+    REAL WAV decode path, exactly like ``synth_ppm`` does for images."""
+    import struct
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                n = 20 + i % 13
+                t = np.arange(n, dtype=np.int64)
+                samples = (((7 * i + 31 * t) % 2048) - 1024).astype("<i2")
+                data = samples.tobytes()
+                fmt = struct.pack(
+                    "<HHIIHH", 1, 1, 8000, 8000 * 2, 2, 16
+                )  # PCM, mono, 8 kHz, 16-bit
+                body = (
+                    b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<I", len(fmt))
+                    + fmt
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                    + data
+                )
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", len(body)) + body
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "media_type": "audio",
+                    "payload": payloads,
+                    "payload_size": [len(p) for p in payloads],
+                    "format": "wav",
+                }
+            )
+
+    return ids.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def _decode_wav(payload: bytes):
+    """Parse one RIFF/WAVE payload into (sample_rate, n_channels,
+    (n_samples, n_channels) int16 array), or None for malformed /
+    non-PCM-16 payloads.  Walks the chunk list (chunks are 2-byte
+    aligned; odd sizes carry a pad byte), reads the ``fmt `` chunk for
+    format/channels/rate and the ``data`` chunk for samples."""
+    import struct
+
+    import numpy as np
+
+    if (
+        payload is None
+        or len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        return None
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            return None  # truncated chunk
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_format, n_channels, sample_rate, _, _, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_format != 1 or bits != 16 or n_channels < 1:
+        return None  # only uncompressed PCM-16 decodes without codecs
+    frame_bytes = 2 * n_channels
+    n_frames = len(data) // frame_bytes
+    samples = np.frombuffer(
+        data, dtype="<i2", count=n_frames * n_channels
+    ).reshape(n_frames, n_channels)
+    return sample_rate, n_channels, samples
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """REAL audio decode over the media table for the dependency-free
+    RIFF/WAVE PCM-16 format: numpy chunk-walk + frombuffer + integer
+    sample stats, Arrow-batched through ``mapInPandas``
+    (partition-parallel, no shuffle).  Malformed WAV payloads decode to
+    NULL stats; rows in any other format raise NotImplementedError
+    (MP3/FLAC/OGG need codec libraries, not in this container) — the
+    same contract as ``decode_image``'s PPM path."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in AUDIO_STATS_SCHEMA}
+            for doc_id, fmt, payload in zip(
+                pdf["doc_id"], pdf["format"], pdf["payload"]
+            ):
+                if fmt != "wav":
+                    raise NotImplementedError(
+                        f"no decoder for format {fmt!r}: only RIFF/WAVE "
+                        "PCM decodes without codec libraries"
+                    )
+                decoded = _decode_wav(payload)
+                out["doc_id"].append(doc_id)
+                if decoded is None:
+                    for k in (
+                        "sample_rate",
+                        "n_channels",
+                        "n_samples",
+                        "peak",
+                        "sum_abs",
+                        "sum_sq",
+                    ):
+                        out[k].append(None)
+                    continue
+                rate, ch, samples = decoded
+                s = samples.astype(np.int64)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(ch)
+                out["n_samples"].append(samples.shape[0])
+                out["peak"].append(
+                    int(np.abs(s).max()) if s.size else 0
+                )
+                out["sum_abs"].append(int(np.abs(s).sum()))
+                out["sum_sq"].append(int((s * s).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=AUDIO_STATS_SCHEMA)
+
+
 RESIZE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),

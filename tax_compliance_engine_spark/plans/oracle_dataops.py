@@ -707,6 +707,28 @@ SELECT d.doc_id, 'text' AS media_type,
 FROM documents d JOIN row_sums s USING (doc_id)"""
 
 
+def multimodal_audio_profile_sql() -> str:
+    """Twin of queries_dataops.multimodal_audio_profile: the analytic
+    form of the WAV decode stats.  The synthetic PCM stream for doc d is
+    n = 20 + d%13 mono samples, sample t = ((7d + 31t) mod 2048) − 1024,
+    so peak / sum|s| / Σs² reduce to closed-form aggregates — what the
+    Spark side's REAL numpy chunk-walk decode must reproduce from the
+    actual RIFF bytes."""
+    return """WITH dims AS (
+  SELECT doc_id, 20 + doc_id % 13 AS n FROM documents),
+samples AS (
+  SELECT doc_id, n, ((7 * doc_id + 31 * t) % 2048) - 1024 AS s
+  FROM dims, unnest(range(0, n)) AS u(t))
+SELECT doc_id,
+  CAST(8000 AS INTEGER) AS sample_rate,
+  CAST(1 AS INTEGER) AS n_channels,
+  CAST(n AS BIGINT) AS n_samples,
+  CAST(MAX(abs(s)) AS INTEGER) AS peak,
+  CAST(SUM(abs(s)) AS BIGINT) AS sum_abs,
+  CAST(SUM(s * s) AS BIGINT) AS sum_sq
+FROM samples GROUP BY doc_id, n"""
+
+
 def multimodal_features_sql() -> str:
     """Twin of queries_dataops.multimodal_features: the REAL-decode
     feature vector [w, h, mean_r, mean_g, mean_b] derived analytically.

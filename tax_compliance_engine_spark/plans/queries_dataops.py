@@ -401,6 +401,19 @@ def multimodal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.join(stats, "doc_id")
 
 
+def multimodal_audio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode under the bit-exact gate: RIFF/WAVE PCM-16
+    chunk-walk + integer sample stats over deterministic synthetic WAVs
+    (multimodal.synth_wav — sample values are pure functions of doc_id),
+    decoded by numpy inside ``mapInPandas``.  The DuckDB twin derives
+    the identical stats analytically, so the WAV decode path sits under
+    the hash gate exactly like the PPM image path."""
+    docs = _docs(spark, sf_dir)
+    return multimodal.decode_audio(
+        multimodal.synth_wav(docs.select("doc_id"))
+    )
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-decode feature extraction under the bit-exact gate: the
     [w, h, mean_r, mean_g, mean_b] feature vector over deterministic

@@ -378,6 +378,77 @@ def test_extract_features_real_ppm_decode(spark):
     assert r.feature[:3] == [w, h, mean_r]
 
 
+def test_synth_wav_decode_roundtrip(spark):
+    """The REAL audio decode path: synthesize RIFF/WAVE PCM-16, decode
+    with numpy, and check every stat against the analytic sample
+    formula s_t = ((7d + 31t) mod 2048) - 1024 over n = 20 + d%13."""
+    ids = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    got = {
+        r.doc_id: r
+        for r in multimodal.decode_audio(multimodal.synth_wav(ids)).collect()
+    }
+    for d in range(10):
+        n = 20 + d % 13
+        s = [((7 * d + 31 * t) % 2048) - 1024 for t in range(n)]
+        r = got[d]
+        assert (r.sample_rate, r.n_channels, r.n_samples) == (8000, 1, n)
+        assert r.peak == max(abs(v) for v in s)
+        assert r.sum_abs == sum(abs(v) for v in s)
+        assert r.sum_sq == sum(v * v for v in s)
+
+
+def test_decode_wav_parser_edges(spark):
+    import struct
+
+    from tax_compliance_engine_spark.operators.multimodal import _decode_wav
+
+    assert _decode_wav(None) is None
+    assert _decode_wav(b"OggS....junk") is None  # wrong magic
+    assert _decode_wav(b"RIFF\x04\x00\x00\x00WAVE") is None  # no chunks
+    # valid two-sample mono wav parses; odd-size chunk before it is padded
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # 3-byte chunk + pad
+    data = struct.pack("<hh", -5, 7)
+    body = (
+        b"WAVE"
+        + odd
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, ch, samples = _decode_wav(wav)
+    assert (rate, ch) == (8000, 1)
+    assert samples.flatten().tolist() == [-5, 7]
+    # compressed formats (audio_format != 1) refuse to decode
+    badfmt = struct.pack("<HHIIHH", 85, 1, 8000, 16000, 2, 16)  # MP3 tag
+    bad = (
+        b"RIFF"
+        + struct.pack("<I", 28)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(badfmt))
+        + badfmt
+        + b"data"
+        + struct.pack("<I", 0)
+    )
+    assert _decode_wav(bad) is None
+    # malformed payloads yield NULL stats through decode_audio
+    media = spark.createDataFrame(
+        [(0, "audio", bytearray(b"RIFFxxxxWAVEgarbage"), 19, "wav")],
+        multimodal.MEDIA_SCHEMA,
+    )
+    r = multimodal.decode_audio(media).collect()[0]
+    assert r.doc_id == 0 and r.n_samples is None and r.peak is None
+    # non-wav formats raise (no codec libraries available)
+    txt = multimodal.to_media_table(docs_df(spark, ["hello"]))
+    with pytest.raises(Exception, match="no decoder for format"):
+        multimodal.decode_audio(txt).collect()
+
+
 def test_near_dedup_filter(spark):
     text = "the quick brown fox jumps over the lazy dog"
     docs = docs_df(spark, [text, text, "totally different content here now"])
