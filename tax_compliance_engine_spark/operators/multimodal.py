@@ -68,23 +68,34 @@ def _extract_features_batches(
 ) -> Iterator[pd.DataFrame]:
     """Arrow-batched feature extraction.
 
-    PPM payloads get a REAL decode (numpy parse via ``_decode_ppm``) and
-    emit [w, h, mean_r, mean_g, mean_b] as the feature vector.  Other
-    formats fall back to the deterministic stand-in (first 8 payload bytes
-    as ints — a real JPEG/audio decoder needs PIL/librosa/ffmpeg, not
-    available in this container); either way the pipeline shape — batch
-    in, batch out, columnar — is fully exercised."""
+    PPM payloads get a REAL image decode (``_decode_ppm``) and emit
+    [w, h, mean_r, mean_g, mean_b]; WAV payloads get a REAL audio decode
+    (``_decode_wav``) and emit [sample_rate, n_channels, n_samples,
+    peak].  Other formats fall back to the deterministic stand-in (first
+    8 payload bytes as ints — a real JPEG/MP3 decoder needs PIL/librosa,
+    not available in this container); either way the pipeline shape —
+    batch in, batch out, columnar — is fully exercised."""
     import numpy as np
 
     for pdf in batches:
         feats, decoders = [], []
         for fmt, p in zip(pdf["format"], pdf["payload"]):
             arr = _decode_ppm(p) if fmt == "ppm" else None
+            wav = _decode_wav(p) if fmt == "wav" else None
             if arr is not None:
                 h, w, _ = arr.shape
                 means = arr.astype(np.int64).sum(axis=(0, 1)) // (w * h)
                 feats.append([w, h, int(means[0]), int(means[1]), int(means[2])])
                 decoders.append("ppm-numpy")
+            elif wav is not None:
+                rate, ch, samples = wav
+                peak = (
+                    int(np.abs(samples.astype(np.int64)).max())
+                    if samples.size
+                    else 0
+                )
+                feats.append([rate, ch, samples.shape[0], peak])
+                decoders.append("wav-numpy")
             else:
                 feats.append(list(p[:8]) if p is not None else None)
                 decoders.append("stub-first8bytes")
@@ -404,6 +415,93 @@ def decode_audio(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=AUDIO_STATS_SCHEMA)
+
+
+RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("target_rate", IntegerType(), False),
+        StructField("resampled", BinaryType(), True),
+        StructField("n_samples_out", LongType(), True),
+        StructField("decoder", StringType(), True),
+    ]
+)
+
+
+def resample_audio(media: DataFrame, target_rate: int) -> DataFrame:
+    """Sample-rate conversion over the media table (1 row in → 1 row
+    out, Arrow-batched, partition-parallel, no shuffle).
+
+    REAL for WAV: decode (``_decode_wav``), nearest-sample pick at the
+    new rate (out frame t takes source frame floor((t+0.5)·src/dst) —
+    the same pixel-center mapping ``_resize_nn`` uses, so results are a
+    closed-form function of the source), re-encode PCM-16 WAV at
+    ``target_rate`` — decoder tag 'wav-numpy-nearest'.  Malformed WAV →
+    NULL output.  Other formats raise NotImplementedError (proper
+    resampling of compressed audio needs codec + DSP libraries)."""
+    import struct
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            outs, ns, decoders = [], [], []
+            for fmt, p in zip(pdf["format"], pdf["payload"]):
+                if fmt != "wav":
+                    raise NotImplementedError(
+                        f"no resampler for format {fmt!r}: only RIFF/WAVE "
+                        "PCM resamples without DSP libraries"
+                    )
+                decoded = _decode_wav(p)
+                decoders.append("wav-numpy-nearest")
+                if decoded is None:
+                    outs.append(None)
+                    ns.append(None)
+                    continue
+                rate, ch, samples = decoded
+                n_src = samples.shape[0]
+                n_dst = (n_src * target_rate) // rate if rate else 0
+                idx = ((np.arange(n_dst) + 0.5) * n_src / max(n_dst, 1))
+                idx = np.clip(idx.astype(np.int64), 0, max(n_src - 1, 0))
+                picked = (
+                    samples[idx]
+                    if n_src
+                    else np.zeros((0, ch), dtype="<i2")
+                )
+                data = picked.astype("<i2").tobytes()
+                fmt_chunk = struct.pack(
+                    "<HHIIHH",
+                    1,
+                    ch,
+                    target_rate,
+                    target_rate * 2 * ch,
+                    2 * ch,
+                    16,
+                )
+                body = (
+                    b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<I", len(fmt_chunk))
+                    + fmt_chunk
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                    + data
+                )
+                outs.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+                ns.append(n_dst)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "target_rate": target_rate,
+                    "resampled": outs,
+                    "n_samples_out": ns,
+                    "decoder": decoders,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESAMPLE_SCHEMA)
 
 
 RESIZE_SCHEMA = StructType(

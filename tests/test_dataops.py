@@ -449,6 +449,43 @@ def test_decode_wav_parser_edges(spark):
         multimodal.decode_audio(txt).collect()
 
 
+def test_resample_audio_analytic_roundtrip(spark):
+    """REAL resample path: downsample synth WAVs 8 kHz → 2 kHz with the
+    nearest-sample pick; every output sample checked against the
+    closed-form source function, and the output re-decodes as a valid
+    WAV at the new rate."""
+    from tax_compliance_engine_spark.operators.multimodal import _decode_wav
+
+    ids = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    rows = {
+        r.doc_id: r
+        for r in multimodal.resample_audio(
+            multimodal.synth_wav(ids), 2000
+        ).collect()
+    }
+    for d in range(6):
+        n_src = 20 + d % 13
+        n_dst = (n_src * 2000) // 8000
+        r = rows[d]
+        assert r.decoder == "wav-numpy-nearest"
+        assert r.n_samples_out == n_dst
+        rate, ch, samples = _decode_wav(bytes(r.resampled))
+        assert (rate, ch, samples.shape[0]) == (2000, 1, n_dst)
+        for t in range(n_dst):
+            src_t = int((t + 0.5) * n_src / n_dst)
+            want = ((7 * d + 31 * src_t) % 2048) - 1024
+            assert int(samples[t, 0]) == want
+
+
+def test_extract_features_real_wav_decode(spark):
+    ids = spark.createDataFrame([(3,)], "doc_id long")
+    r = multimodal.extract_features(multimodal.synth_wav(ids)).collect()[0]
+    assert r.decoder == "wav-numpy"
+    n = 20 + 3 % 13
+    peak = max(abs(((7 * 3 + 31 * t) % 2048) - 1024) for t in range(n))
+    assert r.feature == [8000, 1, n, peak]
+
+
 def test_near_dedup_filter(spark):
     text = "the quick brown fox jumps over the lazy dog"
     docs = docs_df(spark, [text, text, "totally different content here now"])
