@@ -131,6 +131,21 @@ def test_partitioned_output_read_back_prunes_partitions(spark, tmp_path):
     assert read.count() == 10
 
 
+def test_minhash_bucket_local_layout_plan_shape(spark):
+    """The auto probe picks the candidate layout at tiny SF, so the module
+    fixture never audits the bucket-local layout — pin its shape
+    explicitly: full parallelism, no Python UDF, and the token arrays
+    never flow through a post-join DISTINCT exchange."""
+    from tax_compliance_engine_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(dedup.minhash_dup_pairs(docs, plan="bucket_local"))
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan
+    # in-join dedup means no aggregate/distinct AFTER the band self-join
+    assert "HashAggregate(keys=[doc1" not in plan
+
+
 def test_parquet_scans_prune_columns(plans):
     # Every documents.parquet scan must project a subset of columns, never
     # the full table (ReadSchema appears per scan in formatted plans).
