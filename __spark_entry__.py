@@ -193,6 +193,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mixture": oracle_corpus.corpus_mixture_sql(),
         "corpus_pack_bins": oracle_corpus.corpus_pack_bins_sql(),
         "corpus_decontaminate": oracle_corpus.corpus_decontaminate_sql(),
+        # corpus_distinct_sketch: deterministic KMV cardinality sketch
+        # (portable alternative to approx_count_distinct), bit-exact twin
+        "corpus_distinct_sketch": oracle_corpus.corpus_distinct_sketch_sql(),
         "multimodal_profile": oracle_dataops.multimodal_profile_sql(),
         "multimodal_metadata": oracle_dataops.multimodal_metadata_sql(),
         # multimodal_features: REAL-decode feature vectors over synth PPMs,

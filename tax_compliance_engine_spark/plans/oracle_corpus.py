@@ -125,3 +125,34 @@ contaminated AS (
 SELECT doc_id FROM documents
 WHERE doc_id % {bench_mod} <> 0
   AND doc_id NOT IN (SELECT doc_id FROM contaminated)"""
+
+
+def corpus_distinct_sketch_sql(k: int = 64) -> str:
+    """Twin of corpus.distinct_sketch: identical k-minimum-values over the
+    same portable token hash — DISTINCT (source, hash), rank, keep k,
+    then the (k−1)·M/h_k estimator.  (k−1)·M is exactly representable in
+    a double and the division is a single exactly-rounded op, so the
+    estimate hash-compares bit-for-bit."""
+    from ..functions import hashing
+    from .oracle_dataops import TOK_HASH
+
+    th = TOK_HASH.format(t="tok")
+    scramble = (
+        f"(({th}) * {corpus.KMV_SCRAMBLE_A} + {corpus.KMV_SCRAMBLE_B})"
+        f" % {hashing.HASH_MOD}"
+    )
+    return f"""WITH doc_toks AS (
+  SELECT source, unnest({TOKENS}) AS tok FROM documents),
+hashes AS (
+  SELECT DISTINCT source, {scramble} AS h FROM doc_toks),
+ranked AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM hashes),
+topk AS (SELECT source, h FROM ranked WHERE rn <= {k})
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+  MAX(h) AS kth_hash,
+  CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+       ELSE CAST({(k - 1) * hashing.HASH_MOD} AS DOUBLE)
+            / CAST(MAX(h) AS DOUBLE) END AS est_distinct
+FROM topk GROUP BY source"""

@@ -401,6 +401,13 @@ def multimodal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.join(stats, "doc_id")
 
 
+def corpus_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token cardinality via the deterministic KMV
+    sketch (corpus.distinct_sketch) — the portable, mergeable,
+    oracle-checkable alternative to approx_count_distinct."""
+    return corpus.distinct_sketch(_docs(spark, sf_dir))
+
+
 def multimodal_audio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode under the bit-exact gate: RIFF/WAVE PCM-16
     chunk-walk + integer sample stats over deterministic synthetic WAVs

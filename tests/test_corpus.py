@@ -229,3 +229,30 @@ def test_full_training_pipeline_composes(spark):
     # bin ids are dense: every bin below the max is non-empty
     n_bins = packed.select("bin_id").distinct().count()
     assert n_bins == stats["hi"] + 1
+
+
+def test_distinct_sketch_exact_below_k_and_estimates_above(spark):
+    """Groups with < k distinct tokens report the EXACT count; a group
+    far above k estimates within KMV's error envelope (std ~ 1/sqrt(k-2)
+    ~ 13% at k=64; 4 sigma bound asserted), and n_kept saturates at k."""
+    small = [(i, f"tok{i % 7} shared", "small") for i in range(30)]
+    big = [(100 + i, " ".join(f"w{i}_{j}" for j in range(40)), "big")
+           for i in range(50)]  # 2000 unique tokens
+    df = docs_df(spark, small + big)
+    rows = {r.source: r for r in corpus.distinct_sketch(df, k=64).collect()}
+
+    assert rows["small"].n_kept == 8  # 7 tok* + 'shared' — exact
+    assert rows["small"].est_distinct == 8.0
+
+    r = rows["big"]
+    assert r.n_kept == 64
+    true = 2000
+    assert abs(r.est_distinct - true) / true < 0.52  # 4 sigma at k=64
+
+    # mergeability: the union's sketch equals re-sketching the union
+    from pyspark.sql import functions as F
+
+    merged = corpus.distinct_sketch(
+        df.withColumn("source", F.lit("all")), k=64
+    ).collect()
+    assert len(merged) == 1 and merged[0].n_kept == 64

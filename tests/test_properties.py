@@ -191,3 +191,50 @@ def test_corpus_invariants(spark, texts):
     ids1 = sorted(r.doc_id for r in clean1.collect())
     ids2 = sorted(r.doc_id for r in clean2.collect())
     assert ids1 == ids2
+
+
+# ── binary media parser fuzzing ──────────────────────────────────────
+# The PPM/WAV parsers run inside executors over untrusted payload bytes:
+# any byte string must decode to a valid result or None — never raise.
+# Driver-side (no Spark round-trip needed: the parsers are pure).
+
+
+@given(st.binary(max_size=256))
+@settings(max_examples=300, deadline=None)
+def test_decode_ppm_never_raises_on_arbitrary_bytes(payload):
+    from tax_compliance_engine_spark.operators.multimodal import (
+        _decode_ppm,
+        _split_ppm_frames,
+    )
+
+    arr = _decode_ppm(payload)
+    assert arr is None or arr.ndim == 3
+    frames = _split_ppm_frames(payload)
+    for f in frames:
+        assert _decode_ppm(f) is not None  # every split frame decodes
+
+
+@given(st.binary(max_size=256))
+@settings(max_examples=300, deadline=None)
+def test_decode_wav_never_raises_on_arbitrary_bytes(payload):
+    from tax_compliance_engine_spark.operators.multimodal import _decode_wav
+
+    out = _decode_wav(payload)
+    if out is not None:
+        rate, ch, samples = out
+        assert rate >= 0 and ch >= 1 and samples.shape[1] == ch
+
+
+@given(st.binary(max_size=64))
+@settings(max_examples=300, deadline=None)
+def test_decode_ppm_prefixed_garbage(noise):
+    """A valid header followed by arbitrary bytes decodes iff enough
+    pixel bytes follow — and never crashes mid-parse."""
+    from tax_compliance_engine_spark.operators.multimodal import _decode_ppm
+
+    payload = b"P6\n2 2\n255\n" + noise
+    arr = _decode_ppm(payload)
+    if len(noise) >= 12:
+        assert arr is not None and arr.shape == (2, 2, 3)
+    else:
+        assert arr is None
