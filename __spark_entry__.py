@@ -201,6 +201,10 @@ def oracle_sql() -> dict[str, str]:
         # multimodal_features: REAL-decode feature vectors over synth PPMs,
         # analytic twin (the non-PPM stub branch stays pytest-pinned)
         "multimodal_features": oracle_dataops.multimodal_features_sql(),
+        # multimodal_png_profile: REAL PNG decode (CRC'd chunk walk, zlib
+        # inflate, all-five-filter scanline reconstruction) vs the analytic
+        # pixel-sum twin — oracle-only swept entry.
+        "multimodal_png_profile": oracle_dataops.multimodal_png_profile_sql(),
         # multimodal_audio_profile: REAL RIFF/WAVE PCM-16 decode stats,
         # analytic twin (audio parallel of the PPM image gate)
         "multimodal_audio_profile": oracle_dataops.multimodal_audio_profile_sql(),

@@ -2,10 +2,12 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode/resize/frame-sample are Arrow-batched pandas UDFs
-over ``mapInPandas``.  For the dependency-free binary-P6 PPM format the
-whole path is REAL — numpy decode, nearest-neighbor resize, and
-frame-boundary demux of concatenated-frame payloads, each verified against
-closed-form fixtures.  Formats needing imaging libraries (JPEG/PNG/audio —
+over ``mapInPandas``.  Three formats decode for REAL with only stdlib +
+numpy: binary-P6 PPM (decode, nearest-neighbor resize, frame-boundary
+demux of concatenated-frame payloads), PNG (chunk walk with CRC checks,
+zlib IDAT inflate, all five scanline-filter reconstructions including
+Paeth), and RIFF/WAVE PCM-16 audio — each verified against closed-form
+fixtures.  Formats needing codec libraries (JPEG/MP3/ffmpeg containers —
 PIL/opencv/ffmpeg are not in this container) fall back to clearly-tagged
 deterministic stand-ins; the Spark-side plumbing — schema,
 partition-preserving batch iteration, UDF signatures, batch shapes — is the
@@ -68,25 +70,27 @@ def _extract_features_batches(
 ) -> Iterator[pd.DataFrame]:
     """Arrow-batched feature extraction.
 
-    PPM payloads get a REAL image decode (``_decode_ppm``) and emit
-    [w, h, mean_r, mean_g, mean_b]; WAV payloads get a REAL audio decode
-    (``_decode_wav``) and emit [sample_rate, n_channels, n_samples,
-    peak].  Other formats fall back to the deterministic stand-in (first
-    8 payload bytes as ints — a real JPEG/MP3 decoder needs PIL/librosa,
-    not available in this container); either way the pipeline shape —
-    batch in, batch out, columnar — is fully exercised."""
+    PPM and PNG payloads get a REAL image decode (``_decode_ppm`` /
+    ``_decode_png``) and emit [w, h, mean_r, mean_g, mean_b]; WAV
+    payloads get a REAL audio decode (``_decode_wav``) and emit
+    [sample_rate, n_channels, n_samples, peak].  Other formats fall back
+    to the deterministic stand-in (first 8 payload bytes as ints — a
+    real JPEG/MP3 decoder needs PIL/librosa, not available in this
+    container); either way the pipeline shape — batch in, batch out,
+    columnar — is fully exercised."""
     import numpy as np
 
     for pdf in batches:
         feats, decoders = [], []
         for fmt, p in zip(pdf["format"], pdf["payload"]):
-            arr = _decode_ppm(p) if fmt == "ppm" else None
+            img_decoder = _IMAGE_DECODERS.get(fmt)
+            arr = img_decoder(p) if img_decoder is not None else None
             wav = _decode_wav(p) if fmt == "wav" else None
             if arr is not None:
                 h, w, _ = arr.shape
                 means = arr.astype(np.int64).sum(axis=(0, 1)) // (w * h)
                 feats.append([w, h, int(means[0]), int(means[1]), int(means[2])])
-                decoders.append("ppm-numpy")
+                decoders.append(f"{fmt}-numpy")
             elif wav is not None:
                 rate, ch, samples = wav
                 peak = (
@@ -218,15 +222,216 @@ def _decode_ppm(payload: bytes):
     return arr.reshape(h, w, 3)
 
 
-def decode_image(media: DataFrame) -> DataFrame:
-    """REAL image decode over the media table for the dependency-free PPM
-    (P6) format: numpy header parse + frombuffer + per-channel integer
-    sums, Arrow-batched through ``mapInPandas`` (partition-parallel, no
-    shuffle).  Malformed PPM payloads decode to NULL stats.
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-    Rows in any other format raise NotImplementedError (JPEG/PNG/audio
-    need PIL/opencv/librosa, which are not in this container); the PPM
-    path is the end-to-end-verified template a real codec drops into."""
+
+def _png_chunks(payload: bytes):
+    """Walk a PNG's chunk list → list of (type, data), verifying each
+    chunk's CRC-32 (over type + data, as the spec requires).  Returns
+    None for a bad signature, a truncated chunk, or a CRC mismatch —
+    corrupt payloads never reach the inflate step."""
+    import zlib
+
+    if payload is None or payload[:8] != PNG_SIG:
+        return None
+    chunks: list[tuple[bytes, bytes]] = []
+    pos = 8
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + size]
+        crc = payload[pos + 8 + size : pos + 12 + size]
+        if len(data) < size or len(crc) < 4:
+            return None  # truncated chunk
+        if zlib.crc32(ctype + data) != int.from_bytes(crc, "big"):
+            return None  # corrupt chunk
+        chunks.append((ctype, data))
+        pos += 12 + size
+        if ctype == b"IEND":
+            break
+    return chunks
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG filter 4): whichever of left/up/up-left
+    is closest to a + b − c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(payload: bytes):
+    """REAL PNG decode into an (h, w, 3) uint8 array, or None for
+    malformed payloads — stdlib ``zlib`` + numpy only.
+
+    Full pipeline: signature + chunk walk with CRC-32 verification
+    (``_png_chunks``), IHDR validation, concatenated-IDAT zlib inflate,
+    then per-scanline filter reconstruction for all five filter types
+    (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth).  Supports the common
+    web-image shapes: 8-bit depth, color type 2 (RGB) or 6 (RGBA — the
+    alpha plane is parsed then dropped), non-interlaced.  Sub lowers to
+    a per-byte-phase cumsum and Up to one vector add; Average/Paeth are
+    sequential in x by definition, so those rows walk pixel-by-pixel."""
+    import zlib
+
+    import numpy as np
+
+    chunks = _png_chunks(payload)
+    if not chunks or chunks[0][0] != b"IHDR" or len(chunks[0][1]) != 13:
+        return None
+    ihdr = chunks[0][1]
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, _, _, interlace = ihdr[8:13]
+    if w <= 0 or h <= 0 or bit_depth != 8 or interlace != 0:
+        return None
+    if color_type not in (2, 6):  # RGB / RGBA only
+        return None
+    bpp = 3 if color_type == 2 else 4
+    try:
+        raw = zlib.decompress(b"".join(d for t, d in chunks if t == b"IDAT"))
+    except zlib.error:
+        return None
+    stride = 1 + w * bpp  # filter byte + one scanline
+    if len(raw) != h * stride:
+        return None
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    out = np.zeros((h, w * bpp), dtype=np.uint8)
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    for y in range(h):
+        filt, row = lines[y, 0], lines[y, 1:].copy()
+        if filt == 0:
+            pass
+        elif filt == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]
+            for j in range(bpp):
+                np.cumsum(row[j::bpp], dtype=np.uint8, out=row[j::bpp])
+        elif filt == 2:  # Up: recon[x] = raw[x] + prev[x]
+            row += prev
+        elif filt == 3:  # Average: + (left + up) // 2
+            for x in range(w * bpp):
+                left = int(row[x - bpp]) if x >= bpp else 0
+                row[x] = (int(row[x]) + (left + int(prev[x])) // 2) % 256
+        elif filt == 4:  # Paeth
+            for x in range(w * bpp):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                row[x] = (int(row[x]) + _paeth(a, int(prev[x]), c)) % 256
+        else:
+            return None  # invalid filter type
+        out[y] = prev = row
+    return out.reshape(h, w, bpp)[:, :, :3].copy()
+
+
+def _encode_png(arr, row_filter=None, level: int = 6) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a real RGB PNG (8-bit, color
+    type 2, non-interlaced).  ``row_filter`` maps scanline y → filter
+    type 0-4 (default: all 0); residuals are the forward form of the
+    same equations ``_decode_png`` reconstructs, so synthetic fixtures
+    can exercise every filter path through a genuine zlib round-trip."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, _ = arr.shape
+    flat = arr.reshape(h, w * 3).astype(np.int16)
+    scanlines = []
+    for y in range(h):
+        filt = row_filter(y) if row_filter is not None else 0
+        row, prev = flat[y], (flat[y - 1] if y else np.zeros(w * 3, np.int16))
+        if filt == 0:
+            res = row
+        elif filt == 1:
+            res = row - np.concatenate([np.zeros(3, np.int16), row[:-3]])
+        elif filt == 2:
+            res = row - prev
+        elif filt == 3:
+            left = np.concatenate([np.zeros(3, np.int16), row[:-3]])
+            res = row - (left + prev) // 2
+        elif filt == 4:
+            res = row.copy()
+            for x in range(w * 3):
+                a = int(row[x - 3]) if x >= 3 else 0
+                c = int(prev[x - 3]) if x >= 3 else 0
+                res[x] = row[x] - _paeth(a, int(prev[x]), c)
+        else:
+            raise ValueError(f"invalid PNG filter type {filt}")
+        scanlines.append(bytes([filt]) + (res % 256).astype(np.uint8).tobytes())
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(scanlines), level)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_png(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic PNG payload per id (Arrow-batched
+    ``mapInPandas``) — the PNG-ingest fixture generator.
+
+    Pixels are the SAME closed form as ``synth_ppm`` (w = 4 + id%5,
+    h = 3 + id%4; row y is a constant color (id+y, 2id+3y, 5id+7y) mod
+    256), so the analytic DuckDB oracle shares the PPM math; the scanline
+    filter for row y is (id + y) % 5, so the hash-gated decode exercises
+    ALL FIVE filter reconstructions — None/Sub/Up/Average/Paeth — through
+    a genuine zlib inflate, not just the trivial filter-0 path."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 4 + i % 5, 3 + i % 4
+                ys = np.arange(h, dtype=np.int64)
+                rows = np.stack(
+                    [(i + ys) % 256, (2 * i + 3 * ys) % 256, (5 * i + 7 * ys) % 256],
+                    axis=1,
+                ).astype(np.uint8)
+                pixels = np.repeat(rows[:, None, :], w, axis=1)
+                payloads.append(
+                    _encode_png(pixels, row_filter=lambda y, i=i: (i + y) % 5)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "payload_size": [len(p) for p in payloads],
+                    "format": "png",
+                }
+            )
+
+    return ids.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+_IMAGE_DECODERS = {"ppm": _decode_ppm, "png": _decode_png}
+
+
+def decode_image(media: DataFrame) -> DataFrame:
+    """REAL image decode over the media table for the dependency-free
+    formats — binary-P6 PPM (header parse + frombuffer) and PNG (CRC'd
+    chunk walk + zlib inflate + full filter reconstruction) — emitting
+    per-channel integer sums, Arrow-batched through ``mapInPandas``
+    (partition-parallel, no shuffle).  Malformed payloads decode to NULL
+    stats.
+
+    Rows in any other format raise NotImplementedError (JPEG decode
+    needs PIL/opencv, which are not in this container); the PPM/PNG
+    paths are the end-to-end-verified template a real codec drops into."""
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -235,12 +440,14 @@ def decode_image(media: DataFrame) -> DataFrame:
             for doc_id, fmt, payload in zip(
                 pdf["doc_id"], pdf["format"], pdf["payload"]
             ):
-                if fmt != "ppm":
+                decoder = _IMAGE_DECODERS.get(fmt)
+                if decoder is None:
                     raise NotImplementedError(
-                        f"no decoder for format {fmt!r}: only PPM decodes "
-                        "without imaging libraries (PIL/opencv unavailable)"
+                        f"no decoder for format {fmt!r}: only PPM and PNG "
+                        "decode without imaging libraries (PIL/opencv "
+                        "unavailable)"
                     )
-                arr = _decode_ppm(payload)
+                arr = decoder(payload)
                 out["doc_id"].append(doc_id)
                 if arr is None:
                     for k in ("img_w", "img_h", "n_pixels", "sum_r", "sum_g", "sum_b"):
@@ -546,29 +753,33 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
     """Thumbnail/resize over the media table (1 row in → 1 row out,
     Arrow-batched, partition-parallel, no shuffle).
 
-    REAL for PPM: decode (``_decode_ppm``), nearest-neighbor resample to
-    (width, height) (``_resize_nn``), re-encode binary P6 — decoder tag
-    'ppm-numpy-nn'.  Malformed PPM payloads → NULL thumb.  Other formats
-    keep the deterministic byte-truncate stand-in (tag 'stub-truncate';
-    a real JPEG resizer needs PIL, not in this container) so batch
-    shapes, schema, and null handling stay exercised for every format."""
+    REAL for PPM and PNG: decode (``_decode_ppm`` / ``_decode_png``),
+    nearest-neighbor resample to (width, height) (``_resize_nn``),
+    re-encode in the source format (binary P6 / filter-0 PNG) — decoder
+    tags 'ppm-numpy-nn' / 'png-numpy-nn'.  Malformed payloads → NULL
+    thumb.  Other formats keep the deterministic byte-truncate stand-in
+    (tag 'stub-truncate'; a real JPEG resizer needs PIL, not in this
+    container) so batch shapes, schema, and null handling stay exercised
+    for every format."""
     budget = max(64, (width * height) // 64)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             thumbs, decoders = [], []
             for fmt, p in zip(pdf["format"], pdf["payload"]):
-                if fmt == "ppm":
-                    arr = _decode_ppm(p)
+                if fmt in _IMAGE_DECODERS:
+                    arr = _IMAGE_DECODERS[fmt](p)
                     if arr is None:
                         thumbs.append(None)
+                    elif fmt == "png":
+                        thumbs.append(_encode_png(_resize_nn(arr, width, height)))
                     else:
                         small = _resize_nn(arr, width, height)
                         thumbs.append(
                             f"P6\n{width} {height}\n255\n".encode("ascii")
                             + small.tobytes()
                         )
-                    decoders.append("ppm-numpy-nn")
+                    decoders.append(f"{fmt}-numpy-nn")
                 else:
                     thumbs.append(bytes(p[:budget]) if p is not None else None)
                     decoders.append("stub-truncate")

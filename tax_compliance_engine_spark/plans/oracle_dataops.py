@@ -707,6 +707,29 @@ SELECT d.doc_id, 'text' AS media_type,
 FROM documents d JOIN row_sums s USING (doc_id)"""
 
 
+def multimodal_png_profile_sql() -> str:
+    """Twin of queries_dataops.multimodal_png_profile: the analytic form
+    of the PNG decode stats.  synth_png pixels share synth_ppm's closed
+    form (w = 4 + d%5, h = 3 + d%4, row y a constant color), so the
+    per-channel sums are the same row_sums CTE — what the Spark side's
+    REAL zlib-inflate + filter-reconstruction decode must reproduce from
+    the actual compressed bytes."""
+    return """WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+row_sums AS (
+  SELECT doc_id, w, h,
+    CAST(SUM((doc_id + y) % 256) * w AS BIGINT) AS sum_r,
+    CAST(SUM((2 * doc_id + 3 * y) % 256) * w AS BIGINT) AS sum_g,
+    CAST(SUM((5 * doc_id + 7 * y) % 256) * w AS BIGINT) AS sum_b
+  FROM dims, unnest(range(0, h)) AS u(y)
+  GROUP BY doc_id, w, h)
+SELECT doc_id,
+  CAST(w AS INTEGER) AS img_w, CAST(h AS INTEGER) AS img_h,
+  CAST(w * h AS BIGINT) AS n_pixels,
+  sum_r, sum_g, sum_b
+FROM row_sums"""
+
+
 def multimodal_audio_profile_sql() -> str:
     """Twin of queries_dataops.multimodal_audio_profile: the analytic
     form of the WAV decode stats.  The synthetic PCM stream for doc d is

@@ -421,6 +421,21 @@ def multimodal_audio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_png_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode under the bit-exact gate: CRC-verified chunk walk,
+    zlib IDAT inflate, and scanline-filter reconstruction over
+    deterministic synthetic PNGs (multimodal.synth_png — pixels share
+    synth_ppm's closed form; the filter type for row y is (id+y) % 5, so
+    every row of the corpus exercises one of the five filter decoders,
+    None/Sub/Up/Average/Paeth).  The DuckDB twin derives the identical
+    per-channel pixel sums analytically, so a single wrong byte anywhere
+    in the inflate-or-unfilter pipeline breaks the hash."""
+    docs = _docs(spark, sf_dir)
+    return multimodal.decode_image(
+        multimodal.synth_png(docs.select("doc_id"))
+    )
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-decode feature extraction under the bit-exact gate: the
     [w, h, mean_r, mean_g, mean_b] feature vector over deterministic

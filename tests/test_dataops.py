@@ -834,3 +834,145 @@ def test_corpus_io_rejects_unknown_format(spark, tmp_path):
 
     with pytest.raises(ValueError):
         corpus_io.read_documents(spark, str(tmp_path), fmt="avro")
+
+
+# ---------------------------------------------------------------------------
+# PNG: real stdlib-zlib decode (chunk walk + CRC, inflate, filter recon)
+
+
+def test_png_codec_roundtrip_every_filter():
+    """Pure-codec check: random pixels encode → decode bit-exact under
+    each single filter type and under a cycling per-row mix — the five
+    reconstruction branches (None/Sub/Up/Average/Paeth) all round-trip
+    through a genuine zlib deflate/inflate."""
+    import numpy as np
+
+    from tax_compliance_engine_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    for f in range(5):
+        arr = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+        back = _decode_png(_encode_png(arr, row_filter=lambda y, f=f: f))
+        assert back is not None and np.array_equal(back, arr), f"filter {f}"
+    arr = rng.integers(0, 256, (11, 5, 3), dtype=np.uint8)
+    back = _decode_png(_encode_png(arr, row_filter=lambda y: y % 5))
+    assert np.array_equal(back, arr)
+
+
+def test_decode_png_parser_edges():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from tax_compliance_engine_spark.operators.multimodal import (
+        PNG_SIG,
+        _decode_png,
+        _encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    png = _encode_png(arr, row_filter=lambda y: y % 5)
+    assert _decode_png(None) is None
+    assert _decode_png(b"\x89JNG" + png[4:]) is None  # wrong signature
+    bad = bytearray(png)
+    bad[40] ^= 0xFF  # flip a byte inside a chunk → CRC-32 mismatch
+    assert _decode_png(bytes(bad)) is None
+    assert _decode_png(png[: len(png) // 2]) is None  # truncated chunk
+
+    def raw_png(ihdr: bytes, pixels: np.ndarray, bpp: int) -> bytes:
+        lines = b"".join(
+            b"\x00" + pixels[y].tobytes() for y in range(pixels.shape[0])
+        )
+
+        def chunk(t: bytes, d: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(d))
+                + t
+                + d
+                + struct.pack(">I", zlib.crc32(t + d))
+            )
+
+        return (
+            PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(lines))
+            + chunk(b"IEND", b"")
+        )
+
+    rgba = rng.integers(0, 256, (3, 4, 4), dtype=np.uint8)
+    ok = _decode_png(raw_png(struct.pack(">IIBBBBB", 4, 3, 8, 6, 0, 0, 0), rgba, 4))
+    assert ok is not None and np.array_equal(ok, rgba[:, :, :3])  # alpha dropped
+    # 16-bit depth, palette color type, and interlaced all refuse cleanly
+    gray16 = struct.pack(">IIBBBBB", 4, 3, 16, 2, 0, 0, 0)
+    assert _decode_png(raw_png(gray16, rgba, 4)) is None
+    pal = struct.pack(">IIBBBBB", 4, 3, 8, 3, 0, 0, 0)
+    assert _decode_png(raw_png(pal, rgba, 4)) is None
+    adam7 = struct.pack(">IIBBBBB", 4, 3, 8, 6, 0, 0, 1)
+    assert _decode_png(raw_png(adam7, rgba, 4)) is None
+
+
+def test_synth_png_decode_roundtrip(spark):
+    """The REAL PNG decode path end-to-end: synthesize PNGs whose row
+    filters cycle (id+y) % 5, decode through CRC walk + inflate +
+    unfilter inside mapInPandas, and check every stat against the same
+    analytic formula the DuckDB oracle twin uses."""
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    got = {
+        r.doc_id: r
+        for r in multimodal.decode_image(multimodal.synth_png(ids)).collect()
+    }
+    for d in range(12):
+        w, h = 4 + d % 5, 3 + d % 4
+        r = got[d]
+        assert (r.img_w, r.img_h, r.n_pixels) == (w, h, w * h)
+        assert r.sum_r == w * sum((d + y) % 256 for y in range(h))
+        assert r.sum_g == w * sum((2 * d + 3 * y) % 256 for y in range(h))
+        assert r.sum_b == w * sum((5 * d + 7 * y) % 256 for y in range(h))
+
+
+def test_extract_features_real_png_decode(spark):
+    ids = spark.createDataFrame([(9,)], "doc_id long")
+    r = multimodal.extract_features(multimodal.synth_png(ids)).collect()[0]
+    assert r.decoder == "png-numpy"
+    w, h = 4 + 9 % 5, 3 + 9 % 4
+    mean_r = (w * sum((9 + y) % 256 for y in range(h))) // (w * h)
+    assert r.feature[:3] == [w, h, mean_r]
+
+
+def test_resize_media_png_analytic_roundtrip(spark):
+    """REAL PNG resize: thumbnails re-encode as PNG and every output
+    pixel matches the closed-form nearest-neighbor source pixel."""
+    from tax_compliance_engine_spark.operators.multimodal import _decode_png
+
+    ids = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    media = multimodal.synth_png(ids)
+    tw, th = 3, 2
+    rows = {
+        r.doc_id: r for r in multimodal.resize_media(media, tw, th).collect()
+    }
+    for i in range(6):
+        h = 3 + i % 4
+        r = rows[i]
+        assert r.decoder == "png-numpy-nn"
+        arr = _decode_png(bytes(r.thumb))
+        assert arr is not None and arr.shape == (th, tw, 3)
+        for ty in range(th):
+            sy = int((ty + 0.5) * h / th)
+            want = ((i + sy) % 256, (2 * i + 3 * sy) % 256, (5 * i + 7 * sy) % 256)
+            for tx in range(tw):
+                assert tuple(int(v) for v in arr[ty, tx]) == want
+
+
+def test_resize_media_malformed_png_null_thumb(spark):
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(b"\x89PNG\r\n\x1a\njunk"), 12, "png")],
+        multimodal.MEDIA_SCHEMA,
+    )
+    r = multimodal.resize_media(media, 4, 4).collect()[0]
+    assert r.thumb is None and r.thumb_size is None
+    assert r.decoder == "png-numpy-nn"
