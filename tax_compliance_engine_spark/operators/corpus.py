@@ -246,37 +246,120 @@ def mixture(
     )
 
 
+def _bloom_pos(gram: Column, m_bits: int, seed: int) -> Column:
+    """Bloom bit position for one of the k=2 hash functions: xxhash64 of
+    (gram, seed) reduced mod the bitmap size.  xxhash64 is engine-internal
+    but that's fine — the bloom stage is a result-identical prefilter, so
+    nothing about it needs to be oracle-portable."""
+    return F.pmod(F.xxhash64(gram, F.lit(seed)), F.lit(m_bits))
+
+
+def _bloom_bitmap(bench_grams: DataFrame, m_bits: int) -> DataFrame:
+    """Build the bloom bitmap as a (word_index, 64-bit word) table: both
+    bit positions per gram, grouped by word with a bit_or fold.  One
+    narrow shuffle over (word, mask) pairs, ≤ m_bits/64 output rows."""
+    pos = bench_grams.select(
+        F.explode(
+            F.array(
+                _bloom_pos(F.col("gram"), m_bits, 0),
+                _bloom_pos(F.col("gram"), m_bits, 1),
+            )
+        ).alias("p")
+    )
+    return (
+        pos.select(
+            F.shiftright(F.col("p"), 6).alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias(
+                "b"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+
+
+def _bloom_prefilter(
+    corpus_grams: DataFrame, bitmap: DataFrame, m_bits: int
+) -> DataFrame:
+    """Keep only corpus grams whose both bloom bits are set: two broadcast
+    joins against the (word, bits) bitmap + JVM-side bit tests.  A gram
+    whose word has no bitmap row (inner join drops it) or whose bit is 0
+    is DEFINITELY not in the benchmark set; survivors are 'possibly in'
+    and go on to the exact verify join.  No false negatives by
+    construction (every benchmark gram set its own bits)."""
+    g = corpus_grams
+    for j in (0, 1):
+        bm = bitmap.select(
+            F.col("w").alias(f"_w{j}"), F.col("bits").alias(f"_bits{j}")
+        )
+        g = (
+            g.withColumn(f"_p{j}", _bloom_pos(F.col("gram"), m_bits, j))
+            .join(
+                F.broadcast(bm),
+                F.shiftright(F.col(f"_p{j}"), 6) == F.col(f"_w{j}"),
+            )
+            .filter(
+                F.expr(
+                    f"(shiftright(_bits{j}, CAST(_p{j} % 64 AS INT)) & 1)"
+                    " = 1"
+                )
+            )
+            .drop(f"_w{j}", f"_bits{j}", f"_p{j}")
+        )
+    return g
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
     n: int = 5,
     text_col: str = "text",
     max_broadcast_grams: int = 5_000_000,
+    max_bloom_bits: int = 1 << 28,
 ) -> DataFrame:
     """Benchmark decontamination: drop every corpus doc sharing ANY token
     n-gram with a benchmark doc (the standard pre-training hygiene filter).
 
-    Shingle anti-join: corpus n-grams ⟕ benchmark n-gram set.  The
-    benchmark side is distinct shingles only — normally tiny, so it
-    broadcasts and the corpus side never shuffles.  Guarded: when the
-    distinct shingle count exceeds ``max_broadcast_grams`` (a huge decontam
-    list — every eval suite + held-out docs — would blow the broadcast
-    limit or the driver), the join falls back to a plain shuffle semi-join;
-    the tiny count(*) probe costs one aggregation over the (small)
-    benchmark side only.  Both paths produce identical results."""
+    Shingle anti-join: corpus n-grams ⟕ benchmark n-gram set, with a
+    three-regime plan keyed off the benchmark side's distinct-shingle
+    count (one cheap count(*) probe over the small side):
+
+    - ``n ≤ max_broadcast_grams``: broadcast the exact shingle set — the
+      corpus side never shuffles at all.
+    - above that, a BLOOM PREFILTER regime: build a 2-hash bloom bitmap
+      over the benchmark shingles (``min(16·n, max_bloom_bits)`` bits, as
+      a broadcastable (word, 64-bit-word) table), probe every corpus gram
+      with two broadcast joins + JVM bit tests, and run the exact shuffle
+      semi-join only over the surviving grams.  The 100 TB side's shuffle
+      shrinks to ~fp·|corpus grams| + true matches (fp ≈ 1.4% at 16
+      bits/gram) while the exact phase keeps the result identical —
+      bloom false positives are re-checked, and false negatives are
+      impossible.
+    - when even the capped bitmap would be useless (expected fp > 0.5,
+      i.e. the decontam list is enormous), fall back to the plain
+      shuffle semi-join of the full gram stream.
+
+    All three regimes produce identical results, so the oracle twin is
+    the same plain anti-join SQL regardless of plan."""
+    import math
+
     corpus_grams = _doc_ngrams(docs, text_col, n)
     bench_grams = (
         _doc_ngrams(benchmark, text_col, n).select("gram").distinct().cache()
     )
     n_grams = bench_grams.count()  # also materializes the cache for the join
-    bench_side = (
-        F.broadcast(bench_grams) if n_grams <= max_broadcast_grams else bench_grams
-    )
-    contaminated = (
-        corpus_grams.join(bench_side, "gram")
-        .select("doc_id")
-        .distinct()
-    )
+    if n_grams <= max_broadcast_grams:
+        probe, bench_side = corpus_grams, F.broadcast(bench_grams)
+    else:
+        m_bits = max(1024, min(16 * n_grams, max_bloom_bits))
+        expected_fp = (1.0 - math.exp(-2.0 * n_grams / m_bits)) ** 2
+        if expected_fp <= 0.5:
+            bitmap = _bloom_bitmap(bench_grams, m_bits)
+            probe = _bloom_prefilter(corpus_grams, bitmap, m_bits)
+        else:
+            probe = corpus_grams  # bitmap saturated: plain shuffle semi-join
+        bench_side = bench_grams
+    contaminated = probe.join(bench_side, "gram").select("doc_id").distinct()
     return docs.join(contaminated, "doc_id", "left_anti")
 
 

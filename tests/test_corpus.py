@@ -256,3 +256,86 @@ def test_distinct_sketch_exact_below_k_and_estimates_above(spark):
         df.withColumn("source", F.lit("all")), k=64
     ).collect()
     assert len(merged) == 1 and merged[0].n_kept == 64
+
+
+def test_decontaminate_bloom_prefilter_matches_broadcast(spark):
+    """The bloom-prefilter regime (forced via max_broadcast_grams=0) and
+    the saturated-bitmap plain-shuffle regime (forced via a bitmap too
+    small to help) must both keep exactly the same documents as the
+    broadcast path — bloom false positives die in the exact verify join
+    and false negatives are impossible."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "s0"),
+        (1, "one two three four five six seven", "s0"),
+        (2, "alpha beta gamma delta epsilon eta", "s0"),  # shares a 5-gram w/ 0
+        (3, "totally unrelated words in this document here", "s1"),
+    ]
+    docs = docs_df(spark, rows)
+    bench = docs.filter(F.col("doc_id") == 0)
+    rest = docs.filter(F.col("doc_id") != 0)
+    kept_bcast = sorted(
+        r.doc_id for r in corpus.decontaminate(rest, bench, n=5).collect()
+    )
+    # bloom path: m = max(1024, 16*n) with plenty of headroom
+    kept_bloom = sorted(
+        r.doc_id
+        for r in corpus.decontaminate(
+            rest, bench, n=5, max_broadcast_grams=0
+        ).collect()
+    )
+    # tiny forced bitmap: expected fp > 0.5 -> falls back to plain shuffle
+    kept_saturated = sorted(
+        r.doc_id
+        for r in corpus.decontaminate(
+            rest, bench, n=5, max_broadcast_grams=0, max_bloom_bits=1
+        ).collect()
+    )
+    assert kept_bcast == kept_bloom == kept_saturated == [1, 3]
+
+
+def test_bloom_prefilter_has_no_false_negatives(spark):
+    """Every benchmark gram must survive a probe against its own bitmap —
+    the property that makes the prefilter safe to put in front of the
+    exact join.  Checked at a deliberately tiny bitmap (heavy collisions)
+    so bit-packing bugs can't hide behind sparsity."""
+    from tax_compliance_engine_spark.operators.corpus import (
+        _bloom_bitmap,
+        _bloom_prefilter,
+    )
+    from tax_compliance_engine_spark.operators.dedup import _doc_ngrams
+
+    docs = docs_df(
+        spark,
+        [(i, f"w{i} x{i} y{i} z{i} q{i} r{i} s{i}", "s0") for i in range(40)],
+    )
+    grams = _doc_ngrams(docs, "text", 3).cache()
+    n_grams = grams.count()
+    for m_bits in (1024, 64):  # sparse and heavily-colliding bitmaps
+        bitmap = _bloom_bitmap(grams.select("gram").distinct(), m_bits)
+        survivors = _bloom_prefilter(grams, bitmap, m_bits)
+        assert survivors.count() == n_grams, f"false negatives at m={m_bits}"
+
+
+def test_bloom_prefilter_probes_via_broadcast_joins(spark):
+    """The bitmap probe must stay a broadcast join (the corpus side never
+    shuffles in the prefilter) — the property that makes the bloom regime
+    cheaper than the plain shuffle semi-join it replaces."""
+    import contextlib
+    import io
+
+    from tax_compliance_engine_spark.operators.corpus import (
+        _bloom_bitmap,
+        _bloom_prefilter,
+    )
+    from tax_compliance_engine_spark.operators.dedup import _doc_ngrams
+
+    docs = docs_df(spark, [(i, f"a{i} b{i} c{i} d{i}", "s0") for i in range(8)])
+    grams = _doc_ngrams(docs, "text", 3)
+    bitmap = _bloom_bitmap(grams.select("gram").distinct(), 4096)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _bloom_prefilter(grams, bitmap, 4096).explain("formatted")
+    plan = buf.getvalue()
+    # formatted output names each node twice (tree + details): 2 joins
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
