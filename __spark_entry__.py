@@ -150,6 +150,9 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_ranks": oracle.customer_order_ranks_sql(),
         "events_sessions": oracle.events_sessions_sql(),
         "events_hourly": oracle.events_hourly_sql(),
+        # events_rolling: trailing-hour RANGE-frame window per user —
+        # oracle-only swept entry (the §2.5 rolling-window extension).
+        "events_rolling": oracle.events_rolling_sql(),
         "events_asof_both": oracle.events_asof_both_sql(),
         "events_asof": oracle.events_asof_sql(),
         "events_asof_next": oracle.events_asof_next_sql(),

@@ -740,6 +740,18 @@ FROM events
 GROUP BY 1, 2"""
 
 
+def events_rolling_sql() -> str:
+    # trailing-hour RANGE frame over integer epoch seconds; DECIMAL sum
+    # then one cast to double keeps the float bit-exact across engines
+    return """SELECT event_id, user_id,
+  epoch_ns(ts) // 1000000000 AS ts_sec,
+  count(*) OVER w AS n_1h,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000000
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)"""
+
+
 def pricing_rollup_sql() -> str:
     return """SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

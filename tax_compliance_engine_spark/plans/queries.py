@@ -720,6 +720,37 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling event-time RANGE window per user: for every event, the
+    count and exact-decimal value sum of that user's events in the
+    trailing hour (frame = RANGE 3599 seconds PRECEDING .. CURRENT ROW
+    over integer epoch seconds — peers at the same second are all
+    included, so ties are deterministic without a row tiebreak).
+
+    The §2.5-class window the reference lacks: one hash shuffle on
+    user_id, then a sorted range scan within each partition — no second
+    shuffle, scale-safe as long as a single user's history fits a
+    partition (the same bound any per-key window has)."""
+    from pyspark.sql.window import Window
+
+    ev = _events_with_ts_sec(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3599, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts_sec").alias("ts_sec"),
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("value_1h"),
+    )
+
+
 def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-hop star join (orders ⋈ customer ⋈ nation ⋈ region): revenue
     rollup per region — the two dim hops broadcast, one keyed shuffle."""
