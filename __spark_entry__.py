@@ -194,6 +194,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_sample": oracle_corpus.corpus_sample_sql(),
         "corpus_stratified_sample": oracle_corpus.corpus_stratified_sample_sql(),
         "corpus_mixture": oracle_corpus.corpus_mixture_sql(),
+        # corpus_token_mixture: per-source token-budget sampling (rate
+        # derived in-plan from token totals) — oracle-only swept entry.
+        "corpus_token_mixture": oracle_corpus.corpus_token_mixture_sql(),
         "corpus_pack_bins": oracle_corpus.corpus_pack_bins_sql(),
         "corpus_decontaminate": oracle_corpus.corpus_decontaminate_sql(),
         # corpus_distinct_sketch: deterministic KMV cardinality sketch

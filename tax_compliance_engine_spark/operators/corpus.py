@@ -246,6 +246,55 @@ def mixture(
     )
 
 
+def token_budget_mixture(
+    docs: DataFrame,
+    budgets: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget dataset mixing: sample each stratum down to a target
+    TOKEN budget (how training mixes are actually specified — "50 B
+    tokens of crawl, all of curated") instead of a hand-computed rate.
+
+    Per-source keep rate = min(1, budget / total_tokens), derived
+    in-plan: one narrow (source, token-count) aggregation, a broadcast
+    join of the handful of per-source rates back onto the corpus, and
+    the same deterministic LCG keep rule as ``mixture`` — reproducible,
+    engine-portable, no driver collect.  Sources with no budget keep
+    everything; an all-empty source (0 tokens) keeps everything rather
+    than dividing by zero.  Sampling is per-document, so the realized
+    token count is budget ± O(√(budget · max_doc_tokens)) — the
+    expected value is exact.
+
+    Scale shape: the totals aggregation shuffles only (source, partial
+    sum) pairs; the corpus itself never shuffles."""
+    from .textops import tokens_col
+
+    n_toks = F.size(tokens_col(F.col(text_col))).cast("long")
+    totals = docs.groupBy(stratum_col).agg(F.sum(n_toks).alias("_total"))
+    budget_df = docs.sparkSession.createDataFrame(
+        [(s, float(b)) for s, b in sorted(budgets.items())],
+        f"{stratum_col} string, _budget double",
+    )
+    rates = totals.join(F.broadcast(budget_df), stratum_col, "left").select(
+        stratum_col,
+        F.when(
+            F.col("_budget").isNull() | (F.col("_total") == 0), F.lit(1.0)
+        )
+        .otherwise(F.least(F.lit(1.0), F.col("_budget") / F.col("_total")))
+        .alias("_rate"),
+    )
+    return (
+        docs.join(F.broadcast(rates), stratum_col)
+        .filter(
+            sample_hash_col(F.col(id_col)).cast("double")
+            < F.col("_rate") * F.lit(float(SAMPLE_MOD))
+        )
+        .drop("_rate")
+    )
+
+
 def _bloom_pos(gram: Column, m_bits: int, seed: int) -> Column:
     """Bloom bit position for one of the k=2 hash functions: xxhash64 of
     (gram, seed) reduced mod the bitmap size.  xxhash64 is engine-internal

@@ -93,6 +93,32 @@ WHERE CAST({_HASH} AS DOUBLE) <
       (CASE {arms} ELSE {float(default_rate)} END) * {float(corpus.SAMPLE_MOD)}"""
 
 
+def corpus_token_mixture_sql(budgets: dict[str, float] | None = None) -> str:
+    """Twin of corpus.token_budget_mixture: per-source keep rate
+    min(1, budget / total_tokens) derived from the same token totals,
+    same LCG keep rule.  The single double division is exactly rounded
+    in both engines, so the rate (and thus the kept set) is bit-exact."""
+    budgets = budgets or {"src0": 500.0, "src1": 5000.0, "src2": 200.0}
+    arms = " ".join(
+        f"WHEN source = '{s}' THEN {float(b)}"
+        for s, b in sorted(budgets.items())
+    )
+    return f"""WITH totals AS (
+  SELECT source, SUM(len({TOKENS})) AS total_toks
+  FROM documents GROUP BY source),
+rates AS (
+  SELECT source,
+    CASE WHEN (CASE {arms} ELSE NULL END) IS NULL OR total_toks = 0
+         THEN 1.0
+         ELSE LEAST(1.0,
+                    (CASE {arms} END) / CAST(total_toks AS DOUBLE))
+    END AS rate
+  FROM totals)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d JOIN rates r USING (source)
+WHERE CAST({_HASH} AS DOUBLE) < r.rate * {float(corpus.SAMPLE_MOD)}"""
+
+
 def corpus_pack_bins_sql(token_budget: int = 2048) -> str:
     return f"""WITH sized AS (
   SELECT doc_id, len({TOKENS}) AS n_tokens FROM documents),

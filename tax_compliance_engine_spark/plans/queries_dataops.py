@@ -368,6 +368,16 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "lang")
 
 
+def corpus_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixing: src0 capped at 500 tokens (~0.35 rate), src2
+    at 200 (~0.14), src1's 5000 budget exceeds its total (LEAST → keep
+    all), and the 17 unbudgeted sources keep everything."""
+    return corpus.token_budget_mixture(
+        _docs(spark, sf_dir),
+        budgets={"src0": 500.0, "src1": 5000.0, "src2": 200.0},
+    ).select("doc_id", "source", "lang")
+
+
 def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.pack_sequences(_docs(spark, sf_dir), token_budget=2048)
 
