@@ -157,6 +157,31 @@ def _minhash_per_doc(
     return toks.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_components_inline(text: Column) -> list[Column]:
+    """ROW-LOCAL twin of ``_minhash_per_doc``'s aggregation: the 16
+    MinHash component columns computed entirely inside one row — distinct
+    tokens, the portable polynomial token hash, and array_min over each
+    permutation — with no explode/groupBy.  Bit-identical to the
+    aggregated form (same distinct-token set, same integer math; pinned
+    by pytest), which is what makes it usable where a shuffle
+    aggregation isn't: per-row signature computation on an unbounded
+    STREAM (streaming/dedup_stream.streaming_near_dedup), or any caller
+    that wants signatures as a projection.  Docs with no tokens yield
+    NULL components (the aggregated form simply omits them) — filter
+    NULLs to match."""
+    th = F.transform(
+        F.array_distinct(tokens_col(text)), lambda t: hashing.tok_hash_col(t)
+    )
+    return [
+        F.array_min(
+            F.transform(
+                th, lambda h: (F.lit(a) * h + F.lit(b)) % hashing.HASH_MOD
+            )
+        ).alias(f"_mh{i}")
+        for i, (a, b) in enumerate(hashing.MINHASH_PERMS)
+    ]
+
+
 _BAND_SIG_MASK = (1 << 40) - 1  # 40-bit fold space; & is portable modulo
 
 

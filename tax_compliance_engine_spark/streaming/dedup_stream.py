@@ -39,3 +39,123 @@ def streaming_exact_dedup(
             event_time_col, watermark_delay
         ).dropDuplicatesWithinWatermark(["digest"])
     return out.dropDuplicates(["digest"])
+
+
+NEAR_DEDUP_OUT_SCHEMA = "doc1 long, doc2 long, est_jaccard double"
+_NEAR_STATE_SCHEMA = (
+    "doc_ids array<long>, sigs array<array<long>>, comps array<array<long>>"
+)
+
+
+def streaming_near_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Streaming NEAR-dup detection: an append stream of
+    (doc1, doc2, est_jaccard) MinHash-LSH candidate pairs — the streaming
+    twin of ``operators/dedup.minhash_est_pairs``, drained-stream ≡ batch
+    (same signatures, same first-shared-band dedup, same ≥ threshold
+    estimate filter; pinned by pytest).
+
+    Plan shape, mirroring the batch bucket-local layout:
+
+    1. signatures are computed ROW-LOCALLY per document
+       (``dedup.minhash_components_inline`` — bit-identical to the batch
+       groupBy form, but shuffle-free, so it runs as a stream
+       projection);
+    2. the banded explode is a row-local flatMap (``dedup._banded`` is
+       select+explode, streaming-safe);
+    3. the band-bucket self-join becomes per-bucket STATE: one
+       ``applyInPandasWithState`` keyed by (band, band_sig) holding the
+       bucket's (doc_id, all band sigs, 16 components) — each arriving
+       doc pairs against its bucket's residents, scores the estimated
+       Jaccard from stored components, and joins the residency list.
+
+    Pair-level dedup needs NO cross-bucket coordination: a pair sharing
+    several bands is emitted only by the bucket of the FIRST shared band
+    (both docs' full 4-band signature vectors are in state, so the first
+    shared band is computable bucket-locally) — the same rule the batch
+    in-join dedup applies.  Re-delivered doc_ids are idempotently
+    skipped.
+
+    State is the bucket residency lists: O(Σ bucket sizes) = BANDS ×
+    |docs| rows of 21 longs across the cluster's state stores —
+    the same asymptotics as the batch layout's banded shuffle, spread
+    over time.  Like ``streaming_exact_dedup``'s unbounded mode this is
+    global (no eviction); for endless ingest, shard by time and restart
+    checkpoints per epoch, or bound the corpus upstream."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators import dedup
+    from ..functions import hashing
+
+    n_perms = len(hashing.MINHASH_PERMS)
+    per_doc = stream.select(
+        F.col(id_col).alias("doc_id"),
+        *dedup.minhash_components_inline(F.col(text_col)),
+    ).filter(F.col("_mh0").isNotNull())
+    banded = dedup._banded(
+        per_doc,
+        with_all_sigs=True,
+        sig="long",
+        extra=tuple(f"_mh{i}" for i in range(n_perms)),
+    ).select(
+        "band",
+        "band_sig",
+        "doc_id",
+        F.col("all_sigs").alias("sigs"),
+        F.array(*[f"_mh{i}" for i in range(n_perms)]).alias("comps"),
+    )
+
+    def func(key, pdfs, state: "GroupState"):
+        band = int(key[0])
+        if state.exists:
+            doc_ids, sigs, comps = state.get
+            doc_ids = list(doc_ids)
+            sigs = [list(s) for s in sigs]
+            comps = [list(c) for c in comps]
+        else:
+            doc_ids, sigs, comps = [], [], []
+        arrivals: list[tuple[int, list[int], list[int]]] = []
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                arrivals.append(
+                    (int(r.doc_id), [int(s) for s in r.sigs], [int(c) for c in r.comps])
+                )
+        arrivals.sort()
+        known = set(doc_ids)
+        out: list[tuple[int, int, float]] = []
+        for doc_id, asigs, acomps in arrivals:
+            if doc_id in known:  # idempotent re-delivery
+                continue
+            for other_id, osigs, ocomps in zip(doc_ids, sigs, comps):
+                first_shared = next(
+                    (j for j in range(len(asigs)) if asigs[j] == osigs[j]),
+                    None,
+                )
+                if first_shared != band:
+                    continue  # another bucket owns this pair
+                est = sum(
+                    1 for x, y in zip(acomps, ocomps) if x == y
+                ) / float(n_perms)
+                if est >= threshold:
+                    lo, hi = sorted((doc_id, other_id))
+                    out.append((lo, hi, est))
+            doc_ids.append(doc_id)
+            sigs.append(asigs)
+            comps.append(acomps)
+            known.add(doc_id)
+        state.update((doc_ids, sigs, comps))
+        if out:
+            yield pd.DataFrame(out, columns=["doc1", "doc2", "est_jaccard"])
+
+    return banded.groupBy("band", "band_sig").applyInPandasWithState(
+        func,
+        NEAR_DEDUP_OUT_SCHEMA,
+        _NEAR_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

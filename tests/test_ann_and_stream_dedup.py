@@ -161,3 +161,131 @@ def test_streaming_dedup_watermark_requires_event_time(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         streaming_exact_dedup(df, watermark_delay="1 hour")
+
+
+def test_minhash_inline_components_match_aggregated(spark):
+    """The row-local signature projection must be bit-identical to the
+    batch groupBy aggregation — the property that lets the streaming
+    near-dedup compute signatures without a shuffle."""
+    from tax_compliance_engine_spark.operators import dedup
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(60)
+    agg = [
+        tuple(r)
+        for r in dedup._minhash_per_doc(docs, "text").orderBy("doc_id").collect()
+    ]
+    inline = [
+        tuple(r)
+        for r in docs.select(
+            "doc_id", *dedup.minhash_components_inline(F.col("text"))
+        )
+        .filter(F.col("_mh0").isNotNull())
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert agg == inline
+
+
+def _near_dup_docs():
+    """Docs 0/1 and 2/3 are near-identical (one token edited), 10/11 are
+    cross-batch near-dups, the rest unrelated."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    first = [
+        (0, base),
+        (1, base.replace("lazy", "sleepy")),
+        (2, "pack my box with five dozen liquor jugs right now please ok"),
+        (3, "pack my box with five dozen liquor jugs right now please yes"),
+        (4, "completely different text with no overlap whatsoever here"),
+        (10, "a stitch in time saves nine but only if you sew it early"),
+    ]
+    second = [
+        (11, "a stitch in time saves nine but only if you sew it late"),
+        (12, "other unrelated filler content that matches none of the above"),
+    ]
+    return first, second
+
+
+def test_streaming_near_dedup_matches_batch(spark, tmp_path):
+    """Drained near-dup pair stream ≡ batch minhash_est_pairs over the
+    same docs — including a pair whose two members arrive in DIFFERENT
+    micro-batch drains (state carries the first doc's signatures)."""
+    from tax_compliance_engine_spark.operators import dedup
+    from tax_compliance_engine_spark.streaming.dedup_stream import (
+        streaming_near_dedup,
+    )
+
+    first, second = _near_dup_docs()
+    schema = "doc_id long, text string"
+    src, out = tmp_path / "docs", tmp_path / "pairs"
+    threshold = 0.4
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            streaming_near_dedup(stream, threshold=threshold)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.schema(
+            "doc1 long, doc2 long, est_jaccard double"
+        ).parquet(str(out))
+
+    spark.createDataFrame(first, schema).write.mode("append").parquet(str(src))
+    drain()
+    spark.createDataFrame(second, schema).write.mode("append").parquet(str(src))
+    got = sorted(
+        (r.doc1, r.doc2, r.est_jaccard) for r in drain().collect()
+    )
+
+    batch_docs = spark.createDataFrame(first + second, schema)
+    want = sorted(
+        (r.doc1, r.doc2, r.est_jaccard)
+        for r in dedup.minhash_est_pairs(
+            batch_docs, threshold=threshold
+        ).collect()
+    )
+    assert got == want
+    assert any(d1 == 10 and d2 == 11 for d1, d2, _ in got), (
+        "expected the cross-drain pair (10, 11)"
+    )
+
+
+def test_streaming_near_dedup_idempotent_redelivery(spark, tmp_path):
+    """Re-delivering the same doc_id must not re-emit its pairs."""
+    from tax_compliance_engine_spark.streaming.dedup_stream import (
+        streaming_near_dedup,
+    )
+
+    first, _ = _near_dup_docs()
+    schema = "doc_id long, text string"
+    src, out = tmp_path / "docs", tmp_path / "pairs"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            streaming_near_dedup(stream, threshold=0.4)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.schema(
+            "doc1 long, doc2 long, est_jaccard double"
+        ).parquet(str(out))
+
+    spark.createDataFrame(first, schema).write.mode("append").parquet(str(src))
+    n1 = drain().count()
+    # identical rows appended again: state must swallow them
+    spark.createDataFrame(first, schema).write.mode("append").parquet(str(src))
+    n2 = drain().count()
+    assert n1 > 0 and n2 == n1
