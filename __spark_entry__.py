@@ -207,6 +207,10 @@ def oracle_sql() -> dict[str, str]:
         # multimodal_features: REAL-decode feature vectors over synth PPMs,
         # analytic twin (the non-PPM stub branch stays pytest-pinned)
         "multimodal_features": oracle_dataops.multimodal_features_sql(),
+        # pq_knn_portable: product-quantization search (codebook training,
+        # nibble encoding, ADC shortlist, exact re-rank) — oracle-only
+        # swept entry, bit-portable end to end.
+        "pq_knn_portable": oracle_dataops.pq_knn_portable_sql(),
         # multimodal_png_profile: REAL PNG decode (CRC'd chunk walk, zlib
         # inflate, all-five-filter scanline reconstruction) vs the analytic
         # pixel-sum twin — oracle-only swept entry.

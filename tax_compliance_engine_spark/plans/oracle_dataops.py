@@ -675,6 +675,102 @@ ranked AS (
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}"""
 
 
+def pq_knn_portable_sql(
+    m: int = 8,
+    k_codes: int = 16,
+    topk: int = 5,
+    shortlist: int = 50,
+    modulus: int = 50,
+) -> str:
+    """Twin of queries_dataops.pq_knn_portable: seed codebooks from the
+    k smallest vec_ids (code = rank), one Lloyd E+M per subspace over
+    vec_id-ordered folds, nearest-code encoding, per-query ADC distance
+    tables, subspace-ordered ADC folds, shortlist by (adc2, neighbor_id),
+    exact re-rank by (q·q − 2·q·n) + n·n.  Identical IEEE folds on both
+    engines → identical shortlists and ranks."""
+    subdim = similarity.DIM // m
+    dot_ss = DOT_FOLD.format(n=subdim, a="sv", b="sv")
+    dot_cc = DOT_FOLD.format(n=subdim, a="cvec", b="cvec")
+    dot_dc = DOT_FOLD.format(n=subdim, a="d.sv", b="c.cvec")
+    dot_qc = DOT_FOLD.format(n=subdim, a="q.sv", b="c.cvec")
+    dot_qq = DOT_FOLD.format(n=similarity.DIM, a="qe.v", b="qe.v")
+    dot_qn = DOT_FOLD.format(n=similarity.DIM, a="qe.v", b="ne.v")
+    dot_nn = DOT_FOLD.format(n=similarity.DIM, a="ne.v", b="ne.v")
+    return f"""WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+subs AS (
+  SELECT vec_id, CAST(s AS INTEGER) AS subspace,
+         v[(s*{subdim}+1):(s*{subdim}+{subdim})] AS sv
+  FROM emb, unnest(range(0, {m})) AS u(s)),
+subs_d AS (SELECT vec_id, subspace, sv, {dot_ss} AS vv FROM subs),
+seeds AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+           AS code
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k_codes})),
+seed_cb AS (
+  SELECT s.subspace, sd.code, s.sv AS cvec
+  FROM subs s JOIN seeds sd USING (vec_id)),
+seed_cb_d AS (SELECT subspace, code, cvec, {dot_cc} AS cc FROM seed_cb),
+assign AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT d.vec_id, d.subspace, c.code,
+      row_number() OVER (PARTITION BY d.vec_id, d.subspace
+        ORDER BY (d.vv - 2 * {dot_dc}) + c.cc, c.code) AS r
+    FROM subs_d d JOIN seed_cb_d c USING (subspace)) t
+  WHERE r = 1),
+dims AS (
+  SELECT vec_id, subspace, CAST(i - 1 AS INTEGER) AS pos, sv[i] AS val
+  FROM subs, unnest(range(1, {subdim} + 1)) AS u(i)),
+cb_comp AS (
+  SELECT a.subspace, a.code, d.pos,
+    list_reduce(list_prepend(0.0, list(d.val ORDER BY d.vec_id)),
+                (acc, x) -> acc + x) / count(*) AS mean_val
+  FROM dims d JOIN assign a USING (vec_id, subspace)
+  GROUP BY a.subspace, a.code, d.pos),
+cb AS (
+  SELECT subspace, code, list(mean_val ORDER BY pos) AS cvec
+  FROM cb_comp GROUP BY subspace, code),
+cb_d AS (SELECT subspace, code, cvec, {dot_cc} AS cc FROM cb),
+codes AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT d.vec_id, d.subspace, c.code,
+      row_number() OVER (PARTITION BY d.vec_id, d.subspace
+        ORDER BY (d.vv - 2 * {dot_dc}) + c.cc, c.code) AS r
+    FROM subs_d d JOIN cb_d c USING (subspace)) t
+  WHERE r = 1),
+queries AS (
+  SELECT vec_id AS query_id, subspace, sv, vv
+  FROM subs_d WHERE vec_id % {modulus} = 0),
+dist AS (
+  SELECT q.query_id, q.subspace, c.code,
+         (q.vv - 2 * {dot_qc}) + c.cc AS d2
+  FROM queries q JOIN cb_d c USING (subspace)),
+adc AS (
+  SELECT t.query_id, cd.vec_id AS neighbor_id,
+    list_reduce(list_prepend(0.0, list(t.d2 ORDER BY t.subspace)),
+                (acc, x) -> acc + x) AS adc2
+  FROM codes cd
+  JOIN dist t ON t.subspace = cd.subspace AND t.code = cd.code
+  WHERE cd.vec_id <> t.query_id
+  GROUP BY t.query_id, cd.vec_id),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc2, neighbor_id) AS r
+    FROM adc) t WHERE r <= {shortlist}),
+rerank AS (
+  SELECT s.query_id, s.neighbor_id,
+    ({dot_qq} - 2 * {dot_qn}) + {dot_nn} AS d2
+  FROM short s
+  JOIN emb qe ON qe.vec_id = s.query_id
+  JOIN emb ne ON ne.vec_id = s.neighbor_id),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY d2, neighbor_id) AS INTEGER) AS rank
+  FROM rerank)
+SELECT query_id, neighbor_id, d2, rank FROM ranked WHERE rank <= {topk}"""
+
+
 def multimodal_metadata_sql() -> str:
     return """SELECT doc_id, 'text' AS media_type,
   CAST(octet_length(encode(text)) AS INTEGER) AS payload_size,

@@ -431,6 +431,28 @@ def multimodal_audio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pq_knn_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization search, bit-portable end to end: per-subspace
+    codebooks (seeded from the k smallest vec_ids, ONE Lloyd E+M
+    refinement — the same deterministic recipe as `ivf_knn_portable`),
+    nibble-code encoding of the corpus, ADC shortlist scan over the
+    codes, exact L2² re-rank of the shortlist.  Every sum is a
+    pinned-order fold and every combination an exactly-rounded IEEE op,
+    so the full pipeline — training, encoding, and both ranking stages —
+    sits under the bit-exact hash gate."""
+    emb = _emb(spark, sf_dir)
+    cb = similarity.pq_codebooks(emb).cache()
+    codes = similarity.pq_codes(emb, cb)
+    return similarity.pq_knn_rerank(
+        emb,
+        query_pred=F.col("vec_id") % 50 == 0,
+        codebooks=cb,
+        codes=codes,
+        k=5,
+        shortlist=50,
+    )
+
+
 def multimodal_png_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode under the bit-exact gate: CRC-verified chunk walk,
     zlib IDAT inflate, and scanline-filter reconstruction over

@@ -289,3 +289,97 @@ def test_streaming_near_dedup_idempotent_redelivery(spark, tmp_path):
     spark.createDataFrame(first, schema).write.mode("append").parquet(str(src))
     n2 = drain().count()
     assert n1 > 0 and n2 == n1
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    """Every vector compresses to exactly one code per subspace, codes are
+    within the codebook range, and the encoding is deterministic."""
+    from tax_compliance_engine_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = similarity.pq_codebooks(emb).cache()
+    rows = cb.collect()
+    assert {r.subspace for r in rows} == set(range(similarity.PQ_M))
+    assert all(0 <= r.code < similarity.PQ_K for r in rows)
+    assert all(
+        len(r.centroid) == similarity.DIM // similarity.PQ_M for r in rows
+    )
+    codes = similarity.pq_codes(emb, cb)
+    got = {r.vec_id: list(r.codes) for r in codes.collect()}
+    assert len(got) == emb.count()
+    assert all(len(c) == similarity.PQ_M for c in got.values())
+    again = {
+        r.vec_id: list(r.codes)
+        for r in similarity.pq_codes(emb, cb).collect()
+    }
+    assert got == again
+
+
+def test_pq_rerank_recall_on_clustered_data(spark):
+    """On data with real cluster structure the ADC shortlist + exact
+    re-rank recovers the exact-L2 top-k: re-ranked results must match
+    brute-force L2 exactly when the shortlist covers the cluster."""
+    from pyspark.sql.window import Window
+
+    from tax_compliance_engine_spark.operators import similarity
+    from tax_compliance_engine_spark.operators.similarity import _dot, _vec_d
+
+    emb = clustered_emb(spark)
+    # PQ needs DIM-d vectors; clustered_emb is already 64-d
+    cb = similarity.pq_codebooks(emb, k=8).cache()
+    codes = similarity.pq_codes(emb, cb).cache()
+    pred = F.col("vec_id") == 0
+    got = similarity.pq_knn_rerank(
+        emb, pred, cb, codes, k=3, shortlist=10
+    ).collect()
+
+    base = emb.select("vec_id", _vec_d(F.col("embedding")).alias("v"))
+    q = base.filter(pred).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    d2 = (
+        _dot(F.col("qv"), F.col("qv"))
+        - F.lit(2.0) * _dot(F.col("qv"), F.col("v"))
+    ) + _dot(F.col("v"), F.col("v"))
+    w = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    exact = (
+        q.crossJoin(base)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("d2", d2)
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 3)
+        .orderBy("r")
+        .collect()
+    )
+    assert [(r.neighbor_id, r.rank) for r in got] == [
+        (r.vec_id, r.r) for r in exact
+    ]
+    for a, e in zip(got, exact):
+        assert a.d2 == pytest.approx(e.d2)
+
+
+def test_pq_adc_ranks_a_duplicate_of_the_query_first(spark):
+    """ADC distance to a DUPLICATE of the query is the per-subspace
+    minimum by construction (the query's own code is the argmin centroid
+    for each of its subvectors), so the duplicate must share the query's
+    codes exactly and take ADC rank 1 with the smallest distance."""
+    from tax_compliance_engine_spark.operators import similarity
+
+    base = clustered_emb(spark)
+    dup = base.filter(F.col("vec_id") == 0).select(
+        F.lit(100).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    emb = base.unionByName(dup)
+    cb = similarity.pq_codebooks(emb, k=8).cache()
+    codes = similarity.pq_codes(emb, cb).cache()
+    by_id = {r.vec_id: list(r.codes) for r in codes.collect()}
+    assert by_id[0] == by_id[100]
+    got = sorted(
+        similarity.pq_knn(emb, F.col("vec_id") == 0, cb, codes, k=18).collect(),
+        key=lambda r: r.rank,
+    )
+    dup_d2 = next(r.adc2 for r in got if r.neighbor_id == 100)
+    # ties possible (other vectors may share the query's codes on a tiny
+    # corpus) but nothing can beat the duplicate's distance
+    assert all(dup_d2 <= r.adc2 for r in got)
+    assert dup_d2 == got[0].adc2
