@@ -215,6 +215,10 @@ def oracle_sql() -> dict[str, str]:
         # inflate, all-five-filter scanline reconstruction) vs the analytic
         # pixel-sum twin — oracle-only swept entry.
         "multimodal_png_profile": oracle_dataops.multimodal_png_profile_sql(),
+        # multimodal_gif_profile: REAL GIF decode (from-scratch LZW,
+        # palette lookup) vs the analytic pixel-sum twin — oracle-only
+        # swept entry.
+        "multimodal_gif_profile": oracle_dataops.multimodal_gif_profile_sql(),
         # multimodal_audio_profile: REAL RIFF/WAVE PCM-16 decode stats,
         # analytic twin (audio parallel of the PPM image gate)
         "multimodal_audio_profile": oracle_dataops.multimodal_audio_profile_sql(),

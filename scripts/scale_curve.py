@@ -48,6 +48,8 @@ SCALE_QUERIES = [
     "dedup_minhash_est_pairs",
     "embedding_dup_pairs",
     "ivf_knn_portable",
+    "pq_knn_fixed_queries",
+    "corpus_decontaminate_bloom",
 ]
 
 
@@ -362,6 +364,40 @@ def main() -> None:
 
     queries["dedup_minhash_pairs_candidates"] = _mh_pinned("candidates")
     queries["dedup_minhash_pairs_bucket_local"] = _mh_pinned("bucket_local")
+
+    def _pq_fixed(sp, sf_dir):
+        # fixed 10-query set (copy 0 only) so the ADC workload scales
+        # linearly with the corpus — vec_id % 50 at 10x would also 10x
+        # the query count, making the WORKLOAD quadratic by construction
+        from pyspark.sql import functions as F
+
+        from tax_compliance_engine_spark.operators import similarity
+
+        emb = sp.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cb = similarity.pq_codebooks(emb).cache()
+        codes = similarity.pq_codes(emb, cb)
+        pred = (F.col("vec_id") < 500) & (F.col("vec_id") % 50 == 0)
+        return similarity.pq_knn_rerank(
+            emb, pred, cb, codes, k=5, shortlist=50
+        )
+
+    queries["pq_knn_fixed_queries"] = _pq_fixed
+
+    def _decon_bloom(sp, sf_dir):
+        # force the bloom-prefilter regime (the >max_broadcast_grams
+        # middle regime the sf0.01 driver fixture never enters)
+        from pyspark.sql import functions as F
+
+        from tax_compliance_engine_spark.operators import corpus
+
+        docs = qd._docs(sp, sf_dir)
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        rest = docs.filter(F.col("doc_id") % 97 != 0)
+        return corpus.decontaminate(
+            rest, bench, n=5, max_broadcast_grams=0
+        ).select("doc_id")
+
+    queries["corpus_decontaminate_bloom"] = _decon_bloom
     for name in SCALE_QUERIES:
         if name not in queries:
             queries[name] = getattr(q, name, None) or getattr(qd, name)

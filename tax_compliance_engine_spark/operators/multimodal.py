@@ -2,12 +2,14 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode/resize/frame-sample are Arrow-batched pandas UDFs
-over ``mapInPandas``.  Three formats decode for REAL with only stdlib +
+over ``mapInPandas``.  Four formats decode for REAL with only stdlib +
 numpy: binary-P6 PPM (decode, nearest-neighbor resize, frame-boundary
 demux of concatenated-frame payloads), PNG (chunk walk with CRC checks,
 zlib IDAT inflate, all five scanline-filter reconstructions including
-Paeth), and RIFF/WAVE PCM-16 audio — each verified against closed-form
-fixtures.  Formats needing codec libraries (JPEG/MP3/ffmpeg containers —
+Paeth), GIF (from-scratch LZW decompressor — variable-width codes, clear
+codes, KwKwK — palette lookup, multi-image animation demux), and
+RIFF/WAVE PCM-16 audio — each verified against closed-form fixtures.
+Formats needing codec libraries (JPEG/MP3/ffmpeg containers —
 PIL/opencv/ffmpeg are not in this container) fall back to clearly-tagged
 deterministic stand-ins; the Spark-side plumbing — schema,
 partition-preserving batch iteration, UDF signatures, batch shapes — is the
@@ -70,14 +72,14 @@ def _extract_features_batches(
 ) -> Iterator[pd.DataFrame]:
     """Arrow-batched feature extraction.
 
-    PPM and PNG payloads get a REAL image decode (``_decode_ppm`` /
-    ``_decode_png``) and emit [w, h, mean_r, mean_g, mean_b]; WAV
-    payloads get a REAL audio decode (``_decode_wav``) and emit
-    [sample_rate, n_channels, n_samples, peak].  Other formats fall back
-    to the deterministic stand-in (first 8 payload bytes as ints — a
-    real JPEG/MP3 decoder needs PIL/librosa, not available in this
-    container); either way the pipeline shape — batch in, batch out,
-    columnar — is fully exercised."""
+    PPM/PNG/GIF payloads get a REAL image decode (``_IMAGE_DECODERS``)
+    and emit [w, h, mean_r, mean_g, mean_b]; WAV payloads get a REAL
+    audio decode (``_decode_wav``) and emit [sample_rate, n_channels,
+    n_samples, peak].  Other formats fall back to the deterministic
+    stand-in (first 8 payload bytes as ints — a real JPEG/MP3 decoder
+    needs PIL/librosa, not available in this container); either way the
+    pipeline shape — batch in, batch out, columnar — is fully
+    exercised."""
     import numpy as np
 
     for pdf in batches:
@@ -423,14 +425,14 @@ _IMAGE_DECODERS = {"ppm": _decode_ppm, "png": _decode_png}
 
 def decode_image(media: DataFrame) -> DataFrame:
     """REAL image decode over the media table for the dependency-free
-    formats — binary-P6 PPM (header parse + frombuffer) and PNG (CRC'd
-    chunk walk + zlib inflate + full filter reconstruction) — emitting
-    per-channel integer sums, Arrow-batched through ``mapInPandas``
-    (partition-parallel, no shuffle).  Malformed payloads decode to NULL
-    stats.
+    formats — binary-P6 PPM (header parse + frombuffer), PNG (CRC'd
+    chunk walk + zlib inflate + full filter reconstruction), and GIF
+    (from-scratch LZW + palette lookup) — emitting per-channel integer
+    sums, Arrow-batched through ``mapInPandas`` (partition-parallel, no
+    shuffle).  Malformed payloads decode to NULL stats.
 
     Rows in any other format raise NotImplementedError (JPEG decode
-    needs PIL/opencv, which are not in this container); the PPM/PNG
+    needs PIL/opencv, which are not in this container); the PPM/PNG/GIF
     paths are the end-to-end-verified template a real codec drops into."""
     import numpy as np
 
@@ -753,12 +755,12 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
     """Thumbnail/resize over the media table (1 row in → 1 row out,
     Arrow-batched, partition-parallel, no shuffle).
 
-    REAL for PPM and PNG: decode (``_decode_ppm`` / ``_decode_png``),
+    REAL for PPM, PNG, and GIF: decode (``_IMAGE_DECODERS``),
     nearest-neighbor resample to (width, height) (``_resize_nn``),
-    re-encode in the source format (binary P6 / filter-0 PNG) — decoder
-    tags 'ppm-numpy-nn' / 'png-numpy-nn'.  Malformed payloads → NULL
-    thumb.  Other formats keep the deterministic byte-truncate stand-in
-    (tag 'stub-truncate'; a real JPEG resizer needs PIL, not in this
+    re-encode in the source format (binary P6 / filter-0 PNG / LZW GIF)
+    — decoder tag '<fmt>-numpy-nn'.  Malformed payloads → NULL thumb.
+    Other formats keep the deterministic byte-truncate stand-in (tag
+    'stub-truncate'; a real JPEG resizer needs PIL, not in this
     container) so batch shapes, schema, and null handling stay exercised
     for every format."""
     budget = max(64, (width * height) // 64)
@@ -773,6 +775,8 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
                         thumbs.append(None)
                     elif fmt == "png":
                         thumbs.append(_encode_png(_resize_nn(arr, width, height)))
+                    elif fmt == "gif":
+                        thumbs.append(_encode_gif(_resize_nn(arr, width, height)))
                     else:
                         small = _resize_nn(arr, width, height)
                         thumbs.append(
@@ -825,13 +829,15 @@ def sample_frames(
     """Frame sampling (1 row in → N rows out — the UDTF-shaped multimodal
     op): demux each payload into frames and keep every ``every_n``-th.
 
-    REAL demux for PPM: a video payload is back-to-back binary-P6 frames,
-    and frame boundaries come from parsing each frame's header — every
-    emitted frame is itself a decodable PPM (``_decode_ppm``).  Other
-    formats keep the fixed-``frame_bytes`` chunk stand-in (a real
-    container demux needs ffmpeg, not in this container), preserving the
-    row-explosion shape, Arrow batching, and per-frame indexing.  Rows
-    with NULL payloads produce no frames (same as undecodable media)."""
+    REAL demux for PPM and GIF: a PPM video payload is back-to-back
+    binary-P6 frames split on parsed headers; a GIF payload demuxes its
+    image blocks (real animation container) into standalone single-frame
+    GIFs — every emitted frame decodes individually (``_decode_ppm`` /
+    ``_decode_gif``).  Other formats keep the fixed-``frame_bytes``
+    chunk stand-in (a real MP4 demux needs ffmpeg, not in this
+    container), preserving the row-explosion shape, Arrow batching, and
+    per-frame indexing.  Rows with NULL payloads produce no frames (same
+    as undecodable media)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -848,6 +854,8 @@ def sample_frames(
                     continue
                 if fmt == "ppm":
                     chunks = _split_ppm_frames(payload)
+                elif fmt == "gif":
+                    chunks = _split_gif_frames(payload)
                 else:
                     n_frames = len(payload) // frame_bytes
                     chunks = [
@@ -862,3 +870,277 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+# ── GIF: real LZW codec (stdlib-free) ────────────────────────────────
+
+
+def _lzw_compress(indices, min_code_size: int) -> bytes:
+    """GIF-flavor LZW compress of palette indices: variable-width codes
+    LSB-first, clear/end codes, dictionary reset at 4096 — a real
+    compressor (string-table LZW), not the emit-literals shortcut, so
+    round-trips exercise the decoder's dictionary growth for real."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = n_bits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code, width = end + 1, min_code_size + 1
+    emit(clear, width)
+    seq: tuple[int, ...] = ()
+    for px in indices:
+        cand = seq + (int(px),)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code, width = end + 1, min_code_size + 1
+        seq = (int(px),)
+    if seq:
+        emit(table[seq], width)
+    emit(end, width)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int):
+    """GIF LZW decompress → list of palette indices, or None on a corrupt
+    stream (bad code, missing clear semantics).  Handles variable code
+    widths, clear-code table resets, and the KwKwK case (code ==
+    next_free)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    acc = n_bits = pos = 0
+    width = min_code_size + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    prev: list[int] | None = None
+    out: list[int] = []
+    while True:
+        while n_bits < width:
+            if pos >= len(data):
+                return None  # ran out before the end code
+            acc |= data[pos] << n_bits
+            pos += 1
+            n_bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if prev is None:
+            if code >= len(table) or not table[code]:
+                return None
+            entry = table[code]
+        elif code < len(table) and table[code]:
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + [prev[0]]  # KwKwK
+        else:
+            return None
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _encode_gif(frames, loop: bool = False) -> bytes:
+    """Encode one or more (h, w, 3) uint8 arrays as a real GIF87a-style
+    payload (one image block per frame, all full-logical-screen): ordered
+    row-major-unique global palette, real LZW pixel data in 255-byte
+    sub-blocks.  All frames must share dimensions and draw from one
+    ≤256-color palette."""
+    import numpy as np
+
+    if not isinstance(frames, list):
+        frames = [frames]
+    h, w, _ = frames[0].shape
+    colors: list[tuple[int, int, int]] = []
+    seen: dict[tuple[int, int, int], int] = {}
+    for fr in frames:
+        for rgb in fr.reshape(-1, 3):
+            key = (int(rgb[0]), int(rgb[1]), int(rgb[2]))
+            if key not in seen:
+                seen[key] = len(colors)
+                colors.append(key)
+    if len(colors) > 256:
+        raise ValueError("GIF fixture encoder: > 256 distinct colors")
+    depth = max(1, (len(colors) - 1).bit_length())  # palette size 2^depth
+    palette = colors + [(0, 0, 0)] * ((1 << depth) - len(colors))
+    out = bytearray(b"GIF87a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x80 | (depth - 1))  # global color table flag + size
+    out += b"\x00\x00"  # background index, aspect
+    for r, g, b in palette:
+        out += bytes((r, g, b))
+    mcs = max(2, depth)
+    for fr in frames:
+        idx = [seen[(int(p[0]), int(p[1]), int(p[2]))] for p in fr.reshape(-1, 3)]
+        out += b"\x2c" + b"\x00\x00\x00\x00"  # image block at (0, 0)
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out.append(0)  # no local color table, not interlaced
+        out.append(mcs)
+        lzw = _lzw_compress(np.asarray(idx, dtype=np.int64), mcs)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def _gif_frames_raw(payload: bytes):
+    """Parse a GIF payload → (w, h, palette, [frame index lists]) or None.
+    Walks the block stream: global color table, extension blocks
+    (skipped), image blocks (full-logical-screen, non-interlaced, global
+    palette only — the shapes the fixture encoder produces; anything
+    else refuses cleanly)."""
+    if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    if len(payload) < 13:
+        return None
+    w = int.from_bytes(payload[6:8], "little")
+    h = int.from_bytes(payload[8:10], "little")
+    flags = payload[10]
+    if not flags & 0x80:
+        return None  # no global color table
+    depth = (flags & 0x07) + 1
+    pos = 13
+    ncol = 1 << depth
+    if len(payload) < pos + 3 * ncol:
+        return None
+    palette = [tuple(payload[pos + 3 * i : pos + 3 * i + 3]) for i in range(ncol)]
+    pos += 3 * ncol
+    frames = []
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            return None
+        if len(payload) < pos + 9:
+            return None
+        left = int.from_bytes(payload[pos : pos + 2], "little")
+        top = int.from_bytes(payload[pos + 2 : pos + 4], "little")
+        fw = int.from_bytes(payload[pos + 4 : pos + 6], "little")
+        fh = int.from_bytes(payload[pos + 6 : pos + 8], "little")
+        iflags = payload[pos + 8]
+        pos += 9
+        if (left, top) != (0, 0) or (fw, fh) != (w, h) or iflags & 0xC0:
+            return None  # partial frames / local palette / interlace
+        if pos >= len(payload):
+            return None
+        mcs = payload[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            n = payload[pos]
+            data += payload[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        pos += 1  # sub-block terminator
+        idx = _lzw_decompress(bytes(data), mcs)
+        if idx is None or len(idx) != w * h or max(idx) >= ncol:
+            return None
+        frames.append(idx)
+    if not frames:
+        return None
+    return w, h, palette, frames
+
+
+def _decode_gif(payload: bytes):
+    """REAL GIF decode of the FIRST frame into an (h, w, 3) uint8 array,
+    or None for malformed payloads — LZW decompression (variable-width
+    codes, clear codes, KwKwK), palette lookup, no external libraries."""
+    import numpy as np
+
+    parsed = _gif_frames_raw(payload)
+    if parsed is None:
+        return None
+    w, h, palette, frames = parsed
+    pal = np.asarray(palette, dtype=np.uint8)
+    return pal[np.asarray(frames[0], dtype=np.int64)].reshape(h, w, 3)
+
+
+def synth_gif(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic GIF payload per id — same closed-form
+    pixels as ``synth_ppm``/``synth_png`` (w = 4 + id%5, h = 3 + id%4,
+    row y a constant color), so the analytic oracle math is shared while
+    the REAL LZW decompression sits under the hash gate."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 4 + i % 5, 3 + i % 4
+                ys = np.arange(h, dtype=np.int64)
+                rows = np.stack(
+                    [(i + ys) % 256, (2 * i + 3 * ys) % 256, (5 * i + 7 * ys) % 256],
+                    axis=1,
+                ).astype(np.uint8)
+                pixels = np.repeat(rows[:, None, :], w, axis=1)
+                payloads.append(_encode_gif(pixels))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "payload_size": [len(p) for p in payloads],
+                    "format": "gif",
+                }
+            )
+
+    return ids.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def _split_gif_frames(payload: bytes) -> list[bytes]:
+    """Demux a (possibly animated) GIF into STANDALONE single-frame GIF
+    payloads — a real container demux on parsed image blocks: each
+    emitted frame re-encodes with its own palette and decodes
+    individually via ``_decode_gif``.  Malformed payloads yield no
+    frames."""
+    import numpy as np
+
+    parsed = _gif_frames_raw(payload)
+    if parsed is None:
+        return []
+    w, h, palette, frames = parsed
+    pal = np.asarray(palette, dtype=np.uint8)
+    return [
+        _encode_gif(pal[np.asarray(f, dtype=np.int64)].reshape(h, w, 3))
+        for f in frames
+    ]
+
+
+_IMAGE_DECODERS["gif"] = _decode_gif

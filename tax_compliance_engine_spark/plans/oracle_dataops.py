@@ -826,6 +826,27 @@ SELECT doc_id,
 FROM row_sums"""
 
 
+def multimodal_gif_profile_sql() -> str:
+    """Twin of queries_dataops.multimodal_gif_profile — synth_gif pixels
+    share synth_ppm's closed form, so the analytic stats are the same
+    row_sums CTE the PPM/PNG twins use; the Spark side must reproduce
+    them from real LZW-compressed bytes."""
+    return """WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+row_sums AS (
+  SELECT doc_id, w, h,
+    CAST(SUM((doc_id + y) % 256) * w AS BIGINT) AS sum_r,
+    CAST(SUM((2 * doc_id + 3 * y) % 256) * w AS BIGINT) AS sum_g,
+    CAST(SUM((5 * doc_id + 7 * y) % 256) * w AS BIGINT) AS sum_b
+  FROM dims, unnest(range(0, h)) AS u(y)
+  GROUP BY doc_id, w, h)
+SELECT doc_id,
+  CAST(w AS INTEGER) AS img_w, CAST(h AS INTEGER) AS img_h,
+  CAST(w * h AS BIGINT) AS n_pixels,
+  sum_r, sum_g, sum_b
+FROM row_sums"""
+
+
 def multimodal_audio_profile_sql() -> str:
     """Twin of queries_dataops.multimodal_audio_profile: the analytic
     form of the WAV decode stats.  The synthetic PCM stream for doc d is

@@ -468,6 +468,20 @@ def multimodal_png_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_gif_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode under the bit-exact gate: the from-scratch LZW
+    decompressor (variable-width codes, clear codes, KwKwK) + palette
+    lookup over deterministic synthetic GIFs (multimodal.synth_gif —
+    pixels share synth_ppm's closed form, compressed through the real
+    LZW encoder).  The DuckDB twin derives the identical per-channel
+    pixel sums analytically, so any wrong byte anywhere in the LZW or
+    palette pipeline breaks the hash."""
+    docs = _docs(spark, sf_dir)
+    return multimodal.decode_image(
+        multimodal.synth_gif(docs.select("doc_id"))
+    )
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-decode feature extraction under the bit-exact gate: the
     [w, h, mean_r, mean_g, mean_b] feature vector over deterministic

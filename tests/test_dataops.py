@@ -976,3 +976,119 @@ def test_resize_media_malformed_png_null_thumb(spark):
     r = multimodal.resize_media(media, 4, 4).collect()[0]
     assert r.thumb is None and r.thumb_size is None
     assert r.decoder == "png-numpy-nn"
+
+
+# ---------------------------------------------------------------------------
+# GIF: real from-scratch LZW decode + palette lookup + animation demux
+
+
+def test_gif_lzw_roundtrip_and_table_reset():
+    """The LZW pair must round-trip arbitrary index streams, including a
+    stream long and repetitive enough to force the 4096-entry dictionary
+    reset, and the decoder must handle the KwKwK self-reference case."""
+    import numpy as np
+
+    from tax_compliance_engine_spark.operators.multimodal import (
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    rng = np.random.default_rng(17)
+    for mcs in (2, 4, 8):
+        idx = rng.integers(0, 1 << mcs, 4000)
+        assert _lzw_decompress(_lzw_compress(idx, mcs), mcs) == list(idx)
+    rep = np.tile(np.arange(4), 20000)  # forces dictionary reset
+    assert _lzw_decompress(_lzw_compress(rep, 2), 2) == list(rep)
+    kwkwk = np.array([1, 1, 1, 1, 1, 1])  # classic KwKwK stream
+    assert _lzw_decompress(_lzw_compress(kwkwk, 2), 2) == list(kwkwk)
+
+
+def test_decode_gif_parser_edges():
+    import numpy as np
+
+    from tax_compliance_engine_spark.operators.multimodal import (
+        _decode_gif,
+        _encode_gif,
+    )
+
+    rng = np.random.default_rng(19)
+    arr = (rng.integers(0, 6, (4, 7, 3)) * 40).astype(np.uint8)
+    gif = _encode_gif(arr)
+    assert np.array_equal(_decode_gif(gif), arr)
+    assert _decode_gif(None) is None
+    assert _decode_gif(b"NOTGIF" + gif[6:]) is None
+    assert _decode_gif(gif[:15]) is None  # truncated before image data
+    # corrupt a byte in the LZW stream: decode refuses (bad code) or the
+    # pixel count mismatches — either way None, never garbage pixels
+    bad = bytearray(gif)
+    bad[-6] ^= 0x5A
+    out = _decode_gif(bytes(bad))
+    assert out is None or out.shape == (4, 7, 3)
+
+
+def test_synth_gif_decode_roundtrip(spark):
+    """The REAL GIF decode path end-to-end through mapInPandas: LZW
+    decompression + palette lookup must reproduce the analytic stats the
+    oracle twin derives."""
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    got = {
+        r.doc_id: r
+        for r in multimodal.decode_image(multimodal.synth_gif(ids)).collect()
+    }
+    for d in range(12):
+        w, h = 4 + d % 5, 3 + d % 4
+        r = got[d]
+        assert (r.img_w, r.img_h, r.n_pixels) == (w, h, w * h)
+        assert r.sum_r == w * sum((d + y) % 256 for y in range(h))
+        assert r.sum_g == w * sum((2 * d + 3 * y) % 256 for y in range(h))
+        assert r.sum_b == w * sum((5 * d + 7 * y) % 256 for y in range(h))
+
+
+def test_resize_media_gif_roundtrip(spark):
+    """GIF thumbnails re-encode as GIF and every output pixel matches the
+    closed-form nearest-neighbor source pixel."""
+    from tax_compliance_engine_spark.operators.multimodal import _decode_gif
+
+    ids = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    tw, th = 3, 2
+    rows = {
+        r.doc_id: r
+        for r in multimodal.resize_media(
+            multimodal.synth_gif(ids), tw, th
+        ).collect()
+    }
+    for i in range(6):
+        h = 3 + i % 4
+        r = rows[i]
+        assert r.decoder == "gif-numpy-nn"
+        arr = _decode_gif(bytes(r.thumb))
+        assert arr is not None and arr.shape == (th, tw, 3)
+        for ty in range(th):
+            sy = int((ty + 0.5) * h / th)
+            want = ((i + sy) % 256, (2 * i + 3 * sy) % 256, (5 * i + 7 * sy) % 256)
+            for tx in range(tw):
+                assert tuple(int(v) for v in arr[ty, tx]) == want
+
+
+def test_sample_frames_gif_animation_demux(spark):
+    """An animated GIF (multiple image blocks) demuxes into standalone
+    single-frame GIFs, each individually decodable."""
+    import numpy as np
+
+    from tax_compliance_engine_spark.operators.multimodal import (
+        _decode_gif,
+        _encode_gif,
+    )
+
+    rng = np.random.default_rng(23)
+    frames = [(rng.integers(0, 4, (3, 5, 3)) * 30).astype(np.uint8) for _ in range(6)]
+    gif = _encode_gif(frames)
+    media = spark.createDataFrame(
+        [(42, "video", bytearray(gif), len(gif), "gif")],
+        multimodal.MEDIA_SCHEMA,
+    )
+    got = multimodal.sample_frames(media, every_n=2).collect()
+    assert sorted(f.frame_idx for f in got) == [0, 2, 4]
+    for f in got:
+        arr = _decode_gif(bytes(f.frame_payload))
+        assert arr is not None and np.array_equal(arr, frames[f.frame_idx])
