@@ -194,6 +194,10 @@ def oracle_sql() -> dict[str, str]:
         "corpus_sample": oracle_corpus.corpus_sample_sql(),
         "corpus_stratified_sample": oracle_corpus.corpus_stratified_sample_sql(),
         "corpus_mixture": oracle_corpus.corpus_mixture_sql(),
+        # corpus_heavy_hitters: exact heavy-hitter tokens behind a
+        # count-min-sketch prefilter — oracle-only swept entry (the
+        # result is exact, so the twin is the plain HAVING aggregation).
+        "corpus_heavy_hitters": oracle_corpus.corpus_heavy_hitters_sql(),
         # corpus_token_mixture: per-source token-budget sampling (rate
         # derived in-plan from token totals) — oracle-only swept entry.
         "corpus_token_mixture": oracle_corpus.corpus_token_mixture_sql(),

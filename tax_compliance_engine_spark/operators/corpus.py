@@ -246,6 +246,84 @@ def mixture(
     )
 
 
+def heavy_hitters(
+    docs: DataFrame,
+    min_count: int = 100,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 8192,
+) -> DataFrame:
+    """Exact heavy-hitter tokens (term count ≥ ``min_count``) found with
+    a count-min-sketch prefilter — the frequency-sketch counterpart of
+    ``decontaminate``'s bloom membership prefilter.
+
+    Two passes, both scale-shaped:
+
+    1. BUILD: every token occurrence hashes into ``depth`` sketch rows
+       of ``width`` counters; the aggregation key space is depth×width
+       (tiny), so map-side partial aggregation collapses the pass to
+       almost no shuffle regardless of corpus size.
+    2. FILTER + VERIFY: occurrences broadcast-join the sketch (depth
+       probes) and drop unless min_j cm[j][h_j(tok)] ≥ min_count.  The
+       count-min estimate only OVERcounts (collisions add), so every
+       true heavy hitter survives — no false negatives — and the exact
+       groupBy count runs over the fp-sized survivor stream only,
+       instead of shuffling the whole token stream / vocabulary.
+
+    Output (token, term_count) is EXACT (survivor counts are true global
+    counts; collision survivors die at the final HAVING), so the oracle
+    twin is the plain GROUP BY ... HAVING SQL regardless of sketch
+    parameters.  Deterministic given the fixed xxhash64 probes."""
+    from .textops import tokens_col
+
+    toks = docs.select(
+        F.explode(tokens_col(F.col(text_col))).alias("tok")
+    )
+    probes = list(range(depth))
+    sketch = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            F.pmod(
+                                F.xxhash64(F.col("tok"), F.lit(j)),
+                                F.lit(width),
+                            ).alias("bucket"),
+                        )
+                        for j in probes
+                    ]
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.j").alias("j"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    survivors = toks
+    for j in probes:
+        cm_j = sketch.filter(F.col("j") == j).select(
+            F.col("bucket").alias(f"_b{j}"), F.col("cnt").alias(f"_c{j}")
+        )
+        survivors = (
+            survivors.withColumn(
+                f"_p{j}",
+                F.pmod(F.xxhash64(F.col("tok"), F.lit(j)), F.lit(width)),
+            )
+            .join(
+                F.broadcast(cm_j), F.col(f"_p{j}") == F.col(f"_b{j}")
+            )
+            .filter(F.col(f"_c{j}") >= min_count)
+            .drop(f"_b{j}", f"_c{j}", f"_p{j}")
+        )
+    return (
+        survivors.groupBy("tok")
+        .agg(F.count("*").alias("term_count"))
+        .filter(F.col("term_count") >= min_count)
+        .select(F.col("tok").alias("token"), "term_count")
+    )
+
+
 def token_budget_mixture(
     docs: DataFrame,
     budgets: dict[str, float],

@@ -93,6 +93,16 @@ WHERE CAST({_HASH} AS DOUBLE) <
       (CASE {arms} ELSE {float(default_rate)} END) * {float(corpus.SAMPLE_MOD)}"""
 
 
+def corpus_heavy_hitters_sql(min_count: int = 100) -> str:
+    """Twin of corpus.heavy_hitters: the two-phase count-min + exact
+    verify result is exact by construction, so the oracle is the plain
+    threshold aggregation — sketch parameters never affect the rows."""
+    return f"""WITH toks AS (
+  SELECT unnest({TOKENS}) AS token FROM documents)
+SELECT token, count(*) AS term_count
+FROM toks GROUP BY token HAVING count(*) >= {min_count}"""
+
+
 def corpus_token_mixture_sql(budgets: dict[str, float] | None = None) -> str:
     """Twin of corpus.token_budget_mixture: per-source keep rate
     min(1, budget / total_tokens) derived from the same token totals,

@@ -368,6 +368,13 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "lang")
 
 
+def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy-hitter tokens via the count-min prefilter + exact
+    verify (corpus.heavy_hitters) — the result is exact, so the oracle
+    is the plain GROUP BY ... HAVING twin."""
+    return corpus.heavy_hitters(_docs(spark, sf_dir), min_count=100)
+
+
 def corpus_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixing: src0 capped at 500 tokens (~0.35 rate), src2
     at 200 (~0.14), src1's 5000 budget exceeds its total (LEAST → keep

@@ -373,3 +373,38 @@ def test_token_budget_mixture_rates_and_edges(spark):
     assert sorted(r.doc_id for r in kept.collect()) == sorted(
         r.doc_id for r in again.collect()
     )
+
+
+def test_heavy_hitters_exact_and_no_false_negatives(spark):
+    """The count-min prefilter + exact verify must return exactly the
+    plain-aggregation answer, including at a deliberately tiny sketch
+    width (heavy collisions → many false candidates, which the exact
+    verify must kill; false negatives are impossible because count-min
+    only overcounts)."""
+    rows = (
+        [(i, "hot common filler", "s0") for i in range(50)]
+        + [(100 + i, "warm other words here", "s0") for i in range(10)]
+        + [(200 + i, f"rare{i} unique{i}", "s0") for i in range(30)]
+    )
+    docs = docs_df(spark, rows)
+    want = {("hot", 50), ("common", 50), ("filler", 50)}
+    got = {
+        (r.token, r.term_count)
+        for r in corpus.heavy_hitters(docs, min_count=40).collect()
+    }
+    assert got == want
+    # tiny width: every token collides into 8 buckets, candidates balloon,
+    # result must not change
+    got_tiny = {
+        (r.token, r.term_count)
+        for r in corpus.heavy_hitters(docs, min_count=40, width=8).collect()
+    }
+    assert got_tiny == want
+    # threshold just above the warm band: exact boundary behavior
+    got_warm = {
+        (r.token, r.term_count)
+        for r in corpus.heavy_hitters(docs, min_count=10).collect()
+    }
+    assert ("warm", 10) in got_warm and ("rare0", 1) not in {
+        (t, c) for t, c in got_warm
+    }
