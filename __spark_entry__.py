@@ -211,6 +211,10 @@ def oracle_sql() -> dict[str, str]:
         # multimodal_features: REAL-decode feature vectors over synth PPMs,
         # analytic twin (the non-PPM stub branch stays pytest-pinned)
         "multimodal_features": oracle_dataops.multimodal_features_sql(),
+        # ivfpq_knn_portable: IVF + PQ with residual encoding (coarse
+        # cells + residual codebooks + cell-probed ADC + exact re-rank)
+        # — oracle-only swept entry, bit-portable end to end.
+        "ivfpq_knn_portable": oracle_dataops.ivfpq_knn_portable_sql(),
         # pq_knn_portable: product-quantization search (codebook training,
         # nibble encoding, ADC shortlist, exact re-rank) — oracle-only
         # swept entry, bit-portable end to end.

@@ -675,6 +675,161 @@ ranked AS (
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}"""
 
 
+def ivfpq_knn_portable_sql(
+    m: int = 8,
+    k_codes: int = 16,
+    topk: int = 5,
+    nprobe: int = 2,
+    shortlist: int = 50,
+    modulus: int = 50,
+) -> str:
+    """Twin of queries_dataops.ivfpq_knn_portable: the IVF twin's coarse
+    quantizer CTEs (label-seeded ordered-fold centroids, one Lloyd E+M),
+    then residuals (v − cell centroid), PQ codebook training on the
+    residuals (seed from k smallest vec_ids + one Lloyd step), nibble
+    encoding, L2²-ranked cell probes, per-(query, cell) ADC distance
+    tables over the QUERY residual, subspace-ordered ADC folds,
+    shortlist, exact re-rank.  Same IEEE folds → same index, same
+    ranks."""
+    dim = similarity.DIM
+    subdim = dim // m
+    dot_vv = DOT_FOLD.format(n=dim, a="v", b="v")
+    dot_cc_full = DOT_FOLD.format(n=dim, a="cvec", b="cvec")
+    dot_ec = DOT_FOLD.format(n=dim, a="e.v", b="c.cvec")
+    dot_qc_full = DOT_FOLD.format(n=dim, a="q.v", b="c.cvec")
+    dot_ss = DOT_FOLD.format(n=subdim, a="sv", b="sv")
+    dot_cb = DOT_FOLD.format(n=subdim, a="cbvec", b="cbvec")
+    dot_dcb = DOT_FOLD.format(n=subdim, a="d.sv", b="c.cbvec")
+    dot_qcb = DOT_FOLD.format(n=subdim, a="qs.sv", b="c.cbvec")
+    dot_qq = DOT_FOLD.format(n=dim, a="qe.v", b="qe.v")
+    dot_qn = DOT_FOLD.format(n=dim, a="qe.v", b="ne.v")
+    dot_nn = DOT_FOLD.format(n=dim, a="ne.v", b="ne.v")
+    return f"""WITH embL AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+embLn AS (
+  SELECT vec_id, label, v, sqrt({dot_vv}) AS nrm FROM embL),
+exploded AS (
+  SELECT label, vec_id, CAST(i - 1 AS INTEGER) AS pos, v[i] AS val
+  FROM embL, unnest(range(1, {dim} + 1)) AS u(i)),
+cent_comp AS (
+  SELECT label, pos,
+    list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)), (acc, x) -> acc + x)
+      / count(*) AS mean_val
+  FROM exploded GROUP BY label, pos),
+cents AS (
+  SELECT label, list(mean_val ORDER BY pos) AS cvec FROM cent_comp GROUP BY label),
+cents_n AS (
+  SELECT label, cvec, sqrt({dot_cc_full}) AS cnrm FROM cents),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.label AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {dot_ec} / (e.nrm * c.cnrm) DESC, c.label) AS r
+    FROM embLn e CROSS JOIN cents_n c) t
+  WHERE r = 1),
+exploded2 AS (
+  SELECT a.cell, x.vec_id, x.pos, x.val
+  FROM exploded x JOIN assign a USING (vec_id)),
+cent2_comp AS (
+  SELECT cell, pos,
+    list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)), (acc, x) -> acc + x)
+      / count(*) AS mean_val
+  FROM exploded2 GROUP BY cell, pos),
+cents2 AS (
+  SELECT cell, list(mean_val ORDER BY pos) AS cvec FROM cent2_comp GROUP BY cell),
+res AS (
+  SELECT e.vec_id, a.cell,
+    list_transform(range(1, {dim} + 1), i -> e.v[i] - c.cvec[i]) AS rv
+  FROM embL e JOIN assign a USING (vec_id)
+  JOIN cents2 c ON c.cell = a.cell),
+rsubs AS (
+  SELECT vec_id, CAST(s AS INTEGER) AS subspace,
+         rv[(s*{subdim}+1):(s*{subdim}+{subdim})] AS sv
+  FROM res, unnest(range(0, {m})) AS u(s)),
+rsubs_d AS (SELECT vec_id, subspace, sv, {dot_ss} AS vv FROM rsubs),
+pq_seeds AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+           AS code
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k_codes})),
+seed_cb AS (
+  SELECT s.subspace, sd.code, s.sv AS cbvec
+  FROM rsubs s JOIN pq_seeds sd USING (vec_id)),
+seed_cb_d AS (SELECT subspace, code, cbvec, {dot_cb} AS cbcc FROM seed_cb),
+pq_assign AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT d.vec_id, d.subspace, c.code,
+      row_number() OVER (PARTITION BY d.vec_id, d.subspace
+        ORDER BY (d.vv - 2 * {dot_dcb}) + c.cbcc, c.code) AS r
+    FROM rsubs_d d JOIN seed_cb_d c USING (subspace)) t
+  WHERE r = 1),
+rdims AS (
+  SELECT vec_id, subspace, CAST(i - 1 AS INTEGER) AS pos, sv[i] AS val
+  FROM rsubs, unnest(range(1, {subdim} + 1)) AS u(i)),
+cb_comp AS (
+  SELECT a.subspace, a.code, d.pos,
+    list_reduce(list_prepend(0.0, list(d.val ORDER BY d.vec_id)),
+                (acc, x) -> acc + x) / count(*) AS mean_val
+  FROM rdims d JOIN pq_assign a USING (vec_id, subspace)
+  GROUP BY a.subspace, a.code, d.pos),
+cb AS (
+  SELECT subspace, code, list(mean_val ORDER BY pos) AS cbvec
+  FROM cb_comp GROUP BY subspace, code),
+cb_d AS (SELECT subspace, code, cbvec, {dot_cb} AS cbcc FROM cb),
+codes AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT d.vec_id, d.subspace, c.code,
+      row_number() OVER (PARTITION BY d.vec_id, d.subspace
+        ORDER BY (d.vv - 2 * {dot_dcb}) + c.cbcc, c.code) AS r
+    FROM rsubs_d d JOIN cb_d c USING (subspace)) t
+  WHERE r = 1),
+queries AS (
+  SELECT vec_id AS query_id, v, {dot_vv} AS qq
+  FROM embL WHERE vec_id % {modulus} = 0),
+probes AS (
+  SELECT query_id, cell, qres FROM (
+    SELECT q.query_id, c.cell,
+      list_transform(range(1, {dim} + 1), i -> q.v[i] - c.cvec[i]) AS qres,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY (q.qq - 2 * {dot_qc_full}) + {dot_cc_full}, c.cell) AS pr
+    FROM queries q CROSS JOIN cents2 c) t
+  WHERE pr <= {nprobe}),
+qsubs AS (
+  SELECT query_id, cell, CAST(s AS INTEGER) AS subspace,
+         qres[(s*{subdim}+1):(s*{subdim}+{subdim})] AS sv
+  FROM probes, unnest(range(0, {m})) AS u(s)),
+qsubs_d AS (SELECT query_id, cell, subspace, sv, {dot_ss} AS vv FROM qsubs),
+dist AS (
+  SELECT qs.query_id, qs.cell, qs.subspace, c.code,
+         (qs.vv - 2 * {dot_qcb}) + c.cbcc AS d2
+  FROM qsubs_d qs JOIN cb_d c USING (subspace)),
+adc AS (
+  SELECT t.query_id, cd.vec_id AS neighbor_id,
+    list_reduce(list_prepend(0.0, list(t.d2 ORDER BY t.subspace)),
+                (acc, x) -> acc + x) AS adc2
+  FROM codes cd
+  JOIN assign an USING (vec_id)
+  JOIN dist t ON t.cell = an.cell AND t.subspace = cd.subspace
+             AND t.code = cd.code
+  WHERE cd.vec_id <> t.query_id
+  GROUP BY t.query_id, cd.vec_id),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc2, neighbor_id) AS r
+    FROM adc) t WHERE r <= {shortlist}),
+rerank AS (
+  SELECT s.query_id, s.neighbor_id,
+    ({dot_qq} - 2 * {dot_qn}) + {dot_nn} AS d2
+  FROM short s
+  JOIN embL qe ON qe.vec_id = s.query_id
+  JOIN embL ne ON ne.vec_id = s.neighbor_id),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY d2, neighbor_id) AS INTEGER) AS rank
+  FROM rerank)
+SELECT query_id, neighbor_id, d2, rank FROM ranked WHERE rank <= {topk}"""
+
+
 def pq_knn_portable_sql(
     m: int = 8,
     k_codes: int = 16,

@@ -268,19 +268,12 @@ def _assemble_centroids(comps: DataFrame, cell_col: str) -> DataFrame:
     )
 
 
-def ivf_knn_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k with ordered-fold centroids refined by ONE Lloyd
-    iteration, bit-portable end to end (sqrt/mul/div are exactly-rounded
-    IEEE ops, every sum is a pinned-order sequential fold), so unlike
-    `ivf_knn` this variant sits under the full hash gate.
-
-    The Lloyd step makes the coarse quantizer defensible on corpora whose
-    labels do NOT align with the embedding geometry: labels only SEED the
-    centroids; each vector is then re-assigned to its nearest centroid
-    (E-step, `nearest_cell_assignments`) and centroids are recomputed as
-    the vec_id-ordered fold mean of their new members (M-step), which is
-    what the probe list and the inverted file are built from."""
-    emb = _emb(spark, sf_dir)
+def _portable_cells(spark: SparkSession, sf_dir: str, emb):
+    """The shared bit-portable coarse quantizer: label-seeded ordered-fold
+    centroids, E-step nearest-centroid re-assignment, M-step
+    vec_id-ordered fold re-means.  Returns (refined (cell, centroid),
+    assignments (vec_id, cell)) — the probe list and inverted file for
+    both `ivf_knn_portable` and `ivfpq_knn_portable`."""
     seed_cents = _assemble_centroids(
         label_centroid_components(spark, sf_dir), "label"
     )
@@ -304,8 +297,23 @@ def ivf_knn_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps1 = exploded.groupBy(
         "cell", F.col("pos").cast("int").alias("pos")
     ).agg((ordered_sum / F.count("*")).alias("mean_val"))
-    refined = _assemble_centroids(comps1, "cell")
+    return _assemble_centroids(comps1, "cell"), assign
 
+
+def ivf_knn_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with ordered-fold centroids refined by ONE Lloyd
+    iteration, bit-portable end to end (sqrt/mul/div are exactly-rounded
+    IEEE ops, every sum is a pinned-order sequential fold), so unlike
+    `ivf_knn` this variant sits under the full hash gate.
+
+    The Lloyd step makes the coarse quantizer defensible on corpora whose
+    labels do NOT align with the embedding geometry: labels only SEED the
+    centroids; each vector is then re-assigned to its nearest centroid
+    (E-step, `nearest_cell_assignments`) and centroids are recomputed as
+    the vec_id-ordered fold mean of their new members (M-step), which is
+    what the probe list and the inverted file are built from."""
+    emb = _emb(spark, sf_dir)
+    refined, assign = _portable_cells(spark, sf_dir, emb)
     return similarity.ivf_knn(
         emb,
         query_pred=F.col("vec_id") % 50 == 0,
@@ -314,6 +322,27 @@ def ivf_knn_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell_col="cell",
         centroids=refined,
         assignments=assign,
+    )
+
+
+def ivfpq_knn_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ with residual encoding, bit-portable end to end: the
+    shared coarse quantizer (`_portable_cells`), per-subspace PQ
+    codebooks trained on RESIDUALS (vector − cell centroid), cell-probed
+    ADC over nibble codes, exact L2² re-rank of the shortlist.  The
+    whole index — coarse training, residuals, codebook training,
+    encoding, probing, ADC, re-rank — sits under the bit-exact hash
+    gate."""
+    emb = _emb(spark, sf_dir)
+    refined, assign = _portable_cells(spark, sf_dir, emb)
+    return similarity.ivfpq_knn(
+        emb,
+        query_pred=F.col("vec_id") % 50 == 0,
+        centroids=refined,
+        assignments=assign,
+        k=5,
+        nprobe=2,
+        shortlist=50,
     )
 
 

@@ -383,3 +383,98 @@ def test_pq_adc_ranks_a_duplicate_of_the_query_first(spark):
     # corpus) but nothing can beat the duplicate's distance
     assert all(dup_d2 <= r.adc2 for r in got)
     assert dup_d2 == got[0].adc2
+
+
+def _cells_for(spark, emb):
+    from tax_compliance_engine_spark.operators import similarity
+
+    cents = similarity.label_centroids(emb).select(
+        F.col("label").alias("cell"), "centroid"
+    )
+    assign = similarity.nearest_cell_assignments(
+        emb, cents.select(F.col("cell").alias("label"), "centroid")
+    ).cache()
+    return cents, assign
+
+
+def test_residual_vectors_reconstruct(spark):
+    """residual + centroid must reproduce the original vector exactly
+    (a - b) + b == a is NOT an FP identity in general, so compare with a
+    tolerance, and check the cell assignment rides along."""
+    import math
+
+    from tax_compliance_engine_spark.operators import similarity
+
+    emb = clustered_emb(spark)
+    cents, assign = _cells_for(spark, emb)
+    res = similarity.residual_vectors(emb, cents, assign)
+    orig = {r.vec_id: r.embedding for r in emb.collect()}
+    cvecs = {r.cell: r.centroid for r in cents.collect()}
+    for r in res.collect():
+        rebuilt = [a + b for a, b in zip(r.res, cvecs[r.cell])]
+        assert all(
+            math.isclose(x, y, rel_tol=1e-12, abs_tol=1e-12)
+            for x, y in zip(rebuilt, orig[r.vec_id])
+        )
+
+
+def test_ivfpq_full_probe_full_shortlist_equals_bruteforce(spark):
+    """With every cell probed and the shortlist covering the whole
+    corpus, the exact re-rank must return exactly the brute-force L2
+    top-k — the ADC stage can then only order the shortlist, never drop
+    a true neighbor."""
+    from pyspark.sql.window import Window
+
+    from tax_compliance_engine_spark.operators import similarity
+    from tax_compliance_engine_spark.operators.similarity import _dot, _vec_d
+
+    emb = clustered_emb(spark)
+    cents, assign = _cells_for(spark, emb)
+    pred = F.col("vec_id") % 6 == 0
+    got = sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in similarity.ivfpq_knn(
+            emb, pred, cents, assign, k=3, nprobe=3, shortlist=100, k_codes=8
+        ).collect()
+    )
+
+    base = emb.select("vec_id", _vec_d(F.col("embedding")).alias("v"))
+    q = base.filter(pred).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    d2 = (
+        _dot(F.col("qv"), F.col("qv"))
+        - F.lit(2.0) * _dot(F.col("qv"), F.col("v"))
+    ) + _dot(F.col("v"), F.col("v"))
+    w = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    want = sorted(
+        (r.query_id, r.r, r.vec_id)
+        for r in q.crossJoin(base)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("d2", d2)
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 3)
+        .collect()
+    )
+    assert got == want
+
+
+def test_ivfpq_single_probe_stays_in_cluster(spark):
+    """nprobe=1 on well-separated clusters: every returned neighbor
+    comes from the query's own (geometric) cluster."""
+    from tax_compliance_engine_spark.operators import similarity
+
+    emb = clustered_emb(spark)
+    cents, assign = _cells_for(spark, emb)
+    got = similarity.ivfpq_knn(
+        emb,
+        F.col("vec_id") == 0,
+        cents,
+        assign,
+        k=5,
+        nprobe=1,
+        shortlist=10,
+        k_codes=8,
+    ).collect()
+    assert len(got) == 5
+    assert all(r.neighbor_id < 6 for r in got)  # cluster 0 = ids 0..5
