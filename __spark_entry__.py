@@ -194,6 +194,10 @@ def oracle_sql() -> dict[str, str]:
         "corpus_sample": oracle_corpus.corpus_sample_sql(),
         "corpus_stratified_sample": oracle_corpus.corpus_stratified_sample_sql(),
         "corpus_mixture": oracle_corpus.corpus_mixture_sql(),
+        # corpus_clean_pipeline: the four-stage training-data pipeline
+        # (quality filter → exact-dedup keep → token-budget mixture →
+        # packing) composed under ONE hash gate — oracle-only swept entry.
+        "corpus_clean_pipeline": oracle_corpus.corpus_clean_pipeline_sql(),
         # corpus_heavy_hitters: exact heavy-hitter tokens behind a
         # count-min-sketch prefilter — oracle-only swept entry (the
         # result is exact, so the twin is the plain HAVING aggregation).

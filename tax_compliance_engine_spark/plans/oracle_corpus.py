@@ -93,6 +93,57 @@ WHERE CAST({_HASH} AS DOUBLE) <
       (CASE {arms} ELSE {float(default_rate)} END) * {float(corpus.SAMPLE_MOD)}"""
 
 
+def corpus_clean_pipeline_sql(
+    min_quality: float = 0.73,
+    budgets: dict[str, float] | None = None,
+    token_budget: int = 512,
+) -> str:
+    """Twin of queries_dataops.corpus_clean_pipeline: the four stages
+    (quality ≥ τ → exact-dedup canonical keep → token-budget mixture →
+    pack) chained over the same intermediate sets, each stage reading
+    the previous CTE.  Reuses doc_quality_sql() verbatim for the score
+    so the filter can never drift from the standalone quality gate."""
+    from .oracle_dataops import doc_quality_sql
+
+    budgets = budgets or {"src0": 500.0, "src2": 200.0}
+    arms = " ".join(
+        f"WHEN source = '{s}' THEN {float(b)}"
+        for s, b in sorted(budgets.items())
+    )
+    return f"""WITH q AS ({doc_quality_sql()}),
+kept AS (
+  SELECT d.* FROM documents d JOIN q USING (doc_id)
+  WHERE q.quality_score >= {min_quality}),
+canon AS (
+  SELECT * FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS _canonical
+    FROM kept) t
+  WHERE doc_id = _canonical),
+totals AS (
+  SELECT source, SUM(len({TOKENS})) AS total_toks FROM canon GROUP BY source),
+rates AS (
+  SELECT source,
+    CASE WHEN (CASE {arms} ELSE NULL END) IS NULL OR total_toks = 0
+         THEN 1.0
+         ELSE LEAST(1.0, (CASE {arms} END) / CAST(total_toks AS DOUBLE))
+    END AS rate
+  FROM totals),
+mixed AS (
+  SELECT c.* FROM canon c JOIN rates r USING (source)
+  WHERE CAST({_HASH} AS DOUBLE) < r.rate * {float(corpus.SAMPLE_MOD)}),
+sized AS (
+  SELECT doc_id, len({TOKENS}) AS n_tokens FROM mixed),
+summed AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS end_offset
+  FROM sized)
+SELECT doc_id, n_tokens,
+       CAST((end_offset - n_tokens) // {token_budget} AS BIGINT) AS bin_id
+FROM summed"""
+
+
 def corpus_heavy_hitters_sql(min_count: int = 100) -> str:
     """Twin of corpus.heavy_hitters: the two-phase count-min + exact
     verify result is exact by construction, so the oracle is the plain

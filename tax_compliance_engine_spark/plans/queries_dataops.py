@@ -397,6 +397,31 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "lang")
 
 
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END pipeline under ONE hash gate: quality filter
+    (score ≥ 0.73) → exact-dedup keep (canonical ids only) →
+    token-budget mixture (src0 capped at 500 tokens, src2 at 200) →
+    sequence packing at a 512-token budget.  Each stage consumes the
+    previous stage's DataFrame directly — the composition itself is what
+    this row verifies: a bug in any stage, or in how stages hand off,
+    breaks the bit-exact twin."""
+    docs = _docs(spark, sf_dir)
+    quality = textops.quality_score(textops.text_stats(docs)).select(
+        "doc_id", "quality_score"
+    )
+    kept = docs.join(quality, "doc_id").filter(
+        F.col("quality_score") >= 0.73
+    )
+    dd = dedup.exact_dedup(kept).filter(~F.col("is_duplicate")).select("doc_id")
+    canonical = kept.join(dd, "doc_id").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    mixed = corpus.token_budget_mixture(
+        canonical, budgets={"src0": 500.0, "src2": 200.0}
+    )
+    return corpus.pack_sequences(mixed, token_budget=512)
+
+
 def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy-hitter tokens via the count-min prefilter + exact
     verify (corpus.heavy_hitters) — the result is exact, so the oracle
