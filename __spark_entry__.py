@@ -227,6 +227,10 @@ def oracle_sql() -> dict[str, str]:
         # inflate, all-five-filter scanline reconstruction) vs the analytic
         # pixel-sum twin — oracle-only swept entry.
         "multimodal_png_profile": oracle_dataops.multimodal_png_profile_sql(),
+        # doc_lm_coverage: char-trigram LM-coverage quality score (the
+        # integer-exact stand-in for perplexity filtering) — oracle-only
+        # swept entry.
+        "doc_lm_coverage": oracle_dataops.doc_lm_coverage_sql(),
         # multimodal_gif_profile: REAL GIF decode (from-scratch LZW,
         # palette lookup) vs the analytic pixel-sum twin — oracle-only
         # swept entry.

@@ -314,3 +314,77 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "had_pii"
         ),
     )
+
+
+def _char_trigrams(text: Column) -> Column:
+    """Array of all character trigrams of a string (positions 1..len−2);
+    strings shorter than 3 chars yield an empty array."""
+    return F.when(
+        F.length(text) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(text) - 2),
+            lambda i: text.substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def lm_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    train_pred: Column | None = None,
+    min_count: int = 5,
+) -> DataFrame:
+    """Model-based quality scoring, made integer-exact: a character-
+    trigram "language model" is trained on a held-in slice of the corpus
+    (trigrams with train count ≥ ``min_count``), and every document is
+    scored by the fraction of ITS trigrams the model has seen —
+    low-coverage documents are out-of-distribution (gibberish, binary
+    spill, wrong language), the same signal CCNet-style perplexity
+    filtering uses, but as an exact count ratio instead of a float
+    log-prob (JVM/libm ``ln`` may differ by 1 ULP; counts and one
+    exactly-rounded division are bit-portable).
+
+    Scale shape: the trigram universe is bounded by the char alphabet
+    cubed, so the trained model is ALWAYS broadcastable regardless of
+    corpus size — train is one explode + count aggregation with map-side
+    combine, scoring is a broadcast semi-probe + one narrow (doc_id)
+    count aggregation.  Default train slice: doc_id % 10 < 8 (held-in
+    80%), so scores over the held-out 20% are honest.
+
+    Output: (doc_id, n_trigrams, n_covered, coverage)."""
+    if train_pred is None:
+        train_pred = F.col("doc_id") % 10 < 8
+    tri = _char_trigrams(F.col(text_col))
+    train_vocab = (
+        docs.filter(train_pred)
+        .select(F.explode(tri).alias("tri"))
+        .groupBy("tri")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("tri")
+    )
+    scored = (
+        docs.select("doc_id", F.explode(tri).alias("tri"))
+        .join(
+            F.broadcast(train_vocab.withColumn("_hit", F.lit(1))),
+            "tri",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_covered"),
+        )
+    )
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+        F.coalesce("n_covered", F.lit(0)).alias("n_covered"),
+        F.when(
+            F.coalesce("n_trigrams", F.lit(0)) > 0,
+            F.coalesce("n_covered", F.lit(0)).cast("double")
+            / F.coalesce("n_trigrams", F.lit(1)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("coverage"),
+    )

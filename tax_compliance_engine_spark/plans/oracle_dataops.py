@@ -245,6 +245,35 @@ FROM documents
 GROUP BY source"""
 
 
+def doc_lm_coverage_sql(min_count: int = 5, train_mod: int = 10, held_in: int = 8) -> str:
+    """Twin of queries_dataops.doc_lm_coverage: identical trigram
+    extraction, train-slice counting, threshold, probe, and the one
+    exactly-rounded coverage division."""
+    return f"""WITH tri AS (
+  SELECT doc_id, unnest(CASE WHEN length(text) >= 3
+    THEN list_transform(range(1, length(text) - 1),
+                        i -> substr(text, CAST(i AS INTEGER), 3))
+    ELSE [] END) AS tri
+  FROM documents),
+vocab AS (
+  SELECT tri FROM (
+    SELECT tri, count(*) AS c FROM tri
+    WHERE doc_id % {train_mod} < {held_in} GROUP BY tri) t
+  WHERE c >= {min_count}),
+scored AS (
+  SELECT t.doc_id, count(*) AS n_trigrams,
+    CAST(SUM(CASE WHEN v.tri IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_covered
+  FROM tri t LEFT JOIN vocab v USING (tri) GROUP BY t.doc_id)
+SELECT d.doc_id,
+  COALESCE(s.n_trigrams, 0) AS n_trigrams,
+  COALESCE(s.n_covered, 0) AS n_covered,
+  CASE WHEN COALESCE(s.n_trigrams, 0) > 0
+       THEN CAST(s.n_covered AS DOUBLE) / CAST(s.n_trigrams AS DOUBLE)
+       ELSE 0.0 END AS coverage
+FROM documents d LEFT JOIN scored s USING (doc_id)"""
+
+
 def dedup_exact_sql() -> str:
     return """SELECT doc_id, md5(text) AS digest,
   MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,

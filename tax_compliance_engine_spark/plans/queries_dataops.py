@@ -397,6 +397,13 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "lang")
 
 
+def doc_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram LM-coverage quality score (textops.lm_coverage):
+    model trained on the doc_id%10<8 held-in slice, every doc scored by
+    the exact fraction of its trigrams the model covers."""
+    return textops.lm_coverage(_docs(spark, sf_dir))
+
+
 def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END pipeline under ONE hash gate: quality filter
     (score ≥ 0.73) → exact-dedup keep (canonical ids only) →

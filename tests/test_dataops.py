@@ -1092,3 +1092,36 @@ def test_sample_frames_gif_animation_demux(spark):
     for f in got:
         arr = _decode_gif(bytes(f.frame_payload))
         assert arr is not None and np.array_equal(arr, frames[f.frame_idx])
+
+
+def test_lm_coverage_scores_out_of_distribution_low(spark):
+    """The trigram model covers in-distribution text fully and gibberish
+    not at all; short (<3 char) docs score 0 with 0 trigrams, and the
+    held-out slice is scored against the held-in model only."""
+    from pyspark.sql import functions as F
+
+    from tax_compliance_engine_spark.operators.textops import lm_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox and the quick brown dog"),
+            (1, "the quick brown cat likes the quick brown fox"),
+            (8, "the quick brown fox"),  # held-out (pred: doc_id < 8)
+            (9, "zqxjvzqxjvzqxjv"),  # held-out gibberish
+            (10, "zz"),  # too short for any trigram
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in lm_coverage(
+            docs, train_pred=F.col("doc_id") < 8, min_count=2
+        ).collect()
+    }
+    assert got[8].coverage == 1.0  # in-distribution held-out text
+    assert got[9].coverage == 0.0 and got[9].n_trigrams > 0
+    assert got[10].n_trigrams == 0 and got[10].coverage == 0.0
+    # exact ratio arithmetic: covered/total, no smoothing
+    for r in got.values():
+        if r.n_trigrams:
+            assert r.coverage == r.n_covered / r.n_trigrams
