@@ -478,3 +478,43 @@ def test_ivfpq_single_probe_stays_in_cluster(spark):
     ).collect()
     assert len(got) == 5
     assert all(r.neighbor_id < 6 for r in got)  # cluster 0 = ids 0..5
+
+
+def test_pq_supports_non_default_dims(spark):
+    """The PQ family must work on vectors of any dimension via the dim
+    parameter (16-d here), not just the corpus default — full-shortlist
+    re-rank equals brute-force L2 exactly."""
+    from pyspark.sql.window import Window
+
+    from tax_compliance_engine_spark.operators import similarity
+    from tax_compliance_engine_spark.operators.similarity import _dot, _vec_d
+
+    emb = misaligned_emb(spark)  # 16-d vectors
+    cb = similarity.pq_codebooks(emb, m=4, k=8, dim=16).cache()
+    codes = similarity.pq_codes(emb, cb, m=4, dim=16).cache()
+    pred = F.col("vec_id") == 0
+    got = sorted(
+        (r.rank, r.neighbor_id)
+        for r in similarity.pq_knn_rerank(
+            emb, pred, cb, codes, k=3, shortlist=40, m=4, dim=16
+        ).collect()
+    )
+    base = emb.select("vec_id", _vec_d(F.col("embedding")).alias("v"))
+    q = base.filter(pred).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    d2 = (
+        _dot(F.col("qv"), F.col("qv"))
+        - F.lit(2.0) * _dot(F.col("qv"), F.col("v"))
+    ) + _dot(F.col("v"), F.col("v"))
+    w = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    want = sorted(
+        (r.r, r.vec_id)
+        for r in q.crossJoin(base)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("d2", d2)
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 3)
+        .collect()
+    )
+    assert got == want
