@@ -518,3 +518,46 @@ def test_pq_supports_non_default_dims(spark):
         .collect()
     )
     assert got == want
+
+
+def test_streaming_near_dedup_matches_batch_on_real_corpus(spark, tmp_path):
+    """Drained ≡ batch on the real synthetic documents table (500 docs,
+    real near-dup structure), split across two micro-batch drains."""
+    from tax_compliance_engine_spark.operators import dedup
+    from tax_compliance_engine_spark.streaming.dedup_stream import (
+        streaming_near_dedup,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    schema = "doc_id long, text string"
+    src, out = tmp_path / "docs", tmp_path / "pairs"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            streaming_near_dedup(stream, threshold=0.5)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.schema(
+            "doc1 long, doc2 long, est_jaccard double"
+        ).parquet(str(out))
+
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(str(src))
+    drain()
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(str(src))
+    got = sorted(
+        (r.doc1, r.doc2, r.est_jaccard) for r in drain().collect()
+    )
+    want = sorted(
+        (r.doc1, r.doc2, r.est_jaccard)
+        for r in dedup.minhash_est_pairs(docs, threshold=0.5).collect()
+    )
+    assert got == want and len(want) > 0
