@@ -364,7 +364,10 @@ def token_budget_mixture(
         .alias("_rate"),
     )
     return (
-        docs.join(F.broadcast(rates), stratum_col)
+        docs.join(F.broadcast(rates), stratum_col, "left")
+        # NULL-stratum docs never equi-join (NULL ≠ NULL): treat them as
+        # unbudgeted and keep everything, rather than silently dropping
+        .withColumn("_rate", F.coalesce("_rate", F.lit(1.0)))
         .filter(
             sample_hash_col(F.col(id_col)).cast("double")
             < F.col("_rate") * F.lit(float(SAMPLE_MOD))

@@ -129,8 +129,9 @@ rates AS (
     END AS rate
   FROM totals),
 mixed AS (
-  SELECT c.* FROM canon c JOIN rates r USING (source)
-  WHERE CAST({_HASH} AS DOUBLE) < r.rate * {float(corpus.SAMPLE_MOD)}),
+  SELECT c.* FROM canon c LEFT JOIN rates r USING (source)
+  WHERE CAST({_HASH} AS DOUBLE)
+        < COALESCE(r.rate, 1.0) * {float(corpus.SAMPLE_MOD)}),
 sized AS (
   SELECT doc_id, len({TOKENS}) AS n_tokens FROM mixed),
 summed AS (
@@ -176,8 +177,9 @@ rates AS (
     END AS rate
   FROM totals)
 SELECT d.doc_id, d.source, d.lang
-FROM documents d JOIN rates r USING (source)
-WHERE CAST({_HASH} AS DOUBLE) < r.rate * {float(corpus.SAMPLE_MOD)}"""
+FROM documents d LEFT JOIN rates r USING (source)
+WHERE CAST({_HASH} AS DOUBLE)
+      < COALESCE(r.rate, 1.0) * {float(corpus.SAMPLE_MOD)}"""
 
 
 def corpus_pack_bins_sql(token_budget: int = 2048) -> str:

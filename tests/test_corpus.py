@@ -351,6 +351,7 @@ def test_token_budget_mixture_rates_and_edges(spark):
         + [(200 + i, "a b c", "small") for i in range(5)]  # 15 tokens
         + [(300 + i, "x y", "free") for i in range(5)]  # unbudgeted
         + [(400 + i, "", "empty") for i in range(3)]  # 0 tokens
+        + [(500 + i, "n o p", None) for i in range(4)]  # NULL source
     )
     docs = docs_df(spark, rows)
     kept = corpus.token_budget_mixture(
@@ -366,6 +367,7 @@ def test_token_budget_mixture_rates_and_edges(spark):
     assert by_src["small"] == 5  # budget 100 > 15 tokens -> keep all
     assert by_src["free"] == 5  # no budget -> keep all
     assert by_src["empty"] == 3  # 0 tokens -> keep all, no div-by-zero
+    assert by_src[None] == 4  # NULL source -> unbudgeted, keep all
     # deterministic: same inputs, same kept set
     again = corpus.token_budget_mixture(
         docs, budgets={"big": 500.0, "small": 100.0, "empty": 1.0}
