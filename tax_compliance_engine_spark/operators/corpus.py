@@ -349,7 +349,11 @@ def token_budget_mixture(
     sum) pairs; the corpus itself never shuffles."""
     from .textops import tokens_col
 
-    n_toks = F.size(tokens_col(F.col(text_col))).cast("long")
+    # coalesce per row so an all-NULL-text source totals 0 (SUM over only
+    # NULLs is NULL, which would poison the rate into NULL → drop-all)
+    n_toks = F.coalesce(
+        F.size(tokens_col(F.col(text_col))).cast("long"), F.lit(0)
+    )
     totals = docs.groupBy(stratum_col).agg(F.sum(n_toks).alias("_total"))
     budget_df = docs.sparkSession.createDataFrame(
         [(s, float(b)) for s, b in sorted(budgets.items())],
@@ -481,8 +485,14 @@ def decontaminate(
     if n_grams <= max_broadcast_grams:
         probe, bench_side = corpus_grams, F.broadcast(bench_grams)
     else:
-        m_bits = max(1024, min(16 * n_grams, max_bloom_bits))
-        expected_fp = (1.0 - math.exp(-2.0 * n_grams / m_bits)) ** 2
+        # the cap is a hard contract (never build a bigger bitmap than the
+        # caller allows); the 1024 floor only rounds small sizes UP TO it
+        m_bits = min(max(1024, 16 * n_grams), max_bloom_bits)
+        expected_fp = (
+            (1.0 - math.exp(-2.0 * n_grams / m_bits)) ** 2
+            if m_bits >= 64
+            else 1.0
+        )
         if expected_fp <= 0.5:
             bitmap = _bloom_bitmap(bench_grams, m_bits)
             probe = _bloom_prefilter(corpus_grams, bitmap, m_bits)

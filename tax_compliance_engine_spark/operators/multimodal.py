@@ -445,9 +445,9 @@ def decode_image(media: DataFrame) -> DataFrame:
                 decoder = _IMAGE_DECODERS.get(fmt)
                 if decoder is None:
                     raise NotImplementedError(
-                        f"no decoder for format {fmt!r}: only PPM and PNG "
-                        "decode without imaging libraries (PIL/opencv "
-                        "unavailable)"
+                        f"no decoder for format {fmt!r}: only "
+                        f"{sorted(_IMAGE_DECODERS)} decode without "
+                        "imaging libraries (PIL/opencv unavailable)"
                     )
                 arr = decoder(payload)
                 out["doc_id"].append(doc_id)
@@ -966,7 +966,7 @@ def _lzw_decompress(data: bytes, min_code_size: int):
         prev = entry
 
 
-def _encode_gif(frames, loop: bool = False) -> bytes:
+def _encode_gif(frames) -> bytes:
     """Encode one or more (h, w, 3) uint8 arrays as a real GIF87a-style
     payload (one image block per frame, all full-logical-screen): ordered
     row-major-unique global palette, real LZW pixel data in 255-byte

@@ -120,7 +120,7 @@ canon AS (
     FROM kept) t
   WHERE doc_id = _canonical),
 totals AS (
-  SELECT source, SUM(len({TOKENS})) AS total_toks FROM canon GROUP BY source),
+  SELECT source, SUM(COALESCE(len({TOKENS}), 0)) AS total_toks FROM canon GROUP BY source),
 rates AS (
   SELECT source,
     CASE WHEN (CASE {arms} ELSE NULL END) IS NULL OR total_toks = 0
@@ -166,7 +166,7 @@ def corpus_token_mixture_sql(budgets: dict[str, float] | None = None) -> str:
         for s, b in sorted(budgets.items())
     )
     return f"""WITH totals AS (
-  SELECT source, SUM(len({TOKENS})) AS total_toks
+  SELECT source, SUM(COALESCE(len({TOKENS}), 0)) AS total_toks
   FROM documents GROUP BY source),
 rates AS (
   SELECT source,

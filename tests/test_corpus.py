@@ -410,3 +410,47 @@ def test_heavy_hitters_exact_and_no_false_negatives(spark):
     assert ("warm", 10) in got_warm and ("rare0", 1) not in {
         (t, c) for t, c in got_warm
     }
+
+
+def test_decontaminate_saturated_fallback_actually_engages(spark):
+    """A max_bloom_bits cap below the useful range must force the plain
+    shuffle fallback (regime 3), not silently build a 1024-bit bloom —
+    asserted on the plan: no bloom probe joins, and results unchanged."""
+    import contextlib
+    import io
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "s0"),
+        (1, "one two three four five six seven", "s0"),
+        (2, "alpha beta gamma delta epsilon eta", "s0"),
+        (3, "totally unrelated words in this document here", "s1"),
+    ]
+    docs = docs_df(spark, rows)
+    bench = docs.filter(F.col("doc_id") == 0)
+    rest = docs.filter(F.col("doc_id") != 0)
+    out = corpus.decontaminate(
+        rest, bench, n=5, max_broadcast_grams=0, max_bloom_bits=1
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    # the bloom probe's bitmap bit-test would appear as shiftright(...)
+    assert "shiftright" not in buf.getvalue()
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3]
+
+
+def test_token_budget_mixture_keeps_all_null_text_source(spark):
+    """A budgeted source whose every text is NULL must keep all its docs
+    (total 0 → keep-everything guard), not silently drop them via a NULL
+    rate."""
+    docs = spark.createDataFrame(
+        [(1, None, "nulls"), (2, None, "nulls"), (3, "a b c", "real")],
+        "doc_id long, text string, source string",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in corpus.token_budget_mixture(
+            docs, budgets={"nulls": 100.0}
+        ).collect()
+    )
+    assert kept == [1, 2, 3]
