@@ -1,0 +1,79 @@
+"""Streaming trending-token monitor: watermarked windowed token counts
+over an unbounded document stream.
+
+The streaming twin of a batch ``groupBy(window(ts), token).count()``:
+each document explodes into tokens carrying its event time, a windowed
+aggregation counts per (window, token) with watermark-bounded state, and
+append mode emits a window's counts once the watermark passes its end —
+the standard "what's trending per hour" ingest monitor, built entirely
+from native streaming aggregates (no custom state).
+
+Scale shape: per-window state is bounded by the distinct-token count of
+that window (vocabulary-bounded, Zipfian — AQE-equivalent skew pressure
+is absorbed by the shuffle's hash partitioning on (window, token)), and
+the watermark evicts closed windows, so state is O(|vocab| ×
+open-windows) regardless of stream length.  ``min_count`` prunes the
+emitted stream to the heavy tail AFTER the aggregation, so low-frequency
+state still evicts on time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.textops import tokens_col
+
+
+def trending_tokens(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    window: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+    min_count: int = 2,
+) -> DataFrame:
+    """Append stream of (window_start, window_end, token, n) rows for
+    closed windows, counting every token OCCURRENCE (not distinct doc)
+    whose document event time falls in the window; rows below
+    ``min_count`` are suppressed after aggregation."""
+    toks = stream.withWatermark(ts_col, watermark_delay).select(
+        F.col(ts_col),
+        F.explode(tokens_col(F.col(text_col))).alias("token"),
+    )
+    return (
+        toks.groupBy(F.window(ts_col, window), "token")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "token",
+            "n",
+        )
+    )
+
+
+def trending_tokens_batch(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    window: str = "1 hour",
+    min_count: int = 2,
+) -> DataFrame:
+    """Batch twin of ``trending_tokens`` (same expressions, no watermark)
+    — the equivalence target a drained stream must reproduce."""
+    toks = docs.select(
+        F.col(ts_col), F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    return (
+        toks.groupBy(F.window(ts_col, window), "token")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "token",
+            "n",
+        )
+    )

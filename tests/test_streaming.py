@@ -342,3 +342,74 @@ def test_stream_stream_attribution_matches_batch_range_join(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_trending_tokens_drained_equals_batch(spark, tmp_path):
+    """Drained trending-token stream ≡ the batch twin over the same docs,
+    across two micro-batch drains (windowed state carries counts between
+    them), with a final out-of-horizon doc advancing the watermark so
+    every data window closes and emits."""
+    import datetime as dt
+
+    from tax_compliance_engine_spark.streaming.trending import (
+        trending_tokens,
+        trending_tokens_batch,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def doc(i, minutes, text):
+        return (i, t0 + dt.timedelta(minutes=minutes), text)
+
+    schema = "doc_id long, ts timestamp, text string"
+    first = [
+        doc(0, 5, "spark spark shuffle"),
+        doc(1, 20, "spark join"),
+        doc(2, 70, "join join shuffle"),
+    ]
+    second = [
+        doc(3, 80, "join spark spark"),
+        # far-future sentinel: pushes the watermark past every data window
+        doc(99, 60 * 24, "flush"),
+    ]
+    src, out = tmp_path / "docs", tmp_path / "trends"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            trending_tokens(stream, window="1 hour", min_count=2)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.schema(
+            "window_start timestamp, window_end timestamp, token string, n long"
+        ).parquet(str(out))
+
+    spark.createDataFrame(first, schema).write.mode("append").parquet(str(src))
+    drain()
+    spark.createDataFrame(second, schema).write.mode("append").parquet(str(src))
+    got = sorted(
+        (r.window_start, r.token, r.n) for r in drain().collect()
+    )
+
+    batch = trending_tokens_batch(
+        spark.createDataFrame(first + second, schema),
+        window="1 hour",
+        min_count=2,
+    )
+    want = sorted(
+        (r.window_start, r.token, r.n)
+        for r in batch.collect()
+        # the sentinel's own window never closes (nothing later advances
+        # the watermark past it) — exclude it from the comparison target
+        if r.window_start < t0 + dt.timedelta(hours=12)
+    )
+    assert got == want and len(want) >= 3
+    # cross-drain count: "join" in hour 2 spans both drains (1 + 2 occurrences)
+    hour2 = t0 + dt.timedelta(hours=1)
+    assert (hour2, "join", 3) in got
