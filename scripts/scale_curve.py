@@ -49,6 +49,7 @@ SCALE_QUERIES = [
     "embedding_dup_pairs",
     "ivf_knn_portable",
     "pq_knn_fixed_queries",
+    "ivfpq_knn_fixed_queries",
     "corpus_decontaminate_bloom",
 ]
 
@@ -382,6 +383,27 @@ def main() -> None:
         )
 
     queries["pq_knn_fixed_queries"] = _pq_fixed
+
+    def _ivfpq_fixed(sp, sf_dir):
+        # same fixed-query-set discipline as _pq_fixed; cells from the
+        # label partition (the curve's scaled embeddings keep labels)
+        from pyspark.sql import functions as F
+
+        from tax_compliance_engine_spark.operators import similarity
+
+        emb = sp.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents = similarity.label_centroids(emb).select(
+            F.col("label").alias("cell"), "centroid"
+        )
+        assign = similarity.nearest_cell_assignments(
+            emb, cents.select(F.col("cell").alias("label"), "centroid")
+        )
+        pred = (F.col("vec_id") < 500) & (F.col("vec_id") % 50 == 0)
+        return similarity.ivfpq_knn(
+            emb, pred, cents, assign, k=5, nprobe=2, shortlist=50
+        )
+
+    queries["ivfpq_knn_fixed_queries"] = _ivfpq_fixed
 
     def _decon_bloom(sp, sf_dir):
         # force the bloom-prefilter regime (the >max_broadcast_grams
