@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import hashing
+from ..functions import bloom, hashing
 from .dedup import _doc_ngrams, _doc_tokens
 
 # Fixed LCG multiplier/increment for hash-deterministic sampling (Knuth's
@@ -380,67 +380,19 @@ def token_budget_mixture(
     )
 
 
-def _bloom_pos(gram: Column, m_bits: int, seed: int) -> Column:
-    """Bloom bit position for one of the k=2 hash functions: xxhash64 of
-    (gram, seed) reduced mod the bitmap size.  xxhash64 is engine-internal
-    but that's fine — the bloom stage is a result-identical prefilter, so
-    nothing about it needs to be oracle-portable."""
-    return F.pmod(F.xxhash64(gram, F.lit(seed)), F.lit(m_bits))
+# Bloom helpers now live in functions/bloom.py as a general join
+# facility; these thin wrappers keep the original gram-keyed surface
+# (and the existing tests) working unchanged.
 
 
 def _bloom_bitmap(bench_grams: DataFrame, m_bits: int) -> DataFrame:
-    """Build the bloom bitmap as a (word_index, 64-bit word) table: both
-    bit positions per gram, grouped by word with a bit_or fold.  One
-    narrow shuffle over (word, mask) pairs, ≤ m_bits/64 output rows."""
-    pos = bench_grams.select(
-        F.explode(
-            F.array(
-                _bloom_pos(F.col("gram"), m_bits, 0),
-                _bloom_pos(F.col("gram"), m_bits, 1),
-            )
-        ).alias("p")
-    )
-    return (
-        pos.select(
-            F.shiftright(F.col("p"), 6).alias("w"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias(
-                "b"
-            ),
-        )
-        .groupBy("w")
-        .agg(F.bit_or("b").alias("bits"))
-    )
+    return bloom.bloom_bitmap(bench_grams, "gram", m_bits)
 
 
 def _bloom_prefilter(
     corpus_grams: DataFrame, bitmap: DataFrame, m_bits: int
 ) -> DataFrame:
-    """Keep only corpus grams whose both bloom bits are set: two broadcast
-    joins against the (word, bits) bitmap + JVM-side bit tests.  A gram
-    whose word has no bitmap row (inner join drops it) or whose bit is 0
-    is DEFINITELY not in the benchmark set; survivors are 'possibly in'
-    and go on to the exact verify join.  No false negatives by
-    construction (every benchmark gram set its own bits)."""
-    g = corpus_grams
-    for j in (0, 1):
-        bm = bitmap.select(
-            F.col("w").alias(f"_w{j}"), F.col("bits").alias(f"_bits{j}")
-        )
-        g = (
-            g.withColumn(f"_p{j}", _bloom_pos(F.col("gram"), m_bits, j))
-            .join(
-                F.broadcast(bm),
-                F.shiftright(F.col(f"_p{j}"), 6) == F.col(f"_w{j}"),
-            )
-            .filter(
-                F.expr(
-                    f"(shiftright(_bits{j}, CAST(_p{j} % 64 AS INT)) & 1)"
-                    " = 1"
-                )
-            )
-            .drop(f"_w{j}", f"_bits{j}", f"_p{j}")
-        )
-    return g
+    return bloom.bloom_split(corpus_grams, bitmap, "gram", m_bits)[0]
 
 
 def decontaminate(
@@ -475,8 +427,6 @@ def decontaminate(
 
     All three regimes produce identical results, so the oracle twin is
     the same plain anti-join SQL regardless of plan."""
-    import math
-
     corpus_grams = _doc_ngrams(docs, text_col, n)
     bench_grams = (
         _doc_ngrams(benchmark, text_col, n).select("gram").distinct().cache()
@@ -485,14 +435,7 @@ def decontaminate(
     if n_grams <= max_broadcast_grams:
         probe, bench_side = corpus_grams, F.broadcast(bench_grams)
     else:
-        # the cap is a hard contract (never build a bigger bitmap than the
-        # caller allows); the 1024 floor only rounds small sizes UP TO it
-        m_bits = min(max(1024, 16 * n_grams), max_bloom_bits)
-        expected_fp = (
-            (1.0 - math.exp(-2.0 * n_grams / m_bits)) ** 2
-            if m_bits >= 64
-            else 1.0
-        )
+        m_bits, expected_fp = bloom._auto_bits(n_grams, max_bloom_bits)
         if expected_fp <= 0.5:
             bitmap = _bloom_bitmap(bench_grams, m_bits)
             probe = _bloom_prefilter(corpus_grams, bitmap, m_bits)

@@ -454,3 +454,63 @@ def test_token_budget_mixture_keeps_all_null_text_source(spark):
         ).collect()
     )
     assert kept == [1, 2, 3]
+
+
+def test_bloom_accelerated_join_semi_and_anti_exact(spark):
+    """The generic bloom-accelerated joins must equal the plain
+    semi/anti joins exactly, in the bloom regime AND at a deliberately
+    tiny bitmap (heavy collisions — false positives killed by the exact
+    phase) AND in the saturated fallback."""
+    from tax_compliance_engine_spark.functions.bloom import (
+        bloom_accelerated_join,
+    )
+
+    big = spark.createDataFrame(
+        [(i, f"k{i % 40}") for i in range(400)], "row_id long, key string"
+    )
+    small = spark.createDataFrame(
+        [(f"k{j}",) for j in range(0, 40, 3)] * 2, "key string"  # dup keys
+    )
+    want_semi = sorted(
+        r.row_id
+        for r in big.join(small.distinct(), "key", "left_semi").collect()
+    )
+    want_anti = sorted(
+        r.row_id
+        for r in big.join(small.distinct(), "key", "left_anti").collect()
+    )
+    for cap in (1 << 28, 128, 1):  # bloom / colliding bloom / saturated
+        got_semi = sorted(
+            r.row_id
+            for r in bloom_accelerated_join(
+                big, small, "key", how="semi", max_bloom_bits=cap
+            ).collect()
+        )
+        got_anti = sorted(
+            r.row_id
+            for r in bloom_accelerated_join(
+                big, small, "key", how="anti", max_bloom_bits=cap
+            ).collect()
+        )
+        assert got_semi == want_semi, f"semi mismatch at cap={cap}"
+        assert got_anti == want_anti, f"anti mismatch at cap={cap}"
+    # semi + anti partition the big side
+    assert sorted(want_semi + want_anti) == list(range(400))
+
+
+def test_bloom_split_has_no_false_negatives_on_keys(spark):
+    """Every small-side key row lands on the maybe side of bloom_split,
+    even at a tiny colliding bitmap."""
+    from tax_compliance_engine_spark.functions.bloom import (
+        bloom_bitmap,
+        bloom_split,
+    )
+
+    keys = spark.createDataFrame(
+        [(f"key{i}",) for i in range(100)], "key string"
+    )
+    for m_bits in (4096, 64):
+        bm = bloom_bitmap(keys, "key", m_bits)
+        maybe, definite_out = bloom_split(keys, bm, "key", m_bits)
+        assert maybe.count() == 100, f"false negatives at m={m_bits}"
+        assert definite_out.count() == 0
