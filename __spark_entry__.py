@@ -215,6 +215,10 @@ def oracle_sql() -> dict[str, str]:
         # multimodal_features: REAL-decode feature vectors over synth PPMs,
         # analytic twin (the non-PPM stub branch stays pytest-pinned)
         "multimodal_features": oracle_dataops.multimodal_features_sql(),
+        # embedding_pagerank: 5-iteration PageRank over the symmetrized
+        # near-dup graph, src-ordered folds per iteration — oracle-only
+        # swept entry (iterative float algorithm under the hash gate).
+        "embedding_pagerank": oracle_dataops.embedding_pagerank_sql(),
         # ivfpq_knn_portable: IVF + PQ with residual encoding (coarse
         # cells + residual codebooks + cell-probed ADC + exact re-rank)
         # — oracle-only swept entry, bit-portable end to end.

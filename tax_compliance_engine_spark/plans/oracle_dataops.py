@@ -604,6 +604,58 @@ reach AS (
 SELECT node AS vec_id, MIN(lab) AS cluster_id FROM reach GROUP BY node"""
 
 
+def embedding_pagerank_sql(
+    threshold: float = 0.35, damping: float = 0.85, iterations: int = 5
+) -> str:
+    """Twin of queries_dataops.embedding_pagerank: the pairs CTE is the
+    verbatim embedding_dup_pairs SQL, symmetrized; each unrolled
+    iteration mirrors the Spark plan's exact float-op sequence — rank/deg
+    per edge, src-ORDERED fold per dst, base + d·(fold or exact 0.0) —
+    so five chained iterations of doubles still hash bit-exact."""
+    pairs_sql = embedding_dup_pairs_sql(threshold)
+    its = []
+    prev = "r0"
+    for k in range(1, iterations + 1):
+        # (1 − d) must be interpolated as the PYTHON double: DuckDB
+        # evaluates `1.0 - 0.85` in exact DECIMAL (→ 0.15, a different
+        # double than the IEEE subtraction Spark performs)
+        one_minus_d = repr(1.0 - damping)
+        its.append(
+            f"""c{k} AS (
+  SELECT a.dst,
+    list_reduce(list_prepend(0.0,
+        list(r.rank / CAST(o.deg AS DOUBLE) ORDER BY a.src)),
+      (acc, x) -> acc + x) AS s
+  FROM adj a
+  JOIN {prev} r ON r.node = a.src
+  JOIN outdeg o ON o.src = a.src
+  GROUP BY a.dst),
+it{k} AS (
+  SELECT nd.node,
+    (CAST({one_minus_d} AS DOUBLE) / CAST(nn.n AS DOUBLE))
+      + CAST({damping!r} AS DOUBLE) * COALESCE(c.s, 0.0) AS rank
+  FROM nodes nd CROSS JOIN nn
+  LEFT JOIN c{k} c ON c.dst = nd.node)"""
+        )
+        prev = f"it{k}"
+    its_sql = ",\n".join(its)
+    return f"""WITH pairs AS (
+{pairs_sql}
+),
+adj AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION ALL
+  SELECT id2 AS src, id1 AS dst FROM pairs),
+outdeg AS (SELECT src, count(*) AS deg FROM adj GROUP BY src),
+nodes AS (SELECT vec_id AS node FROM embeddings),
+nn AS (SELECT count(*) AS n FROM embeddings),
+r0 AS (
+  SELECT node, 1.0 / CAST(nn.n AS DOUBLE) AS rank
+  FROM nodes CROSS JOIN nn),
+{its_sql}
+SELECT node AS vec_id, rank FROM {prev}"""
+
+
 def label_centroid_components_sql() -> str:
     """Sequential-fold centroid components (the ordered-sum portability
     contract: Spark folds collect_list sorted by vec_id, DuckDB folds

@@ -219,6 +219,25 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
 
 
+def embedding_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the symmetrized embedding near-dup
+    graph (graph.pagerank, 5 iterations) — graph centrality as a data-
+    curation weight, bit-exact through every iteration's src-ordered
+    contribution folds."""
+    from ..operators import graph
+
+    pairs = similarity.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
+    edges = pairs.select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
+    )
+    nodes = _emb(spark, sf_dir).select(F.col("vec_id").alias("node_id"))
+    return graph.pagerank(edges, nodes, iterations=5).select(
+        F.col("node_id").alias("vec_id"), "rank"
+    )
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only check: double averages are summation-order-sensitive, so no
     # bit-exact oracle; shape/row-count is still verified

@@ -1125,3 +1125,40 @@ def test_lm_coverage_scores_out_of_distribution_low(spark):
     for r in got.values():
         if r.n_trigrams:
             assert r.coverage == r.n_covered / r.n_trigrams
+
+
+def test_pagerank_reference_values_and_edge_cases(spark):
+    """PageRank must reproduce a plain-Python reference computation of
+    the same formula bit-for-bit, put the hub above its leaves, give
+    isolated nodes exactly the base rank, and conserve total mass on a
+    dangling-free graph (Σ ranks = 1 up to float accumulation)."""
+    from tax_compliance_engine_spark.operators.graph import pagerank
+
+    pairs = [(0, 1), (1, 0), (1, 2), (2, 1)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node_id long")
+    got = {
+        r.node_id: r.rank
+        for r in pagerank(edges, nodes, iterations=5).collect()
+    }
+
+    n, d = 4, 0.85
+    base = (1.0 - d) / n
+    r = {i: 1.0 / n for i in range(4)}
+    deg = {0: 1, 1: 2, 2: 1}
+    for _ in range(5):
+        contribs: dict = {}
+        for s, t in pairs:
+            contribs.setdefault(t, []).append((s, r[s] / float(deg[s])))
+        nr = {}
+        for v in range(4):
+            acc = 0.0
+            for _, c in sorted(contribs.get(v, [])):
+                acc += c
+            nr[v] = base + d * acc
+        r = nr
+    assert got == r  # bit-exact, not approx
+    assert got[3] == base  # isolated node
+    assert got[1] > got[0] == got[2]  # hub outranks symmetric leaves
+    # node 3's leaked share aside, mass ≈ 1 − (what 3 never emits)
+    assert abs(sum(got.values()) - (1.0 - (0.25 - base))) < 1e-9
