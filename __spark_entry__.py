@@ -215,6 +215,9 @@ def oracle_sql() -> dict[str, str]:
         # multimodal_features: REAL-decode feature vectors over synth PPMs,
         # analytic twin (the non-PPM stub branch stays pytest-pinned)
         "multimodal_features": oracle_dataops.multimodal_features_sql(),
+        # embedding_projection: Johnson–Lindenstrauss ±1 projection
+        # (64 → 16 dims, fixed shared matrix) — oracle-only swept entry.
+        "embedding_projection": oracle_dataops.embedding_projection_sql(),
         # embedding_pagerank: 5-iteration PageRank over the symmetrized
         # near-dup graph, src-ordered folds per iteration — oracle-only
         # swept entry (iterative float algorithm under the hash gate).

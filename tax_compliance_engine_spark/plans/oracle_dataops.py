@@ -604,6 +604,28 @@ reach AS (
 SELECT node AS vec_id, MIN(lab) AS cluster_id FROM reach GROUP BY node"""
 
 
+def embedding_projection_sql(k: int | None = None) -> str:
+    """Twin of queries_dataops.embedding_projection: the same fixed ±1
+    matrix (similarity.jl_signs — shared constant, like the LSH
+    hyperplanes), each component an identical left-assoc add chain
+    scaled by 1/sqrt(k)."""
+    k = k or similarity.JL_K
+    signs = similarity.jl_signs(k, similarity.DIM)
+    comps = []
+    for row in signs:
+        terms = "".join(
+            f" {'+' if s == 1 else '-'} v[{i + 1}]"
+            for i, s in enumerate(row)
+        )
+        comps.append(
+            f"(0.0{terms}) * (1.0 / sqrt(CAST({k} AS DOUBLE)))"
+        )
+    arr = ",\n   ".join(comps)
+    return f"""SELECT vec_id,
+  [{arr}] AS proj
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"""
+
+
 def embedding_pagerank_sql(
     threshold: float = 0.35, damping: float = 0.85, iterations: int = 5
 ) -> str:

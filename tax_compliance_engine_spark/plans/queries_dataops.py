@@ -219,6 +219,13 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
 
 
+def embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss ±1 random projection (64 → 16 dims,
+    similarity.random_projection) — row-local, bit-portable, the cheap
+    preprocessing for downstream ANN/dedup at scale."""
+    return similarity.random_projection(_emb(spark, sf_dir))
+
+
 def embedding_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over the symmetrized embedding near-dup
     graph (graph.pagerank, 5 iterations) — graph centrality as a data-

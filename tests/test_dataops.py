@@ -1162,3 +1162,43 @@ def test_pagerank_reference_values_and_edge_cases(spark):
     assert got[1] > got[0] == got[2]  # hub outranks symmetric leaves
     # node 3's leaked share aside, mass ≈ 1 − (what 3 never emits)
     assert abs(sum(got.values()) - (1.0 - (0.25 - base))) < 1e-9
+
+
+def test_random_projection_preserves_distances_approximately(spark):
+    """JL property check: projected pairwise squared distances stay
+    within a loose multiplicative band of the originals (the lemma's
+    guarantee is probabilistic; with k=16 over 64-d random-ish vectors a
+    2.5x band holds comfortably), plus an exactness check of one
+    component against the sign matrix."""
+    import math
+    import random
+
+    from tax_compliance_engine_spark.operators import similarity
+
+    rng = random.Random(31)
+    vecs = [
+        [rng.uniform(-1, 1) for _ in range(64)] for _ in range(12)
+    ]
+    emb = emb_df(spark, vecs)
+    proj = {
+        r.vec_id: list(r.proj)
+        for r in similarity.random_projection(emb).collect()
+    }
+    assert all(len(p) == similarity.JL_K for p in proj.values())
+    # exactness: component 0 of vec 0 equals the explicit signed fold
+    signs = similarity.jl_signs()
+    acc = 0.0
+    for i, s in enumerate(signs[0]):
+        acc = acc + (vecs[0][i] if s == 1 else -vecs[0][i])
+    assert proj[0][0] == acc * (1.0 / math.sqrt(16.0))
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    ratios = []
+    for i in range(12):
+        for j in range(i + 1, 12):
+            orig = d2(vecs[i], vecs[j])
+            got = d2(proj[i], proj[j])
+            ratios.append(got / orig)
+    assert all(1 / 2.5 < r < 2.5 for r in ratios), (min(ratios), max(ratios))
