@@ -54,6 +54,37 @@ def bloom_bitmap(keys: DataFrame, key_col: str, m_bits: int) -> DataFrame:
     )
 
 
+def bloom_prefilter(
+    df: DataFrame, bitmap: DataFrame, key_col: str, m_bits: int
+) -> DataFrame:
+    """Maybe-members only, with STAGED probes: rows failing probe 0 drop
+    before probe 1's hash and broadcast lookup ever run — on the
+    dominant miss path (most big-side rows are bloom negatives) each row
+    pays one probe, not two.  Use this for semi-style prefiltering;
+    ``bloom_split`` pays the both-probe cost only because anti mode
+    needs the negative side too."""
+    g = df
+    for j in (0, 1):
+        bm = bitmap.select(
+            F.col("w").alias(f"_w{j}"), F.col("bits").alias(f"_bits{j}")
+        )
+        g = (
+            g.withColumn(f"_p{j}", _pos(F.col(key_col), m_bits, j))
+            .join(
+                F.broadcast(bm),
+                F.shiftright(F.col(f"_p{j}"), 6) == F.col(f"_w{j}"),
+            )
+            .filter(
+                F.expr(
+                    f"(shiftright(_bits{j}, CAST(_p{j} % 64 AS INT)) & 1)"
+                    " = 1"
+                )
+            )
+            .drop(f"_w{j}", f"_bits{j}", f"_p{j}")
+        )
+    return g
+
+
 def bloom_split(
     df: DataFrame, bitmap: DataFrame, key_col: str, m_bits: int
 ) -> tuple[DataFrame, DataFrame]:
@@ -124,10 +155,10 @@ def bloom_accelerated_join(
     join_how = "left_semi" if how == "semi" else "left_anti"
     if fp > 0.5:  # saturated: sketch can't help
         return big.join(keys, key_col, join_how)
-    maybe, definite_out = bloom_split(
-        big, bloom_bitmap(keys, key_col, m_bits), key_col, m_bits
-    )
-    exact = maybe.join(keys, key_col, join_how)
+    bitmap = bloom_bitmap(keys, key_col, m_bits)
     if how == "semi":
-        return exact  # bloom negatives are definite non-members
-    return exact.unionByName(definite_out)
+        # staged probes: bloom negatives drop at probe 0, never pay probe 1
+        maybe = bloom_prefilter(big, bitmap, key_col, m_bits)
+        return maybe.join(keys, key_col, join_how)
+    maybe, definite_out = bloom_split(big, bitmap, key_col, m_bits)
+    return maybe.join(keys, key_col, join_how).unionByName(definite_out)

@@ -392,7 +392,7 @@ def _bloom_bitmap(bench_grams: DataFrame, m_bits: int) -> DataFrame:
 def _bloom_prefilter(
     corpus_grams: DataFrame, bitmap: DataFrame, m_bits: int
 ) -> DataFrame:
-    return bloom.bloom_split(corpus_grams, bitmap, "gram", m_bits)[0]
+    return bloom.bloom_prefilter(corpus_grams, bitmap, "gram", m_bits)
 
 
 def decontaminate(

@@ -42,8 +42,20 @@ def pagerank(
     shuffle of (dst, contribution) pairs with the src-ordered fold in
     the dst aggregation, one left join back onto the node set — k
     iterations = k keyed shuffles, never a collect.  Each (src, dst)
-    edge must be unique (sort by src is the fold's total order)."""
+    edge must be unique (sort by src is the fold's total order).
+
+    ``edges``/``nodes`` are cached here: the final DAG references the
+    edge plan once per iteration plus the degree pass, so an expensive
+    caller-supplied edge pipeline (e.g. LSH near-dup pairs) would
+    otherwise re-execute ~k+1 times.  An empty node set returns an
+    empty result rather than dividing by zero."""
+    edges = edges.cache()
+    nodes = nodes.cache()
     n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            F.col(id_col), F.lit(0.0).alias("rank")
+        )  # empty: no ranks to compute
     base = (1.0 - damping) / float(n)
     outdeg = edges.groupBy(src_col).agg(F.count("*").alias("_deg"))
     ranks = nodes.select(

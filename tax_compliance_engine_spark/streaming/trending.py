@@ -25,45 +25,13 @@ from pyspark.sql import functions as F
 from ..operators.textops import tokens_col
 
 
-def trending_tokens(
-    stream: DataFrame,
-    ts_col: str = "ts",
-    text_col: str = "text",
-    window: str = "1 hour",
-    watermark_delay: str = "10 minutes",
-    min_count: int = 2,
+def _windowed_counts(
+    source: DataFrame, ts_col: str, text_col: str, window: str, min_count: int
 ) -> DataFrame:
-    """Append stream of (window_start, window_end, token, n) rows for
-    closed windows, counting every token OCCURRENCE (not distinct doc)
-    whose document event time falls in the window; rows below
-    ``min_count`` are suppressed after aggregation."""
-    toks = stream.withWatermark(ts_col, watermark_delay).select(
-        F.col(ts_col),
-        F.explode(tokens_col(F.col(text_col))).alias("token"),
-    )
-    return (
-        toks.groupBy(F.window(ts_col, window), "token")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= min_count)
-        .select(
-            F.col("window.start").alias("window_start"),
-            F.col("window.end").alias("window_end"),
-            "token",
-            "n",
-        )
-    )
-
-
-def trending_tokens_batch(
-    docs: DataFrame,
-    ts_col: str = "ts",
-    text_col: str = "text",
-    window: str = "1 hour",
-    min_count: int = 2,
-) -> DataFrame:
-    """Batch twin of ``trending_tokens`` (same expressions, no watermark)
-    — the equivalence target a drained stream must reproduce."""
-    toks = docs.select(
+    """The shared explode → window-groupBy → count → threshold pipeline;
+    the streaming and batch forms differ ONLY in the watermark on the
+    source, so the drained-≡-batch equivalence holds by construction."""
+    toks = source.select(
         F.col(ts_col), F.explode(tokens_col(F.col(text_col))).alias("token")
     )
     return (
@@ -77,3 +45,36 @@ def trending_tokens_batch(
             "n",
         )
     )
+
+
+def trending_tokens(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    window: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+    min_count: int = 2,
+) -> DataFrame:
+    """Append stream of (window_start, window_end, token, n) rows for
+    closed windows, counting every token OCCURRENCE (not distinct doc)
+    whose document event time falls in the window; rows below
+    ``min_count`` are suppressed after aggregation."""
+    return _windowed_counts(
+        stream.withWatermark(ts_col, watermark_delay),
+        ts_col,
+        text_col,
+        window,
+        min_count,
+    )
+
+
+def trending_tokens_batch(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    window: str = "1 hour",
+    min_count: int = 2,
+) -> DataFrame:
+    """Batch twin of ``trending_tokens`` (same pipeline, no watermark) —
+    the equivalence target a drained stream must reproduce."""
+    return _windowed_counts(docs, ts_col, text_col, window, min_count)

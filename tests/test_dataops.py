@@ -1202,3 +1202,12 @@ def test_random_projection_preserves_distances_approximately(spark):
             got = d2(proj[i], proj[j])
             ratios.append(got / orig)
     assert all(1 / 2.5 < r < 2.5 for r in ratios), (min(ratios), max(ratios))
+
+
+def test_pagerank_empty_node_set_returns_empty(spark):
+    from tax_compliance_engine_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    nodes = spark.createDataFrame([], "node_id long")
+    out = pagerank(edges, nodes, iterations=3)
+    assert out.columns == ["node_id", "rank"] and out.count() == 0
