@@ -183,6 +183,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce": oracle_dataops.knn_bruteforce_sql(),
         "embedding_lsh_buckets": oracle_dataops.embedding_lsh_buckets_sql(),
         "embedding_dup_pairs": oracle_dataops.embedding_dup_pairs_sql(),
+        # embedding_dup_pairs_wide: the 4×8-bit band geometry (32 planes)
+        # — the corpus-scale collision knob, oracle-only swept entry.
+        "embedding_dup_pairs_wide": oracle_dataops.embedding_dup_pairs_wide_sql(),
         "embedding_dup_clusters": oracle_dataops.embedding_dup_clusters_sql(),
         # label_centroids: rows-only (double-sum order sensitivity)
         "label_centroid_components": oracle_dataops.label_centroid_components_sql(),

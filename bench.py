@@ -37,12 +37,38 @@ BENCH_QUERIES = [
     "knn_bruteforce",
     "ivf_knn_portable",
     "embedding_dup_pairs",
+    # round-6 operator families (tracked from r7 so regressions show up
+    # round-over-round, not just at add time)
+    "pq_knn_fixed_queries",
+    "ivfpq_knn_fixed_queries",
+    "corpus_decontaminate_bloom",
+    "multimodal_png_profile",
+    "corpus_clean_pipeline",
 ]
+
+
+def _loadavg_gate(max_load: float = 1.0, max_wait_sec: float = 600.0) -> dict:
+    """Refuse to time on a contended box: BENCH_r06 recorded 46.7 s while
+    an idle re-run measured 23.6 s (unchanged-code queries 2.5-5× slower —
+    pure host contention).  Wait (bounded) for 1-min loadavg ≤ max_load and
+    record the gate decision so the artifact carries its own provenance."""
+    waited = 0.0
+    load = os.getloadavg()[0]
+    while load > max_load and waited < max_wait_sec:
+        time.sleep(30.0)
+        waited += 30.0
+        load = os.getloadavg()[0]
+    return {
+        "loadavg_at_start": round(load, 2),
+        "loadavg_gate_waited_sec": round(waited, 1),
+        "loadavg_gate_clean": load <= max_load,
+    }
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    gate = _loadavg_gate()
 
     import __spark_entry__ as entry
     from tax_compliance_engine_spark.plans import queries as q
@@ -85,6 +111,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                **gate,
             }
         )
     )

@@ -47,6 +47,7 @@ SCALE_QUERIES = [
     "dedup_minhash_pairs_bucket_local",
     "dedup_minhash_est_pairs",
     "embedding_dup_pairs",
+    "embedding_dup_pairs_wide",
     "ivf_knn_portable",
     "pq_knn_fixed_queries",
     "ivfpq_knn_fixed_queries",
@@ -302,18 +303,21 @@ def skew_bench(spark, workdir: str) -> dict:
 
 
 def emb_candidate_counts(spark, workdir: str) -> dict:
-    """LSH candidate-pair counts at 1× and 10× for embedding_dup_pairs:
-    random 4-bit band collisions make CROSS-COPY candidates grow with the
-    square of corpus size BY CONSTRUCTION (decorrelated copies still
-    collide at ~1/16 per band), so wall-clock growth tracks the candidate
-    count, not a plan defect — this measures that denominator."""
+    """LSH candidate-pair counts at 1× and 10× per band geometry.  At the
+    4-bit default, random band collisions (~1/16 per band) make CROSS-COPY
+    candidates grow with the square of corpus size BY CONSTRUCTION
+    (measured 99.4× at 10× in r6); the 8-bit geometry drops the collision
+    rate to 1/256, which should pull candidate growth near-linear — this
+    measures both denominators side by side."""
     from pyspark.sql import functions as F
 
     from tax_compliance_engine_spark.operators import similarity
 
-    def count_candidates(sf_dir):
+    def count_candidates(sf_dir, bits):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        b = similarity.lsh_bucket_assignments(emb)
+        b = similarity.lsh_bucket_assignments(
+            emb, n_bands=4, bits_per_band=bits
+        )
         a1, a2 = b.alias("a"), b.alias("b")
         return (
             a1.join(
@@ -327,13 +331,16 @@ def emb_candidate_counts(spark, workdir: str) -> dict:
             .count()
         )
 
-    c1 = count_candidates(BASE)
-    c10 = count_candidates(workdir)
-    return {
-        "candidates_1x": c1,
-        "candidates_10x": c10,
-        "growth": round(c10 / c1, 2) if c1 else None,
-    }
+    out = {}
+    for bits in (4, 8):
+        c1 = count_candidates(BASE, bits)
+        c10 = count_candidates(workdir, bits)
+        out[f"bands4x{bits}bit"] = {
+            "candidates_1x": c1,
+            "candidates_10x": c10,
+            "growth": round(c10 / c1, 2) if c1 else None,
+        }
+    return out
 
 
 def main() -> None:
@@ -366,60 +373,10 @@ def main() -> None:
     queries["dedup_minhash_pairs_candidates"] = _mh_pinned("candidates")
     queries["dedup_minhash_pairs_bucket_local"] = _mh_pinned("bucket_local")
 
-    def _pq_fixed(sp, sf_dir):
-        # fixed 10-query set (copy 0 only) so the ADC workload scales
-        # linearly with the corpus — vec_id % 50 at 10x would also 10x
-        # the query count, making the WORKLOAD quadratic by construction
-        from pyspark.sql import functions as F
-
-        from tax_compliance_engine_spark.operators import similarity
-
-        emb = sp.read.parquet(f"{sf_dir}/embeddings.parquet")
-        cb = similarity.pq_codebooks(emb).cache()
-        codes = similarity.pq_codes(emb, cb)
-        pred = (F.col("vec_id") < 500) & (F.col("vec_id") % 50 == 0)
-        return similarity.pq_knn_rerank(
-            emb, pred, cb, codes, k=5, shortlist=50
-        )
-
-    queries["pq_knn_fixed_queries"] = _pq_fixed
-
-    def _ivfpq_fixed(sp, sf_dir):
-        # same fixed-query-set discipline as _pq_fixed; cells from the
-        # label partition (the curve's scaled embeddings keep labels)
-        from pyspark.sql import functions as F
-
-        from tax_compliance_engine_spark.operators import similarity
-
-        emb = sp.read.parquet(f"{sf_dir}/embeddings.parquet")
-        cents = similarity.label_centroids(emb).select(
-            F.col("label").alias("cell"), "centroid"
-        )
-        assign = similarity.nearest_cell_assignments(
-            emb, cents.select(F.col("cell").alias("label"), "centroid")
-        )
-        pred = (F.col("vec_id") < 500) & (F.col("vec_id") % 50 == 0)
-        return similarity.ivfpq_knn(
-            emb, pred, cents, assign, k=5, nprobe=2, shortlist=50
-        )
-
-    queries["ivfpq_knn_fixed_queries"] = _ivfpq_fixed
-
-    def _decon_bloom(sp, sf_dir):
-        # force the bloom-prefilter regime (the >max_broadcast_grams
-        # middle regime the sf0.01 driver fixture never enters)
-        from pyspark.sql import functions as F
-
-        from tax_compliance_engine_spark.operators import corpus
-
-        docs = qd._docs(sp, sf_dir)
-        bench = docs.filter(F.col("doc_id") % 97 == 0)
-        rest = docs.filter(F.col("doc_id") % 97 != 0)
-        return corpus.decontaminate(
-            rest, bench, n=5, max_broadcast_grams=0
-        ).select("doc_id")
-
-    queries["corpus_decontaminate_bloom"] = _decon_bloom
+    # shared with bench.py (moved to queries_dataops in round 7)
+    queries["pq_knn_fixed_queries"] = qd.pq_knn_fixed_queries
+    queries["ivfpq_knn_fixed_queries"] = qd.ivfpq_knn_fixed_queries
+    queries["corpus_decontaminate_bloom"] = qd.corpus_decontaminate_bloom
     for name in SCALE_QUERIES:
         if name not in queries:
             queries[name] = getattr(q, name, None) or getattr(qd, name)

@@ -541,9 +541,9 @@ ranked AS (
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}"""
 
 
-def _lsh_cte() -> str:
+def _lsh_cte(n_planes: int = similarity.N_PLANES) -> str:
     rows = []
-    for p, plane in enumerate(similarity.HYPERPLANES):
+    for p, plane in enumerate(similarity.hyperplanes(n_planes)):
         arr = "[" + ", ".join(f"{float(w)}" for w in plane) + "]"
         rows.append(f"({p}, {arr}::DOUBLE[])")
     proj = DOT_FOLD.format(n=similarity.DIM, a="e.v", b="h.plane")
@@ -559,20 +559,29 @@ lsh_sigs AS (
   FROM projections GROUP BY vec_id)"""
 
 
-def embedding_lsh_buckets_sql() -> str:
-    return f"""WITH {_lsh_cte()}
+def embedding_lsh_buckets_sql(
+    n_bands: int = similarity.LSH_BANDS,
+    bits_per_band: int = similarity.LSH_BITS_PER_BAND,
+) -> str:
+    mask = (1 << bits_per_band) - 1
+    return f"""WITH {_lsh_cte(n_bands * bits_per_band)}
 SELECT vec_id, CAST(lsh_sig AS BIGINT) AS lsh_sig, CAST(b AS INTEGER) AS band,
-       CAST((lsh_sig >> (b * 4)) & 15 AS INTEGER) AS band_val
-FROM lsh_sigs, unnest(range(0, 4)) AS u(b)"""
+       CAST((lsh_sig >> (b * {bits_per_band})) & {mask} AS INTEGER) AS band_val
+FROM lsh_sigs, unnest(range(0, {n_bands})) AS u(b)"""
 
 
-def embedding_dup_pairs_sql(threshold: float = 0.35) -> str:
+def embedding_dup_pairs_sql(
+    threshold: float = 0.35,
+    n_bands: int = similarity.LSH_BANDS,
+    bits_per_band: int = similarity.LSH_BITS_PER_BAND,
+) -> str:
     dot_12 = DOT_FOLD.format(n=similarity.DIM, a="e1.v", b="e2.v")
-    return f"""WITH {_lsh_cte()},
+    mask = (1 << bits_per_band) - 1
+    return f"""WITH {_lsh_cte(n_bands * bits_per_band)},
 buckets AS (
   SELECT vec_id, CAST(b AS INTEGER) AS band,
-         (lsh_sig >> (b * 4)) & 15 AS band_val
-  FROM lsh_sigs, unnest(range(0, 4)) AS u(b)),
+         (lsh_sig >> (b * {bits_per_band})) & {mask} AS band_val
+  FROM lsh_sigs, unnest(range(0, {n_bands})) AS u(b)),
 candidates AS (
   SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
   FROM buckets a JOIN buckets b
@@ -582,6 +591,14 @@ FROM candidates c
 JOIN emb_n e1 ON e1.vec_id = c.id1
 JOIN emb_n e2 ON e2.vec_id = c.id2
 WHERE {dot_12} / (e1.nrm * e2.nrm) >= {threshold}"""
+
+
+def embedding_dup_pairs_wide_sql(threshold: float = 0.35) -> str:
+    """Twin of queries_dataops.embedding_dup_pairs_wide: the 32-plane
+    4×8-bit geometry — the corpus-scale setting whose per-band collision
+    rate (1/256 vs the default's 1/16) suppresses the measured
+    corpus²-candidate growth."""
+    return embedding_dup_pairs_sql(threshold, n_bands=4, bits_per_band=8)
 
 
 def embedding_dup_clusters_sql(threshold: float = 0.35) -> str:

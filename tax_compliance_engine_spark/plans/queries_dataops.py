@@ -219,6 +219,18 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
 
 
+def embedding_dup_pairs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`embedding_dup_pairs` at the corpus-scale 32-plane geometry
+    (4 bands × 8 sign bits): per-band random collisions drop 16× (1/256
+    vs 1/16), which is the knob that turns the measured corpus²-candidate
+    growth near-linear; true near-dups still collide with per-plane
+    agreement prob 1 − θ/π.  Swept bit-exact against the regenerated
+    oracle fold at the same geometry."""
+    return similarity.embedding_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.35, n_bands=4, bits_per_band=8
+    )
+
+
 def embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss ±1 random projection (64 → 16 dims,
     similarity.random_projection) — row-local, bit-portable, the cheap
@@ -574,6 +586,50 @@ def multimodal_gif_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image(
         multimodal.synth_gif(docs.select("doc_id"))
     )
+
+
+def pq_knn_fixed_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search with a FIXED 10-query set (copy-0 ids only): the bench /
+    scale-curve twin of `pq_knn_portable`.  `vec_id % 50` grows the query
+    set with the corpus, which makes the ADC workload quadratic BY
+    CONSTRUCTION at a 10× scale-up; pinning the queries keeps the measured
+    curve about the plan, not the workload."""
+    pred = (F.col("vec_id") < 500) & (F.col("vec_id") % 50 == 0)
+    emb = _emb(spark, sf_dir)
+    cb = similarity.pq_codebooks(emb).cache()
+    codes = similarity.pq_codes(emb, cb)
+    return similarity.pq_knn_rerank(
+        emb, pred, cb, codes, k=5, shortlist=50
+    )
+
+
+def ivfpq_knn_fixed_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ with the same fixed-query-set discipline as
+    `pq_knn_fixed_queries`; cells come from the label partition (scaled
+    embeddings keep labels, so the coarse quantizer scales with data)."""
+    pred = (F.col("vec_id") < 500) & (F.col("vec_id") % 50 == 0)
+    emb = _emb(spark, sf_dir)
+    cents = similarity.label_centroids(emb).select(
+        F.col("label").alias("cell"), "centroid"
+    )
+    assign = similarity.nearest_cell_assignments(
+        emb, cents.select(F.col("cell").alias("label"), "centroid")
+    )
+    return similarity.ivfpq_knn(
+        emb, pred, cents, assign, k=5, nprobe=2, shortlist=50
+    )
+
+
+def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination forced into the bloom-prefilter middle regime
+    (max_broadcast_grams=0) — the path a 100 TB benchmark-gram set takes,
+    which the sf0.01 driver fixture never enters on its own."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    rest = docs.filter(F.col("doc_id") % 97 != 0)
+    return corpus.decontaminate(
+        rest, bench, n=5, max_broadcast_grams=0
+    ).select("doc_id")
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

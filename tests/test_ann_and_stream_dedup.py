@@ -49,6 +49,93 @@ def test_ivf_probe_limits_candidates(spark):
     assert all(r.neighbor_id < 6 for r in got)
 
 
+def _lcg_vectors(n, dim=64, seed=12345):
+    """Deterministic pseudo-random vectors in [-1, 1) — plain LCG, no RNG."""
+    x = seed
+    out = []
+    for _ in range(n):
+        v = []
+        for _ in range(dim):
+            x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            v.append((x >> 11) / float(1 << 53) * 2.0 - 1.0)
+        out.append(v)
+    return out
+
+
+def banded_dup_emb(spark, n_background=200):
+    """n_background unrelated pseudo-random vectors plus 10 constructed
+    true near-dup pairs (positive-scaled copies → cosine exactly 1.0,
+    identical sign signature at ANY band width)."""
+    vecs = _lcg_vectors(n_background)
+    rows = [(i, v, 0) for i, v in enumerate(vecs)]
+    dup_pairs = []
+    for j in range(10):
+        orig_id = j * 7  # spread through the corpus
+        copy_id = 10_000 + j
+        rows.append((copy_id, [x * 1.5 for x in vecs[orig_id]], 0))
+        dup_pairs.append((orig_id, copy_id))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    return df, dup_pairs
+
+
+def test_lsh_band_width_recall_pinned_both_geometries(spark):
+    # True near-dups (scaled copies) must be found at the 4-bit default
+    # AND the 8-bit corpus-scale geometry: identical sign signatures
+    # collide in every band regardless of width, so recall is exactly 1.
+    emb, dup_pairs = banded_dup_emb(spark)
+    for bits in (4, 8):
+        got = {
+            (r.id1, r.id2)
+            for r in similarity.embedding_dup_pairs(
+                emb, threshold=0.99, n_bands=4, bits_per_band=bits
+            ).collect()
+        }
+        assert set(dup_pairs) <= got, f"missed true dups at {bits}-bit bands"
+
+
+def test_lsh_wider_bands_suppress_random_candidates(spark):
+    # Among unrelated vectors, band collisions are the candidate driver:
+    # 8-bit bands collide at ~1/256 per band vs the default's ~1/16, so
+    # the candidate count must drop by well over 4x on the same corpus.
+    emb, _ = banded_dup_emb(spark)
+
+    def n_candidates(bits):
+        b = similarity.lsh_bucket_assignments(
+            emb, n_bands=4, bits_per_band=bits
+        )
+        a1, a2 = b.alias("a"), b.alias("b")
+        return (
+            a1.join(
+                a2,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select("a.vec_id", "b.vec_id")
+            .distinct()
+            .count()
+        )
+
+    narrow, wide = n_candidates(4), n_candidates(8)
+    assert wide < narrow / 4
+    assert narrow > 100  # the 4-bit geometry actually generates noise here
+
+
+def test_lsh_default_geometry_unchanged(spark):
+    # Compatibility pin: the parameterized path at explicit 4x4 equals the
+    # default-arg path row for row (and the legacy HYPERPLANES constant is
+    # the 16-plane prefix of the widened matrix).
+    emb, _ = banded_dup_emb(spark)
+    d = similarity.embedding_dup_pairs(emb, threshold=0.99)
+    e = similarity.embedding_dup_pairs(
+        emb, threshold=0.99, n_bands=4, bits_per_band=4
+    )
+    assert d.exceptAll(e).count() == 0 and e.exceptAll(d).count() == 0
+    assert similarity.hyperplanes(32)[:16] == similarity.HYPERPLANES
+
+
 def misaligned_emb(spark):
     """Two true geometric clusters (axis 0 vs axis 1) whose LABELS are
     mixed 70/30 — the seed centroids are cluster mixtures, so label-seeded
