@@ -146,7 +146,15 @@ def bloom_accelerated_join(
     prefilter.  Counts the small side once to size the bitmap; when even
     the capped bitmap would saturate (expected fp > 0.5) the plain join
     runs unchanged.  Output ≡ ``big.join(small_keys, key, how)`` in all
-    regimes."""
+    regimes.
+
+    The distinct key set is cached here (it is counted for sizing, folded
+    into the bitmap, and joined against — three references); the cache
+    lifecycle is session-owned, like the repo's other cached plan
+    builders: the returned DataFrame references the cached plan lazily,
+    so it cannot be unpersisted inside this function.  Long-lived
+    sessions issuing many bloom joins over different key sets should
+    ``spark.catalog.clearCache()`` between batches."""
     if how not in ("semi", "anti"):
         raise ValueError(f"how must be semi|anti: {how}")
     keys = small.select(key_col).distinct().cache()

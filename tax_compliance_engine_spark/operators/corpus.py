@@ -299,6 +299,12 @@ def heavy_hitters(
         )
         .groupBy(F.col("p.j").alias("j"), F.col("p.bucket").alias("bucket"))
         .agg(F.count("*").alias("cnt"))
+        # cached: each of the `depth` probe joins below builds a broadcast
+        # from this plan — uncached, every build re-runs the full corpus
+        # explode + sketch aggregation (depth× the BUILD pass).  The table
+        # is ≤ depth×width rows; lifecycle is session-owned like the
+        # repo's other cached plan builders.
+        .cache()
     )
     survivors = toks
     for j in probes:

@@ -247,6 +247,30 @@ def _banded(
     )
 
 
+def first_shared_band_terms(band_sig_at, n_bands: int) -> list[Column]:
+    """Join-condition terms restricting a banded self-join pair to its
+    LOWEST shared band: for every band j earlier than the row's band, the
+    two sides' band-j signatures must differ — so a pair sharing several
+    bands is emitted exactly once, in-join, with no post-join DISTINCT
+    (the DISTINCT form re-shuffles the full candidate stream once more).
+
+    ``band_sig_at(side, j)`` returns the band-j signature column for the
+    aliased side ("a"/"b"); the accessor abstracts over signature layout
+    (array element for minhash, bit-masked chunk of a packed long for
+    simhash / hyperplane LSH).  Shared by every banded dedup path —
+    minhash est/exact, simhash, and embedding LSH."""
+    return [
+        (F.col("a.band") <= j) | (band_sig_at("a", j) != band_sig_at("b", j))
+        for j in range(n_bands - 1)
+    ]
+
+
+def _all_sigs_at(side: str, j: int) -> Column:
+    """Band-j signature from the ``all_sigs`` array a banded minhash side
+    carries (the accessor ``first_shared_band_terms`` folds over)."""
+    return F.element_at(F.col(f"{side}.all_sigs"), j + 1)
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Banded MinHash signatures: (doc_id, band, band_sig).
 
@@ -327,21 +351,13 @@ def minhash_est_pairs(
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    first_shared_band = [
-        (F.col("a.band") <= j)
-        | (
-            F.element_at(F.col("a.all_sigs"), j + 1)
-            != F.element_at(F.col("b.all_sigs"), j + 1)
-        )
-        for j in range(hashing.MINHASH_BANDS - 1)
-    ]
     cond = reduce(
         lambda x, y: x & y,
         [
             F.col("a.band") == F.col("b.band"),
             F.col("a.band_sig") == F.col("b.band_sig"),
             F.col("a.doc_id") < F.col("b.doc_id"),
-            *first_shared_band,
+            *first_shared_band_terms(_all_sigs_at, hashing.MINHASH_BANDS),
         ],
     )
     n_match = sum(
@@ -379,23 +395,13 @@ def _verify_bucket_local(per_doc: DataFrame, threshold: float) -> DataFrame:
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    # Pair emitted only on its lowest shared band: for every band j before
-    # this row's band, the two docs' band-j signatures must differ.
-    first_shared_band = [
-        (F.col("a.band") <= j)
-        | (
-            F.element_at(F.col("a.all_sigs"), j + 1)
-            != F.element_at(F.col("b.all_sigs"), j + 1)
-        )
-        for j in range(hashing.MINHASH_BANDS - 1)
-    ]
     cond = reduce(
         lambda x, y: x & y,
         [
             F.col("a.band") == F.col("b.band"),
             F.col("a.band_sig") == F.col("b.band_sig"),
             F.col("a.doc_id") < F.col("b.doc_id"),
-            *first_shared_band,
+            *first_shared_band_terms(_all_sigs_at, hashing.MINHASH_BANDS),
         ],
     )
     n_shared = F.size(F.array_intersect(F.col("a.tok_set"), F.col("b.tok_set")))
@@ -465,6 +471,78 @@ def _verify_candidates(per_doc: DataFrame, threshold: float) -> DataFrame:
 _VERIFY_PLAN_MEMO: dict[tuple[int, int], str] = {}
 
 
+def _verify_plan_file_key(per_doc: DataFrame, budget: int) -> str | None:
+    """Cross-session memo key: a digest of the input's FILE SNAPSHOT
+    (sorted paths + size + mtime of every scanned file) plus the budget.
+    Any file change invalidates the key, so a stale decision can only be
+    reused for byte-identical inputs — and even a stale hit merely picks
+    between two result-identical layouts.  Returns None when the input
+    has no file lineage (in-memory frames) or a file can't be stat'ed
+    (non-local filesystem): those fall back to the per-session memo."""
+    import hashlib
+    import os
+
+    try:
+        files = per_doc.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    h = hashlib.sha256()
+    for f in sorted(files):
+        path = f[7:] if f.startswith("file://") else (
+            f[5:] if f.startswith("file:") else f
+        )
+        try:
+            st = os.stat(path)
+        except OSError:
+            return None
+        h.update(f"{f}|{st.st_size}|{st.st_mtime_ns};".encode())
+    h.update(str(int(budget)).encode())
+    return h.hexdigest()
+
+
+def _verify_plan_store_path() -> str:
+    import os
+    import tempfile
+
+    return os.environ.get(
+        "TCE_VERIFY_PLAN_MEMO",
+        os.path.join(tempfile.gettempdir(), "tce_verify_plan_memo.json"),
+    )
+
+
+def _verify_plan_store_get(key: str) -> str | None:
+    import json
+
+    try:
+        with open(_verify_plan_store_path()) as fh:
+            return json.load(fh).get(key)
+    except (OSError, ValueError):
+        return None
+
+
+def _verify_plan_store_put(key: str, choice: str) -> None:
+    import json
+
+    path = _verify_plan_store_path()
+    try:
+        try:
+            with open(path) as fh:
+                store = json.load(fh)
+        except (OSError, ValueError):
+            store = {}
+        store[key] = choice
+        tmp = f"{path}.tmp.{id(store)}"
+        with open(tmp, "w") as fh:
+            json.dump(store, fh)
+        import os
+
+        os.replace(tmp, path)
+    except OSError:
+        pass  # memo is best-effort: losing it costs one probe job
+
+
 def _choose_verify_plan(
     per_doc: DataFrame, wide_shuffle_budget_bytes: int
 ) -> str:
@@ -475,13 +553,26 @@ def _choose_verify_plan(
     upper-bounds the candidate stream (multi-band pairs counted once per
     shared band).  Above the budget the wide stream goes disk-bound on a
     node, so the bucket-local layout (wide bytes linear in |docs|) wins;
-    below it the candidate layout's narrower explode wins."""
+    below it the candidate layout's narrower explode wins.
+
+    The decision is memoized at two levels so auto-mode pays the probe
+    job at most once per distinct input: per-session by the per-doc
+    plan's semanticHash, and CROSS-session by the input's file snapshot
+    (a tiny json sidecar; see ``_verify_plan_file_key``) — repeated
+    driver programs over unchanged parquet skip the probe entirely."""
     try:
         key = (per_doc.semanticHash(), int(wide_shuffle_budget_bytes))
     except Exception:  # pragma: no cover - semanticHash is stable API
         key = None
     if key is not None and key in _VERIFY_PLAN_MEMO:
         return _VERIFY_PLAN_MEMO[key]
+    file_key = _verify_plan_file_key(per_doc, wide_shuffle_budget_bytes)
+    if file_key is not None:
+        stored = _verify_plan_store_get(file_key)
+        if stored in ("candidates", "bucket_local"):
+            if key is not None:
+                _VERIFY_PLAN_MEMO[key] = stored
+            return stored
     banded_n = _banded(
         per_doc.withColumn("_w", F.size("tok_set")), sig="long", extra=("_w",)
     )
@@ -506,6 +597,8 @@ def _choose_verify_plan(
     )
     if key is not None:
         _VERIFY_PLAN_MEMO[key] = choice
+    if file_key is not None:
+        _verify_plan_store_put(file_key, choice)
     return choice
 
 
@@ -751,17 +844,13 @@ def simhash_dup_pairs(
             F.col(f"{side}.simhash"), j * hashing.SIMHASH_BAND_BITS
         ).bitwiseAND(F.lit(255))
 
-    first_shared_band = [
-        (F.col("a.band") <= j) | (_band_bits("a", j) != _band_bits("b", j))
-        for j in range(n_bands - 1)
-    ]
     cond = reduce(
         lambda x, y: x & y,
         [
             F.col("a.band") == F.col("b.band"),
             F.col("a.band_val") == F.col("b.band_val"),
             F.col("a.doc_id") < F.col("b.doc_id"),
-            *first_shared_band,
+            *first_shared_band_terms(_band_bits, n_bands),
         ],
     )
     return (

@@ -19,6 +19,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _ordered_fold(key_col: str, val_col: str):
+    """Left fold 0.0 + v₁ + v₂ + … of ``val_col`` in ``key_col`` order —
+    the portability contract shared with the DuckDB twins (identical
+    operand order → identical double)."""
+    return F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(key_col, val_col))),
+            lambda s: s[val_col],
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def pagerank(
     edges: DataFrame,
     nodes: DataFrame,
@@ -27,6 +41,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     id_col: str = "node_id",
+    shard_count: int = 256,
 ) -> DataFrame:
     """Fixed-iteration PageRank: rank_{k+1}(v) = (1−d)/N +
     d · Σ_{u→v} rank_k(u)/outdeg(u), run for exactly ``iterations``
@@ -38,17 +53,33 @@ def pagerank(
     similarity graphs have no dangling nodes anyway).  Isolated nodes
     hold the base rank (1−d)/N.
 
-    Plan shape per iteration: one broadcast-joinable outdeg table, one
-    shuffle of (dst, contribution) pairs with the src-ordered fold in
-    the dst aggregation, one left join back onto the node set — k
-    iterations = k keyed shuffles, never a collect.  Each (src, dst)
+    The per-node contribution sum is a TWO-LEVEL ordered fold (the
+    ``pack_bins`` two-level-offsets pattern): in-edges are sharded by
+    src RANGE (``shard_count`` equal-width src intervals, integer
+    arithmetic — exact and engine-portable), each (dst, shard) folds
+    its contributions in src order, then each dst folds the shard
+    partials in shard order.  A power-law hub with 10M in-edges
+    therefore builds ~shard_count bounded aggregation buffers instead
+    of ONE 10M-struct array in a single task — the single-row-OOM
+    hazard of the one-level fold.  Both fold levels are pinned-order
+    left folds mirrored verbatim in the DuckDB twin, so the result is
+    still bit-exact (note: the two-level sum is a DIFFERENT — equally
+    valid — double than a flat fold would give; the twin computes the
+    same two-level shape).
+
+    Plan shape per iteration: one broadcast-joinable outdeg table, a
+    (dst, shard) partial aggregation, a narrow (dst, shard_partial)
+    re-aggregation, one left join back onto the node set — k
+    iterations = k+1 keyed shuffles, never a collect.  Each (src, dst)
     edge must be unique (sort by src is the fold's total order).
 
-    ``edges``/``nodes`` are cached here: the final DAG references the
-    edge plan once per iteration plus the degree pass, so an expensive
-    caller-supplied edge pipeline (e.g. LSH near-dup pairs) would
-    otherwise re-execute ~k+1 times.  An empty node set returns an
-    empty result rather than dividing by zero."""
+    ``edges``/``nodes`` are cached here and the cache lifecycle is
+    session-owned (caller-owned unpersist, like the repo's other
+    cached plan builders): the returned DataFrame still references the
+    cached plans lazily, so this function cannot unpersist them
+    itself.  Long-lived sessions issuing many pagerank calls should
+    ``spark.catalog.clearCache()`` between batches.  An empty node set
+    returns an empty result rather than dividing by zero."""
     edges = edges.cache()
     nodes = nodes.cache()
     n = nodes.count()
@@ -58,31 +89,45 @@ def pagerank(
         )  # empty: no ranks to compute
     base = (1.0 - damping) / float(n)
     outdeg = edges.groupBy(src_col).agg(F.count("*").alias("_deg"))
+    # equal-width src-range shards: integer div, monotone in src, so
+    # shard order == src order across shards (fold order is preserved)
+    bounds = edges.agg(
+        F.min(src_col).alias("_mn"),
+        (
+            (F.max(src_col) - F.min(src_col))
+            .cast("long")
+            .alias("_range")
+        ),
+    ).select(
+        "_mn",
+        (F.expr(f"_range div {int(shard_count)}") + F.lit(1)).alias("_w"),
+    )
+    sharded = (
+        edges.select(
+            F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+        )
+        .crossJoin(F.broadcast(bounds))
+        .withColumn("_shard", F.expr("(_src - _mn) div _w"))
+        .select("_src", "_dst", "_shard")
+    )
     ranks = nodes.select(
         F.col(id_col).alias("_node"), F.lit(1.0 / float(n)).alias("rank")
     )
-    ordered_sum = F.aggregate(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("_src", "_c"))),
-            lambda s: s["_c"],
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     for _ in range(iterations):
-        contribs = (
-            edges.select(
-                F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
-            )
-            .join(ranks, F.col("_src") == F.col("_node"))
+        partials = (
+            sharded.join(ranks, F.col("_src") == F.col("_node"))
             .join(outdeg, F.col(src_col) == F.col("_src"))
             .select(
                 "_src",
                 "_dst",
+                "_shard",
                 (F.col("rank") / F.col("_deg").cast("double")).alias("_c"),
             )
-            .groupBy("_dst")
-            .agg(ordered_sum.alias("_s"))
+            .groupBy("_dst", "_shard")
+            .agg(_ordered_fold("_src", "_c").alias("_p"))
+        )
+        contribs = partials.groupBy("_dst").agg(
+            _ordered_fold("_shard", "_p").alias("_s")
         )
         ranks = (
             nodes.select(F.col(id_col).alias("_node"))

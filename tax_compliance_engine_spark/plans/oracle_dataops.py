@@ -644,13 +644,20 @@ FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"""
 
 
 def embedding_pagerank_sql(
-    threshold: float = 0.35, damping: float = 0.85, iterations: int = 5
+    threshold: float = 0.35,
+    damping: float = 0.85,
+    iterations: int = 5,
+    shard_count: int = 256,
 ) -> str:
     """Twin of queries_dataops.embedding_pagerank: the pairs CTE is the
     verbatim embedding_dup_pairs SQL, symmetrized; each unrolled
-    iteration mirrors the Spark plan's exact float-op sequence — rank/deg
-    per edge, src-ORDERED fold per dst, base + d·(fold or exact 0.0) —
-    so five chained iterations of doubles still hash bit-exact."""
+    iteration mirrors the Spark plan's exact float-op sequence —
+    rank/deg per edge, the TWO-LEVEL ordered fold (src-ordered partial
+    per (dst, src-range shard), then shard-ordered fold of partials per
+    dst — graph.pagerank's bounded-buffer hub fix), base + d·(fold or
+    exact 0.0) — so five chained iterations of doubles still hash
+    bit-exact.  Shard assignment is pure integer arithmetic (equal-width
+    src intervals), identical in both engines."""
     pairs_sql = embedding_dup_pairs_sql(threshold)
     its = []
     prev = "r0"
@@ -660,15 +667,20 @@ def embedding_pagerank_sql(
         # double than the IEEE subtraction Spark performs)
         one_minus_d = repr(1.0 - damping)
         its.append(
-            f"""c{k} AS (
-  SELECT a.dst,
+            f"""p{k} AS (
+  SELECT a.dst, a.shard,
     list_reduce(list_prepend(0.0,
         list(r.rank / CAST(o.deg AS DOUBLE) ORDER BY a.src)),
-      (acc, x) -> acc + x) AS s
+      (acc, x) -> acc + x) AS p
   FROM adj a
   JOIN {prev} r ON r.node = a.src
   JOIN outdeg o ON o.src = a.src
-  GROUP BY a.dst),
+  GROUP BY a.dst, a.shard),
+c{k} AS (
+  SELECT dst,
+    list_reduce(list_prepend(0.0, list(p ORDER BY shard)),
+      (acc, x) -> acc + x) AS s
+  FROM p{k} GROUP BY dst),
 it{k} AS (
   SELECT nd.node,
     (CAST({one_minus_d} AS DOUBLE) / CAST(nn.n AS DOUBLE))
@@ -681,11 +693,18 @@ it{k} AS (
     return f"""WITH pairs AS (
 {pairs_sql}
 ),
-adj AS (
+adj0 AS (
   SELECT id1 AS src, id2 AS dst FROM pairs
   UNION ALL
   SELECT id2 AS src, id1 AS dst FROM pairs),
-outdeg AS (SELECT src, count(*) AS deg FROM adj GROUP BY src),
+bounds AS (
+  SELECT min(src) AS mn,
+         ((max(src) - min(src)) // {int(shard_count)}) + 1 AS w
+  FROM adj0),
+adj AS (
+  SELECT a.src, a.dst, (a.src - b.mn) // b.w AS shard
+  FROM adj0 a CROSS JOIN bounds b),
+outdeg AS (SELECT src, count(*) AS deg FROM adj0 GROUP BY src),
 nodes AS (SELECT vec_id AS node FROM embeddings),
 nn AS (SELECT count(*) AS n FROM embeddings),
 r0 AS (

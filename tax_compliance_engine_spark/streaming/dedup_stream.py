@@ -52,6 +52,7 @@ def streaming_near_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Streaming NEAR-dup detection: an append stream of
     (doc1, doc2, est_jaccard) MinHash-LSH candidate pairs — the streaming
@@ -83,9 +84,15 @@ def streaming_near_dedup(
     State is the bucket residency lists: O(Σ bucket sizes) = BANDS ×
     |docs| rows of 21 longs across the cluster's state stores —
     the same asymptotics as the batch layout's banded shuffle, spread
-    over time.  Like ``streaming_exact_dedup``'s unbounded mode this is
-    global (no eviction); for endless ingest, shard by time and restart
-    checkpoints per epoch, or bound the corpus upstream."""
+    over time.  By default this is global (no eviction) like
+    ``streaming_exact_dedup``'s unbounded mode, and a hot bucket's
+    arrival loop is O(bucket size) — for endless ingest, set
+    ``max_bucket_size``: each bucket keeps only its most recent
+    ``max_bucket_size`` residents (FIFO eviction), bounding both state
+    and per-arrival work.  The trade mirrors the watermark mode's
+    contract: near-dups are only caught against residents still in the
+    window (and an evicted doc_id re-delivered later is treated as new),
+    so drained ≡ batch holds only in the default unbounded mode."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -148,6 +155,10 @@ def streaming_near_dedup(
             sigs.append(asigs)
             comps.append(acomps)
             known.add(doc_id)
+        if max_bucket_size is not None and len(doc_ids) > max_bucket_size:
+            doc_ids = doc_ids[-max_bucket_size:]
+            sigs = sigs[-max_bucket_size:]
+            comps = comps[-max_bucket_size:]
         state.update((doc_ids, sigs, comps))
         if out:
             yield pd.DataFrame(out, columns=["doc1", "doc2", "est_jaccard"])

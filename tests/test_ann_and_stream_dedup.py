@@ -378,6 +378,49 @@ def test_streaming_near_dedup_idempotent_redelivery(spark, tmp_path):
     assert n1 > 0 and n2 == n1
 
 
+def test_streaming_near_dedup_bucket_cap_evicts_fifo(spark, tmp_path):
+    """With max_bucket_size, a bucket keeps only its most recent residents:
+    a later duplicate pairs against the retained window, not the full
+    history (bounded state for endless ingest)."""
+    from tax_compliance_engine_spark.streaming.dedup_stream import (
+        streaming_near_dedup,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    schema = "doc_id long, text string"
+    src, out = tmp_path / "docs", tmp_path / "pairs"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            streaming_near_dedup(stream, threshold=0.4, max_bucket_size=2)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.schema(
+            "doc1 long, doc2 long, est_jaccard double"
+        ).parquet(str(out))
+
+    spark.createDataFrame(
+        [(0, text), (1, text), (2, text)], schema
+    ).write.mode("append").parquet(str(src))
+    got1 = {(r.doc1, r.doc2) for r in drain().collect()}
+    # within one drain all three pair (eviction applies at state write)
+    assert got1 == {(0, 1), (0, 2), (1, 2)}
+
+    # doc 0 was evicted (cap 2 keeps [1, 2]); doc 3 pairs only against them
+    spark.createDataFrame([(3, text)], schema).write.mode("append").parquet(
+        str(src)
+    )
+    got2 = {(r.doc1, r.doc2) for r in drain().collect()}
+    assert got2 - got1 == {(1, 3), (2, 3)}
+
+
 def test_pq_codes_shape_and_determinism(spark):
     """Every vector compresses to exactly one code per subspace, codes are
     within the codebook range, and the encoding is deterministic."""
