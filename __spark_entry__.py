@@ -245,6 +245,10 @@ def oracle_sql() -> dict[str, str]:
         # palette lookup) vs the analytic pixel-sum twin — oracle-only
         # swept entry.
         "multimodal_gif_profile": oracle_dataops.multimodal_gif_profile_sql(),
+        # multimodal_jpeg_profile: REAL baseline-JPEG decode (from-scratch
+        # Huffman/DPCM entropy decode + pinned-order IDCT) vs the analytic
+        # DC-only round-trip twin — oracle-only swept entry.
+        "multimodal_jpeg_profile": oracle_dataops.multimodal_jpeg_profile_sql(),
         # multimodal_audio_profile: REAL RIFF/WAVE PCM-16 decode stats,
         # analytic twin (audio parallel of the PPM image gate)
         "multimodal_audio_profile": oracle_dataops.multimodal_audio_profile_sql(),

@@ -72,14 +72,13 @@ def _extract_features_batches(
 ) -> Iterator[pd.DataFrame]:
     """Arrow-batched feature extraction.
 
-    PPM/PNG/GIF payloads get a REAL image decode (``_IMAGE_DECODERS``)
-    and emit [w, h, mean_r, mean_g, mean_b]; WAV payloads get a REAL
-    audio decode (``_decode_wav``) and emit [sample_rate, n_channels,
-    n_samples, peak].  Other formats fall back to the deterministic
-    stand-in (first 8 payload bytes as ints — a real JPEG/MP3 decoder
-    needs PIL/librosa, not available in this container); either way the
-    pipeline shape — batch in, batch out, columnar — is fully
-    exercised."""
+    PPM/PNG/GIF/JPEG payloads get a REAL image decode
+    (``_IMAGE_DECODERS``) and emit [w, h, mean_r, mean_g, mean_b]; WAV
+    payloads get a REAL audio decode (``_decode_wav``) and emit
+    [sample_rate, n_channels, n_samples, peak].  Other formats fall back
+    to the deterministic stand-in (first 8 payload bytes as ints — e.g.
+    MP3 would need a real audio codec); either way the pipeline shape —
+    batch in, batch out, columnar — is fully exercised."""
     import numpy as np
 
     for pdf in batches:
@@ -424,16 +423,18 @@ _IMAGE_DECODERS = {"ppm": _decode_ppm, "png": _decode_png}
 
 
 def decode_image(media: DataFrame) -> DataFrame:
-    """REAL image decode over the media table for the dependency-free
+    """REAL image decode over the media table for the from-scratch
     formats — binary-P6 PPM (header parse + frombuffer), PNG (CRC'd
-    chunk walk + zlib inflate + full filter reconstruction), and GIF
-    (from-scratch LZW + palette lookup) — emitting per-channel integer
-    sums, Arrow-batched through ``mapInPandas`` (partition-parallel, no
-    shuffle).  Malformed payloads decode to NULL stats.
+    chunk walk + zlib inflate + full filter reconstruction), GIF
+    (from-scratch LZW + palette lookup), and baseline JPEG (from-scratch
+    Huffman/DPCM entropy decode + pinned-order IDCT) — emitting
+    per-channel integer sums, Arrow-batched through ``mapInPandas``
+    (partition-parallel, no shuffle).  Malformed payloads decode to NULL
+    stats.
 
-    Rows in any other format raise NotImplementedError (JPEG decode
-    needs PIL/opencv, which are not in this container); the PPM/PNG/GIF
-    paths are the end-to-end-verified template a real codec drops into."""
+    Rows in any other format (video containers, webp, …) raise
+    NotImplementedError; the four verified codecs are the template a
+    further format drops into."""
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -445,9 +446,8 @@ def decode_image(media: DataFrame) -> DataFrame:
                 decoder = _IMAGE_DECODERS.get(fmt)
                 if decoder is None:
                     raise NotImplementedError(
-                        f"no decoder for format {fmt!r}: only "
-                        f"{sorted(_IMAGE_DECODERS)} decode without "
-                        "imaging libraries (PIL/opencv unavailable)"
+                        f"no decoder for format {fmt!r}: the from-scratch "
+                        f"codecs cover {sorted(_IMAGE_DECODERS)}"
                     )
                 arr = decoder(payload)
                 out["doc_id"].append(doc_id)
@@ -755,14 +755,13 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
     """Thumbnail/resize over the media table (1 row in → 1 row out,
     Arrow-batched, partition-parallel, no shuffle).
 
-    REAL for PPM, PNG, and GIF: decode (``_IMAGE_DECODERS``),
+    REAL for PPM, PNG, GIF, and JPEG: decode (``_IMAGE_DECODERS``),
     nearest-neighbor resample to (width, height) (``_resize_nn``),
-    re-encode in the source format (binary P6 / filter-0 PNG / LZW GIF)
-    — decoder tag '<fmt>-numpy-nn'.  Malformed payloads → NULL thumb.
-    Other formats keep the deterministic byte-truncate stand-in (tag
-    'stub-truncate'; a real JPEG resizer needs PIL, not in this
-    container) so batch shapes, schema, and null handling stay exercised
-    for every format."""
+    re-encode in the source format (binary P6 / filter-0 PNG / LZW GIF /
+    baseline JPEG) — decoder tag '<fmt>-numpy-nn'.  Malformed payloads
+    → NULL thumb.  Other formats keep the deterministic byte-truncate
+    stand-in (tag 'stub-truncate') so batch shapes, schema, and null
+    handling stay exercised for every format."""
     budget = max(64, (width * height) // 64)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -777,6 +776,8 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
                         thumbs.append(_encode_png(_resize_nn(arr, width, height)))
                     elif fmt == "gif":
                         thumbs.append(_encode_gif(_resize_nn(arr, width, height)))
+                    elif fmt == "jpeg":
+                        thumbs.append(_encode_jpeg(_resize_nn(arr, width, height)))
                     else:
                         small = _resize_nn(arr, width, height)
                         thumbs.append(
@@ -1144,3 +1145,540 @@ def _split_gif_frames(payload: bytes) -> list[bytes]:
 
 
 _IMAGE_DECODERS["gif"] = _decode_gif
+
+
+# ── JPEG: real baseline-sequential codec (stdlib+numpy, from scratch) ─
+#
+# Re-expresses the reference's image-decode surface for JPEG without
+# imaging libraries: a complete baseline encoder (RGB→YCbCr 4:4:4,
+# pinned-order 8×8 DCT, Annex-K quantization, DPCM/run-length entropy
+# coding, canonical Huffman, byte stuffing) and the matching general
+# decoder (segment walk, DHT/DQT parse, Huffman+RLE entropy decode,
+# dequant, dezigzag, pinned-order IDCT, YCbCr→RGB).
+#
+# Both DCT directions use explicit left-fold accumulation (8 vectorized
+# outer-product adds, never BLAS matmul) so every float is a pinned
+# operation sequence: the synthetic fixture's constant 8×8 blocks then
+# decode to values the DuckDB oracle derives with the *same* op chain,
+# putting the whole codec under the bit-exact hash gate exactly like
+# PNG/GIF/WAV.
+
+_JPEG_QLUM = [
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+]
+_JPEG_QCHROM = [
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+]
+
+
+def _jpeg_zigzag() -> list[tuple[int, int]]:
+    """The standard 64-entry zigzag scan as (row, col) pairs, generated
+    from the diagonal rule (even diagonals run bottom-left→top-right)."""
+    order: list[tuple[int, int]] = []
+    for d in range(15):
+        diag = [(i, d - i) for i in range(8) if 0 <= d - i < 8]
+        order.extend(reversed(diag) if d % 2 == 0 else diag)
+    return order
+
+
+_ZIGZAG = _jpeg_zigzag()
+
+
+def _dct_basis():
+    """Orthonormal 8-point DCT-II basis B[u, x] = C(u)/2 ·
+    cos((2x+1)uπ/16), C(0)=1/√2 — forward S = B·x·Bᵀ, inverse x = Bᵀ·S·B."""
+    import math
+
+    import numpy as np
+
+    B = np.empty((8, 8), dtype=np.float64)
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            B[u, x] = (0.5 * cu) * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return B
+
+
+# B[0, x] for every x: the DC basis value the oracle twin interpolates
+def jpeg_dc_basis() -> float:
+    import math
+
+    return 0.5 * (1.0 / math.sqrt(2.0))
+
+
+def _dct2_pinned(block, B):
+    """Forward 2-D DCT with PINNED accumulation order: two stages of 8
+    outer-product adds (left fold over the summed index), never BLAS —
+    so the float result is a deterministic op sequence both engines can
+    replicate.  T[x,v] = Σ_y block[x,y]·B[v,y]; S[u,v] = Σ_x B[u,x]·T[x,v]."""
+    import numpy as np
+
+    T = np.zeros((8, 8), dtype=np.float64)
+    for y in range(8):
+        T = T + np.outer(block[:, y], B[:, y])
+    S = np.zeros((8, 8), dtype=np.float64)
+    for x in range(8):
+        S = S + np.outer(B[:, x], T[x, :])
+    return S
+
+
+def _idct2_pinned(coef, B):
+    """Inverse 2-D DCT, same pinned fold shape: M[x,v] = Σ_u B[u,x]·
+    coef[u,v]; out[x,y] = Σ_v M[x,v]·B[v,y]."""
+    import numpy as np
+
+    M = np.zeros((8, 8), dtype=np.float64)
+    for u in range(8):
+        M = M + np.outer(B[u, :], coef[u, :])
+    out = np.zeros((8, 8), dtype=np.float64)
+    for v in range(8):
+        out = out + np.outer(M[:, v], B[v, :])
+    return out
+
+
+def _jpeg_huff_specs():
+    """Custom canonical Huffman specs (bits, symbols) — valid baseline
+    tables carried in the DHT segment, so encoder and decoder share them
+    through the FILE, not through code: DC = all 12 categories at 4 bits
+    (all-ones code unused), AC = all 162 run/size symbols at 8 bits."""
+    dc_syms = list(range(12))
+    dc_bits = [0] * 16
+    dc_bits[3] = 12  # 12 codes of length 4
+    ac_syms = sorted([0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_syms)  # 162 codes of length 8
+    return (dc_bits, dc_syms), (ac_bits, ac_syms)
+
+
+def _huff_codes(bits, symbols):
+    """Canonical JPEG code assignment: symbol -> (code, length)."""
+    out = {}
+    code = 0
+    i = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[symbols[i]] = (code, ln)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    """MSB-first bit packer with JPEG byte stuffing (0xFF → 0xFF 0x00)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                b = self._acc
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)
+                self._acc = 0
+                self._n = 0
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per T.81
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with un-stuffing;
+    stops at any marker (0xFF followed by non-zero)."""
+
+    def __init__(self, payload: bytes, pos: int) -> None:
+        self.p = payload
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+        self.done = False
+
+    def bit(self):
+        if self._n == 0:
+            if self.pos >= len(self.p):
+                self.done = True
+                return None
+            b = self.p[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.p):
+                    self.done = True
+                    return None
+                nxt = self.p[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:  # a marker: entropy data ends here
+                    self.done = True
+                    self.pos -= 1
+                    return None
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int):
+        v = 0
+        for _ in range(n):
+            b = self.bit()
+            if b is None:
+                return None
+            v = (v << 1) | b
+        return v
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value -> (category s, s-bit payload)."""
+    if v == 0:
+        return 0, 0
+    s = abs(v).bit_length()
+    return (s, v) if v > 0 else (s, v + (1 << s) - 1)
+
+
+def _extend(v: int, s: int) -> int:
+    """Inverse of _magnitude: s-bit payload -> signed value."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _encode_jpeg(arr, qlum=None, qchrom=None) -> bytes:
+    """Baseline-sequential JFIF encoder for an (h, w, 3) uint8 RGB array:
+    4:4:4 (no subsampling), Annex-K quantization by default, custom
+    canonical Huffman tables written to DHT, pinned-order DCT.  Edge
+    rows/cols replicate to fill partial MCUs."""
+    import numpy as np
+
+    qlum = np.asarray(qlum if qlum is not None else _JPEG_QLUM, dtype=np.int64)
+    qchrom = np.asarray(
+        qchrom if qchrom is not None else _JPEG_QCHROM, dtype=np.int64
+    )
+    B = _dct_basis()
+    h, w, _ = arr.shape
+    rf = arr[:, :, 0].astype(np.float64)
+    gf = arr[:, :, 1].astype(np.float64)
+    bf = arr[:, :, 2].astype(np.float64)
+    yf = 0.299 * rf + 0.587 * gf + 0.114 * bf
+    cbf = 128.0 - 0.168736 * rf - 0.331264 * gf + 0.5 * bf
+    crf = 128.0 + 0.5 * rf - 0.418688 * gf - 0.081312 * bf
+    planes = [
+        np.clip(np.floor(c + 0.5), 0, 255).astype(np.int64)
+        for c in (yf, cbf, crf)
+    ]
+    mcx, mcy = (w + 7) // 8, (h + 7) // 8
+    padded = []
+    for p in planes:
+        pp = np.empty((mcy * 8, mcx * 8), dtype=np.int64)
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1 : h, :]  # edge-replicate partial MCUs
+        pp[:, w:] = pp[:, w - 1 : w]
+        padded.append(pp)
+
+    (dc_bits, dc_syms), (ac_bits, ac_syms) = _jpeg_huff_specs()
+    dc_code = _huff_codes(dc_bits, dc_syms)
+    ac_code = _huff_codes(ac_bits, ac_syms)
+    zz = _ZIGZAG
+    qtabs = [qlum, qchrom, qchrom]
+    writer = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for my in range(mcy):
+        for mx in range(mcx):
+            for ci in range(3):
+                block = padded[ci][
+                    my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8
+                ].astype(np.float64) - 128.0
+                S = _dct2_pinned(block, B)
+                q = np.floor(S / qtabs[ci] + 0.5).astype(np.int64)
+                dc = int(q[0, 0])
+                s, payload = _magnitude(dc - prev_dc[ci])
+                prev_dc[ci] = dc
+                code, ln = dc_code[s]
+                writer.put(code, ln)
+                if s:
+                    writer.put(payload, s)
+                seq = [int(q[u, v]) for (u, v) in zz[1:]]
+                run = 0
+                for coef in seq:
+                    if coef == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_code[0xF0]  # ZRL: 16 zeros
+                        writer.put(code, ln)
+                        run -= 16
+                    s, payload = _magnitude(coef)
+                    code, ln = ac_code[(run << 4) | s]
+                    writer.put(code, ln)
+                    writer.put(payload, s)
+                    run = 0
+                if run:
+                    code, ln = ac_code[0x00]  # EOB
+                    writer.put(code, ln)
+    writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def zz_bytes(q) -> bytes:
+        return bytes(int(q[u, v]) for (u, v) in zz)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + zz_bytes(qlum) + b"\x01" + zz_bytes(qchrom))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+    for cid, qid in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, 0x11, qid])
+    out += seg(0xC0, sof)
+    dht = bytes([0x00]) + bytes(dc_bits) + bytes(dc_syms)
+    dht += bytes([0x10]) + bytes(ac_bits) + bytes(ac_syms)
+    out += seg(0xC4, dht)
+    sos = bytes([3])
+    for cid in (1, 2, 3):
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _decode_jpeg(payload: bytes):
+    """General baseline-sequential JPEG decoder → (h, w, 3) uint8 RGB, or
+    None for malformed/unsupported payloads (progressive SOF2, subsampled
+    components, restart intervals, arithmetic coding are all rejected as
+    None, never mis-decoded).  Tables come from the file's own DQT/DHT
+    segments; the entropy decode handles DC DPCM, AC run/size with ZRL
+    and EOB, byte un-stuffing, and sign extension.  IDCT is the pinned
+    left-fold (see ``_idct2_pinned``) so decoded pixels are a
+    deterministic float-op sequence."""
+    import numpy as np
+
+    if payload is None or payload[:2] != b"\xff\xd8":
+        return None
+    B = _dct_basis()
+    qtabs: dict[int, object] = {}
+    hufftabs: dict[tuple[int, int], dict] = {}
+    sof = None
+    scan = None
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            return None
+        seglen = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            return None
+        if marker == 0xDB:  # DQT: one or more tables
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 15
+                if pq != 0 or bp + 65 > len(body):
+                    return None  # 16-bit tables unsupported
+                tab = np.zeros((8, 8), dtype=np.int64)
+                for k, (u, v) in enumerate(_ZIGZAG):
+                    tab[u, v] = body[bp + 1 + k]
+                qtabs[tq] = tab
+                bp += 65
+        elif marker == 0xC4:  # DHT: one or more tables
+            bp = 0
+            while bp + 17 <= len(body):
+                tc, th = body[bp] >> 4, body[bp] & 15
+                bits = list(body[bp + 1 : bp + 17])
+                nsym = sum(bits)
+                syms = list(body[bp + 17 : bp + 17 + nsym])
+                if len(syms) != nsym:
+                    return None
+                code_of = _huff_codes(bits, syms)
+                # decode map: (length, code) -> symbol
+                hufftabs[(tc, th)] = {
+                    (ln, code): sym for sym, (code, ln) in code_of.items()
+                }
+                bp += 17 + nsym
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, hh, ww, nc = body[0], int.from_bytes(body[1:3], "big"), int.from_bytes(body[3:5], "big"), body[5]
+            if prec != 8 or nc not in (1, 3) or len(body) < 6 + 3 * nc:
+                return None
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    return None  # subsampling unsupported → honest None
+                comps.append((cid, tq))
+            sof = (hh, ww, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline frame types
+        elif marker == 0xDD:
+            return None  # restart intervals unsupported
+        elif marker == 0xDA:  # SOS
+            if sof is None:
+                return None
+            ns = body[0]
+            if ns != len(sof[2]) or len(body) < 1 + 2 * ns + 3:
+                return None
+            scomps = []
+            for c in range(ns):
+                cs, tds = body[1 + 2 * c], body[2 + 2 * c]
+                scomps.append((cs, tds >> 4, tds & 15))
+            scan = (scomps, pos + 2 + seglen)
+            break
+        pos += 2 + seglen
+    if sof is None or scan is None:
+        return None
+    hh, ww, comps = sof
+    scomps, data_pos = scan
+    by_cid = {cid: tq for cid, tq in comps}
+    order = []
+    for cs, td, ta in scomps:
+        if cs not in by_cid or (0, td) not in hufftabs or (1, ta) not in hufftabs:
+            return None
+        if by_cid[cs] not in qtabs:
+            return None
+        order.append((cs, qtabs[by_cid[cs]], hufftabs[(0, td)], hufftabs[(1, ta)]))
+
+    def huff_read(reader, table):
+        code, ln = 0, 0
+        while ln < 16:
+            b = reader.bit()
+            if b is None:
+                return None
+            code = (code << 1) | b
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        return None
+
+    mcx, mcy = (ww + 7) // 8, (hh + 7) // 8
+    reader = _BitReader(payload, data_pos)
+    planes = [
+        np.zeros((mcy * 8, mcx * 8), dtype=np.int64) for _ in order
+    ]
+    prev_dc = [0] * len(order)
+    zz = _ZIGZAG
+    for my in range(mcy):
+        for mx in range(mcx):
+            for ci, (_, qtab, dct, act) in enumerate(order):
+                coefs = np.zeros(64, dtype=np.int64)
+                s = huff_read(reader, dct)
+                if s is None or s > 11:
+                    return None
+                diff_bits = reader.bits(s) if s else 0
+                if diff_bits is None:
+                    return None
+                prev_dc[ci] += _extend(diff_bits, s)
+                coefs[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    rs = huff_read(reader, act)
+                    if rs is None:
+                        return None
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = rs >> 4, rs & 15
+                    k += run
+                    if k > 63 or size == 0:
+                        return None
+                    vb = reader.bits(size)
+                    if vb is None:
+                        return None
+                    coefs[k] = _extend(vb, size)
+                    k += 1
+                coef = np.zeros((8, 8), dtype=np.float64)
+                for k2, (u, v) in enumerate(zz):
+                    coef[u, v] = float(coefs[k2] * qtab[u, v])
+                out = _idct2_pinned(coef, B)
+                planes[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.clip(
+                    np.floor(out + 128.5), 0, 255
+                ).astype(np.int64)
+    if len(planes) == 1:
+        yp = planes[0][:hh, :ww]
+        return np.stack([yp, yp, yp], axis=2).astype(np.uint8)
+    yp = planes[0][:hh, :ww].astype(np.float64)
+    cbp = planes[1][:hh, :ww].astype(np.float64)
+    crp = planes[2][:hh, :ww].astype(np.float64)
+    r = np.clip(np.floor((yp + 1.402 * (crp - 128.0)) + 0.5), 0, 255)
+    g = np.clip(
+        np.floor(
+            ((yp - 0.344136 * (cbp - 128.0)) - 0.714136 * (crp - 128.0)) + 0.5
+        ),
+        0,
+        255,
+    )
+    b = np.clip(np.floor((yp + 1.772 * (cbp - 128.0)) + 0.5), 0, 255)
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
+def synth_jpeg(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic baseline JPEG payload per id (Arrow-batched
+    ``mapInPandas``) — the JPEG-ingest fixture generator.
+
+    w = 8·(1 + id%3), h = 8·(1 + id%2), and every 8×8 block (bx, by) is a
+    CONSTANT color (id + 5bx + 11by, 2id + 7bx + 3by, 5id + bx + 13by)
+    mod 256.  Constant blocks quantize to a DC-only spectrum, so the
+    whole lossy round trip — RGB→YCbCr rounding, the pinned-fold DCT,
+    Annex-K DC quantization, DPCM/Huffman/byte-stuffing, dequant, the
+    pinned-fold IDCT, clamp, YCbCr→RGB — is an analytically derivable
+    float-op chain the DuckDB oracle replicates term for term
+    (multi-block images additionally exercise the DC DPCM chain across
+    blocks).  The AC run-length machinery is pytest-covered on
+    non-constant images, where the twin can't follow the full DCT."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                nbx, nby = 1 + i % 3, 1 + i % 2
+                w, h = 8 * nbx, 8 * nby
+                arr = np.empty((h, w, 3), dtype=np.uint8)
+                for by in range(nby):
+                    for bx in range(nbx):
+                        arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            (i + 5 * bx + 11 * by) % 256,
+                            (2 * i + 7 * bx + 3 * by) % 256,
+                            (5 * i + bx + 13 * by) % 256,
+                        )
+                payloads.append(_encode_jpeg(arr))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "payload_size": [len(p) for p in payloads],
+                    "format": "jpeg",
+                }
+            )
+
+    return ids.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+_IMAGE_DECODERS["jpeg"] = _decode_jpeg

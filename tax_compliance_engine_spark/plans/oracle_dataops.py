@@ -1120,6 +1120,86 @@ SELECT doc_id,
 FROM row_sums"""
 
 
+def multimodal_jpeg_profile_sql() -> str:
+    """Twin of queries_dataops.multimodal_jpeg_profile: the analytic form
+    of the LOSSY baseline-JPEG round trip on synth_jpeg's constant 8×8
+    blocks.  A constant block quantizes to a DC-only spectrum, so the
+    decoded color is a closed float-op chain replicated here TERM FOR
+    TERM from the codec (multimodal._encode_jpeg/_decode_jpeg):
+    RGB→YCbCr with the encoder's literal coefficients and floor(x+0.5)
+    rounding; the pinned-order DCT folds (8-term left fold of
+    ash·B₀₀, then of B₀₀·t); DC quantization floor(S/Q + 0.5) with
+    Q₀₀ = 16 (luma) / 17 (chroma, Annex K); dequant; the pinned IDCT
+    product (B₀₀·R)·B₀₀; floor(x + 128.5) clamp; and YCbCr→RGB with the
+    decoder's literal coefficients.  Any wrong byte in the Huffman/DPCM/
+    stuffing layers changes the DC that reaches the IDCT and breaks the
+    hash."""
+    from ..operators import multimodal
+
+    ac = repr(multimodal.jpeg_dc_basis())
+    qlum = multimodal._JPEG_QLUM[0][0]
+    qchrom = multimodal._JPEG_QCHROM[0][0]
+
+    def d(x: str) -> str:
+        return f"CAST({x} AS DOUBLE)"
+
+    def fold8(p: str) -> str:
+        e = "0.0"
+        for _ in range(8):
+            e = f"({e} + {p})"
+        return e
+
+    def clamp_floor(x: str) -> str:
+        return f"CAST(LEAST(GREATEST(floor({x}), 0.0), 255.0) AS BIGINT)"
+
+    def dc_roundtrip(ch: str, q: int) -> str:
+        """decoded channel value from the integer YCbCr input column."""
+        p = f"({d(f'{ch} - 128')} * {ac})"
+        t0 = fold8(p)
+        qq = f"({ac} * {t0})"
+        s00 = fold8(qq)
+        sq = f"CAST(floor(({s00} / {d(str(q))}) + 0.5) AS BIGINT)"
+        rr = f"({sq} * {q})"
+        out = f"(({ac} * {d(rr)}) * {ac})"
+        return clamp_floor(f"({out} + 128.5)")
+
+    return f"""WITH ids AS (SELECT doc_id AS i FROM documents),
+blocks AS (
+  SELECT i, bxx.bx AS bx, byy.by AS by,
+    (i + 5 * bxx.bx + 11 * byy.by) % 256 AS r0,
+    (2 * i + 7 * bxx.bx + 3 * byy.by) % 256 AS g0,
+    (5 * i + bxx.bx + 13 * byy.by) % 256 AS b0
+  FROM ids,
+    unnest(range(0, 1 + i % 3)) AS bxx(bx),
+    unnest(range(0, 1 + i % 2)) AS byy(by)),
+ycc AS (
+  SELECT i, bx, by,
+    {clamp_floor(f"((({d('0.299')} * {d('r0')}) + ({d('0.587')} * {d('g0')})) + ({d('0.114')} * {d('b0')})) + 0.5")} AS y_i,
+    {clamp_floor(f"((({d('128')} - ({d('0.168736')} * {d('r0')})) - ({d('0.331264')} * {d('g0')})) + ({d('0.5')} * {d('b0')})) + 0.5")} AS cb_i,
+    {clamp_floor(f"((({d('128')} + ({d('0.5')} * {d('r0')})) - ({d('0.418688')} * {d('g0')})) - ({d('0.081312')} * {d('b0')})) + 0.5")} AS cr_i
+  FROM blocks),
+dec AS (
+  SELECT i, bx, by,
+    {dc_roundtrip('y_i', qlum)} AS dy,
+    {dc_roundtrip('cb_i', qchrom)} AS dcb,
+    {dc_roundtrip('cr_i', qchrom)} AS dcr
+  FROM ycc),
+rgb AS (
+  SELECT i,
+    {clamp_floor(f"(({d('dy')} + ({d('1.402')} * ({d('dcr')} - 128.0))) + 0.5)")} AS dr,
+    {clamp_floor(f"((({d('dy')} - ({d('0.344136')} * ({d('dcb')} - 128.0))) - ({d('0.714136')} * ({d('dcr')} - 128.0))) + 0.5)")} AS dg,
+    {clamp_floor(f"(({d('dy')} + ({d('1.772')} * ({d('dcb')} - 128.0))) + 0.5)")} AS db
+  FROM dec)
+SELECT i AS doc_id,
+  CAST(8 * (1 + i % 3) AS INTEGER) AS img_w,
+  CAST(8 * (1 + i % 2) AS INTEGER) AS img_h,
+  CAST(64 * (1 + i % 3) * (1 + i % 2) AS BIGINT) AS n_pixels,
+  CAST(SUM(64 * dr) AS BIGINT) AS sum_r,
+  CAST(SUM(64 * dg) AS BIGINT) AS sum_g,
+  CAST(SUM(64 * db) AS BIGINT) AS sum_b
+FROM rgb GROUP BY i"""
+
+
 def multimodal_gif_profile_sql() -> str:
     """Twin of queries_dataops.multimodal_gif_profile — synth_gif pixels
     share synth_ppm's closed form, so the analytic stats are the same

@@ -588,6 +588,23 @@ def multimodal_gif_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_jpeg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode under the bit-exact gate: the from-scratch
+    baseline-sequential codec (multimodal._decode_jpeg — segment walk,
+    DHT/DQT parse, Huffman+DPCM+run-length entropy decode with byte
+    un-stuffing, dequant, dezigzag, pinned-order IDCT, YCbCr→RGB) over
+    deterministic synthetic JPEGs (multimodal.synth_jpeg — constant 8×8
+    blocks, so the lossy round trip is an analytically derivable
+    float-op chain).  The DuckDB twin replicates that chain term for
+    term, so any wrong byte anywhere in the entropy or transform
+    pipeline breaks the hash — the JPEG parallel of the PNG/GIF/WAV
+    gates."""
+    docs = _docs(spark, sf_dir)
+    return multimodal.decode_image(
+        multimodal.synth_jpeg(docs.select("doc_id"))
+    )
+
+
 def pq_knn_fixed_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ search with a FIXED 10-query set (copy-0 ids only): the bench /
     scale-curve twin of `pq_knn_portable`.  `vec_id % 50` grows the query

@@ -78,3 +78,70 @@ def trending_tokens_batch(
     """Batch twin of ``trending_tokens`` (same pipeline, no watermark) —
     the equivalence target a drained stream must reproduce."""
     return _windowed_counts(docs, ts_col, text_col, window, min_count)
+
+
+def rank_topk(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Per-window top-k over (window_start, window_end, token, n) rows:
+    row_number ordered by (n desc, token) — the deterministic tiebreak
+    keeps drained ≡ batch exact.  Batch transform, shared verbatim by the
+    streaming sink and the batch twin."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), F.col("token")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("window_start", "window_end", "token", "n", "rank")
+    )
+
+
+def trending_topk_writer(
+    stream: DataFrame,
+    out_path: str,
+    k: int = 3,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    window: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+    min_count: int = 1,
+):
+    """Watermarked per-window TOP-K tokens — the monitor a real ingest
+    pipeline dashboards (the streaming face of ``corpus_vocab_top``,
+    restricted per time window).
+
+    Ranking needs every token of a window at once, which append mode
+    guarantees per micro-batch: a window's counts all emit together in
+    the one batch where the watermark passes its end.  So the sink is a
+    ``foreachBatch`` that applies the SAME ``rank_topk`` transform the
+    batch twin uses to each emitted batch and appends only the top-k
+    rows to ``out_path`` — rank-on-emit, no second stateful operator,
+    state stays the windowed counts' (vocab × open-windows) bound.
+
+    Returns the configured DataStreamWriter; the caller sets trigger /
+    checkpoint and calls ``.start()``."""
+    counts = trending_tokens(
+        stream, ts_col, text_col, window, watermark_delay, min_count
+    )
+
+    def write_batch(bdf: DataFrame, _batch_id: int) -> None:
+        rank_topk(bdf, k).write.mode("append").parquet(out_path)
+
+    return counts.writeStream.foreachBatch(write_batch)
+
+
+def trending_topk_batch(
+    docs: DataFrame,
+    k: int = 3,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    window: str = "1 hour",
+    min_count: int = 1,
+) -> DataFrame:
+    """Batch twin of the streaming top-k (same counts pipeline, same
+    ``rank_topk``) — the equivalence target a drained stream must
+    reproduce."""
+    return rank_topk(
+        _windowed_counts(docs, ts_col, text_col, window, min_count), k
+    )

@@ -1308,3 +1308,212 @@ def test_pagerank_empty_node_set_returns_empty(spark):
     nodes = spark.createDataFrame([], "node_id long")
     out = pagerank(edges, nodes, iterations=3)
     assert out.columns == ["node_id", "rank"] and out.count() == 0
+
+
+# ── JPEG codec ───────────────────────────────────────────────────────
+
+
+def _jpeg_fixture_array(i):
+    import numpy as np
+
+    nbx, nby = 1 + i % 3, 1 + i % 2
+    arr = np.empty((8 * nby, 8 * nbx, 3), dtype=np.uint8)
+    for by in range(nby):
+        for bx in range(nbx):
+            arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                (i + 5 * bx + 11 * by) % 256,
+                (2 * i + 7 * bx + 3 * by) % 256,
+                (5 * i + bx + 13 * by) % 256,
+            )
+    return arr
+
+
+def _fold8(p):
+    acc = 0.0
+    for _ in range(8):
+        acc = acc + p
+    return acc
+
+
+def _jpeg_dc_chain(c, q, ac):
+    """The analytic DC-only round trip for one constant-channel value —
+    the same float-op chain the DuckDB twin interpolates."""
+    p = float(c - 128) * ac
+    s00 = _fold8(ac * _fold8(p))
+    sq = math.floor(s00 / float(q) + 0.5)
+    out = (ac * float(sq * q)) * ac
+    return min(max(math.floor(out + 128.5), 0), 255)
+
+
+def _jpeg_expected_block_rgb(r0, g0, b0):
+    ac = multimodal.jpeg_dc_basis()
+
+    def cl(x):
+        return min(max(math.floor(x), 0), 255)
+
+    y = cl(((0.299 * r0 + 0.587 * g0) + 0.114 * b0) + 0.5)
+    cb = cl((((128.0 - 0.168736 * r0) - 0.331264 * g0) + 0.5 * b0) + 0.5)
+    cr = cl((((128.0 + 0.5 * r0) - 0.418688 * g0) - 0.081312 * b0) + 0.5)
+    dy = _jpeg_dc_chain(y, multimodal._JPEG_QLUM[0][0], ac)
+    dcb = _jpeg_dc_chain(cb, multimodal._JPEG_QCHROM[0][0], ac)
+    dcr = _jpeg_dc_chain(cr, multimodal._JPEG_QCHROM[0][0], ac)
+    r = cl((dy + 1.402 * (dcr - 128.0)) + 0.5)
+    g = cl(((dy - 0.344136 * (dcb - 128.0)) - 0.714136 * (dcr - 128.0)) + 0.5)
+    b = cl((dy + 1.772 * (dcb - 128.0)) + 0.5)
+    return r, g, b
+
+
+def test_jpeg_codec_constant_blocks_bit_exact():
+    """Every constant 8×8 block must decode to EXACTLY the analytic
+    DC-only chain (the property the DuckDB hash gate relies on),
+    including multi-block images whose DC values ride the DPCM chain."""
+    import numpy as np
+
+    for i in (0, 3, 5, 11, 254, 255, 1000):
+        arr = _jpeg_fixture_array(i)
+        dec = multimodal._decode_jpeg(multimodal._encode_jpeg(arr))
+        assert dec is not None and dec.shape == arr.shape
+        nby, nbx = arr.shape[0] // 8, arr.shape[1] // 8
+        for by in range(nby):
+            for bx in range(nbx):
+                want = _jpeg_expected_block_rgb(
+                    (i + 5 * bx + 11 * by) % 256,
+                    (2 * i + 7 * bx + 3 * by) % 256,
+                    (5 * i + bx + 13 * by) % 256,
+                )
+                blk = dec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                assert (blk == np.array(want, dtype=np.uint8)).all(), (i, bx, by)
+
+
+def test_jpeg_codec_general_roundtrip_with_ac():
+    """Non-constant images exercise the full AC run-length machinery:
+    with a fine flat quant table the lossy error stays within a few
+    counts, on smooth gradients AND on LCG noise (noise maximizes AC
+    density; odd dimensions exercise the edge-replicated partial MCUs)."""
+    import numpy as np
+
+    gy, gx = np.mgrid[0:16, 0:24]
+    grad = np.stack(
+        [(gy * 3 + gx * 2) % 256, (gy * 5) % 256, (gx * 7) % 256], axis=2
+    ).astype(np.uint8)
+    x, vals = 42, []
+    for _ in range(13 * 19 * 3):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        vals.append(x >> 56)
+    noise = np.array(vals, dtype=np.uint8).reshape(13, 19, 3)
+    flat4 = [[4] * 8] * 8
+    for img in (grad, noise):
+        enc = multimodal._encode_jpeg(img, qlum=flat4, qchrom=flat4)
+        dec = multimodal._decode_jpeg(enc)
+        assert dec is not None and dec.shape == img.shape
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_jpeg_codec_zrl_long_zero_runs():
+    """A sparse spectrum with >15 zeros before an AC coefficient forces
+    the ZRL (16-zero-run) symbol through encoder and decoder."""
+    import numpy as np
+
+    B = multimodal._dct_basis()
+    coef = np.zeros((8, 8), dtype=np.float64)
+    coef[0, 0] = 160.0
+    # natural position of zigzag index 35 — a >16-zero gap after the DC
+    u, v = multimodal._ZIGZAG[35]
+    coef[u, v] = 120.0
+    block = np.clip(
+        np.floor(multimodal._idct2_pinned(coef, B) + 128.5), 0, 255
+    ).astype(np.uint8)
+    img = np.stack([block, block, block], axis=2)
+    flat1 = [[1] * 8] * 8
+    dec = multimodal._decode_jpeg(
+        multimodal._encode_jpeg(img, qlum=flat1, qchrom=flat1)
+    )
+    assert dec is not None
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_jpeg_byte_stuffing_unstuffed_correctly():
+    """A dense-AC noise image is guaranteed (deterministically) to emit
+    stuffed 0xFF 0x00 bytes; a decoder that mishandles stuffing shifts
+    every subsequent bit and produces garbage far outside the fine-quant
+    error bound, so a tight roundtrip through a verified-stuffed stream
+    pins the unstuffing logic."""
+    import numpy as np
+
+    x, vals = 7, []
+    for _ in range(16 * 16 * 3):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        vals.append(x >> 56)
+    noise = np.array(vals, dtype=np.uint8).reshape(16, 16, 3)
+    flat1 = [[1] * 8] * 8
+    payload = multimodal._encode_jpeg(noise, qlum=flat1, qchrom=flat1)
+    sos = payload.find(b"\xff\xda")
+    assert b"\xff\x00" in payload[sos:], "expected a stuffed byte"
+    dec = multimodal._decode_jpeg(payload)
+    assert dec is not None
+    assert np.abs(dec.astype(int) - noise.astype(int)).max() <= 4
+
+
+def test_decode_jpeg_parser_edges():
+    import numpy as np
+
+    good = multimodal._encode_jpeg(_jpeg_fixture_array(4))
+    assert multimodal._decode_jpeg(None) is None
+    assert multimodal._decode_jpeg(b"\x89PNG") is None  # wrong magic
+    assert multimodal._decode_jpeg(good[:40]) is None  # truncated mid-segment
+    # progressive frame marker (SOF2) must be rejected, not mis-decoded
+    sof = good.find(b"\xff\xc0")
+    prog = good[:sof] + b"\xff\xc2" + good[sof + 2 :]
+    assert multimodal._decode_jpeg(prog) is None
+    # subsampled components (2x1 luma) are unsupported → None
+    sub = bytearray(good)
+    sub[sof + 11] = 0x21  # Y sampling factor byte
+    assert multimodal._decode_jpeg(bytes(sub)) is None
+    # a corrupt Huffman stream dies as None, not garbage: truncate scan
+    sos = good.find(b"\xff\xda")
+    assert multimodal._decode_jpeg(good[: sos + 20]) is None
+
+
+def test_synth_jpeg_decode_roundtrip(spark):
+    """The REAL Spark decode path over synthetic JPEGs: every stat equals
+    the analytic lossy-round-trip chain (the DuckDB twin's math)."""
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    got = {
+        r.doc_id: r
+        for r in multimodal.decode_image(multimodal.synth_jpeg(ids)).collect()
+    }
+    for d in range(12):
+        nbx, nby = 1 + d % 3, 1 + d % 2
+        w, h = 8 * nbx, 8 * nby
+        r = got[d]
+        assert (r.img_w, r.img_h, r.n_pixels) == (w, h, w * h)
+        sums = [0, 0, 0]
+        for by in range(nby):
+            for bx in range(nbx):
+                rgb = _jpeg_expected_block_rgb(
+                    (d + 5 * bx + 11 * by) % 256,
+                    (2 * d + 7 * bx + 3 * by) % 256,
+                    (5 * d + bx + 13 * by) % 256,
+                )
+                for c in range(3):
+                    sums[c] += 64 * rgb[c]
+        assert (r.sum_r, r.sum_g, r.sum_b) == tuple(sums)
+
+
+def test_extract_features_real_jpeg_decode(spark):
+    ids = spark.createDataFrame([(7,)], "doc_id long")
+    r = multimodal.extract_features(multimodal.synth_jpeg(ids)).collect()[0]
+    assert r.decoder == "jpeg-numpy"
+    assert r.feature[:2] == [8 * (1 + 7 % 3), 8 * (1 + 7 % 2)]
+
+
+def test_resize_media_jpeg_roundtrip(spark):
+    """JPEG thumbnails re-encode through the real codec: the thumb is a
+    decodable baseline JPEG at the target dimensions."""
+    ids = spark.createDataFrame([(5,)], "doc_id long")
+    r = multimodal.resize_media(
+        multimodal.synth_jpeg(ids), width=8, height=8
+    ).collect()[0]
+    assert r.decoder == "jpeg-numpy-nn"
+    thumb = multimodal._decode_jpeg(bytes(r.thumb))
+    assert thumb is not None and thumb.shape == (8, 8, 3)

@@ -39,6 +39,8 @@ GLOBAL_AGG_OK = {
     "refund_summary",  # same
     "doc_tfidf_top_terms",  # scalar count(*) = N for the IDF term, then
     # broadcast back — one partial-count row per task through the exchange
+    "embedding_pagerank",  # scalar min/max(src) bounds for the src-range
+    # shard width (one partial row per task), broadcast back onto edges
 }
 
 

@@ -413,3 +413,77 @@ def test_trending_tokens_drained_equals_batch(spark, tmp_path):
     # cross-drain count: "join" in hour 2 spans both drains (1 + 2 occurrences)
     hour2 = t0 + dt.timedelta(hours=1)
     assert (hour2, "join", 3) in got
+
+
+def test_trending_topk_drained_equals_batch(spark, tmp_path):
+    """Drained per-window TOP-K token stream ≡ the batch twin: the
+    foreachBatch rank-on-emit sees each closed window's complete counts
+    in one micro-batch, so ranks (with the deterministic n-desc/token
+    tiebreak) match the batch computation exactly across two drains."""
+    import datetime as dt
+
+    from tax_compliance_engine_spark.streaming.trending import (
+        trending_topk_batch,
+        trending_topk_writer,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def doc(i, minutes, text):
+        return (i, t0 + dt.timedelta(minutes=minutes), text)
+
+    schema = "doc_id long, ts timestamp, text string"
+    first = [
+        doc(0, 5, "spark spark shuffle join state"),
+        doc(1, 20, "spark join join window"),
+        doc(2, 70, "join join shuffle shuffle state"),
+    ]
+    second = [
+        doc(3, 80, "join spark spark spark shuffle"),
+        doc(99, 60 * 24, "flush"),  # sentinel: closes every data window
+    ]
+    src, out = tmp_path / "docs", tmp_path / "topk"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            trending_topk_writer(
+                stream, str(out), k=2, window="1 hour", min_count=1
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.schema(
+            "window_start timestamp, window_end timestamp, "
+            "token string, n long, rank int"
+        ).parquet(str(out))
+
+    spark.createDataFrame(first, schema).write.mode("append").parquet(str(src))
+    drain()
+    spark.createDataFrame(second, schema).write.mode("append").parquet(str(src))
+    got = sorted(
+        (r.window_start, r.rank, r.token, r.n) for r in drain().collect()
+    )
+
+    want = sorted(
+        (r.window_start, r.rank, r.token, r.n)
+        for r in trending_topk_batch(
+            spark.createDataFrame(first + second, schema),
+            k=2,
+            window="1 hour",
+            min_count=1,
+        ).collect()
+        if r.window_start < t0 + dt.timedelta(hours=12)  # open sentinel window
+    )
+    assert got == want
+    # exactly k rows per closed data window, ranks 1..k
+    hour1 = [r for r in got if r[0] == t0]
+    hour2 = [r for r in got if r[0] == t0 + dt.timedelta(hours=1)]
+    assert [r[1] for r in hour1] == [1, 2]
+    assert [r[1] for r in hour2] == [1, 2]
+    # hour 2 spans both drains: join 2+1, shuffle 2+1, spark 0+3 — a
+    # three-way tie at n=3 whose top-2 breaks deterministically on token
+    assert hour2[0][2:] == ("join", 3)
+    assert hour2[1][2:] == ("shuffle", 3)
