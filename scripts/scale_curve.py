@@ -303,12 +303,14 @@ def skew_bench(spark, workdir: str) -> dict:
 
 
 def emb_candidate_counts(spark, workdir: str) -> dict:
-    """LSH candidate-pair counts at 1× and 10× per band geometry.  At the
-    4-bit default, random band collisions (~1/16 per band) make CROSS-COPY
-    candidates grow with the square of corpus size BY CONSTRUCTION
-    (measured 99.4× at 10× in r6); the 8-bit geometry drops the collision
-    rate to 1/256, which should pull candidate growth near-linear — this
-    measures both denominators side by side."""
+    """LSH candidate-pair counts at 1× and 10× per band geometry.  Random
+    band collisions make CROSS-COPY candidates grow with the square of
+    corpus size at ANY fixed width (measured 99.4× at 10× in r6); what
+    band width controls is the CONSTANT (~16× smaller per +4 bits), so
+    the knob must be sized to the corpus.  Measured r7 at 10×: candidates
+    47.1M / 3.79M / 0.34M and pair-query wall growth 10.6× / 2.3× / 1.22×
+    for 4/8/12-bit bands — 12-bit is wall-flat because candidate work
+    sits below the row-linear explode."""
     from pyspark.sql import functions as F
 
     from tax_compliance_engine_spark.operators import similarity
@@ -332,7 +334,7 @@ def emb_candidate_counts(spark, workdir: str) -> dict:
         )
 
     out = {}
-    for bits in (4, 8):
+    for bits in (4, 8, 12):
         c1 = count_candidates(BASE, bits)
         c10 = count_candidates(workdir, bits)
         out[f"bands4x{bits}bit"] = {
