@@ -47,17 +47,26 @@ BENCH_QUERIES = [
 ]
 
 
-def _loadavg_gate(max_load: float = 1.0, max_wait_sec: float = 600.0) -> dict:
-    """Refuse to time on a contended box: BENCH_r06 recorded 46.7 s while
-    an idle re-run measured 23.6 s (unchanged-code queries 2.5-5× slower —
-    pure host contention).  Wait (bounded) for 1-min loadavg ≤ max_load and
-    record the gate decision so the artifact carries its own provenance."""
+def _loadavg_wait(max_load: float, max_wait_sec: float) -> tuple[float, float]:
+    """Wait (bounded) for 1-min loadavg ≤ max_load; returns (load, waited)."""
     waited = 0.0
     load = os.getloadavg()[0]
     while load > max_load and waited < max_wait_sec:
         time.sleep(30.0)
         waited += 30.0
         load = os.getloadavg()[0]
+    return load, waited
+
+
+def _loadavg_gate(max_load: float = 1.0, max_wait_sec: float = 600.0) -> dict:
+    """Refuse to time on a contended box: BENCH_r06 recorded 46.7 s while
+    an idle re-run measured 23.6 s (unchanged-code queries 2.5-5× slower —
+    pure host contention).  Wait (bounded) for 1-min loadavg ≤ max_load and
+    record the gate decision so the artifact carries its own provenance.
+    Contention can also ARRIVE mid-run (observed swinging to loadavg 14
+    within minutes), so the timing loop re-gates before every query and
+    the artifact reports the worst load actually seen while timing."""
+    load, waited = _loadavg_wait(max_load, max_wait_sec)
     return {
         "loadavg_at_start": round(load, 2),
         "loadavg_gate_waited_sec": round(waited, 1),
@@ -92,7 +101,12 @@ def main() -> None:
         ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    max_load_seen = 0.0
     for name in BENCH_QUERIES:
+        # re-gate per query: contention arriving mid-run otherwise
+        # contaminates every query after its onset
+        load, _ = _loadavg_wait(max_load=1.5, max_wait_sec=120.0)
+        max_load_seen = max(max_load_seen, load)
         fn = queries[name]
         # min of 2 runs: steady-state timing, robust to one-off GC/IO stalls
         runs = []
@@ -101,6 +115,7 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 3)
+    gate["loadavg_max_seen"] = round(max_load_seen, 2)
 
     total = round(sum(timings.values()), 3)
     print(
