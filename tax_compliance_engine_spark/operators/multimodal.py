@@ -830,15 +830,19 @@ def sample_frames(
     """Frame sampling (1 row in → N rows out — the UDTF-shaped multimodal
     op): demux each payload into frames and keep every ``every_n``-th.
 
-    REAL demux for PPM and GIF: a PPM video payload is back-to-back
-    binary-P6 frames split on parsed headers; a GIF payload demuxes its
-    image blocks (real animation container) into standalone single-frame
-    GIFs — every emitted frame decodes individually (``_decode_ppm`` /
-    ``_decode_gif``).  Other formats keep the fixed-``frame_bytes``
-    chunk stand-in (a real MP4 demux needs ffmpeg, not in this
-    container), preserving the row-explosion shape, Arrow batching, and
-    per-frame indexing.  Rows with NULL payloads produce no frames (same
-    as undecodable media)."""
+    REAL demux for PPM, GIF, and MJPEG: a PPM video payload is
+    back-to-back binary-P6 frames split on parsed headers; a GIF payload
+    demuxes its image blocks (real animation container) into standalone
+    single-frame GIFs; a JPEG payload is treated as an MJPEG stream —
+    back-to-back baseline JPEGs split on REAL frame boundaries (a full
+    segment walk per frame, then an entropy-data scan to the EOI, so a
+    0xFFD9 inside a table segment can't fake a boundary) — and every
+    emitted frame decodes individually (``_decode_ppm`` /
+    ``_decode_gif`` / ``_decode_jpeg``).  Other formats keep the
+    fixed-``frame_bytes`` chunk stand-in (a real MP4 demux needs a
+    container parser), preserving the row-explosion shape, Arrow
+    batching, and per-frame indexing.  Rows with NULL payloads produce
+    no frames (same as undecodable media)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -857,6 +861,8 @@ def sample_frames(
                     chunks = _split_ppm_frames(payload)
                 elif fmt == "gif":
                     chunks = _split_gif_frames(payload)
+                elif fmt == "jpeg":
+                    chunks = _split_jpeg_frames(payload)
                 else:
                     n_frames = len(payload) // frame_bytes
                     chunks = [
@@ -1682,3 +1688,55 @@ def synth_jpeg(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 _IMAGE_DECODERS["jpeg"] = _decode_jpeg
+
+
+def _jpeg_frame_end(p: bytes, start: int):
+    """End offset (exclusive) of the baseline JPEG starting at ``start``,
+    found by a REAL parse: walk the length-prefixed segments to SOS, then
+    scan the entropy-coded data (skipping stuffed 0xFF00 and RST markers)
+    to the EOI.  A 0xFFD9 byte pair inside a segment payload therefore
+    cannot fake a frame boundary.  None for malformed frames."""
+    n = len(p)
+    if p[start : start + 2] != b"\xff\xd8":
+        return None
+    pos = start + 2
+    while pos + 4 <= n:
+        if p[pos] != 0xFF:
+            return None
+        marker = p[pos + 1]
+        if marker == 0xD9:  # EOI with no scan: terminated, if degenerate
+            return pos + 2
+        seglen = int.from_bytes(p[pos + 2 : pos + 4], "big")
+        if pos + 2 + seglen > n:
+            return None
+        if marker == 0xDA:  # SOS: entropy data follows
+            pos = pos + 2 + seglen
+            while pos + 1 < n:
+                if p[pos] == 0xFF:
+                    nxt = p[pos + 1]
+                    if nxt == 0xD9:
+                        return pos + 2
+                    if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+                        return None  # unexpected marker mid-scan
+                    pos += 2
+                else:
+                    pos += 1
+            return None  # ran out before EOI
+        pos += 2 + seglen
+    return None
+
+
+def _split_jpeg_frames(payload: bytes) -> list[bytes]:
+    """Demux an MJPEG-style payload (back-to-back baseline JPEGs) into
+    standalone frames on REAL parsed boundaries; each frame decodes
+    individually via ``_decode_jpeg``.  Stops at the first malformed or
+    truncated frame."""
+    frames: list[bytes] = []
+    pos = 0
+    while pos < len(payload):
+        end = _jpeg_frame_end(payload, pos)
+        if end is None:
+            break
+        frames.append(bytes(payload[pos:end]))
+        pos = end
+    return frames

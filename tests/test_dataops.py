@@ -1517,3 +1517,28 @@ def test_resize_media_jpeg_roundtrip(spark):
     assert r.decoder == "jpeg-numpy-nn"
     thumb = multimodal._decode_jpeg(bytes(r.thumb))
     assert thumb is not None and thumb.shape == (8, 8, 3)
+
+
+def test_sample_frames_mjpeg_real_boundaries(spark):
+    """MJPEG demux: back-to-back baseline JPEGs split on REAL parsed
+    boundaries (segment walk + entropy scan to EOI), every sampled frame
+    individually decodable with the expected constant-block colors."""
+    import numpy as np
+
+    payload = b"".join(
+        multimodal._encode_jpeg(_jpeg_fixture_array(i)) for i in (1, 2, 3, 4)
+    )
+    media = spark.createDataFrame(
+        [(9, "video", bytearray(payload), len(payload), "jpeg")],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.sample_frames(media, every_n=2).collect()
+    assert [r.frame_idx for r in rows] == [0, 2]  # frames 1 and 3 of 4
+    for r, i in zip(rows, (1, 3)):
+        dec = multimodal._decode_jpeg(bytes(r.frame_payload))
+        assert dec is not None
+        want = _jpeg_expected_block_rgb(i % 256, (2 * i) % 256, (5 * i) % 256)
+        assert tuple(dec[0, 0]) == want
+    # a truncated tail frame stops the demux cleanly
+    frames = multimodal._split_jpeg_frames(payload[: len(payload) - 5])
+    assert len(frames) == 3
