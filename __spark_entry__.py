@@ -201,6 +201,10 @@ def oracle_sql() -> dict[str, str]:
         # (quality filter → exact-dedup keep → token-budget mixture →
         # packing) composed under ONE hash gate — oracle-only swept entry.
         "corpus_clean_pipeline": oracle_corpus.corpus_clean_pipeline_sql(),
+        # corpus_bpe_merges: distributed greedy BPE merge training (the
+        # tokenizer-training step of a real data pipeline) — oracle-only
+        # swept entry, bit-exact vs the unrolled windowed twin.
+        "corpus_bpe_merges": oracle_corpus.corpus_bpe_merges_sql(),
         # corpus_heavy_hitters: exact heavy-hitter tokens behind a
         # count-min-sketch prefilter — oracle-only swept entry (the
         # result is exact, so the twin is the plain HAVING aggregation).

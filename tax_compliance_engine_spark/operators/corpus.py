@@ -539,3 +539,162 @@ def _tokens(text_col: str) -> Column:
     from .textops import tokens_col
 
     return tokens_col(F.col(text_col))
+
+
+# ── BPE merge training ───────────────────────────────────────────────
+
+
+def _char_syms(word: Column) -> Column:
+    """Word → array of single-character symbols (substring walk — the
+    same primitive as the oracle's list_transform(range, substr))."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: F.substring(word, i, F.lit(1)),
+    )
+
+
+def _bpe_word_table(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, syms, wcount): the distinct-word histogram with each word
+    exploded into character symbols.  BPE training operates entirely on
+    this table — ONE corpus pass builds it, and every merge iteration
+    touches only vocabulary-sized data (the classic trick that makes
+    BPE tractable: at 100 TB the corpus streams once; the working set
+    is |vocab|)."""
+    from .textops import tokens_col
+
+    toks = docs.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+    return toks.groupBy("w").agg(F.count("*").alias("wcount")).select(
+        "w", _char_syms(F.col("w")).alias("syms"), "wcount"
+    )
+
+
+def _bpe_pair_counts(words: DataFrame) -> DataFrame:
+    """(left_sym, right_sym, pair_count): adjacent-symbol pair counts
+    weighted by word frequency.  Narrow shuffle — (pair, partial count)
+    rows with map-side combine; the symbol arrays never shuffle."""
+    arr = F.col("syms")
+    n = F.size(arr)
+    # guard: sequence(a, b) DESCENDS when a > b, so single-symbol words
+    # must yield an empty index list, not [1, 0]
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(arr, i).alias("l"),
+            F.element_at(arr, i + 1).alias("r"),
+        ),
+    )
+    return (
+        words.select(F.explode(pairs).alias("p"), "wcount")
+        .groupBy(
+            F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym")
+        )
+        .agg(F.sum("wcount").alias("pair_count"))
+    )
+
+
+def _bpe_apply_one(syms: Column, left: Column, right: Column) -> Column:
+    """Apply one merge to a symbol array with the classic greedy
+    left-to-right scan, as a row-local left fold: current symbol x
+    merges into the last emitted symbol when (last, x) = (left, right).
+    The merged token left||right is strictly longer than ``left``, so a
+    fresh merge can never itself be the left half of another merge in
+    the same pass — the fold is exactly the skip-scan every reference
+    implementation uses (property-pinned against plain Python,
+    including same-symbol runs like 'bbbbb' + (b,b) → [bb, bb, b])."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == left)
+            & (x == right),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(left, right)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    materialize: bool = False,
+) -> DataFrame:
+    """Byte-pair-encoding merge training over the corpus: learn the
+    ``n_merges`` most frequent adjacent-symbol merges, greedily, exactly
+    as the classic algorithm does — output one row per learned rule:
+    (step, left_sym, right_sym, merged, pair_count).
+
+    Ties break deterministically on (pair_count DESC, left_sym,
+    right_sym), so the rule sequence is a pure function of the corpus
+    and the DuckDB twin replicates it bit-for-bit (its apply step uses
+    a gaps-and-islands window formulation of the same greedy scan —
+    within a run of consecutive matching positions, alternate ones
+    merge).
+
+    Fully distributed and collect-free: each iteration's best pair is a
+    global top-1 (TakeOrdered — never a full sort) that rides the plan
+    as a broadcast 1-row frame; the merge itself is the row-local fold
+    (``_bpe_apply_one``).  Per iteration: one narrow (pair, count)
+    shuffle + one broadcast.  ``materialize=True`` localCheckpoints the
+    word table each round — the production setting for large
+    ``n_merges``, where the lazy form's O(k²) recomputation of the
+    word-table lineage dominates; results are identical.
+
+    Degenerate corpora with fewer distinct pairs than ``n_merges``
+    simply stop emitting rows (the empty top-1 empties the remaining
+    chain on both engines)."""
+    words = _bpe_word_table(docs, text_col)
+    out: DataFrame | None = None
+    for step in range(1, n_merges + 1):
+        best = (
+            _bpe_pair_counts(words)
+            .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+            .limit(1)
+        )
+        row = best.select(
+            F.lit(step).cast("int").alias("step"),
+            "left_sym",
+            "right_sym",
+            F.concat("left_sym", "right_sym").alias("merged"),
+            "pair_count",
+        )
+        out = row if out is None else out.unionByName(row)
+        bp = F.broadcast(
+            best.select(
+                F.col("left_sym").alias("_l"), F.col("right_sym").alias("_r")
+            )
+        )
+        words = words.crossJoin(bp).select(
+            "w",
+            _bpe_apply_one(F.col("syms"), F.col("_l"), F.col("_r")).alias(
+                "syms"
+            ),
+            "wcount",
+        )
+        if materialize:
+            words = words.localCheckpoint()
+    assert out is not None
+    return out
+
+
+def bpe_segment_col(text: Column, merges: list[tuple[str, str]]) -> Column:
+    """Row-local BPE segmentation of whitespace tokens under a STATIC
+    learned merge list (rule order = priority order): array of subword
+    tokens per document.  The application primitive is the same greedy
+    fold as training, applied rule by rule at plan-build time — pure
+    Column expressions, no UDF."""
+    from .textops import tokens_col
+
+    def seg(word: Column) -> Column:
+        syms = _char_syms(word)
+        for left, right in merges:
+            syms = _bpe_apply_one(syms, F.lit(left), F.lit(right))
+        return syms
+
+    return F.flatten(F.transform(tokens_col(text), seg))

@@ -245,3 +245,65 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
        ELSE CAST({(k - 1) * hashing.HASH_MOD} AS DOUBLE)
             / CAST(MAX(h) AS DOUBLE) END AS est_distinct
 FROM topk GROUP BY source"""
+
+
+def corpus_bpe_merges_sql(n_merges: int = 6) -> str:
+    """Twin of corpus.bpe_merges: the same greedy BPE training unrolled.
+    Per iteration: pair counts weighted by word frequency, the top-1
+    rule under the identical (count DESC, left, right) tie-break, and
+    the greedy left-to-right merge scan expressed as gaps-and-islands
+    windows — within each maximal run of consecutive matching positions
+    alternate positions merge (exactly the skip-scan), positions whose
+    predecessor merged are consumed, and the word's symbol list is
+    rebuilt in position order.  Integer counts and string symbols only,
+    so the rule table hash-compares bit-for-bit."""
+    its = []
+    prev = "w0"
+    for k in range(1, n_merges + 1):
+        its.append(f"""p{k} AS (
+  SELECT l, r, CAST(SUM(wcount) AS BIGINT) AS cnt FROM (
+    SELECT syms[i] AS l, syms[i + 1] AS r, wcount
+    FROM {prev}, unnest(range(1, len(syms))) AS u(i))
+  GROUP BY l, r),
+b{k} AS (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
+pos{k} AS (
+  SELECT t.w, t.wcount, u.i, t.syms[u.i] AS s, b.l AS bl, b.r AS br,
+         CASE WHEN u.i < len(t.syms) AND t.syms[u.i] = b.l
+                   AND t.syms[u.i + 1] = b.r
+              THEN 1 ELSE 0 END AS m
+  FROM {prev} t CROSS JOIN b{k} b, unnest(range(1, len(t.syms) + 1)) AS u(i)),
+isl{k} AS (
+  SELECT *, CASE WHEN m = 1
+    THEN i - ROW_NUMBER() OVER (PARTITION BY w, m ORDER BY i) END AS isl
+  FROM pos{k}),
+mrk{k} AS (
+  SELECT *, CASE WHEN m = 1
+    AND (i - MIN(i) OVER (PARTITION BY w, isl)) % 2 = 0
+    THEN 1 ELSE 0 END AS mg
+  FROM isl{k}),
+emit{k} AS (
+  SELECT *, LAG(mg, 1, 0) OVER (PARTITION BY w ORDER BY i) AS prev_mg
+  FROM mrk{k}),
+w{k} AS (
+  SELECT w, wcount,
+         list(CASE WHEN mg = 1 THEN bl || br ELSE s END ORDER BY i) AS syms
+  FROM emit{k} WHERE prev_mg = 0
+  GROUP BY w, wcount)""")
+        prev = f"w{k}"
+    its_sql = ",\n".join(its)
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, l, r, cnt FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return f"""WITH toks AS (
+  SELECT unnest({TOKENS}) AS tok FROM documents),
+w0 AS (
+  SELECT tok AS w,
+         list_transform(range(1, length(tok) + 1),
+                        i -> substr(tok, i, 1)) AS syms,
+         COUNT(*) AS wcount
+  FROM toks GROUP BY tok),
+{its_sql}
+SELECT CAST(step AS INTEGER) AS step, l AS left_sym, r AS right_sym,
+       l || r AS merged, cnt AS pair_count
+FROM ({unions})"""

@@ -467,6 +467,16 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.pack_sequences(mixed, token_budget=512)
 
 
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (corpus.bpe_merges, 6 rules): the
+    greedy classic algorithm — word histogram, most-frequent adjacent
+    pair per step under a deterministic tie-break, greedy left-to-right
+    merge scan — collect-free (each step's top-1 rides the plan as a
+    broadcast row) and swept bit-exact against the unrolled
+    gaps-and-islands DuckDB twin."""
+    return corpus.bpe_merges(_docs(spark, sf_dir), n_merges=6)
+
+
 def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy-hitter tokens via the count-min prefilter + exact
     verify (corpus.heavy_hitters) — the result is exact, so the oracle

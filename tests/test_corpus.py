@@ -514,3 +514,129 @@ def test_bloom_split_has_no_false_negatives_on_keys(spark):
         maybe, definite_out = bloom_split(keys, bm, "key", m_bits)
         assert maybe.count() == 100, f"false negatives at m={m_bits}"
         assert definite_out.count() == 0
+
+
+# ── BPE merge training ───────────────────────────────────────────────
+
+
+def _bpe_reference(texts, n_merges):
+    """Plain-Python classic BPE: word histogram, greedy most-frequent
+    adjacent pair per step (ties: lexicographic), greedy left-to-right
+    merge scan — the ground truth the Spark trainer must reproduce."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                words[tuple(w)] += 1
+    rules = []
+    for step in range(1, n_merges + 1):
+        pairs = Counter()
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        rules.append((step, a, b, a + b, cnt))
+        merged = Counter()
+        for syms, c in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged[tuple(out)] += c
+        words = merged
+    return rules
+
+
+def _texts_df(spark, texts):
+    return docs_df(
+        spark, [(i, t, "s0") for i, t in enumerate(texts)]
+    )
+
+
+def test_bpe_merges_matches_reference(spark):
+    """The distributed trainer reproduces classic greedy BPE exactly —
+    rule sequence, merge order, and counts — including merges of
+    already-merged symbols (multi-char pairs) and tie-breaks."""
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest low newer",
+        "abab ababab ab",
+    ]
+    want = _bpe_reference(texts, 10)
+    got = [
+        (r.step, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in corpus.bpe_merges(_texts_df(spark, texts), n_merges=10)
+        .orderBy("step")
+        .collect()
+    ]
+    assert got == want
+    # sanity: later steps DO merge multi-char symbols (real BPE behavior)
+    assert any(len(l) > 1 or len(r) > 1 for _, l, r, _, _ in want)
+
+
+def test_bpe_merges_materialized_identical(spark):
+    texts = ["aa ab aa ab ba", "aaa bbb aab aa"]
+    lazy = corpus.bpe_merges(_texts_df(spark, texts), n_merges=5)
+    chk = corpus.bpe_merges(_texts_df(spark, texts), n_merges=5, materialize=True)
+    assert sorted(map(tuple, lazy.collect())) == sorted(map(tuple, chk.collect()))
+
+
+def test_bpe_apply_fold_equals_greedy_scan(spark):
+    """Property pin for the merge-fold primitive: on adversarial repeats
+    (overlapping same-symbol chains), the array fold equals the classic
+    greedy left-to-right skip scan."""
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("ababababab", ("a", "b")),
+        ("aaaa", ("a", "a")),
+        ("aabab", ("a", "b")),
+        ("bbbbb", ("b", "b")),
+        ("abba", ("a", "b")),
+        ("aaab", ("a", "a")),
+    ]
+    rows = []
+    for word, (a, b) in cases:
+        syms = list(word)
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        rows.append((word, a, b, out))
+    df = spark.createDataFrame(
+        [(w, a, b) for w, a, b, _ in rows], "w string, a string, b string"
+    )
+    applied = df.select(
+        "w",
+        corpus._bpe_apply_one(
+            corpus._char_syms(F.col("w")), F.col("a"), F.col("b")
+        ).alias("syms"),
+    ).collect()
+    got = {r.w: list(r.syms) for r in applied}
+    for w, _, _, want in rows:
+        assert got[w] == want, (w, got[w], want)
+
+
+def test_bpe_segment_col_applies_rules_in_order(spark):
+    from pyspark.sql import functions as F
+
+    docs = _texts_df(spark, ["low lower ab abab"])
+    merges = [("l", "o"), ("lo", "w"), ("a", "b")]
+    r = docs.select(
+        corpus.bpe_segment_col(F.col("text"), merges).alias("toks")
+    ).collect()[0]
+    assert list(r.toks) == ["low", "low", "e", "r", "ab", "ab", "ab"]
