@@ -238,3 +238,45 @@ def test_decode_ppm_prefixed_garbage(noise):
         assert arr is not None and arr.shape == (2, 2, 3)
     else:
         assert arr is None
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.data())
+def test_jpeg_decoder_total_on_corrupted_payloads(data):
+    """Robustness property (no Spark needed — the decoder is row-local):
+    flipping arbitrary bytes of a valid baseline JPEG must never raise —
+    the decoder returns None or a well-formed (h, w, 3) uint8 array.  A
+    crash here would kill a whole executor task batch on one bad file."""
+    import numpy as np
+
+    from tax_compliance_engine_spark.operators import multimodal
+
+    i = data.draw(st.integers(min_value=0, max_value=500))
+    nbx, nby = 1 + i % 3, 1 + i % 2
+    arr = np.empty((8 * nby, 8 * nbx, 3), dtype=np.uint8)
+    for by in range(nby):
+        for bx in range(nbx):
+            arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                (i + 5 * bx + 11 * by) % 256,
+                (2 * i + 7 * bx + 3 * by) % 256,
+                (5 * i + bx + 13 * by) % 256,
+            )
+    payload = bytearray(multimodal._encode_jpeg(arr))
+    n_flips = data.draw(st.integers(min_value=1, max_value=8))
+    for _ in range(n_flips):
+        pos = data.draw(st.integers(min_value=0, max_value=len(payload) - 1))
+        payload[pos] = data.draw(st.integers(min_value=0, max_value=255))
+    out = multimodal._decode_jpeg(bytes(payload))
+    assert out is None or (
+        out.ndim == 3 and out.shape[2] == 3 and out.dtype == np.uint8
+    )
+    # truncation at any point is equally total
+    cut = data.draw(st.integers(min_value=0, max_value=len(payload)))
+    out2 = multimodal._decode_jpeg(bytes(payload[:cut]))
+    assert out2 is None or (
+        out2.ndim == 3 and out2.shape[2] == 3 and out2.dtype == np.uint8
+    )
