@@ -47,31 +47,53 @@ BENCH_QUERIES = [
 ]
 
 
-def _loadavg_wait(max_load: float, max_wait_sec: float) -> tuple[float, float]:
-    """Wait (bounded) for 1-min loadavg ≤ max_load; returns (load, waited)."""
+def _loadavg_gate(max_load: float = 1.0, max_wait_sec: float = 600.0) -> dict:
+    """Refuse to START timing on a contended box: BENCH_r06 recorded
+    46.7 s while an idle re-run measured 23.6 s (unchanged-code queries
+    2.5-5× slower — pure host contention).  Loadavg is only meaningful
+    BEFORE our own Spark JVM starts (once timing begins, the benchmark
+    itself saturates the cores and loadavg can't separate us from an
+    intruder); mid-run contention is detected per query by
+    ``_cpu_totals`` instead."""
     waited = 0.0
     load = os.getloadavg()[0]
     while load > max_load and waited < max_wait_sec:
         time.sleep(30.0)
         waited += 30.0
         load = os.getloadavg()[0]
-    return load, waited
-
-
-def _loadavg_gate(max_load: float = 1.0, max_wait_sec: float = 600.0) -> dict:
-    """Refuse to time on a contended box: BENCH_r06 recorded 46.7 s while
-    an idle re-run measured 23.6 s (unchanged-code queries 2.5-5× slower —
-    pure host contention).  Wait (bounded) for 1-min loadavg ≤ max_load and
-    record the gate decision so the artifact carries its own provenance.
-    Contention can also ARRIVE mid-run (observed swinging to loadavg 14
-    within minutes), so the timing loop re-gates before every query and
-    the artifact reports the worst load actually seen while timing."""
-    load, waited = _loadavg_wait(max_load, max_wait_sec)
     return {
         "loadavg_at_start": round(load, 2),
         "loadavg_gate_waited_sec": round(waited, 1),
         "loadavg_gate_clean": load <= max_load,
     }
+
+
+def _cpu_totals() -> tuple[float, float]:
+    """(system_busy_sec, our_group_sec): system-wide non-idle CPU seconds
+    from /proc/stat, and the CPU seconds of every live process in OUR
+    process group (this driver + the Spark JVM it launched).  The
+    difference across a timed run is EXTERNAL CPU — contention measured
+    directly, immune to our own load (the flaw in gating mid-run on
+    loadavg: the benchmark's own full-core stages trip the gate)."""
+    hz = float(os.sysconf("SC_CLK_TCK"))
+    with open("/proc/stat") as fh:
+        parts = fh.readline().split()
+    vals = [int(x) for x in parts[1:11]]
+    busy = (sum(vals) - vals[3] - vals[4]) / hz  # minus idle + iowait
+    ours = 0.0
+    pgrp = os.getpgrp()
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                f = fh.read().rsplit(")", 1)[1].split()
+            # post-comm fields: [0]=state [1]=ppid [2]=pgrp … [11]=utime [12]=stime
+            if int(f[2]) == pgrp:
+                ours += (int(f[11]) + int(f[12])) / hz
+        except (OSError, ValueError, IndexError):
+            continue
+    return busy, ours
 
 
 def main() -> None:
@@ -100,22 +122,40 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
 
+    def timed_run(fn) -> tuple[float, float]:
+        """One measured run → (wall_sec, external_cores): external_cores
+        is CPU burned by processes OUTSIDE our process group during the
+        run, per wall-second — ~0 on a clean box, ≥1 when an intruder
+        owns a core's worth of our runtime."""
+        b0, o0 = _cpu_totals()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        wall = time.perf_counter() - t0
+        b1, o1 = _cpu_totals()
+        ext = max(0.0, (b1 - b0) - (o1 - o0)) / max(wall, 1e-9)
+        return wall, ext
+
     timings: dict[str, float] = {}
-    max_load_seen = 0.0
+    ext_max = 0.0
+    contended: list[str] = []
     for name in BENCH_QUERIES:
-        # re-gate per query: contention arriving mid-run otherwise
-        # contaminates every query after its onset
-        load, _ = _loadavg_wait(max_load=1.5, max_wait_sec=120.0)
-        max_load_seen = max(max_load_seen, load)
         fn = queries[name]
-        # min of 2 runs: steady-state timing, robust to one-off GC/IO stalls
-        runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(min(runs), 3)
-    gate["loadavg_max_seen"] = round(max_load_seen, 2)
+        # min over runs (steady-state, robust to one-off GC/IO stalls);
+        # a run with ≥1 external core of contention measured DURING it is
+        # dirty — retry (bounded) and prefer the min over clean runs
+        clean: list[float] = []
+        dirty: list[float] = []
+        for _ in range(4):
+            wall, ext = timed_run(fn)
+            ext_max = max(ext_max, ext)
+            (clean if ext < 1.0 else dirty).append(wall)
+            if len(clean) >= 2:
+                break
+        if not clean:
+            contended.append(name)
+        timings[name] = round(min(clean) if clean else min(dirty), 3)
+    gate["external_cores_max"] = round(ext_max, 2)
+    gate["contended_queries"] = contended
 
     total = round(sum(timings.values()), 3)
     print(

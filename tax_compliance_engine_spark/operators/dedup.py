@@ -473,22 +473,32 @@ _VERIFY_PLAN_MEMO: dict[tuple[int, int], str] = {}
 
 def _verify_plan_file_key(per_doc: DataFrame, budget: int) -> str | None:
     """Cross-session memo key: a digest of the input's FILE SNAPSHOT
-    (sorted paths + size + mtime of every scanned file) plus the budget.
-    Any file change invalidates the key, so a stale decision can only be
-    reused for byte-identical inputs — and even a stale hit merely picks
-    between two result-identical layouts.  Returns None when the input
-    has no file lineage (in-memory frames) or a file can't be stat'ed
-    (non-local filesystem): those fall back to the per-session memo."""
+    (sorted paths + size + mtime of every scanned file) plus the
+    CANONICALIZED logical plan and the budget.  The plan component keeps
+    two different derivations over the same parquet (another text_col, a
+    filtered subset) from sharing one entry — canonicalized plans
+    normalize expression ids, so the string is stable across sessions
+    for the same query shape; if it ever isn't, the only cost is a memo
+    miss and a re-probe.  Any file change invalidates the key, so a
+    stale decision can only be reused for byte-identical inputs — and
+    even a stale hit merely picks between two result-identical layouts.
+    Returns None when the input has no file lineage (in-memory frames)
+    or a file can't be stat'ed (non-local filesystem): those fall back
+    to the per-session memo."""
     import hashlib
     import os
 
     try:
         files = per_doc.inputFiles()
+        plan = (
+            per_doc._jdf.queryExecution().logical().canonicalized().toString()
+        )
     except Exception:
         return None
     if not files:
         return None
     h = hashlib.sha256()
+    h.update(plan.encode())
     for f in sorted(files):
         path = f[7:] if f.startswith("file://") else (
             f[5:] if f.startswith("file:") else f
@@ -533,11 +543,13 @@ def _verify_plan_store_put(key: str, choice: str) -> None:
         except (OSError, ValueError):
             store = {}
         store[key] = choice
-        tmp = f"{path}.tmp.{id(store)}"
-        with open(tmp, "w") as fh:
-            json.dump(store, fh)
         import os
 
+        # pid-unique temp name: two concurrent drivers must never write
+        # the same temp file (os.replace keeps the publish itself atomic)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(store, fh)
         os.replace(tmp, path)
     except OSError:
         pass  # memo is best-effort: losing it costs one probe job

@@ -89,27 +89,40 @@ def pagerank(
         )  # empty: no ranks to compute
     base = (1.0 - damping) / float(n)
     outdeg = edges.groupBy(src_col).agg(F.count("*").alias("_deg"))
-    # equal-width src-range shards: integer div, monotone in src, so
-    # shard order == src order across shards (fold order is preserved)
-    bounds = edges.agg(
-        F.min(src_col).alias("_mn"),
-        (
-            (F.max(src_col) - F.min(src_col))
-            .cast("long")
-            .alias("_range")
-        ),
-    ).select(
-        "_mn",
-        (F.expr(f"_range div {int(shard_count)}") + F.lit(1)).alias("_w"),
-    )
-    sharded = (
-        edges.select(
-            F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    src_type = dict(edges.dtypes).get(src_col, "")
+    if src_type in ("tinyint", "smallint", "int", "bigint"):
+        # equal-width src-range shards: integer div, monotone in src, so
+        # shard order == src order across shards (fold order is preserved)
+        bounds = edges.agg(
+            F.min(src_col).alias("_mn"),
+            (
+                (F.max(src_col) - F.min(src_col))
+                .cast("long")
+                .alias("_range")
+            ),
+        ).select(
+            "_mn",
+            (F.expr(f"_range div {int(shard_count)}") + F.lit(1)).alias("_w"),
         )
-        .crossJoin(F.broadcast(bounds))
-        .withColumn("_shard", F.expr("(_src - _mn) div _w"))
-        .select("_src", "_dst", "_shard")
-    )
+        sharded = (
+            edges.select(
+                F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+            )
+            .crossJoin(F.broadcast(bounds))
+            .withColumn("_shard", F.expr("(_src - _mn) div _w"))
+            .select("_src", "_dst", "_shard")
+        )
+    else:
+        # non-integral ids (e.g. string doc ids) have no cheap
+        # order-preserving range split: degrade to ONE shard — the fold
+        # through the two-level plan is then bit-identical to the flat
+        # fold (0.0 + p = p), correctness intact, but the hub-buffer
+        # bound does NOT apply; map ids to integers upstream to get it
+        sharded = edges.select(
+            F.col(src_col).alias("_src"),
+            F.col(dst_col).alias("_dst"),
+            F.lit(0).cast("long").alias("_shard"),
+        )
     ranks = nodes.select(
         F.col(id_col).alias("_node"), F.lit(1.0 / float(n)).alias("rank")
     )

@@ -1526,6 +1526,8 @@ def _decode_jpeg(payload: bytes):
                 }
                 bp += 17 + nsym
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 6:  # a corrupted length can shrink the body
+                return None
             prec, hh, ww, nc = body[0], int.from_bytes(body[1:3], "big"), int.from_bytes(body[3:5], "big"), body[5]
             if prec != 8 or nc not in (1, 3) or len(body) < 6 + 3 * nc:
                 return None
@@ -1541,7 +1543,7 @@ def _decode_jpeg(payload: bytes):
         elif marker == 0xDD:
             return None  # restart intervals unsupported
         elif marker == 0xDA:  # SOS
-            if sof is None:
+            if sof is None or len(body) < 1:
                 return None
             ns = body[0]
             if ns != len(sof[2]) or len(body) < 1 + 2 * ns + 3:

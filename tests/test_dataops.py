@@ -578,6 +578,15 @@ def test_verify_plan_cross_session_memo(spark, tmp_path, monkeypatch):
     )
     assert dedup._verify_plan_file_key(mem, budget) is None
 
+    # a DIFFERENT derivation over the SAME files (filtered subset) must
+    # get its own key — plan shape is part of the snapshot digest
+    filtered = dedup._minhash_per_doc(
+        docs2.filter("doc_id % 2 = 0"), "text", with_token_sets=True
+    )
+    k_full = dedup._verify_plan_file_key(per_doc2, budget)
+    k_filt = dedup._verify_plan_file_key(filtered, budget)
+    assert k_filt is not None and k_filt != k_full
+
 
 def test_dup_clusters_transitive(spark):
     # chain 0-1, 1-2 → one cluster labeled 0; pair 3-4 → cluster 3; 5 singleton
@@ -1301,6 +1310,35 @@ def test_pagerank_hub_in_degree_is_sharded(spark):
     assert hub == r2_hub  # bit-exact through both iterations
 
 
+def test_pagerank_string_node_ids_supported(spark):
+    """Non-integral ids degrade to the single-shard fold (no range split
+    exists for strings) — correctness identical to the flat fold."""
+    from tax_compliance_engine_spark.operators.graph import pagerank
+
+    pairs = [("x", "y"), ("y", "x"), ("y", "z"), ("z", "y")]
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+    nodes = spark.createDataFrame(
+        [("x",), ("y",), ("z",), ("w",)], "node_id string"
+    )
+    got = {
+        r.node_id: r.rank for r in pagerank(edges, nodes, iterations=5).collect()
+    }
+    n, d = 4, 0.85
+    base = (1.0 - d) / n
+    r = {k: 1.0 / n for k in "xyzw"}
+    deg = {"x": 1, "y": 2, "z": 1}
+    contrib_srcs = {"y": ["x", "z"], "x": ["y"], "z": ["y"]}
+    for _ in range(5):
+        nr = {}
+        for v in "xyzw":
+            acc = 0.0
+            for s in sorted(contrib_srcs.get(v, [])):
+                acc += r[s] / float(deg[s])
+            nr[v] = base + d * acc
+        r = nr
+    assert got == r
+
+
 def test_pagerank_empty_node_set_returns_empty(spark):
     from tax_compliance_engine_spark.operators.graph import pagerank
 
@@ -1472,6 +1510,15 @@ def test_decode_jpeg_parser_edges():
     # a corrupt Huffman stream dies as None, not garbage: truncate scan
     sos = good.find(b"\xff\xda")
     assert multimodal._decode_jpeg(good[: sos + 20]) is None
+    # corrupted SEGMENT LENGTHS shrink bodies below their fixed headers:
+    # must reject as None, never index past the body (regression: these
+    # two raised IndexError)
+    short_sof = bytearray(good)
+    short_sof[sof + 2 : sof + 4] = (4).to_bytes(2, "big")
+    assert multimodal._decode_jpeg(bytes(short_sof)) is None
+    short_sos = bytearray(good)
+    short_sos[sos + 2 : sos + 4] = (2).to_bytes(2, "big")
+    assert multimodal._decode_jpeg(bytes(short_sos)) is None
 
 
 def test_synth_jpeg_decode_roundtrip(spark):

@@ -268,7 +268,12 @@ def test_jpeg_decoder_total_on_corrupted_payloads(data):
     payload = bytearray(multimodal._encode_jpeg(arr))
     n_flips = data.draw(st.integers(min_value=1, max_value=8))
     for _ in range(n_flips):
-        pos = data.draw(st.integers(min_value=0, max_value=len(payload) - 1))
+        # half the flips target the segment-header region, where the
+        # length fields live (corrupting a length shrinks a body under
+        # its fixed layout — the IndexError class a uniform flip rarely
+        # hits)
+        hi = min(len(payload) - 1, 120) if data.draw(st.booleans()) else len(payload) - 1
+        pos = data.draw(st.integers(min_value=0, max_value=hi))
         payload[pos] = data.draw(st.integers(min_value=0, max_value=255))
     out = multimodal._decode_jpeg(bytes(payload))
     assert out is None or (
