@@ -205,6 +205,10 @@ def oracle_sql() -> dict[str, str]:
         # tokenizer-training step of a real data pipeline) — oracle-only
         # swept entry, bit-exact vs the unrolled windowed twin.
         "corpus_bpe_merges": oracle_corpus.corpus_bpe_merges_sql(),
+        # doc_bpe_token_counts: train the BPE rules AND segment every doc
+        # with them in one composed plan — oracle-only swept entry (the
+        # tokenizer-pipeline composition gate).
+        "doc_bpe_token_counts": oracle_corpus.doc_bpe_token_counts_sql(),
         # corpus_heavy_hitters: exact heavy-hitter tokens behind a
         # count-min-sketch prefilter — oracle-only swept entry (the
         # result is exact, so the twin is the plain HAVING aggregation).

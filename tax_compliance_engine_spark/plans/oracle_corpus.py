@@ -247,16 +247,14 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
 FROM topk GROUP BY source"""
 
 
-def corpus_bpe_merges_sql(n_merges: int = 6) -> str:
-    """Twin of corpus.bpe_merges: the same greedy BPE training unrolled.
-    Per iteration: pair counts weighted by word frequency, the top-1
-    rule under the identical (count DESC, left, right) tie-break, and
-    the greedy left-to-right merge scan expressed as gaps-and-islands
-    windows — within each maximal run of consecutive matching positions
-    alternate positions merge (exactly the skip-scan), positions whose
-    predecessor merged are consumed, and the word's symbol list is
-    rebuilt in position order.  Integer counts and string symbols only,
-    so the rule table hash-compares bit-for-bit."""
+def _bpe_train_ctes(n_merges: int) -> str:
+    """The shared BPE-training CTE chain (w0 … w{n}, b1 … b{n}): pair
+    counts weighted by word frequency, top-1 rule per step under the
+    (count DESC, left, right) tie-break, and the greedy left-to-right
+    merge scan as gaps-and-islands windows — within each maximal run of
+    consecutive matching positions alternate positions merge (exactly
+    the skip-scan), positions whose predecessor merged are consumed, and
+    the word's symbol list is rebuilt in position order."""
     its = []
     prev = "w0"
     for k in range(1, n_merges + 1):
@@ -291,11 +289,7 @@ w{k} AS (
   GROUP BY w, wcount)""")
         prev = f"w{k}"
     its_sql = ",\n".join(its)
-    unions = "\nUNION ALL\n".join(
-        f"SELECT {k} AS step, l, r, cnt FROM b{k}"
-        for k in range(1, n_merges + 1)
-    )
-    return f"""WITH toks AS (
+    return f"""toks AS (
   SELECT unnest({TOKENS}) AS tok FROM documents),
 w0 AS (
   SELECT tok AS w,
@@ -303,7 +297,75 @@ w0 AS (
                         i -> substr(tok, i, 1)) AS syms,
          COUNT(*) AS wcount
   FROM toks GROUP BY tok),
-{its_sql}
+{its_sql}"""
+
+
+def corpus_bpe_merges_sql(n_merges: int = 6) -> str:
+    """Twin of corpus.bpe_merges: the same greedy BPE training unrolled
+    (see ``_bpe_train_ctes``).  Integer counts and string symbols only,
+    so the rule table hash-compares bit-for-bit."""
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, l, r, cnt FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return f"""WITH {_bpe_train_ctes(n_merges)}
 SELECT CAST(step AS INTEGER) AS step, l AS left_sym, r AS right_sym,
        l || r AS merged, cnt AS pair_count
 FROM ({unions})"""
+
+
+def doc_bpe_token_counts_sql(n_merges: int = 6) -> str:
+    """Twin of queries_dataops.doc_bpe_token_counts: the END-TO-END
+    tokenizer pipeline — train the merge rules on the corpus
+    (``_bpe_train_ctes``), then SEGMENT every document's words with the
+    learned rules, applied in step order through the same
+    gaps-and-islands greedy scan at (doc, word-index) granularity.
+    Output: per-doc whitespace word count and post-merge subword count —
+    integers, so train+apply composition sits under one hash gate."""
+    its = []
+    prev = "dw0"
+    for k in range(1, n_merges + 1):
+        its.append(f"""dpos{k} AS (
+  SELECT t.doc_id, t.widx, u.i, t.syms[u.i] AS s, b.l AS bl, b.r AS br,
+         CASE WHEN u.i < len(t.syms) AND t.syms[u.i] = b.l
+                   AND t.syms[u.i + 1] = b.r
+              THEN 1 ELSE 0 END AS m
+  FROM {prev} t CROSS JOIN b{k} b, unnest(range(1, len(t.syms) + 1)) AS u(i)),
+disl{k} AS (
+  SELECT *, CASE WHEN m = 1
+    THEN i - ROW_NUMBER() OVER (PARTITION BY doc_id, widx, m ORDER BY i) END AS isl
+  FROM dpos{k}),
+dmrk{k} AS (
+  SELECT *, CASE WHEN m = 1
+    AND (i - MIN(i) OVER (PARTITION BY doc_id, widx, isl)) % 2 = 0
+    THEN 1 ELSE 0 END AS mg
+  FROM disl{k}),
+demit{k} AS (
+  SELECT *, LAG(mg, 1, 0) OVER (PARTITION BY doc_id, widx ORDER BY i) AS prev_mg
+  FROM dmrk{k}),
+dw{k} AS (
+  SELECT doc_id, widx,
+         list(CASE WHEN mg = 1 THEN bl || br ELSE s END ORDER BY i) AS syms
+  FROM demit{k} WHERE prev_mg = 0
+  GROUP BY doc_id, widx)""")
+        prev = f"dw{k}"
+    its_sql = ",\n".join(its)
+    return f"""WITH {_bpe_train_ctes(n_merges)},
+dwords AS (
+  SELECT doc_id, u.i AS widx, tks[u.i] AS tok
+  FROM (SELECT doc_id, {TOKENS} AS tks FROM documents),
+       unnest(range(1, len(tks) + 1)) AS u(i)),
+dw0 AS (
+  SELECT doc_id, widx,
+         list_transform(range(1, length(tok) + 1),
+                        i -> substr(tok, i, 1)) AS syms
+  FROM dwords),
+{its_sql},
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_words,
+         CAST(SUM(len(syms)) AS INTEGER) AS n_subwords
+  FROM {prev} GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(a.n_words, 0) AS n_words,
+       COALESCE(a.n_subwords, 0) AS n_subwords
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"""

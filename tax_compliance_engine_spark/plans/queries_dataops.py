@@ -477,6 +477,49 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.bpe_merges(_docs(spark, sf_dir), n_merges=6)
 
 
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END tokenizer pipeline under ONE hash gate: train the BPE
+    merge rules on the corpus (corpus.bpe_merges, 6 rules), then segment
+    every document with the LEARNED rules — each rule rides the plan as
+    a broadcast row and applies through the same greedy fold, so
+    training and application compose in a single lazy plan with no
+    driver round-trip.  Output: per-doc whitespace word count and
+    post-merge subword count (integers — hash-exact vs the unrolled
+    DuckDB train+apply twin)."""
+    from ..operators.textops import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    n_rules = 6
+    rules = corpus.bpe_merges(docs, n_merges=n_rules)
+    out = docs.select("doc_id", tokens_col(F.col("text")).alias("_words"))
+    for step in range(1, n_rules + 1):
+        bp = F.broadcast(
+            rules.filter(F.col("step") == step).select(
+                F.col("left_sym").alias(f"_l{step}"),
+                F.col("right_sym").alias(f"_r{step}"),
+            )
+        )
+        out = out.crossJoin(bp)
+
+    def n_subwords(word: F.Column) -> F.Column:
+        syms = corpus._char_syms(word)
+        for step in range(1, n_rules + 1):
+            syms = corpus._bpe_apply_one(
+                syms, F.col(f"_l{step}"), F.col(f"_r{step}")
+            )
+        return F.size(syms)
+
+    return out.select(
+        "doc_id",
+        F.size("_words").alias("n_words"),
+        F.aggregate(
+            F.transform(F.col("_words"), n_subwords),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("n_subwords"),
+    )
+
+
 def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy-hitter tokens via the count-min prefilter + exact
     verify (corpus.heavy_hitters) — the result is exact, so the oracle
