@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "corpus_decontaminate_bloom",
     "multimodal_png_profile",
     "corpus_clean_pipeline",
+    # round-7 operator families
+    "multimodal_jpeg_profile",
+    "corpus_bpe_merges",
+    "doc_bpe_token_counts",
 ]
 
 

@@ -52,6 +52,7 @@ SCALE_QUERIES = [
     "pq_knn_fixed_queries",
     "ivfpq_knn_fixed_queries",
     "corpus_decontaminate_bloom",
+    "corpus_bpe_merges",
 ]
 
 
