@@ -73,9 +73,11 @@ def _loadavg_gate(max_load: float = 1.0, max_wait_sec: float = 600.0) -> dict:
 
 
 def _cpu_totals() -> tuple[float, float]:
-    """(system_busy_sec, our_group_sec): system-wide non-idle CPU seconds
-    from /proc/stat, and the CPU seconds of every live process in OUR
-    process group (this driver + the Spark JVM it launched).  The
+    """(system_busy_sec, our_tree_sec): system-wide non-idle CPU seconds
+    from /proc/stat, and the CPU seconds of every live DESCENDANT of this
+    process (the Spark JVM and, crucially, the pyspark worker daemons —
+    which setpgid into their own process group, so a process-GROUP sum
+    misattributes all Arrow-batched mapInPandas work as external).  The
     difference across a timed run is EXTERNAL CPU — contention measured
     directly, immune to our own load (the flaw in gating mid-run on
     loadavg: the benchmark's own full-core stages trip the gate)."""
@@ -84,19 +86,28 @@ def _cpu_totals() -> tuple[float, float]:
         parts = fh.readline().split()
     vals = [int(x) for x in parts[1:11]]
     busy = (sum(vals) - vals[3] - vals[4]) / hz  # minus idle + iowait
-    ours = 0.0
-    pgrp = os.getpgrp()
+    ppid_of: dict[int, int] = {}
+    cpu_of: dict[int, float] = {}
     for pid in os.listdir("/proc"):
         if not pid.isdigit():
             continue
         try:
             with open(f"/proc/{pid}/stat") as fh:
                 f = fh.read().rsplit(")", 1)[1].split()
-            # post-comm fields: [0]=state [1]=ppid [2]=pgrp … [11]=utime [12]=stime
-            if int(f[2]) == pgrp:
-                ours += (int(f[11]) + int(f[12])) / hz
+            # post-comm fields: [0]=state [1]=ppid … [11]=utime [12]=stime
+            ppid_of[int(pid)] = int(f[1])
+            cpu_of[int(pid)] = (int(f[11]) + int(f[12])) / hz
         except (OSError, ValueError, IndexError):
             continue
+    me = os.getpid()
+    children: dict[int, list[int]] = {}
+    for pid, ppid in ppid_of.items():
+        children.setdefault(ppid, []).append(pid)
+    ours, stack = 0.0, [me]
+    while stack:
+        pid = stack.pop()
+        ours += cpu_of.get(pid, 0.0)
+        stack.extend(children.get(pid, ()))
     return busy, ours
 
 
