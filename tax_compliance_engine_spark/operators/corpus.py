@@ -648,7 +648,14 @@ def bpe_merges(
 
     Degenerate corpora with fewer distinct pairs than ``n_merges``
     simply stop emitting rows (the empty top-1 empties the remaining
-    chain on both engines)."""
+    chain on both engines).
+
+    The lazy form recomputes the word-table lineage O(k²) across steps;
+    do NOT be tempted to cache each iteration's word table — nested
+    InMemoryRelations embed their child plans in every tree rendering,
+    and a 10-step chain OOMs the driver merely EXPLAINING itself.
+    ``materialize=True`` (localCheckpoint) is the production answer: it
+    truncates lineage instead of nesting it."""
     words = _bpe_word_table(docs, text_col)
     out: DataFrame | None = None
     for step in range(1, n_merges + 1):

@@ -490,7 +490,9 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     n_rules = 6
-    rules = corpus.bpe_merges(docs, n_merges=n_rules)
+    # cached: the 6 per-step broadcast builds below each filter this
+    # 6-row table — uncached they would each re-execute the training
+    rules = corpus.bpe_merges(docs, n_merges=n_rules).cache()
     out = docs.select("doc_id", tokens_col(F.col("text")).alias("_words"))
     for step in range(1, n_rules + 1):
         bp = F.broadcast(
