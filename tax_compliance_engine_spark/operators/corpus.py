@@ -705,3 +705,61 @@ def bpe_segment_col(text: Column, merges: list[tuple[str, str]]) -> Column:
         return syms
 
     return F.flatten(F.transform(tokens_col(text), seg))
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """END-TO-END tokenizer pipeline in ONE lazy plan: train the BPE
+    merge rules on the corpus (``bpe_merges``), then segment every
+    document with the LEARNED rules — each rule rides the plan as a
+    1-row broadcast and applies through the same greedy fold, no driver
+    round-trip between training and application.  Output: per-doc
+    whitespace word count and post-merge subword count.
+
+    Each step's rule is fetched as a global (1-row, never-empty)
+    aggregate: a degenerate corpus that runs out of pairs before
+    ``n_merges`` leaves later steps NULL, and the fold's NULL match
+    condition never fires — an identity merge, not an erased corpus
+    (crossJoin with an EMPTY per-step frame would return zero rows).
+
+    Scale shape: training is ``bpe_merges``'s narrow pair aggregations;
+    application is row-local fold work over the corpus scan with only
+    1-row broadcasts joined in — no shuffle of the documents at all."""
+    from .textops import tokens_col
+
+    rules = bpe_merges(docs, n_merges=n_merges, text_col=text_col).cache()
+    out = docs.select(id_col, tokens_col(F.col(text_col)).alias("_words"))
+    for step in range(1, n_merges + 1):
+        bp = F.broadcast(
+            rules.groupBy().agg(
+                F.max(
+                    F.when(F.col("step") == step, F.col("left_sym"))
+                ).alias(f"_l{step}"),
+                F.max(
+                    F.when(F.col("step") == step, F.col("right_sym"))
+                ).alias(f"_r{step}"),
+            )
+        )
+        out = out.crossJoin(bp)
+
+    def n_subwords(word: Column) -> Column:
+        syms = _char_syms(word)
+        for step in range(1, n_merges + 1):
+            syms = _bpe_apply_one(
+                syms, F.col(f"_l{step}"), F.col(f"_r{step}")
+            )
+        return F.size(syms)
+
+    return out.select(
+        id_col,
+        F.size("_words").alias("n_words"),
+        F.aggregate(
+            F.transform(F.col("_words"), n_subwords),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("n_subwords"),
+    )

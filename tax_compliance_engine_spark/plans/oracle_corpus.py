@@ -330,7 +330,12 @@ def doc_bpe_token_counts_sql(n_merges: int = 6) -> str:
          CASE WHEN u.i < len(t.syms) AND t.syms[u.i] = b.l
                    AND t.syms[u.i + 1] = b.r
               THEN 1 ELSE 0 END AS m
-  FROM {prev} t CROSS JOIN b{k} b, unnest(range(1, len(t.syms) + 1)) AS u(i)),
+  FROM {prev} t
+  -- MAX() subquery, not a bare CROSS JOIN: an empty b{{k}} (degenerate
+  -- corpus out of pairs) must be an identity merge over every doc, not
+  -- erase the doc rows — mirrors the Spark side's 1-row NULL aggregate
+  CROSS JOIN (SELECT MAX(l) AS l, MAX(r) AS r FROM b{k}) b,
+       unnest(range(1, len(t.syms) + 1)) AS u(i)),
 disl{k} AS (
   SELECT *, CASE WHEN m = 1
     THEN i - ROW_NUMBER() OVER (PARTITION BY doc_id, widx, m ORDER BY i) END AS isl

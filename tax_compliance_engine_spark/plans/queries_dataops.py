@@ -486,40 +486,7 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver round-trip.  Output: per-doc whitespace word count and
     post-merge subword count (integers — hash-exact vs the unrolled
     DuckDB train+apply twin)."""
-    from ..operators.textops import tokens_col
-
-    docs = _docs(spark, sf_dir)
-    n_rules = 6
-    # cached: the 6 per-step broadcast builds below each filter this
-    # 6-row table — uncached they would each re-execute the training
-    rules = corpus.bpe_merges(docs, n_merges=n_rules).cache()
-    out = docs.select("doc_id", tokens_col(F.col("text")).alias("_words"))
-    for step in range(1, n_rules + 1):
-        bp = F.broadcast(
-            rules.filter(F.col("step") == step).select(
-                F.col("left_sym").alias(f"_l{step}"),
-                F.col("right_sym").alias(f"_r{step}"),
-            )
-        )
-        out = out.crossJoin(bp)
-
-    def n_subwords(word: F.Column) -> F.Column:
-        syms = corpus._char_syms(word)
-        for step in range(1, n_rules + 1):
-            syms = corpus._bpe_apply_one(
-                syms, F.col(f"_l{step}"), F.col(f"_r{step}")
-            )
-        return F.size(syms)
-
-    return out.select(
-        "doc_id",
-        F.size("_words").alias("n_words"),
-        F.aggregate(
-            F.transform(F.col("_words"), n_subwords),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        ).alias("n_subwords"),
-    )
+    return corpus.bpe_token_counts(_docs(spark, sf_dir), n_merges=6)
 
 
 def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:

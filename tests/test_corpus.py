@@ -591,6 +591,45 @@ def test_bpe_merges_materialized_identical(spark):
     assert sorted(map(tuple, lazy.collect())) == sorted(map(tuple, chk.collect()))
 
 
+def test_bpe_token_counts_degenerate_corpus(spark):
+    """A corpus that runs out of pairs before n_merges must NOT erase
+    the documents: later (empty) rules are identity merges, on the Spark
+    side (1-row NULL aggregate, not crossJoin-with-empty) and in the
+    DuckDB twin (MAX() subquery) alike — pinned against plain Python."""
+    import duckdb
+
+    from tax_compliance_engine_spark.plans import oracle_corpus
+
+    texts = ["ab ab ab", "ab a", ""]
+    # only ONE learnable rule: after merging (a,b), every word is a
+    # single symbol and the pair table is empty for steps 2..6
+    rules = _bpe_reference(texts, 6)
+    assert len(rules) == 1
+
+    got = {
+        (r.doc_id, r.n_words, r.n_subwords)
+        for r in corpus.bpe_token_counts(
+            _texts_df(spark, texts), n_merges=6
+        ).collect()
+    }
+    assert got == {(0, 3, 3), (1, 2, 2), (2, 0, 0)}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(texts)))
+        + ") t(doc_id, text)",
+        texts,
+    )
+    want = {
+        (r[0], r[1], r[2])
+        for r in con.execute(
+            oracle_corpus.doc_bpe_token_counts_sql(6)
+        ).fetchall()
+    }
+    assert got == want
+
+
 def test_bpe_apply_fold_equals_greedy_scan(spark):
     """Property pin for the merge-fold primitive: on adversarial repeats
     (overlapping same-symbol chains), the array fold equals the classic
