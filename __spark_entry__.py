@@ -218,6 +218,13 @@ def oracle_sql() -> dict[str, str]:
         "corpus_token_mixture": oracle_corpus.corpus_token_mixture_sql(),
         "corpus_pack_bins": oracle_corpus.corpus_pack_bins_sql(),
         "corpus_decontaminate": oracle_corpus.corpus_decontaminate_sql(),
+        # corpus_contamination_scores: GRADED decontamination — per-doc
+        # benchmark n-gram overlap fraction + dirty flag at 20% (exact
+        # integer flag arithmetic, one exactly-rounded division) —
+        # oracle-only swept entry.
+        "corpus_contamination_scores": (
+            oracle_corpus.corpus_contamination_scores_sql()
+        ),
         # corpus_distinct_sketch: deterministic KMV cardinality sketch
         # (portable alternative to approx_count_distinct), bit-exact twin
         "corpus_distinct_sketch": oracle_corpus.corpus_distinct_sketch_sql(),

@@ -452,6 +452,70 @@ def decontaminate(
     return docs.join(contaminated, "doc_id", "left_anti")
 
 
+def contamination_scores(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    threshold_pct: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GRADED decontamination: per-doc fraction of distinct token
+    n-grams that appear in the benchmark set, plus a dirty flag at
+    ``threshold_pct`` percent — the overlap metric real pipelines use
+    when drop-on-ANY-shared-shingle (``decontaminate``) is too blunt
+    (a single boilerplate 5-gram should not delete a 10k-token doc).
+
+    Output: (doc_id, n_grams, n_hit, overlap, is_contaminated).
+    ``overlap`` is a single exactly-rounded int÷int double and the flag
+    compares 100·n_hit ≥ threshold·n_grams in exact integer arithmetic,
+    so both are engine-portable bit-for-bit.  Docs with fewer than ``n``
+    tokens have no shingles: overlap 0.0, clean.
+
+    Scale shape: the benchmark gram set is broadcast with a hit marker
+    (the corpus gram stream never shuffles for the probe), then ONE
+    (doc_id) aggregation computes total and hit counts together —
+    map-side combine applies, and the result is one narrow row per doc
+    joined back to the id spine."""
+    grams = _doc_ngrams(docs, text_col, n)
+    bench = (
+        _doc_ngrams(benchmark, text_col, n)
+        .select("gram")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    counts = (
+        grams.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("n_hit").cast("double") / F.col("n_grams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("overlap"),
+            (
+                (F.coalesce("n_grams", F.lit(0)) > 0)
+                & (
+                    F.coalesce("n_hit", F.lit(0)) * 100
+                    >= F.lit(threshold_pct) * F.col("n_grams")
+                )
+            ).alias("is_contaminated"),
+        )
+    )
+
+
 # KMV scramble constants: one multiplicative-congruential pass that
 # equidistributes the (length-bounded) polynomial token hash over
 # [0, HASH_MOD) before order statistics are taken.  tok_hash < HASH_MOD
@@ -720,11 +784,12 @@ def bpe_token_counts(
     round-trip between training and application.  Output: per-doc
     whitespace word count and post-merge subword count.
 
-    Each step's rule is fetched as a global (1-row, never-empty)
-    aggregate: a degenerate corpus that runs out of pairs before
-    ``n_merges`` leaves later steps NULL, and the fold's NULL match
-    condition never fires — an identity merge, not an erased corpus
-    (crossJoin with an EMPTY per-step frame would return zero rows).
+    Each step's rule attaches by LEFT join on a constant-true condition
+    (broadcast nested-loop, ≤1 build row): a degenerate corpus that runs
+    out of pairs before ``n_merges`` leaves later steps' rule frames
+    EMPTY — the left join keeps every doc with NULL rule columns and the
+    fold's NULL match condition never fires (an identity merge), where a
+    crossJoin would have returned zero rows and erased the corpus.
 
     Scale shape: training is ``bpe_merges``'s narrow pair aggregations;
     application is row-local fold work over the corpus scan with only
@@ -735,16 +800,12 @@ def bpe_token_counts(
     out = docs.select(id_col, tokens_col(F.col(text_col)).alias("_words"))
     for step in range(1, n_merges + 1):
         bp = F.broadcast(
-            rules.groupBy().agg(
-                F.max(
-                    F.when(F.col("step") == step, F.col("left_sym"))
-                ).alias(f"_l{step}"),
-                F.max(
-                    F.when(F.col("step") == step, F.col("right_sym"))
-                ).alias(f"_r{step}"),
+            rules.filter(F.col("step") == step).select(
+                F.col("left_sym").alias(f"_l{step}"),
+                F.col("right_sym").alias(f"_r{step}"),
             )
         )
-        out = out.crossJoin(bp)
+        out = out.join(bp, F.lit(True), "left")
 
     def n_subwords(word: Column) -> Column:
         syms = _char_syms(word)

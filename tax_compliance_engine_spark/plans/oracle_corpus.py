@@ -216,6 +216,42 @@ WHERE doc_id % {bench_mod} <> 0
   AND doc_id NOT IN (SELECT doc_id FROM contaminated)"""
 
 
+def corpus_contamination_scores_sql(
+    n: int = 5, threshold_pct: int = 20, bench_mod: int = 97
+) -> str:
+    """Twin of corpus.contamination_scores over the doc_id%97 split:
+    distinct per-doc shingles marked against the benchmark gram set,
+    one (total, hit) aggregation, exact-integer flag arithmetic and a
+    single int÷int double division — bit-exact on both engines."""
+    return f"""WITH toks AS (
+  SELECT doc_id, {TOKENS} AS t FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(0, len(t) - {n} + 1),
+                   i -> array_to_string(list_slice(t, i + 1, i + {n}), ' '))
+  )) AS gram
+  FROM toks WHERE len(t) >= {n}),
+bench_grams AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % {bench_mod} = 0),
+counts AS (
+  SELECT g.doc_id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM grams g LEFT JOIN bench_grams b ON g.gram = b.gram
+  WHERE g.doc_id % {bench_mod} <> 0
+  GROUP BY g.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(c.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(c.n_hit, 0) AS BIGINT) AS n_hit,
+       CASE WHEN COALESCE(c.n_grams, 0) > 0
+            THEN CAST(c.n_hit AS DOUBLE) / CAST(c.n_grams AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END AS overlap,
+       (COALESCE(c.n_grams, 0) > 0
+        AND COALESCE(c.n_hit, 0) * 100 >= {threshold_pct} * c.n_grams)
+       AS is_contaminated
+FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id
+WHERE d.doc_id % {bench_mod} <> 0"""
+
+
 def corpus_distinct_sketch_sql(k: int = 64) -> str:
     """Twin of corpus.distinct_sketch: identical k-minimum-values over the
     same portable token hash — DISTINCT (source, hash), rank, keep k,

@@ -517,6 +517,17 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.decontaminate(rest, bench, n=5).select("doc_id")
 
 
+def corpus_contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded decontamination (corpus.contamination_scores): per-doc
+    benchmark n-gram overlap fraction + dirty flag at 20% — the metric
+    variant of corpus_decontaminate's drop-on-any-shared-shingle, over
+    the same doc_id%97 benchmark split."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    rest = docs.filter(F.col("doc_id") % 97 != 0)
+    return corpus.contamination_scores(rest, bench, n=5, threshold_pct=20)
+
+
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.to_media_table(_docs(spark, sf_dir)).select(
         "doc_id", "media_type", "payload_size", "format"

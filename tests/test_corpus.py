@@ -131,6 +131,45 @@ def test_decontaminate_drops_overlapping(spark):
     assert kept == [1, 2]
 
 
+def test_contamination_scores_graded_overlap(spark):
+    """Overlap fractions and the percent-threshold flag on constructed
+    docs: a full copy scores 1.0, a partial overlap scores its exact
+    shingle fraction, clean and too-short docs score 0.0 and stay
+    unflagged (the 0/0 case must NOT satisfy 0 >= 0)."""
+    bench = docs_df(spark, [(100, "the quick brown fox jumps over dogs", "b")])
+    docs = docs_df(
+        spark,
+        [
+            # exact copy: every 5-gram hits → overlap 1.0
+            (0, "the quick brown fox jumps over dogs", "s0"),
+            # 8 tokens → 4 shingles, exactly 1 shared → 0.25
+            (1, "say the quick brown fox jumps here now", "s0"),
+            (2, "completely unrelated text with many words", "s0"),
+            (3, "tiny", "s0"),  # < n tokens: no shingles, clean
+        ],
+    )
+    rows = {
+        r.doc_id: r
+        for r in corpus.contamination_scores(
+            docs, bench, n=5, threshold_pct=20
+        ).collect()
+    }
+    assert rows[0].overlap == 1.0 and rows[0].is_contaminated
+    assert rows[1].n_grams == 4 and rows[1].n_hit == 1
+    assert rows[1].overlap == 0.25 and rows[1].is_contaminated
+    assert rows[2].overlap == 0.0 and not rows[2].is_contaminated
+    assert rows[3].n_grams == 0 and rows[3].overlap == 0.0
+    assert not rows[3].is_contaminated
+    # at a 30% threshold the partial-overlap doc flips to clean
+    at30 = {
+        r.doc_id: r.is_contaminated
+        for r in corpus.contamination_scores(
+            docs, bench, n=5, threshold_pct=30
+        ).collect()
+    }
+    assert at30[0] and not at30[1]
+
+
 def test_decontaminate_shuffle_fallback_matches_broadcast(spark):
     """The broadcast-size guard's shuffle semi-join fallback (forced via
     max_broadcast_grams=0) must keep exactly the same documents as the
