@@ -178,6 +178,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_resolution": oracle_dataops.dedup_minhash_resolution_sql(),
         "dedup_minhash_keep": oracle_dataops.dedup_minhash_keep_sql(),
         "dedup_minhash_clusters": oracle_dataops.dedup_minhash_clusters_sql(),
+        # dedup_incremental_pairs: batch-vs-corpus asymmetric banded
+        # minhash screen (the per-ingest dedup an incremental pipeline
+        # runs) — oracle-only swept entry.
+        "dedup_incremental_pairs": oracle_dataops.dedup_incremental_pairs_sql(),
         "dedup_simhash_sigs": oracle_dataops.dedup_simhash_sigs_sql(),
         "dedup_simhash_pairs": oracle_dataops.dedup_simhash_pairs_sql(),
         "knn_bruteforce": oracle_dataops.knn_bruteforce_sql(),

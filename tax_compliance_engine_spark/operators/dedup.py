@@ -378,6 +378,75 @@ def minhash_est_pairs(
     )
 
 
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """INCREMENTAL near-dup screen: match an incoming batch against the
+    existing corpus without self-joining either side — the operation an
+    ingest pipeline runs per batch ("is this new doc a near-copy of
+    anything we already hold?").
+
+    Asymmetric banded join: both sides get the 16-permutation MinHash
+    signature, the NEW side's band rows equi-join the CORPUS side's on
+    (band, band_sig) with first-shared-band in-join dedup, and each
+    candidate is scored by the 16-component signature estimate (cost
+    independent of document length, like ``minhash_est_pairs``).
+    Returns (new_id, corpus_id, est_jaccard ≥ threshold).  Within-batch
+    duplicates are NOT reported — run ``minhash_est_pairs`` on the batch
+    alone for those.  The sides are expected to be disjoint id sets; a
+    doc present in both appears as its own (id, id, 1.0) match.
+
+    Scale shape: the corpus side's banded signature table is exactly the
+    artifact an incremental pipeline persists between batches (write it
+    once, bucketed by (band, band_sig)); each batch then costs one scan
+    of the batch plus the collided buckets — the corpus text is never
+    re-tokenized per batch.  Here both sides derive in-plan from their
+    frames; pass a pre-materialized signature frame through
+    ``_banded``'s contract to skip the corpus recompute."""
+    from functools import reduce
+
+    n_perms = len(hashing.MINHASH_PERMS)
+    extra = tuple(f"_mh{i}" for i in range(n_perms))
+    a = _banded(
+        _minhash_per_doc(new_docs, text_col),
+        with_all_sigs=True,
+        sig="long",
+        extra=extra,
+    ).alias("a")
+    b = _banded(
+        _minhash_per_doc(corpus_docs, text_col),
+        with_all_sigs=True,
+        sig="long",
+        extra=extra,
+    ).alias("b")
+    cond = reduce(
+        lambda x, y: x & y,
+        [
+            F.col("a.band") == F.col("b.band"),
+            F.col("a.band_sig") == F.col("b.band_sig"),
+            *first_shared_band_terms(_all_sigs_at, hashing.MINHASH_BANDS),
+        ],
+    )
+    n_match = sum(
+        F.when(F.col(f"a._mh{i}") == F.col(f"b._mh{i}"), 1).otherwise(0)
+        for i in range(n_perms)
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.doc_id").alias("new_id"),
+            F.col("b.doc_id").alias("corpus_id"),
+            (n_match.cast("double") / F.lit(float(n_perms))).alias(
+                "est_jaccard"
+            ),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
 def _verify_bucket_local(per_doc: DataFrame, threshold: float) -> DataFrame:
     """Bucket-local exact verify: the per-doc token-hash sets ride the
     banded explode (one copy per band row), the band-bucket self-join

@@ -414,6 +414,33 @@ JOIN sig_arrays s2 ON s2.doc_id = c.doc2
 WHERE {est} >= {threshold}"""
 
 
+def dedup_incremental_pairs_sql(
+    threshold: float = 0.5, batch_mod: int = 13
+) -> str:
+    """Twin of queries_dataops.dedup_incremental_pairs: the asymmetric
+    banded join (doc_id%batch_mod slice vs the rest) scored by the same
+    16-component signature estimate — estimates are multiples of 1/16,
+    exact in binary floating point on both engines."""
+    n = len(hashing.MINHASH_PERMS)
+    est = (
+        f"CAST(len(list_filter(range(1, {n}+1), i -> s1.sig[i] = s2.sig[i])) "
+        f"AS DOUBLE) / {float(n)}"
+    )
+    return f"""WITH {_minhash_sig_ctes()},
+sig_arrays AS (
+  SELECT doc_id, list(mh ORDER BY i) AS sig FROM minhashes GROUP BY doc_id),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+  FROM band_sigs a JOIN band_sigs b
+    ON a.band = b.band AND a.band_sig_long = b.band_sig_long
+  WHERE a.doc_id % {batch_mod} = 0 AND b.doc_id % {batch_mod} <> 0)
+SELECT c.new_id, c.corpus_id, {est} AS est_jaccard
+FROM candidates c
+JOIN sig_arrays s1 ON s1.doc_id = c.new_id
+JOIN sig_arrays s2 ON s2.doc_id = c.corpus_id
+WHERE {est} >= {threshold}"""
+
+
 def dedup_minhash_keep_sql(threshold: float = 0.5) -> str:
     pairs_sql = dedup_minhash_pairs_sql(threshold)
     return f"""WITH pairs AS (

@@ -141,6 +141,17 @@ def dedup_minhash_est_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_est_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest screen (dedup.incremental_minhash_pairs): the
+    doc_id%13 slice plays the incoming batch, the rest the standing
+    corpus — (new_id, corpus_id, est_jaccard) matches only, no
+    corpus-side self-join."""
+    docs = _docs(spark, sf_dir)
+    batch = docs.filter(F.col("doc_id") % 13 == 0)
+    standing = docs.filter(F.col("doc_id") % 13 != 0)
+    return dedup.incremental_minhash_pairs(batch, standing, threshold=0.5)
+
+
 def dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deduplicated corpus id-set after MinHash near-dup removal."""
     docs = _docs(spark, sf_dir)

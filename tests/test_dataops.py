@@ -182,6 +182,58 @@ def test_minhash_est_is_component_fraction(spark):
         assert 0.0 <= est <= 1.0
 
 
+def test_incremental_pairs_batch_vs_corpus_only(spark):
+    """The incremental screen reports batch→corpus matches only: a batch
+    doc that copies a corpus doc pairs with it (est 1.0), two identical
+    docs WITHIN the batch never pair with each other, and corpus-corpus
+    duplicates are invisible."""
+    copy = "the quick brown fox jumps over the lazy dog"
+    batch = docs_df(spark, [copy, copy])  # ids 0,1: within-batch dup
+    corpus_rows = [
+        (10, copy, "s0"),  # the standing doc the batch copies
+        (11, copy, "s0"),  # corpus-corpus dup: must not be reported
+        (12, "completely different words here entirely", "s1"),
+    ]
+    corpus_df = spark.createDataFrame(
+        corpus_rows, "doc_id long, text string, source string"
+    )
+    rows = sorted(
+        (r.new_id, r.corpus_id, r.est_jaccard)
+        for r in dedup.incremental_minhash_pairs(
+            batch, corpus_df, threshold=0.5
+        ).collect()
+    )
+    assert rows == [(0, 10, 1.0), (0, 11, 1.0), (1, 10, 1.0), (1, 11, 1.0)]
+
+
+def test_incremental_pairs_match_est_pairs_cross_slice(spark):
+    """On a combined corpus, the asymmetric screen equals the symmetric
+    est-pairs result restricted to cross-side pairs (same signatures,
+    same estimate, same threshold)."""
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta iota kappa",
+        "one two three four five six seven eight",
+        "alpha beta gamma delta epsilon zeta eta theta extra",
+    ]
+    combined = docs_df(spark, texts)
+    batch = combined.filter("doc_id % 2 = 0")
+    standing = combined.filter("doc_id % 2 != 0")
+    got = sorted(
+        (r.new_id, r.corpus_id, r.est_jaccard)
+        for r in dedup.incremental_minhash_pairs(
+            batch, standing, threshold=0.0
+        ).collect()
+    )
+    want = sorted(
+        (a, b, e) if a % 2 == 0 else (b, a, e)
+        for r in dedup.minhash_est_pairs(combined, threshold=0.0).collect()
+        for a, b, e in [(r.doc1, r.doc2, r.est_jaccard)]
+        if (a % 2) != (b % 2)
+    )
+    assert got == want
+
+
 def test_minhash_signature_shape(spark):
     sigs = dedup.minhash_signatures(docs_df(spark, ["a b c", "a b c"])).collect()
     by_doc = {}
