@@ -222,6 +222,14 @@ def oracle_sql() -> dict[str, str]:
         "corpus_token_mixture": oracle_corpus.corpus_token_mixture_sql(),
         "corpus_pack_bins": oracle_corpus.corpus_pack_bins_sql(),
         "corpus_decontaminate": oracle_corpus.corpus_decontaminate_sql(),
+        # corpus_split_assign: deterministic train/val/test labels from
+        # the LCG sampling key (stable under corpus growth) —
+        # oracle-only swept entry.
+        "corpus_split_assign": oracle_corpus.corpus_split_assign_sql(),
+        # corpus_chunk_dedup: chunk-level exact dedup with reassembly
+        # (passage-granularity boilerplate removal, first occurrence
+        # wins) — oracle-only swept entry.
+        "corpus_chunk_dedup": oracle_corpus.corpus_chunk_dedup_sql(),
         # corpus_contamination_scores: GRADED decontamination — per-doc
         # benchmark n-gram overlap fraction + dirty flag at 20% (exact
         # integer flag arithmetic, one exactly-rounded division) —

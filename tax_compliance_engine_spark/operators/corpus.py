@@ -516,6 +516,129 @@ def contamination_scores(
     )
 
 
+def split_assign(
+    docs: DataFrame,
+    fractions: list[tuple[str, float]] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: each doc gets a
+    split label from its LCG sampling key (``sample_hash_col``), with
+    integer cumulative thresholds — reproducible across runs, engines,
+    partitionings, and corpus growth (a doc's label NEVER changes when
+    other docs are added, which a row_number()-based split cannot
+    promise).  The label is a pure row-local projection: no shuffle, no
+    sampling state, trivially pushed into any downstream plan.
+
+    ``fractions`` is an ordered list of (label, fraction); thresholds
+    are floor(cumsum·SAMPLE_MOD) in exact integer arithmetic and the
+    LAST label absorbs any rounding remainder, so every doc is labeled.
+    Fractions must be positive and sum to ≤ 1 + 1e-9."""
+    if fractions is None:
+        fractions = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    if not fractions or any(f <= 0 for _, f in fractions):
+        raise ValueError(f"fractions must be positive: {fractions}")
+    total = sum(f for _, f in fractions)
+    if total > 1 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    h = sample_hash_col(F.col(id_col))
+    cuts: list[tuple[str, int]] = []
+    cum = 0.0
+    for label, frac in fractions:
+        cum += frac
+        cuts.append((label, int(cum * SAMPLE_MOD)))
+    # last label absorbs float-rounding remainder: threshold → MOD
+    cuts[-1] = (cuts[-1][0], SAMPLE_MOD)
+    # build inside-out so the FIRST threshold is the outermost when():
+    # h < t1 → label1, else h < t2 → label2, …, else the last label
+    expr: Column = F.lit(cuts[-1][0])
+    for label, cut in reversed(cuts[:-1]):
+        expr = F.when(h < F.lit(cut), F.lit(label)).otherwise(expr)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), expr.alias("split")
+    )
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    chunk_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk-level exact dedup with reassembly: split every document
+    into consecutive ``chunk_tokens``-token chunks, drop every repeat of
+    a chunk already seen anywhere in the corpus (first occurrence by
+    (doc_id, chunk_idx) order wins — including repeats WITHIN one doc),
+    and rebuild each document from its surviving chunks in order.  The
+    passage-level analogue of line/paragraph dedup for corpora without
+    newline structure — the standard fix for boilerplate that exact
+    whole-doc dedup misses and near-dedup would over-delete.
+
+    Output: (doc_id, n_chunks, n_kept, text_deduped) — the rebuilt text
+    has single-space token joins (whitespace-normalized, like every
+    token-level operator here).  Docs losing every chunk (or empty to
+    begin with) come back with empty text, not dropped rows.
+
+    Scale shape: one shuffle keyed by chunk text to elect the canonical
+    first occurrence (map-side combine collapses per-partition repeats
+    first), one (doc_id) shuffle to reassemble, pinned order via
+    array_sort(collect_list(struct)) — no windows over the full corpus,
+    no driver state."""
+    from .textops import tokens_col
+
+    c = int(chunk_tokens)
+    if c <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {c}")
+    toks = tokens_col(F.col(text_col))
+    n_chunks = F.floor((F.size(toks) + (c - 1)) / c).cast("int")
+    chunks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            # empty docs: sequence(0, -1) is DESCENDING, not empty —
+            # same guard as _doc_ngrams
+            F.when(
+                n_chunks > 0,
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.array_join(F.slice(toks, i * c + 1, c), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("chunk_idx", "chunk"),
+    )
+    keeper = chunks.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("_first")
+    )
+    kept = (
+        chunks.join(keeper, "chunk")
+        .filter(
+            (F.col("doc_id") == F.col("_first.doc_id"))
+            & (F.col("chunk_idx") == F.col("_first.chunk_idx"))
+        )
+        .select("doc_id", "chunk_idx", "chunk")
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+        ).alias("text_deduped"),
+    )
+    totals = chunks.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(totals, "doc_id", "left")
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+        )
+    )
+
+
 # KMV scramble constants: one multiplicative-congruential pass that
 # equidistributes the (length-bounded) polynomial token hash over
 # [0, HASH_MOD) before order statistics are taken.  tok_hash < HASH_MOD

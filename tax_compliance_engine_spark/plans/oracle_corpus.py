@@ -216,6 +216,59 @@ WHERE doc_id % {bench_mod} <> 0
   AND doc_id NOT IN (SELECT doc_id FROM contaminated)"""
 
 
+def corpus_split_assign_sql(
+    fractions: list[tuple[str, float]] | None = None,
+) -> str:
+    """Twin of corpus.split_assign: the identical LCG key and integer
+    cumulative thresholds as a literal CASE chain."""
+    if fractions is None:
+        fractions = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    cuts, cum = [], 0.0
+    for label, frac in fractions:
+        cum += frac
+        cuts.append((label, int(cum * corpus.SAMPLE_MOD)))
+    whens = "\n       ".join(
+        f"WHEN {_HASH} < {cut} THEN '{label}'" for label, cut in cuts[:-1]
+    )
+    return f"""SELECT doc_id,
+  CASE {whens}
+       ELSE '{cuts[-1][0]}' END AS split
+FROM documents"""
+
+
+def corpus_chunk_dedup_sql(chunk_tokens: int = 10) -> str:
+    """Twin of corpus.chunk_dedup: consecutive ``chunk_tokens``-token
+    chunks, global first-occurrence election by (doc_id, chunk_idx)
+    window rank, ordered string_agg reassembly — strings and integers
+    only, bit-exact."""
+    c = int(chunk_tokens)
+    return f"""WITH toks AS (
+  SELECT doc_id, {TOKENS} AS t FROM documents),
+chunks AS (
+  SELECT doc_id, u.i - 1 AS chunk_idx,
+         array_to_string(
+           list_slice(t, (u.i - 1) * {c} + 1, (u.i - 1) * {c} + {c}), ' '
+         ) AS chunk
+  FROM toks, unnest(range(1, (len(t) + {c} - 1) // {c} + 1)) AS u(i)),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks),
+kept AS (SELECT doc_id, chunk_idx, chunk FROM ranked WHERE rn = 1),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_deduped
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(tot.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(agg.text_deduped, '') AS text_deduped
+FROM documents d
+LEFT JOIN tot ON tot.doc_id = d.doc_id
+LEFT JOIN agg ON agg.doc_id = d.doc_id"""
+
+
 def corpus_contamination_scores_sql(
     n: int = 5, threshold_pct: int = 20, bench_mod: int = 97
 ) -> str:

@@ -528,6 +528,21 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.decontaminate(rest, bench, n=5).select("doc_id")
 
 
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment from the LCG
+    sampling key (corpus.split_assign) — labels are stable under corpus
+    growth, unlike any row_number()-based split."""
+    return corpus.split_assign(_docs(spark, sf_dir))
+
+
+def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup (corpus.chunk_dedup): 10-token passages,
+    global first-occurrence-wins removal, per-doc reassembly — the
+    passage-granularity middle ground between exact whole-doc dedup and
+    near-dedup."""
+    return corpus.chunk_dedup(_docs(spark, sf_dir), chunk_tokens=10)
+
+
 def corpus_contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded decontamination (corpus.contamination_scores): per-doc
     benchmark n-gram overlap fraction + dirty flag at 20% — the metric

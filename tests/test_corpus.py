@@ -131,6 +131,58 @@ def test_decontaminate_drops_overlapping(spark):
     assert kept == [1, 2]
 
 
+def test_split_assign_stable_and_covering(spark):
+    """Every doc gets exactly one label; labels are a pure function of
+    doc_id (adding documents never relabels existing ones); fractions
+    land near their targets; bad fractions raise."""
+    import pytest as _pytest
+
+    small = docs_df(spark, [(i, "x", "s0") for i in range(200)])
+    big = docs_df(spark, [(i, "x", "s0") for i in range(1000)])
+    lab_small = {
+        r.doc_id: r.split for r in corpus.split_assign(small).collect()
+    }
+    lab_big = {r.doc_id: r.split for r in corpus.split_assign(big).collect()}
+    assert len(lab_small) == 200 and len(lab_big) == 1000
+    for i in range(200):  # growth never relabels
+        assert lab_small[i] == lab_big[i]
+    from collections import Counter
+
+    shares = Counter(lab_big.values())
+    assert set(shares) <= {"train", "val", "test"}
+    assert shares["train"] > 800  # 90% ± sampling noise at n=1000
+    assert 10 <= shares["val"] + shares["test"] <= 200
+    with _pytest.raises(ValueError):
+        corpus.split_assign(small, fractions=[("a", 0.9), ("b", 0.3)])
+    with _pytest.raises(ValueError):
+        corpus.split_assign(small, fractions=[("a", -0.1)])
+
+
+def test_chunk_dedup_reassembly(spark):
+    """First occurrence wins globally AND within a doc; tail chunks
+    shorter than chunk_tokens still dedup; empty docs come back as empty
+    rows, not missing ones."""
+    docs = docs_df(
+        spark,
+        [
+            (0, "a b c d e f", "s0"),
+            (1, "a b c x y z", "s0"),  # first chunk copies doc 0's
+            (2, "p q r p q r p q", "s0"),  # within-doc repeat + short tail
+            (3, "", "s1"),
+            (4, "a b c", "s1"),  # whole doc is a duplicate chunk
+        ],
+    )
+    rows = {
+        r.doc_id: (r.n_chunks, r.n_kept, r.text_deduped)
+        for r in corpus.chunk_dedup(docs, chunk_tokens=3).collect()
+    }
+    assert rows[0] == (2, 2, "a b c d e f")
+    assert rows[1] == (2, 1, "x y z")
+    assert rows[2] == (3, 2, "p q r p q")
+    assert rows[3] == (0, 0, "")
+    assert rows[4] == (1, 0, "")
+
+
 def test_contamination_scores_graded_overlap(spark):
     """Overlap fractions and the percent-threshold flag on constructed
     docs: a full copy scores 1.0, a partial overlap scores its exact
