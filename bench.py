@@ -95,8 +95,19 @@ def _cpu_totals() -> tuple[float, float]:
             with open(f"/proc/{pid}/stat") as fh:
                 f = fh.read().rsplit(")", 1)[1].split()
             # post-comm fields: [0]=state [1]=ppid … [11]=utime [12]=stime
+            # [13]=cutime [14]=cstime.  cutime/cstime (CPU of REAPED
+            # children) must be included: pyspark daemons fork a worker
+            # per task and reap it seconds later, so a live-process sum
+            # DROPS when workers exit and the busy-minus-ours difference
+            # books our own dead workers' CPU as external contention
+            # (observed as >32 "external cores" on an idle 32-CPU box).
+            # A child is counted exactly once at any instant: in its own
+            # utime/stime while alive, in its reaper's cutime/cstime
+            # after.
             ppid_of[int(pid)] = int(f[1])
-            cpu_of[int(pid)] = (int(f[11]) + int(f[12])) / hz
+            cpu_of[int(pid)] = (
+                int(f[11]) + int(f[12]) + int(f[13]) + int(f[14])
+            ) / hz
         except (OSError, ValueError, IndexError):
             continue
     me = os.getpid()

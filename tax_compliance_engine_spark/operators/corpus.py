@@ -899,6 +899,7 @@ def bpe_token_counts(
     n_merges: int = 6,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = False,
 ) -> DataFrame:
     """END-TO-END tokenizer pipeline in ONE lazy plan: train the BPE
     merge rules on the corpus (``bpe_merges``), then segment every
@@ -916,10 +917,17 @@ def bpe_token_counts(
 
     Scale shape: training is ``bpe_merges``'s narrow pair aggregations;
     application is row-local fold work over the corpus scan with only
-    1-row broadcasts joined in — no shuffle of the documents at all."""
+    1-row broadcasts joined in — no shuffle of the documents at all.
+    ``materialize=True`` localCheckpoints each training iteration's word
+    table (the canonical Spark pattern for iterative algorithms:
+    truncate lineage instead of recomputing the O(k²) lazy chain) —
+    identical results, measurably faster, at the cost of eager jobs at
+    plan-build time."""
     from .textops import tokens_col
 
-    rules = bpe_merges(docs, n_merges=n_merges, text_col=text_col).cache()
+    rules = bpe_merges(
+        docs, n_merges=n_merges, text_col=text_col, materialize=materialize
+    ).cache()
     out = docs.select(id_col, tokens_col(F.col(text_col)).alias("_words"))
     for step in range(1, n_merges + 1):
         bp = F.broadcast(

@@ -484,8 +484,10 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair per step under a deterministic tie-break, greedy left-to-right
     merge scan — collect-free (each step's top-1 rides the plan as a
     broadcast row) and swept bit-exact against the unrolled
-    gaps-and-islands DuckDB twin."""
-    return corpus.bpe_merges(_docs(spark, sf_dir), n_merges=6)
+    gaps-and-islands DuckDB twin.  Iterations are materialized
+    (localCheckpoint lineage truncation — result-identical,
+    pytest-pinned) so step k doesn't recompute steps 1..k-1's merges."""
+    return corpus.bpe_merges(_docs(spark, sf_dir), n_merges=6, materialize=True)
 
 
 def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -496,8 +498,12 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     training and application compose in a single lazy plan with no
     driver round-trip.  Output: per-doc whitespace word count and
     post-merge subword count (integers — hash-exact vs the unrolled
-    DuckDB train+apply twin)."""
-    return corpus.bpe_token_counts(_docs(spark, sf_dir), n_merges=6)
+    DuckDB train+apply twin).  Training runs with materialized (lineage-
+    truncated) iterations — result-identical to the lazy chain
+    (pytest-pinned) and faster end-to-end."""
+    return corpus.bpe_token_counts(
+        _docs(spark, sf_dir), n_merges=6, materialize=True
+    )
 
 
 def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
