@@ -378,6 +378,50 @@ def minhash_est_pairs(
     )
 
 
+def asymmetric_banded_est_pairs(
+    new_per_doc: DataFrame, corpus_per_doc: DataFrame, threshold: float
+) -> DataFrame:
+    """Shared core of the batch and streaming incremental screens: band
+    two per-doc component frames (16 ``_mh*`` columns + doc_id each),
+    equi-join new-side band rows against corpus-side on (band, band_sig)
+    with first-shared-band in-join dedup, and score by the 16-component
+    signature estimate.  Works unchanged when ``new_per_doc`` is a
+    streaming frame (the join becomes a stateless stream-static join)."""
+    from functools import reduce
+
+    n_perms = len(hashing.MINHASH_PERMS)
+    extra = tuple(f"_mh{i}" for i in range(n_perms))
+    a = _banded(
+        new_per_doc, with_all_sigs=True, sig="long", extra=extra
+    ).alias("a")
+    b = _banded(
+        corpus_per_doc, with_all_sigs=True, sig="long", extra=extra
+    ).alias("b")
+    cond = reduce(
+        lambda x, y: x & y,
+        [
+            F.col("a.band") == F.col("b.band"),
+            F.col("a.band_sig") == F.col("b.band_sig"),
+            *first_shared_band_terms(_all_sigs_at, hashing.MINHASH_BANDS),
+        ],
+    )
+    n_match = sum(
+        F.when(F.col(f"a._mh{i}") == F.col(f"b._mh{i}"), 1).otherwise(0)
+        for i in range(n_perms)
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.doc_id").alias("new_id"),
+            F.col("b.doc_id").alias("corpus_id"),
+            (n_match.cast("double") / F.lit(float(n_perms))).alias(
+                "est_jaccard"
+            ),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
 def incremental_minhash_pairs(
     new_docs: DataFrame,
     corpus_docs: DataFrame,
@@ -406,44 +450,10 @@ def incremental_minhash_pairs(
     re-tokenized per batch.  Here both sides derive in-plan from their
     frames; pass a pre-materialized signature frame through
     ``_banded``'s contract to skip the corpus recompute."""
-    from functools import reduce
-
-    n_perms = len(hashing.MINHASH_PERMS)
-    extra = tuple(f"_mh{i}" for i in range(n_perms))
-    a = _banded(
+    return asymmetric_banded_est_pairs(
         _minhash_per_doc(new_docs, text_col),
-        with_all_sigs=True,
-        sig="long",
-        extra=extra,
-    ).alias("a")
-    b = _banded(
         _minhash_per_doc(corpus_docs, text_col),
-        with_all_sigs=True,
-        sig="long",
-        extra=extra,
-    ).alias("b")
-    cond = reduce(
-        lambda x, y: x & y,
-        [
-            F.col("a.band") == F.col("b.band"),
-            F.col("a.band_sig") == F.col("b.band_sig"),
-            *first_shared_band_terms(_all_sigs_at, hashing.MINHASH_BANDS),
-        ],
-    )
-    n_match = sum(
-        F.when(F.col(f"a._mh{i}") == F.col(f"b._mh{i}"), 1).otherwise(0)
-        for i in range(n_perms)
-    )
-    return (
-        a.join(b, cond)
-        .select(
-            F.col("a.doc_id").alias("new_id"),
-            F.col("b.doc_id").alias("corpus_id"),
-            (n_match.cast("double") / F.lit(float(n_perms))).alias(
-                "est_jaccard"
-            ),
-        )
-        .filter(F.col("est_jaccard") >= threshold)
+        threshold,
     )
 
 

@@ -41,6 +41,45 @@ def streaming_exact_dedup(
     return out.dropDuplicates(["digest"])
 
 
+def streaming_incremental_dedup(
+    stream: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Streaming ingest screen against a STANDING corpus: for every doc
+    arriving on the stream, emit its near-dup matches in the static
+    corpus — the streaming twin of
+    ``operators/dedup.incremental_minhash_pairs`` (drained ≡ batch).
+
+    Plan shape: row-local MinHash components on the stream
+    (``minhash_components_inline`` — no shuffle aggregation, legal on an
+    unbounded stream), band explode, then a STREAM-STATIC equi-join on
+    (band, band_sig) with first-shared-band in-join dedup.  Stream-
+    static joins are STATELESS in Structured Streaming — each
+    micro-batch probes the static side and nothing is retained — so
+    this runs forever in bounded memory with no watermark, no state
+    store, and no eviction policy; the only growing thing is the output.
+    (Contrast ``streaming_near_dedup``, which must keep bucket-residency
+    state because it also pairs stream docs with EARLIER stream docs.)
+
+    At 100 TB the static side is the corpus's persisted banded signature
+    table (bucketed by (band, band_sig)); here it derives in-plan from
+    ``corpus_docs``.  Empty stream docs (no tokens → NULL components)
+    are screened out, matching the batch operator's aggregation-side
+    omission."""
+    from ..operators import dedup as d
+
+    stream_per_doc = stream.select(
+        F.col(id_col).alias("doc_id"),
+        *d.minhash_components_inline(F.col(text_col)),
+    ).filter(F.col("_mh0").isNotNull())
+    return d.asymmetric_banded_est_pairs(
+        stream_per_doc, d._minhash_per_doc(corpus_docs, text_col), threshold
+    )
+
+
 NEAR_DEDUP_OUT_SCHEMA = "doc1 long, doc2 long, est_jaccard double"
 _NEAR_STATE_SCHEMA = (
     "doc_ids array<long>, sigs array<array<long>>, comps array<array<long>>"

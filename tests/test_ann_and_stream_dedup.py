@@ -344,6 +344,66 @@ def test_streaming_near_dedup_matches_batch(spark, tmp_path):
     )
 
 
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
+    """Drained stream-static screen ≡ batch incremental_minhash_pairs:
+    stream docs match only the STANDING corpus (never each other), the
+    join is stateless, and two separate drains see the same corpus."""
+    from tax_compliance_engine_spark.operators import dedup
+    from tax_compliance_engine_spark.streaming.dedup_stream import (
+        streaming_incremental_dedup,
+    )
+
+    first, second = _near_dup_docs()
+    schema = "doc_id long, text string"
+    # the standing corpus: near-copies of doc 0 and doc 10, one decoy
+    corpus_rows = [
+        (100, first[0][1]),
+        (101, second[0][1].replace("late", "early")),
+        (102, "standing corpus decoy that matches nothing arriving here"),
+    ]
+    corpus_df = spark.createDataFrame(corpus_rows, schema)
+    src, out = tmp_path / "docs", tmp_path / "matches"
+    threshold = 0.4
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            streaming_incremental_dedup(stream, corpus_df, threshold=threshold)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.schema(
+            "new_id long, corpus_id long, est_jaccard double"
+        ).parquet(str(out))
+
+    spark.createDataFrame(first, schema).write.mode("append").parquet(str(src))
+    drain()
+    spark.createDataFrame(second, schema).write.mode("append").parquet(str(src))
+    got = sorted(
+        (r.new_id, r.corpus_id, r.est_jaccard) for r in drain().collect()
+    )
+
+    batch_docs = spark.createDataFrame(first + second, schema)
+    want = sorted(
+        (r.new_id, r.corpus_id, r.est_jaccard)
+        for r in dedup.incremental_minhash_pairs(
+            batch_docs, corpus_df, threshold=threshold
+        ).collect()
+    )
+    assert got == want
+    assert any(n == 0 and c == 100 for n, c, _ in got)
+    assert any(n == 11 and c == 101 for n, c, _ in got), (
+        "second-drain doc must still match the standing corpus"
+    )
+    # near-dup stream docs 0/1 must NOT pair with each other here
+    assert all(c >= 100 for _, c, _ in got)
+
+
 def test_streaming_near_dedup_idempotent_redelivery(spark, tmp_path):
     """Re-delivering the same doc_id must not re-emit its pairs."""
     from tax_compliance_engine_spark.streaming.dedup_stream import (
