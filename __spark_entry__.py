@@ -222,6 +222,10 @@ def oracle_sql() -> dict[str, str]:
         "corpus_token_mixture": oracle_corpus.corpus_token_mixture_sql(),
         "corpus_pack_bins": oracle_corpus.corpus_pack_bins_sql(),
         "corpus_decontaminate": oracle_corpus.corpus_decontaminate_sql(),
+        # doc_oov_rates: per-doc out-of-vocabulary rate vs the corpus's
+        # own top-k vocabulary (self-referential noise filter) —
+        # oracle-only swept entry.
+        "doc_oov_rates": oracle_corpus.doc_oov_rates_sql(k=16),
         # corpus_split_assign: deterministic train/val/test labels from
         # the LCG sampling key (stable under corpus growth) —
         # oracle-only swept entry.

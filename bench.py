@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "multimodal_jpeg_profile",
     "corpus_bpe_merges",
     "doc_bpe_token_counts",
+    "dedup_incremental_pairs",
+    "corpus_chunk_dedup",
 ]
 
 

@@ -53,6 +53,8 @@ SCALE_QUERIES = [
     "ivfpq_knn_fixed_queries",
     "corpus_decontaminate_bloom",
     "corpus_bpe_merges",
+    "dedup_incremental_pairs",
+    "corpus_chunk_dedup",
 ]
 
 

@@ -83,6 +83,56 @@ def top_vocabulary(
     )
 
 
+def oov_rates(
+    docs: DataFrame, k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Per-doc out-of-vocabulary rate against the corpus's own top-``k``
+    vocabulary: the fraction of token OCCURRENCES not covered by the
+    k most frequent tokens — the cheap self-referential noise filter
+    (gibberish, foreign-script spill, markup debris score high; ordinary
+    prose scores low).
+
+    Output: (doc_id, n_tokens, n_oov, oov_rate) — rate is one exactly-
+    rounded int÷int division (0.0 for empty docs), so the DuckDB twin
+    hash-compares bit-exact.
+
+    Scale shape: the vocabulary is a global top-k (TakeOrdered — never a
+    full sort) broadcast back as a marker; the per-doc count is ONE
+    (doc_id) aggregation over the token stream with map-side combine.
+    The token explode never shuffles for the probe."""
+    vocab = top_vocabulary(docs, k, text_col).select("token").withColumn(
+        "_iv", F.lit(1)
+    )
+    toks = docs.select(
+        F.col("doc_id"), F.explode(_tokens(text_col)).alias("token")
+    )
+    counts = (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_iv").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("n_oov").cast("double") / F.col("n_tokens"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("oov_rate"),
+        )
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame, k: int = 3, text_col: str = "text"
 ) -> DataFrame:

@@ -30,6 +30,30 @@ FROM per_doc GROUP BY token
 ORDER BY term_count DESC, token LIMIT {k}"""
 
 
+def doc_oov_rates_sql(k: int = 100) -> str:
+    """Twin of corpus.oov_rates: identical top-k vocabulary (term count
+    DESC, token tie-break), left-join marker, one per-doc aggregation,
+    exactly-rounded division."""
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest({TOKENS}) AS token FROM documents),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS tc FROM toks GROUP BY token
+    ORDER BY tc DESC, token LIMIT {k})),
+counts AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM toks t LEFT JOIN vocab v ON t.token = v.token
+  GROUP BY t.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(c.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.n_oov, 0) AS BIGINT) AS n_oov,
+       CASE WHEN COALESCE(c.n_tokens, 0) > 0
+            THEN CAST(c.n_oov AS DOUBLE) / CAST(c.n_tokens AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END AS oov_rate
+FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id"""
+
+
 def doc_tfidf_top_terms_sql(k: int = 3) -> str:
     return f"""WITH toks AS (
   SELECT doc_id, unnest({TOKENS}) AS token FROM documents),

@@ -534,6 +534,14 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.decontaminate(rest, bench, n=5).select("doc_id")
 
 
+def doc_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc out-of-vocabulary rate vs the corpus top-16 vocabulary
+    (corpus.oov_rates) — the self-referential noise filter.  k=16 on the
+    31-token synthetic vocabulary so roughly half the token stream is
+    OOV and the swept rates are non-trivial."""
+    return corpus.oov_rates(_docs(spark, sf_dir), k=16)
+
+
 def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test assignment from the LCG
     sampling key (corpus.split_assign) — labels are stable under corpus

@@ -131,6 +131,32 @@ def test_decontaminate_drops_overlapping(spark):
     assert kept == [1, 2]
 
 
+def test_oov_rates_against_topk_vocab(spark):
+    """OOV counts token OCCURRENCES outside the top-k corpus vocabulary;
+    ties in the vocabulary cut break on token; empty docs rate 0.0."""
+    docs = docs_df(
+        spark,
+        [
+            (0, "a a a b b c", "s0"),  # a:3 b:2 c:1 corpus-wide with doc1
+            (1, "a b c zz zz", "s0"),
+            (2, "", "s1"),
+        ],
+    )
+    # corpus counts: a=4, b=3, zz=2, c=2 → top-2 = {a, b}
+    rows = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+        for r in corpus.oov_rates(docs, k=2).collect()
+    }
+    assert rows[0] == (6, 1, 1 / 6)  # only 'c' is OOV
+    assert rows[1] == (5, 3, 0.6)  # c, zz, zz
+    assert rows[2] == (0, 0, 0.0)
+    # k=3: the tie between zz(2) and c(2) breaks lexicographically → c
+    rows3 = {
+        r.doc_id: r.n_oov for r in corpus.oov_rates(docs, k=3).collect()
+    }
+    assert rows3[0] == 0 and rows3[1] == 2  # zz zz still OOV
+
+
 def test_split_assign_stable_and_covering(spark):
     """Every doc gets exactly one label; labels are a pure function of
     doc_id (adding documents never relabels existing ones); fractions
