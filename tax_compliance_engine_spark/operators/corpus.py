@@ -483,23 +483,50 @@ def decontaminate(
 
     All three regimes produce identical results, so the oracle twin is
     the same plain anti-join SQL regardless of plan."""
-    corpus_grams = _doc_ngrams(docs, text_col, n)
+    return decontaminate_plan(
+        benchmark, n, text_col, max_broadcast_grams, max_bloom_bits
+    )(docs)
+
+
+def decontaminate_plan(
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    max_broadcast_grams: int = 5_000_000,
+    max_bloom_bits: int = 1 << 28,
+):
+    """Precompute ``decontaminate``'s STATIC side once — gram set cached
+    and counted, regime chosen, bloom bitmap built if applicable — and
+    return a ``docs -> kept_docs`` closure that applies the anti-join.
+    The reusable form for repeated batches against one benchmark (the
+    streaming writer applies it per micro-batch without re-counting the
+    benchmark every trigger)."""
     bench_grams = (
         _doc_ngrams(benchmark, text_col, n).select("gram").distinct().cache()
     )
     n_grams = bench_grams.count()  # also materializes the cache for the join
+    prefilter = None
     if n_grams <= max_broadcast_grams:
-        probe, bench_side = corpus_grams, F.broadcast(bench_grams)
+        bench_side = F.broadcast(bench_grams)
     else:
         m_bits, expected_fp = bloom._auto_bits(n_grams, max_bloom_bits)
         if expected_fp <= 0.5:
             bitmap = _bloom_bitmap(bench_grams, m_bits)
-            probe = _bloom_prefilter(corpus_grams, bitmap, m_bits)
-        else:
-            probe = corpus_grams  # bitmap saturated: plain shuffle semi-join
+
+            def prefilter(grams, _bm=bitmap, _mb=m_bits):
+                return _bloom_prefilter(grams, _bm, _mb)
+        # else: bitmap saturated — plain shuffle semi-join
         bench_side = bench_grams
-    contaminated = probe.join(bench_side, "gram").select("doc_id").distinct()
-    return docs.join(contaminated, "doc_id", "left_anti")
+
+    def apply(docs: DataFrame) -> DataFrame:
+        corpus_grams = _doc_ngrams(docs, text_col, n)
+        probe = prefilter(corpus_grams) if prefilter else corpus_grams
+        contaminated = (
+            probe.join(bench_side, "gram").select("doc_id").distinct()
+        )
+        return docs.join(contaminated, "doc_id", "left_anti")
+
+    return apply
 
 
 def contamination_scores(

@@ -43,6 +43,16 @@ def get_spark(
         # Deterministic session timezone so date/timestamp semantics match the
         # DuckDB oracle regardless of host TZ.
         .config("spark.sql.session.timeZone", "UTC")
+        # HotSpot never JIT-compiles methods over 8000 bytecode bytes
+        # (-XX:DontCompileHugeMethods), but Spark only abandons
+        # whole-stage codegen above 65535 — in the 8000-65535 window the
+        # generated hot loop runs INTERPRETED, slower than Spark's own
+        # fallback evaluator with subexpression elimination.  Aligning
+        # the limit with HotSpot's makes Spark fall back exactly when
+        # the JIT would have given up: measured 5.4× on the incremental
+        # minhash screen (55 s → 10.2 s at 10× data, whose 16-component
+        # estimate + first-shared-band residual blows past 8000 bytes).
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -41,6 +41,45 @@ def streaming_exact_dedup(
     return out.dropDuplicates(["digest"])
 
 
+def streaming_decontaminate_writer(
+    stream: DataFrame,
+    benchmark: DataFrame,
+    out_path: str,
+    n: int = 5,
+    text_col: str = "text",
+):
+    """Streaming benchmark-decontamination filter: append to ``out_path``
+    only the arriving documents that share NO token ``n``-gram with the
+    static benchmark set — the hygiene screen applied at ingest time
+    instead of as a batch sweep (streaming twin of
+    ``operators/corpus.decontaminate``, drained ≡ batch).
+
+    A doc's verdict depends only on the doc itself and the FIXED
+    benchmark — never on other stream docs — so micro-batch-local
+    filtering IS the global semantics, and the sink is a
+    ``foreachBatch`` that applies the SAME three-regime batch operator
+    to each micro-batch (same broadcast/bloom/shuffle plan selection,
+    same anti-join, bit-identical keep decisions).  No state store, no
+    watermark: memory stays bounded forever.  (A pure stream-side
+    formulation would need the drop expressed as stream⟕stream —
+    the contaminated-id set derives from the stream — which Structured
+    Streaming rejects for left-anti; judging per micro-batch against
+    the static side avoids that without changing the result.)
+
+    Returns the configured DataStreamWriter; the caller sets trigger /
+    checkpoint and calls ``.start()``."""
+    from ..operators.corpus import decontaminate_plan
+
+    # static side prepared ONCE (gram set cached+counted, regime chosen);
+    # each micro-batch only pays the anti-join
+    keep = decontaminate_plan(benchmark, n=n, text_col=text_col)
+
+    def write_batch(bdf: DataFrame, _batch_id: int) -> None:
+        keep(bdf).write.mode("append").parquet(out_path)
+
+    return stream.writeStream.foreachBatch(write_batch)
+
+
 def streaming_incremental_dedup(
     stream: DataFrame,
     corpus_docs: DataFrame,
@@ -76,7 +115,10 @@ def streaming_incremental_dedup(
         *d.minhash_components_inline(F.col(text_col)),
     ).filter(F.col("_mh0").isNotNull())
     return d.asymmetric_banded_est_pairs(
-        stream_per_doc, d._minhash_per_doc(corpus_docs, text_col), threshold
+        stream_per_doc,
+        d._minhash_per_doc(corpus_docs, text_col),
+        threshold,
+        broadcast_new=False,  # an unbounded stream can't be a broadcast build
     )
 
 

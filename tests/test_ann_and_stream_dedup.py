@@ -344,6 +344,55 @@ def test_streaming_near_dedup_matches_batch(spark, tmp_path):
     )
 
 
+def test_streaming_decontaminate_matches_batch(spark, tmp_path):
+    """Drained decontamination filter ≡ batch corpus.decontaminate over
+    the same docs: contaminated arrivals are dropped in whichever drain
+    they arrive, clean ones pass through with all columns intact."""
+    from tax_compliance_engine_spark.operators import corpus as corpus_ops
+    from tax_compliance_engine_spark.streaming.dedup_stream import (
+        streaming_decontaminate_writer,
+    )
+
+    schema = "doc_id long, text string"
+    bench = spark.createDataFrame(
+        [(900, "the quick brown fox jumps over dogs")], schema
+    )
+    first = [
+        (0, "look the quick brown fox jumps over dogs today"),  # dirty
+        (1, "completely unrelated text with many words"),
+        (2, "tiny"),  # < n tokens: no shingles, always clean
+    ]
+    second = [
+        (3, "again the quick brown fox jumps over dogs appears"),  # dirty
+        (4, "other harmless filler that matches none of the benchmark"),
+    ]
+    src, out = tmp_path / "docs", tmp_path / "kept"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            streaming_decontaminate_writer(stream, bench, str(out), n=5)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.schema(schema).parquet(str(out))
+
+    spark.createDataFrame(first, schema).write.mode("append").parquet(str(src))
+    drain()
+    spark.createDataFrame(second, schema).write.mode("append").parquet(str(src))
+    got = sorted((r.doc_id, r.text) for r in drain().collect())
+
+    batch = spark.createDataFrame(first + second, schema)
+    want = sorted(
+        (r.doc_id, r.text)
+        for r in corpus_ops.decontaminate(batch, bench, n=5).collect()
+    )
+    assert got == want
+    assert [d for d, _ in got] == [1, 2, 4]
+
+
 def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
     """Drained stream-static screen ≡ batch incremental_minhash_pairs:
     stream docs match only the STANDING corpus (never each other), the
