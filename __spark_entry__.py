@@ -222,6 +222,13 @@ def oracle_sql() -> dict[str, str]:
         "corpus_token_mixture": oracle_corpus.corpus_token_mixture_sql(),
         "corpus_pack_bins": oracle_corpus.corpus_pack_bins_sql(),
         "corpus_decontaminate": oracle_corpus.corpus_decontaminate_sql(),
+        # corpus_inverted_index: sharded positional inverted index
+        # (hot-token aggregation buffers bounded by doc-id-range shards)
+        # — oracle-only swept entry.
+        "corpus_inverted_index": oracle_corpus.corpus_inverted_index_sql(),
+        # corpus_phrase_search: row-local exact phrase search (pure
+        # projection+filter, no shuffle) — oracle-only swept entry.
+        "corpus_phrase_search": oracle_corpus.corpus_phrase_search_sql(),
         # doc_oov_rates: per-doc out-of-vocabulary rate vs the corpus's
         # own top-k vocabulary (self-referential noise filter) —
         # oracle-only swept entry.

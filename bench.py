@@ -165,17 +165,27 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     ext_max = 0.0
+    transients = 0
+    n_cpu = os.cpu_count() or 32
     contended: list[str] = []
     for name in BENCH_QUERIES:
         fn = queries[name]
         # min over runs (steady-state, robust to one-off GC/IO stalls);
         # a run with ≥1 external core of contention measured DURING it is
-        # dirty — retry (bounded) and prefer the min over clean runs
+        # dirty — retry (bounded) and prefer the min over clean runs.
+        # ext > cpu_count is PHYSICALLY impossible (busy grows ≤ n_cpu/s)
+        # — an accounting transient (process reparenting / reap races),
+        # not contention: the run still retries as dirty, but the
+        # reading is excluded from external_cores_max and counted
+        # separately so the artifact's contention number stays credible.
         clean: list[float] = []
         dirty: list[float] = []
         for _ in range(4):
             wall, ext = timed_run(fn)
-            ext_max = max(ext_max, ext)
+            if ext > n_cpu:
+                transients += 1
+            else:
+                ext_max = max(ext_max, ext)
             (clean if ext < 1.0 else dirty).append(wall)
             if len(clean) >= 2:
                 break
@@ -183,6 +193,7 @@ def main() -> None:
             contended.append(name)
         timings[name] = round(min(clean) if clean else min(dirty), 3)
     gate["external_cores_max"] = round(ext_max, 2)
+    gate["accounting_transients"] = transients
     gate["contended_queries"] = contended
 
     total = round(sum(timings.values()), 3)

@@ -66,6 +66,16 @@ def type_class(t: pa.DataType) -> str:
         return "binary"
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return f"list<{type_class(t.value_type)}>"
+    if pa.types.is_struct(t):
+        # field-wise recursion: nullability is not a value-semantics
+        # difference (Spark marks posexplode positions non-null, DuckDB
+        # exports everything nullable) and int widths class-canonicalize
+        # like top-level columns
+        fields = ", ".join(
+            f"{t.field(i).name}: {type_class(t.field(i).type)}"
+            for i in range(t.num_fields)
+        )
+        return f"struct<{fields}>"
     return str(t)
 
 

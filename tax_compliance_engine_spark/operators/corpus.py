@@ -83,6 +83,95 @@ def top_vocabulary(
     )
 
 
+def inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Positional inverted index over the corpus, SHARDED by doc-id
+    range per token: one row per (token, shard) with the shard's sorted
+    posting list of (doc_id, pos) structs plus shard-local and global
+    document frequencies.
+
+    Sharding is the point, not a compromise: a hot token ("the") at
+    corpus scale has billions of postings, and a single
+    collect_list-per-token row is the same one-row aggregation-buffer
+    OOM the repo documents for pagerank hubs and include_records.  The
+    (token, doc_id % n_shards) key bounds every aggregation buffer at
+    ~1/n_shards of the hottest token, readers merge shards (they are
+    disjoint, sorted, doc-id-range keyed), and global df rides a
+    broadcast of the tiny per-token totals.
+
+    Postings are array_sort(collect_list(struct))-pinned — integers and
+    strings only, so the DuckDB twin hash-compares bit-for-bit."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(_tokens(text_col)).alias("pos", "token"),
+    )
+    per_doc = toks.groupBy(
+        "token", F.pmod(F.col("doc_id"), F.lit(n_shards)).alias("shard")
+    ).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("doc_id"), F.col("pos").cast("long").alias("pos")
+                )
+            )
+        ).alias("postings"),
+        F.count_distinct("doc_id").alias("shard_df"),
+    )
+    global_df = per_doc.groupBy("token").agg(
+        F.sum("shard_df").alias("df")
+    )
+    return per_doc.join(F.broadcast(global_df), "token").select(
+        "token",
+        F.col("shard").cast("int").alias("shard"),
+        "postings",
+        F.col("shard_df").cast("long").alias("shard_df"),
+        F.col("df").cast("long").alias("df"),
+    )
+
+
+def phrase_search(
+    docs: DataFrame, phrase: str, text_col: str = "text"
+) -> DataFrame:
+    """Exact phrase search: documents containing the (whitespace-token)
+    ``phrase`` as consecutive tokens, with per-doc match counts —
+    entirely ROW-LOCAL: each doc checks its own token array with a
+    windowed all-terms conjunction, so the plan is a pure projection +
+    filter over the scan (no explode, no shuffle, no index build; the
+    query pushes down like any other predicate).  Overlapping matches
+    each count ("a a a" contains "a a" twice).
+
+    Output: (doc_id, n_matches ≥ 1)."""
+    terms = [t for t in phrase.split(" ") if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    k = len(terms)
+    toks = _tokens(text_col)
+
+    def window_matches(t: Column) -> Column:
+        # positions 1 .. len-k+1; guard the descending-sequence trap
+        starts = F.when(
+            F.size(t) >= k, F.sequence(F.lit(1), F.size(t) - (k - 1))
+        ).otherwise(F.array().cast("array<int>"))
+
+        def is_match(i: Column) -> Column:
+            m = F.lit(True)
+            for j, term in enumerate(terms):
+                m = m & (F.element_at(t, i + j) == F.lit(term))
+            return m
+
+        return F.size(F.filter(starts, is_match))
+
+    return (
+        docs.select(
+            "doc_id", window_matches(toks).alias("n_matches")
+        )
+        .filter(F.col("n_matches") > 0)
+    )
+
+
 def oov_rates(
     docs: DataFrame, k: int = 100, text_col: str = "text"
 ) -> DataFrame:

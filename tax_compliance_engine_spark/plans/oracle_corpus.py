@@ -30,6 +30,46 @@ FROM per_doc GROUP BY token
 ORDER BY term_count DESC, token LIMIT {k}"""
 
 
+def corpus_inverted_index_sql(n_shards: int = 4) -> str:
+    """Twin of corpus.inverted_index: same (token, doc_id%n_shards)
+    grouping, ordered struct postings, broadcast-shaped global df —
+    integers and strings only, struct field names/widths matched to the
+    Spark side so the canonicalized cells compare byte-equal."""
+    return f"""WITH toks AS (
+  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, t[u.i] AS token
+  FROM (SELECT doc_id, {TOKENS} AS t FROM documents),
+       unnest(range(1, len(t) + 1)) AS u(i)),
+per_shard AS (
+  SELECT token, CAST(doc_id % {n_shards} AS INTEGER) AS shard,
+         list({{'doc_id': doc_id, 'pos': pos}}
+              ORDER BY doc_id, pos) AS postings,
+         COUNT(DISTINCT doc_id) AS shard_df
+  FROM toks GROUP BY token, doc_id % {n_shards}),
+gdf AS (
+  SELECT token, CAST(SUM(shard_df) AS BIGINT) AS df
+  FROM per_shard GROUP BY token)
+SELECT p.token, p.shard, p.postings,
+       CAST(p.shard_df AS BIGINT) AS shard_df, g.df
+FROM per_shard p JOIN gdf g ON g.token = p.token"""
+
+
+def corpus_phrase_search_sql(phrase: str = "spark window") -> str:
+    """Twin of corpus.phrase_search: the same row-local windowed
+    all-terms conjunction over the token list."""
+    terms = [t for t in phrase.split(" ") if t]
+    k = len(terms)
+    conj = " AND ".join(
+        f"t[i + {j}] = '{term}'" for j, term in enumerate(terms)
+    )
+    # range() is end-EXCLUSIVE: starts 1 .. len-k+1 need range(1, len-k+2)
+    return f"""SELECT doc_id,
+  CAST(len(list_filter(range(1, len(t) - {k} + 2),
+                       i -> {conj})) AS INTEGER) AS n_matches
+FROM (SELECT doc_id, {TOKENS} AS t FROM documents)
+WHERE len(t) >= {k}
+  AND len(list_filter(range(1, len(t) - {k} + 2), i -> {conj})) > 0"""
+
+
 def doc_oov_rates_sql(k: int = 100) -> str:
     """Twin of corpus.oov_rates: identical top-k vocabulary (term count
     DESC, token tie-break), left-join marker, one per-doc aggregation,

@@ -534,6 +534,19 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.decontaminate(rest, bench, n=5).select("doc_id")
 
 
+def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded positional inverted index (corpus.inverted_index,
+    4 doc-id-range shards per token) — hot-token aggregation buffers
+    bounded by design."""
+    return corpus.inverted_index(_docs(spark, sf_dir), n_shards=4)
+
+
+def corpus_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-local exact phrase search for 'spark window' over the corpus
+    (corpus.phrase_search) — pure projection+filter, no shuffle."""
+    return corpus.phrase_search(_docs(spark, sf_dir), "spark window")
+
+
 def doc_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc out-of-vocabulary rate vs the corpus top-16 vocabulary
     (corpus.oov_rates) — the self-referential noise filter.  k=16 on the

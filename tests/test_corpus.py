@@ -131,6 +131,64 @@ def test_decontaminate_drops_overlapping(spark):
     assert kept == [1, 2]
 
 
+def test_phrase_search_overlaps_and_edges(spark):
+    docs = docs_df(
+        spark,
+        [
+            (0, "a a a b", "s0"),  # 'a a' overlaps: starts 1,2
+            (1, "x a a y a a", "s0"),  # two separate matches
+            (2, "a b a b", "s0"),  # no 'a a'
+            (3, "a", "s1"),  # shorter than phrase
+            (4, "", "s1"),
+        ],
+    )
+    got = {
+        r.doc_id: r.n_matches
+        for r in corpus.phrase_search(docs, "a a").collect()
+    }
+    assert got == {0: 2, 1: 2}
+    one = {
+        r.doc_id: r.n_matches
+        for r in corpus.phrase_search(docs, "a").collect()
+    }
+    assert one == {0: 3, 1: 4, 2: 2, 3: 1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        corpus.phrase_search(docs, "  ")
+
+
+def test_inverted_index_shards_and_df(spark):
+    docs = docs_df(
+        spark,
+        [
+            (0, "a b a", "s0"),
+            (1, "a c", "s0"),
+            (2, "c c", "s1"),
+            (5, "a", "s1"),
+        ],
+    )
+    rows = corpus.inverted_index(docs, n_shards=2).collect()
+    by = {}
+    for r in rows:
+        by[(r.token, r.shard)] = r
+    # token 'a': docs 0 (shard 0), 1 and 5 (shard 1); global df = 3
+    a0, a1 = by[("a", 0)], by[("a", 1)]
+    assert a0.df == 3 and a1.df == 3
+    assert a0.shard_df == 1 and a1.shard_df == 2
+    assert [(p.doc_id, p.pos) for p in a0.postings] == [(0, 0), (0, 2)]
+    assert [(p.doc_id, p.pos) for p in a1.postings] == [
+        (1, 0),
+        (5, 0),
+    ]
+    # token 'c': doc 1 (shard 1), doc 2 (shard 0) — two positions in 2
+    assert [(p.doc_id, p.pos) for p in by[("c", 0)].postings] == [
+        (2, 0),
+        (2, 1),
+    ]
+    assert by[("c", 0)].shard_df == 1 and by[("c", 0)].df == 2
+
+
 def test_oov_rates_against_topk_vocab(spark):
     """OOV counts token OCCURRENCES outside the top-k corpus vocabulary;
     ties in the vocabulary cut break on token; empty docs rate 0.0."""
