@@ -146,6 +146,10 @@ def oracle_sql() -> dict[str, str]:
         "states_exempting_grocery": oracle.states_exempting_grocery_sql(),
         "pricing_summary": oracle.pricing_summary_sql(),
         "pricing_rollup": oracle.pricing_rollup_sql(),
+        # supplier_part_revenue: Q9-shaped 3-dimension broadcast join +
+        # decimal-exact revenue rollup (exercises the part/supplier
+        # tables) — oracle-only swept entry.
+        "supplier_part_revenue": oracle.supplier_part_revenue_sql(),
         "top_customers": oracle.top_customers_sql(),
         "customer_order_ranks": oracle.customer_order_ranks_sql(),
         "events_sessions": oracle.events_sessions_sql(),

@@ -677,6 +677,21 @@ WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus"""
 
 
+def supplier_part_revenue_sql() -> str:
+    """Twin of queries.supplier_part_revenue: the same three-way
+    dimension join and decimal-exact revenue sum, double at the edge."""
+    return """SELECT n.n_name AS nation, p.p_brand AS brand,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name, p.p_brand"""
+
+
 def top_customers_sql() -> str:
     return """SELECT c.c_custkey, c.c_name, n.n_name,
        CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

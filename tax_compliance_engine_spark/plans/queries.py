@@ -435,6 +435,43 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def supplier_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped profit rollup: lineitem joined to part, supplier,
+    and nation, aggregated to discounted revenue per (nation, brand).
+    Every dimension side is an explicit broadcast — part/supplier/nation
+    are KB-to-MB at any scale — so the fact table flows scan→3 broadcast
+    joins→one (nation, brand) hash aggregate in a single codegen span
+    with exactly ONE shuffle (the final narrow group-by).  Decimal-exact
+    revenue sums, double at the edge (the ``pricing_summary`` recipe, so
+    the twin hash-compares bit-for-bit)."""
+    li = _utc(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"), F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(price * (one - disc)).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level ROLLUP aggregation: per (returnflag, linestatus), per
     returnflag subtotal, and grand total in ONE pass (Spark lowers rollup

@@ -148,6 +148,21 @@ def test_minhash_bucket_local_layout_plan_shape(spark):
     assert "HashAggregate(keys=[doc1" not in plan
 
 
+def test_supplier_part_revenue_broadcasts_all_dims(plans):
+    """The Q9-shaped rollup must broadcast all three dimension sides —
+    the fact table reaches its one (nation, brand) aggregate through
+    broadcast joins, never a fact-side repartition for a join."""
+    import re
+
+    plan = plans["supplier_part_revenue"]
+    # formatted plans render each node twice (tree + detail section);
+    # count the numbered detail headers
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 3
+    assert "SortMergeJoin" not in plan
+    # only shuffle: the final narrow group-by (plus AQE readers)
+    assert "hashpartitioning(nation" in plan or "hashpartitioning(n_name" in plan
+
+
 def test_parquet_scans_prune_columns(plans):
     # Every documents.parquet scan must project a subset of columns, never
     # the full table (ReadSchema appears per scan in formatted plans).
