@@ -180,18 +180,25 @@ def main() -> None:
         # separately so the artifact's contention number stays credible.
         clean: list[float] = []
         dirty: list[float] = []
+        transient_walls: list[float] = []
         for _ in range(4):
             wall, ext = timed_run(fn)
             if ext > n_cpu:
+                # accounting transient, NOT contention: retry, but never
+                # let it push the query into contended_queries — that
+                # would report contention on a provably idle box
                 transients += 1
-            else:
-                ext_max = max(ext_max, ext)
+                transient_walls.append(wall)
+                continue
+            ext_max = max(ext_max, ext)
             (clean if ext < 1.0 else dirty).append(wall)
             if len(clean) >= 2:
                 break
-        if not clean:
+        if not clean and dirty:
             contended.append(name)
-        timings[name] = round(min(clean) if clean else min(dirty), 3)
+        timings[name] = round(
+            min(clean or dirty or transient_walls), 3
+        )
     gate["external_cores_max"] = round(ext_max, 2)
     gate["accounting_transients"] = transients
     gate["contended_queries"] = contended

@@ -643,6 +643,12 @@ def contamination_scores(
     (doc_id) aggregation computes total and hit counts together —
     map-side combine applies, and the result is one narrow row per doc
     joined back to the id spine."""
+    # normalize the id up front: _doc_ngrams keys by doc_id, so a custom
+    # id_col must become doc_id BEFORE shingling or the count join would
+    # silently key one side by the wrong column
+    docs = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col)
+    )
     grams = _doc_ngrams(docs, text_col, n)
     bench = (
         _doc_ngrams(benchmark, text_col, n)
@@ -659,7 +665,7 @@ def contamination_scores(
         )
     )
     return (
-        docs.select(F.col(id_col).alias("doc_id"))
+        docs.select("doc_id")
         .join(counts, "doc_id", "left")
         .select(
             "doc_id",
@@ -697,15 +703,19 @@ def split_assign(
 
     ``fractions`` is an ordered list of (label, fraction); thresholds
     are floor(cumsum·SAMPLE_MOD) in exact integer arithmetic and the
-    LAST label absorbs any rounding remainder, so every doc is labeled.
-    Fractions must be positive and sum to ≤ 1 + 1e-9."""
+    LAST label absorbs the float-rounding remainder, so every doc is
+    labeled.  Fractions must be positive and sum to 1 (±1e-9) — a
+    shortfall would silently inflate the last label instead."""
     if fractions is None:
         fractions = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
     if not fractions or any(f <= 0 for _, f in fractions):
         raise ValueError(f"fractions must be positive: {fractions}")
     total = sum(f for _, f in fractions)
-    if total > 1 + 1e-9:
-        raise ValueError(f"fractions sum to {total} > 1")
+    # require sum ≈ 1: the last label absorbs only float-rounding
+    # epsilon, not arbitrary shortfall — a 0.7/0.1 request would
+    # silently hand the last label 30% instead of its requested 10%
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
     h = sample_hash_col(F.col(id_col))
     cuts: list[tuple[str, int]] = []
     cum = 0.0

@@ -56,7 +56,7 @@ FROM per_shard p JOIN gdf g ON g.token = p.token"""
 def corpus_phrase_search_sql(phrase: str = "spark window") -> str:
     """Twin of corpus.phrase_search: the same row-local windowed
     all-terms conjunction over the token list."""
-    terms = [t for t in phrase.split(" ") if t]
+    terms = [t.replace("'", "''") for t in phrase.split(" ") if t]
     k = len(terms)
     conj = " AND ".join(
         f"t[i + {j}] = '{term}'" for j, term in enumerate(terms)
@@ -290,7 +290,9 @@ def corpus_split_assign_sql(
     cuts, cum = [], 0.0
     for label, frac in fractions:
         cum += frac
-        cuts.append((label, int(cum * corpus.SAMPLE_MOD)))
+        cuts.append((label.replace("'", "''"), int(cum * corpus.SAMPLE_MOD)))
+    if len(cuts) == 1:  # CASE with zero WHENs is a parse error
+        return f"SELECT doc_id, '{cuts[0][0]}' AS split FROM documents"
     whens = "\n       ".join(
         f"WHEN {_HASH} < {cut} THEN '{label}'" for label, cut in cuts[:-1]
     )

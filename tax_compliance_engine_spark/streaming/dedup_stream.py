@@ -66,6 +66,13 @@ def streaming_decontaminate_writer(
     Streaming rejects for left-anti; judging per micro-batch against
     the static side avoids that without changing the result.)
 
+    Output lands under ``out_path/batch=<id>`` with per-batch OVERWRITE,
+    so micro-batch RE-delivery (a crash between the parquet commit and
+    the checkpoint) rewrites the same directory instead of appending the
+    same kept docs twice — idempotent like the repo's other streaming
+    sinks.  Read the result with ``spark.read.parquet(out_path)`` (the
+    batch id surfaces as a partition column; drop it if unwanted).
+
     Returns the configured DataStreamWriter; the caller sets trigger /
     checkpoint and calls ``.start()``."""
     from ..operators.corpus import decontaminate_plan
@@ -74,8 +81,10 @@ def streaming_decontaminate_writer(
     # each micro-batch only pays the anti-join
     keep = decontaminate_plan(benchmark, n=n, text_col=text_col)
 
-    def write_batch(bdf: DataFrame, _batch_id: int) -> None:
-        keep(bdf).write.mode("append").parquet(out_path)
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        keep(bdf).write.mode("overwrite").parquet(
+            f"{out_path}/batch={batch_id}"
+        )
 
     return stream.writeStream.foreachBatch(write_batch)
 

@@ -240,6 +240,11 @@ def test_split_assign_stable_and_covering(spark):
         corpus.split_assign(small, fractions=[("a", 0.9), ("b", 0.3)])
     with _pytest.raises(ValueError):
         corpus.split_assign(small, fractions=[("a", -0.1)])
+    with _pytest.raises(ValueError):  # shortfall must not inflate 'b'
+        corpus.split_assign(small, fractions=[("a", 0.7), ("b", 0.1)])
+    # a single full-width label is fine (and matches the SQL twin)
+    only = {r.split for r in corpus.split_assign(small, [("all", 1.0)]).collect()}
+    assert only == {"all"}
 
 
 def test_chunk_dedup_reassembly(spark):
