@@ -225,6 +225,10 @@ def oracle_sql() -> dict[str, str]:
         # derived in-plan from token totals) — oracle-only swept entry.
         "corpus_token_mixture": oracle_corpus.corpus_token_mixture_sql(),
         "corpus_pack_bins": oracle_corpus.corpus_pack_bins_sql(),
+        # corpus_pack_bpe: tokenizer-aware packing — BPE train+segment
+        # composed into the two-level-offset packer via count_col —
+        # oracle-only swept entry.
+        "corpus_pack_bpe": oracle_corpus.corpus_pack_bpe_sql(),
         "corpus_decontaminate": oracle_corpus.corpus_decontaminate_sql(),
         # corpus_inverted_index: sharded positional inverted index
         # (hot-token aggregation buffers bounded by doc-id-range shards)

@@ -288,6 +288,7 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_shards: int | None = None,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Concat-then-chunk sequence packing: docs in id order are laid end to
     end and cut every `token_budget` tokens; each doc is assigned the bin
@@ -314,7 +315,14 @@ def pack_sequences(
     if n_shards is None:
         n_shards = max(spark.sparkContext.defaultParallelism * 2, 1)
 
-    n_tok = F.size(_tokens(text_col))
+    # count_col: pack by a PRECOMPUTED per-doc length (e.g. learned-BPE
+    # subword counts) instead of the whitespace token count — the budget
+    # a tokenizer-aware pipeline actually packs against
+    n_tok = (
+        F.col(count_col).cast("long")
+        if count_col is not None
+        else F.size(_tokens(text_col)).cast("long")
+    )
     sized = docs.select(F.col(id_col), n_tok.alias("n_tokens"))
 
     # Contiguous equi-width id-range shards from one column-pruned min/max.

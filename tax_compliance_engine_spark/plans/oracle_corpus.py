@@ -260,6 +260,28 @@ SELECT doc_id, n_tokens,
 FROM summed"""
 
 
+def corpus_pack_bpe_sql(
+    token_budget: int = 2048, n_merges: int = 6
+) -> str:
+    """Twin of queries_dataops.corpus_pack_bpe: the train+segment
+    composition (``doc_bpe_token_counts_sql`` as a nested CTE) feeding
+    the same global-window packing form, over n_subwords."""
+    return f"""WITH counts AS (
+{doc_bpe_token_counts_sql(n_merges)}
+),
+sized AS (
+  SELECT doc_id, CAST(n_subwords AS BIGINT) AS n_tokens FROM counts),
+summed AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS end_offset
+  FROM sized)
+SELECT doc_id, n_tokens,
+       CAST((end_offset - n_tokens) // {token_budget} AS BIGINT) AS bin_id
+FROM summed"""
+
+
 def corpus_decontaminate_sql(n: int = 5, bench_mod: int = 97) -> str:
     return f"""WITH toks AS (
   SELECT doc_id, {TOKENS} AS t FROM documents),

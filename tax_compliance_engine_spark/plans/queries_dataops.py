@@ -527,6 +527,23 @@ def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.pack_sequences(_docs(spark, sf_dir), token_budget=2048)
 
 
+def corpus_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware packing: train 6 BPE rules on the corpus, segment
+    every doc with them, and pack by the LEARNED subword counts instead
+    of whitespace tokens (corpus.bpe_token_counts → corpus.pack_sequences
+    via count_col) — the budget a real pretraining pipeline packs
+    against.  One composed lazy plan under one hash gate."""
+    docs = _docs(spark, sf_dir)
+    counts = corpus.bpe_token_counts(
+        docs, n_merges=6, materialize=True
+    ).select("doc_id", "n_subwords")
+    return corpus.pack_sequences(
+        docs.select("doc_id").join(counts, "doc_id"),
+        token_budget=2048,
+        count_col="n_subwords",
+    )
+
+
 def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 97 == 0)

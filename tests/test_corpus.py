@@ -131,6 +131,23 @@ def test_decontaminate_drops_overlapping(spark):
     assert kept == [1, 2]
 
 
+def test_pack_sequences_count_col_override(spark):
+    """count_col packs by a precomputed per-doc length instead of the
+    whitespace token count — same bin arithmetic, different weights."""
+    docs = docs_df(
+        spark,
+        [(0, "a b", "s0"), (1, "c d", "s0"), (2, "e f", "s0")],
+    ).withColumn("w", (F.col("doc_id") + 1) * 3)  # weights 3, 6, 9
+    rows = {
+        r.doc_id: (r.n_tokens, r.bin_id)
+        for r in corpus.pack_sequences(
+            docs, token_budget=8, count_col="w"
+        ).collect()
+    }
+    # prefix starts: 0, 3, 9 → bins 0, 0, 1
+    assert rows == {0: (3, 0), 1: (6, 0), 2: (9, 1)}
+
+
 def test_phrase_search_overlaps_and_edges(spark):
     docs = docs_df(
         spark,
