@@ -193,6 +193,78 @@ def test_corpus_invariants(spark, texts):
     assert ids1 == ids2
 
 
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=doc_strategy)
+def test_chunk_dedup_matches_python_reference(spark, texts):
+    """chunk_dedup ≡ plain-Python global first-occurrence chunk dedup on
+    random corpora (chunk boundaries, within-doc repeats, empty docs)."""
+    c = 3
+    docs = _docs(spark, texts)
+    seen: set[tuple[str, ...]] = set()
+    want: dict[int, tuple[int, int, str]] = {}
+    for i, t in enumerate(texts):
+        toks = [w for w in t.split(" ") if w]
+        chunks = [
+            tuple(toks[j : j + c]) for j in range(0, len(toks), c)
+        ]
+        kept = []
+        for ch in chunks:
+            if ch not in seen:
+                seen.add(ch)
+                kept.append(ch)
+        want[i] = (
+            len(chunks),
+            len(kept),
+            " ".join(w for ch in kept for w in ch),
+        )
+    got = {
+        r.doc_id: (r.n_chunks, r.n_kept, r.text_deduped)
+        for r in corpus.chunk_dedup(docs, chunk_tokens=c).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=doc_strategy, data=st.data())
+def test_phrase_search_matches_python_reference(spark, texts, data):
+    """phrase_search ≡ plain-Python sliding-window count for a phrase
+    drawn from the corpus itself (guaranteed ≥1 hit) on random corpora."""
+    all_toks = [w for t in texts for w in t.split(" ") if w]
+    if not all_toks:
+        return
+    start = data.draw(
+        st.integers(min_value=0, max_value=len(all_toks) - 1)
+    )
+    k = data.draw(st.integers(min_value=1, max_value=3))
+    terms = all_toks[start : start + k]
+    phrase = " ".join(terms)
+    want = {}
+    for i, t in enumerate(texts):
+        toks = [w for w in t.split(" ") if w]
+        m = sum(
+            1
+            for j in range(len(toks) - len(terms) + 1)
+            if toks[j : j + len(terms)] == terms
+        )
+        if m > 0:
+            want[i] = m
+    got = {
+        r.doc_id: r.n_matches
+        for r in corpus.phrase_search(
+            _docs(spark, texts), phrase
+        ).collect()
+    }
+    assert got == want
+
+
 # ── binary media parser fuzzing ──────────────────────────────────────
 # The PPM/WAV parsers run inside executors over untrusted payload bytes:
 # any byte string must decode to a valid result or None — never raise.
