@@ -443,6 +443,40 @@ def asymmetric_banded_est_pairs(
     )
 
 
+def minhash_component_table(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The persist-between-batches artifact for the incremental screen:
+    one row per doc with the 16 MinHash component columns
+    (doc_id, _mh0.._mh15).  Write it once (plain parquet is fine — the
+    screen broadcasts the BATCH side, so the component table is scanned
+    in place, never shuffled), append each accepted batch's own
+    components after screening, and feed it back through
+    ``incremental_minhash_pairs_from_components`` so the standing corpus
+    text is never re-tokenized per ingest.  ~136 B/doc: three orders of
+    magnitude smaller than the corpus it summarizes."""
+    return _minhash_per_doc(docs, text_col)
+
+
+def incremental_minhash_pairs_from_components(
+    new_docs: DataFrame,
+    corpus_components: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """``incremental_minhash_pairs`` against a PRE-COMPUTED corpus
+    component table (``minhash_component_table``, typically reloaded
+    from parquet): per-ingest cost is tokenizing the batch plus one
+    scan of the component table — the corpus text is out of the loop."""
+    return asymmetric_banded_est_pairs(
+        _minhash_per_doc(new_docs, text_col),
+        corpus_components,
+        threshold,
+        broadcast_new=broadcast_new,
+    )
+
+
 def incremental_minhash_pairs(
     new_docs: DataFrame,
     corpus_docs: DataFrame,

@@ -206,6 +206,37 @@ def test_incremental_pairs_batch_vs_corpus_only(spark):
     assert rows == [(0, 10, 1.0), (0, 11, 1.0), (1, 10, 1.0), (1, 11, 1.0)]
 
 
+def test_incremental_pairs_from_persisted_components(spark, tmp_path):
+    """The persist-between-batches loop: write the corpus's component
+    table to parquet, reload it, and screen a batch against it — result
+    identical to the full-recompute path (the corpus text never touched)."""
+    copy = "the quick brown fox jumps over the lazy dog"
+    batch = docs_df(spark, [copy])
+    corpus_rows = [
+        (10, copy, "s0"),
+        (11, "completely different words here entirely", "s1"),
+    ]
+    corpus_df = spark.createDataFrame(
+        corpus_rows, "doc_id long, text string, source string"
+    )
+    path = str(tmp_path / "components")
+    dedup.minhash_component_table(corpus_df).write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    got = sorted(
+        tuple(r)
+        for r in dedup.incremental_minhash_pairs_from_components(
+            batch, reloaded, threshold=0.5
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in dedup.incremental_minhash_pairs(
+            batch, corpus_df, threshold=0.5
+        ).collect()
+    )
+    assert got == want == [(0, 10, 1.0)]
+
+
 def test_incremental_pairs_match_est_pairs_cross_slice(spark):
     """On a combined corpus, the asymmetric screen equals the symmetric
     est-pairs result restricted to cross-side pairs (same signatures,
