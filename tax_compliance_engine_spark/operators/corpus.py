@@ -317,16 +317,30 @@ def pack_sequences(
 
     # count_col: pack by a PRECOMPUTED per-doc length (e.g. learned-BPE
     # subword counts) instead of the whitespace token count — the budget
-    # a tokenizer-aware pipeline actually packs against
-    n_tok = (
-        F.col(count_col).cast("long")
-        if count_col is not None
-        else F.size(_tokens(text_col)).cast("long")
-    )
-    sized = docs.select(F.col(id_col), n_tok.alias("n_tokens"))
+    # a tokenizer-aware pipeline actually packs against.  A NULL count
+    # would silently poison the cumsum (SUM skips it, bin_id goes NULL,
+    # later docs shift) — fail fast instead: assert_true raises at
+    # evaluation time on the offending row.
+    if count_col is not None:
+        raw = F.col(count_col)
+        n_tok = F.when(
+            F.assert_true(
+                raw.isNotNull(),
+                F.lit(f"pack_sequences: NULL in count_col '{count_col}'"),
+            ).isNull(),
+            raw.cast("long"),
+        )
+    else:
+        n_tok = F.size(_tokens(text_col)).cast("long")
+    # cache the tiny (id, n_tokens) projection FIRST and derive the
+    # shard bounds from it: an expensive derived input (e.g. the BPE
+    # composition) would otherwise re-execute its whole lineage once
+    # more just to answer min/max(id)
+    sized = docs.select(F.col(id_col), n_tok.alias("n_tokens")).cache()
 
-    # Contiguous equi-width id-range shards from one column-pruned min/max.
-    bounds = docs.agg(
+    # Contiguous equi-width id-range shards from one min/max over the
+    # cached projection.
+    bounds = sized.agg(
         F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
     ).collect()[0]
     lo = int(bounds["lo"]) if bounds["lo"] is not None else 0
@@ -334,7 +348,7 @@ def pack_sequences(
     width = max(1, -(-(hi - lo + 1) // n_shards))  # ceil division
     shard = F.expr(f"({id_col} - {lo}) div {width}").cast("long")
 
-    sized = sized.withColumn("_shard", shard).cache()
+    sized = sized.withColumn("_shard", shard)
 
     w_local = Window.partitionBy("_shard").orderBy(id_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -533,14 +533,13 @@ def corpus_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     of whitespace tokens (corpus.bpe_token_counts → corpus.pack_sequences
     via count_col) — the budget a real pretraining pipeline packs
     against.  One composed lazy plan under one hash gate."""
-    docs = _docs(spark, sf_dir)
+    # counts already carries exactly one row per doc_id — it IS the
+    # packer input, no re-join against the doc spine needed
     counts = corpus.bpe_token_counts(
-        docs, n_merges=6, materialize=True
+        _docs(spark, sf_dir), n_merges=6, materialize=True
     ).select("doc_id", "n_subwords")
     return corpus.pack_sequences(
-        docs.select("doc_id").join(counts, "doc_id"),
-        token_budget=2048,
-        count_col="n_subwords",
+        counts, token_budget=2048, count_col="n_subwords"
     )
 
 

@@ -236,15 +236,20 @@ def test_chunk_dedup_matches_python_reference(spark, texts):
 @given(texts=doc_strategy, data=st.data())
 def test_phrase_search_matches_python_reference(spark, texts, data):
     """phrase_search ≡ plain-Python sliding-window count for a phrase
-    drawn from the corpus itself (guaranteed ≥1 hit) on random corpora."""
-    all_toks = [w for t in texts for w in t.split(" ") if w]
-    if not all_toks:
+    drawn from WITHIN one document (so ≥1 hit is actually guaranteed —
+    a window over the concatenation of all docs could span a doc
+    boundary and match nothing) on random corpora."""
+    nonempty = [t.split(" ") for t in texts if t.split(" ") != [""]]
+    nonempty = [t for t in nonempty if any(t)]
+    if not nonempty:
         return
-    start = data.draw(
-        st.integers(min_value=0, max_value=len(all_toks) - 1)
+    src = data.draw(st.sampled_from(nonempty))
+    src = [w for w in src if w]
+    start = data.draw(st.integers(min_value=0, max_value=len(src) - 1))
+    k = data.draw(
+        st.integers(min_value=1, max_value=min(3, len(src) - start))
     )
-    k = data.draw(st.integers(min_value=1, max_value=3))
-    terms = all_toks[start : start + k]
+    terms = src[start : start + k]
     phrase = " ".join(terms)
     want = {}
     for i, t in enumerate(texts):
@@ -262,6 +267,7 @@ def test_phrase_search_matches_python_reference(spark, texts, data):
             _docs(spark, texts), phrase
         ).collect()
     }
+    assert want, "phrase drawn from a doc must hit at least that doc"
     assert got == want
 
 
