@@ -249,6 +249,15 @@ def oracle_sql() -> dict[str, str]:
         # (passage-granularity boilerplate removal, first occurrence
         # wins) — oracle-only swept entry.
         "corpus_chunk_dedup": oracle_corpus.corpus_chunk_dedup_sql(),
+        # corpus_apply_changes: CDC merge of an upsert/delete change
+        # feed onto the standing corpus (latest seq wins, equal-seq
+        # delete outranks upsert; standing side never shuffles) —
+        # oracle-only swept entry.
+        "corpus_apply_changes": oracle_corpus.corpus_apply_changes_sql(),
+        # corpus_change_history: SCD2-style validity intervals over the
+        # same CDC feed (LEAD per key, chain head = current) —
+        # oracle-only swept entry.
+        "corpus_change_history": oracle_corpus.corpus_change_history_sql(),
         # corpus_contamination_scores: GRADED decontamination — per-doc
         # benchmark n-gram overlap fraction + dirty flag at 20% (exact
         # integer flag arithmetic, one exactly-rounded division) —

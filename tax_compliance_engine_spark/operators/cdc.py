@@ -1,0 +1,286 @@
+"""Incremental corpus maintenance (CDC merge): upsert/delete change
+feeds applied onto a standing corpus snapshot, with deterministic
+conflict resolution, an SCD2-style change history, and a
+partition-pruned bucket rewrite for the on-disk layout.
+
+This is the op family a 100 TB pre-training corpus actually needs
+between crawls: each refresh arrives as a change feed (new docs, fixed
+docs, takedowns) that must merge into the standing snapshot WITHOUT
+rewriting 100 TB.  Beyond the reference's scope (the reference,
+`/root/reference/`, is a batch tax engine with no mutable state); part
+of the SURVEY §7 phase-5 extension surface, alongside the incremental
+MinHash ingest screen in `operators/dedup.py`.
+
+Scale design:
+- change RESOLUTION (latest op per key) is one hash aggregation with a
+  struct-max — map-side combinable, so a feed with many versions of one
+  hot key collapses before the shuffle (a window row_number() would
+  instead sort every version of every key);
+- the MERGE join is anti/union shaped: the standing corpus never
+  shuffles — resolved changes are the small side (a daily delta vs the
+  full corpus) and broadcast under ``broadcast_changes=True``;
+- the on-disk path (`incremental_merge_write`) stores the snapshot
+  partitioned by a key-hash bucket; a refresh reads ONLY the buckets
+  containing changed keys (partition pruning against a collected
+  ≤ n_buckets list) and overwrites ONLY those directories (dynamic
+  partition overwrite) — per-refresh I/O is O(delta · corpus/n_buckets),
+  not O(corpus).
+
+Everything in the query path is built-in Column expressions
+(deterministic, no UDFs), replicated bit-for-bit by the DuckDB oracle
+SQL in plans/oracle_corpus.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+OP_UPSERT = "upsert"
+OP_DELETE = "delete"
+
+
+def _op_rank(op: Column) -> Column:
+    """Total order over change ops for equal-seq conflict resolution:
+    delete(1) outranks upsert(0) — a takedown and a fix landing with the
+    same sequence number resolve to the takedown (the conservative
+    answer for compliance-driven removals).  Any other op value raises
+    at execution time; the branch is used (not prunable) because the
+    rank feeds the resolution struct."""
+    return (
+        F.when(op == OP_DELETE, F.lit(1))
+        .when(op == OP_UPSERT, F.lit(0))
+        .otherwise(F.raise_error(F.concat(F.lit("unknown CDC op: "), op)))
+    )
+
+
+def resolve_changes(
+    changes: DataFrame,
+    key_col: str = "doc_id",
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Latest change per key: one groupBy(key) with a lexicographic
+    struct-max over (seq, op_rank, payload...) — highest seq wins; on
+    equal seq, delete outranks upsert (see ``_op_rank``); among exact
+    (seq, op) duplicates the max payload by struct order wins (a
+    deterministic but arbitrary tie-break — feeds should carry unique
+    (key, seq) pairs).
+
+    Output: one row per key with the winning change's columns, same
+    names/order as the input.  The struct-max is map-side combinable,
+    so hot keys with deep version chains collapse per-partition before
+    the shuffle — the reason this is not a window row_number()."""
+    payload = [c for c in changes.columns if c not in (key_col, seq_col, op_col)]
+    w = F.max(
+        F.struct(
+            F.col(seq_col).alias("_seq"),
+            _op_rank(F.col(op_col)).alias("_rank"),
+            F.col(op_col).alias("_op"),
+            *[F.col(c).alias(f"_p_{c}") for c in payload],
+        )
+    ).alias("_w")
+    resolved = changes.groupBy(key_col).agg(w)
+    return resolved.select(
+        F.col(key_col),
+        F.col("_w._op").alias(op_col),
+        F.col("_w._seq").alias(seq_col),
+        *[F.col(f"_w._p_{c}").alias(c) for c in payload],
+    )
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key_col: str = "doc_id",
+    seq_col: str = "seq",
+    op_col: str = "op",
+    broadcast_changes: bool | None = None,
+    version_col: str | None = None,
+) -> DataFrame:
+    """CDC merge: apply an upsert/delete change feed onto a standing
+    snapshot.  Per key, the latest change wins (``resolve_changes``);
+    a winning upsert replaces (or inserts) the row, a winning delete
+    removes it, untouched base rows pass through unchanged.
+
+    ``changes`` must carry every ``base`` column (payload) plus
+    ``op_col``/``seq_col``; delete payloads may be NULL.  With
+    ``version_col`` set, the output gains that column holding the
+    winning change's seq (NULL for untouched base rows).
+
+    ``broadcast_changes=True`` pins the resolved feed as the broadcast
+    side of both the anti join and nothing else — the standing corpus
+    never shuffles, which is the only viable shape when base is 100 TB
+    and the delta is a day's crawl.  ``None`` leaves the strategy to
+    Catalyst/AQE (fine when both sides are comparable)."""
+    missing = [c for c in base.columns if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes feed missing base columns: {missing}")
+    resolved = resolve_changes(changes, key_col, seq_col, op_col)
+    keys = resolved.select(key_col)
+    if broadcast_changes:
+        keys = F.broadcast(keys)
+    untouched = base.join(keys, on=key_col, how="left_anti")
+    upserts = resolved.filter(F.col(op_col) == OP_UPSERT).select(
+        *[
+            F.col(c).cast(base.schema[c].dataType).alias(c)
+            for c in base.columns
+        ],
+        *(
+            [F.col(seq_col).cast("long").alias(version_col)]
+            if version_col
+            else []
+        ),
+    )
+    if version_col:
+        untouched = untouched.withColumn(
+            version_col, F.lit(None).cast("long")
+        )
+    return untouched.unionByName(upserts)
+
+
+def change_history(
+    changes: DataFrame,
+    key_col: str = "doc_id",
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """SCD2-style validity intervals over a change feed: per key, each
+    change is valid from its own seq until the next change's seq
+    (NULL = still current).  ``is_current`` marks the chain head —
+    exactly the row ``resolve_changes`` elects when (key, seq) pairs
+    are unique (on equal seq the interval order uses the same
+    delete-outranks-upsert rank, so the chain is deterministic).
+
+    One window per key (no global sort — partitionBy(key) keeps full
+    parallelism); per-key version chains are short by construction, so
+    the window buffer is bounded.
+
+    Output: (key, seq, op, valid_to_seq, is_current)."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(seq_col), _op_rank(F.col(op_col))
+    )
+    nxt = F.lead(F.col(seq_col)).over(w)
+    return changes.select(
+        F.col(key_col),
+        F.col(seq_col),
+        F.col(op_col),
+        nxt.alias("valid_to_seq"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+def bucket_col(key: Column, n_buckets: int) -> Column:
+    """Deterministic storage bucket for a key: pmod(xxhash64, n).
+    xxhash64 is seed-stable across sessions and Spark versions, so the
+    on-disk layout written by one job is prunable by every later job."""
+    return F.pmod(F.xxhash64(key), F.lit(n_buckets)).cast("int")
+
+
+def write_bucketed_snapshot(
+    df: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    key_col: str = "doc_id",
+) -> None:
+    """Write a snapshot in the bucket-partitioned layout
+    ``incremental_merge_write`` maintains: parquet directories
+    ``bucket=<i>`` keyed by ``bucket_col``.  n_buckets sizes the rewrite
+    granularity — at 100 TB with 4096 buckets a refresh touching 1% of
+    buckets rewrites ~25 GB per touched bucket, not the corpus."""
+    (
+        df.withColumn("bucket", bucket_col(F.col(key_col), n_buckets))
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def incremental_merge_write(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    n_buckets: int = 64,
+    key_col: str = "doc_id",
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> list[int]:
+    """Apply a change feed to an on-disk bucketed snapshot IN PLACE,
+    rewriting only the buckets that contain changed keys.
+
+    1. resolve the feed, tag each change with its storage bucket;
+    2. collect the distinct affected bucket ids (≤ n_buckets values —
+       a driver-sized list by construction, this is the one collect);
+    3. read ONLY those buckets back (partition pruning on the bucket
+       directory column), CDC-merge the resolved changes in
+       (broadcast — the delta is small vs the standing corpus), and
+       materialize the merged buckets via an eager localCheckpoint —
+       O(delta · corpus/n_buckets) executor storage, never the corpus —
+       severing the plan's lineage from ``path`` so the overwrite below
+       is not a read-your-own-input hazard;
+    4. overwrite ONLY those bucket directories (dynamic partition
+       overwrite); a bucket whose rows were ALL deleted produces no
+       output partition, so its now-stale directory is cleared
+       explicitly (Hadoop FS delete — works on any scheme Spark writes).
+
+    Returns the sorted affected bucket ids.  The merge itself is
+    ``apply_changes`` with the same resolution semantics, so an on-disk
+    refresh and an in-memory merge of the same feed agree row-for-row
+    (pinned by pytest)."""
+    resolved = resolve_changes(changes, key_col, seq_col, op_col).withColumn(
+        "bucket", bucket_col(F.col(key_col), n_buckets)
+    )
+    resolved = resolved.cache()
+    try:
+        affected = sorted(
+            r.bucket for r in resolved.select("bucket").distinct().collect()
+        )
+        if not affected:
+            return []
+        snap = spark.read.parquet(path)
+        base = snap.filter(F.col("bucket").isin(affected))
+        payload_cols = [c for c in snap.columns if c != "bucket"]
+        merged = (
+            apply_changes(
+                base.select(*payload_cols),
+                resolved.drop("bucket"),
+                key_col,
+                seq_col,
+                op_col,
+                broadcast_changes=True,
+            )
+            .withColumn("bucket", bucket_col(F.col(key_col), n_buckets))
+            .repartition("bucket")
+            .localCheckpoint(eager=True)
+        )
+        surviving = {
+            r.bucket for r in merged.select("bucket").distinct().collect()
+        }
+        prior = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            if surviving:
+                (
+                    merged.write.partitionBy("bucket")
+                    .mode("overwrite")
+                    .parquet(path)
+                )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prior
+            )
+        # dynamic overwrite only replaces partitions PRESENT in the
+        # output; a fully-deleted bucket must be cleared by hand
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for b in affected:
+            if b not in surviving:
+                p = jvm.org.apache.hadoop.fs.Path(f"{path}/bucket={b}")
+                fs = p.getFileSystem(hconf)
+                fs.delete(p, True)
+        return affected
+    finally:
+        resolved.unpersist()

@@ -551,3 +551,54 @@ SELECT d.doc_id,
        COALESCE(a.n_words, 0) AS n_words,
        COALESCE(a.n_subwords, 0) AS n_subwords
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"""
+
+
+# Twin of queries_dataops._cdc_changes: the derived upsert/delete feed
+# (generation 1 upserts %5, generation 2 deletes %10 and upserts %15 —
+# %30 keys carry the equal-seq delete/upsert conflict).
+_CDC_CHANGES = """changes AS (
+  SELECT doc_id, 'upsert' AS op, 1 AS seq,
+         'v1 ' || text AS text, lang, 'cdc-update' AS source,
+         CAST(length('v1 ' || text) AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, 'delete', 2, NULL, NULL, NULL, NULL
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id, 'upsert', 2, 'v2 ' || text, lang, 'cdc-update',
+         CAST(length('v2 ' || text) AS BIGINT)
+  FROM documents WHERE doc_id % 15 = 0)"""
+
+
+def corpus_apply_changes_sql() -> str:
+    """Twin of cdc.apply_changes over the derived feed: resolution is a
+    per-key row_number over (seq DESC, delete-outranks-upsert DESC) —
+    the window form of the Spark side's map-side-combinable struct-max
+    (identical election because (key, seq, op) triples are unique in
+    the feed); merge = anti-join survivors UNION winning upserts."""
+    return f"""WITH {_CDC_CHANGES},
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id
+    ORDER BY seq DESC,
+             CASE op WHEN 'delete' THEN 1 ELSE 0 END DESC) AS rn
+  FROM changes),
+resolved AS (SELECT * FROM ranked WHERE rn = 1)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM resolved)
+UNION ALL
+SELECT doc_id, text, lang, source, n_chars
+FROM resolved WHERE op = 'upsert'"""
+
+
+def corpus_change_history_sql() -> str:
+    """Twin of cdc.change_history: LEAD(seq) per key over the same
+    (seq, op-rank) order; NULL lead = still-current chain head."""
+    return f"""WITH {_CDC_CHANGES}
+SELECT doc_id, seq, op,
+       LEAD(seq) OVER w AS valid_to_seq,
+       LEAD(seq) OVER w IS NULL AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY doc_id
+             ORDER BY seq, CASE op WHEN 'delete' THEN 1 ELSE 0 END)"""

@@ -762,3 +762,67 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(
         multimodal.synth_ppm(docs.select("doc_id"))
     )
+
+
+def _cdc_changes(docs: DataFrame) -> DataFrame:
+    """Deterministic CDC feed derived from the documents table (the
+    sweep's stand-in for a crawl refresh): generation 1 upserts every
+    doc_id%5 with a 'v1 '-prefixed body; generation 2 deletes every
+    doc_id%10 AND re-upserts every doc_id%15 — so doc_id%30 keys carry
+    an equal-seq delete/upsert conflict that exercises the
+    delete-outranks-upsert resolution rank.  Mirrored verbatim by the
+    oracle CTE in oracle_corpus._CDC_CHANGES."""
+
+    def gen(mod, op, seq, prefix):
+        sel = docs.filter(F.col("doc_id") % mod == 0)
+        if op == "delete":
+            return sel.select(
+                "doc_id",
+                F.lit("delete").alias("op"),
+                F.lit(seq).alias("seq"),
+                F.lit(None).cast("string").alias("text"),
+                F.lit(None).cast("string").alias("lang"),
+                F.lit(None).cast("string").alias("source"),
+                F.lit(None).cast("long").alias("n_chars"),
+            )
+        body = F.concat(F.lit(prefix), F.col("text"))
+        return sel.select(
+            "doc_id",
+            F.lit("upsert").alias("op"),
+            F.lit(seq).alias("seq"),
+            body.alias("text"),
+            F.col("lang"),
+            F.lit("cdc-update").alias("source"),
+            F.length(body).cast("long").alias("n_chars"),
+        )
+
+    return (
+        gen(5, "upsert", 1, "v1 ")
+        .unionByName(gen(10, "delete", 2, None))
+        .unionByName(gen(15, "upsert", 2, "v2 "))
+    )
+
+
+def corpus_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge snapshot (cdc.apply_changes): the documents table with
+    the derived upsert/delete feed applied — latest seq wins per key,
+    equal-seq delete outranks upsert, untouched rows pass through.  The
+    incremental-corpus-maintenance op a standing 100 TB corpus runs per
+    crawl refresh; the standing side never shuffles (resolved delta
+    broadcast)."""
+    from ..operators import cdc
+
+    docs = _docs(spark, sf_dir)
+    return cdc.apply_changes(
+        docs, _cdc_changes(docs), broadcast_changes=True
+    )
+
+
+def corpus_change_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style validity intervals (cdc.change_history) over the same
+    derived CDC feed: each change valid from its seq until the next
+    change's seq, chain heads flagged current."""
+    from ..operators import cdc
+
+    docs = _docs(spark, sf_dir)
+    return cdc.change_history(_cdc_changes(docs))

@@ -1,0 +1,213 @@
+"""CDC merge operators (operators/cdc.py): resolution semantics, the
+in-memory merge, SCD2 history, and the partition-pruned on-disk rewrite.
+
+The swept queries (`corpus_apply_changes`, `corpus_change_history`) pin
+the bit-exact values against DuckDB; these tests pin the CONTRACTS the
+sweep can't see — tie-break direction, validation errors, version
+column, and the incremental write's pruning behavior (untouched bucket
+files not rewritten, emptied buckets cleared, round-trip ≡ in-memory
+merge)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tax_compliance_engine_spark.operators import cdc
+
+BASE = [
+    Row(doc_id=1, text="one", n=10),
+    Row(doc_id=2, text="two", n=20),
+    Row(doc_id=3, text="three", n=30),
+    Row(doc_id=4, text="four", n=40),
+]
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=k, op=o, seq=s, text=t, n=n) for k, o, s, t, n in rows],
+        "doc_id bigint, op string, seq int, text string, n bigint",
+    )
+
+
+def test_resolve_latest_seq_wins_and_delete_outranks_on_tie(spark):
+    ch = _changes(
+        spark,
+        [
+            (1, "upsert", 1, "v1", 11),
+            (1, "upsert", 3, "v3", 13),
+            (1, "delete", 2, None, None),
+            # equal-seq conflict: delete must outrank the upsert
+            (2, "upsert", 5, "v5", 25),
+            (2, "delete", 5, None, None),
+        ],
+    )
+    got = {r.doc_id: (r.op, r.seq) for r in cdc.resolve_changes(ch).collect()}
+    assert got == {1: ("upsert", 3), 2: ("delete", 5)}
+
+
+def test_resolve_rejects_unknown_op(spark):
+    ch = _changes(spark, [(1, "patch", 1, "x", 1)])
+    with pytest.raises(Exception, match="unknown CDC op"):
+        cdc.resolve_changes(ch).collect()
+
+
+def test_apply_changes_merge_and_version_col(spark):
+    base = spark.createDataFrame(BASE)
+    ch = _changes(
+        spark,
+        [
+            (2, "upsert", 1, "two-fixed", 21),
+            (3, "delete", 1, None, None),
+            (9, "upsert", 1, "nine", 90),  # pure insert
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in cdc.apply_changes(
+            base, ch, broadcast_changes=True, version_col="version"
+        ).collect()
+    }
+    assert set(out) == {1, 2, 4, 9}  # 3 deleted, 9 inserted
+    assert out[1].text == "one" and out[1].version is None
+    assert out[2].text == "two-fixed" and out[2].version == 1
+    assert out[9].n == 90
+
+
+def test_apply_changes_requires_base_columns(spark):
+    base = spark.createDataFrame(BASE)
+    ch = spark.createDataFrame(
+        [Row(doc_id=1, op="upsert", seq=1, text="x")]  # missing `n`
+    )
+    with pytest.raises(ValueError, match="missing base columns"):
+        cdc.apply_changes(base, ch)
+
+
+def test_change_history_intervals(spark):
+    ch = _changes(
+        spark,
+        [
+            (1, "upsert", 1, "v1", 11),
+            (1, "delete", 2, None, None),
+            (1, "upsert", 4, "v4", 14),
+            (2, "upsert", 7, "w", 27),
+        ],
+    )
+    rows = {
+        (r.doc_id, r.seq): (r.valid_to_seq, r.is_current)
+        for r in cdc.change_history(ch).collect()
+    }
+    assert rows == {
+        (1, 1): (2, False),
+        (1, 2): (4, False),
+        (1, 4): (None, True),
+        (2, 7): (None, True),
+    }
+
+
+def _snapshot_files(path: str) -> dict[str, tuple[int, float]]:
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime)
+    return out
+
+
+def test_incremental_merge_write_prunes_and_matches_in_memory(
+    spark, tmp_path
+):
+    n_buckets = 8
+    base = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i}", n=i * 10) for i in range(40)]
+    )
+    path = str(tmp_path / "snap")
+    cdc.write_bucketed_snapshot(base, path, n_buckets=n_buckets)
+    before = _snapshot_files(path)
+
+    ch = _changes(
+        spark,
+        [
+            (3, "upsert", 1, "three-fixed", 31),
+            (7, "delete", 1, None, None),
+            (100, "upsert", 1, "hundred", 1000),
+        ],
+    )
+    affected = cdc.incremental_merge_write(
+        spark, path, ch, n_buckets=n_buckets
+    )
+    expected_buckets = sorted(
+        r.b
+        for r in ch.select(
+            cdc.bucket_col(F.col("doc_id"), n_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    assert affected == expected_buckets
+    assert 0 < len(affected) < n_buckets  # the test must actually prune
+
+    # untouched buckets: byte-identical files, not rewritten
+    after = _snapshot_files(path)
+    untouched_before = {
+        p: v
+        for p, v in before.items()
+        if not any(f"bucket={b}{os.sep}" in p + os.sep for b in affected)
+    }
+    for p, v in untouched_before.items():
+        assert after.get(p) == v, f"untouched file rewritten: {p}"
+
+    # round-trip ≡ in-memory merge of the same feed
+    got = {
+        (r.doc_id, r.text, r.n)
+        for r in spark.read.parquet(path).select("doc_id", "text", "n").collect()
+    }
+    want = {
+        (r.doc_id, r.text, r.n)
+        for r in cdc.apply_changes(base, ch).collect()
+    }
+    assert got == want
+    assert (100, "hundred", 1000) in got and not any(
+        k == 7 for k, _, _ in got
+    )
+
+
+def test_incremental_merge_write_clears_emptied_bucket(spark, tmp_path):
+    n_buckets = 4
+    # one doc alone in its bucket, then delete it: the bucket directory
+    # must not serve the stale row afterwards
+    base = spark.createDataFrame([Row(doc_id=i, text=f"d{i}") for i in range(12)])
+    path = str(tmp_path / "snap2")
+    cdc.write_bucketed_snapshot(base, path, n_buckets=n_buckets)
+    victim_bucket = spark.createDataFrame([Row(doc_id=5)]).select(
+        cdc.bucket_col(F.col("doc_id"), n_buckets).alias("b")
+    ).collect()[0].b
+    victims = [
+        r.doc_id
+        for r in base.select(
+            "doc_id", cdc.bucket_col(F.col("doc_id"), n_buckets).alias("b")
+        ).collect()
+        if r.b == victim_bucket
+    ]
+    ch = _changes(spark, [(k, "delete", 1, None, None) for k in victims])
+    cdc.incremental_merge_write(spark, path, ch, n_buckets=n_buckets)
+    left = {r.doc_id for r in spark.read.parquet(path).collect()}
+    assert left == {i for i in range(12)} - set(victims)
+    assert not os.path.exists(os.path.join(path, f"bucket={victim_bucket}"))
+
+
+def test_incremental_merge_write_empty_feed_noop(spark, tmp_path):
+    base = spark.createDataFrame([Row(doc_id=1, text="a")])
+    path = str(tmp_path / "snap3")
+    cdc.write_bucketed_snapshot(base, path, n_buckets=2)
+    before = _snapshot_files(path)
+    empty = spark.createDataFrame(
+        [], "doc_id bigint, op string, seq int, text string"
+    )
+    assert cdc.incremental_merge_write(spark, path, empty, n_buckets=2) == []
+    assert _snapshot_files(path) == before
