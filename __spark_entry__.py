@@ -258,6 +258,10 @@ def oracle_sql() -> dict[str, str]:
         # same CDC feed (LEAD per key, chain head = current) —
         # oracle-only swept entry.
         "corpus_change_history": oracle_corpus.corpus_change_history_sql(),
+        # events_zorder_keys: Morton interleave of (user_id, minute) —
+        # the multi-dimension prunable-layout sort key (pure 64-bit
+        # mask-shift steps, bit-exact) — oracle-only swept entry.
+        "events_zorder_keys": oracle_corpus.events_zorder_keys_sql(),
         # corpus_contamination_scores: GRADED decontamination — per-doc
         # benchmark n-gram overlap fraction + dirty flag at 20% (exact
         # integer flag arithmetic, one exactly-rounded division) —

@@ -602,3 +602,30 @@ SELECT doc_id, seq, op,
 FROM changes
 WINDOW w AS (PARTITION BY doc_id
              ORDER BY seq, CASE op WHEN 'delete' THEN 1 ELSE 0 END)"""
+
+
+def events_zorder_keys_sql() -> str:
+    """Twin of queries_dataops.events_zorder_keys: the identical 5-step
+    binary-magic-number bit spread (masks imported from
+    functions/zorder.py so the two sides cannot drift), interleaved
+    x-even / y-odd."""
+    from ..functions import zorder
+
+    ctes = ["""xy AS (
+  SELECT event_id, CAST(user_id AS BIGINT) AS x,
+         CAST(EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)
+              AS BIGINT) AS y
+  FROM events)"""]
+    prev = "xy"
+    for i, (shift, mask) in enumerate(zorder._SPREAD_STEPS):
+        ctes.append(
+            f"""s{i} AS (
+  SELECT event_id,
+         (x | (x << {shift})) & {mask} AS x,
+         (y | (y << {shift})) & {mask} AS y
+  FROM {prev})"""
+        )
+        prev = f"s{i}"
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined}
+SELECT event_id, x | (y << 1) AS z FROM {prev}"""

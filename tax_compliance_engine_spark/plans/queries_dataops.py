@@ -826,3 +826,18 @@ def corpus_change_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return cdc.change_history(_cdc_changes(docs))
+
+
+def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton keys over (user_id, minute-of-day) for the events table
+    (functions/zorder.py) — the interleaved sort key behind the
+    multi-dimension prunable layout `zorder.zorder_write` produces.
+    Pure 64-bit mask-shift arithmetic, bit-exact vs the DuckDB twin."""
+    from ..functions import zorder
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    minute = (F.hour("ts") * 60 + F.minute("ts")).cast("long")
+    return ev.select(
+        "event_id",
+        zorder.z_value(F.col("user_id"), minute).alias("z"),
+    )
