@@ -262,6 +262,10 @@ def oracle_sql() -> dict[str, str]:
         # the multi-dimension prunable-layout sort key (pure 64-bit
         # mask-shift steps, bit-exact) — oracle-only swept entry.
         "events_zorder_keys": oracle_corpus.events_zorder_keys_sql(),
+        # events_top_users: sharded two-level grouped top-k (hot-group
+        # rank sort spread over shards, value-identical to the window
+        # form the twin uses) — oracle-only swept entry.
+        "events_top_users": oracle_corpus.events_top_users_sql(),
         # corpus_contamination_scores: GRADED decontamination — per-doc
         # benchmark n-gram overlap fraction + dirty flag at 20% (exact
         # integer flag arithmetic, one exactly-rounded division) —

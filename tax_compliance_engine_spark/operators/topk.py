@@ -1,0 +1,60 @@
+"""Skew-immune grouped top-k.
+
+Spark lowers GLOBAL top-k to ``TakeOrderedAndProject`` (no full sort),
+but per-GROUP top-k has no such operator — the standard window
+``row_number() <= k`` sorts every row of a group inside one task, so one
+hot group (a head domain, a viral token) serializes onto a single core
+and spills alone.  ``top_k_per_group`` shards each group first: per-shard
+top-k bounds what reaches the group-level window to ``k * n_shards``
+rows per group, so the hot group's sort spreads across ``n_shards``
+tasks and the final window touches a bounded set.
+
+The result is IDENTICAL to the single-level window for any shard
+assignment: a global top-k row can only be beaten within its shard by
+rows that also beat it globally, so per-shard top-ks are always a
+superset of the group top-k.  (Same two-level discipline as
+``corpus.pack_sequences`` offsets and ``graph.pagerank`` folds.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    k: int,
+    shard_by: Column | None = None,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Top ``k`` rows per group under ``order_by`` (which must totally
+    order rows within a group — append a unique column as the last sort
+    key, or ranks among ties are nondeterministic), computed with a
+    sharded two-level window.
+
+    ``shard_by`` is any expression spreading a group's rows across
+    shards (hashed mod ``n_shards``); content-derived keys (an id
+    column) keep the whole plan deterministic, but ANY assignment —
+    even a partition id — yields the same final rows.  Output columns =
+    input columns (shard and rank are internal)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    if shard_by is None:
+        shard_by = F.spark_partition_id()
+    cols = df.columns
+    shard = F.pmod(F.xxhash64(shard_by), F.lit(n_shards))
+    w1 = Window.partitionBy(*group_cols, "_shard").orderBy(*order_by)
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return (
+        df.withColumn("_shard", shard)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= k)
+        .select(*cols)
+    )

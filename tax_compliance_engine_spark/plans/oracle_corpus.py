@@ -629,3 +629,18 @@ def events_zorder_keys_sql() -> str:
     joined = ",\n".join(ctes)
     return f"""WITH {joined}
 SELECT event_id, x | (y << 1) AS z FROM {prev}"""
+
+
+def events_top_users_sql() -> str:
+    """Twin of queries_dataops.events_top_users: the single-level window
+    rank (the two-level shard decomposition is provably
+    value-identical)."""
+    return """WITH counts AS (
+  SELECT event_type, user_id, COUNT(*) AS n_events
+  FROM events GROUP BY event_type, user_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY event_type
+    ORDER BY n_events DESC, user_id) AS rn
+  FROM counts)
+SELECT event_type, user_id, n_events FROM ranked WHERE rn <= 3"""

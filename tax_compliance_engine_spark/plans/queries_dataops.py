@@ -841,3 +841,23 @@ def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         zorder.z_value(F.col("user_id"), minute).alias("z"),
     )
+
+
+def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type top-3 users by event count (operators/topk.py):
+    the sharded two-level grouped top-k — identical values to a plain
+    window rank (the twin), but a hot event type's rank sort spreads
+    over 16 shard tasks instead of serializing on one core."""
+    from ..operators import topk
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return topk.top_k_per_group(
+        counts,
+        ["event_type"],
+        [F.col("n_events").desc(), F.col("user_id").asc()],
+        k=3,
+        shard_by=F.col("user_id"),
+    )
