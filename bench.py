@@ -50,7 +50,16 @@ BENCH_QUERIES = [
     "doc_bpe_token_counts",
     "dedup_incremental_pairs",
     "corpus_chunk_dedup",
+    "corpus_apply_changes",
+    "events_top_users",
+    "events_zorder_keys",
 ]
+
+# The original 18-query set every round since r1 has recorded — their
+# sub-total is the ONLY number comparable across rounds (the full set
+# grows as operator families land, so the headline total grows with
+# coverage, not regressions).
+CORE18 = BENCH_QUERIES[:18]
 
 
 def _loadavg_gate(max_load: float = 1.0, max_wait_sec: float = 600.0) -> dict:
@@ -204,12 +213,14 @@ def main() -> None:
     gate["contended_queries"] = contended
 
     total = round(sum(timings.values()), 3)
+    core18 = round(sum(timings[n] for n in CORE18 if n in timings), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
+                "value_core18": core18,
                 "queries": timings,
                 "sf": float(sf),
                 **gate,
