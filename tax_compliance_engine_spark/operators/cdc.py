@@ -97,6 +97,7 @@ def apply_changes(
     op_col: str = "op",
     broadcast_changes: bool | None = None,
     version_col: str | None = None,
+    base_version_col: str | None = None,
 ) -> DataFrame:
     """CDC merge: apply an upsert/delete change feed onto a standing
     snapshot.  Per key, the latest change wins (``resolve_changes``);
@@ -108,29 +109,83 @@ def apply_changes(
     ``version_col`` set, the output gains that column holding the
     winning change's seq (NULL for untouched base rows).
 
-    ``broadcast_changes=True`` pins the resolved feed as the broadcast
-    side of both the anti join and nothing else — the standing corpus
-    never shuffles, which is the only viable shape when base is 100 TB
-    and the delta is a day's crawl.  ``None`` leaves the strategy to
-    Catalyst/AQE (fine when both sides are comparable)."""
-    missing = [c for c in base.columns if c not in changes.columns]
-    if missing:
-        raise ValueError(f"changes feed missing base columns: {missing}")
+    ``base_version_col`` names a version column the SNAPSHOT carries
+    (upserted rows hold the seq that produced them; NULL = original
+    load).  With it set, the merge is guarded: a winning change whose
+    seq is ≤ the key's current version is STALE and discarded — which
+    makes applying feeds out of order safe for live keys, and applying
+    the same feed twice a no-op (the idempotence a retrying/streaming
+    writer needs).  Known limit, documented not hidden: a DELETE leaves
+    no tombstone behind, so a stale upsert REPLAYED AFTER the delete
+    was applied would resurrect the row — feeds must not reorder
+    around deletes of the same key (per-key-ordered transports, e.g. a
+    key-partitioned log, guarantee this).  Upserted rows' version
+    updates to their seq; untouched rows keep theirs.
+
+    ``broadcast_changes=True`` pins every join against the resolved
+    feed as broadcast — the standing corpus never shuffles (the guard
+    pass and the anti join both stream over base), which is the only
+    viable shape when base is 100 TB and the delta is a day's crawl.
+    ``None`` leaves the strategy to Catalyst/AQE (fine when both sides
+    are comparable)."""
+    if version_col and base_version_col:
+        raise ValueError(
+            "version_col adds a NEW version column; base_version_col "
+            "updates an existing one — set one, not both"
+        )
+    if base_version_col and base_version_col not in base.columns:
+        raise ValueError(
+            f"base has no column {base_version_col!r}: {base.columns}"
+        )
+    payload_required = [
+        c
+        for c in base.columns
+        if c != base_version_col and c not in changes.columns
+    ]
+    if payload_required:
+        raise ValueError(
+            f"changes feed missing base columns: {payload_required}"
+        )
     resolved = resolve_changes(changes, key_col, seq_col, op_col)
-    keys = resolved.select(key_col)
-    if broadcast_changes:
-        keys = F.broadcast(keys)
-    untouched = base.join(keys, on=key_col, how="left_anti")
+
+    def bcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_changes else df
+
+    if base_version_col:
+        # guard pass: stream base's slim (key, version) projection past
+        # the broadcast feed; a change losing to the current version is
+        # stale.  Inserts (keys absent from base) are never stale.
+        present = base.select(key_col, base_version_col).join(
+            bcast(resolved.select(key_col, seq_col)),
+            on=key_col,
+            how="inner",
+        )
+        # NULL version = original load, loses to any change (the
+        # comparison is NULL → not stale); non-null version guards
+        stale_keys = present.filter(
+            F.col(seq_col) <= F.col(base_version_col)
+        ).select(key_col)
+        resolved = resolved.join(
+            bcast(stale_keys), on=key_col, how="left_anti"
+        )
+    untouched = base.join(
+        bcast(resolved.select(key_col)), on=key_col, how="left_anti"
+    )
+    version_out = (
+        [F.col(seq_col).cast("long").alias(version_col)]
+        if version_col
+        else []
+    )
     upserts = resolved.filter(F.col(op_col) == OP_UPSERT).select(
         *[
-            F.col(c).cast(base.schema[c].dataType).alias(c)
+            F.col(seq_col)
+            .cast(base.schema[c].dataType)
+            .alias(c)
+            if c == base_version_col
+            else F.col(c).cast(base.schema[c].dataType).alias(c)
             for c in base.columns
         ],
-        *(
-            [F.col(seq_col).cast("long").alias(version_col)]
-            if version_col
-            else []
-        ),
+        *version_out,
     )
     if version_col:
         untouched = untouched.withColumn(
@@ -205,6 +260,7 @@ def incremental_merge_write(
     key_col: str = "doc_id",
     seq_col: str = "seq",
     op_col: str = "op",
+    base_version_col: str | None = None,
 ) -> list[int]:
     """Apply a change feed to an on-disk bucketed snapshot IN PLACE,
     rewriting only the buckets that contain changed keys.
@@ -249,6 +305,7 @@ def incremental_merge_write(
                 seq_col,
                 op_col,
                 broadcast_changes=True,
+                base_version_col=base_version_col,
             )
             .withColumn("bucket", bucket_col(F.col(key_col), n_buckets))
             .repartition("bucket")

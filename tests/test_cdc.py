@@ -211,3 +211,127 @@ def test_incremental_merge_write_empty_feed_noop(spark, tmp_path):
     )
     assert cdc.incremental_merge_write(spark, path, empty, n_buckets=2) == []
     assert _snapshot_files(path) == before
+
+
+def test_version_guard_discards_stale_and_is_idempotent(spark):
+    base = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="one", n=10, version=None),
+            Row(doc_id=2, text="two-v5", n=20, version=5),
+            Row(doc_id=3, text="three-v4", n=30, version=4),
+        ],
+        "doc_id bigint, text string, n bigint, version long",
+    )
+    ch = _changes(
+        spark,
+        [
+            (1, "upsert", 1, "one-v1", 11),  # NULL version loses to any seq
+            (2, "upsert", 5, "stale", 0),  # seq == version: stale
+            (2, "delete", 4, None, None),  # stale delete too
+            (3, "upsert", 9, "three-v9", 39),  # fresh
+        ],
+    )
+    out = {
+        r.doc_id: (r.text, r.version)
+        for r in cdc.apply_changes(
+            base, ch, base_version_col="version"
+        ).collect()
+    }
+    assert out == {
+        1: ("one-v1", 1),
+        2: ("two-v5", 5),  # untouched, stale change discarded
+        3: ("three-v9", 9),
+    }
+
+    # idempotence: re-applying the same feed onto the merged snapshot
+    # changes nothing (every surviving change's seq <= stored version)
+    merged = cdc.apply_changes(base, ch, base_version_col="version")
+    again = {
+        r.doc_id: (r.text, r.version)
+        for r in cdc.apply_changes(
+            merged, ch, base_version_col="version"
+        ).collect()
+    }
+    assert again == out
+
+
+def test_version_guard_param_validation(spark):
+    base = spark.createDataFrame(BASE)
+    ch = _changes(spark, [(1, "upsert", 1, "x", 1)])
+    with pytest.raises(ValueError, match="set one, not both"):
+        cdc.apply_changes(
+            base.withColumn("version", F.lit(1).cast("long")),
+            ch,
+            version_col="v2",
+            base_version_col="version",
+        )
+    with pytest.raises(ValueError, match="base has no column"):
+        cdc.apply_changes(base, ch, base_version_col="version")
+
+
+def test_streaming_cdc_maintains_snapshot(spark, tmp_path):
+    """Drained change-feed stream ≡ one batch apply_changes over the
+    union of all feeds — including a cross-batch version chain (seq 1
+    then seq 2 on the same key in different micro-batches) and a
+    re-delivered prefix (same feed directory drained twice = no-op,
+    the version guard absorbs it)."""
+    from tax_compliance_engine_spark.streaming.cdc_stream import (
+        streaming_cdc_writer,
+    )
+
+    n_buckets = 4
+    base = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i}", n=i) for i in range(10)]
+    ).withColumn("version", F.lit(None).cast("long"))
+    snap = str(tmp_path / "snap")
+    cdc.write_bucketed_snapshot(base, snap, n_buckets=n_buckets)
+
+    schema = "doc_id bigint, op string, seq int, text string, n bigint"
+    src = tmp_path / "feed"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            streaming_cdc_writer(stream, snap, n_buckets=n_buckets)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    first = [
+        (1, "upsert", 1, "one-v1", 11),
+        (4, "delete", 1, None, None),
+    ]
+    second = [
+        (1, "upsert", 2, "one-v2", 12),  # cross-batch version chain
+        (11, "upsert", 1, "eleven", 110),  # insert
+    ]
+    spark.createDataFrame(first, schema).write.mode("append").parquet(str(src))
+    drain()
+    spark.createDataFrame(second, schema).write.mode("append").parquet(str(src))
+    drain()
+    drain()  # full re-drain from a fresh checkpoint would re-deliver;
+    # here: no new files, a no-op — then force a true re-delivery:
+    import shutil
+
+    shutil.rmtree(tmp_path / "ckpt")
+    drain()  # fresh checkpoint re-delivers EVERY feed file; the
+    # version guard must absorb all of it
+
+    got = {
+        r.doc_id: (r.text, r.n, r.version)
+        for r in spark.read.parquet(snap)
+        .select("doc_id", "text", "n", "version")
+        .collect()
+    }
+    feed = spark.createDataFrame(first + second, schema)
+    want = {
+        r.doc_id: (r.text, r.n, r.version)
+        for r in cdc.apply_changes(
+            base, feed, base_version_col="version"
+        ).collect()
+    }
+    assert got == want
+    assert got[1] == ("one-v2", 12, 2)
+    assert 4 not in got and got[11] == ("eleven", 110, 1)
