@@ -55,6 +55,9 @@ SCALE_QUERIES = [
     "corpus_bpe_merges",
     "dedup_incremental_pairs",
     "corpus_chunk_dedup",
+    "corpus_apply_changes",
+    "events_top_users",
+    "events_zorder_keys",
 ]
 
 
@@ -64,8 +67,9 @@ def build_scaled(spark, out_dir: str) -> None:
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
     orders = spark.read.parquet(f"{BASE}/orders.parquet")
+    events = spark.read.parquet(f"{BASE}/events.parquet")
 
-    doc_parts, emb_parts, ord_parts = [], [], []
+    doc_parts, emb_parts, ord_parts, ev_parts = [], [], [], []
     for k in range(COPIES):
         tag = f"c{k}_"
         retok = F.concat(
@@ -95,6 +99,14 @@ def build_scaled(spark, out_dir: str) -> None:
                 "o_orderkey", F.col("o_orderkey") + k * 10**10
             )
         )
+        # events: ids and users offset per copy — per-(type, user)
+        # structure replicates (10× the groups, same rows per group),
+        # user ids stay < 2^31 for the z-order guard
+        ev_parts.append(
+            events.withColumn(
+                "event_id", F.col("event_id") + k * 10**9
+            ).withColumn("user_id", F.col("user_id") + k * 10**7)
+        )
 
     def union_all(parts):
         out = parts[0]
@@ -111,6 +123,9 @@ def build_scaled(spark, out_dir: str) -> None:
     )
     union_all(ord_parts).write.mode("overwrite").parquet(
         str(out / "orders.parquet")
+    )
+    union_all(ev_parts).write.mode("overwrite").parquet(
+        str(out / "events.parquet")
     )
 
 
@@ -349,8 +364,14 @@ def emb_candidate_counts(spark, workdir: str) -> dict:
 
 
 def main() -> None:
+    global SCALE_QUERIES
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     workdir = args[0] if args else "/tmp/tce_sf1"
+    # extra positional args = subset of SCALE_QUERIES to measure
+    # (iterating on one operator shouldn't re-run the whole curve)
+    subset = [a for a in args[1:] if a in SCALE_QUERIES]
+    if subset:
+        SCALE_QUERIES = subset
     shutil.rmtree(workdir, ignore_errors=True)
 
     import __spark_entry__ as entry
