@@ -369,7 +369,12 @@ def main() -> None:
     workdir = args[0] if args else "/tmp/tce_sf1"
     # extra positional args = subset of SCALE_QUERIES to measure
     # (iterating on one operator shouldn't re-run the whole curve)
-    subset = [a for a in args[1:] if a in SCALE_QUERIES]
+    subset = args[1:]
+    unknown = [a for a in subset if a not in SCALE_QUERIES]
+    if unknown:
+        raise SystemExit(
+            f"unknown queries {unknown}; choose from {SCALE_QUERIES}"
+        )
     if subset:
         SCALE_QUERIES = subset
     shutil.rmtree(workdir, ignore_errors=True)

@@ -61,7 +61,9 @@ def z_value(x: Column, y: Column) -> Column:
             F.raise_error(
                 F.concat(
                     F.lit(f"z_value {name} out of [0, 2^31): "),
-                    c.cast("string"),
+                    # NULL also lands here (the when-condition is NULL);
+                    # coalesce keeps the diagnostic readable
+                    F.coalesce(c.cast("string"), F.lit("NULL")),
                 )
             )
         )

@@ -98,11 +98,18 @@ def apply_changes(
     broadcast_changes: bool | None = None,
     version_col: str | None = None,
     base_version_col: str | None = None,
+    changes_resolved: bool = False,
 ) -> DataFrame:
     """CDC merge: apply an upsert/delete change feed onto a standing
     snapshot.  Per key, the latest change wins (``resolve_changes``);
     a winning upsert replaces (or inserts) the row, a winning delete
     removes it, untouched base rows pass through unchanged.
+
+    ``changes_resolved=True`` declares the feed ALREADY one-row-per-key
+    (the caller ran — and typically cached — ``resolve_changes``);
+    resolution is skipped, so a caller that materialized the resolved
+    delta once doesn't re-pay the aggregation in each of this plan's
+    branches (guard pass, anti join, upsert select).
 
     ``changes`` must carry every ``base`` column (payload) plus
     ``op_col``/``seq_col``; delete payloads may be NULL.  With
@@ -137,6 +144,11 @@ def apply_changes(
         raise ValueError(
             f"base has no column {base_version_col!r}: {base.columns}"
         )
+    if version_col and version_col in base.columns:
+        raise ValueError(
+            f"base already has a column {version_col!r} — use "
+            "base_version_col to UPDATE an existing version column"
+        )
     payload_required = [
         c
         for c in base.columns
@@ -146,7 +158,11 @@ def apply_changes(
         raise ValueError(
             f"changes feed missing base columns: {payload_required}"
         )
-    resolved = resolve_changes(changes, key_col, seq_col, op_col)
+    resolved = (
+        changes
+        if changes_resolved
+        else resolve_changes(changes, key_col, seq_col, op_col)
+    )
 
     def bcast(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_changes else df
@@ -306,6 +322,7 @@ def incremental_merge_write(
                 op_col,
                 broadcast_changes=True,
                 base_version_col=base_version_col,
+                changes_resolved=True,  # resolved + cached above
             )
             .withColumn("bucket", bucket_col(F.col(key_col), n_buckets))
             .repartition("bucket")
@@ -314,20 +331,16 @@ def incremental_merge_write(
         surviving = {
             r.bucket for r in merged.select("bucket").distinct().collect()
         }
-        prior = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            if surviving:
-                (
-                    merged.write.partitionBy("bucket")
-                    .mode("overwrite")
-                    .parquet(path)
-                )
-        finally:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prior
+        if surviving:
+            (
+                # per-WRITE dynamic overwrite (not the session conf: a
+                # session-level toggle races with concurrent writers —
+                # another overwrite landing while 'static' is restored
+                # would wipe every untouched bucket directory)
+                merged.write.option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(path)
             )
         # dynamic overwrite only replaces partitions PRESENT in the
         # output; a fully-deleted bucket must be cleared by hand

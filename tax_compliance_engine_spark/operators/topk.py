@@ -36,16 +36,18 @@ def top_k_per_group(
     sharded two-level window.
 
     ``shard_by`` is any expression spreading a group's rows across
-    shards (hashed mod ``n_shards``); content-derived keys (an id
-    column) keep the whole plan deterministic, but ANY assignment —
-    even a partition id — yields the same final rows.  Output columns =
+    shards (hashed mod ``n_shards``); the default hashes EVERY input
+    column — content-derived, so a task retry recomputes the same
+    assignment (a nondeterministic shard expression could land a row in
+    two different shards across a partial stage recompute, and both
+    copies would survive the two rank filters).  Output columns =
     input columns (shard and rank are internal)."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
     if shard_by is None:
-        shard_by = F.spark_partition_id()
+        shard_by = F.struct(*[F.col(c) for c in df.columns])
     cols = df.columns
     shard = F.pmod(F.xxhash64(shard_by), F.lit(n_shards))
     w1 = Window.partitionBy(*group_cols, "_shard").orderBy(*order_by)

@@ -56,7 +56,7 @@ def test_matches_window_reference_and_shard_invariance(spark, skewed):
             )
         )
         assert got == want, f"n_shards={n_shards}"
-    # default partition-id sharding: same rows (assignment-independent)
+    # default all-columns content hash: same rows (assignment-independent)
     assert (
         _rows(topk.top_k_per_group(skewed, ["g"], order, k=5)) == want
     )
