@@ -266,6 +266,12 @@ def oracle_sql() -> dict[str, str]:
         # rank sort spread over shards, value-identical to the window
         # form the twin uses) — oracle-only swept entry.
         "events_top_users": oracle_corpus.events_top_users_sql(),
+        # corpus_sliding_windows: overlapping token windows (RAG /
+        # fixed-context chunking; pure row-local, zero shuffles) —
+        # oracle-only swept entry.
+        "corpus_sliding_windows": (
+            oracle_corpus.corpus_sliding_windows_sql()
+        ),
         # corpus_contamination_scores: GRADED decontamination — per-doc
         # benchmark n-gram overlap fraction + dirty flag at 20% (exact
         # integer flag arithmetic, one exactly-rounded division) —

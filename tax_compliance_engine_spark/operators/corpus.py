@@ -876,11 +876,14 @@ def distinct_sketch(
     (h · A + B mod M, A large) first, which equidistributes any input
     range across [0, M); the oracle applies the identical step.
 
-    Shuffle shape: one distinct over narrow (group, hash) pairs, then a
-    per-group sort that only ranks those distinct hashes (row_number ≤ k
-    prunes immediately).  (k−1)·M ≈ 6.3e10 at k=64 is exactly
-    representable in a double and the single division is exactly
-    rounded, so the estimate is bit-portable too.
+    Shuffle shape: one distinct over narrow (group, hash) pairs, then
+    the k-minima via the sharded two-level rank (`topk.top_k_per_group`,
+    sharded on the hash itself) — a group with 10⁹ distinct hashes
+    ranks across 16 shard tasks instead of sorting in one (value-
+    identical to the single window; the oracle twin stays bit-exact).
+    (k−1)·M ≈ 6.3e10 at k=64 is exactly representable in a double and
+    the single division is exactly rounded, so the estimate is
+    bit-portable too.
 
     Output: (group_col, n_kept, kth_hash, est_distinct)."""
     hashes = (
@@ -901,11 +904,16 @@ def distinct_sketch(
         )
         .distinct()
     )
-    w = Window.partitionBy(group_col).orderBy("_h")
-    topk = hashes.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= k
+    from .topk import top_k_per_group
+
+    kept = top_k_per_group(
+        hashes,
+        [group_col],
+        [F.col("_h").asc()],
+        k=k,
+        shard_by=F.col("_h"),
     )
-    return topk.groupBy(group_col).agg(
+    return kept.groupBy(group_col).agg(
         F.count("*").cast("long").alias("n_kept"),
         F.max("_h").alias("kth_hash"),
     ).select(
@@ -1152,4 +1160,51 @@ def bpe_token_counts(
             F.lit(0),
             lambda acc, x: acc + x,
         ).alias("n_subwords"),
+    )
+
+
+def sliding_windows(
+    docs: DataFrame,
+    size: int = 64,
+    stride: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token windows per document: window ``win_idx`` covers
+    tokens [win_idx·stride, win_idx·stride + size) — the chunking every
+    RAG index and fixed-context pretraining slicer runs over a corpus
+    (stride < size gives overlap so no span is split across a boundary;
+    stride = size tiles exactly; stride > size leaves gaps, allowed but
+    unusual).  The final window may be shorter than ``size``; empty
+    documents produce no rows.
+
+    Pure row-local work: one sequence+posexplode per doc and an array
+    slice per window — no shuffle at all, the plan is a projection the
+    scan streams through (contrast chunk_dedup, which must shuffle to
+    elect global chunk owners).
+
+    Output: (doc_id, win_idx, start_tok, n_win_tokens, text_win)."""
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    if stride <= 0:
+        raise ValueError(f"stride must be positive, got {stride}")
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ).otherwise(F.lit(None))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_t"), starts.alias("_s"))
+        .select("doc_id", "_t", F.posexplode("_s").alias("win_idx", "_start"))
+        .select(
+            "doc_id",
+            "win_idx",
+            F.col("_start").alias("start_tok"),
+            F.size(F.slice(F.col("_t"), F.col("_start") + 1, size)).alias(
+                "n_win_tokens"
+            ),
+            F.concat_ws(
+                " ", F.slice(F.col("_t"), F.col("_start") + 1, size)
+            ).alias("text_win"),
+        )
     )

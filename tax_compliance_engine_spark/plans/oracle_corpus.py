@@ -644,3 +644,21 @@ ranked AS (
     ORDER BY n_events DESC, user_id) AS rn
   FROM counts)
 SELECT event_type, user_id, n_events FROM ranked WHERE rn <= 3"""
+
+
+def corpus_sliding_windows_sql(size: int = 32, stride: int = 16) -> str:
+    """Twin of corpus.sliding_windows: lateral range(0, len, stride)
+    starts, 1-based list_slice windows, win_idx = start/stride (starts
+    are exact multiples)."""
+    return f"""WITH toks AS (
+  SELECT doc_id, {TOKENS} AS t FROM documents),
+wins AS (
+  SELECT doc_id,
+         CAST(u.s / {stride} AS INTEGER) AS win_idx,
+         CAST(u.s AS INTEGER) AS start_tok,
+         list_slice(t, u.s + 1, u.s + {size}) AS w
+  FROM toks, unnest(range(0, len(t), {stride})) AS u(s))
+SELECT doc_id, win_idx, start_tok,
+       CAST(len(w) AS INTEGER) AS n_win_tokens,
+       array_to_string(w, ' ') AS text_win
+FROM wins"""

@@ -861,3 +861,10 @@ def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         shard_by=F.col("user_id"),
     )
+
+
+def corpus_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 32-token windows at stride 16 (corpus.sliding_windows)
+    — the RAG/pretraining chunking pass; pure row-local
+    sequence+posexplode+slice, no shuffle anywhere."""
+    return corpus.sliding_windows(_docs(spark, sf_dir), size=32, stride=16)

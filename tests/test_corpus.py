@@ -876,3 +876,40 @@ def test_bpe_segment_col_applies_rules_in_order(spark):
         corpus.bpe_segment_col(F.col("text"), merges).alias("toks")
     ).collect()[0]
     assert list(r.toks) == ["low", "low", "e", "r", "ab", "ab", "ab"]
+
+
+def test_sliding_windows_shapes(spark):
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e"),  # 5 tokens
+            Row(doc_id=2, text=""),  # empty: no rows
+            Row(doc_id=3, text="x y z w"),  # exact tiling at size=2
+        ]
+    )
+    got = {
+        (r.doc_id, r.win_idx): (r.start_tok, r.n_win_tokens, r.text_win)
+        for r in corpus.sliding_windows(docs, size=4, stride=2).collect()
+    }
+    assert got == {
+        (1, 0): (0, 4, "a b c d"),
+        (1, 1): (2, 3, "c d e"),  # final partial window kept
+        (1, 2): (4, 1, "e"),
+        (3, 0): (0, 4, "x y z w"),
+        (3, 1): (2, 2, "z w"),
+    }
+    # stride == size tiles with no overlap
+    tiled = corpus.sliding_windows(docs, size=2, stride=2)
+    assert [
+        (r.win_idx, r.text_win)
+        for r in tiled.filter(F.col("doc_id") == 3)
+        .orderBy("win_idx")
+        .collect()
+    ] == [(0, "x y"), (1, "z w")]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="size must be positive"):
+        corpus.sliding_windows(docs, size=0)
+    with _pytest.raises(ValueError, match="stride must be positive"):
+        corpus.sliding_windows(docs, stride=0)
