@@ -272,6 +272,12 @@ def oracle_sql() -> dict[str, str]:
         "corpus_sliding_windows": (
             oracle_corpus.corpus_sliding_windows_sql()
         ),
+        # corpus_weighted_sample: per-row importance sampling — keep
+        # probability an exact integer ratio via cross-multiplication
+        # on the LCG key (no float round-off) — oracle-only swept entry.
+        "corpus_weighted_sample": (
+            oracle_corpus.corpus_weighted_sample_sql()
+        ),
         # corpus_contamination_scores: GRADED decontamination — per-doc
         # benchmark n-gram overlap fraction + dirty flag at 20% (exact
         # integer flag arithmetic, one exactly-rounded division) —

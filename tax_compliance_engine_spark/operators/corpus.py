@@ -1208,3 +1208,47 @@ def sliding_windows(
             ).alias("text_win"),
         )
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_num: Column,
+    weight_den: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-row weighted sampling: keep each row with probability
+    ``weight_num / weight_den`` (an exact integer ratio — e.g. a quality
+    score's numerator/denominator, a per-length rate), decided by the
+    same deterministic LCG key every sampler here uses.  The keep rule
+    is the pure-integer cross-multiplication
+
+        sample_hash(id) · weight_den  <  weight_num · SAMPLE_MOD
+
+    so inclusion is exactly proportional to the ratio with NO float
+    round-off anywhere — reproducible across runs, engines, retries,
+    and corpus growth (a row's verdict never depends on other rows).
+    This is the importance-sampling primitive (quality-weighted corpus
+    thinning: P(keep) ∝ quality) that `mixture` (per-source rates) and
+    `token_budget_mixture` (global budget) specialize.
+
+    Ratios must satisfy 0 ≤ num ≤ den and den > 0 (checked in-plan,
+    raising at execution time); both sides of the cross-multiply stay
+    under 2^63 for den, num ≤ ~9·10⁹.  Row-local projection + filter:
+    no shuffle, pushes into the scan."""
+    num = weight_num.cast("long")
+    den = weight_den.cast("long")
+    valid = (den > 0) & (num >= 0) & (num <= den)
+    checked_num = F.when(valid, num).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_sample needs 0 <= num <= den, den > 0: "),
+                F.coalesce(num.cast("string"), F.lit("NULL")),
+                F.lit("/"),
+                F.coalesce(den.cast("string"), F.lit("NULL")),
+            )
+        )
+    )
+    h = sample_hash_col(F.col(id_col))
+    return docs.filter(
+        h * den < checked_num * F.lit(SAMPLE_MOD)
+    )

@@ -662,3 +662,10 @@ SELECT doc_id, win_idx, start_tok,
        CAST(len(w) AS INTEGER) AS n_win_tokens,
        array_to_string(w, ' ') AS text_win
 FROM wins"""
+
+
+def corpus_weighted_sample_sql() -> str:
+    """Twin of queries_dataops.corpus_weighted_sample: the identical
+    integer cross-multiplication keep rule on the shared LCG key."""
+    return f"""SELECT doc_id FROM documents
+WHERE ({_HASH}) * 1000 < LEAST(n_chars, 500) * {corpus.SAMPLE_MOD}"""

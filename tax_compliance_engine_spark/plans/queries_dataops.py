@@ -868,3 +868,16 @@ def corpus_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the RAG/pretraining chunking pass; pure row-local
     sequence+posexplode+slice, no shuffle anywhere."""
     return corpus.sliding_windows(_docs(spark, sf_dir), size=32, stride=16)
+
+
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional thinning (corpus.weighted_sample): keep each
+    doc with probability min(n_chars, 500)/1000 — a pure-integer
+    cross-multiplied keep rule on the LCG key, P(keep) exactly the
+    ratio, zero float round-off, row-local (no shuffle)."""
+    docs = _docs(spark, sf_dir)
+    return corpus.weighted_sample(
+        docs,
+        F.least(F.col("n_chars"), F.lit(500)),
+        F.lit(1000),
+    ).select("doc_id")

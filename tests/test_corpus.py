@@ -913,3 +913,44 @@ def test_sliding_windows_shapes(spark):
         corpus.sliding_windows(docs, size=0)
     with _pytest.raises(ValueError, match="stride must be positive"):
         corpus.sliding_windows(docs, stride=0)
+
+
+def test_weighted_sample_exact_proportion_and_edges(spark):
+    from pyspark.sql import Row
+
+    n = 2000
+    docs = spark.createDataFrame([Row(doc_id=i, w=1) for i in range(n)])
+
+    def py_keep(i, num, den):
+        h = (i * corpus.SAMPLE_MULT + corpus.SAMPLE_INC) % corpus.SAMPLE_MOD
+        return h * den < num * corpus.SAMPLE_MOD
+
+    for num, den in [(1, 4), (3, 4), (499, 1000)]:
+        got = {
+            r.doc_id
+            for r in corpus.weighted_sample(
+                docs, F.lit(num), F.lit(den)
+            ).collect()
+        }
+        want = {i for i in range(n) if py_keep(i, num, den)}
+        assert got == want, (num, den)
+        # the LCG key is uniform: kept fraction tracks the ratio
+        assert abs(len(got) / n - num / den) < 0.05
+
+    # per-ROW ratios: rows with num=0 never kept, num=den always kept
+    mixed = spark.createDataFrame(
+        [Row(doc_id=i, num=(0 if i % 2 else 7), den=7) for i in range(100)]
+    )
+    kept = {
+        r.doc_id
+        for r in corpus.weighted_sample(
+            mixed, F.col("num"), F.col("den")
+        ).collect()
+    }
+    assert kept == {i for i in range(100) if i % 2 == 0}
+
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([Row(doc_id=1, num=5, den=4)])
+    with _pytest.raises(Exception, match="0 <= num <= den"):
+        corpus.weighted_sample(bad, F.col("num"), F.col("den")).collect()
