@@ -18,10 +18,12 @@ same either way, so a real codec drops in without touching the plan.
 
 from __future__ import annotations
 
+import functools
+import math
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -1742,3 +1744,193 @@ def _split_jpeg_frames(payload: bytes) -> list[bytes]:
         frames.append(bytes(payload[pos:end]))
         pos = end
     return frames
+
+
+# ── perceptual hashing (image near-dedup) ────────────────────────────
+
+PHASH_SIZE = 32  # gray resize target before the DCT
+PHASH_LOW = 8  # low-frequency block whose median thresholds the bits
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("phash", LongType(), True),
+        StructField("decoder", StringType(), True),
+    ]
+)
+
+
+def _phash_basis():
+    """Orthonormal 32-point DCT-II basis (the pHash literature's
+    transform; float here, not pinned-order — this family is
+    pytest-gated against a Python reference, not a SQL twin, because
+    the decode itself is not SQL-expressible)."""
+    import numpy as np
+
+    n = PHASH_SIZE
+    B = np.zeros((n, n))
+    for u in range(n):
+        c = math.sqrt(1.0 / n) if u == 0 else math.sqrt(2.0 / n)
+        for x in range(n):
+            B[u, x] = c * math.cos((2 * x + 1) * u * math.pi / (2 * n))
+    return B
+
+
+def _phash64(arr) -> int:
+    """64-bit perceptual hash of an HxWx3 uint8 image: integer
+    luminance, nearest-neighbor resize to 32×32 (index arithmetic
+    identical to ``_resize_nn``), 2-D DCT, top-left 8×8 low-frequency
+    block, bit = coefficient > block median.  Robust to resizing and
+    re-encoding (a pixel-replicated upscale hashes IDENTICALLY — the
+    NN grid recovers the original samples); brightness inversion flips
+    nearly every bit.  Packed row-major, wrapped to a signed 64-bit
+    long (hamming distance is bit_count(xor), sign-safe)."""
+    import numpy as np
+
+    h, w, _ = arr.shape
+    gray = (
+        arr[:, :, 0].astype(np.int64) * 299
+        + arr[:, :, 1].astype(np.int64) * 587
+        + arr[:, :, 2].astype(np.int64) * 114
+    ) // 1000
+    n = PHASH_SIZE
+    ys = (np.arange(n) * h) // n
+    xs = (np.arange(n) * w) // n
+    small = gray[np.ix_(ys, xs)].astype(np.float64)
+    B = _phash_basis()
+    coef = B @ small @ B.T
+    low = coef[:PHASH_LOW, :PHASH_LOW].ravel()
+    med = float(np.median(low))
+    bits = 0
+    for i, v in enumerate(low):
+        if v > med:
+            bits |= 1 << i
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def phash_media(media: DataFrame) -> DataFrame:
+    """Perceptual hashes over the media table: real decode (PPM / PNG /
+    GIF / JPEG) then ``_phash64``, Arrow-batched through mapInPandas —
+    partition-parallel, no shuffle.  Malformed payloads hash to NULL;
+    formats without a decoder raise like ``decode_image`` does.
+
+    Output: (doc_id, phash, decoder)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes, decs = [], [], []
+            for doc_id, fmt, payload in zip(
+                pdf["doc_id"], pdf["format"], pdf["payload"]
+            ):
+                decoder = _IMAGE_DECODERS.get(fmt)
+                if decoder is None:
+                    raise NotImplementedError(
+                        f"no decoder for format {fmt!r}: the from-scratch "
+                        f"codecs cover {sorted(_IMAGE_DECODERS)}"
+                    )
+                arr = decoder(payload)
+                ids.append(doc_id)
+                hashes.append(None if arr is None else _phash64(arr))
+                decs.append(None if arr is None else f"{fmt}-numpy")
+            yield pd.DataFrame(
+                {"doc_id": ids, "phash": hashes, "decoder": decs}
+            )
+
+    return media.mapInPandas(batches, schema=PHASH_SCHEMA)
+
+
+def phash_dup_pairs(
+    hashed: DataFrame,
+    max_hamming: int = 7,
+    n_bands: int = 8,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Image near-dup pairs from perceptual hashes: band the 64-bit
+    hash into ``n_bands`` equal slices, equi-join on any shared band
+    (first-shared-band in-join dedup — the same no-DISTINCT discipline
+    as the MinHash/SimHash operators), then keep pairs with hamming
+    distance ≤ ``max_hamming`` (bit_count of xor, JVM-side).
+
+    Recall is EXACT for ``max_hamming < n_bands``: a pair within
+    hamming h < n_bands has at least one band its differing bits never
+    touch (pigeonhole), and that intact band's equi-join emits the
+    candidate.  The default (7, 8) keeps the guarantee; raising
+    max_hamming beyond n_bands-1 trades guaranteed recall for fewer
+    bands, and the docstring is the contract that says so.
+
+    Scale shape: |bands| narrow rows per image, per-band hash
+    equi-join — never an all-pairs scan; random 8-bit band collisions
+    sit at 1/256 per band for unrelated images."""
+    from .dedup import first_shared_band_terms
+
+    if not 1 <= n_bands <= 64 or 64 % n_bands:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} forfeits the exactness guarantee "
+            f"(needs max_hamming < n_bands={n_bands}); lower it or use "
+            "more bands"
+        )
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+
+    def band_at(side: str):
+        def at(i: int):
+            return F.shiftrightunsigned(
+                F.col(f"{side}.{hash_col}"), i * width
+            ).bitwiseAND(F.lit(mask))
+
+        return at
+
+    rows = hashed.filter(F.col(hash_col).isNotNull()).select(id_col, hash_col)
+    bands = rows.select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(F.col(hash_col), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, hash_col, "b.band_idx", "b.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    la, lb = band_at("a"), band_at("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .filter(
+            # emit each pair only on its LOWEST shared band
+            ~functools.reduce(
+                Column.__or__,
+                [
+                    (la(i) == lb(i)) & (F.col("a.band_idx") > i)
+                    for i in range(n_bands - 1)
+                ],
+                F.lit(False),
+            )
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+            F.bit_count(
+                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

@@ -1672,3 +1672,98 @@ def test_sample_frames_mjpeg_real_boundaries(spark):
     # a truncated tail frame stops the demux cleanly
     frames = multimodal._split_jpeg_frames(payload[: len(payload) - 5])
     assert len(frames) == 3
+
+
+# ── perceptual hashing ───────────────────────────────────────────────
+
+
+def _ppm_bytes(arr) -> bytes:
+    import numpy as np
+
+    h, w, _ = arr.shape
+    return f"P6\n{w} {h}\n255\n".encode() + np.asarray(
+        arr, dtype=np.uint8
+    ).tobytes()
+
+
+def _gradient(n: int):
+    import numpy as np
+
+    y, x = np.mgrid[0:n, 0:n]
+    arr = np.zeros((n, n, 3), dtype=np.uint8)
+    arr[:, :, 0] = (x * 255) // max(n - 1, 1)
+    arr[:, :, 1] = (y * 255) // max(n - 1, 1)
+    arr[:, :, 2] = ((x + y) * 255) // max(2 * (n - 1), 1)
+    return arr
+
+
+def _media_rows(spark, payloads):
+    from tax_compliance_engine_spark.operators.multimodal import MEDIA_SCHEMA
+
+    return spark.createDataFrame(
+        [
+            (i, "image", bytearray(p), len(p), "ppm")
+            for i, p in payloads.items()
+        ],
+        MEDIA_SCHEMA,
+    )
+
+
+def test_phash_reference_resize_invariance_and_discrimination(spark):
+    import numpy as np
+
+    from tax_compliance_engine_spark.operators import multimodal as mm
+
+    a = _gradient(32)
+    b = np.repeat(np.repeat(a, 2, axis=0), 2, axis=1)  # 2x replication
+    c = 255 - a  # inversion
+    media = _media_rows(
+        spark, {1: _ppm_bytes(a), 2: _ppm_bytes(b), 3: _ppm_bytes(c)}
+    )
+    got = {r.doc_id: r.phash for r in mm.phash_media(media).collect()}
+    # pipeline hash == direct Python reference on the source array
+    assert got[1] == mm._phash64(a)
+    # pixel-replicated upscale: NN grid recovers the original samples
+    assert got[1] == got[2]
+    # inversion flips most low-frequency signs
+    ham13 = bin((got[1] ^ got[3]) & ((1 << 64) - 1)).count("1")
+    assert ham13 > 20
+
+    # malformed payload -> NULL hash, row kept
+    bad = _media_rows(spark, {9: b"P6\n2 2\n255\nxx"})  # truncated
+    rows = {r.doc_id: r.phash for r in mm.phash_media(bad).collect()}
+    assert rows == {9: None}
+
+
+def test_phash_dup_pairs_banding_and_guarantee(spark):
+    from pyspark.sql import Row
+
+    from tax_compliance_engine_spark.operators import multimodal as mm
+
+    h0 = 0x0123456789ABCDEF
+    near = h0 ^ sum(1 << (8 * i + i) for i in range(7))  # 1 bit per band 0-6
+    assert bin(h0 ^ near).count("1") == 7
+    far = h0 ^ ((1 << 30) - 1)  # 30 low bits: candidates via high bands
+    alldiff = h0 ^ -1  # every band differs: never a candidate
+    hashed = spark.createDataFrame(
+        [
+            Row(doc_id=1, phash=h0),
+            Row(doc_id=2, phash=near),
+            Row(doc_id=3, phash=far),
+            Row(doc_id=4, phash=alldiff),
+            Row(doc_id=5, phash=None),  # malformed upstream: ignored
+        ],
+        "doc_id long, phash long",
+    )
+    pairs = {
+        (r.id1, r.id2): r.hamming
+        for r in mm.phash_dup_pairs(hashed).collect()
+    }
+    assert pairs == {(1, 2): 7}  # guaranteed recall at hamming 7
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="forfeits the exactness"):
+        mm.phash_dup_pairs(hashed, max_hamming=8, n_bands=8)
+    with _pytest.raises(ValueError, match="must divide 64"):
+        mm.phash_dup_pairs(hashed, max_hamming=2, n_bands=7)
