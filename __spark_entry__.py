@@ -278,6 +278,10 @@ def oracle_sql() -> dict[str, str]:
         "corpus_weighted_sample": (
             oracle_corpus.corpus_weighted_sample_sql()
         ),
+        # corpus_profile: per-column data-quality stats in one pass
+        # (exact counts/distincts, native-order min/max as strings) —
+        # oracle-only swept entry.
+        "corpus_profile": oracle_corpus.corpus_profile_sql(),
         # corpus_contamination_scores: GRADED decontamination — per-doc
         # benchmark n-gram overlap fraction + dirty flag at 20% (exact
         # integer flag arithmetic, one exactly-rounded division) —

@@ -1,0 +1,64 @@
+"""Table profiling: per-column data-quality statistics in ONE pass.
+
+The monitoring op every ingest pipeline runs between loads — null
+fractions creeping up, distinct counts collapsing, min/max drifting out
+of domain are how upstream breakage is actually caught.  Spark ships
+`df.summary()` for floats-on-the-driver exploration; this operator is
+the PLAN-level version: deterministic, engine-portable values (strings
+and integers only) that the DuckDB twin reproduces bit-for-bit, shaped
+one row per column so the profile can be stored, diffed, and alerted on
+like any other table.
+
+Scale shape: a single global aggregation computes every column's
+count / distinct / min / max together (one pass over the data; the
+multi-count_distinct lowers to one Expand — rows × |cols| intermediate,
+the documented price of EXACT distincts).  The one-row result is
+reshaped to per-column rows by an in-plan posexplode — never a driver
+loop.  For 100 TB text columns where an exact distinct is not worth its
+shuffle, profile the cheap columns here and pair the heavy ones with
+`corpus.distinct_sketch` (deterministic KMV estimate, no exact
+distinct)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
+    """Per-column profile: (column, n_rows, n_nonnull, n_distinct,
+    min_val, max_val) — min/max computed in the column's native order
+    THEN cast to string (casting first would rank '10' < '9'); distinct
+    counts are exact and ignore NULLs (count_distinct semantics on both
+    engines)."""
+    cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError("profile_table needs at least one column")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"no such columns: {missing}")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.count(F.col(c)).alias(f"_nn{i}"),
+            F.count_distinct(F.col(c)).alias(f"_nd{i}"),
+            F.min(F.col(c)).cast("string").alias(f"_mn{i}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx{i}"),
+        ]
+    one = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_nn{i}").alias("n_nonnull"),
+                F.col(f"_nd{i}").alias("n_distinct"),
+                F.col(f"_mn{i}").alias("min_val"),
+                F.col(f"_mx{i}").alias("max_val"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return one.select(F.explode(per_col).alias("p")).select("p.*")

@@ -669,3 +669,20 @@ def corpus_weighted_sample_sql() -> str:
     integer cross-multiplication keep rule on the shared LCG key."""
     return f"""SELECT doc_id FROM documents
 WHERE ({_HASH}) * 1000 < LEAST(n_chars, 500) * {corpus.SAMPLE_MOD}"""
+
+
+def corpus_profile_sql(cols: list[str] | None = None) -> str:
+    """Twin of queries_dataops.corpus_profile: per-column UNION ALL of
+    the same exact aggregates (min/max in native order, cast after)."""
+    cols = cols or ["doc_id", "lang", "source", "n_chars"]
+    parts = [
+        f"""SELECT '{c}' AS column,
+       COUNT(*) AS n_rows,
+       COUNT({c}) AS n_nonnull,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_val,
+       CAST(MAX({c}) AS VARCHAR) AS max_val
+FROM documents"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)

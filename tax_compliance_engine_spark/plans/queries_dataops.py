@@ -881,3 +881,14 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("n_chars"), F.lit(500)),
         F.lit(1000),
     ).select("doc_id")
+
+
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of the documents table
+    (operators/profiling.py): exact counts/distincts + native-order
+    min/max as strings, one pass, reshaped in-plan."""
+    from ..operators import profiling
+
+    return profiling.profile_table(
+        _docs(spark, sf_dir), ["doc_id", "lang", "source", "n_chars"]
+    )

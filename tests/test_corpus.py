@@ -954,3 +954,38 @@ def test_weighted_sample_exact_proportion_and_edges(spark):
     bad = spark.createDataFrame([Row(doc_id=1, num=5, den=4)])
     with _pytest.raises(Exception, match="0 <= num <= den"):
         corpus.weighted_sample(bad, F.col("num"), F.col("den")).collect()
+
+
+def test_profile_table_stats_and_validation(spark):
+    from pyspark.sql import Row
+
+    from tax_compliance_engine_spark.operators import profiling
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, s="b", v=None),
+            Row(id=2, s=None, v=10),
+            Row(id=3, s="a", v=10),
+        ],
+        "id long, s string, v long",
+    )
+    got = {
+        r.column: (r.n_rows, r.n_nonnull, r.n_distinct, r.min_val, r.max_val)
+        for r in profiling.profile_table(df).collect()
+    }
+    assert got == {
+        "id": (3, 3, 3, "1", "3"),
+        "s": (3, 2, 2, "a", "b"),
+        "v": (3, 2, 1, "10", "10"),
+    }
+    # min/max in NATIVE order, cast after: 9 < 10 numerically
+    wide = spark.createDataFrame([Row(v=9), Row(v=10)])
+    row = profiling.profile_table(wide).collect()[0]
+    assert (row.min_val, row.max_val) == ("9", "10")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no such columns"):
+        profiling.profile_table(df, ["nope"])
+    with _pytest.raises(ValueError, match="at least one column"):
+        profiling.profile_table(df, [])
