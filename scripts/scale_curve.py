@@ -317,6 +317,61 @@ def skew_bench(spark, workdir: str) -> dict:
             f"refund_claims_skew_{tag}: {out[f'refund_claims_skew_{tag}']}",
             file=sys.stderr,
         )
+
+    # ── hot-group top-k ──────────────────────────────────────────────
+    # 10M rows, 90% in ONE group: the single-level window rank sorts
+    # ~9M rows in one task; the sharded two-level spreads that sort.
+    from tax_compliance_engine_spark.operators import topk as topk_mod
+
+    n_tk = 10_000_000
+    tk = spark.range(n_tk).select(
+        F.when(F.pmod(F.xxhash64("id"), F.lit(10)) < 9, F.lit("hot"))
+        .otherwise(
+            F.concat(
+                F.lit("g"),
+                F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)).cast(
+                    "string"
+                ),
+            )
+        )
+        .alias("g"),
+        F.col("id"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1_000_000)).alias("score"),
+    )
+    tk.write.mode("overwrite").parquet(f"{workdir}/topk_skew.parquet")
+    tks = spark.read.parquet(f"{workdir}/topk_skew.parquet")
+    order = [F.col("score").desc(), F.col("id").asc()]
+
+    def tk_run(n_shards):
+        if n_shards is None:  # the plain single-level window
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("g").orderBy(*order)
+            return (
+                tks.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= 10)
+                .drop("_rn")
+            )
+        return topk_mod.top_k_per_group(
+            tks, ["g"], order, k=10, shard_by=F.col("id"), n_shards=n_shards
+        )
+
+    noop(tk_run(None))  # warm
+    noop(tk_run(32))
+    t1, _ = _timed(lambda: noop(tk_run(None)))
+    t2, _ = _timed(lambda: noop(tk_run(32)))
+    d = (
+        tk_run(32).exceptAll(tk_run(None)).count()
+        + tk_run(None).exceptAll(tk_run(32)).count()
+    )
+    out["topk_skew"] = {
+        "rows": n_tk,
+        "hot_share": 0.9,
+        "one_level_sec": t1,
+        "sharded32_sec": t2,
+        "identical": d == 0,
+    }
+    print(f"topk_skew: {out['topk_skew']}", file=sys.stderr)
     return out
 
 
