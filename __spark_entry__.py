@@ -282,6 +282,13 @@ def oracle_sql() -> dict[str, str]:
         # (exact counts/distincts, native-order min/max as strings) —
         # oracle-only swept entry.
         "corpus_profile": oracle_corpus.corpus_profile_sql(),
+        # multimodal_phash_pairs: the pHash banding + first-shared-band
+        # + hamming machinery over engine-reproducible synthetic hashes
+        # (the decode-side hash stays pytest-gated) — oracle-only swept
+        # entry.
+        "multimodal_phash_pairs": (
+            oracle_corpus.multimodal_phash_pairs_sql()
+        ),
         # corpus_contamination_scores: GRADED decontamination — per-doc
         # benchmark n-gram overlap fraction + dirty flag at 20% (exact
         # integer flag arithmetic, one exactly-rounded division) —

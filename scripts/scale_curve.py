@@ -364,6 +364,7 @@ def skew_bench(spark, workdir: str) -> dict:
         tk_run(32).exceptAll(tk_run(None)).count()
         + tk_run(None).exceptAll(tk_run(32)).count()
     )
+    assert d == 0, f"sharded top-k diverged from the window form: {d} rows"
     out["topk_skew"] = {
         "rows": n_tk,
         "hot_share": 0.9,

@@ -1231,17 +1231,25 @@ def weighted_sample(
     thinning: P(keep) ∝ quality) that `mixture` (per-source rates) and
     `token_budget_mixture` (global budget) specialize.
 
-    Ratios must satisfy 0 ≤ num ≤ den and den > 0 (checked in-plan,
-    raising at execution time); both sides of the cross-multiply stay
-    under 2^63 for den, num ≤ ~9·10⁹.  Row-local projection + filter:
-    no shuffle, pushes into the scan."""
+    Ratios must satisfy 0 ≤ num ≤ den and 0 < den ≤ 2^63/SAMPLE_MOD
+    (≈9.2·10⁹ — the bound that keeps BOTH cross-multiply sides inside
+    int64; checked in-plan, raising at execution time rather than
+    overflowing into an ANSI ArithmeticException or a silent wrap).
+    Corpus-scale denominators beyond that (a 10¹¹-token total) should
+    be pre-reduced — divide num and den by their gcd or a common power
+    of ten; the ratio, not its representation, is the contract.
+    Row-local projection + filter: no shuffle, pushes into the scan."""
     num = weight_num.cast("long")
     den = weight_den.cast("long")
-    valid = (den > 0) & (num >= 0) & (num <= den)
+    den_cap = (2**63 - 1) // SAMPLE_MOD
+    valid = (den > 0) & (den <= F.lit(den_cap)) & (num >= 0) & (num <= den)
     checked_num = F.when(valid, num).otherwise(
         F.raise_error(
             F.concat(
-                F.lit("weighted_sample needs 0 <= num <= den, den > 0: "),
+                F.lit(
+                    "weighted_sample needs 0 <= num <= den, "
+                    f"0 < den <= {den_cap} (int64 cross-multiply bound): "
+                ),
                 F.coalesce(num.cast("string"), F.lit("NULL")),
                 F.lit("/"),
                 F.coalesce(den.cast("string"), F.lit("NULL")),

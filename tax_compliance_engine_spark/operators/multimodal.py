@@ -18,7 +18,6 @@ same either way, so a real codec drops in without touching the plan.
 
 from __future__ import annotations
 
-import functools
 import math
 from collections.abc import Iterator
 
@@ -1856,9 +1855,9 @@ def phash_dup_pairs(
     Recall is EXACT for ``max_hamming < n_bands``: a pair within
     hamming h < n_bands has at least one band its differing bits never
     touch (pigeonhole), and that intact band's equi-join emits the
-    candidate.  The default (7, 8) keeps the guarantee; raising
-    max_hamming beyond n_bands-1 trades guaranteed recall for fewer
-    bands, and the docstring is the contract that says so.
+    candidate.  The constructor REJECTS max_hamming ≥ n_bands — a
+    best-effort probabilistic mode would silently lose pairs; callers
+    wanting a larger radius must raise n_bands to keep the guarantee.
 
     Scale shape: |bands| narrow rows per image, per-band hash
     equi-join — never an all-pairs scan; random 8-bit band collisions
@@ -1876,13 +1875,14 @@ def phash_dup_pairs(
     width = 64 // n_bands
     mask = (1 << width) - 1
 
-    def band_at(side: str):
-        def at(i: int):
-            return F.shiftrightunsigned(
-                F.col(f"{side}.{hash_col}"), i * width
-            ).bitwiseAND(F.lit(mask))
-
-        return at
+    def band_sig_at(side: str, j: int) -> Column:
+        # band-j slice of the packed hash — the accessor
+        # first_shared_band_terms folds over (the SAME shared helper the
+        # minhash / simhash / embedding-LSH paths use, not a re-rolled
+        # copy of the lowest-shared-band predicate)
+        return F.shiftrightunsigned(
+            F.col(f"{side}.{hash_col}"), j * width
+        ).bitwiseAND(F.lit(mask))
 
     rows = hashed.filter(F.col(hash_col).isNotNull()).select(id_col, hash_col)
     bands = rows.select(
@@ -1892,7 +1892,7 @@ def phash_dup_pairs(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("band_idx"),
+                        F.lit(i).alias("band"),
                         F.shiftrightunsigned(F.col(hash_col), i * width)
                         .bitwiseAND(F.lit(mask))
                         .alias("band_val"),
@@ -1901,28 +1901,17 @@ def phash_dup_pairs(
                 ]
             )
         ).alias("b"),
-    ).select(id_col, hash_col, "b.band_idx", "b.band_val")
+    ).select(id_col, hash_col, "b.band", "b.band_val")
     a, b = bands.alias("a"), bands.alias("b")
-    la, lb = band_at("a"), band_at("b")
     pairs = (
         a.join(
             b,
             on=[
-                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band") == F.col("b.band"),
                 F.col("a.band_val") == F.col("b.band_val"),
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                *first_shared_band_terms(band_sig_at, n_bands),
             ],
-        )
-        .filter(
-            # emit each pair only on its LOWEST shared band
-            ~functools.reduce(
-                Column.__or__,
-                [
-                    (la(i) == lb(i)) & (F.col("a.band_idx") > i)
-                    for i in range(n_bands - 1)
-                ],
-                F.lit(False),
-            )
         )
         .select(
             F.col(f"a.{id_col}").alias("id1"),

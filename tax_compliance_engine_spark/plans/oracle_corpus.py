@@ -686,3 +686,35 @@ FROM documents"""
         for c in cols
     ]
     return "\nUNION ALL\n".join(parts)
+
+
+def multimodal_phash_pairs_sql() -> str:
+    """Twin of queries_dataops.multimodal_phash_pairs: the same synthetic
+    62-bit hashes, an 8-band equi-join restricted to the lowest shared
+    band, and the exact hamming filter via bit_count(xor) — an
+    independent SQL implementation of the banding machinery."""
+    bands = 8
+    width = 64 // bands
+    shared_lower = " AND ".join(
+        f"(a.band <= {j} OR (a.phash >> {j * width}) & 255 "
+        f"<> (b.phash >> {j * width}) & 255)"
+        for j in range(bands - 1)
+    )
+    return f"""WITH hashed AS (
+  SELECT doc_id,
+         ((CASE WHEN doc_id % 10 = 0 THEN doc_id + 1 ELSE doc_id END
+           * 2654435761 + 104729) % 2147483648)
+         + ((CASE WHEN doc_id % 10 = 0 THEN doc_id + 1 ELSE doc_id END
+           * 1099511628211 + 12345) % 2147483648) * 2147483648 AS phash
+  FROM documents),
+bands AS (
+  SELECT doc_id, phash, u.band,
+         (phash >> (u.band * {width})) & 255 AS band_val
+  FROM hashed, unnest(range(0, {bands})) AS u(band))
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_val = b.band_val
+ AND a.doc_id < b.doc_id
+ AND {shared_lower}
+WHERE bit_count(xor(a.phash, b.phash)) <= 7"""

@@ -892,3 +892,26 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiling.profile_table(
         _docs(spark, sf_dir), ["doc_id", "lang", "source", "n_chars"]
     )
+
+
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hamming near-dup pairs (multimodal.phash_dup_pairs) over
+    SYNTHETIC 62-bit hashes derived from doc_id by integer arithmetic
+    both engines reproduce exactly — doc_id%10 keys share their
+    neighbor's hash, planting hamming-0 duplicate pairs.  This gives
+    the banding + first-shared-band + bit_count(xor) machinery (the
+    part of the pHash family that IS SQL-expressible) an independent
+    DuckDB implementation; the decode-side hash itself stays
+    pytest-gated against the Python reference."""
+    from ..operators import multimodal
+
+    docs = _docs(spark, sf_dir)
+    key = F.when(
+        F.col("doc_id") % 10 == 0, F.col("doc_id") + 1
+    ).otherwise(F.col("doc_id"))
+    lo = (key * F.lit(2654435761) + F.lit(104729)) % F.lit(2**31)
+    hi = (key * F.lit(1099511628211) + F.lit(12345)) % F.lit(2**31)
+    hashed = docs.select(
+        "doc_id", (lo + hi * F.lit(2**31)).alias("phash")
+    )
+    return multimodal.phash_dup_pairs(hashed, max_hamming=7, n_bands=8)
