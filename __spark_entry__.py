@@ -175,6 +175,12 @@ def oracle_sql() -> dict[str, str]:
         "corpus_length_profile": oracle_dataops.corpus_length_profile_sql(),
         "dedup_exact": oracle_dataops.dedup_exact_sql(),
         "dedup_ngram_pairs": oracle_dataops.dedup_ngram_pairs_sql(),
+        # dedup_containment_pairs: asymmetric shingle containment
+        # (n_shared/|own side|, catches excerpts Jaccard misses) —
+        # oracle-only swept entry.
+        "dedup_containment_pairs": (
+            oracle_dataops.dedup_containment_pairs_sql()
+        ),
         "dedup_sigs": oracle_dataops.dedup_sigs_sql(),
         "dedup_minhash_sigs": oracle_dataops.dedup_minhash_sigs_sql(),
         "dedup_minhash_pairs": oracle_dataops.dedup_minhash_pairs_sql(),

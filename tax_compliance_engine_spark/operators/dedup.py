@@ -92,6 +92,30 @@ def ngram_jaccard_pairs(
     joined the pair stream against a sizes table twice, re-shuffling the
     (quadratic-ish) pair stream two extra times; inlining measured
     ~1.5-2× faster at sf0.1 with identical output."""
+    return (
+        _shingle_pair_counts(docs, text_col, n, max_doc_freq)
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "n_shared", "jaccard")
+    )
+
+
+def _shingle_pair_counts(
+    docs: DataFrame,
+    text_col: str,
+    n: int,
+    max_doc_freq: int | None,
+) -> DataFrame:
+    """(doc1, doc2, n_shared, n1, n2) for every document pair sharing ≥1
+    n-gram shingle — the candidate-join core ``ngram_jaccard_pairs`` and
+    ``containment_pairs`` both score from.  ``max_doc_freq`` drops
+    shingles hotter than the cap from the universe BEFORE sizes and the
+    join (the quadratic-hot-key guard; the hot list is tiny by
+    construction, so the drop is a broadcast anti-join)."""
     from pyspark.sql.window import Window
 
     grams = _doc_ngrams(docs, text_col, n).cache()
@@ -110,7 +134,11 @@ def ngram_jaccard_pairs(
     a = grams.alias("a")
     b = grams.alias("b")
     return (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .groupBy(
             F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
         )
@@ -119,13 +147,52 @@ def ngram_jaccard_pairs(
             F.first("a.n_grams").alias("n1"),
             F.first("b.n_grams").alias("n2"),
         )
-        .withColumn(
-            "jaccard",
-            F.col("n_shared").cast("double")
-            / (F.col("n1") + F.col("n2") - F.col("n_shared")).cast("double"),
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by n-gram-shingle containment.
+
+    Jaccard misses subset relationships: a paragraph quoted inside a much
+    longer article shares all its shingles, yet |A∩B| / |A∪B| is tiny
+    because the union is dominated by the article.  Containment scores
+    each side against its OWN size — c(A→B) = |A∩B| / |A| — so the
+    quoted paragraph scores ~1.0 regardless of the article's length.
+    This is the dedup pass that catches excerpts, syndicated fragments,
+    and template-wrapped reposts, which a training-data pipeline wants
+    removed just as much as symmetric near-dups (re-expresses the
+    reference's dedup surface; reference has no containment operator —
+    LLM-pipeline extension).
+
+    Emits one row per unordered pair (doc1 < doc2) with BOTH directed
+    scores and their max; a pair survives when either direction clears
+    ``threshold``.  ``max_doc_freq`` is the same hot-shingle scale guard
+    as ``ngram_jaccard_pairs`` (containment is then defined over the
+    capped universe).  Same shuffle shape as the Jaccard form: sizes
+    ride the gram rows into one self-join + one pair aggregation; the
+    scores are two exactly-rounded int64 divisions, bit-portable."""
+    counts = _shingle_pair_counts(docs, text_col, n, max_doc_freq)
+    c1 = F.col("n_shared").cast("double") / F.col("n1").cast("double")
+    c2 = F.col("n_shared").cast("double") / F.col("n2").cast("double")
+    return (
+        counts.withColumn("containment1", c1)
+        .withColumn("containment2", c2)
+        .withColumn("containment", F.greatest("containment1", "containment2"))
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "doc1",
+            "doc2",
+            "n_shared",
+            "containment1",
+            "containment2",
+            "containment",
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc1", "doc2", "n_shared", "jaccard")
     )
 
 

@@ -323,6 +323,43 @@ JOIN sizes s2 ON s2.doc_id = doc2
 WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n_grams + s2.n_grams - n_shared AS DOUBLE) >= {threshold}"""
 
 
+def dedup_containment_pairs_sql(
+    n: int = 3, threshold: float = 0.5, max_doc_freq: int | None = 1000
+) -> str:
+    """Twin of dedup.containment_pairs: same capped shingle universe and
+    candidate join as the Jaccard twin, but scoring each direction
+    against its OWN size (n_shared/n1, n_shared/n2) and keeping pairs
+    where the max clears the threshold."""
+    cap_cte = (
+        f""",
+doc_grams_capped AS (
+  SELECT doc_id, gram FROM doc_grams
+  WHERE gram NOT IN (SELECT gram FROM doc_grams
+                     GROUP BY gram HAVING count(*) > {max_doc_freq}))"""
+        if max_doc_freq is not None
+        else ""
+    )
+    src = "doc_grams_capped" if max_doc_freq is not None else "doc_grams"
+    return f"""WITH {_ngrams_cte(n)}{cap_cte},
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM {src} GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_shared
+  FROM {src} a JOIN {src} b
+    ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc1, doc2, n_shared,
+  CAST(n_shared AS DOUBLE) / CAST(s1.n_grams AS DOUBLE) AS containment1,
+  CAST(n_shared AS DOUBLE) / CAST(s2.n_grams AS DOUBLE) AS containment2,
+  greatest(CAST(n_shared AS DOUBLE) / CAST(s1.n_grams AS DOUBLE),
+           CAST(n_shared AS DOUBLE) / CAST(s2.n_grams AS DOUBLE)) AS containment
+FROM shared
+JOIN sizes s1 ON s1.doc_id = doc1
+JOIN sizes s2 ON s2.doc_id = doc2
+WHERE greatest(CAST(n_shared AS DOUBLE) / CAST(s1.n_grams AS DOUBLE),
+               CAST(n_shared AS DOUBLE) / CAST(s2.n_grams AS DOUBLE))
+      >= {threshold}"""
+
+
 def _minhash_sig_ctes() -> str:
     perms = oracle._values(
         [(i, a, b) for i, (a, b) in enumerate(hashing.MINHASH_PERMS)]

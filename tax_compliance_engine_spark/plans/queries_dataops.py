@@ -106,6 +106,10 @@ def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
 
 
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.containment_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
 def dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(_docs(spark, sf_dir))
 

@@ -148,6 +148,39 @@ def test_ngram_jaccard_pairs(spark):
     assert r.jaccard == pytest.approx(2 / 3)
 
 
+def test_containment_pairs_catches_excerpt_jaccard_misses(spark):
+    # doc0 is a 4-token excerpt fully contained in the 40-token doc1:
+    # every doc0 shingle appears in doc1 (containment1 = 1.0) but the
+    # union is dominated by doc1, so Jaccard is small (2/38).
+    excerpt = "alpha beta gamma delta"
+    long_doc = excerpt + " " + " ".join(f"tok{i}" for i in range(36))
+    docs = docs_df(spark, [excerpt, long_doc, "x y z w"])
+    got = dedup.containment_pairs(docs, n=3, threshold=0.9).collect()
+    assert [(r.doc1, r.doc2) for r in got] == [(0, 1)]
+    r = got[0]
+    assert r.n_shared == 2  # {alpha beta gamma, beta gamma delta}
+    assert r.containment1 == 1.0  # all of the excerpt's shingles
+    assert r.containment2 == pytest.approx(2 / 38)
+    assert r.containment == 1.0
+    # the symmetric score misses the same pair at any usable threshold
+    jac = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2).collect()
+    assert jac == []
+
+
+def test_containment_pairs_symmetric_case_matches_jaccard_counts(spark):
+    # near-identical docs: both directed scores high, max = the larger
+    d0 = "a b c d"  # shingles {a b c, b c d}
+    d1 = "a b c d e"  # shingles {a b c, b c d, c d e}
+    got = dedup.containment_pairs(
+        docs_df(spark, [d0, d1]), n=3, threshold=0.5
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.doc1, r.doc2, r.n_shared) == (0, 1, 2)
+    assert r.containment1 == 1.0
+    assert r.containment2 == pytest.approx(2 / 3)
+
+
 def test_minhash_identical_docs_pair(spark):
     text = "the quick brown fox jumps over the lazy dog"
     df = dedup.minhash_dup_pairs(
