@@ -333,6 +333,10 @@ def oracle_sql() -> dict[str, str]:
         # integer-exact stand-in for perplexity filtering) — oracle-only
         # swept entry.
         "doc_lm_coverage": oracle_dataops.doc_lm_coverage_sql(),
+        # doc_quality_model: hashed-feature linear classifier inference
+        # (fastText-style quality filter; int64 accumulation + one
+        # exactly-rounded division) — oracle-only swept entry.
+        "doc_quality_model": oracle_dataops.doc_quality_model_sql(),
         # multimodal_gif_profile: REAL GIF decode (from-scratch LZW,
         # palette lookup) vs the analytic pixel-sum twin — oracle-only
         # swept entry.

@@ -388,3 +388,93 @@ def lm_coverage(
         .otherwise(F.lit(0.0))
         .alias("coverage"),
     )
+
+
+# ── Hashed-feature linear classifier inference ───────────────────────────
+
+QM_BUCKETS = 1 << 16  # feature-hashing space (2^16 buckets)
+QM_WEIGHT_SCALE = 500  # weights are integers in [-500, 500]
+
+
+def default_quality_weights(spark, n_buckets: int = QM_BUCKETS) -> DataFrame:
+    """A deterministic stand-in weight table (bucket, weight) for
+    ``quality_model_scores`` — integer weights in [-QM_WEIGHT_SCALE,
+    QM_WEIGHT_SCALE] derived from the bucket id by a Knuth-style LCG, so
+    both engines regenerate it exactly.  A real deployment replaces this
+    with learned weights loaded from parquet; the inference plan is
+    unchanged."""
+    return spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        (
+            (F.col("id") * F.lit(2654435761) + F.lit(40503)) % F.lit(1001)
+            - F.lit(QM_WEIGHT_SCALE)
+        ).alias("weight"),
+    )
+
+
+def quality_model_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = QM_BUCKETS,
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """Linear text-classifier INFERENCE over hashed bag-of-words features —
+    the fastText-style quality/toxicity filter pattern (score every
+    document with a learned linear model; keep the positives) that
+    production pretraining pipelines run over the full corpus, expressed
+    as a pure DataFrame plan.
+
+    Feature hashing: token → portable 30-bit polynomial hash →
+    ``bucket = hash % n_buckets`` — no vocabulary table to build or ship,
+    which is the point at 100 TB: the model is a fixed ``n_buckets``-row
+    weight table, always broadcastable, and collisions are the standard
+    hashing-trick trade.  Score = Σ_tokens tf·w[bucket] accumulated in
+    int64 (weights are integers; exact regardless of partitioning/order),
+    then normalized once: ``logit = sum_w / (QM_WEIGHT_SCALE·n_tokens)``
+    — a single exactly-rounded int64→double division, bit-portable.
+    ``keep`` = logit > 0.
+
+    Shuffle shape: explode → map-side-combinable (doc_id, bucket) tf
+    aggregation → broadcast weight join → narrow (doc_id) sum.  Empty
+    docs survive with n_tokens = 0, logit 0.0, keep = false (left join,
+    same discipline as ``lm_coverage``).
+
+    Pass ``weights`` (bucket, weight int) to run a real trained model;
+    defaults to ``default_quality_weights`` so the operator is
+    self-contained and oracle-checkable."""
+    from ..functions import hashing
+
+    if weights is None:
+        weights = default_quality_weights(docs.sparkSession, n_buckets)
+    tf = (
+        docs.select(
+            "doc_id", F.explode(tokens_col(F.col(text_col))).alias("tok")
+        )
+        .select(
+            "doc_id",
+            (hashing.tok_hash_col(F.col("tok")) % F.lit(n_buckets)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = (
+        tf.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("weight")).alias("sum_w"),
+            F.sum("tf").alias("n_tokens"),
+        )
+    )
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.when(
+            F.coalesce("n_tokens", F.lit(0)) > 0,
+            F.col("sum_w").cast("double")
+            / (F.lit(QM_WEIGHT_SCALE) * F.col("n_tokens")).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("logit"),
+    ).withColumn("keep", F.col("logit") > 0.0)

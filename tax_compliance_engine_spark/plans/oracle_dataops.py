@@ -274,6 +274,41 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN scored s USING (doc_id)"""
 
 
+def doc_quality_model_sql() -> str:
+    """Twin of queries_dataops.doc_quality_model: same token explode,
+    portable 30-bit hash → bucket, LCG weight regeneration, int64
+    tf·weight accumulation, and the one exactly-rounded logit division."""
+    from ..operators import textops
+
+    nb = textops.QM_BUCKETS
+    scale = textops.QM_WEIGHT_SCALE
+    th = TOK_HASH.format(t="tok")
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest({TOKENS}) AS tok FROM documents),
+tf AS (
+  SELECT doc_id, {th} % {nb} AS bucket, count(*) AS tf
+  FROM toks GROUP BY doc_id, bucket),
+w AS (
+  SELECT range AS bucket,
+         (range * 2654435761 + 40503) % 1001 - {scale} AS weight
+  FROM range({nb})),
+scored AS (
+  SELECT doc_id,
+         CAST(SUM(tf * weight) AS BIGINT) AS sum_w,
+         CAST(SUM(tf) AS BIGINT) AS n_tokens
+  FROM tf JOIN w USING (bucket) GROUP BY doc_id)
+SELECT d.doc_id,
+  COALESCE(s.n_tokens, 0) AS n_tokens,
+  CASE WHEN COALESCE(s.n_tokens, 0) > 0
+       THEN CAST(s.sum_w AS DOUBLE) / CAST({scale} * s.n_tokens AS DOUBLE)
+       ELSE 0.0 END AS logit,
+  CASE WHEN COALESCE(s.n_tokens, 0) > 0
+       THEN CAST(s.sum_w AS DOUBLE) / CAST({scale} * s.n_tokens AS DOUBLE)
+            > 0.0
+       ELSE FALSE END AS keep
+FROM documents d LEFT JOIN scored s USING (doc_id)"""
+
+
 def dedup_exact_sql() -> str:
     return """SELECT doc_id, md5(text) AS digest,
   MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,

@@ -450,6 +450,13 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "lang")
 
 
+def doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear classifier inference
+    (textops.quality_model_scores): fastText-style quality-filter scoring
+    with the deterministic default weight table."""
+    return textops.quality_model_scores(_docs(spark, sf_dir))
+
+
 def doc_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram LM-coverage quality score (textops.lm_coverage):
     model trained on the doc_id%10<8 held-in slice, every doc scored by

@@ -1296,6 +1296,63 @@ def test_lm_coverage_scores_out_of_distribution_low(spark):
             assert r.coverage == r.n_covered / r.n_trigrams
 
 
+def test_quality_model_matches_python_reference(spark):
+    """The hashed-feature linear scorer must reproduce a plain-Python
+    computation of the same hash → bucket → LCG weight → tf·w sum →
+    normalized logit, exactly; empty docs keep=false with logit 0."""
+    from tax_compliance_engine_spark.operators.textops import (
+        QM_BUCKETS,
+        QM_WEIGHT_SCALE,
+        quality_model_scores,
+    )
+
+    texts = ["the quick brown fox", "fox fox fox", ""]
+    got = {
+        r.doc_id: r
+        for r in quality_model_scores(docs_df(spark, texts)).collect()
+    }
+
+    def tok_hash(t):
+        h = 0
+        for ch in t:
+            h = (h * 31 + ord(ch)) % 1_000_000_007
+        return h
+
+    def weight(bucket):
+        return (bucket * 2654435761 + 40503) % 1001 - QM_WEIGHT_SCALE
+
+    for i, text in enumerate(texts):
+        toks = [t for t in text.split(" ") if t]
+        exp_sum = sum(weight(tok_hash(t) % QM_BUCKETS) for t in toks)
+        r = got[i]
+        assert r.n_tokens == len(toks)
+        if toks:
+            assert r.logit == exp_sum / (QM_WEIGHT_SCALE * len(toks))
+            assert r.keep == (r.logit > 0.0)
+        else:
+            assert r.logit == 0.0 and r.keep is False
+
+
+def test_quality_model_accepts_custom_weights(spark):
+    """Passing a trained weight table changes scores: all-positive
+    weights make every non-empty doc keep=true."""
+    from pyspark.sql import functions as F
+
+    from tax_compliance_engine_spark.operators.textops import (
+        QM_BUCKETS,
+        quality_model_scores,
+    )
+
+    w = spark.range(QM_BUCKETS).select(
+        F.col("id").alias("bucket"), F.lit(7).alias("weight")
+    )
+    got = quality_model_scores(
+        docs_df(spark, ["alpha beta", "gamma"]), weights=w
+    ).collect()
+    assert all(r.keep for r in got)
+    assert {r.logit for r in got} == {7 / 500}
+
+
 def test_pagerank_reference_values_and_edge_cases(spark):
     """PageRank must reproduce a plain-Python reference computation of
     the same formula bit-for-bit, put the hub above its leaves, give
