@@ -313,6 +313,10 @@ def oracle_sql() -> dict[str, str]:
         # embedding_projection: Johnson–Lindenstrauss ±1 projection
         # (64 → 16 dims, fixed shared matrix) — oracle-only swept entry.
         "embedding_projection": oracle_dataops.embedding_projection_sql(),
+        # embedding_kmeans: Lloyd k-means training (id-seeded, unrolled
+        # iterations, vec_id-ordered fold means — bit-portable) —
+        # oracle-only swept entry.
+        "embedding_kmeans": oracle_dataops.embedding_kmeans_sql(),
         # embedding_pagerank: 5-iteration PageRank over the symmetrized
         # near-dup graph, src-ordered folds per iteration — oracle-only
         # swept entry (iterative float algorithm under the hash gate).

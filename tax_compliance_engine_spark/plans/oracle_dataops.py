@@ -845,6 +845,60 @@ SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
 FROM scaled, unnest(range(1, {dim} + 1)) AS u(i)"""
 
 
+def embedding_kmeans_sql(k: int = 8, n_iter: int = 2) -> str:
+    """Twin of queries_dataops.embedding_kmeans: id-seeded Lloyd
+    iterations, generated as one unrolled CTE chain per iteration —
+    E-step nearest-centroid by identical IEEE cosine folds (ties →
+    smaller cell), M-step vec_id-ordered sequential-fold means, empty
+    cells dropping out via the GROUP BY."""
+    dim = similarity.DIM
+    dot_vv = DOT_FOLD.format(n=dim, a="v", b="v")
+    dot_cc = DOT_FOLD.format(n=dim, a="cvec", b="cvec")
+    dot_ec = DOT_FOLD.format(n=dim, a="e.v", b="c.cvec")
+    ctes = [
+        f"""embV AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+embVn AS (
+  SELECT vec_id, v, sqrt({dot_vv}) AS nrm FROM embV),
+exploded AS (
+  SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos, v[i] AS val
+  FROM embV, unnest(range(1, {dim} + 1)) AS u(i)),
+cents0 AS (
+  SELECT vec_id AS cell, v AS cvec FROM embV ORDER BY vec_id LIMIT {k})"""
+    ]
+    for it in range(1, n_iter + 1):
+        prev = f"cents{it - 1}"
+        ctes.append(
+            f"""{prev}_n AS (
+  SELECT cell, cvec, sqrt({dot_cc}) AS cnrm FROM {prev}),
+assign{it} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {dot_ec} / (e.nrm * c.cnrm) DESC, c.cell)
+        AS r
+    FROM embVn e CROSS JOIN {prev}_n c) t
+  WHERE r = 1),
+comp{it} AS (
+  SELECT cell, pos,
+    list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)),
+                (acc, x) -> acc + x) / count(*) AS mean_val,
+    count(*) AS n_vectors
+  FROM exploded x JOIN assign{it} a USING (vec_id)
+  GROUP BY cell, pos),
+cents{it} AS (
+  SELECT cell, list(mean_val ORDER BY pos) AS cvec
+  FROM comp{it} GROUP BY cell)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT cell, pos, mean_val, CAST(n_vectors AS BIGINT) AS n_vectors
+FROM comp{n_iter}"""
+    )
+
+
 def ivf_knn_portable_sql(k: int = 5, nprobe: int = 2, modulus: int = 50) -> str:
     """Twin of queries_dataops.ivf_knn_portable incl. the one Lloyd
     iteration: label-seeded ordered-fold centroids → nearest-centroid

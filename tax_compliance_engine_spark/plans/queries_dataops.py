@@ -353,6 +353,15 @@ def _portable_cells(spark: SparkSession, sf_dir: str, emb):
     return _assemble_centroids(comps1, "cell"), assign
 
 
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means training (similarity.kmeans_centroid_components):
+    id-seeded, two iterations, bit-portable ordered-fold means — the
+    data-driven coarse-quantizer trainer behind the IVF family."""
+    return similarity.kmeans_centroid_components(
+        _emb(spark, sf_dir), k=8, n_iter=2
+    )
+
+
 def ivf_knn_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k with ordered-fold centroids refined by ONE Lloyd
     iteration, bit-portable end to end (sqrt/mul/div are exactly-rounded

@@ -412,6 +412,52 @@ def test_ivf_portable_centroids_match_default_cells(spark):
     assert [(r.query_id, r.neighbor_id) for r in out] == [(0, 1)]
 
 
+def test_kmeans_recovers_two_clusters(spark):
+    """Lloyd training on two tight directional clusters: id-seeded cells
+    (seeds 0 and 1 land one per cluster), members converge to their
+    cluster, and the means equal a plain-Python vec_id-ordered fold."""
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],  # seed → cell 0
+        [0.0, 1.0, 0.0, 0.0],  # seed → cell 1
+        [0.9, 0.1, 0.0, 0.0],
+        [0.1, 0.9, 0.0, 0.0],
+        [1.1, 0.05, 0.0, 0.0],
+    ]
+    comps = similarity.kmeans_centroid_components(
+        emb_df(spark, vecs), k=2, n_iter=2
+    ).collect()
+    by_cell = {}
+    for r in comps:
+        by_cell.setdefault(r.cell, {})[r.pos] = (r.mean_val, r.n_vectors)
+    assert set(by_cell) == {0, 1}
+    members = {0: [0, 2, 4], 1: [1, 3]}
+    for cell, ids in members.items():
+        for pos in range(4):
+            acc = 0.0
+            for i in ids:  # vec_id-ordered sequential fold
+                acc = acc + vecs[i][pos]
+            mean, n = by_cell[cell][pos]
+            assert n == len(ids)
+            assert mean == acc / len(ids)
+
+
+def test_kmeans_empty_cell_drops_out(spark):
+    """A seed duplicated by a smaller-id vector attracts no members (ties
+    break to the smaller cell id), so its cell disappears — the Lloyd
+    degeneracy the docstring pins."""
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [1.0, 0.0, 0.0, 0.0],  # duplicate of vec 0, seeds cell 2
+    ]
+    comps = similarity.kmeans_centroid_components(
+        emb_df(spark, vecs), k=3, n_iter=1
+    ).collect()
+    assert {r.cell for r in comps} == {0, 1}
+    n_by_cell = {r.cell: r.n_vectors for r in comps}
+    assert n_by_cell == {0: 2, 1: 1}
+
+
 def test_label_centroids(spark):
     df = similarity.label_centroids(
         emb_df(
