@@ -839,11 +839,13 @@ def sample_frames(
     segment walk per frame, then an entropy-data scan to the EOI, so a
     0xFFD9 inside a table segment can't fake a boundary) — and every
     emitted frame decodes individually (``_decode_ppm`` /
-    ``_decode_gif`` / ``_decode_jpeg``).  Other formats keep the
-    fixed-``frame_bytes`` chunk stand-in (a real MP4 demux needs a
-    container parser), preserving the row-explosion shape, Arrow
-    batching, and per-frame indexing.  Rows with NULL payloads produce
-    no frames (same as undecodable media)."""
+    ``_decode_gif`` / ``_decode_jpeg``).  MP4 payloads get a REAL ISO
+    BMFF demux (``_split_mp4_samples``: box walk to the stbl sample
+    tables, samples sliced at the stsz/stco/stsc-described offsets —
+    JPEG-in-MP4 frames then decode individually).  Other formats keep
+    the fixed-``frame_bytes`` chunk stand-in, preserving the
+    row-explosion shape, Arrow batching, and per-frame indexing.  Rows
+    with NULL payloads produce no frames (same as undecodable media)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -864,6 +866,8 @@ def sample_frames(
                     chunks = _split_gif_frames(payload)
                 elif fmt == "jpeg":
                     chunks = _split_jpeg_frames(payload)
+                elif fmt == "mp4":
+                    chunks = _split_mp4_samples(payload)
                 else:
                     n_frames = len(payload) // frame_bytes
                     chunks = [
@@ -1743,6 +1747,321 @@ def _split_jpeg_frames(payload: bytes) -> list[bytes]:
         frames.append(bytes(payload[pos:end]))
         pos = end
     return frames
+
+
+# ── MP4 (ISO BMFF): real box-walk container demux ────────────────────
+#
+# Re-expresses the reference's video-container surface (reference
+# main repo exposes opaque media payloads only) for the one true
+# container format a from-scratch stdlib parser can fully honor: the
+# ISO base media file format's box structure and sample tables.  The
+# WRITER below builds a minimal-but-valid single-track file (ftyp +
+# moov with full mvhd/tkhd/mdhd/hdlr/minf/stbl sample tables + mdat);
+# the READER is a general box walk that trusts only the tables —
+# stsz/stco(co64)/stsc — never "mdat starts after moov" layout
+# assumptions, so files with padding, reordered boxes, or multi-chunk
+# layouts demux correctly.
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + typ + payload
+
+
+def _fullbox(typ: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(typ, bytes([version]) + flags.to_bytes(3, "big") + payload)
+
+
+_MP4_MATRIX = (
+    (0x00010000).to_bytes(4, "big")
+    + bytes(4) * 3
+    + (0x00010000).to_bytes(4, "big")
+    + bytes(4) * 3
+    + (0x40000000).to_bytes(4, "big")
+)
+
+
+def _build_mp4(
+    samples: list[bytes], width: int, height: int, mdat_padding: int = 0
+) -> bytes:
+    """A valid single-track ISO BMFF file: JPEG samples in one mdat
+    chunk, full sample tables (25 fps stts, one stsc run, per-sample
+    stsz, one stco offset).  ``mdat_padding`` inserts dead bytes before
+    the first sample INSIDE mdat — stco points past them, which is
+    exactly the layout freedom readers must honor."""
+    n = len(samples)
+    timescale, delta = 1000, 40
+    duration = n * delta
+
+    def moov(chunk_offset: int) -> bytes:
+        mvhd = _fullbox(
+            b"mvhd",
+            0,
+            0,
+            bytes(8)  # creation/modification
+            + timescale.to_bytes(4, "big")
+            + duration.to_bytes(4, "big")
+            + (0x00010000).to_bytes(4, "big")  # rate 1.0
+            + (0x0100).to_bytes(2, "big")  # volume 1.0
+            + bytes(2 + 8)  # reserved
+            + _MP4_MATRIX
+            + bytes(24)  # pre_defined
+            + (2).to_bytes(4, "big"),  # next_track_ID
+        )
+        tkhd = _fullbox(
+            b"tkhd",
+            0,
+            7,  # enabled | in_movie | in_preview
+            bytes(8)
+            + (1).to_bytes(4, "big")  # track_ID
+            + bytes(4)  # reserved
+            + duration.to_bytes(4, "big")
+            + bytes(8)  # reserved
+            + bytes(2 + 2 + 2 + 2)  # layer, alt_group, volume, reserved
+            + _MP4_MATRIX
+            + (width << 16).to_bytes(4, "big")
+            + (height << 16).to_bytes(4, "big"),
+        )
+        mdhd = _fullbox(
+            b"mdhd",
+            0,
+            0,
+            bytes(8)
+            + timescale.to_bytes(4, "big")
+            + duration.to_bytes(4, "big")
+            + (0x55C4).to_bytes(2, "big")  # language "und"
+            + bytes(2),
+        )
+        hdlr = _fullbox(
+            b"hdlr", 0, 0, bytes(4) + b"vide" + bytes(12) + b"VideoHandler\0"
+        )
+        # VisualSampleEntry 'jpeg' (86-byte body incl. the 6+2 sample
+        # entry header): the sample description readers key decode on.
+        stsd_entry = _box(
+            b"jpeg",
+            bytes(6)
+            + (1).to_bytes(2, "big")  # data_reference_index
+            + bytes(16)  # pre_defined/reserved
+            + width.to_bytes(2, "big")
+            + height.to_bytes(2, "big")
+            + (0x00480000).to_bytes(4, "big") * 2  # 72 dpi h/v
+            + bytes(4)
+            + (1).to_bytes(2, "big")  # frame_count
+            + bytes(32)  # compressorname
+            + (24).to_bytes(2, "big")  # depth
+            + (0xFFFF).to_bytes(2, "big"),  # pre_defined -1
+        )
+        stsd = _fullbox(b"stsd", 0, 0, (1).to_bytes(4, "big") + stsd_entry)
+        stts = _fullbox(
+            b"stts",
+            0,
+            0,
+            (1).to_bytes(4, "big")
+            + n.to_bytes(4, "big")
+            + delta.to_bytes(4, "big"),
+        )
+        stsc = _fullbox(
+            b"stsc",
+            0,
+            0,
+            (1).to_bytes(4, "big")
+            + (1).to_bytes(4, "big")  # first_chunk
+            + n.to_bytes(4, "big")  # samples_per_chunk
+            + (1).to_bytes(4, "big"),  # sample_description_index
+        )
+        stsz = _fullbox(
+            b"stsz",
+            0,
+            0,
+            (0).to_bytes(4, "big")  # sample_size 0 → per-sample table
+            + n.to_bytes(4, "big")
+            + b"".join(len(s).to_bytes(4, "big") for s in samples),
+        )
+        stco = _fullbox(
+            b"stco",
+            0,
+            0,
+            (1).to_bytes(4, "big") + chunk_offset.to_bytes(4, "big"),
+        )
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        dref = _fullbox(
+            b"dref",
+            0,
+            0,
+            (1).to_bytes(4, "big") + _fullbox(b"url ", 0, 1, b""),
+        )
+        dinf = _box(b"dinf", dref)
+        vmhd = _fullbox(b"vmhd", 0, 1, bytes(8))
+        minf = _box(b"minf", vmhd + dinf + stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        trak = _box(b"trak", tkhd + mdia)
+        return _box(b"moov", mvhd + trak)
+
+    ftyp = _box(b"ftyp", b"isom" + (0x200).to_bytes(4, "big") + b"isomiso2")
+    # moov's byte LENGTH is offset-independent, so build once with a
+    # placeholder to size the header, then once with the real offset.
+    header_len = len(ftyp) + len(moov(0)) + 8  # + mdat box header
+    mdat_payload = bytes(mdat_padding) + b"".join(samples)
+    return (
+        ftyp
+        + moov(header_len + mdat_padding)
+        + _box(b"mdat", mdat_payload)
+    )
+
+
+def _walk_boxes(buf, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for each well-formed box
+    in [start, end); handles 64-bit largesize and size-0 (to-end) boxes,
+    stops at the first malformed header."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(buf[pos : pos + 4], "big")
+        typ = bytes(buf[pos + 4 : pos + 8])
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            return
+        yield typ, pos + hdr, pos + size
+        pos += size
+
+
+def _find_box(buf, start: int, end: int, path: list[bytes]):
+    """(payload_start, payload_end) of the first box at ``path`` (e.g.
+    [b'moov', b'trak', b'mdia']), or None."""
+    for typ, ps, pe in _walk_boxes(buf, start, end):
+        if typ != path[0]:
+            continue
+        if len(path) == 1:
+            return ps, pe
+        found = _find_box(buf, ps, pe, path[1:])
+        if found is not None:  # else keep scanning siblings (multi-trak)
+            return found
+    return None
+
+
+def _split_mp4_samples(payload: bytes) -> list[bytes]:
+    """REAL ISO BMFF demux: box-walk to the sample tables and slice every
+    sample at the file offsets stsc/stco(co64)/stsz describe.  No layout
+    assumptions — mdat position, padding, and multi-chunk runs all come
+    from the tables.  Returns [] on anything malformed (missing tables,
+    offsets past EOF), never raises."""
+    buf = payload
+    stbl = _find_box(
+        buf, 0, len(buf), [b"moov", b"trak", b"mdia", b"minf", b"stbl"]
+    )
+    if stbl is None:
+        return []
+    tables: dict[bytes, tuple[int, int]] = {}
+    for typ, ps, pe in _walk_boxes(buf, stbl[0], stbl[1]):
+        tables[typ] = (ps, pe)
+    try:
+        szs, sze = tables[b"stsz"]
+        fixed_size = int.from_bytes(buf[szs + 4 : szs + 8], "big")
+        n_samples = int.from_bytes(buf[szs + 8 : szs + 12], "big")
+        if fixed_size:
+            sizes = [fixed_size] * n_samples
+        else:
+            sizes = [
+                int.from_bytes(buf[szs + 12 + 4 * i : szs + 16 + 4 * i], "big")
+                for i in range(n_samples)
+            ]
+            if szs + 12 + 4 * n_samples > sze:
+                return []
+        if b"stco" in tables:
+            cs, _ce = tables[b"stco"]
+            n_chunks = int.from_bytes(buf[cs + 4 : cs + 8], "big")
+            offsets = [
+                int.from_bytes(buf[cs + 8 + 4 * i : cs + 12 + 4 * i], "big")
+                for i in range(n_chunks)
+            ]
+        else:
+            cs, _ce = tables[b"co64"]
+            n_chunks = int.from_bytes(buf[cs + 4 : cs + 8], "big")
+            offsets = [
+                int.from_bytes(buf[cs + 8 + 8 * i : cs + 16 + 8 * i], "big")
+                for i in range(n_chunks)
+            ]
+        scs, sce = tables[b"stsc"]
+        n_runs = int.from_bytes(buf[scs + 4 : scs + 8], "big")
+        runs = [
+            (
+                int.from_bytes(buf[scs + 8 + 12 * i : scs + 12 + 12 * i], "big"),
+                int.from_bytes(buf[scs + 12 + 12 * i : scs + 16 + 12 * i], "big"),
+            )
+            for i in range(n_runs)
+        ]
+    except (KeyError, IndexError):
+        return []
+    if not runs or n_samples == 0:
+        return []
+    # expand stsc runs → samples-per-chunk for each chunk
+    per_chunk: list[int] = []
+    for ri, (first, spc) in enumerate(runs):
+        last = runs[ri + 1][0] - 1 if ri + 1 < len(runs) else len(offsets)
+        per_chunk.extend([spc] * (last - first + 1))
+    frames: list[bytes] = []
+    si = 0
+    for ci, chunk_off in enumerate(offsets):
+        if ci >= len(per_chunk) or si >= n_samples:
+            break
+        off = chunk_off
+        for _ in range(per_chunk[ci]):
+            if si >= n_samples:
+                break
+            end = off + sizes[si]
+            if end > len(buf):
+                return frames
+            frames.append(bytes(buf[off:end]))
+            off = end
+            si += 1
+    return frames
+
+
+def synth_mp4(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic MP4 payload per id (Arrow-batched
+    ``mapInPandas``) — the video-container-ingest fixture generator.
+
+    2 + id%3 single-block 8×8 JPEG frames (frame f is the constant color
+    ((id+17f) % 256, (2id+29f) % 256, (5id+41f) % 256) — the DC-only
+    analytic regime `synth_jpeg` pins), wrapped in a valid single-track
+    ISO BMFF container with id%7 bytes of in-mdat padding before the
+    first sample so the demuxer's stco honesty is exercised on every
+    row."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                frames = []
+                for f in range(2 + i % 3):
+                    arr = np.empty((8, 8, 3), dtype=np.uint8)
+                    arr[:, :] = (
+                        (i + 17 * f) % 256,
+                        (2 * i + 29 * f) % 256,
+                        (5 * i + 41 * f) % 256,
+                    )
+                    frames.append(_encode_jpeg(arr))
+                payloads.append(
+                    _build_mp4(frames, 8, 8, mdat_padding=i % 7)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "media_type": "video",
+                    "payload": payloads,
+                    "payload_size": [len(p) for p in payloads],
+                    "format": "mp4",
+                }
+            )
+
+    return ids.mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 # ── perceptual hashing (image near-dedup) ────────────────────────────

@@ -1810,6 +1810,64 @@ def test_sample_frames_mjpeg_real_boundaries(spark):
     assert len(frames) == 3
 
 
+def test_synth_mp4_box_walk_demux(spark):
+    """REAL ISO BMFF demux: synth_mp4 payloads (valid single-track files
+    with in-mdat padding) demux via the stsz/stco/stsc tables into
+    byte-exact standalone JPEG frames, each decoding to its analytic
+    constant color; every_n sampling and frame_idx behave like the other
+    video paths."""
+    import numpy as np
+
+    media = multimodal.synth_mp4(spark.range(0, 6).toDF("doc_id"))
+    rows = multimodal.sample_frames(media, every_n=1).collect()
+    by_doc: dict[int, dict[int, bytes]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.frame_idx] = bytes(r.frame_payload)
+    for i in range(6):
+        n_frames = 2 + i % 3
+        assert sorted(by_doc[i]) == list(range(n_frames))
+        for f in range(n_frames):
+            arr = np.full(
+                (8, 8, 3),
+                ((i + 17 * f) % 256, (2 * i + 29 * f) % 256, (5 * i + 41 * f) % 256),
+                dtype=np.uint8,
+            )
+            # byte-exact container round trip of the independently
+            # re-encoded frame
+            assert by_doc[i][f] == multimodal._encode_jpeg(arr)
+            dec = multimodal._decode_jpeg(by_doc[i][f])
+            want = _jpeg_expected_block_rgb(
+                (i + 17 * f) % 256, (2 * i + 29 * f) % 256, (5 * i + 41 * f) % 256
+            )
+            assert tuple(dec[0, 0]) == want
+
+
+def test_mp4_demux_trusts_sample_tables_not_layout(spark):
+    """stco honesty: padding before the first sample inside mdat, and a
+    malformed/truncated container, are handled by the tables alone."""
+    import numpy as np
+
+    frames = [
+        multimodal._encode_jpeg(
+            np.full((8, 8, 3), (c, c, c), dtype=np.uint8)
+        )
+        for c in (10, 200)
+    ]
+    padded = multimodal._build_mp4(frames, 8, 8, mdat_padding=13)
+    assert multimodal._split_mp4_samples(padded) == frames
+    assert multimodal._split_mp4_samples(b"\x00\x00\x00\x08free") == []
+    # truncation mid-final-sample keeps the intact prefix
+    assert multimodal._split_mp4_samples(padded[:-4]) == frames[:1]
+    media = spark.createDataFrame(
+        [(3, "video", bytearray(padded), len(padded), "mp4")],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.sample_frames(media, every_n=2).collect()
+    assert [(r.frame_idx, bytes(r.frame_payload)) for r in rows] == [
+        (0, frames[0])
+    ]
+
+
 # ── perceptual hashing ───────────────────────────────────────────────
 
 
