@@ -352,4 +352,10 @@ def oracle_sql() -> dict[str, str]:
         # multimodal_audio_profile: REAL RIFF/WAVE PCM-16 decode stats,
         # analytic twin (audio parallel of the PPM image gate)
         "multimodal_audio_profile": oracle_dataops.multimodal_audio_profile_sql(),
+        # multimodal_g711_profile: REAL G.711 µ-law expansion-table
+        # decode stats vs the analytic integer expansion — oracle-only
+        # swept entry.
+        "multimodal_g711_profile": (
+            oracle_dataops.multimodal_g711_profile_sql()
+        ),
     }

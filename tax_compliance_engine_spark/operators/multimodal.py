@@ -532,12 +532,108 @@ def synth_wav(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return ids.mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
+def synth_wav_g711(
+    ids: DataFrame, id_col: str = "doc_id", law: str = "ulaw"
+) -> DataFrame:
+    """Deterministic synthetic G.711-companded mono WAV payload per id —
+    the telephony-audio ingest fixture (µ-law format tag 7 or A-law 6,
+    8-bit samples, 8 kHz).
+
+    n = 16 + id%11 samples; companded byte t is (3·id + 7·t) mod 256,
+    so the decoded linear stream is the G.711 expansion of known bytes —
+    an integer-exact analytic chain the DuckDB oracle replicates to
+    hash-gate the REAL expansion-table decode."""
+    import struct
+
+    import numpy as np
+
+    tag = 7 if law == "ulaw" else 6
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                n = 16 + i % 11
+                t = np.arange(n, dtype=np.int64)
+                data = ((3 * i + 7 * t) % 256).astype(np.uint8).tobytes()
+                fmt = struct.pack(
+                    "<HHIIHH", tag, 1, 8000, 8000, 1, 8
+                )  # G.711, mono, 8 kHz, 8-bit companded
+                body = (
+                    b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<I", len(fmt))
+                    + fmt
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                    + data
+                    + (b"\x00" if len(data) & 1 else b"")
+                )
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", len(body)) + body
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "media_type": "audio",
+                    "payload": payloads,
+                    "payload_size": [len(p) for p in payloads],
+                    "format": "wav",
+                }
+            )
+
+    return ids.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def _ulaw_to_linear(b: int) -> int:
+    """G.711 µ-law byte → linear PCM-16 sample (the ITU/Sun reference
+    expansion: complement, biased-mantissa shift by segment, sign)."""
+    u = ~b & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def _alaw_to_linear(b: int) -> int:
+    """G.711 A-law byte → linear PCM-16 sample (xor 0x55, segment-wise
+    mantissa expansion; sign bit SET means positive in A-law)."""
+    a = b ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+_G711_TABLES: dict[int, "object"] = {}
+
+
+def _g711_table(audio_format: int):
+    """256-entry int16 numpy expansion table for WAVE format tag 7
+    (µ-law) or 6 (A-law), built once from the reference formulas."""
+    import numpy as np
+
+    if audio_format not in _G711_TABLES:
+        fn = _ulaw_to_linear if audio_format == 7 else _alaw_to_linear
+        _G711_TABLES[audio_format] = np.array(
+            [fn(b) for b in range(256)], dtype=np.int16
+        )
+    return _G711_TABLES[audio_format]
+
+
 def _decode_wav(payload: bytes):
     """Parse one RIFF/WAVE payload into (sample_rate, n_channels,
     (n_samples, n_channels) int16 array), or None for malformed /
-    non-PCM-16 payloads.  Walks the chunk list (chunks are 2-byte
+    unsupported payloads.  Walks the chunk list (chunks are 2-byte
     aligned; odd sizes carry a pad byte), reads the ``fmt `` chunk for
-    format/channels/rate and the ``data`` chunk for samples."""
+    format/channels/rate and the ``data`` chunk for samples.  Supported
+    codecs: uncompressed PCM-16 (format 1) and the G.711 companded
+    telephony pair — µ-law (format 7) and A-law (format 6), 8-bit
+    bytes expanded to linear PCM-16 through the reference tables."""
     import struct
 
     import numpy as np
@@ -568,14 +664,25 @@ def _decode_wav(payload: bytes):
     audio_format, n_channels, sample_rate, _, _, bits = struct.unpack(
         "<HHIIHH", fmt[:16]
     )
-    if audio_format != 1 or bits != 16 or n_channels < 1:
-        return None  # only uncompressed PCM-16 decodes without codecs
-    frame_bytes = 2 * n_channels
-    n_frames = len(data) // frame_bytes
-    samples = np.frombuffer(
-        data, dtype="<i2", count=n_frames * n_channels
-    ).reshape(n_frames, n_channels)
-    return sample_rate, n_channels, samples
+    if n_channels < 1:
+        return None
+    if audio_format == 1 and bits == 16:
+        frame_bytes = 2 * n_channels
+        n_frames = len(data) // frame_bytes
+        samples = np.frombuffer(
+            data, dtype="<i2", count=n_frames * n_channels
+        ).reshape(n_frames, n_channels)
+        return sample_rate, n_channels, samples
+    if audio_format in (6, 7) and bits == 8:
+        n_frames = len(data) // n_channels
+        raw = np.frombuffer(
+            data, dtype=np.uint8, count=n_frames * n_channels
+        )
+        samples = _g711_table(audio_format)[raw].reshape(
+            n_frames, n_channels
+        )
+        return sample_rate, n_channels, samples
+    return None  # other codecs need libraries not in this container
 
 
 def decode_audio(media: DataFrame) -> DataFrame:

@@ -1396,6 +1396,35 @@ SELECT doc_id,
 FROM samples GROUP BY doc_id, n"""
 
 
+def multimodal_g711_profile_sql() -> str:
+    """Twin of queries_dataops.multimodal_g711_profile: the analytic
+    µ-law expansion of the synthetic companded stream.  Byte t of doc d
+    is (3d + 7t) mod 256; G.711 µ-law expansion is pure integer
+    arithmetic (complement, biased mantissa shifted by segment, sign),
+    so the decoded-stream stats reduce to exact SQL aggregates — what
+    the Spark side's REAL table-driven RIFF decode must reproduce."""
+    return """WITH dims AS (
+  SELECT doc_id, 16 + doc_id % 11 AS n FROM documents),
+bytes AS (
+  SELECT doc_id, n, 255 - ((3 * doc_id + 7 * t) % 256) AS u
+  FROM dims, unnest(range(0, n)) AS v(t)),
+expanded AS (
+  SELECT doc_id, n,
+    CASE WHEN u >= 128
+         THEN 132 - (((u % 16) * 8 + 132) << ((u // 16) % 8))
+         ELSE (((u % 16) * 8 + 132) << ((u // 16) % 8)) - 132
+    END AS s
+  FROM bytes)
+SELECT doc_id,
+  CAST(8000 AS INTEGER) AS sample_rate,
+  CAST(1 AS INTEGER) AS n_channels,
+  CAST(n AS BIGINT) AS n_samples,
+  CAST(MAX(abs(s)) AS INTEGER) AS peak,
+  CAST(SUM(abs(s)) AS BIGINT) AS sum_abs,
+  CAST(SUM(s * s) AS BIGINT) AS sum_sq
+FROM expanded GROUP BY doc_id, n"""
+
+
 def multimodal_features_sql() -> str:
     """Twin of queries_dataops.multimodal_features: the REAL-decode
     feature vector [w, h, mean_r, mean_g, mean_b] derived analytically.

@@ -659,6 +659,18 @@ def multimodal_audio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_g711_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 µ-law decode under the bit-exact gate: the companded
+    bytes are pure functions of doc_id (multimodal.synth_wav_g711), the
+    Spark side expands them through the reference µ-law table inside the
+    RIFF chunk-walk decode, and the DuckDB twin replicates the expansion
+    formula analytically."""
+    docs = _docs(spark, sf_dir)
+    return multimodal.decode_audio(
+        multimodal.synth_wav_g711(docs.select("doc_id"), law="ulaw")
+    )
+
+
 def pq_knn_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization search, bit-portable end to end: per-subspace
     codebooks (seeded from the k smallest vec_ids, ONE Lloyd E+M
