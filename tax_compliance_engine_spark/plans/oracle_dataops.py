@@ -845,11 +845,15 @@ SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
 FROM scaled, unnest(range(1, {dim} + 1)) AS u(i)"""
 
 
-def embedding_kmeans_sql(k: int = 8, n_iter: int = 2) -> str:
+def embedding_kmeans_sql(
+    k: int = 8, n_iter: int = 2, shard_count: int = 256
+) -> str:
     """Twin of queries_dataops.embedding_kmeans: id-seeded Lloyd
     iterations, generated as one unrolled CTE chain per iteration —
     E-step nearest-centroid by identical IEEE cosine folds (ties →
-    smaller cell), M-step vec_id-ordered sequential-fold means, empty
+    smaller cell), M-step means as the same TWO-LEVEL ordered fold the
+    Spark side computes (equal-width id-range shards, per-shard
+    vec_id-ordered folds, shard partials folded in shard order), empty
     cells dropping out via the GROUP BY."""
     dim = similarity.DIM
     dot_vv = DOT_FOLD.format(n=dim, a="v", b="v")
@@ -860,6 +864,10 @@ def embedding_kmeans_sql(k: int = 8, n_iter: int = 2) -> str:
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 embVn AS (
   SELECT vec_id, v, sqrt({dot_vv}) AS nrm FROM embV),
+bounds AS (
+  SELECT min(vec_id) AS mn,
+         (max(vec_id) - min(vec_id)) // {shard_count} + 1 AS w
+  FROM embV),
 exploded AS (
   SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos, v[i] AS val
   FROM embV, unnest(range(1, {dim} + 1)) AS u(i)),
@@ -879,12 +887,19 @@ assign{it} AS (
         AS r
     FROM embVn e CROSS JOIN {prev}_n c) t
   WHERE r = 1),
+part{it} AS (
+  SELECT cell, pos, (x.vec_id - b.mn) // b.w AS shard,
+    list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)),
+                (acc, x) -> acc + x) AS p,
+    count(*) AS c
+  FROM exploded x JOIN assign{it} a USING (vec_id), bounds b
+  GROUP BY cell, pos, shard),
 comp{it} AS (
   SELECT cell, pos,
-    list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)),
-                (acc, x) -> acc + x) / count(*) AS mean_val,
-    count(*) AS n_vectors
-  FROM exploded x JOIN assign{it} a USING (vec_id)
+    list_reduce(list_prepend(0.0, list(p ORDER BY shard)),
+                (acc, x) -> acc + x) / CAST(SUM(c) AS DOUBLE) AS mean_val,
+    SUM(c) AS n_vectors
+  FROM part{it}
   GROUP BY cell, pos),
 cents{it} AS (
   SELECT cell, list(mean_val ORDER BY pos) AS cvec

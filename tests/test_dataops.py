@@ -441,6 +441,40 @@ def test_kmeans_recovers_two_clusters(spark):
             assert mean == acc / len(ids)
 
 
+def test_kmeans_mega_cell_two_level_fold(spark):
+    """A cell swallowing (nearly) the whole corpus exercises the sharded
+    M-step: with 600 members and ~3-wide id shards the two-level fold
+    must equal the Python recomputation of the SAME shape (per-shard
+    id-ordered folds, then shard partials in shard order) — which is a
+    different double than a flat fold, by design."""
+    vecs = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]] + [
+        [1.0 + (i % 7) * 0.01, (i % 3) * 0.001, 0.0, 0.0]
+        for i in range(2, 600)
+    ]
+    comps = similarity.kmeans_centroid_components(
+        emb_df(spark, vecs), k=2, n_iter=1, shard_count=256
+    ).collect()
+    by_cell = {}
+    for r in comps:
+        by_cell.setdefault(r.cell, {})[r.pos] = (r.mean_val, r.n_vectors)
+    members = {0: [0] + list(range(2, 600)), 1: [1]}
+    w = (599 - 0) // 256 + 1
+    for cell, ids in members.items():
+        for pos in range(4):
+            shards: dict[int, float] = {}
+            counts: dict[int, int] = {}
+            for i in ids:  # ids ascend, so per-shard folds are id-ordered
+                s = i // w
+                shards[s] = shards.get(s, 0.0) + vecs[i][pos]
+                counts[s] = counts.get(s, 0) + 1
+            total = 0.0
+            for s in sorted(shards):
+                total = total + shards[s]
+            mean, n = by_cell[cell][pos]
+            assert n == len(ids)
+            assert mean == total / float(len(ids))
+
+
 def test_kmeans_empty_cell_drops_out(spark):
     """A seed duplicated by a smaller-id vector attracts no members (ties
     break to the smaller cell id), so its cell disappears — the Lloyd

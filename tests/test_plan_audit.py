@@ -41,6 +41,8 @@ GLOBAL_AGG_OK = {
     # broadcast back — one partial-count row per task through the exchange
     "embedding_pagerank",  # scalar min/max(src) bounds for the src-range
     # shard width (one partial row per task), broadcast back onto edges
+    "embedding_kmeans",  # same bounds pattern: scalar min/max(vec_id)
+    # for the M-step's id-range shard width, broadcast back
     "corpus_profile",  # the result IS one global profile row per column
     # (partial aggregates through the exchange, then an in-plan explode)
 }
