@@ -53,6 +53,10 @@ BENCH_QUERIES = [
     "corpus_apply_changes",
     "events_top_users",
     "events_zorder_keys",
+    "dedup_containment_pairs",
+    "doc_quality_model",
+    "embedding_kmeans",
+    "multimodal_g711_profile",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

@@ -58,6 +58,9 @@ SCALE_QUERIES = [
     "corpus_apply_changes",
     "events_top_users",
     "events_zorder_keys",
+    "dedup_containment_pairs",
+    "doc_quality_model",
+    "embedding_kmeans",
 ]
 
 
