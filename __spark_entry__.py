@@ -243,6 +243,10 @@ def oracle_sql() -> dict[str, str]:
         # corpus_phrase_search: row-local exact phrase search (pure
         # projection+filter, no shuffle) — oracle-only swept entry.
         "corpus_phrase_search": oracle_corpus.corpus_phrase_search_sql(),
+        # corpus_bm25_search: ranked keyword retrieval (log-free BM25
+        # surrogate, pinned-fold per-doc scores, sharded top-k) —
+        # oracle-only swept entry.
+        "corpus_bm25_search": oracle_corpus.corpus_bm25_search_sql(),
         # doc_oov_rates: per-doc out-of-vocabulary rate vs the corpus's
         # own top-k vocabulary (self-referential noise filter) —
         # oracle-only swept entry.

@@ -172,6 +172,120 @@ def phrase_search(
     )
 
 
+def bm25_search(
+    docs: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Ranked keyword retrieval over the corpus: per query, the top-``k``
+    documents under a LOG-FREE BM25 surrogate — idf's ``ln`` is dropped
+    and the raw odds ratio (N − df + ½)/(df + ½) used directly (libm
+    ``ln`` differs across engines by ULPs, so the standard formula can't
+    sit under a bit-exact gate; the surrogate keeps BM25's tf saturation
+    and length normalization exactly, changes only how much MORE a rare
+    term counts than a common one, and is stated in the docstring as the
+    contract).  Per-term:
+
+        idf  = (N − df + 0.5) / (df + 0.5)
+        tfp  = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+        s    = idf · tfp
+
+    every op an exactly-rounded IEEE step mirrored verbatim in the
+    DuckDB twin; the per-doc score folds term scores in token order
+    (pinned small fold), so ranking is engine-portable bit-for-bit.
+
+    Scale shape: query tokens broadcast (a query set is always tiny);
+    the corpus-side token stream is FILTERED to query tokens before any
+    aggregation, so tf/df aggregations touch only matching postings.
+    N/avgdl are one scalar aggregate broadcast back.  Top-k per query
+    uses the sharded two-level rank (``topk.top_k_per_group``) — a
+    query matching half the corpus never serializes its sort onto one
+    task.  Output: (query_id, rank, doc_id, score)."""
+    from .topk import top_k_per_group
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    qrows = []
+    for qid, terms in queries:
+        terms = list(dict.fromkeys(t for t in terms if t))
+        if not terms:
+            raise ValueError(f"query {qid} has no tokens")
+        qrows.extend((qid, t) for t in terms)
+    spark = docs.sparkSession
+    qtoks = spark.createDataFrame(qrows, "query_id long, token string")
+
+    one_minus_b = 1.0 - b
+    k1p1 = k1 + 1.0
+
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(text_col)).alias("token")
+    )
+    sized = docs.select("doc_id", F.size(_tokens(text_col)).alias("dl"))
+    stats = sized.agg(
+        F.count("*").alias("_n"), F.sum("dl").alias("_sl")
+    ).select(
+        "_n",
+        (F.col("_sl").cast("double") / F.col("_n").cast("double")).alias(
+            "_avgdl"
+        ),
+    )
+    # corpus side filtered to query tokens FIRST: tf/df see only postings
+    # that can score
+    qtf = (
+        toks.join(
+            F.broadcast(qtoks.select("token").distinct()), "token"
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = qtf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = (
+        (F.col("_n") - F.col("df")).cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    norm = F.lit(one_minus_b) + F.lit(b) * (
+        F.col("dl").cast("double") / F.col("_avgdl")
+    )
+    tfp = (F.col("tf").cast("double") * F.lit(k1p1)) / (
+        F.col("tf").cast("double") + F.lit(k1) * norm
+    )
+    term_scores = (
+        qtf.join(F.broadcast(df_tbl), "token")
+        .join(F.broadcast(qtoks), "token")
+        .join(sized, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id", "doc_id", "token", (idf * tfp).alias("_s")
+        )
+    )
+    scores = term_scores.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("token", "_s"))),
+                lambda s: s["_s"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("score")
+    )
+    topk = top_k_per_group(
+        scores,
+        ["query_id"],
+        [F.desc("score"), F.col("doc_id")],
+        k,
+        n_shards=n_shards,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("doc_id")
+    )
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "query_id", F.col("rank").cast("int").alias("rank"), "doc_id", "score"
+    )
+
+
 def oov_rates(
     docs: DataFrame, k: int = 100, text_col: str = "text"
 ) -> DataFrame:

@@ -718,3 +718,60 @@ FROM bands a JOIN bands b
  AND a.doc_id < b.doc_id
  AND {shared_lower}
 WHERE bit_count(xor(a.phash, b.phash)) <= 7"""
+
+
+def corpus_bm25_search_sql(
+    k1: float = 1.2, b: float = 0.75, k: int = 10
+) -> str:
+    """Twin of queries_dataops.corpus_bm25_search: the log-free BM25
+    surrogate with every float op mirrored in the Spark side's order
+    (constants interpolated via Python repr so both engines parse the
+    identical double), per-doc scores folded in token order, plain
+    per-query rank windows (the Spark side's sharded two-level top-k is
+    result-identical by construction)."""
+    from .queries_dataops import BM25_QUERIES
+
+    qvals = ",\n    ".join(
+        f"({qid}, '{t}')"
+        for qid, terms in BM25_QUERIES
+        for t in dict.fromkeys(terms)
+    )
+    one_minus_b = 1.0 - b
+    k1p1 = k1 + 1.0
+    return f"""WITH qtoks(query_id, token) AS (VALUES
+    {qvals}),
+toks AS (SELECT doc_id, unnest({TOKENS}) AS token FROM documents),
+sized AS (SELECT doc_id, len({TOKENS}) AS dl FROM documents),
+stats AS (
+  SELECT count(*) AS n,
+         CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM sized),
+qtf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks
+  WHERE token IN (SELECT DISTINCT token FROM qtoks)
+  GROUP BY doc_id, token),
+dfs AS (SELECT token, count(*) AS df FROM qtf GROUP BY token),
+term_scores AS (
+  SELECT q.query_id, t.doc_id, t.token,
+    ((CAST(cs.n - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+    * ((CAST(t.tf AS DOUBLE) * CAST({k1p1!r} AS DOUBLE))
+       / (CAST(t.tf AS DOUBLE) + CAST({k1!r} AS DOUBLE)
+          * (CAST({one_minus_b!r} AS DOUBLE) + CAST({b!r} AS DOUBLE)
+             * (CAST(z.dl AS DOUBLE) / cs.avgdl)))) AS ts
+  FROM qtf t
+  JOIN dfs d USING (token)
+  JOIN qtoks q USING (token)
+  JOIN sized z ON z.doc_id = t.doc_id, stats cs),
+scores AS (
+  SELECT query_id, doc_id,
+    list_reduce(list_prepend(0.0, list(ts ORDER BY token)),
+                (acc, x) -> acc + x) AS score
+  FROM term_scores GROUP BY query_id, doc_id)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id,
+    CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS INTEGER)
+      AS rank,
+    doc_id, score
+  FROM scores) r
+WHERE rank <= {k}"""

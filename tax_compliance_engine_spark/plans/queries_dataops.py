@@ -577,6 +577,19 @@ def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.inverted_index(_docs(spark, sf_dir), n_shards=4)
 
 
+BM25_QUERIES = [
+    (0, ["join", "filter", "scan"]),
+    (1, ["stream", "merge"]),
+    (2, ["customer", "data", "batch"]),
+]
+
+
+def corpus_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked keyword retrieval (corpus.bm25_search): three fixed
+    queries, top-10 docs each under the log-free BM25 surrogate."""
+    return corpus.bm25_search(_docs(spark, sf_dir), BM25_QUERIES, k=10)
+
+
 def corpus_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-local exact phrase search for 'spark window' over the corpus
     (corpus.phrase_search) — pure projection+filter, no shuffle."""

@@ -175,6 +175,90 @@ def test_phrase_search_overlaps_and_edges(spark):
         corpus.phrase_search(docs, "  ")
 
 
+def test_bm25_search_matches_python_reference(spark):
+    """The log-free BM25 surrogate must reproduce a plain-Python
+    recomputation exactly (token-ordered fold), and exhibit the three
+    BM25 behaviors: tf saturation helps the doc with more hits, rare
+    terms outweigh common ones, and shorter docs win at equal tf."""
+    texts = {
+        0: "apple banana apple cherry",
+        1: "apple " + " ".join(f"pad{i}" for i in range(20)),
+        2: "apple banana",
+        3: "banana banana cherry date",
+        4: "date elder fig grape",
+    }
+    docs = docs_df(spark, [(i, t, "s") for i, t in texts.items()])
+    queries = [(0, ["apple", "banana"]), (1, ["cherry"])]
+    got = {
+        (r.query_id, r.doc_id): (r.rank, r.score)
+        for r in corpus.bm25_search(docs, queries, k=10).collect()
+    }
+
+    k1, b = 1.2, 0.75
+    toks = {i: [t for t in s.split(" ") if t] for i, s in texts.items()}
+    n = len(toks)
+    avgdl = float(sum(len(v) for v in toks.values())) / float(n)
+    want = {}
+    for qid, terms in queries:
+        for d, tl in toks.items():
+            score, any_hit = 0.0, False
+            for term in sorted(set(terms)):
+                tf = tl.count(term)
+                if tf == 0:
+                    continue
+                any_hit = True
+                df = sum(1 for v in toks.values() if term in v)
+                idf = (float(n - df) + 0.5) / (float(df) + 0.5)
+                norm = (1.0 - b) + b * (float(len(tl)) / avgdl)
+                tfp = (float(tf) * (k1 + 1.0)) / (float(tf) + k1 * norm)
+                score = score + idf * tfp
+            if any_hit:
+                want[(qid, d)] = score
+    assert {k: v[1] for k, v in got.items()} == want
+    # ranks are dense per query, score-desc with doc_id ties ascending
+    for qid in (0, 1):
+        ranked = sorted(
+            ((v[0], d) for (q, d), v in got.items() if q == qid)
+        )
+        ordered = [
+            d
+            for d, _ in sorted(
+                ((d, want[(qid, d)]) for (q, d) in want if q == qid),
+                key=lambda x: (-x[1], x[0]),
+            )
+        ]
+        assert [d for _, d in ranked] == ordered
+    # at equal length, more matching mass wins: doc0 (apple x2 + banana,
+    # dl 4) beats doc3 (banana x2 only, dl 4) for query 0
+    assert got[(0, 0)][1] > got[(0, 3)][1]
+    # length normalization: doc2 (apple+banana, dl 2) beats doc1
+    # (one apple in 21 tokens)
+    assert got[(0, 2)][1] > got[(0, 1)][1]
+    # equal (tf, dl) docs tie EXACTLY and rank by doc_id: cherry tf 1 in
+    # both doc0 and doc3 (dl 4 each)
+    assert got[(1, 0)][1] == got[(1, 3)][1]
+    assert (got[(1, 0)][0], got[(1, 3)][0]) == (1, 2)
+
+
+def test_bm25_search_validation_and_topk(spark):
+    docs = docs_df(spark, [(i, "x common", "s") for i in range(30)])
+    top = corpus.bm25_search(docs, [(0, ["common"])], k=5).collect()
+    assert len(top) == 5  # k caps the 30 equal-score matches
+    assert [r.doc_id for r in sorted(top, key=lambda r: r.rank)] == [
+        0,
+        1,
+        2,
+        3,
+        4,
+    ]  # ties break on doc_id
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        corpus.bm25_search(docs, [(0, [])])
+    with _pytest.raises(ValueError):
+        corpus.bm25_search(docs, [(0, ["x"])], k=0)
+
+
 def test_inverted_index_shards_and_df(spark):
     docs = docs_df(
         spark,
