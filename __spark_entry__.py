@@ -356,6 +356,11 @@ def oracle_sql() -> dict[str, str]:
         # multimodal_audio_profile: REAL RIFF/WAVE PCM-16 decode stats,
         # analytic twin (audio parallel of the PPM image gate)
         "multimodal_audio_profile": oracle_dataops.multimodal_audio_profile_sql(),
+        # multimodal_mp3_probe: REAL MPEG-1 Layer III frame-header walk
+        # (ID3v2 skip, sync gate, bitrate/rate tables, padding-aware
+        # frame sizes) vs the analytic stream geometry — oracle-only
+        # swept entry.
+        "multimodal_mp3_probe": oracle_dataops.multimodal_mp3_probe_sql(),
         # multimodal_g711_profile: REAL G.711 µ-law expansion-table
         # decode stats vs the analytic integer expansion — oracle-only
         # swept entry.

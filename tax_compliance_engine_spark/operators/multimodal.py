@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -1854,6 +1855,198 @@ def _split_jpeg_frames(payload: bytes) -> list[bytes]:
         frames.append(bytes(payload[pos:end]))
         pos = end
     return frames
+
+
+# ── MP3 (MPEG-1 Layer III): real frame-header walk ───────────────────
+#
+# Full MP3 DECODE (Huffman spectral data, IMDCT, alias reduction) stays
+# out of scope for a stdlib container; the FRAMING layer is fully
+# parseable though, and it is what ingest pipelines actually need for
+# audits: frame count, sample rate, exact sample count, CBR/VBR, tag
+# presence.  The walk below is a real parser — ID3v2 syncsafe-size skip,
+# 11-bit sync, version/layer gate, bitrate/samplerate table lookup,
+# padding-aware frame length — not a byte-count heuristic.
+
+_MP3_BITRATES = [
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+]  # kbps, MPEG-1 Layer III (index 0 = "free", unsupported; 15 = bad)
+_MP3_RATES = [44100, 48000, 32000]  # MPEG-1 samplerate index 0..2
+_MP3_SAMPLES_PER_FRAME = 1152
+
+
+def _probe_mp3(payload):
+    """Walk an MPEG-1 Layer III stream: optional ID3v2 tag (syncsafe
+    size), then consecutive frames sized from each header's
+    bitrate/samplerate/padding bits.  Returns (n_frames, samplerate,
+    n_samples, total_frame_bytes, is_vbr, has_id3) over the intact
+    frame prefix, or None when no complete frame parses (malformed,
+    free-bitrate, non-MPEG1-LayerIII, or mixed-samplerate streams)."""
+    if payload is None:
+        return None
+    buf = bytes(payload)
+    pos = 0
+    has_id3 = False
+    if buf[:3] == b"ID3" and len(buf) >= 10:
+        size = (
+            ((buf[6] & 0x7F) << 21)
+            | ((buf[7] & 0x7F) << 14)
+            | ((buf[8] & 0x7F) << 7)
+            | (buf[9] & 0x7F)
+        )
+        pos = 10 + size
+        has_id3 = True
+    n_frames = 0
+    total = 0
+    sr = None
+    bitrates: set[int] = set()
+    while pos + 4 <= len(buf):
+        h = buf[pos : pos + 4]
+        if h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
+            break  # lost sync
+        version = (h[1] >> 3) & 3
+        layer = (h[1] >> 1) & 3
+        if version != 3 or layer != 1:
+            break  # only MPEG-1 (11) Layer III (01)
+        bri = (h[2] >> 4) & 0xF
+        sri = (h[2] >> 2) & 3
+        pad = (h[2] >> 1) & 1
+        if bri in (0, 15) or sri == 3:
+            break  # free-format / invalid indices
+        br = _MP3_BITRATES[bri] * 1000
+        rate = _MP3_RATES[sri]
+        if sr is None:
+            sr = rate
+        elif sr != rate:
+            break  # mixed sample rates: stop at the consistent prefix
+        flen = (144 * br) // rate + pad
+        if pos + flen > len(buf):
+            break  # truncated final frame
+        n_frames += 1
+        total += flen
+        bitrates.add(br)
+        pos += flen
+    if n_frames == 0:
+        return None
+    return (
+        n_frames,
+        sr,
+        n_frames * _MP3_SAMPLES_PER_FRAME,
+        total,
+        len(bitrates) > 1,
+        has_id3,
+    )
+
+
+MP3_PROBE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_frames", IntegerType(), True),
+        StructField("samplerate", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("total_frame_bytes", LongType(), True),
+        StructField("is_vbr", BooleanType(), True),
+        StructField("has_id3", BooleanType(), True),
+    ]
+)
+
+
+def probe_mp3(media: DataFrame) -> DataFrame:
+    """REAL MP3 framing metadata over the media table (``_probe_mp3``
+    per row, Arrow-batched ``mapInPandas``, partition-parallel, no
+    shuffle) — the audit pass an audio ingest pipeline runs before any
+    decode: exact frame/sample counts, CBR/VBR, tag presence.
+    Malformed payloads probe to NULLs; non-mp3 formats raise (the
+    ``decode_audio`` contract)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in MP3_PROBE_SCHEMA}
+            for doc_id, fmt, payload in zip(
+                pdf["doc_id"], pdf["format"], pdf["payload"]
+            ):
+                if fmt != "mp3":
+                    raise NotImplementedError(
+                        f"probe_mp3 got format {fmt!r}: MPEG framing "
+                        "only (decode_audio handles RIFF/WAVE)"
+                    )
+                probed = _probe_mp3(payload)
+                out["doc_id"].append(doc_id)
+                if probed is None:
+                    for key in (
+                        "n_frames",
+                        "samplerate",
+                        "n_samples",
+                        "total_frame_bytes",
+                        "is_vbr",
+                        "has_id3",
+                    ):
+                        out[key].append(None)
+                    continue
+                nf, sr, ns, tot, vbr, id3 = probed
+                out["n_frames"].append(nf)
+                out["samplerate"].append(sr)
+                out["n_samples"].append(ns)
+                out["total_frame_bytes"].append(tot)
+                out["is_vbr"].append(vbr)
+                out["has_id3"].append(id3)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=MP3_PROBE_SCHEMA)
+
+
+def synth_mp3(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic MP3 framing stream per id — REAL headers
+    (sync, MPEG-1 Layer III, table-valid bitrate/samplerate indices,
+    padding bits) over deterministic filler audio bytes, so the frame
+    WALK is fully exercised while the entropy payload stays opaque
+    (decode is out of scope; the walk never reads it).
+
+    Odd ids carry an ID3v2 tag of id%5 body bytes (syncsafe size).
+    n = 3 + id%4 frames at 44.1 kHz; ids divisible by 3 are CBR
+    (bitrate index 1 + id%14 every frame), others VBR (index
+    1 + (id+f)%14 — distinct per frame); frame f pads when (id+f) is
+    odd.  Every field the analytic DuckDB twin derives is therefore a
+    pure function of the id — and the Spark side must recover it from
+    the actual bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                parts = []
+                if i % 2 == 1:
+                    body = bytes((i + j) % 256 for j in range(i % 5))
+                    parts.append(
+                        b"ID3\x04\x00\x00"
+                        + bytes([0, 0, 0, len(body) & 0x7F])
+                        + body
+                    )
+                n = 3 + i % 4
+                for f in range(n):
+                    bri = 1 + (i % 14 if i % 3 == 0 else (i + f) % 14)
+                    pad = (i + f) % 2
+                    br = _MP3_BITRATES[bri] * 1000
+                    flen = (144 * br) // 44100 + pad
+                    hdr = bytes(
+                        [0xFF, 0xFB, (bri << 4) | (0 << 2) | (pad << 1), 0]
+                    )
+                    fill = bytes(
+                        (7 * i + 13 * f + j) % 256 for j in range(flen - 4)
+                    )
+                    parts.append(hdr + fill)
+                payloads.append(b"".join(parts))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "media_type": "audio",
+                    "payload": payloads,
+                    "payload_size": [len(p) for p in payloads],
+                    "format": "mp3",
+                }
+            )
+
+    return ids.mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 # ── MP4 (ISO BMFF): real box-walk container demux ────────────────────

@@ -1411,6 +1411,33 @@ SELECT doc_id,
 FROM samples GROUP BY doc_id, n"""
 
 
+def multimodal_mp3_probe_sql() -> str:
+    """Twin of queries_dataops.multimodal_mp3_probe: the synth_mp3
+    stream geometry derived analytically — frame count 3 + id%4, CBR
+    (index 1 + id%14) for ids divisible by 3 else per-frame VBR indices
+    1 + (id+f)%14, MPEG-1 Layer III frame length (144·bitrate)//44100
+    plus the (id+f)%2 padding bit — what the Spark side's REAL header
+    walk must recover from the actual bytes."""
+    table = "[0,32,40,48,56,64,80,96,112,128,160,192,224,256,320]"
+    return f"""WITH dims AS (
+  SELECT doc_id, 3 + doc_id % 4 AS n FROM documents),
+frames AS (
+  SELECT doc_id, n,
+    (144 * ({table}[
+       CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 14
+            ELSE 1 + (doc_id + f) % 14 END + 1] * 1000)) // 44100
+      + (doc_id + f) % 2 AS flen
+  FROM dims, unnest(range(0, n)) AS u(f))
+SELECT doc_id,
+  CAST(n AS INTEGER) AS n_frames,
+  CAST(44100 AS INTEGER) AS samplerate,
+  CAST(n * 1152 AS BIGINT) AS n_samples,
+  CAST(SUM(flen) AS BIGINT) AS total_frame_bytes,
+  doc_id % 3 <> 0 AS is_vbr,
+  doc_id % 2 = 1 AS has_id3
+FROM frames GROUP BY doc_id, n"""
+
+
 def multimodal_g711_profile_sql() -> str:
     """Twin of queries_dataops.multimodal_g711_profile: the analytic
     µ-law expansion of the synthetic companded stream.  Byte t of doc d

@@ -672,6 +672,18 @@ def multimodal_audio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-1 Layer III framing walk under the bit-exact gate:
+    synth_mp3 streams (valid headers, deterministic geometry) probed by
+    multimodal.probe_mp3 — ID3v2 skip, sync/version/layer gate,
+    bitrate/samplerate table lookups, padding-aware frame sizes — vs an
+    analytic DuckDB twin deriving the same fields from the id."""
+    docs = _docs(spark, sf_dir)
+    return multimodal.probe_mp3(
+        multimodal.synth_mp3(docs.select("doc_id"))
+    )
+
+
 def multimodal_g711_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL G.711 µ-law decode under the bit-exact gate: the companded
     bytes are pure functions of doc_id (multimodal.synth_wav_g711), the

@@ -658,6 +658,51 @@ def test_g711_alaw_decode_and_anchor_points():
     assert _decode_wav(bad) is None
 
 
+def test_mp3_frame_walk(spark):
+    """The REAL MPEG framing parser: synth_mp3 streams probe to the
+    analytic geometry (frame counts, exact sample counts, CBR/VBR, tag
+    presence), lost-sync and truncation degrade to the intact prefix,
+    and garbage probes to NULLs."""
+    from tax_compliance_engine_spark.operators.multimodal import (
+        _MP3_BITRATES,
+        _probe_mp3,
+        probe_mp3,
+        synth_mp3,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    got = {r.doc_id: r for r in probe_mp3(synth_mp3(ids)).collect()}
+    for i in range(12):
+        n = 3 + i % 4
+        r = got[i]
+        assert (r.n_frames, r.samplerate, r.n_samples) == (n, 44100, n * 1152)
+        assert r.is_vbr == (i % 3 != 0)
+        assert r.has_id3 == (i % 2 == 1)
+        exp_total = sum(
+            (
+                144
+                * _MP3_BITRATES[1 + (i % 14 if i % 3 == 0 else (i + f) % 14)]
+                * 1000
+            )
+            // 44100
+            + (i + f) % 2
+            for f in range(n)
+        )
+        assert r.total_frame_bytes == exp_total
+    # malformed payloads and non-MPEG1/LayerIII headers
+    assert _probe_mp3(b"not audio at all") is None
+    assert _probe_mp3(bytes([0xFF, 0xF3, 0x10, 0])) is None  # MPEG2
+    # a free-bitrate header (index 0) stops the walk
+    assert _probe_mp3(bytes([0xFF, 0xFB, 0x00, 0]) + b"x" * 500) is None
+    # Spark-side NULL columns for malformed rows
+    bad = spark.createDataFrame(
+        [(7, "audio", bytearray(b"junk"), 4, "mp3")],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row = probe_mp3(bad).collect()[0]
+    assert row.n_frames is None and row.is_vbr is None
+
+
 def test_decode_wav_parser_edges(spark):
     import struct
 
