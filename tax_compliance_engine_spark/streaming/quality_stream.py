@@ -1,0 +1,53 @@
+"""Streaming model-based quality filtering at ingest time.
+
+The batch operator (``operators/textops.quality_model_scores``) scores a
+document from its OWN tokens and a FIXED broadcast weight table — no
+corpus-wide statistics — so a document's keep/drop verdict never depends
+on other stream documents.  Micro-batch-local scoring therefore IS the
+global semantics (the same argument as the streaming decontamination
+screen), and the stream version needs no state store and no watermark:
+memory stays bounded forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_quality_filter_writer(
+    stream: DataFrame,
+    out_path: str,
+    text_col: str = "text",
+    threshold: float = 0.0,
+    weights: DataFrame | None = None,
+):
+    """Append to ``out_path`` only arriving documents whose hashed-
+    feature linear-classifier logit clears ``threshold`` — the
+    fastText-style quality screen applied at ingest instead of as a
+    batch sweep (streaming twin of ``textops.quality_model_scores``,
+    drained ≡ batch; the kept rows carry their score columns).
+
+    ``weights`` (bucket, weight) is resolved ONCE against the batch
+    session (defaulting to the deterministic stand-in table) and reused
+    across micro-batches.  Output lands under ``out_path/batch=<id>``
+    with per-batch OVERWRITE so micro-batch re-delivery rewrites the
+    same directory instead of duplicating kept docs — idempotent like
+    the repo's other streaming sinks.  Read the result with
+    ``spark.read.parquet(out_path)``.
+
+    Returns the configured DataStreamWriter; the caller sets trigger /
+    checkpoint and calls ``.start()``."""
+    from ..operators.textops import quality_model_scores
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        scored = quality_model_scores(
+            bdf, text_col=text_col, weights=weights
+        )
+        kept = (
+            bdf.join(scored, "doc_id")
+            .filter(F.col("logit") > F.lit(threshold))
+        )
+        kept.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+
+    return stream.writeStream.foreachBatch(write_batch)

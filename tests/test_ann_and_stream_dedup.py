@@ -394,6 +394,58 @@ def test_streaming_decontaminate_matches_batch(spark, tmp_path):
     assert [d for d, _ in got] == [1, 2, 4]
 
 
+def test_streaming_quality_filter_matches_batch(spark, tmp_path):
+    """Drained quality screen ≡ batch quality_model_scores filtering:
+    each arrival's verdict depends only on its own tokens and the fixed
+    weight table, in whichever drain it arrives."""
+    from tax_compliance_engine_spark.operators.textops import (
+        quality_model_scores,
+    )
+    from tax_compliance_engine_spark.streaming.quality_stream import (
+        streaming_quality_filter_writer,
+    )
+
+    schema = "doc_id long, text string"
+    first = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "lorem ipsum dolor sit amet consectetur"),
+        (2, ""),  # empty: logit 0.0, never kept at threshold 0
+    ]
+    second = [
+        (3, "spark streams micro batches through foreachBatch sinks"),
+        (4, "zzz qqq xxx vvv kkk jjj"),
+    ]
+    src, out = tmp_path / "docs", tmp_path / "kept"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            streaming_quality_filter_writer(stream, str(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(str(out))
+
+    spark.createDataFrame(first, schema).write.mode("append").parquet(str(src))
+    drain()
+    spark.createDataFrame(second, schema).write.mode("append").parquet(str(src))
+    got = sorted(
+        (r.doc_id, r.text, r.logit) for r in drain().collect()
+    )
+
+    batch = spark.createDataFrame(first + second, schema)
+    scored = batch.join(quality_model_scores(batch), "doc_id")
+    want = sorted(
+        (r.doc_id, r.text, r.logit)
+        for r in scored.filter("logit > 0.0").collect()
+    )
+    assert got == want
+    assert 0 < len(got) < 5, "screen should drop some docs and keep some"
+    assert 2 not in {d for d, _, _ in got}
+
+
 def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
     """Drained stream-static screen ≡ batch incremental_minhash_pairs:
     stream docs match only the STANDING corpus (never each other), the
