@@ -341,6 +341,14 @@ def oracle_sql() -> dict[str, str]:
         # integer-exact stand-in for perplexity filtering) — oracle-only
         # swept entry.
         "doc_lm_coverage": oracle_dataops.doc_lm_coverage_sql(),
+        # doc_normalized: row-local text canonicalization (control-char
+        # strip, whitespace collapse, trim, lower) — oracle-only swept
+        # entry.
+        "doc_normalized": oracle_dataops.doc_normalized_sql(),
+        # corpus_snapshot_diff: dataset-version diff (digest-compare
+        # full-outer join against a deterministically mutated successor
+        # snapshot) — oracle-only swept entry.
+        "corpus_snapshot_diff": oracle_dataops.corpus_snapshot_diff_sql(),
         # doc_quality_model: hashed-feature linear classifier inference
         # (fastText-style quality filter; int64 accumulation + one
         # exactly-rounded division) — oracle-only swept entry.

@@ -1374,3 +1374,38 @@ def weighted_sample(
     return docs.filter(
         h * den < checked_num * F.lit(SAMPLE_MOD)
     )
+
+
+def snapshot_diff(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Dataset-version diff: compare two corpus snapshots by doc_id and
+    content digest, emitting one row per DIFFERENCE — ``added`` (id only
+    in new), ``removed`` (id only in old), ``changed`` (digests differ).
+    Unchanged docs emit nothing, so the output is |delta|-sized: the
+    audit a versioned 100 TB corpus runs between releases without ever
+    materializing either side's text downstream.
+
+    Shuffle shape: each side reduces to (doc_id, md5) — text is dropped
+    before the join — then ONE full-outer sort-merge join on doc_id.
+    Digests are md5 hex strings, so the DuckDB twin hash-compares
+    bit-exact."""
+    o = old_docs.select(
+        "doc_id", F.md5(F.col(text_col)).alias("old_digest")
+    )
+    n = new_docs.select(
+        "doc_id", F.md5(F.col(text_col)).alias("new_digest")
+    )
+    joined = o.join(n, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") != F.col("new_digest"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select("doc_id", "status", "old_digest", "new_digest")
+    )

@@ -478,3 +478,28 @@ def quality_model_scores(
         .otherwise(F.lit(0.0))
         .alias("logit"),
     ).withColumn("keep", F.col("logit") > 0.0)
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Text canonicalization — the preprocessing stage dedup and
+    fingerprinting assume has already run: control characters (C0 +
+    DEL) become spaces, runs of spaces collapse to one, ends trim, and
+    the result lowercases.  Entirely row-local JVM regexp/string ops
+    (whole-stage codegen, no shuffle, pushes into the scan); the DuckDB
+    twin applies the identical RE2-compatible patterns, so the
+    canonical text is byte-identical across engines.
+
+    Output: (doc_id, text_norm, n_chars_raw, n_chars_norm, changed).
+    NULL text normalizes to NULL with changed = false (nothing to
+    canonicalize, mirroring the scan's permissive contract)."""
+    text = F.col(text_col)
+    s = F.regexp_replace(text, "[\\x00-\\x1F\\x7F]", " ")
+    s = F.regexp_replace(s, " +", " ")
+    s = F.lower(F.trim(s))
+    return docs.select(
+        "doc_id",
+        s.alias("text_norm"),
+        F.length(text).alias("n_chars_raw"),
+        F.length(s).alias("n_chars_norm"),
+        F.coalesce(s != text, F.lit(False)).alias("changed"),
+    )

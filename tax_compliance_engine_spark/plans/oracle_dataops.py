@@ -274,6 +274,48 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN scored s USING (doc_id)"""
 
 
+def doc_normalized_sql() -> str:
+    """Twin of queries_dataops.doc_normalized: identical RE2-compatible
+    normalization chain (control chars → space, space-run collapse,
+    trim, lower) — canonical text compares byte-identical."""
+    norm = (
+        "lower(trim(regexp_replace(regexp_replace(text, "
+        "'[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g')))"
+    )
+    return f"""SELECT doc_id,
+  {norm} AS text_norm,
+  CAST(length(text) AS INTEGER) AS n_chars_raw,
+  CAST(length({norm}) AS INTEGER) AS n_chars_norm,
+  COALESCE({norm} <> text, FALSE) AS changed
+FROM documents"""
+
+
+def corpus_snapshot_diff_sql() -> str:
+    """Twin of queries_dataops.corpus_snapshot_diff: the same mutated
+    successor snapshot (mod-7 removals, mod-5 edits, mod-11 additions)
+    and the digest-compare full-outer diff."""
+    return """WITH old_snap AS (
+  SELECT doc_id, md5(text) AS old_digest FROM documents),
+new_snap AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END)
+           AS new_digest
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 100000, md5(text) FROM documents WHERE doc_id % 11 = 0)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN o.doc_id IS NULL THEN 'added'
+       WHEN n.doc_id IS NULL THEN 'removed'
+       WHEN o.old_digest <> n.new_digest THEN 'changed'
+  END AS status,
+  o.old_digest, n.new_digest
+FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+WHERE CASE WHEN o.doc_id IS NULL THEN 'added'
+           WHEN n.doc_id IS NULL THEN 'removed'
+           WHEN o.old_digest <> n.new_digest THEN 'changed'
+      END IS NOT NULL"""
+
+
 def doc_quality_model_sql() -> str:
     """Twin of queries_dataops.doc_quality_model: same token explode,
     portable 30-bit hash → bucket, LCG weight regeneration, int64

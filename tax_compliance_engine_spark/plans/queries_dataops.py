@@ -459,6 +459,40 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "lang")
 
 
+def doc_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text canonicalization (textops.normalize_text): control chars →
+    space, space runs collapsed, trim, lowercase — row-local, byte-
+    identical across engines."""
+    return textops.normalize_text(_docs(spark, sf_dir))
+
+
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff (corpus.snapshot_diff) between the corpus
+    and a deterministically mutated successor snapshot: ids divisible
+    by 7 removed, by 5 edited (text + ' v2'), by 11 duplicated under
+    id + 100000 (added) — both snapshots derived in-plan so the DuckDB
+    twin rebuilds them exactly."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.col("text"), F.lit(" v2")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return corpus.snapshot_diff(docs, new)
+
+
 def doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-feature linear classifier inference
     (textops.quality_model_scores): fastText-style quality-filter scoring

@@ -15,6 +15,7 @@ import pytest
 
 from tax_compliance_engine_spark.functions import hashing
 from tax_compliance_engine_spark.operators import (
+    corpus,
     dedup,
     multimodal,
     similarity,
@@ -1484,6 +1485,50 @@ def test_lm_coverage_scores_out_of_distribution_low(spark):
     for r in got.values():
         if r.n_trigrams:
             assert r.coverage == r.n_covered / r.n_trigrams
+
+
+def test_normalize_text_canonicalization(spark):
+    """Control chars → space, space runs collapse, trim, lowercase;
+    NULL text stays NULL with changed = false; clean text unchanged."""
+    from tax_compliance_engine_spark.operators.textops import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (0, "  Hello\tWorld\x00!  "),
+            (1, "already clean"),
+            (2, None),
+            (3, "A  B\x1f\x7fC"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in normalize_text(docs).collect()}
+    assert got[0].text_norm == "hello world !"
+    assert got[0].changed is True
+    assert got[1].text_norm == "already clean" and got[1].changed is False
+    assert got[2].text_norm is None and got[2].changed is False
+    assert got[2].n_chars_raw is None
+    assert got[3].text_norm == "a b c"
+    assert (got[3].n_chars_raw, got[3].n_chars_norm) == (7, 5)
+
+
+def test_snapshot_diff_statuses(spark):
+    """added / removed / changed emitted, unchanged suppressed."""
+    schema = "doc_id long, text string"
+    old = spark.createDataFrame(
+        [(0, "same"), (1, "will change"), (2, "will vanish")], schema
+    )
+    new = spark.createDataFrame(
+        [(0, "same"), (1, "has changed"), (3, "brand new")], schema
+    )
+    got = {
+        r.doc_id: (r.status, r.old_digest is None, r.new_digest is None)
+        for r in corpus.snapshot_diff(old, new).collect()
+    }
+    assert got == {
+        1: ("changed", False, False),
+        2: ("removed", False, True),
+        3: ("added", True, False),
+    }
 
 
 def test_quality_model_matches_python_reference(spark):
