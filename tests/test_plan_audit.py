@@ -43,6 +43,8 @@ GLOBAL_AGG_OK = {
     # shard width (one partial row per task), broadcast back onto edges
     "embedding_kmeans",  # same bounds pattern: scalar min/max(vec_id)
     # for the M-step's id-range shard width, broadcast back
+    "corpus_bm25_search",  # scalar N/avgdl corpus stats (one partial
+    # row per task through the exchange), broadcast back onto scores
     "corpus_profile",  # the result IS one global profile row per column
     # (partial aggregates through the exchange, then an in-plan explode)
 }
