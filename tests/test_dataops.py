@@ -413,6 +413,49 @@ def test_ivf_portable_centroids_match_default_cells(spark):
     assert [(r.query_id, r.neighbor_id) for r in out] == [(0, 1)]
 
 
+def test_lsh_geometry_planner():
+    """The sizing rule: budget held at any N it accepts, recall
+    monotone-sensible, billion-doc corpora forced into few-band wide
+    geometries, impossible budgets raise."""
+    import math
+
+    import pytest as _pytest
+
+    from tax_compliance_engine_spark.operators.similarity import (
+        lsh_geometry_for_corpus,
+    )
+
+    small = lsh_geometry_for_corpus(32_000)
+    big = lsh_geometry_for_corpus(1_000_000_000)
+    for n, g in ((32_000, small), (1_000_000_000, big)):
+        assert g["n_bands"] * g["bits_per_band"] <= 63
+        assert g["expected_candidates_per_doc"] <= 4.0
+        assert (
+            g["expected_candidates_per_doc"]
+            == g["n_bands"] * float(n) / float(2 ** g["bits_per_band"])
+        )
+        # recall formula recomputed independently
+        theta = math.acos(0.9)
+        p = (1.0 - theta / math.pi) ** g["bits_per_band"]
+        assert g["recall_at_design"] == 1.0 - (1.0 - p) ** g["n_bands"]
+    # a billion docs needs >= 28 bits per band — single-digit bands only
+    assert big["bits_per_band"] >= 28 and big["n_bands"] <= 2
+    # more budget at fixed N can only help recall
+    loose = lsh_geometry_for_corpus(32_000, candidates_per_doc=64.0)
+    assert loose["recall_at_design"] >= small["recall_at_design"]
+    # amplification: L tables reach >=90% at the design angle
+    import math as _math
+
+    for g in (small, big):
+        L = g["tables_for_90pct_recall"]
+        assert 1.0 - (1.0 - g["recall_at_design"]) ** L >= 0.9
+        if L > 1:
+            assert 1.0 - (1.0 - g["recall_at_design"]) ** (L - 1) < 0.9
+    # infeasible: N so large even 1x63 floods the budget
+    with _pytest.raises(ValueError):
+        lsh_geometry_for_corpus(2**63, candidates_per_doc=0.5)
+
+
 def test_kmeans_recovers_two_clusters(spark):
     """Lloyd training on two tight directional clusters: id-seeded cells
     (seeds 0 and 1 land one per cluster), members converge to their
