@@ -200,6 +200,12 @@ def oracle_sql() -> dict[str, str]:
         # embedding_dup_pairs_wide: the 4×8-bit band geometry (32 planes)
         # — the corpus-scale collision knob, oracle-only swept entry.
         "embedding_dup_pairs_wide": oracle_dataops.embedding_dup_pairs_wide_sql(),
+        # embedding_dup_pairs_multitable: LSH amplification — two
+        # independent hyperplane tables OR'd with in-join global-band
+        # dedup — oracle-only swept entry.
+        "embedding_dup_pairs_multitable": (
+            oracle_dataops.embedding_dup_pairs_multitable_sql()
+        ),
         "embedding_dup_clusters": oracle_dataops.embedding_dup_clusters_sql(),
         # label_centroids: rows-only (double-sum order sensitivity)
         "label_centroid_components": oracle_dataops.label_centroid_components_sql(),

@@ -734,6 +734,51 @@ JOIN emb_n e2 ON e2.vec_id = c.id2
 WHERE {dot_12} / (e1.nrm * e2.nrm) >= {threshold}"""
 
 
+def embedding_dup_pairs_multitable_sql(
+    threshold: float = 0.35,
+    n_tables: int = 2,
+    n_bands: int = similarity.LSH_BANDS,
+    bits_per_band: int = similarity.LSH_BITS_PER_BAND,
+) -> str:
+    """Twin of queries_dataops.embedding_dup_pairs_multitable: the same
+    hyperplane-stream slices (table t = rows [t·planes, (t+1)·planes)
+    of the one xorshift stream), per-table signatures, global band
+    index, DISTINCT candidates (set-identical to the Spark side's
+    in-join lowest-shared-band dedup), exact-cosine verify."""
+    n_planes = n_bands * bits_per_band
+    rows = []
+    for q, plane in enumerate(similarity.hyperplanes(n_planes * n_tables)):
+        arr = "[" + ", ".join(f"{float(w)}" for w in plane) + "]"
+        rows.append(f"({q // n_planes}, {q % n_planes}, {arr}::DOUBLE[])")
+    proj = DOT_FOLD.format(n=similarity.DIM, a="e.v", b="h.plane")
+    dot_12 = DOT_FOLD.format(n=similarity.DIM, a="e1.v", b="e2.v")
+    mask = (1 << bits_per_band) - 1
+    return f"""WITH {_emb_cte()},
+planes(tbl, p, plane) AS (VALUES
+    {", ".join(rows)}),
+projections AS (
+  SELECT e.vec_id, h.tbl, h.p, {proj} AS proj
+  FROM emb_n e CROSS JOIN planes h),
+sigs AS (
+  SELECT vec_id, tbl,
+         SUM(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+           AS sig
+  FROM projections GROUP BY vec_id, tbl),
+buckets AS (
+  SELECT vec_id, tbl * {n_bands} + b AS g,
+         (sig >> (b * {bits_per_band})) & {mask} AS band_val
+  FROM sigs, unnest(range(0, {n_bands})) AS u(b)),
+candidates AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM buckets a JOIN buckets b
+    ON a.g = b.g AND a.band_val = b.band_val AND a.vec_id < b.vec_id)
+SELECT c.id1, c.id2, {dot_12} / (e1.nrm * e2.nrm) AS cosine
+FROM candidates c
+JOIN emb_n e1 ON e1.vec_id = c.id1
+JOIN emb_n e2 ON e2.vec_id = c.id2
+WHERE {dot_12} / (e1.nrm * e2.nrm) >= {threshold}"""
+
+
 def embedding_dup_pairs_wide_sql(threshold: float = 0.35) -> str:
     """Twin of queries_dataops.embedding_dup_pairs_wide: the 32-plane
     4×8-bit geometry — the corpus-scale setting whose per-band collision

@@ -234,6 +234,17 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
 
 
+def embedding_dup_pairs_multitable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LSH amplification (similarity.embedding_dup_pairs_multitable):
+    two independent hash tables OR'd, in-join global-band dedup, exact
+    cosine verify."""
+    return similarity.embedding_dup_pairs_multitable(
+        _emb(spark, sf_dir), n_tables=2
+    )
+
+
 def embedding_dup_pairs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`embedding_dup_pairs` at the corpus-scale 32-plane geometry
     (4 bands × 8 sign bits): per-band random collisions drop 16× (1/256

@@ -368,6 +368,46 @@ def test_embedding_dup_pairs_identical(spark):
     assert rows[0].cosine == pytest.approx(1.0)
 
 
+def test_multitable_lsh_amplification(spark):
+    """Table 0 IS the single-table geometry (one hyperplane stream,
+    slice-extended), so n_tables=1 reproduces embedding_dup_pairs
+    exactly; more tables can only ADD pairs, and scores agree wherever
+    both paths emit a pair."""
+    import random
+
+    rng = random.Random(7)
+    vecs = []
+    for _ in range(40):
+        v = [rng.uniform(-1, 1) for _ in range(64)]
+        vecs.append(v)
+        vecs.append([x + rng.uniform(-0.05, 0.05) for x in v])  # near-dup
+    emb = emb_df(spark, vecs)
+    single = {
+        (r.id1, r.id2): r.cosine
+        for r in similarity.embedding_dup_pairs(emb, threshold=0.8).collect()
+    }
+    one_table = {
+        (r.id1, r.id2): r.cosine
+        for r in similarity.embedding_dup_pairs_multitable(
+            emb, n_tables=1, threshold=0.8
+        ).collect()
+    }
+    assert one_table == single
+    two_tables = {
+        (r.id1, r.id2): r.cosine
+        for r in similarity.embedding_dup_pairs_multitable(
+            emb, n_tables=2, threshold=0.8
+        ).collect()
+    }
+    assert set(single) <= set(two_tables)
+    for pair, cos in single.items():
+        assert two_tables[pair] == cos  # identical exact-cosine verify
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        similarity.embedding_dup_pairs_multitable(emb, n_tables=0)
+
+
 def test_quantize_embeddings(spark):
     df = emb_df(spark, [[1.0, -0.5, 0.25, 0.0], [0.0, 0.0, 0.0, 0.0]])
     rows = similarity.quantize_embeddings(df).collect()
