@@ -57,6 +57,11 @@ BENCH_QUERIES = [
     "doc_quality_model",
     "embedding_kmeans",
     "multimodal_g711_profile",
+    "corpus_bm25_search",
+    "embedding_dup_pairs_multitable",
+    "multimodal_mp3_probe",
+    "doc_normalized",
+    "corpus_snapshot_diff",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

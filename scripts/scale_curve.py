@@ -61,6 +61,9 @@ SCALE_QUERIES = [
     "dedup_containment_pairs",
     "doc_quality_model",
     "embedding_kmeans",
+    "corpus_bm25_search",
+    "embedding_dup_pairs_multitable",
+    "corpus_snapshot_diff",
 ]
 
 
