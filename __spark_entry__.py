@@ -249,6 +249,10 @@ def oracle_sql() -> dict[str, str]:
         # corpus_phrase_search: row-local exact phrase search (pure
         # projection+filter, no shuffle) — oracle-only swept entry.
         "corpus_phrase_search": oracle_corpus.corpus_phrase_search_sql(),
+        # corpus_hybrid_search: sparse+dense retrieval fused by
+        # reciprocal-rank fusion (BM25 ranks + exact-cosine ranks) —
+        # oracle-only swept entry.
+        "corpus_hybrid_search": oracle_corpus.corpus_hybrid_search_sql(),
         # corpus_bm25_search: ranked keyword retrieval (log-free BM25
         # surrogate, pinned-fold per-doc scores, sharded top-k) —
         # oracle-only swept entry.

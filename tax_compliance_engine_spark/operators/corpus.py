@@ -286,6 +286,105 @@ def bm25_search(
     )
 
 
+def hybrid_search(
+    docs: DataFrame,
+    emb: DataFrame,
+    queries: list[tuple[int, list[str], int]],
+    k: int = 10,
+    pool: int = 20,
+    rrf_k: int = 60,
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    emb_id_col: str = "vec_id",
+) -> DataFrame:
+    """HYBRID retrieval: fuse keyword (BM25) and vector (cosine) rank
+    lists per query with reciprocal-rank fusion — the standard RAG
+    retrieval stack (sparse + dense, RRF) as one DataFrame plan.
+
+    ``queries`` rows are (query_id, terms, query_vec_id): the keyword
+    side runs ``bm25_search`` over the terms, the dense side ranks the
+    corpus by exact cosine against the embedding of ``query_vec_id``
+    ("more like this document"; the query doc itself is excluded from
+    its own dense list, per ``knn_bruteforce``).  Each retriever
+    contributes its top-``pool`` list; fusion is
+
+        rrf = 1/(rrf_k + kw_rank)  +  1/(rrf_k + vec_rank)
+
+    with a missing list contributing 0 — two exactly-rounded divisions
+    and one add, so fused scores are bit-portable, and RRF needs no
+    score normalization across retrievers (only ranks), which is
+    exactly why production hybrid stacks use it.  Output: top-``k``
+    per query as (query_id, rank, doc_id, rrf_score, kw_rank,
+    vec_rank) — NULL kw_rank/vec_rank marks a single-retriever hit.
+
+    Scale shape: both retrievers are the audited plans (filtered-
+    postings BM25, guarded-broadcast brute-force cosine — swap in
+    ``ivf_knn`` for corpus-scale dense retrieval); the fusion join
+    touches only 2·pool rows per query, and the final rank window sees
+    a ≤2·pool-row group."""
+    from pyspark.sql.window import Window
+
+    if len({qid for qid, _, _ in queries}) != len(queries):
+        raise ValueError("duplicate query_id in queries")
+    kw = bm25_search(
+        docs,
+        [(qid, terms) for qid, terms, _ in queries],
+        text_col=text_col,
+        k=pool,
+    ).select("query_id", "doc_id", F.col("rank").alias("kw_rank"))
+
+    from .similarity import knn_bruteforce
+
+    qvec_ids = [qv for _, _, qv in queries]
+    spark = docs.sparkSession
+    qmap = spark.createDataFrame(
+        [(qid, qv) for qid, _, qv in queries],
+        "query_id long, qvec_id long",
+    )
+    vec = (
+        knn_bruteforce(
+            emb,
+            F.col(emb_id_col).isin(qvec_ids),
+            k=pool,
+            vec_col=vec_col,
+            id_col=emb_id_col,
+        )
+        .select(
+            F.col("query_id").alias("qvec_id"),
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("vec_rank"),
+        )
+        .join(F.broadcast(qmap), "qvec_id")
+        .select("query_id", "doc_id", "vec_rank")
+    )
+    fused = kw.join(vec, ["query_id", "doc_id"], "full_outer").withColumn(
+        "rrf_score",
+        F.coalesce(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col("kw_rank")).cast("double"),
+            F.lit(0.0),
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col("vec_rank")).cast("double"),
+            F.lit(0.0),
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            "rrf_score",
+            "kw_rank",
+            "vec_rank",
+        )
+    )
+
+
 def oov_rates(
     docs: DataFrame, k: int = 100, text_col: str = "text"
 ) -> DataFrame:

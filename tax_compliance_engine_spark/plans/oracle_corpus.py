@@ -720,25 +720,22 @@ FROM bands a JOIN bands b
 WHERE bit_count(xor(a.phash, b.phash)) <= 7"""
 
 
-def corpus_bm25_search_sql(
-    k1: float = 1.2, b: float = 0.75, k: int = 10
+def _bm25_ranked_ctes(
+    queries: list[tuple[int, list[str]]],
+    k1: float = 1.2,
+    b: float = 0.75,
 ) -> str:
-    """Twin of queries_dataops.corpus_bm25_search: the log-free BM25
-    surrogate with every float op mirrored in the Spark side's order
-    (constants interpolated via Python repr so both engines parse the
-    identical double), per-doc scores folded in token order, plain
-    per-query rank windows (the Spark side's sharded two-level top-k is
-    result-identical by construction)."""
-    from .queries_dataops import BM25_QUERIES
-
+    """CTE chain ending in ``bm25_ranked`` (query_id, rank, doc_id,
+    score) — the log-free BM25 surrogate shared by the keyword-search
+    twin and the hybrid-fusion twin."""
     qvals = ",\n    ".join(
         f"({qid}, '{t}')"
-        for qid, terms in BM25_QUERIES
+        for qid, terms in queries
         for t in dict.fromkeys(terms)
     )
     one_minus_b = 1.0 - b
     k1p1 = k1 + 1.0
-    return f"""WITH qtoks(query_id, token) AS (VALUES
+    return f"""qtoks(query_id, token) AS (VALUES
     {qvals}),
 toks AS (SELECT doc_id, unnest({TOKENS}) AS token FROM documents),
 sized AS (SELECT doc_id, len({TOKENS}) AS dl FROM documents),
@@ -766,12 +763,82 @@ scores AS (
   SELECT query_id, doc_id,
     list_reduce(list_prepend(0.0, list(ts ORDER BY token)),
                 (acc, x) -> acc + x) AS score
-  FROM term_scores GROUP BY query_id, doc_id)
-SELECT query_id, rank, doc_id, score FROM (
+  FROM term_scores GROUP BY query_id, doc_id),
+bm25_ranked AS (
   SELECT query_id,
     CAST(row_number() OVER (PARTITION BY query_id
                             ORDER BY score DESC, doc_id) AS INTEGER)
       AS rank,
     doc_id, score
-  FROM scores) r
+  FROM scores)"""
+
+
+def corpus_bm25_search_sql(
+    k1: float = 1.2, b: float = 0.75, k: int = 10
+) -> str:
+    """Twin of queries_dataops.corpus_bm25_search: the log-free BM25
+    surrogate with every float op mirrored in the Spark side's order
+    (constants interpolated via Python repr so both engines parse the
+    identical double), per-doc scores folded in token order, plain
+    per-query rank windows (the Spark side's sharded two-level top-k is
+    result-identical by construction)."""
+    from .queries_dataops import BM25_QUERIES
+
+    return f"""WITH {_bm25_ranked_ctes(BM25_QUERIES, k1, b)}
+SELECT query_id, rank, doc_id, score FROM bm25_ranked
+WHERE rank <= {k}"""
+
+
+def corpus_hybrid_search_sql(
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    pool: int = 20,
+    rrf_k: int = 60,
+) -> str:
+    """Twin of queries_dataops.corpus_hybrid_search: the shared BM25
+    CTE chain + an exact-cosine dense ranking against each query doc's
+    embedding, fused by reciprocal-rank fusion (two exactly-rounded
+    divisions + one add, mirrored in the Spark side's term order)."""
+    from ..operators import similarity
+    from .oracle_dataops import DOT_FOLD, _emb_cte
+    from .queries_dataops import HYBRID_QUERIES
+
+    bm25 = _bm25_ranked_ctes(
+        [(qid, terms) for qid, terms, _ in HYBRID_QUERIES], k1, b
+    )
+    qmap = ", ".join(f"({qid}, {qv})" for qid, _, qv in HYBRID_QUERIES)
+    dot_qc = DOT_FOLD.format(n=similarity.DIM, a="q.v", b="c.v")
+    return f"""WITH {bm25},
+{_emb_cte()},
+qmap(query_id, qvec_id) AS (VALUES
+    {qmap}),
+vec_ranked AS (
+  SELECT m.query_id, c.vec_id AS doc_id,
+    CAST(row_number() OVER (PARTITION BY m.query_id
+         ORDER BY {dot_qc} / (q.nrm * c.nrm) DESC, c.vec_id) AS INTEGER)
+      AS vec_rank
+  FROM qmap m
+  JOIN emb_n q ON q.vec_id = m.qvec_id
+  CROSS JOIN emb_n c
+  WHERE c.vec_id <> m.qvec_id),
+kw_top AS (
+  SELECT query_id, doc_id, rank AS kw_rank FROM bm25_ranked
+  WHERE rank <= {pool}),
+vec_top AS (
+  SELECT query_id, doc_id, vec_rank FROM vec_ranked
+  WHERE vec_rank <= {pool}),
+fused AS (
+  SELECT COALESCE(kw.query_id, v.query_id) AS query_id,
+         COALESCE(kw.doc_id, v.doc_id) AS doc_id,
+         kw.kw_rank, v.vec_rank,
+         COALESCE(1.0 / CAST({rrf_k} + kw.kw_rank AS DOUBLE), 0.0)
+       + COALESCE(1.0 / CAST({rrf_k} + v.vec_rank AS DOUBLE), 0.0)
+           AS rrf_score
+  FROM kw_top kw FULL OUTER JOIN vec_top v
+    ON kw.query_id = v.query_id AND kw.doc_id = v.doc_id)
+SELECT query_id, rank, doc_id, rrf_score, kw_rank, vec_rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rank
+  FROM fused) r
 WHERE rank <= {k}"""

@@ -629,6 +629,22 @@ BM25_QUERIES = [
 ]
 
 
+HYBRID_QUERIES = [
+    (0, ["join", "filter", "scan"], 5),
+    (1, ["stream", "merge"], 17),
+    (2, ["customer", "data", "batch"], 42),
+]
+
+
+def corpus_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval (corpus.hybrid_search): BM25 over
+    the query terms fused with exact-cosine ranks against a query
+    document's embedding via reciprocal-rank fusion."""
+    return corpus.hybrid_search(
+        _docs(spark, sf_dir), _emb(spark, sf_dir), HYBRID_QUERIES, k=10
+    )
+
+
 def corpus_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranked keyword retrieval (corpus.bm25_search): three fixed
     queries, top-10 docs each under the log-free BM25 surrogate."""

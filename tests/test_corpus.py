@@ -259,6 +259,67 @@ def test_bm25_search_validation_and_topk(spark):
         corpus.bm25_search(docs, [(0, ["x"])], k=0)
 
 
+def test_hybrid_search_rrf_fusion(spark):
+    """RRF fusion must equal the hand-computed 1/(60+r) sums: docs hit
+    by both retrievers outrank single-list docs at comparable ranks,
+    missing lists contribute exactly 0, and the query doc is excluded
+    from its own dense list but reachable via keywords."""
+    from pyspark.sql import functions as F
+
+    docs = docs_df(
+        spark,
+        [
+            (0, "apple pie recipe", "s"),  # the query doc itself
+            (1, "apple orchard notes", "s"),
+            (2, "banana bread", "s"),
+            (3, "apple apple apple", "s"),
+        ],
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0], 0),
+            (1, [0.9, 0.1, 0.0, 0.0], 0),  # dense-nearest to doc 0
+            (2, [0.0, 1.0, 0.0, 0.0], 0),
+            (3, [0.5, 0.5, 0.0, 0.0], 0),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    got = corpus.hybrid_search(
+        docs, emb, [(9, ["apple"], 0)], k=4, pool=4
+    ).collect()
+    rows = {r.doc_id: r for r in got}
+    # keyword list ranks (BM25 over 'apple'): docs 0,1,3 match
+    kw = {
+        r.doc_id: r.rank
+        for r in corpus.bm25_search(docs, [(9, ["apple"])], k=4).collect()
+    }
+    # dense list ranks vs vec 0 (self excluded): 1, 3, 2 by cosine
+    vec = {1: 1, 3: 2, 2: 3}
+    for d, r in rows.items():
+        exp = 0.0
+        if d in kw:
+            exp += 1.0 / float(60 + kw[d])
+        if d in vec:
+            exp += 1.0 / float(60 + vec[d])
+        assert r.rrf_score == exp
+        assert (r.kw_rank is None) == (d not in kw)
+        assert (r.vec_rank is None) == (d not in vec)
+    # doc 1 is in BOTH lists; doc 2 is dense-only; doc 0 keyword-only
+    assert rows[1].kw_rank is not None and rows[1].vec_rank is not None
+    assert rows[2].kw_rank is None and rows[2].vec_rank == 3
+    assert rows[0].vec_rank is None and rows[0].kw_rank is not None
+    # ranks follow fused score desc with doc_id tie-break
+    ordered = sorted(got, key=lambda r: r.rank)
+    scores = [r.rrf_score for r in ordered]
+    assert scores == sorted(scores, reverse=True)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        corpus.hybrid_search(
+            docs, emb, [(9, ["a"], 0), (9, ["b"], 1)]
+        )
+
+
 def test_inverted_index_shards_and_df(spark):
     docs = docs_df(
         spark,
