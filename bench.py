@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "multimodal_mp3_probe",
     "doc_normalized",
     "corpus_snapshot_diff",
+    "corpus_hybrid_search",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

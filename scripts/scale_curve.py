@@ -64,6 +64,7 @@ SCALE_QUERIES = [
     "corpus_bm25_search",
     "embedding_dup_pairs_multitable",
     "corpus_snapshot_diff",
+    "corpus_hybrid_search",
 ]
 
 
