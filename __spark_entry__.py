@@ -157,6 +157,12 @@ def oracle_sql() -> dict[str, str]:
         # events_rolling: trailing-hour RANGE-frame window per user —
         # oracle-only swept entry (the §2.5 rolling-window extension).
         "events_rolling": oracle.events_rolling_sql(),
+        # events_funnel: ordered first-touch conversion funnel — oracle-
+        # only swept entry.
+        "events_funnel": oracle.events_funnel_sql(),
+        # events_retention: Monday-aligned weekly retention cohorts —
+        # oracle-only swept entry.
+        "events_retention": oracle.events_retention_sql(),
         "events_asof_both": oracle.events_asof_both_sql(),
         "events_asof": oracle.events_asof_sql(),
         "events_asof_next": oracle.events_asof_next_sql(),

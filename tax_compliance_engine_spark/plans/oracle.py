@@ -867,3 +867,60 @@ def customers_without_orders_sql() -> str:
 EXCEPT
 SELECT o_custkey AS c_custkey FROM orders
 WHERE year(o_orderdate) = 1998"""
+
+
+def events_funnel_sql() -> str:
+    """Twin of queries.events_funnel: per-user first-touch frontiers
+    chained by strictly-after min aggregations, scalar step counts, one
+    exactly-rounded conversion division."""
+    from .queries import FUNNEL_STEPS
+
+    ctes = [
+        """ev AS (
+  SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS ts_sec
+  FROM events)""",
+        f"""s1 AS (
+  SELECT user_id, min(ts_sec) AS t FROM ev
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id)""",
+    ]
+    for i, step in enumerate(FUNNEL_STEPS[1:], start=2):
+        ctes.append(
+            f"""s{i} AS (
+  SELECT e.user_id, min(e.ts_sec) AS t
+  FROM ev e JOIN s{i - 1} p
+    ON p.user_id = e.user_id AND e.ts_sec > p.t
+  WHERE e.event_type = '{step}' GROUP BY e.user_id)"""
+        )
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT {i + 1} AS step, '{s}' AS event_type,"
+        f" count(*) AS n FROM s{i + 1}"
+        for i, s in enumerate(FUNNEL_STEPS)
+    )
+    joined_ctes = ",\n".join(ctes)
+    return f"""WITH {joined_ctes},
+counts AS (
+{unions})
+SELECT CAST(step AS INTEGER) AS step, event_type,
+  CAST(n AS BIGINT) AS n_users,
+  CAST(n AS DOUBLE)
+    / CAST((SELECT n FROM counts WHERE step = 1) AS DOUBLE) AS conversion
+FROM counts"""
+
+
+def events_retention_sql() -> str:
+    """Twin of queries.events_retention: Monday-aligned integer week
+    indices ((ts_sec + 259200) // 604800), per-user min cohort week,
+    distinct activity weeks, (cohort, offset) counts."""
+    return """WITH ev AS (
+  SELECT user_id,
+         (epoch_ns(ts) // 1000000000 + 259200) // 604800 AS wk
+  FROM events),
+cohorts AS (SELECT user_id, min(wk) AS cwk FROM ev GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, wk FROM ev)
+SELECT
+  strftime(make_timestamp((cwk * 604800 - 259200) * 1000000),
+           '%Y-%m-%d') AS cohort_week,
+  CAST(wk - cwk AS INTEGER) AS week_offset,
+  CAST(count(*) AS BIGINT) AS n_users
+FROM active JOIN cohorts USING (user_id)
+GROUP BY 1, 2"""

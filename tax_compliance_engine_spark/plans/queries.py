@@ -757,6 +757,97 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+# Monday-aligned week index from epoch seconds: 1970-01-01 was a
+# Thursday, so shifting by +3 days puts week boundaries on Mondays —
+# pure integer arithmetic, identical in both engines (no engine
+# date_trunc('week') semantics in play).
+_WEEK_SEC = 604_800
+_WEEK_SHIFT = 259_200
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: per user, the
+    earliest 'view', then the earliest 'click' strictly AFTER it, then
+    the earliest 'purchase' strictly after THAT — the classic
+    product-analytics funnel with first-touch semantics.  Output: one
+    row per step (step, event_type, n_users, conversion), conversion =
+    step users / step-1 users as one exactly-rounded division.
+
+    Scale shape: each step is a filtered scan + one (user_id) min
+    aggregation joined against the previous step's per-user frontier —
+    k steps = k narrow keyed shuffles of (user, ts) pairs, never the
+    event payload; the final assembly is a handful of scalar counts
+    (the result IS 3 rows)."""
+    ev = _events_with_ts_sec(spark, sf_dir).select(
+        "user_id", "event_type", "ts_sec"
+    )
+    frontier = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts_sec").alias("_t"))
+    )
+    step_frames = [frontier]
+    for step_name in FUNNEL_STEPS[1:]:
+        frontier = (
+            ev.filter(F.col("event_type") == step_name)
+            .join(frontier.select("user_id", F.col("_t").alias("_prev")), "user_id")
+            .filter(F.col("ts_sec") > F.col("_prev"))
+            .groupBy("user_id")
+            .agg(F.min("ts_sec").alias("_t"))
+        )
+        step_frames.append(frontier)
+    counts = None
+    for i, (step_name, frame) in enumerate(zip(FUNNEL_STEPS, step_frames)):
+        c = frame.agg(F.count("*").alias("n_users")).select(
+            F.lit(i + 1).cast("int").alias("step"),
+            F.lit(step_name).alias("event_type"),
+            F.col("n_users").cast("long").alias("n_users"),
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    first = counts.filter(F.col("step") == 1).select(
+        F.col("n_users").alias("_n1")
+    )
+    return counts.crossJoin(F.broadcast(first)).select(
+        "step",
+        "event_type",
+        "n_users",
+        (F.col("n_users").cast("double") / F.col("_n1").cast("double")).alias(
+            "conversion"
+        ),
+    )
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the Monday-aligned
+    week of their FIRST event; for every (cohort, later activity week)
+    the number of cohort users active that week — the
+    cohort-triangle every growth dashboard draws.  Integer week
+    arithmetic end to end (counts only), so the twin hash-compares
+    bit-exact.
+
+    Scale shape: one (user) min-aggregation for cohorts, one DISTINCT
+    (user, week) projection, one keyed join + (cohort, offset) count —
+    all narrow keyed shuffles with map-side combine."""
+    ev = _events_with_ts_sec(spark, sf_dir)
+    # integer div, not `/` (which is double division in Spark SQL)
+    wk = F.expr(f"(ts_sec + {_WEEK_SHIFT}) div {_WEEK_SEC}")
+    marked = ev.select("user_id", wk.alias("_wk"))
+    cohorts = marked.groupBy("user_id").agg(F.min("_wk").alias("_cwk"))
+    active = marked.distinct()
+    return (
+        active.join(cohorts, "user_id")
+        .groupBy(
+            F.from_unixtime(
+                F.col("_cwk") * _WEEK_SEC - _WEEK_SHIFT, "yyyy-MM-dd"
+            ).alias("cohort_week"),
+            (F.col("_wk") - F.col("_cwk")).cast("int").alias("week_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
 def events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling event-time RANGE window per user: for every event, the
     count and exact-decimal value sum of that user's events in the

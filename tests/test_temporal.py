@@ -291,3 +291,96 @@ def test_events_ts_helpers_handle_both_encodings(spark, tmp_path):
                 for r in helper(spark, str(d)).orderBy("event_id").collect()
             ]
             assert got == expect, (helper.__name__, d.name)
+
+
+def test_events_funnel_ordering_semantics(spark, tmp_path):
+    """Funnel steps must be STRICTLY ordered per user: a purchase before
+    the click doesn't convert, later cheaper events don't resurrect a
+    step, and conversion is the exact count ratio."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from tax_compliance_engine_spark.plans.queries import (
+        events_funnel,
+        events_retention,
+    )
+
+    def ts(day, hour):
+        return dt.datetime(2024, 1, day, hour, 0, 0)
+
+    rows = [
+        # user 1: view -> click -> purchase (full conversion)
+        (1, ts(1, 1), 1, "view"),
+        (2, ts(1, 2), 1, "click"),
+        (3, ts(1, 3), 1, "purchase"),
+        # user 2: purchase BEFORE click: reaches click only
+        (4, ts(1, 1), 2, "view"),
+        (5, ts(1, 2), 2, "purchase"),
+        (6, ts(1, 3), 2, "click"),
+        # user 3: click first, view later, no click after the view
+        (7, ts(1, 1), 3, "click"),
+        (8, ts(1, 2), 3, "view"),
+        # user 4: view only
+        (9, ts(2, 1), 4, "view"),
+        # user 5: never views (click+purchase don't count at all)
+        (10, ts(1, 1), 5, "click"),
+        (11, ts(1, 2), 5, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, u, e, 1.0, "{}") for i, t, u, e in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.step: (r.event_type, r.n_users, r.conversion)
+        for r in events_funnel(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == ("view", 4, 1.0)  # users 1,2,3,4
+    assert got[2] == ("click", 2, 2 / 4)  # users 1,2 (not 3: click precedes)
+    assert got[3] == ("purchase", 1, 1 / 4)  # user 1 only
+    # retention on the same fixture: user 4's first event is in the
+    # same Monday-aligned week (2024-01-01 IS a Monday), so one cohort,
+    # one offset-0 row with all 5 users
+    ret = events_retention(spark, str(tmp_path)).collect()
+    assert [(r.cohort_week, r.week_offset, r.n_users) for r in ret] == [
+        ("2024-01-01", 0, 5)
+    ]
+
+
+def test_events_retention_offsets(spark, tmp_path):
+    """Cohorts split by first-event week; later-week activity lands at
+    the right offset; a user active twice in one week counts once."""
+    import datetime as dt
+
+    from tax_compliance_engine_spark.plans.queries import events_retention
+
+    def ev(i, day, user):
+        return (i, dt.datetime(2024, 1, day, 12, 0, 0), user, "view", 1.0, "{}")
+
+    rows = [
+        ev(1, 1, 1),  # user 1 cohort wk0 (Mon Jan 1)
+        ev(2, 2, 1),  # same week again -> still one offset-0 row
+        ev(3, 9, 1),  # wk1 activity (Jan 8-14)
+        ev(4, 16, 1),  # wk2
+        ev(5, 9, 2),  # user 2 cohort wk1
+        ev(6, 16, 2),  # wk1 -> offset 1
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = sorted(
+        (r.cohort_week, r.week_offset, r.n_users)
+        for r in events_retention(spark, str(tmp_path)).collect()
+    )
+    assert got == [
+        ("2024-01-01", 0, 1),
+        ("2024-01-01", 1, 1),
+        ("2024-01-01", 2, 1),
+        ("2024-01-08", 0, 1),
+        ("2024-01-08", 1, 1),
+    ]
