@@ -45,6 +45,7 @@ GLOBAL_AGG_OK = {
     # for the M-step's id-range shard width, broadcast back
     "corpus_bm25_search",  # scalar N/avgdl corpus stats (one partial
     # row per task through the exchange), broadcast back onto scores
+    "events_funnel",  # the result IS k scalar step counts (3 rows)
     "corpus_profile",  # the result IS one global profile row per column
     # (partial aggregates through the exchange, then an in-plan explode)
 }
