@@ -46,6 +46,8 @@ GLOBAL_AGG_OK = {
     "corpus_bm25_search",  # scalar N/avgdl corpus stats (one partial
     # row per task through the exchange), broadcast back onto scores
     "events_funnel",  # the result IS k scalar step counts (3 rows)
+    "corpus_hybrid_search",  # embeds corpus_bm25_search's scalar
+    # N/avgdl stats aggregate (same partial-row exchange)
     "corpus_profile",  # the result IS one global profile row per column
     # (partial aggregates through the exchange, then an in-plan explode)
 }
