@@ -157,6 +157,10 @@ def oracle_sql() -> dict[str, str]:
         # events_rolling: trailing-hour RANGE-frame window per user —
         # oracle-only swept entry (the §2.5 rolling-window extension).
         "events_rolling": oracle.events_rolling_sql(),
+        # events_anomalies: EWMA spike detection over hourly type
+        # volumes (exact-binary α, prefix folds) — oracle-only swept
+        # entry.
+        "events_anomalies": oracle.events_anomalies_sql(),
         # events_funnel: ordered first-touch conversion funnel — oracle-
         # only swept entry.
         "events_funnel": oracle.events_funnel_sql(),

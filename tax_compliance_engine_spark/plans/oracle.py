@@ -924,3 +924,36 @@ SELECT
   CAST(count(*) AS BIGINT) AS n_users
 FROM active JOIN cohorts USING (user_id)
 GROUP BY 1, 2"""
+
+
+def events_anomalies_sql() -> str:
+    """Twin of queries.events_anomalies: identical hourly counts, the
+    same per-row prefix EWMA fold (seed x1, step 0.25*x + 0.75*acc —
+    exact binary constants), 2x-prior spike flag."""
+    return """WITH counts AS (
+  SELECT event_type,
+         (epoch_ns(ts) // 1000000000)
+           - (epoch_ns(ts) // 1000000000) % 3600 AS hour_sec,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2),
+grouped AS (
+  SELECT event_type,
+         list({'h': hour_sec, 'n': n_events} ORDER BY hour_sec) AS xs
+  FROM counts GROUP BY event_type),
+rows_r AS (
+  SELECT event_type, xs, r, xs[r] AS x,
+    CASE WHEN r > 1 THEN
+      list_reduce(
+        list_prepend(CAST(xs[1].n AS DOUBLE),
+          list_transform(list_slice(xs, 2, r - 1),
+                         s -> CAST(s.n AS DOUBLE))),
+        (acc, v) -> 0.25 * v + 0.75 * acc)
+    END AS ewma_prev
+  FROM grouped, unnest(range(1, len(xs) + 1)) AS u(r))
+SELECT event_type,
+  strftime(make_timestamp(x.h * 1000000), '%Y-%m-%d %H:%M:%S')
+    AS hour_start,
+  CAST(x.n AS BIGINT) AS n_events,
+  ewma_prev,
+  COALESCE(CAST(x.n AS DOUBLE) > 2.0 * ewma_prev, FALSE) AS is_spike
+FROM rows_r"""

@@ -848,6 +848,66 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_ALPHA = 0.25  # exact in binary: every fold step is two exact muls + one rounded add
+
+
+def events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA spike detection over the hourly event-type time series — the
+    monitoring query an ops pipeline runs on its ingest volumes: per
+    (event_type, hour), flag hours whose count exceeds 2× the
+    exponentially-weighted moving average of all PRIOR hours
+    (e₁ = x₁, e_t = α·x_t + (1−α)·e_{t−1}, α = 0.25 — α and 1−α are
+    exact binary fractions, so the whole recurrence is a chain of
+    exactly-rounded IEEE ops both engines reproduce bit-for-bit via the
+    same prefix folds).
+
+    Per-group state is O(hours in the time range) — bounded by the
+    CALENDAR, not the corpus (a year is ~8.8k hours) — so the
+    collect-and-fold is safe at any data scale; the heavy part (hourly
+    counts) is one map-side-combinable aggregation.
+
+    Output: (event_type, hour_start, n_events, ewma_prev, is_spike);
+    the first hour of each series has NULL ewma_prev and never flags."""
+    ev = _events_with_ts_sec(spark, sf_dir)
+    counts = ev.groupBy(
+        "event_type",
+        (F.col("ts_sec") - F.col("ts_sec") % 3600).alias("_hour_sec"),
+    ).agg(F.count("*").alias("n_events"))
+    grouped = counts.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("_hour_sec", "n_events"))
+        ).alias("_xs")
+    )
+    ns = F.transform(F.col("_xs"), lambda s: s["n_events"].cast("double"))
+    rows = grouped.select(
+        "event_type",
+        ns.alias("_ns"),
+        F.posexplode("_xs").alias("_pos", "_x"),
+    )
+    # rank r = _pos + 1; prior EWMA folds _ns[2 .. r-1] seeded by _ns[1]
+    ewma_prev = F.when(
+        F.col("_pos") > 0,
+        F.aggregate(
+            F.slice(F.col("_ns"), F.lit(2), F.col("_pos") - 1),
+            F.element_at(F.col("_ns"), 1),
+            lambda acc, v: F.lit(EWMA_ALPHA) * v
+            + F.lit(1.0 - EWMA_ALPHA) * acc,
+        ),
+    )
+    return rows.select(
+        "event_type",
+        F.from_unixtime(F.col("_x._hour_sec"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_start"
+        ),
+        F.col("_x.n_events").alias("n_events"),
+        ewma_prev.alias("ewma_prev"),
+        F.coalesce(
+            F.col("_x.n_events").cast("double") > F.lit(2.0) * ewma_prev,
+            F.lit(False),
+        ).alias("is_spike"),
+    )
+
+
 def events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling event-time RANGE window per user: for every event, the
     count and exact-decimal value sum of that user's events in the

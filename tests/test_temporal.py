@@ -384,3 +384,45 @@ def test_events_retention_offsets(spark, tmp_path):
         ("2024-01-08", 0, 1),
         ("2024-01-08", 1, 1),
     ]
+
+
+def test_events_anomalies_ewma_recurrence(spark, tmp_path):
+    """The spike flag must follow the exact EWMA recurrence (seed x1,
+    e_t = 0.25 x_t + 0.75 e_{t-1}) computed in plain Python; the first
+    hour never flags; a 10x burst after a calm baseline flags."""
+    import datetime as dt
+
+    from tax_compliance_engine_spark.plans.queries import events_anomalies
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    counts = [4, 4, 4, 4, 40, 4]  # hour 4 bursts 10x
+    for h, n in enumerate(counts):
+        for j in range(n):
+            eid += 1
+            rows.append(
+                (eid, base + dt.timedelta(hours=h, seconds=j), 1, "click",
+                 1.0, "{}")
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = sorted(
+        events_anomalies(spark, str(tmp_path)).collect(),
+        key=lambda r: r.hour_start,
+    )
+    assert [r.n_events for r in got] == counts
+    e = None
+    for r, x in zip(got, counts):
+        if e is None:
+            assert r.ewma_prev is None and r.is_spike is False
+        else:
+            assert r.ewma_prev == e
+            assert r.is_spike == (float(x) > 2.0 * e)
+        e = float(x) if e is None else 0.25 * float(x) + 0.75 * e
+    assert [r.is_spike for r in got] == [
+        False, False, False, False, True, False
+    ]
