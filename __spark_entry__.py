@@ -337,6 +337,10 @@ def oracle_sql() -> dict[str, str]:
         # embedding_projection: Johnson–Lindenstrauss ±1 projection
         # (64 → 16 dims, fixed shared matrix) — oracle-only swept entry.
         "embedding_projection": oracle_dataops.embedding_projection_sql(),
+        # embedding_triangles: per-node triangle counts over the
+        # near-dup graph (wedge join + closure semi-join) — oracle-only
+        # swept entry.
+        "embedding_triangles": oracle_dataops.embedding_triangles_sql(),
         # embedding_kmeans: Lloyd k-means training (id-seeded, unrolled
         # iterations, vec_id-ordered fold means — bit-portable) —
         # oracle-only swept entry.

@@ -154,3 +154,46 @@ def pagerank(
             )
         )
     return ranks.select(F.col("_node").alias(id_col), "rank")
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph
+    given as CANONICAL edges (src < dst, unique) — the local clustering
+    signal data curation uses to tell tight duplicate cliques from
+    chain-like false-positive paths (a transitive dup cluster that is
+    really a chain has no triangles; a true near-dup clique is all
+    triangles).
+
+    Enumeration: with canonical edges, every triangle a<b<c appears
+    exactly once as the wedge (a,b)+(b,c) closed by (a,c) — one
+    self-join on the middle node + one semi-join against the edge list,
+    never an all-pairs pass.  At production graph scale the classic
+    refinement is to orient edges by DEGREE instead of id (caps wedge
+    fan-out at the hub nodes); id-orientation keeps the plan
+    deterministic here and the join SHAPE — join, semi-join, explode,
+    count — is identical under either orientation.
+
+    Output: (node, n_triangles) for every node in ≥1 triangle."""
+    e = edges.select(
+        F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
+    )
+    wedges = e.alias("ab").join(
+        e.select(
+            F.col("_a").alias("_b2"), F.col("_b").alias("_c")
+        ).alias("bc"),
+        F.col("ab._b") == F.col("bc._b2"),
+    ).select(F.col("ab._a").alias("_a"), F.col("ab._b").alias("_b"), "_c")
+    tris = wedges.join(
+        e.select(F.col("_a").alias("_ta"), F.col("_b").alias("_tc")),
+        (F.col("_a") == F.col("_ta")) & (F.col("_c") == F.col("_tc")),
+        "leftsemi",
+    )
+    return (
+        tris.select(
+            F.explode(F.array("_a", "_b", "_c")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )

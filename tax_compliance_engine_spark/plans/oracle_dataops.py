@@ -829,6 +829,29 @@ def embedding_projection_sql(k: int | None = None) -> str:
 FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"""
 
 
+def embedding_triangles_sql(threshold: float = 0.2) -> str:
+    """Twin of queries_dataops.embedding_triangles: the same canonical
+    (id1 < id2) edge list, wedge join on the middle node, edge-closure
+    semi-join, per-node explode + count."""
+    pairs_sql = embedding_dup_pairs_sql(threshold)
+    return f"""WITH pairs AS (
+{pairs_sql}
+),
+e AS (SELECT id1 AS a, id2 AS b FROM pairs),
+wedges AS (
+  SELECT ab.a, ab.b, bc.b AS c
+  FROM e ab JOIN e bc ON ab.b = bc.a),
+tris AS (
+  SELECT w.a, w.b, w.c FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM e WHERE e.a = w.a AND e.b = w.c)),
+nodes AS (
+  SELECT a AS node FROM tris
+  UNION ALL SELECT b FROM tris
+  UNION ALL SELECT c FROM tris)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY node"""
+
+
 def embedding_pagerank_sql(
     threshold: float = 0.35,
     damping: float = 0.85,

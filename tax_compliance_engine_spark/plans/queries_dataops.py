@@ -264,6 +264,18 @@ def embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.random_projection(_emb(spark, sf_dir))
 
 
+def embedding_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the embedding near-dup pair graph
+    (graph.triangle_counts) — clique-vs-chain structure of the dup
+    clusters, wedge join + semi-join closure."""
+    from ..operators import graph
+
+    pairs = similarity.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.2)
+    return graph.triangle_counts(
+        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    )
+
+
 def embedding_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over the symmetrized embedding near-dup
     graph (graph.pagerank, 5 iterations) — graph centrality as a data-

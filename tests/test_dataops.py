@@ -2233,3 +2233,18 @@ def test_phash_dup_pairs_banding_and_guarantee(spark):
         mm.phash_dup_pairs(hashed, max_hamming=8, n_bands=8)
     with _pytest.raises(ValueError, match="must divide 64"):
         mm.phash_dup_pairs(hashed, max_hamming=2, n_bands=7)
+
+
+def test_triangle_counts_known_graph(spark):
+    """A 4-clique has 4 triangles (each node in 3); an attached chain
+    contributes none — the clique-vs-chain discrimination the operator
+    exists for.  Input edges must be canonical (src < dst)."""
+    from tax_compliance_engine_spark.operators.graph import triangle_counts
+
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + chain, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # total triangles = sum / 3 (each triangle counted at its 3 nodes)
+    assert sum(got.values()) // 3 == 4
