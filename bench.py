@@ -63,6 +63,10 @@ BENCH_QUERIES = [
     "doc_normalized",
     "corpus_snapshot_diff",
     "corpus_hybrid_search",
+    "events_funnel",
+    "events_retention",
+    "events_anomalies",
+    "embedding_triangles",
 ]
 
 # The original 18-query set every round since r1 has recorded — their
