@@ -259,6 +259,9 @@ def oracle_sql() -> dict[str, str]:
         # corpus_phrase_search: row-local exact phrase search (pure
         # projection+filter, no shuffle) — oracle-only swept entry.
         "corpus_phrase_search": oracle_corpus.corpus_phrase_search_sql(),
+        # corpus_cooccurrence: association mining (top-k-vocab pair
+        # counts + exact-ratio lift) — oracle-only swept entry.
+        "corpus_cooccurrence": oracle_corpus.corpus_cooccurrence_sql(),
         # corpus_hybrid_search: sparse+dense retrieval fused by
         # reciprocal-rank fusion (BM25 ranks + exact-cosine ranks) —
         # oracle-only swept entry.

@@ -1508,3 +1508,82 @@ def snapshot_diff(
         .filter(F.col("status").isNotNull())
         .select("doc_id", "status", "old_digest", "new_digest")
     )
+
+
+def cooccurrence(
+    docs: DataFrame,
+    vocab_k: int = 100,
+    min_pair_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token co-occurrence mining — the association-rules primitive
+    (which terms appear in the same documents far more often than
+    chance): for every pair of top-``vocab_k`` vocabulary tokens, the
+    number of documents containing BOTH, plus the exact-ratio LIFT
+    n_docs·c_ab / (c_a·c_b) (> 1 ⇒ positively associated; the PMI
+    argument without the non-portable log).
+
+    The vocabulary restriction is the scale guard, not a convenience: an
+    unrestricted per-doc token self-join is quadratic in document length
+    with no cap.  Restricting to a top-k vocabulary (broadcast, built
+    with the same deterministic tie-break as ``top_vocabulary``) bounds
+    the per-doc join at k tokens and the pair space at k²/2 — both
+    independent of corpus size, so the plan's only corpus-proportional
+    work is the token scan.  Lift's numerator n·c_ab ≤ n² must stay
+    exactly representable: n·c_ab and c_a·c_b are int64 products cast
+    to double (exact to 2⁵³), one exactly-rounded division.
+
+    Output: (token1 < token2, pair_count, count1, count2, lift)."""
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens(text_col))).alias("token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("_c"))
+        .orderBy(F.desc("_c"), "token")
+        .limit(vocab_k)
+    )
+    marked = toks.join(F.broadcast(vocab.select("token")), "token")
+    n_docs = docs.select(F.count("*").alias("_n"))
+    counts = marked.groupBy("token").agg(F.count("*").alias("_cnt"))
+    a = marked.alias("a")
+    b = marked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.token") < F.col("b.token")),
+        )
+        .groupBy(
+            F.col("a.token").alias("token1"),
+            F.col("b.token").alias("token2"),
+        )
+        .agg(F.count("*").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_pair_count)
+    )
+    c1 = F.broadcast(
+        counts.select(
+            F.col("token").alias("token1"), F.col("_cnt").alias("count1")
+        )
+    )
+    c2 = F.broadcast(
+        counts.select(
+            F.col("token").alias("token2"), F.col("_cnt").alias("count2")
+        )
+    )
+    return (
+        pairs.join(c1, "token1")
+        .join(c2, "token2")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token1",
+            "token2",
+            "pair_count",
+            "count1",
+            "count2",
+            (
+                (F.col("_n") * F.col("pair_count")).cast("double")
+                / (F.col("count1") * F.col("count2")).cast("double")
+            ).alias("lift"),
+        )
+    )

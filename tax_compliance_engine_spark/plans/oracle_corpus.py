@@ -842,3 +842,37 @@ SELECT query_id, rank, doc_id, rrf_score, kw_rank, vec_rank FROM (
             ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rank
   FROM fused) r
 WHERE rank <= {k}"""
+
+
+def corpus_cooccurrence_sql(
+    vocab_k: int = 50, min_pair_count: int = 2
+) -> str:
+    """Twin of queries_dataops.corpus_cooccurrence: identical top-k
+    vocabulary (doc-frequency DESC, token tie-break), per-doc distinct
+    token pairs restricted to it, integer counts, one exactly-rounded
+    lift division."""
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({TOKENS})) AS token FROM documents),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS c FROM toks GROUP BY token
+    ORDER BY c DESC, token LIMIT {vocab_k})),
+marked AS (
+  SELECT t.doc_id, t.token FROM toks t JOIN vocab v USING (token)),
+n AS (SELECT count(*) AS n_docs FROM documents),
+counts AS (SELECT token, count(*) AS cnt FROM marked GROUP BY token),
+pairs AS (
+  SELECT a.token AS token1, b.token AS token2, count(*) AS pair_count
+  FROM marked a JOIN marked b
+    ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY a.token, b.token
+  HAVING count(*) >= {min_pair_count})
+SELECT p.token1, p.token2,
+  CAST(p.pair_count AS BIGINT) AS pair_count,
+  CAST(c1.cnt AS BIGINT) AS count1,
+  CAST(c2.cnt AS BIGINT) AS count2,
+  CAST(n.n_docs * p.pair_count AS DOUBLE)
+    / CAST(c1.cnt * c2.cnt AS DOUBLE) AS lift
+FROM pairs p
+JOIN counts c1 ON c1.token = p.token1
+JOIN counts c2 ON c2.token = p.token2, n"""

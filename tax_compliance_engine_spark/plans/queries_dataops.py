@@ -657,6 +657,13 @@ def corpus_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence + exact-ratio lift over the top-50 vocabulary
+    (corpus.cooccurrence) — the association-mining primitive, pair space
+    bounded by the broadcast vocabulary."""
+    return corpus.cooccurrence(_docs(spark, sf_dir), vocab_k=50)
+
+
 def corpus_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranked keyword retrieval (corpus.bm25_search): three fixed
     queries, top-10 docs each under the log-free BM25 surrogate."""

@@ -1134,3 +1134,36 @@ def test_profile_table_stats_and_validation(spark):
         profiling.profile_table(df, ["nope"])
     with _pytest.raises(ValueError, match="at least one column"):
         profiling.profile_table(df, [])
+
+
+def test_cooccurrence_counts_and_lift(spark):
+    """Pair counts over distinct per-doc tokens, vocabulary restriction
+    honored, lift = n*c_ab/(c_a*c_b) exactly."""
+    docs = docs_df(
+        spark,
+        [
+            (0, "apple banana", "s"),
+            (1, "apple banana cherry", "s"),
+            (2, "apple cherry", "s"),
+            (3, "banana banana", "s"),  # distinct: counts once
+            (4, "rare1 rare2", "s"),
+        ],
+    )
+    got = {
+        (r.token1, r.token2): r
+        for r in corpus.cooccurrence(
+            docs, vocab_k=3, min_pair_count=1
+        ).collect()
+    }
+    # top-3 vocab: apple(3), banana(3), cherry(2) — rare1/rare2 excluded
+    assert set(got) == {
+        ("apple", "banana"),
+        ("apple", "cherry"),
+        ("banana", "cherry"),
+    }
+    ab = got[("apple", "banana")]
+    assert (ab.pair_count, ab.count1, ab.count2) == (2, 3, 3)
+    assert ab.lift == (5 * 2) / (3 * 3)
+    ac = got[("apple", "cherry")]
+    assert (ac.pair_count, ac.count1, ac.count2) == (2, 3, 2)
+    assert ac.lift == (5 * 2) / (3 * 2)  # > 1: positively associated
