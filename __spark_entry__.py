@@ -402,4 +402,9 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_g711_profile": (
             oracle_dataops.multimodal_g711_profile_sql()
         ),
+        # dedup_span_coverage: substring-level duplication signal (Lee
+        # et al. span-dedup statistic — fraction of token positions
+        # covered by a cross-document 8-gram) with the integer-exact
+        # keep decision — oracle-only swept entry.
+        "dedup_span_coverage": oracle_dataops.dedup_span_coverage_sql(),
     }

@@ -1079,3 +1079,91 @@ def simhash_dup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+    max_coverage_pct: int = 50,
+) -> DataFrame:
+    """Substring-level duplication signal: per-doc fraction of token
+    positions covered by an ``n``-gram that also appears in at least
+    ``min_docs`` distinct documents (the span-dedup statistic from
+    "Deduplicating Training Data Makes Language Models Better" — doc- and
+    chunk-level dedup miss long spans shared between otherwise-different
+    documents; this measures exactly that).
+
+    Output: (doc_id, n_tokens, covered_tokens, dup_coverage, keep) —
+    ``dup_coverage`` is the exactly-rounded double covered/n_tokens;
+    ``keep`` is the integer-exact filter decision
+    ``covered*100 <= n_tokens*max_coverage_pct`` (no float compare).
+
+    Scale shape (100 TB): positioned n-grams are a row-linear projection
+    (×(len-n+1) rows, same order as the corpus token count); the
+    duplicated-gram set comes from one groupBy(gram) with a partial
+    count_distinct; marking covered occurrences is a key-partitioned
+    equi-join on gram (never all-pairs — only occurrences of grams that
+    actually repeat flow into the position explode, which is bounded at
+    ×n); the final distinct + count shuffles narrow (doc_id, pos) pairs
+    by doc.  Nothing in the plan grows faster than corpus size × n.
+
+    Reference parity note: the reference engine has no span-level
+    operator; this extends the dedup family (SURVEY §2 extensions) the
+    way a training-data pipeline needs.
+    """
+    toks = tokens_col(F.col(text_col))
+    sized = docs.select(
+        "doc_id", toks.alias("_toks"), F.size(toks).alias("n_tokens")
+    )
+    gram_arr = F.when(
+        F.col("n_tokens") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_tokens") - n),
+            lambda i: F.array_join(F.slice("_toks", i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = sized.select(
+        "doc_id", F.posexplode(gram_arr).alias("pos", "gram")
+    )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup_grams, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("_cp"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("covered_tokens"))
+    )
+    return (
+        sized.select("doc_id", "n_tokens")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).alias(
+                "covered_tokens"
+            ),
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double")
+            )
+            .alias("dup_coverage"),
+            (
+                F.coalesce(F.col("covered_tokens"), F.lit(0)) * 100
+                <= F.col("n_tokens") * max_coverage_pct
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1600,3 +1600,42 @@ SELECT doc_id, 'image' AS media_type,
    CAST(sum_b // (w * h) AS INTEGER)] AS feature,
   'ppm-numpy' AS decoder
 FROM sums"""
+
+
+def dedup_span_coverage_sql(
+    n: int = 8, min_docs: int = 2, max_coverage_pct: int = 50
+) -> str:
+    """Twin of queries_dataops.dedup_span_coverage: identical positioned
+    n-gram construction (1-based list_slice vs Spark's slice), the same
+    distinct-doc gram threshold, position-set union via DISTINCT, and
+    the same integer-exact keep comparison; the one double is the same
+    exactly-rounded covered/n_tokens division."""
+    return f"""
+WITH sized AS (
+  SELECT doc_id, {TOKENS} AS t FROM documents
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(t, i, i + {n - 1}), ' ') AS gram
+  FROM sized, unnest(range(1, len(t) - {n} + 2)) AS u(i)
+  WHERE len(t) >= {n}
+),
+dupg AS (
+  SELECT gram FROM g GROUP BY gram
+  HAVING count(DISTINCT doc_id) >= {min_docs}
+),
+cov AS (
+  SELECT DISTINCT g.doc_id, cp
+  FROM g JOIN dupg USING (gram), unnest(range(g.pos, g.pos + {n})) AS c(cp)
+),
+cnt AS (SELECT doc_id, count(*) AS covered_tokens FROM cov GROUP BY doc_id)
+SELECT b.doc_id, len(b.t) AS n_tokens,
+       COALESCE(c.covered_tokens, 0) AS covered_tokens,
+       CASE WHEN len(b.t) = 0 THEN 0.0
+            ELSE CAST(COALESCE(c.covered_tokens, 0) AS DOUBLE)
+                 / CAST(len(b.t) AS DOUBLE) END AS dup_coverage,
+       (COALESCE(c.covered_tokens, 0) * 100
+          <= len(b.t) * {max_coverage_pct}) AS keep
+FROM sized b LEFT JOIN cnt c USING (doc_id)
+ORDER BY doc_id
+"""

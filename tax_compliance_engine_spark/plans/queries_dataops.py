@@ -1052,3 +1052,11 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (lo + hi * F.lit(2**31)).alias("phash")
     )
     return multimodal.phash_dup_pairs(hashed, max_hamming=7, n_bands=8)
+
+
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication stats (dedup.dup_span_stats): per-doc
+    fraction of token positions covered by an 8-gram shared with at
+    least one other document, plus the integer-exact keep decision at
+    50% coverage."""
+    return dedup.dup_span_stats(_docs(spark, sf_dir))

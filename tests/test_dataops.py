@@ -2248,3 +2248,49 @@ def test_triangle_counts_known_graph(spark):
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
     # total triangles = sum / 3 (each triangle counted at its 3 nodes)
     assert sum(got.values()) // 3 == 4
+
+
+def test_dup_span_stats_known_overlaps(spark):
+    from tax_compliance_engine_spark.operators.dedup import dup_span_stats
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1 and 2 share the 8-token span "a b c d e f g h"
+            (1, "a b c d e f g h x y"),
+            (2, "z a b c d e f g h"),
+            # unique 10-token doc: no cross-doc 8-gram
+            (3, "q w e r t y u i o p"),
+            # shorter than n: no grams at all
+            (4, "x y"),
+            # docs 5/6 share a 9-token span -> two OVERLAPPING dup
+            # 8-grams whose position sets must UNION to 9, not 16
+            (5, "p1 c1 c2 c3 c4 c5 c6 c7 c8 c9"),
+            (6, "c1 c2 c3 c4 c5 c6 c7 c8 c9 t1 t2"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dup_span_stats(docs).collect()}
+    assert rows[1].n_tokens == 10 and rows[1].covered_tokens == 8
+    assert rows[1].dup_coverage == 0.8 and not rows[1].keep
+    assert rows[2].covered_tokens == 8 and rows[2].n_tokens == 9
+    assert not rows[2].keep
+    assert rows[3].covered_tokens == 0 and rows[3].keep
+    assert rows[4].n_tokens == 2 and rows[4].covered_tokens == 0
+    assert rows[4].keep
+    # overlapping grams: 9 covered positions on both sides
+    assert rows[5].covered_tokens == 9 and rows[6].covered_tokens == 9
+    # exact keep arithmetic: 9*100 > 10*50 and > 11*50
+    assert not rows[5].keep and not rows[6].keep
+
+
+def test_dup_span_stats_intra_doc_repeat_not_counted(spark):
+    from tax_compliance_engine_spark.operators.dedup import dup_span_stats
+
+    # the same 8-gram twice WITHIN one doc: min_docs=2 counts DISTINCT
+    # docs, so an intra-doc repeat alone is not a duplicated span
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h z a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    row = dup_span_stats(docs).collect()[0]
+    assert row.covered_tokens == 0 and row.keep

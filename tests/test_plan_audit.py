@@ -50,6 +50,9 @@ GLOBAL_AGG_OK = {
     # N/avgdl stats aggregate (same partial-row exchange)
     "corpus_profile",  # the result IS one global profile row per column
     # (partial aggregates through the exchange, then an in-plan explode)
+    "corpus_cooccurrence",  # scalar count(*) = n_docs for the lift
+    # denominator (one partial row per task through the exchange),
+    # broadcast back onto the k²-bounded pair table
 }
 
 
