@@ -407,4 +407,9 @@ def oracle_sql() -> dict[str, str]:
         # covered by a cross-document 8-gram) with the integer-exact
         # keep decision — oracle-only swept entry.
         "dedup_span_coverage": oracle_dataops.dedup_span_coverage_sql(),
+        # embedding_silhouette: per-cell SIMPLIFIED silhouette of the
+        # trained k-means clustering (centroid a/b distances, exact
+        # pos-ordered folds + two-level per-cell means) — oracle-only
+        # swept entry.
+        "embedding_silhouette": oracle_dataops.embedding_silhouette_sql(),
     }

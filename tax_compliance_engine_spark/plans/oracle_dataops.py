@@ -955,16 +955,10 @@ SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
 FROM scaled, unnest(range(1, {dim} + 1)) AS u(i)"""
 
 
-def embedding_kmeans_sql(
-    k: int = 8, n_iter: int = 2, shard_count: int = 256
-) -> str:
-    """Twin of queries_dataops.embedding_kmeans: id-seeded Lloyd
-    iterations, generated as one unrolled CTE chain per iteration —
-    E-step nearest-centroid by identical IEEE cosine folds (ties →
-    smaller cell), M-step means as the same TWO-LEVEL ordered fold the
-    Spark side computes (equal-width id-range shards, per-shard
-    vec_id-ordered folds, shard partials folded in shard order), empty
-    cells dropping out via the GROUP BY."""
+def _kmeans_ctes(k: int, n_iter: int, shard_count: int) -> list[str]:
+    """The unrolled Lloyd CTE chain shared by embedding_kmeans_sql and
+    embedding_silhouette_sql (final components live in comp{n_iter},
+    final assembled centroids in cents{n_iter})."""
     dim = similarity.DIM
     dot_vv = DOT_FOLD.format(n=dim, a="v", b="v")
     dot_cc = DOT_FOLD.format(n=dim, a="cvec", b="cvec")
@@ -1015,12 +1009,94 @@ cents{it} AS (
   SELECT cell, list(mean_val ORDER BY pos) AS cvec
   FROM comp{it} GROUP BY cell)"""
         )
+    return ctes
+
+
+def embedding_kmeans_sql(
+    k: int = 8, n_iter: int = 2, shard_count: int = 256
+) -> str:
+    """Twin of queries_dataops.embedding_kmeans: id-seeded Lloyd
+    iterations, generated as one unrolled CTE chain per iteration —
+    E-step nearest-centroid by identical IEEE cosine folds (ties →
+    smaller cell), M-step means as the same TWO-LEVEL ordered fold the
+    Spark side computes (equal-width id-range shards, per-shard
+    vec_id-ordered folds, shard partials folded in shard order), empty
+    cells dropping out via the GROUP BY."""
+    ctes = _kmeans_ctes(k, n_iter, shard_count)
     return (
         "WITH "
         + ",\n".join(ctes)
         + f"""
 SELECT cell, pos, mean_val, CAST(n_vectors AS BIGINT) AS n_vectors
 FROM comp{n_iter}"""
+    )
+
+
+def embedding_silhouette_sql(
+    k: int = 8, n_iter: int = 2, shard_count: int = 256
+) -> str:
+    """Twin of queries_dataops.embedding_silhouette: the same unrolled
+    Lloyd chain, one extra deterministic E-step against the FINAL
+    centroids (identical cosine argmax, ties → smaller cell), then the
+    simplified silhouette — a(i)/b(i) from pos-ordered (x−c)² folds
+    under one correctly-rounded sqrt, b(i) an order-independent min,
+    s(i) = (b−a)/greatest(a,b) guarded exactly like the Spark side
+    (single surviving cell or a=b=0 ⇒ 0.0) — and per-cell means via
+    the same TWO-LEVEL id-range ordered fold."""
+    dim = similarity.DIM
+    dot_cc = DOT_FOLD.format(n=dim, a="cvec", b="cvec")
+    dot_ec = DOT_FOLD.format(n=dim, a="e.v", b="c.cvec")
+    sqd = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, "
+        f"{dim}+1), i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i]))), "
+        "(acc, x) -> acc + x)"
+    )
+    ctes = _kmeans_ctes(k, n_iter, shard_count)
+    fin = f"cents{n_iter}"
+    ctes.append(
+        f"""centsF AS (
+  SELECT cell, cvec, sqrt({dot_cc}) AS cnrm FROM {fin}),
+assignF AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {dot_ec} / (e.nrm * c.cnrm) DESC, c.cell)
+        AS r
+    FROM embVn e CROSS JOIN centsF c) t
+  WHERE r = 1),
+dists AS (
+  SELECT e.vec_id, c.cell AS ocell, sqrt({sqd}) AS dist
+  FROM embVn e CROSS JOIN centsF c),
+svals AS (
+  SELECT d.vec_id, a.cell,
+    CASE WHEN b_dist IS NULL OR greatest(a_dist, b_dist) = 0.0 THEN 0.0
+         ELSE (b_dist - a_dist) / greatest(a_dist, b_dist) END AS val
+  FROM (
+    SELECT d.vec_id,
+      max(CASE WHEN d.ocell = a.cell THEN d.dist END) AS a_dist,
+      min(CASE WHEN d.ocell <> a.cell THEN d.dist END) AS b_dist
+    FROM dists d JOIN assignF a USING (vec_id)
+    GROUP BY d.vec_id) d
+  JOIN assignF a USING (vec_id)),
+spart AS (
+  SELECT cell, (s.vec_id - b.mn) // b.w AS shard,
+    list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)),
+                (acc, x) -> acc + x) AS p,
+    count(*) AS c
+  FROM svals s, bounds b
+  GROUP BY cell, shard)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT cell, CAST(SUM(c) AS BIGINT) AS n_vectors,
+  list_reduce(list_prepend(0.0, list(p ORDER BY shard)),
+              (acc, x) -> acc + x) / CAST(SUM(c) AS DOUBLE)
+    AS mean_silhouette
+FROM spart
+GROUP BY cell
+ORDER BY cell"""
     )
 
 

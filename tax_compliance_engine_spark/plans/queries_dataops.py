@@ -1060,3 +1060,11 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one other document, plus the integer-exact keep decision at
     50% coverage."""
     return dedup.dup_span_stats(_docs(spark, sf_dir))
+
+
+def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell simplified silhouette of the trained k-means clustering
+    (similarity.kmeans_silhouette): centroid-based a/b distances, exact
+    and bit-portable — the clustering-quality gauge for the IVF coarse
+    quantizer."""
+    return similarity.kmeans_silhouette(_emb(spark, sf_dir))

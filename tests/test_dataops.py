@@ -2294,3 +2294,68 @@ def test_dup_span_stats_intra_doc_repeat_not_counted(spark):
     )
     row = dup_span_stats(docs).collect()[0]
     assert row.covered_tokens == 0 and row.keep
+
+
+def test_kmeans_silhouette_two_clear_clusters(spark):
+    import math
+
+    from tax_compliance_engine_spark.operators.similarity import (
+        kmeans_silhouette,
+    )
+
+    # seeds = two smallest ids, one per cluster; k=2 converges on the
+    # obvious 2-cluster structure
+    pts = {
+        1: [1.0, 0.0],
+        2: [0.0, 1.0],
+        3: [1.0, 0.05],
+        4: [0.05, 1.0],
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in pts.items()],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r.cell: r for r in kmeans_silhouette(emb, k=2, n_iter=2).collect()
+    }
+    assert set(rows) == {1, 2} and all(
+        r.n_vectors == 2 for r in rows.values()
+    )
+    # python mirror of the simplified silhouette on the converged
+    # centroids (cluster means)
+    cents = {
+        1: [1.0, 0.025],
+        2: [0.025, 1.0],
+    }
+    import pytest as _pt
+
+    for cell, members in ((1, (1, 3)), (2, (2, 4))):
+        svals = []
+        for i in members:
+            d = {
+                c: math.sqrt(
+                    sum((x - y) ** 2 for x, y in zip(pts[i], cv))
+                )
+                for c, cv in cents.items()
+            }
+            a = d[cell]
+            b = min(v for c, v in d.items() if c != cell)
+            svals.append((b - a) / max(a, b))
+        assert rows[cell].mean_silhouette == _pt.approx(
+            sum(svals) / 2, rel=1e-12
+        )
+
+
+def test_kmeans_silhouette_single_cluster_degenerate(spark):
+    from tax_compliance_engine_spark.operators.similarity import (
+        kmeans_silhouette,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [1.0, 0.02])],
+        "vec_id long, embedding array<double>",
+    )
+    # k=1: no "other" cell exists -> b undefined -> s pinned to 0.0
+    rows = kmeans_silhouette(emb, k=1, n_iter=1).collect()
+    assert len(rows) == 1
+    assert rows[0].n_vectors == 3 and rows[0].mean_silhouette == 0.0

@@ -43,6 +43,8 @@ GLOBAL_AGG_OK = {
     # shard width (one partial row per task), broadcast back onto edges
     "embedding_kmeans",  # same bounds pattern: scalar min/max(vec_id)
     # for the M-step's id-range shard width, broadcast back
+    "embedding_silhouette",  # inherits embedding_kmeans' scalar
+    # min/max(vec_id) bounds aggregate (same shard-width broadcast)
     "corpus_bm25_search",  # scalar N/avgdl corpus stats (one partial
     # row per task through the exchange), broadcast back onto scores
     "events_funnel",  # the result IS k scalar step counts (3 rows)
