@@ -412,4 +412,21 @@ def oracle_sql() -> dict[str, str]:
         # pos-ordered folds + two-level per-cell means) — oracle-only
         # swept entry.
         "embedding_silhouette": oracle_dataops.embedding_silhouette_sql(),
+        # embedding_communities: synchronous label-propagation
+        # communities over the near-dup graph (min-label tie-break,
+        # integer-exact) — oracle-only swept entry.
+        "embedding_communities": oracle_dataops.embedding_communities_sql(),
+        # multimodal_bmp_profile: REAL 24-bit BI_RGB BMP decode (header
+        # parse, 4-byte stride, bottom-up flip, BGR→RGB) vs the analytic
+        # pixel-sum twin — oracle-only swept entry.
+        "multimodal_bmp_profile": oracle_dataops.multimodal_bmp_profile_sql(),
+        # dedup_span_strip: duplicated-span REMOVAL (the salvage rewrite
+        # half of span dedup — covered positions cut, survivors
+        # re-joined in corpus order; pure integer/string) — oracle-only
+        # swept entry.
+        "dedup_span_strip": oracle_dataops.dedup_span_strip_sql(),
+        # knn_recall_eval: per-query recall@5 of the portable IVF index
+        # vs exact brute force (deterministic overlap, one exact
+        # division) — the ANN tuning gauge — oracle-only swept entry.
+        "knn_recall_eval": oracle_dataops.knn_recall_eval_sql(),
     }

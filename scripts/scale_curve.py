@@ -65,6 +65,12 @@ SCALE_QUERIES = [
     "embedding_dup_pairs_multitable",
     "corpus_snapshot_diff",
     "corpus_hybrid_search",
+    "events_funnel",
+    "events_retention",
+    "events_anomalies",
+    "embedding_triangles",
+    "corpus_cooccurrence",
+    "dedup_span_coverage",
 ]
 
 

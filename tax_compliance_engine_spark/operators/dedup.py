@@ -1167,3 +1167,100 @@ def dup_span_stats(
         )
         .orderBy("doc_id")
     )
+
+
+def strip_dup_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Duplicated-span REMOVAL: rewrite each document with every token
+    position covered by an ``n``-gram shared with ≥ ``min_docs``
+    distinct documents dropped, survivors re-joined in their original
+    order.  This is the other half of the span-dedup recipe from
+    "Deduplicating Training Data Makes Language Models Better"
+    (``dup_span_stats`` is the scoring half / keep-drop filter; real
+    pipelines also SALVAGE mostly-unique documents by cutting just the
+    boilerplate spans — this operator is that rewrite).
+
+    Output: (doc_id, n_tokens, n_kept, stripped_text) — ``n_kept`` =
+    surviving token count, ``stripped_text`` the space-joined survivors
+    ('' when everything was duplicated).  Deterministic: coverage is a
+    pure set function of the corpus and survivors keep corpus order.
+
+    Scale shape (100 TB): identical to ``dup_span_stats`` up to the
+    covered-position set (row-linear positioned grams, one
+    groupBy(gram) with partial count_distinct, equi-join on gram —
+    never all-pairs); the rewrite itself is one anti-join of (doc_id,
+    pos) tokens against covered positions — co-partitioned on the same
+    compound key — and a per-doc ordered fold whose state is bounded by
+    the document's own length (the same per-group bound every text
+    operator here lives with).
+
+    Reference parity note: no span operator exists in the reference
+    engine (its text surface is tax-record fields); this extends the
+    dedup family the way a training-data pipeline needs.
+    """
+    toks = tokens_col(F.col(text_col))
+    sized = docs.select(
+        "doc_id", toks.alias("_toks"), F.size(toks).alias("n_tokens")
+    )
+    gram_arr = F.when(
+        F.col("n_tokens") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_tokens") - n),
+            lambda i: F.array_join(F.slice("_toks", i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = sized.select(
+        "doc_id", F.posexplode(gram_arr).alias("pos", "gram")
+    )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup_grams, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    positioned = sized.select(
+        "doc_id", F.posexplode("_toks").alias("pos", "tok")
+    )
+    kept = (
+        positioned.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("stripped_text"),
+        )
+    )
+    return (
+        sized.select("doc_id", "n_tokens")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("stripped_text"), F.lit("")).alias(
+                "stripped_text"
+            ),
+        )
+        .orderBy("doc_id")
+    )

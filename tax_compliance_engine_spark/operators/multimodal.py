@@ -2542,3 +2542,92 @@ def phash_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def synth_bmp(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic 24-bit BI_RGB BMP payload per id —
+    pixels share ``synth_ppm``'s closed form (w = 4 + id%5,
+    h = 3 + id%4, row y a constant (id+y, 2id+3y, 5id+7y) mod 256
+    color), stored the way real BMPs are: BITMAPFILEHEADER +
+    BITMAPINFOHEADER, rows BOTTOM-UP, BGR byte order, every row padded
+    to a 4-byte boundary — so the decoder's row-flip, channel-swap and
+    stride handling are all on the hash-gated path."""
+
+    import numpy as np
+    import struct
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 4 + i % 5, 3 + i % 4
+                ys = np.arange(h, dtype=np.int64)
+                rows = np.stack(
+                    [(i + ys) % 256, (2 * i + 3 * ys) % 256, (5 * i + 7 * ys) % 256],
+                    axis=1,
+                ).astype(np.uint8)  # (h, 3) RGB per row, top-down
+                pixels = np.repeat(rows[:, None, :], w, axis=1)  # (h, w, 3)
+                bgr = pixels[::-1, :, ::-1]  # bottom-up, BGR
+                stride = (w * 3 + 3) // 4 * 4
+                padded = np.zeros((h, stride), dtype=np.uint8)
+                padded[:, : w * 3] = bgr.reshape(h, w * 3)
+                data = padded.tobytes()
+                header = struct.pack(
+                    "<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40
+                ) + struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+                )
+                payloads.append(header + data)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "payload_size": [len(p) for p in payloads],
+                    "format": "bmp",
+                }
+            )
+
+    return ids.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def _decode_bmp(payload: bytes):
+    """REAL BMP decode: BITMAPFILEHEADER + BITMAPINFOHEADER parse,
+    24-bit uncompressed (BI_RGB) pixel array with 4-byte row stride,
+    bottom-up (positive height) or top-down (negative height) row
+    order, BGR→RGB — returns (h, w, 3) uint8 RGB or None on any
+    malformation (the NULL-stats contract shared by all the image
+    codecs)."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    try:
+        data_offset = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size, w, h_signed = struct.unpack_from("<Iii", payload, 14)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        compression = struct.unpack_from("<I", payload, 30)[0]
+    except struct.error:
+        return None
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        return None
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    if w <= 0 or h <= 0:
+        return None
+    stride = (w * 3 + 3) // 4 * 4
+    if data_offset + stride * h > len(payload):
+        return None
+    raw = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_offset
+    ).reshape(h, stride)
+    bgr = raw[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1].copy()
+
+
+_IMAGE_DECODERS["bmp"] = _decode_bmp

@@ -1715,3 +1715,124 @@ SELECT b.doc_id, len(b.t) AS n_tokens,
 FROM sized b LEFT JOIN cnt c USING (doc_id)
 ORDER BY doc_id
 """
+
+
+def embedding_communities_sql(
+    threshold: float = 0.35, n_iter: int = 3
+) -> str:
+    """Twin of queries_dataops.embedding_communities: verbatim
+    embedding_dup_pairs CTE symmetrized, then one unrolled CTE pair per
+    synchronous LPA iteration — vote counts, then the per-node argmax
+    (count DESC, label ASC) via row_number; Spark computes the same
+    argmax as max(struct(count, −label)), an identical integer
+    function, so the twin needs no float care at all."""
+    pairs_sql = embedding_dup_pairs_sql(threshold)
+    ctes = [
+        f"""pairs AS (
+{pairs_sql}
+),
+e AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION ALL SELECT id2, id1 FROM pairs),
+lab0 AS (
+  SELECT DISTINCT src AS node, src AS label FROM e)"""
+    ]
+    for k in range(1, n_iter + 1):
+        ctes.append(
+            f"""v{k} AS (
+  SELECT e.dst AS node, l.label, count(*) AS c
+  FROM e JOIN lab{k - 1} l ON l.node = e.src
+  GROUP BY e.dst, l.label),
+lab{k} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+      row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS r
+    FROM v{k}) t
+  WHERE r = 1)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node AS vec_id, label AS community FROM lab{n_iter} ORDER BY node"""
+    )
+
+
+def multimodal_bmp_profile_sql() -> str:
+    """Twin of queries_dataops.multimodal_bmp_profile: synth_bmp pixels
+    share synth_ppm's closed form, so the analytic per-channel sums are
+    the same row_sums CTE the PNG/GIF twins use — what the REAL
+    header/stride/row-flip/BGR decode must reproduce from the actual
+    file bytes."""
+    return multimodal_png_profile_sql()
+
+
+def dedup_span_strip_sql(n: int = 8, min_docs: int = 2) -> str:
+    """Twin of queries_dataops.dedup_span_strip: the span_coverage CTE
+    chain up to the covered-position set, then a NOT EXISTS anti-join
+    of positioned tokens against it and an ORDER BY pos string_agg —
+    Spark's array_sort(collect_list(struct(pos,tok))) fold is the same
+    ordered reassembly.  Pure integer/string — no float anywhere."""
+    return f"""
+WITH sized AS (
+  SELECT doc_id, {TOKENS} AS t FROM documents
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(t, i, i + {n - 1}), ' ') AS gram
+  FROM sized, unnest(range(1, len(t) - {n} + 2)) AS u(i)
+  WHERE len(t) >= {n}
+),
+dupg AS (
+  SELECT gram FROM g GROUP BY gram
+  HAVING count(DISTINCT doc_id) >= {min_docs}
+),
+cov AS (
+  SELECT DISTINCT g.doc_id, cp AS pos
+  FROM g JOIN dupg USING (gram), unnest(range(g.pos, g.pos + {n})) AS c(cp)
+),
+tok AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+  FROM sized, unnest(range(1, len(t) + 1)) AS u(i)
+),
+kept AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS stripped_text
+  FROM tok
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cov WHERE cov.doc_id = tok.doc_id AND cov.pos = tok.pos)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, len(b.t) AS n_tokens,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       COALESCE(k.stripped_text, '') AS stripped_text
+FROM sized b LEFT JOIN kept k USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def knn_recall_eval_sql(k: int = 5, nprobe: int = 2, modulus: int = 50) -> str:
+    """Twin of queries_dataops.knn_recall_eval: the two already-verified
+    knn twins verbatim as nested CTEs, one (query_id, neighbor_id)
+    overlap join, and the single exactly-rounded n_hits/n_exact
+    division."""
+    return f"""
+WITH exact AS (
+{knn_bruteforce_sql(k, modulus)}
+),
+approx AS (
+{ivf_knn_portable_sql(k, nprobe, modulus)}
+),
+hits AS (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM exact e JOIN approx a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+),
+base AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id)
+SELECT b.query_id, b.n_exact, COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+         / CAST(b.n_exact AS DOUBLE) AS recall
+FROM base b LEFT JOIN hits h USING (query_id)
+ORDER BY query_id
+"""

@@ -1068,3 +1068,64 @@ def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     and bit-portable — the clustering-quality gauge for the IVF coarse
     quantizer."""
     return similarity.kmeans_silhouette(_emb(spark, sf_dir))
+
+
+def embedding_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the symmetrized embedding
+    near-dup graph (graph.lpa_communities, 3 synchronous iterations,
+    min-label tie-break) — the cluster-structure view between
+    connected components (too coarse) and triangles (too local)."""
+    from ..operators import graph
+
+    pairs = similarity.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
+    edges = pairs.select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
+    )
+    return graph.lpa_communities(edges).select(
+        F.col("node").alias("vec_id"), "community"
+    )
+
+
+def multimodal_bmp_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode under the bit-exact gate: file/info header
+    parse, 4-byte row stride, bottom-up row flip and BGR→RGB over
+    deterministic synthetic BMPs (multimodal.synth_bmp — pixels share
+    synth_ppm's closed form).  The DuckDB twin derives the identical
+    per-channel pixel sums analytically, so a wrong stride, row order
+    or channel swap anywhere breaks the hash."""
+    docs = _docs(spark, sf_dir)
+    return multimodal.decode_image(
+        multimodal.synth_bmp(docs.select("doc_id"))
+    )
+
+
+def dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span removal (dedup.strip_dup_spans): every token
+    position covered by an 8-gram shared across ≥2 documents is cut,
+    survivors re-joined in corpus order — the salvage rewrite that
+    complements dedup_span_coverage's keep/drop filter."""
+    return dedup.strip_dup_spans(_docs(spark, sf_dir), n=8, min_docs=2)
+
+
+def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the portable IVF index (nprobe=2 over the Lloyd-
+    refined coarse quantizer) against exact brute force, per query
+    (similarity.knn_recall) — the evaluation harness an ANN deployment
+    is actually tuned with, here sitting entirely under the bit-exact
+    hash gate because both sides and the overlap are deterministic."""
+    emb = _emb(spark, sf_dir)
+    pred = F.col("vec_id") % 50 == 0
+    exact = similarity.knn_bruteforce(emb, query_pred=pred, k=5)
+    refined, assign = _portable_cells(spark, sf_dir, emb)
+    approx = similarity.ivf_knn(
+        emb,
+        query_pred=pred,
+        k=5,
+        nprobe=2,
+        cell_col="cell",
+        centroids=refined,
+        assignments=assign,
+    )
+    return similarity.knn_recall(exact, approx)

@@ -2359,3 +2359,125 @@ def test_kmeans_silhouette_single_cluster_degenerate(spark):
     rows = kmeans_silhouette(emb, k=1, n_iter=1).collect()
     assert len(rows) == 1
     assert rows[0].n_vectors == 3 and rows[0].mean_silhouette == 0.0
+
+
+def test_lpa_communities_two_triangles_bridge(spark):
+    from tax_compliance_engine_spark.operators.graph import lpa_communities
+
+    # two triangles joined by one bridge edge; 3 synchronous min-label
+    # iterations settle on one community per triangle (hand-traced)
+    und = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {r.node: r.community for r in lpa_communities(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 3, 11: 3, 12: 3}
+
+
+def test_lpa_communities_star_adopts_hub_label(spark):
+    from tax_compliance_engine_spark.operators.graph import lpa_communities
+
+    # star: leaves see only the hub; after iter1 leaves -> hub label 5,
+    # hub -> min leaf 6; iter2 swaps back; iter3 = iter1 state
+    und = [(5, 6), (5, 7), (5, 8)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {r.node: r.community for r in lpa_communities(edges).collect()}
+    assert got == {5: 6, 6: 5, 7: 5, 8: 5}
+
+
+def test_bmp_decode_topdown_and_malformed():
+    import struct
+
+    import numpy as np
+
+    from tax_compliance_engine_spark.operators.multimodal import _decode_bmp
+
+    w, h = 3, 2  # stride 12 -> 3 pad bytes per row
+    pix = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    stride = (w * 3 + 3) // 4 * 4
+
+    def build(h_field, rows_rgb):
+        bgr = rows_rgb[:, :, ::-1]
+        pad = np.zeros((h, stride), np.uint8)
+        pad[:, : w * 3] = bgr.reshape(h, w * 3)
+        data = pad.tobytes()
+        return (
+            struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+            + struct.pack(
+                "<IiiHHIIiiII", 40, w, h_field, 1, 24, 0, len(data), 0, 0, 0, 0
+            )
+            + data
+        )
+
+    # top-down: negative height, rows stored in display order
+    assert (_decode_bmp(build(-h, pix)) == pix).all()
+    # bottom-up: positive height, rows stored reversed
+    assert (_decode_bmp(build(h, pix[::-1])) == pix).all()
+    # malformed: truncated pixel data, wrong magic, unsupported bpp
+    good = build(h, pix)
+    assert _decode_bmp(good[:-5]) is None
+    assert _decode_bmp(b"XX" + good[2:]) is None
+    bad_bpp = bytearray(good)
+    bad_bpp[28] = 8
+    assert _decode_bmp(bytes(bad_bpp)) is None
+    assert _decode_bmp(None) is None
+
+
+def test_synth_bmp_roundtrip_spark(spark):
+    from tax_compliance_engine_spark.operators import multimodal
+
+    ids = spark.createDataFrame([(3,), (4,), (7,)], "doc_id long")
+    rows = {
+        r.doc_id: r
+        for r in multimodal.decode_image(multimodal.synth_bmp(ids)).collect()
+    }
+    for i in (3, 4, 7):
+        w, h = 4 + i % 5, 3 + i % 4
+        assert rows[i].img_w == w and rows[i].img_h == h
+        exp_r = sum((i + y) % 256 for y in range(h)) * w
+        assert rows[i].sum_r == exp_r
+
+
+def test_strip_dup_spans_rewrites(spark):
+    from tax_compliance_engine_spark.operators.dedup import strip_dup_spans
+
+    shared = "a b c d e f g h"  # one 8-gram shared by three docs
+    docs = spark.createDataFrame(
+        [
+            (1, f"x1 x2 {shared} y1"),
+            (2, f"z1 {shared} z2 z3"),
+            (3, shared),
+            (4, "short text only"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r for r in strip_dup_spans(docs, n=8, min_docs=2).collect()
+    }
+    assert got[1].stripped_text == "x1 x2 y1" and got[1].n_kept == 3
+    assert got[2].stripped_text == "z1 z2 z3" and got[2].n_kept == 3
+    assert got[3].stripped_text == "" and got[3].n_kept == 0
+    # below n tokens: no grams, nothing stripped
+    assert got[4].stripped_text == "short text only" and got[4].n_kept == 3
+    assert all(got[i].n_tokens == len(got[i].stripped_text.split()) + (
+        {1: 8, 2: 8, 3: 8, 4: 0}[i]) for i in got)
+
+
+def test_knn_recall_math(spark):
+    from tax_compliance_engine_spark.operators.similarity import knn_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99), (2, 7)],
+        "query_id long, neighbor_id long",
+    )
+    rows = {r.query_id: r for r in knn_recall(exact, approx).collect()}
+    assert rows[1].n_exact == 3 and rows[1].n_hits == 2
+    assert rows[1].recall == 2 / 3
+    assert rows[2].n_exact == 2 and rows[2].n_hits == 0
+    assert rows[2].recall == 0.0
