@@ -428,5 +428,13 @@ def oracle_sql() -> dict[str, str]:
         # knn_recall_eval: per-query recall@5 of the portable IVF index
         # vs exact brute force (deterministic overlap, one exact
         # division) — the ANN tuning gauge — oracle-only swept entry.
+        # events_transitions: first-order Markov transition counts +
+        # P(next|prev) over per-user consecutive events (streaming lead
+        # window, one exact division) — oracle-only swept entry.
+        "events_transitions": oracle.events_transitions_sql(),
+        # events_key_skew: log2-bucket histogram of per-user event
+        # counts (pure integer, the pre-partitioning skew diagnostic)
+        # — oracle-only swept entry.
+        "events_key_skew": oracle.events_key_skew_sql(),
         "knn_recall_eval": oracle_dataops.knn_recall_eval_sql(),
     }

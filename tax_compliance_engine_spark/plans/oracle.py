@@ -957,3 +957,46 @@ SELECT event_type,
   ewma_prev,
   COALESCE(CAST(x.n AS DOUBLE) > 2.0 * ewma_prev, FALSE) AS is_spike
 FROM rows_r"""
+
+
+def events_transitions_sql() -> str:
+    """Twin of queries.events_transitions: the same lead() successor
+    relation under the identical (ts, event_id) per-user total order,
+    integer pair counts, and the one exactly-rounded P(next|prev)
+    division.  sum() is cast off HUGEINT before the division so the
+    dtype classes match (the round-1 bug class)."""
+    return """WITH nx AS (
+  SELECT event_type AS prev_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events),
+c AS (
+  SELECT prev_type, next_type, count(*) AS n_pairs
+  FROM nx WHERE next_type IS NOT NULL
+  GROUP BY prev_type, next_type),
+t AS (
+  SELECT prev_type, CAST(sum(n_pairs) AS BIGINT) AS n_from
+  FROM c GROUP BY prev_type)
+SELECT c.prev_type, c.next_type, c.n_pairs,
+       CAST(c.n_pairs AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS prob
+FROM c JOIN t USING (prev_type)
+ORDER BY prev_type, next_type"""
+
+
+def events_key_skew_sql() -> str:
+    """Twin of queries.events_key_skew: floor(log2) via bin()-string
+    length on both engines (pure integer/string), 2^bucket as the
+    always-exact power-of-two double cast back to BIGINT."""
+    return """WITH per_user AS (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+b AS (
+  SELECT CAST(length(bin(n_events)) - 1 AS INTEGER) AS bucket, n_events
+  FROM per_user)
+SELECT bucket,
+       CAST(power(2, bucket) AS BIGINT) AS bucket_lo,
+       count(*) AS n_users,
+       CAST(min(n_events) AS BIGINT) AS min_events,
+       CAST(max(n_events) AS BIGINT) AS max_events,
+       CAST(sum(n_events) AS BIGINT) AS total_events
+FROM b GROUP BY bucket
+ORDER BY bucket"""

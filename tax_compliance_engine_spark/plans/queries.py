@@ -972,3 +972,102 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.select("c_custkey").subtract(
         orders.select(F.col("o_custkey").alias("c_custkey"))
     )
+
+
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition mining over the event stream: for
+    every (prev_type, next_type) pair of CONSECUTIVE events of the same
+    user (ordered by ts, event_id), the transition count and the
+    conditional probability P(next | prev) — the behavioral model
+    product analytics builds next-action prediction and anomaly
+    baselines from.
+
+    Determinism: the successor relation is a pure function of the
+    (ts, event_id) total order per user; counts are integers and the
+    probability is ONE exactly-rounded double division, so the twin
+    hash-compares bit-exact.
+
+    Scale shape (100 TB): one keyed range shuffle on user_id for the
+    lead() window — a STREAMING frame (no per-group buffer, unlike a
+    collect_list), then two narrow map-side-combinable aggregations
+    whose keyspace is |event_type|² (tiny).  The event payload never
+    rides past the first projection."""
+    from pyspark.sql.window import Window
+
+    # dual-encoding read (nanos-as-long or micros timestamp); ordering by
+    # the RAW ts column keeps full stored precision either way, exactly
+    # matching the twin's ORDER BY ts
+    ev = _events_with_ts_sec(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("prev_type"), "next_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    totals = pairs.groupBy("prev_type").agg(
+        F.sum("n_pairs").alias("_n_from")
+    )
+    return (
+        pairs.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n_pairs",
+            (
+                F.col("n_pairs").cast("double")
+                / F.col("_n_from").cast("double")
+            ).alias("prob"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic histogram: per-user event counts bucketed by
+    integer log2 (bucket = floor(log2(n)) via binary-string length, no
+    float anywhere) — the profile you read BEFORE choosing a partition
+    strategy at 100 TB: a fat tail in the top buckets says the keyed
+    shuffles behind sessions/windows need salting or the two-level
+    folds this repo uses.
+
+    Output: (bucket, bucket_lo, n_users, min_events, max_events,
+    total_events) — bucket_lo = 2^bucket, ≤ 64 rows total.
+
+    Scale shape: one (user_id) count with map-side combine, then a
+    second aggregation onto the ≤64-row bucket keyspace; both narrow,
+    nothing wide ever materializes."""
+    ev = _events_with_ts_sec(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    bucket = (F.length(F.bin(F.col("n_events"))) - 1).cast("int")
+    return (
+        per_user.select(bucket.alias("bucket"), "n_events")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("n_events").alias("min_events"),
+            F.max("n_events").alias("max_events"),
+            F.sum("n_events").alias("total_events"),
+        )
+        .select(
+            "bucket",
+            # 2^bucket: powers of two are exactly representable doubles
+            # for every bucket ≤ 62, so pow→cast is integer-exact and
+            # portable (no column-shift shiftleft in either engine's
+            # portable subset)
+            F.pow(F.lit(2.0), F.col("bucket")).cast("long").alias(
+                "bucket_lo"
+            ),
+            "n_users",
+            "min_events",
+            "max_events",
+            "total_events",
+        )
+        .orderBy("bucket")
+    )

@@ -426,3 +426,98 @@ def test_events_anomalies_ewma_recurrence(spark, tmp_path):
     assert [r.is_spike for r in got] == [
         False, False, False, False, True, False
     ]
+
+
+def test_events_transitions_chain_semantics(spark, tmp_path):
+    """Transitions pair CONSECUTIVE events per user only (no cross-user
+    pairs, last event of a user pairs with nothing); probabilities are
+    exact count ratios summing to 1 per prev_type."""
+    import datetime as dt
+
+    from tax_compliance_engine_spark.plans.queries import events_transitions
+
+    def ts(hour):
+        return dt.datetime(2024, 1, 1, hour, 0, 0)
+
+    rows = [
+        # user 1: view -> click -> view  (pairs: v->c, c->v)
+        (1, ts(1), 1, "view"),
+        (2, ts(2), 1, "click"),
+        (3, ts(3), 1, "view"),
+        # user 2: view -> view  (pair: v->v); last view pairs with nothing
+        (4, ts(1), 2, "view"),
+        (5, ts(2), 2, "view"),
+        # user 3: single event -> contributes no pair at all
+        (6, ts(1), 3, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, u, e, 1.0, "{}") for i, t, u, e in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r.prev_type, r.next_type): (r.n_pairs, r.prob)
+        for r in events_transitions(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("view", "click"): (1, 0.5),
+        ("view", "view"): (1, 0.5),
+        ("click", "view"): (1, 1.0),
+    }
+
+
+def test_events_transitions_tie_break_on_event_id(spark, tmp_path):
+    """Equal timestamps order by event_id — the pair direction flips if
+    the tie-break is wrong."""
+    import datetime as dt
+
+    from tax_compliance_engine_spark.plans.queries import events_transitions
+
+    t0 = dt.datetime(2024, 1, 1, 1, 0, 0)
+    df = spark.createDataFrame(
+        [(2, t0, 1, "click", 1.0, "{}"), (1, t0, 1, "view", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = [
+        (r.prev_type, r.next_type)
+        for r in events_transitions(spark, str(tmp_path)).collect()
+    ]
+    assert got == [("view", "click")]
+
+
+def test_events_key_skew_bucket_boundaries(spark, tmp_path):
+    """Counts 1, 2, 3, 4, 8 land in buckets 0, 1, 1, 2, 3 with exact
+    lower bounds 1, 2, 4, 8 and integer stats."""
+    import datetime as dt
+
+    from tax_compliance_engine_spark.plans.queries import events_key_skew
+
+    rows = []
+    eid = 0
+    # user u gets `n` events
+    for user, n in [(1, 1), (2, 2), (3, 3), (4, 4), (5, 8)]:
+        for k in range(n):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1, 0, k, 0), user, "view", 1.0, "{}")
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = [
+        (r.bucket, r.bucket_lo, r.n_users, r.min_events, r.max_events,
+         r.total_events)
+        for r in events_key_skew(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        (0, 1, 1, 1, 1, 1),
+        (1, 2, 2, 2, 3, 5),
+        (2, 4, 1, 4, 4, 4),
+        (3, 8, 1, 8, 8, 8),
+    ]
