@@ -428,6 +428,10 @@ def oracle_sql() -> dict[str, str]:
         # knn_recall_eval: per-query recall@5 of the portable IVF index
         # vs exact brute force (deterministic overlap, one exact
         # division) — the ANN tuning gauge — oracle-only swept entry.
+        # basket_part_pairs: market-basket pair mining over orders
+        # (co-occurrence support + lift, self-join bounded by basket
+        # size) — oracle-only swept entry.
+        "basket_part_pairs": oracle.basket_part_pairs_sql(),
         # events_transitions: first-order Markov transition counts +
         # P(next|prev) over per-user consecutive events (streaming lead
         # window, one exact division) — oracle-only swept entry.

@@ -1000,3 +1000,30 @@ SELECT bucket,
        CAST(sum(n_events) AS BIGINT) AS total_events
 FROM b GROUP BY bucket
 ORDER BY bucket"""
+
+
+def basket_part_pairs_sql() -> str:
+    """Twin of queries.basket_part_pairs: identical distinct-items CTE,
+    self-join pair counts, and the fixed-association
+    (n_both·n_orders)/(n_a·n_b) double arithmetic.  Counts stay BIGINT
+    (count(*), never sum) so no HUGEINT leaks into the dtype classes."""
+    return """WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pc AS (
+  SELECT l_partkey, count(*) AS n_ord FROM items GROUP BY l_partkey),
+no AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_both
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2)
+SELECT p.part_a, p.part_b, p.n_both,
+       ca.n_ord AS n_part_a, cb.n_ord AS n_part_b,
+       CAST(p.n_both AS DOUBLE) / CAST(no.n_orders AS DOUBLE) AS support,
+       (CAST(p.n_both AS DOUBLE) * CAST(no.n_orders AS DOUBLE))
+         / (CAST(ca.n_ord AS DOUBLE) * CAST(cb.n_ord AS DOUBLE)) AS lift
+FROM pairs p
+JOIN pc ca ON ca.l_partkey = p.part_a
+JOIN pc cb ON cb.l_partkey = p.part_b, no
+ORDER BY p.part_a, p.part_b"""

@@ -1071,3 +1071,77 @@ def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining over orders: parts that co-occur in the
+    same order, with support and lift — the association-rule primer
+    (frequent itemsets at k=2) run on the TPC-H side of the testdata.
+
+    lift(a,b) = P(a,b) / (P(a)·P(b)) = (n_both·n_orders)/(n_a·n_b),
+    computed as (double·double)/(double·double) with fixed
+    association — every factor is an exact integer-valued double and
+    mul/div are correctly rounded in both engines, so the twin
+    hash-compares bit-exact.  support = one exact division.
+
+    Scale shape (100 TB): the pair generator is a SELF-JOIN keyed on
+    l_orderkey, so its cost is Σ C(basket_size, 2) — bounded by the
+    per-order line cap (7 in TPC-H), never all-pairs over parts; pair
+    counts aggregate with map-side combine onto the co-occurring-pair
+    keyspace.  Per-part order counts join back by part key (two narrow
+    keyed shuffles — the counts side is dimension-sized, left to AQE).
+    The scalar n_orders aggregate broadcasts one row."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    part_counts = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_ord")
+    )
+    n_orders = items.select(
+        F.count_distinct("l_orderkey").alias("_n_orders")
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "_ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    ca = part_counts.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_ord").alias("n_part_a")
+    )
+    cb = part_counts.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_ord").alias("n_part_b")
+    )
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_part_a",
+            "n_part_b",
+            (
+                F.col("n_both").cast("double")
+                / F.col("_n_orders").cast("double")
+            ).alias("support"),
+            (
+                (
+                    F.col("n_both").cast("double")
+                    * F.col("_n_orders").cast("double")
+                )
+                / (
+                    F.col("n_part_a").cast("double")
+                    * F.col("n_part_b").cast("double")
+                )
+            ).alias("lift"),
+        )
+        .orderBy("part_a", "part_b")
+    )

@@ -55,6 +55,9 @@ GLOBAL_AGG_OK = {
     "corpus_cooccurrence",  # scalar count(*) = n_docs for the lift
     # denominator (one partial row per task through the exchange),
     # broadcast back onto the k²-bounded pair table
+    "basket_part_pairs",  # scalar n_orders count for the support/lift
+    # denominators (one partial row per task through the exchange),
+    # broadcast back onto the pair table
 }
 
 

@@ -521,3 +521,40 @@ def test_events_key_skew_bucket_boundaries(spark, tmp_path):
         (2, 4, 1, 4, 4, 4),
         (3, 8, 1, 8, 8, 8),
     ]
+
+
+def test_basket_part_pairs_crafted(spark, tmp_path):
+    """Pair counts come from distinct per-order part sets (duplicate
+    lineitems collapse), the min-2-orders floor applies, and lift is the
+    exact (n_both·N)/(n_a·n_b) ratio."""
+    import datetime as dt
+
+    from tax_compliance_engine_spark.plans.queries import basket_part_pairs
+
+    d = dt.date(1995, 1, 1)
+    # orders: 1:{10,20} 2:{10,20} 3:{10,30} 4:{30} ; order 2 lists part 10
+    # twice (must collapse)
+    rows = [
+        (1, 10), (1, 20),
+        (2, 10), (2, 10), (2, 20),
+        (3, 10), (3, 30),
+        (4, 30),
+    ]
+    df = spark.createDataFrame(
+        [
+            (ok, pk, 1, i, 1.0, 10.0, 0.0, 0.0, "N", "O", d)
+            for i, (ok, pk) in enumerate(rows)
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate date",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = [
+        (r.part_a, r.part_b, r.n_both, r.n_part_a, r.n_part_b, r.support,
+         r.lift)
+        for r in basket_part_pairs(spark, str(tmp_path)).collect()
+    ]
+    # only (10,20) co-occurs >= 2 times; N=4 orders, n_10=3, n_20=2
+    assert got == [(10, 20, 2, 3, 2, 2 / 4, (2.0 * 4.0) / (3.0 * 2.0))]
