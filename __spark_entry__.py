@@ -425,6 +425,10 @@ def oracle_sql() -> dict[str, str]:
         # re-joined in corpus order; pure integer/string) — oracle-only
         # swept entry.
         "dedup_span_strip": oracle_dataops.dedup_span_strip_sql(),
+        # dedup_snm_pairs: sorted-neighborhood near-dup pairs
+        # (two-level sharded global rank, rank-band candidate join,
+        # exact distinct-token Jaccard) — oracle-only swept entry.
+        "dedup_snm_pairs": oracle_dataops.dedup_snm_pairs_sql(),
         # knn_recall_eval: per-query recall@5 of the portable IVF index
         # vs exact brute force (deterministic overlap, one exact
         # division) — the ANN tuning gauge — oracle-only swept entry.

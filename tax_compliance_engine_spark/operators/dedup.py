@@ -1264,3 +1264,104 @@ def strip_dup_spans(
         )
         .orderBy("doc_id")
     )
+
+
+def snm_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_len: int = 24,
+    bucket_len: int = 2,
+    window: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs (Hernández-Stolfo SNM): sort
+    the corpus by a blocking key — the first ``key_len`` chars of the
+    lowercased alphanumeric-collapsed text — and compare each document
+    only against its ``window`` successors in that global order,
+    scoring survivors by exact distinct-token Jaccard.  The classic
+    record-linkage alternative to LSH blocking: detection quality
+    degrades gracefully with key quality instead of hash band luck.
+
+    Output: (doc1, doc2, rank_gap, jaccard) for candidate pairs with
+    jaccard ≥ ``threshold``, doc1 the earlier document in sort order.
+
+    Scale shape (100 TB): a global sort is the textbook SNM step and
+    the thing that does NOT scale as one task, so the global rank is
+    built in TWO LEVELS — the deterministic ``bucket_len``-char key
+    prefix shards the sort (each shard sorts independently under one
+    row_number window; prefix ranges are contiguous in key order, so
+    shard-local ranks + shard offsets ARE the global rank), and shard
+    offsets come from a broadcast non-equi self-join of the tiny
+    per-shard count table (≤ 36^bucket_len rows — never a single-
+    partition exchange).  Lengthen ``bucket_len`` to hold per-shard
+    sorts bounded as the corpus grows.  The neighbor join is banded by
+    rank-block (block = rank div window; a pair within ``window`` spans
+    at most adjacent blocks), so the self-join is equi-keyed and emits
+    ≤ window·n candidate rows; Jaccard tokens join onto that narrow
+    stream by doc_id, never into the sort."""
+    from pyspark.sql.window import Window
+
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    keyed = docs.select(
+        "doc_id",
+        F.substring(norm, 1, key_len).alias("_key"),
+    ).withColumn("_bucket", F.substring("_key", 1, bucket_len))
+    lw = Window.partitionBy("_bucket").orderBy("_key", "doc_id")
+    local = keyed.withColumn("_lr", F.row_number().over(lw))
+    counts = keyed.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_cnt"))
+    c2 = counts.select(
+        F.col("_bucket").alias("_b2"), F.col("_cnt").alias("_c2")
+    )
+    offsets = (
+        counts.join(F.broadcast(c2), F.col("_b2") < F.col("_bucket"), "left")
+        .groupBy("_bucket")
+        .agg(F.coalesce(F.sum("_c2"), F.lit(0)).alias("_off"))
+    )
+    ranked = local.join(F.broadcast(offsets), "_bucket").select(
+        "doc_id", (F.col("_off") + F.col("_lr")).alias("_r")
+    )
+    blk = ((F.col("_r") - 1) / window).cast("long")
+    left = ranked.select(
+        F.col("doc_id").alias("doc1"),
+        F.col("_r").alias("_r1"),
+        blk.alias("_blk"),
+    )
+    right = ranked.select(
+        F.col("doc_id").alias("doc2"),
+        F.col("_r").alias("_r2"),
+        F.explode(F.array(blk, blk - 1)).alias("_blk"),
+    )
+    cand = (
+        left.join(right, "_blk")
+        .filter(
+            (F.col("_r2") - F.col("_r1") >= 1)
+            & (F.col("_r2") - F.col("_r1") <= window)
+        )
+        .select("doc1", "doc2", (F.col("_r2") - F.col("_r1")).alias("rank_gap"))
+    )
+    toks = docs.select(
+        "doc_id", F.array_distinct(tokens_col(F.col(text_col))).alias("_t")
+    )
+    t1 = toks.select(F.col("doc_id").alias("doc1"), F.col("_t").alias("_t1"))
+    t2 = toks.select(F.col("doc_id").alias("doc2"), F.col("_t").alias("_t2"))
+    inter = F.size(
+        F.filter(F.col("_t1"), lambda x: F.array_contains(F.col("_t2"), x))
+    )
+    return (
+        cand.join(t1, "doc1")
+        .join(t2, "doc2")
+        .withColumn("_inter", inter)
+        .withColumn(
+            "jaccard",
+            F.when(
+                F.size("_t1") + F.size("_t2") - F.col("_inter") > 0,
+                F.col("_inter").cast("double")
+                / (
+                    F.size("_t1") + F.size("_t2") - F.col("_inter")
+                ).cast("double"),
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "rank_gap", "jaccard")
+        .orderBy("doc1", "doc2")
+    )

@@ -1836,3 +1836,37 @@ SELECT b.query_id, b.n_exact, COALESCE(h.n_hits, 0) AS n_hits,
 FROM base b LEFT JOIN hits h USING (query_id)
 ORDER BY query_id
 """
+
+
+def dedup_snm_pairs_sql(
+    key_len: int = 24, window: int = 8, threshold: float = 0.5
+) -> str:
+    """Twin of queries_dataops.dedup_snm_pairs: one global row_number
+    over the same (key, doc_id) order the Spark side assembles from
+    shard-local ranks + shard offsets (prefix shards are contiguous in
+    key order, so the two are the same integer), a rank-band self-join,
+    and the identical filter-count Jaccard over distinct token lists —
+    integer counts under one exactly-rounded division."""
+    return f"""
+WITH keyed AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                1, {key_len}) AS key,
+         list_distinct({TOKENS}) AS t
+  FROM documents),
+ranked AS (
+  SELECT doc_id, t,
+         row_number() OVER (ORDER BY key, doc_id) AS r
+  FROM keyed),
+scored AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, b.r - a.r AS rank_gap,
+         len(list_filter(a.t, x -> list_contains(b.t, x))) AS inter,
+         len(a.t) + len(b.t) AS tot
+  FROM ranked a JOIN ranked b ON b.r - a.r BETWEEN 1 AND {window})
+SELECT doc1, doc2, rank_gap,
+       CAST(inter AS DOUBLE) / CAST(tot - inter AS DOUBLE) AS jaccard
+FROM scored
+WHERE tot - inter > 0
+  AND CAST(inter AS DOUBLE) / CAST(tot - inter AS DOUBLE)
+        >= CAST({threshold!r} AS DOUBLE)
+ORDER BY doc1, doc2"""

@@ -1129,3 +1129,11 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         assignments=assign,
     )
     return similarity.knn_recall(exact, approx)
+
+
+def dedup_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs (dedup.snm_pairs): the
+    Hernández-Stolfo SNM window over the normalized-prefix sort key,
+    two-level sharded global rank, exact distinct-token Jaccard on the
+    ≤ window·n candidate stream."""
+    return dedup.snm_pairs(_docs(spark, sf_dir))

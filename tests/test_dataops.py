@@ -2481,3 +2481,71 @@ def test_knn_recall_math(spark):
     assert rows[1].recall == 2 / 3
     assert rows[2].n_exact == 2 and rows[2].n_hits == 0
     assert rows[2].recall == 0.0
+
+
+def test_snm_pairs_two_level_rank_and_window(spark):
+    """The sharded rank must equal a plain global sort rank: a crafted
+    corpus whose sort keys straddle bucket boundaries yields exactly the
+    pairs within `window` positions of each other, and pairs outside the
+    window are invisible even when textually identical."""
+    from tax_compliance_engine_spark.operators.dedup import snm_pairs
+
+    # keys sort as: aa.. (d1), ab.. (d2), ac.. (d3), ba.. (d4), zz.. (d5)
+    # identical text for d1/d5 — rank gap 4 > window 2 => NOT a pair;
+    # d1/d2 near-identical, adjacent => pair.
+    rows = [
+        (1, "aa alpha beta gamma delta"),
+        (2, "ab alpha beta gamma delta"),
+        (3, "ac totally different words here"),
+        (4, "ba unrelated content entirely now"),
+        (5, "zz alpha beta gamma delta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc1, r.doc2): (r.rank_gap, r.jaccard)
+        for r in snm_pairs(docs, window=2, threshold=0.5).collect()
+    }
+    # d1-d2: tokens differ only in the first token => 4 shared of 6 distinct
+    assert (1, 2) in got and got[(1, 2)][0] == 1
+    assert got[(1, 2)][1] == 4 / 6
+    # identical d1/d5 out of window
+    assert (1, 5) not in got
+    # cross-bucket adjacency still pairs: d2(ab)-d3(ac) adjacent ranks,
+    # but Jaccard below threshold => filtered
+    assert (2, 3) not in got
+
+
+def test_snm_pairs_matches_single_partition_reference(spark):
+    """Two-level rank ≡ reference computation done with one global sort
+    in Python, on a corpus spanning many buckets with boundary windows."""
+    from tax_compliance_engine_spark.operators.dedup import snm_pairs
+
+    import itertools
+    import re as _re
+
+    rows = []
+    words = ["red", "blue", "green", "gold", "iron", "salt", "wolf", "moon"]
+    for i in range(40):
+        w = [words[(i + j) % 8] for j in range(4)]
+        rows.append((i, " ".join(w)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    window, threshold = 3, 0.4
+
+    def key(t):
+        return _re.sub(r"[^a-z0-9]", "", t.lower())[:24]
+
+    order = sorted(rows, key=lambda r: (key(r[1]), r[0]))
+    expect = set()
+    for ia, ib in itertools.combinations(range(len(order)), 2):
+        if ib - ia > window:
+            continue
+        (d1, t1), (d2, t2) = order[ia], order[ib]
+        s1, s2 = set(t1.split()), set(t2.split())
+        jac = len(s1 & s2) / len(s1 | s2)
+        if jac >= threshold:
+            expect.add((d1, d2, ib - ia))
+    got = {
+        (r.doc1, r.doc2, r.rank_gap)
+        for r in snm_pairs(docs, window=window, threshold=threshold).collect()
+    }
+    assert got == expect and len(expect) > 0
