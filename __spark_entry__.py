@@ -191,6 +191,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_containment_pairs": (
             oracle_dataops.dedup_containment_pairs_sql()
         ),
+        # dedup_editdist_pairs: Levenshtein-verified near-dup pairs over
+        # the sorted-neighborhood candidate stream (typo/OCR variants
+        # token Jaccard can't grade) — oracle-only swept entry.
+        "dedup_editdist_pairs": oracle_dataops.dedup_editdist_pairs_sql(),
         "dedup_sigs": oracle_dataops.dedup_sigs_sql(),
         "dedup_minhash_sigs": oracle_dataops.dedup_minhash_sigs_sql(),
         "dedup_minhash_pairs": oracle_dataops.dedup_minhash_pairs_sql(),
@@ -444,5 +448,10 @@ def oracle_sql() -> dict[str, str]:
         # counts (pure integer, the pre-partitioning skew diagnostic)
         # — oracle-only swept entry.
         "events_key_skew": oracle.events_key_skew_sql(),
+        # events_gapfill: dense hourly spine per event type with exact
+        # gap counts + LOCF value carry (time-series regularization;
+        # the carried double is a value copy, never arithmetic) —
+        # oracle-only swept entry.
+        "events_gapfill": oracle.events_gapfill_sql(),
         "knn_recall_eval": oracle_dataops.knn_recall_eval_sql(),
     }

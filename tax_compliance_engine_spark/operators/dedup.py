@@ -1266,6 +1266,61 @@ def strip_dup_spans(
     )
 
 
+def snm_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_len: int = 24,
+    bucket_len: int = 2,
+    window: int = 8,
+) -> DataFrame:
+    """Sorted-neighborhood CANDIDATE pairs — the shared blocking stage
+    of ``snm_pairs`` (Jaccard verify) and ``editdist_pairs``
+    (Levenshtein verify): two-level sharded global rank over the
+    normalized-prefix sort key, then a rank-block-banded self-join
+    emitting (doc1, doc2, rank_gap) for every pair within ``window``
+    positions (see ``snm_pairs`` for the 100 TB analysis)."""
+    from pyspark.sql.window import Window
+
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    keyed = docs.select(
+        "doc_id",
+        F.substring(norm, 1, key_len).alias("_key"),
+    ).withColumn("_bucket", F.substring("_key", 1, bucket_len))
+    lw = Window.partitionBy("_bucket").orderBy("_key", "doc_id")
+    local = keyed.withColumn("_lr", F.row_number().over(lw))
+    counts = keyed.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_cnt"))
+    c2 = counts.select(
+        F.col("_bucket").alias("_b2"), F.col("_cnt").alias("_c2")
+    )
+    offsets = (
+        counts.join(F.broadcast(c2), F.col("_b2") < F.col("_bucket"), "left")
+        .groupBy("_bucket")
+        .agg(F.coalesce(F.sum("_c2"), F.lit(0)).alias("_off"))
+    )
+    ranked = local.join(F.broadcast(offsets), "_bucket").select(
+        "doc_id", (F.col("_off") + F.col("_lr")).alias("_r")
+    )
+    blk = ((F.col("_r") - 1) / window).cast("long")
+    left = ranked.select(
+        F.col("doc_id").alias("doc1"),
+        F.col("_r").alias("_r1"),
+        blk.alias("_blk"),
+    )
+    right = ranked.select(
+        F.col("doc_id").alias("doc2"),
+        F.col("_r").alias("_r2"),
+        F.explode(F.array(blk, blk - 1)).alias("_blk"),
+    )
+    return (
+        left.join(right, "_blk")
+        .filter(
+            (F.col("_r2") - F.col("_r1") >= 1)
+            & (F.col("_r2") - F.col("_r1") <= window)
+        )
+        .select("doc1", "doc2", (F.col("_r2") - F.col("_r1")).alias("rank_gap"))
+    )
+
+
 def snm_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -1299,46 +1354,7 @@ def snm_pairs(
     at most adjacent blocks), so the self-join is equi-keyed and emits
     ≤ window·n candidate rows; Jaccard tokens join onto that narrow
     stream by doc_id, never into the sort."""
-    from pyspark.sql.window import Window
-
-    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
-    keyed = docs.select(
-        "doc_id",
-        F.substring(norm, 1, key_len).alias("_key"),
-    ).withColumn("_bucket", F.substring("_key", 1, bucket_len))
-    lw = Window.partitionBy("_bucket").orderBy("_key", "doc_id")
-    local = keyed.withColumn("_lr", F.row_number().over(lw))
-    counts = keyed.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_cnt"))
-    c2 = counts.select(
-        F.col("_bucket").alias("_b2"), F.col("_cnt").alias("_c2")
-    )
-    offsets = (
-        counts.join(F.broadcast(c2), F.col("_b2") < F.col("_bucket"), "left")
-        .groupBy("_bucket")
-        .agg(F.coalesce(F.sum("_c2"), F.lit(0)).alias("_off"))
-    )
-    ranked = local.join(F.broadcast(offsets), "_bucket").select(
-        "doc_id", (F.col("_off") + F.col("_lr")).alias("_r")
-    )
-    blk = ((F.col("_r") - 1) / window).cast("long")
-    left = ranked.select(
-        F.col("doc_id").alias("doc1"),
-        F.col("_r").alias("_r1"),
-        blk.alias("_blk"),
-    )
-    right = ranked.select(
-        F.col("doc_id").alias("doc2"),
-        F.col("_r").alias("_r2"),
-        F.explode(F.array(blk, blk - 1)).alias("_blk"),
-    )
-    cand = (
-        left.join(right, "_blk")
-        .filter(
-            (F.col("_r2") - F.col("_r1") >= 1)
-            & (F.col("_r2") - F.col("_r1") <= window)
-        )
-        .select("doc1", "doc2", (F.col("_r2") - F.col("_r1")).alias("rank_gap"))
-    )
+    cand = snm_candidates(docs, text_col, key_len, bucket_len, window)
     toks = docs.select(
         "doc_id", F.array_distinct(tokens_col(F.col(text_col))).alias("_t")
     )
@@ -1363,5 +1379,59 @@ def snm_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "rank_gap", "jaccard")
+        .orderBy("doc1", "doc2")
+    )
+
+
+def editdist_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_len: int = 24,
+    bucket_len: int = 2,
+    window: int = 8,
+    prefix_len: int = 256,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Edit-distance-verified near-dup pairs: the record-linkage verify
+    stage — Levenshtein distance over the sorted-neighborhood candidate
+    stream (``snm_candidates``), scored as 1 - dist/max(len) on the
+    normalized text.  Catches single-character typo/ OCR-noise variants
+    that token-level Jaccard scores as identical-or-nothing.
+
+    Both sides compare the lowercased alphanumeric-collapsed text —
+    pure ASCII by construction, where Spark's codepoint Levenshtein and
+    DuckDB's byte Levenshtein agree — truncated to ``prefix_len`` chars
+    so per-pair cost is a bounded O(prefix_len²) JVM kernel, never
+    O(doc²).  Output: (doc1, doc2, rank_gap, edit_dist, edit_sim) for
+    pairs with edit_sim ≥ ``threshold``; edit_sim is one exactly-
+    rounded int/int division.
+
+    Scale shape (100 TB): identical to ``snm_pairs`` — the global sort
+    is two-level sharded, candidates are ≤ window·n, and the quadratic
+    Levenshtein kernel runs on the capped prefix only."""
+    cand = snm_candidates(docs, text_col, key_len, bucket_len, window)
+    norm = F.substring(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""),
+        1,
+        prefix_len,
+    )
+    txt = docs.select("doc_id", norm.alias("_n"))
+    t1 = txt.select(F.col("doc_id").alias("doc1"), F.col("_n").alias("_n1"))
+    t2 = txt.select(F.col("doc_id").alias("doc2"), F.col("_n").alias("_n2"))
+    maxlen = F.greatest(F.length("_n1"), F.length("_n2"))
+    return (
+        cand.join(t1, "doc1")
+        .join(t2, "doc2")
+        .withColumn("edit_dist", F.levenshtein("_n1", "_n2"))
+        .withColumn(
+            "edit_sim",
+            F.when(
+                maxlen > 0,
+                F.lit(1.0)
+                - F.col("edit_dist").cast("double") / maxlen.cast("double"),
+            ),
+        )
+        .filter(F.col("edit_sim") >= threshold)
+        .select("doc1", "doc2", "rank_gap", "edit_dist", "edit_sim")
         .orderBy("doc1", "doc2")
     )

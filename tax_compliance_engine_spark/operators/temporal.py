@@ -233,3 +233,79 @@ def range_join(
         )
         .drop("_bucket")
     )
+
+
+def gapfill_locf(
+    df: DataFrame,
+    series_col: str = "event_type",
+    ts_sec_col: str = "ts_sec",
+    order_cols: Sequence[str] = ("ts_us", "event_id"),
+    value_col: str = "value",
+    step: int = 3600,
+) -> DataFrame:
+    """Time-series gap fill with last-observation-carried-forward (LOCF):
+    bucket observations into ``step``-second intervals, generate the
+    complete bucket spine from the global min to max bucket, and for
+    every (series, bucket) cell emit the exact observation count (0 on
+    gaps) plus the value of the latest observation at or before that
+    bucket, carried forward across empty buckets (NULL before a series'
+    first observation).
+
+    The reference has no time-series surface at all (its event handling
+    is row-at-a-time Python; tax_engine/ generally) — this is the
+    §2.5-class regularization step every downstream rolling/forecast
+    operator assumes: turning an irregular event stream into a dense
+    fixed-step series.
+
+    Determinism: the per-bucket representative is the max by
+    ``order_cols`` (a unique composite — e.g. (ts_us, event_id)), taken
+    as one struct-max aggregate, so the carried double is a VALUE COPY
+    (never arithmetic) and stays bit-exact across engines.
+
+    Scale shape (100 TB): one hash aggregation keyed (series, bucket)
+    collapses the raw stream map-side; the spine is bounds(1 row,
+    scalar agg) × sequence/explode × distinct-series (tiny) — never a
+    data-row single-partition exchange; the LOCF window shuffles the
+    DENSE cell table (|series| × |buckets| rows, orders of magnitude
+    smaller than the input) hash-partitioned by series.  A series whose
+    whole spine cannot sit in one task is the same inherent bound any
+    per-key window has — shorten the spine (coarser ``step``) or split
+    the series key."""
+    ordered = list(order_cols)
+    bucket = (F.col(ts_sec_col) - F.col(ts_sec_col) % step).cast("long")
+    cells = (
+        df.withColumn("_bucket", bucket)
+        .groupBy(series_col, "_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.struct(*ordered, value_col))
+            .getField(value_col)
+            .alias("_obs"),
+        )
+    )
+    bounds = df.select(bucket.alias("_b")).agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    spine_hours = bounds.select(
+        F.explode(
+            F.sequence("_lo", "_hi", F.lit(int(step)).cast("long"))
+        ).alias("_bucket")
+    )
+    series = df.select(series_col).distinct()
+    spine = spine_hours.crossJoin(F.broadcast(series))
+    w = (
+        Window.partitionBy(series_col)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(cells, [series_col, "_bucket"], "left")
+        .select(
+            F.col(series_col),
+            F.col("_bucket").alias("bucket_sec"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("_obs", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("n_events").isNull().alias("is_gap"),
+        )
+        .orderBy(series_col, "bucket_sec")
+    )

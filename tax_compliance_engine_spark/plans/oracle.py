@@ -1027,3 +1027,39 @@ FROM pairs p
 JOIN pc ca ON ca.l_partkey = p.part_a
 JOIN pc cb ON cb.l_partkey = p.part_b, no
 ORDER BY p.part_a, p.part_b"""
+
+
+def events_gapfill_sql(step: int = 3600) -> str:
+    """Twin of queries.events_gapfill: same integer hour bucketing from
+    epoch nanos, the same dense spine via a lateral range() over the
+    scalar bounds, the per-cell representative picked by the identical
+    unique (ts_us, event_id) order (row_number DESC = struct max), and
+    LOCF as DuckDB's IGNORE NULLS last_value — a pure value copy, so
+    the carried double is bit-exact."""
+    return f"""
+WITH ev AS (
+  SELECT event_type, event_id, value,
+         epoch_ns(ts) // 1000 AS ts_us,
+         ((epoch_ns(ts) // 1000000000)
+          - (epoch_ns(ts) // 1000000000) % {step}) AS bucket_sec
+  FROM events),
+cells AS (
+  SELECT event_type, bucket_sec, count(*) AS n_events,
+         (max(struct_pack(ts_us := ts_us, event_id := event_id,
+                          v := value))).v AS obs
+  FROM ev GROUP BY 1, 2),
+bounds AS (SELECT min(bucket_sec) AS lo, max(bucket_sec) AS hi FROM ev),
+spine AS (
+  SELECT t.event_type, g.b AS bucket_sec
+  FROM (SELECT DISTINCT event_type FROM ev) t,
+       bounds, unnest(range(bounds.lo, bounds.hi + 1, {step})) AS g(b))
+SELECT s.event_type, s.bucket_sec,
+       COALESCE(c.n_events, 0) AS n_events,
+       last_value(c.obs IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.bucket_sec
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       c.n_events IS NULL AS is_gap
+FROM spine s
+LEFT JOIN cells c
+  ON c.event_type = s.event_type AND c.bucket_sec = s.bucket_sec
+ORDER BY s.event_type, s.bucket_sec"""

@@ -1870,3 +1870,39 @@ WHERE tot - inter > 0
   AND CAST(inter AS DOUBLE) / CAST(tot - inter AS DOUBLE)
         >= CAST({threshold!r} AS DOUBLE)
 ORDER BY doc1, doc2"""
+
+
+def dedup_editdist_pairs_sql(
+    key_len: int = 24,
+    window: int = 8,
+    prefix_len: int = 256,
+    threshold: float = 0.8,
+) -> str:
+    """Twin of queries_dataops.dedup_editdist_pairs: the same global
+    (key, doc_id) rank the Spark side assembles from shard-local ranks
+    + offsets, the rank-band self-join, and byte-Levenshtein over the
+    ASCII-normalized prefix (== Spark's codepoint Levenshtein on pure
+    ASCII input) under one exactly-rounded division."""
+    return f"""
+WITH keyed AS (
+  SELECT doc_id,
+         regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
+  FROM documents),
+ranked AS (
+  SELECT doc_id, substr(norm, 1, {prefix_len}) AS n,
+         row_number() OVER (
+           ORDER BY substr(norm, 1, {key_len}), doc_id) AS r
+  FROM keyed),
+scored AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, b.r - a.r AS rank_gap,
+         levenshtein(a.n, b.n) AS edit_dist,
+         greatest(len(a.n), len(b.n)) AS m
+  FROM ranked a JOIN ranked b ON b.r - a.r BETWEEN 1 AND {window})
+SELECT doc1, doc2, rank_gap, CAST(edit_dist AS INTEGER) AS edit_dist,
+       CAST(1 AS DOUBLE) - CAST(edit_dist AS DOUBLE) / CAST(m AS DOUBLE)
+         AS edit_sim
+FROM scored
+WHERE m > 0
+  AND CAST(1 AS DOUBLE) - CAST(edit_dist AS DOUBLE) / CAST(m AS DOUBLE)
+        >= CAST({threshold!r} AS DOUBLE)
+ORDER BY doc1, doc2"""

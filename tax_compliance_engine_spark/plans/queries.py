@@ -939,6 +939,29 @@ def events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event type with LOCF interpolation
+    (operators/temporal.py gapfill_locf): the full min→max hour spine,
+    exact per-cell counts (0 on the 200+ genuinely empty cells at
+    sf0.01), and the latest event's value carried forward across gaps —
+    the regularization step rolling/forecast consumers assume.  The
+    carried double is a value copy ordered by the unique (ts_us,
+    event_id), so the result stays bit-exact across engines."""
+    from tax_compliance_engine_spark.operators import temporal
+
+    ev = _events_with_ts_us(spark, sf_dir).withColumn(
+        "ts_sec", F.expr("ts_us DIV 1000000")
+    )
+    return temporal.gapfill_locf(
+        ev,
+        series_col="event_type",
+        ts_sec_col="ts_sec",
+        order_cols=("ts_us", "event_id"),
+        value_col="value",
+        step=3600,
+    )
+
+
 def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-hop star join (orders ⋈ customer ⋈ nation ⋈ region): revenue
     rollup per region — the two dim hops broadcast, one keyed shuffle."""

@@ -1137,3 +1137,11 @@ def dedup_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-level sharded global rank, exact distinct-token Jaccard on the
     ≤ window·n candidate stream."""
     return dedup.snm_pairs(_docs(spark, sf_dir))
+
+
+def dedup_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-verified near-dup pairs (dedup.editdist_pairs):
+    Levenshtein over the sorted-neighborhood candidate stream, scored
+    1 - dist/max(len) on the ASCII-normalized 256-char prefix (where
+    Spark codepoint and DuckDB byte Levenshtein agree)."""
+    return dedup.editdist_pairs(_docs(spark, sf_dir))

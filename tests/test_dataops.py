@@ -2549,3 +2549,55 @@ def test_snm_pairs_matches_single_partition_reference(spark):
         for r in snm_pairs(docs, window=window, threshold=threshold).collect()
     }
     assert got == expect and len(expect) > 0
+
+
+def test_editdist_pairs_semantics(spark):
+    # four docs sharing a long common prefix so they land in one SNM
+    # window; doc 2 is one substitution from doc 1 (sim 1 - 1/29),
+    # doc 3 shares only the prefix (low sim), doc 4 is doc 1 with
+    # punctuation/case noise the normalization removes (sim 1.0).
+    base = "the quick brown fox jumps ok"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "the quick brown fox jumps oj"),
+            (3, "the quick brown fox argle bargle zzz"),
+            (4, "The QUICK, brown; FOX jumps ok!!"),
+        ],
+        "doc_id long, text string",
+    )
+    from tax_compliance_engine_spark.operators.dedup import editdist_pairs
+
+    out = {
+        (r["doc1"], r["doc2"]): r
+        for r in editdist_pairs(docs, threshold=0.8).collect()
+    }
+    # doc1 is the EARLIER doc in normalized-key sort order ("...jumpsoj"
+    # sorts before "...jumpsok"), so the typo pair is (2, 1)
+    norm_len = len(base.replace(" ", ""))
+    assert (2, 1) in out and out[(2, 1)]["edit_dist"] == 1
+    assert out[(2, 1)]["edit_sim"] == 1.0 - 1.0 / norm_len
+    assert (1, 4) in out and out[(1, 4)]["edit_dist"] == 0
+    assert out[(1, 4)]["edit_sim"] == 1.0
+    assert not any(3 in p for p in out)
+
+
+def test_editdist_pairs_matches_snm_candidates(spark):
+    # the verify stage must score EXACTLY the snm_candidates stream
+    from tax_compliance_engine_spark.operators.dedup import (
+        editdist_pairs,
+        snm_candidates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cand = {
+        (r["doc1"], r["doc2"])
+        for r in snm_candidates(docs).collect()
+    }
+    scored = {
+        (r["doc1"], r["doc2"])
+        for r in editdist_pairs(docs, threshold=0.0).collect()
+    }
+    assert scored <= cand
+    # threshold=0 keeps every candidate whose max normalized length > 0
+    assert len(scored) >= len(cand) - 5

@@ -58,6 +58,9 @@ GLOBAL_AGG_OK = {
     "basket_part_pairs",  # scalar n_orders count for the support/lift
     # denominators (one partial row per task through the exchange),
     # broadcast back onto the pair table
+    "events_gapfill",  # scalar min/max bucket bounds for the spine
+    # sequence (one partial row per task through the exchange),
+    # exploded and broadcast back onto the tiny series table
 }
 
 

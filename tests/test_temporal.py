@@ -558,3 +558,34 @@ def test_basket_part_pairs_crafted(spark, tmp_path):
     ]
     # only (10,20) co-occurs >= 2 times; N=4 orders, n_10=3, n_20=2
     assert got == [(10, 20, 2, 3, 2, 2 / 4, (2.0 * 4.0) / (3.0 * 2.0))]
+
+
+def test_gapfill_locf_semantics(spark):
+    # series "a": obs in buckets 0 and 7200 (gap at 3600);
+    # series "b": first obs at 3600 (NULL fill before it);
+    # bucket 7200/"a" has two obs — LOCF must carry the LATER one
+    # by (ts_us, event_id), not the larger value.
+    ev = spark.createDataFrame(
+        [
+            (1, "a", 100, 100_000_000, 10.0),
+            (2, "a", 7300, 7_300_000_000, 99.0),
+            (3, "a", 7400, 7_400_000_000, 20.0),
+            (4, "b", 3700, 3_700_000_000, 5.0),
+        ],
+        "event_id long, event_type string, ts_sec long, ts_us long, value double",
+    )
+    out = {
+        (r["event_type"], r["bucket_sec"]): r
+        for r in temporal.gapfill_locf(ev).collect()
+    }
+    # spine = global bounds [0, 7200] x {a, b} = 6 cells
+    assert len(out) == 6
+    a0, a1, a2 = out[("a", 0)], out[("a", 3600)], out[("a", 7200)]
+    assert (a0["n_events"], a0["filled_value"], a0["is_gap"]) == (1, 10.0, False)
+    assert (a1["n_events"], a1["filled_value"], a1["is_gap"]) == (0, 10.0, True)
+    # later (ts_us, event_id) wins within the bucket: value 20.0, not 99.0
+    assert (a2["n_events"], a2["filled_value"]) == (2, 20.0)
+    b0, b1, b2 = out[("b", 0)], out[("b", 3600)], out[("b", 7200)]
+    assert b0["n_events"] == 0 and b0["filled_value"] is None and b0["is_gap"]
+    assert (b1["n_events"], b1["filled_value"]) == (1, 5.0)
+    assert (b2["n_events"], b2["filled_value"], b2["is_gap"]) == (0, 5.0, True)
