@@ -151,6 +151,10 @@ def oracle_sql() -> dict[str, str]:
         # tables) — oracle-only swept entry.
         "supplier_part_revenue": oracle.supplier_part_revenue_sql(),
         "top_customers": oracle.top_customers_sql(),
+        # customer_value_deciles: exact NTILE(10) Pareto/Lorenz rollup
+        # via the two-level sharded global rank (no single-partition
+        # sort), integer-cents revenue — oracle-only swept entry.
+        "customer_value_deciles": oracle.customer_value_deciles_sql(),
         "customer_order_ranks": oracle.customer_order_ranks_sql(),
         "events_sessions": oracle.events_sessions_sql(),
         "events_hourly": oracle.events_hourly_sql(),
@@ -167,6 +171,11 @@ def oracle_sql() -> dict[str, str]:
         # events_retention: Monday-aligned weekly retention cohorts —
         # oracle-only swept entry.
         "events_retention": oracle.events_retention_sql(),
+        # events_audience_overlap: exact cohort-overlap matrix between
+        # event types via 62-bit bitmap-word folds (the roaring-bitmap
+        # shape; twin uses the plain DISTINCT-pair join) — oracle-only
+        # swept entry.
+        "events_audience_overlap": oracle.events_audience_overlap_sql(),
         "events_asof_both": oracle.events_asof_both_sql(),
         "events_asof": oracle.events_asof_sql(),
         "events_asof_next": oracle.events_asof_next_sql(),

@@ -1063,3 +1063,59 @@ FROM spine s
 LEFT JOIN cells c
   ON c.event_type = s.event_type AND c.bucket_sec = s.bucket_sec
 ORDER BY s.event_type, s.bucket_sec"""
+
+
+def customer_value_deciles_sql() -> str:
+    """Twin of queries.customer_value_deciles: DuckDB's native ntile(10)
+    over the same (rev_cents DESC, o_custkey) total order the Spark side
+    assembles from the sharded two-level rank; revenue in exact integer
+    cents; the two shares are the same exactly-rounded int→double
+    divisions."""
+    return """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1),
+tiled AS (
+  SELECT rev_cents,
+         ntile(10) OVER (ORDER BY rev_cents DESC, o_custkey) AS decile
+  FROM rev),
+agg AS (
+  SELECT decile, count(*) AS n_customers,
+         CAST(SUM(rev_cents) AS BIGINT) AS revenue_cents
+  FROM tiled GROUP BY 1),
+shares AS (
+  SELECT *,
+         CAST(SUM(revenue_cents) OVER () AS BIGINT) AS total,
+         CAST(SUM(revenue_cents) OVER (ORDER BY decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM agg)
+SELECT CAST(decile AS INTEGER) AS decile, n_customers, revenue_cents,
+       CAST(revenue_cents AS DOUBLE) / CAST(total AS DOUBLE)
+         AS revenue_share,
+       CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+FROM shares
+ORDER BY decile"""
+
+
+def events_audience_overlap_sql() -> str:
+    """Twin of queries.events_audience_overlap: the same exact overlap
+    counts computed the plain-SQL way — DISTINCT (type, user) pairs,
+    pairwise equi-join on user, per-type audience counts — instead of
+    the Spark side's 62-bit bitmap-word fold; identical integers, same
+    single exactly-rounded Jaccard division."""
+    return """
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+tc AS (SELECT event_type, count(*) AS n FROM du GROUP BY 1)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       ta.n AS n_a, tb.n AS n_b, count(*) AS n_both,
+       CAST(count(*) AS DOUBLE)
+         / CAST(ta.n + tb.n - count(*) AS DOUBLE) AS jaccard
+FROM du a
+JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+JOIN tc ta ON ta.event_type = a.event_type
+JOIN tc tb ON tb.event_type = b.event_type
+GROUP BY a.event_type, b.event_type, ta.n, tb.n
+ORDER BY type_a, type_b"""

@@ -512,6 +512,104 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value decile profile (the Pareto/Lorenz rollup every
+    revenue dashboard carries): exact NTILE(10) over per-customer
+    revenue, each decile's customer count, exact revenue cents, and
+    revenue / cumulative-revenue shares.
+
+    Scale design (100 TB): SQL ntile needs a TOTAL order — the naive
+    window is one single-partition sort of every customer.  Here the
+    global rank is built with the two-level sharded-rank pattern
+    (dedup.snm_candidates): the zero-padded decimal string of
+    rev_cents sorts exactly like the integer, so its 4-char prefix
+    shards the sort contiguously (≤10^4 shard rows; offsets via a
+    broadcast non-equi join of the tiny count table), and shard-local
+    row_numbers + offsets ARE the global rank.  The ascending rank by
+    (rev asc, custkey desc) is flipped to the (rev desc, custkey asc)
+    rank ntile is defined over, and the tile index is the standard
+    SQL formula from (rank, N) — pure integer arithmetic.  The only
+    global window runs over the 10 decile rows.  Revenue stays in
+    exact integer cents end-to-end; the two shares are exactly-rounded
+    int→double divisions."""
+    from pyspark.sql.window import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rev = orders.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("rev_cents")
+    )
+    keyed = rev.withColumn(
+        "_key", F.lpad(F.col("rev_cents").cast("string"), 18, "0")
+    ).withColumn("_shard", F.substring("_key", 1, 4))
+    lw = Window.partitionBy("_shard").orderBy(
+        F.asc("_key"), F.desc("o_custkey")
+    )
+    local = keyed.withColumn("_lr", F.row_number().over(lw))
+    counts = keyed.groupBy("_shard").agg(F.count(F.lit(1)).alias("_cnt"))
+    c2 = counts.select(F.col("_shard").alias("_s2"), F.col("_cnt").alias("_c2"))
+    offsets = (
+        counts.join(F.broadcast(c2), F.col("_s2") < F.col("_shard"), "left")
+        .groupBy("_shard")
+        .agg(F.coalesce(F.sum("_c2"), F.lit(0)).alias("_off"))
+    )
+    total_n = counts.agg(F.sum("_cnt").alias("_n"))
+    ranked = (
+        local.join(F.broadcast(offsets), "_shard")
+        .crossJoin(F.broadcast(total_n))
+        .withColumn("_rank", F.col("_n") - (F.col("_off") + F.col("_lr")) + 1)
+    )
+    # standard SQL ntile(k) from (rank, N): first N%k tiles get N/k+1 rows
+    k = 10
+    q = F.col("_n") - F.col("_n") % k  # q*k, kept integral
+    qq = (q / k).cast("long")
+    r = F.col("_n") % k
+    tile = F.when(
+        F.col("_rank") <= r * (qq + 1),
+        ((F.col("_rank") - 1) / (qq + 1)).cast("long") + 1,
+    ).otherwise(
+        # when N < k every rank lands in the first branch, so the
+        # greatest() only dodges a never-taken division by zero
+        r
+        + (
+            (F.col("_rank") - 1 - r * (qq + 1)) / F.greatest(qq, F.lit(1))
+        ).cast("long")
+        + 1
+    )
+    per_decile = (
+        ranked.withColumn("decile", tile)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev_cents").alias("revenue_cents"),
+        )
+    )
+    wall = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per_decile.withColumn("_total", F.sum("revenue_cents").over(wall))
+        .withColumn("_cum", F.sum("revenue_cents").over(wcum))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_customers",
+            "revenue_cents",
+            (
+                F.col("revenue_cents").cast("double")
+                / F.col("_total").cast("double")
+            ).alias("revenue_share"),
+            (
+                F.col("_cum").cast("double") / F.col("_total").cast("double")
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
+
+
 def customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -1167,4 +1265,88 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
         .orderBy("part_a", "part_b")
+    )
+
+
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: for every type pair, the
+    EXACT count of users who triggered both, plus each side's exact
+    audience size and the audience Jaccard — the cohort/segment overlap
+    matrix every growth dashboard carries.
+
+    Computed the roaring-bitmap way, not by a distinct-pair self-join:
+    each type's user set becomes 62-bit bitmap words (word = user_id
+    div 62, one bit_or aggregate — duplicate events are absorbed by OR,
+    no DISTINCT pass), and the pair intersection is a word-aligned
+    equi-join summing bit_count(a & b).
+
+    Scale shape (100 TB): the per-type bitmap is ≤ |user-id range|/62
+    rows regardless of event volume (the raw stream collapses map-side
+    into the OR), and the pair join shuffles bitmap words — never
+    (user, type) rows — so intersection cost is bound by the id space,
+    not the event count.  62 bits per word keeps the shifted literal
+    exact in engines whose 1<<63 overflows.
+
+    Output: (type_a, type_b, n_a, n_b, n_both, jaccard) for pairs with
+    n_both > 0, type_a < type_b; jaccard is one exactly-rounded
+    int/int division."""
+    ev = _events_with_ts_sec(spark, sf_dir)
+    words = (
+        ev.select(
+            "event_type",
+            F.expr("user_id DIV 62").alias("_word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))"
+            ).alias("_bit"),
+        )
+        .groupBy("event_type", "_word")
+        .agg(F.bit_or("_bit").alias("_bits"))
+    )
+    totals = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("_bits")).alias("_n")
+    )
+    a = words.select(
+        F.col("event_type").alias("type_a"),
+        "_word",
+        F.col("_bits").alias("_ba"),
+    )
+    b = words.select(
+        F.col("event_type").alias("type_b"),
+        "_word",
+        F.col("_bits").alias("_bb"),
+    )
+    inter = (
+        a.join(b, "_word")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.bit_count(F.col("_ba").bitwiseAND(F.col("_bb")))).alias(
+                "n_both"
+            )
+        )
+        .filter(F.col("n_both") > 0)
+    )
+    ta = totals.select(
+        F.col("event_type").alias("type_a"), F.col("_n").alias("n_a")
+    )
+    tb = totals.select(
+        F.col("event_type").alias("type_b"), F.col("_n").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
     )

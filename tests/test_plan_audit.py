@@ -61,6 +61,9 @@ GLOBAL_AGG_OK = {
     "events_gapfill",  # scalar min/max bucket bounds for the spine
     # sequence (one partial row per task through the exchange),
     # exploded and broadcast back onto the tiny series table
+    "customer_value_deciles",  # scalar N over the ≤10^4-row shard-count
+    # table, and the final cum-share window over the 10 decile rows —
+    # the per-customer rank itself is the sharded two-level form
 }
 
 

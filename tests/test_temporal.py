@@ -589,3 +589,99 @@ def test_gapfill_locf_semantics(spark):
     assert b0["n_events"] == 0 and b0["filled_value"] is None and b0["is_gap"]
     assert (b1["n_events"], b1["filled_value"]) == (1, 5.0)
     assert (b2["n_events"], b2["filled_value"], b2["is_gap"]) == (0, 5.0, True)
+
+
+@pytest.mark.parametrize("n_cust", [7, 23, 40])
+def test_customer_value_deciles_matches_native_ntile(spark, tmp_path, n_cust):
+    """The arithmetic tile-from-(rank, N) must equal Spark's own
+    ntile(10) over the (rev DESC, custkey) order — including N < k and
+    N % k != 0 — and the shares must be exact cents ratios."""
+    import datetime as dt
+
+    from pyspark.sql.window import Window
+
+    from tax_compliance_engine_spark.plans.queries import (
+        customer_value_deciles,
+    )
+
+    d = dt.datetime(1995, 1, 1)
+    rows = []
+    for c in range(1, n_cust + 1):
+        for j in range((c % 3) + 1):  # 1-3 orders per customer
+            rows.append((c * 100 + j, c, "O", float(c * 7 + j) + 0.25, d, "x"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+
+    out = {r["decile"]: r for r in customer_value_deciles(spark, str(tmp_path)).collect()}
+
+    rev = (
+        spark.read.parquet(f"{tmp_path}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    native = (
+        rev.withColumn(
+            "decile",
+            F.ntile(10).over(
+                Window.orderBy(F.desc("rev_cents"), F.asc("o_custkey"))
+            ),
+        )
+        .groupBy("decile")
+        .agg(F.count("*").alias("n"), F.sum("rev_cents").alias("cents"))
+    )
+    exp = {r["decile"]: r for r in native.collect()}
+    assert set(out) == set(exp)
+    total = sum(r["cents"] for r in exp.values())
+    cum = 0
+    for dec in sorted(exp):
+        cum += exp[dec]["cents"]
+        assert out[dec]["n_customers"] == exp[dec]["n"]
+        assert out[dec]["revenue_cents"] == exp[dec]["cents"]
+        assert out[dec]["revenue_share"] == exp[dec]["cents"] / total
+        assert out[dec]["cum_share"] == cum / total
+
+
+def test_events_audience_overlap_bitmap_exact(spark, tmp_path):
+    """Bitmap-word intersection equals the brute-force distinct-user
+    overlap, across word boundaries (users 61/62/124) and duplicate
+    events; zero-overlap pairs are dropped."""
+    import datetime as dt
+
+    from tax_compliance_engine_spark.plans.queries import (
+        events_audience_overlap,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    # a: {1, 61, 62, 124}   b: {61, 62, 200}   c: {999}
+    rows = [
+        (1, t0, 1, "a", 1.0, ""),
+        (2, t0, 61, "a", 1.0, ""),
+        (3, t0, 61, "a", 1.0, ""),  # duplicate (absorbed by OR)
+        (4, t0, 62, "a", 1.0, ""),
+        (5, t0, 124, "a", 1.0, ""),
+        (6, t0, 61, "b", 1.0, ""),
+        (7, t0, 62, "b", 1.0, ""),
+        (8, t0, 200, "b", 1.0, ""),
+        (9, t0, 999, "c", 1.0, ""),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    out = {
+        (r["type_a"], r["type_b"]): r
+        for r in events_audience_overlap(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {("a", "b")}  # c overlaps nothing -> dropped
+    r = out[("a", "b")]
+    assert (r["n_a"], r["n_b"], r["n_both"]) == (4, 3, 2)
+    assert r["jaccard"] == 2.0 / 5.0
