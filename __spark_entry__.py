@@ -151,6 +151,11 @@ def oracle_sql() -> dict[str, str]:
         # tables) — oracle-only swept entry.
         "supplier_part_revenue": oracle.supplier_part_revenue_sql(),
         "top_customers": oracle.top_customers_sql(),
+        # lineitem_regression: exact closed-form OLS per return flag —
+        # sufficient statistics in DECIMAL(38,0)/HUGEINT, coefficients
+        # via correctly-rounded conversions + one pinned IEEE
+        # expression — oracle-only swept entry.
+        "lineitem_regression": oracle.lineitem_regression_sql(),
         # customer_value_deciles: exact NTILE(10) Pareto/Lorenz rollup
         # via the two-level sharded global rank (no single-partition
         # sort), integer-cents revenue — oracle-only swept entry.
@@ -177,6 +182,14 @@ def oracle_sql() -> dict[str, str]:
         # swept entry.
         "events_audience_overlap": oracle.events_audience_overlap_sql(),
         "events_asof_both": oracle.events_asof_both_sql(),
+        # events_pivot: hour × type crosstab with an EXPLICIT pivot
+        # vocabulary (no implicit distinct-values job) — oracle-only
+        # swept entry.
+        "events_pivot": oracle.events_pivot_sql(),
+        # events_unpivot: wide→long melt of the pivot matrix (row-local
+        # stack(), no added shuffle; DuckDB native UNPIVOT twin) —
+        # oracle-only swept entry.
+        "events_unpivot": oracle.events_unpivot_sql(),
         "events_asof": oracle.events_asof_sql(),
         "events_asof_next": oracle.events_asof_next_sql(),
         "events_range_pairs": oracle.events_range_pairs_sql(),
@@ -204,6 +217,11 @@ def oracle_sql() -> dict[str, str]:
         # the sorted-neighborhood candidate stream (typo/OCR variants
         # token Jaccard can't grade) — oracle-only swept entry.
         "dedup_editdist_pairs": oracle_dataops.dedup_editdist_pairs_sql(),
+        # dedup_er_pipeline: end-to-end entity resolution (SNM block →
+        # Levenshtein verify → star-contraction components → canonical
+        # id + keep) composed under ONE hash gate — oracle-only swept
+        # entry.
+        "dedup_er_pipeline": oracle_dataops.dedup_er_pipeline_sql(),
         "dedup_sigs": oracle_dataops.dedup_sigs_sql(),
         "dedup_minhash_sigs": oracle_dataops.dedup_minhash_sigs_sql(),
         "dedup_minhash_pairs": oracle_dataops.dedup_minhash_pairs_sql(),
@@ -318,6 +336,12 @@ def oracle_sql() -> dict[str, str]:
         "corpus_sliding_windows": (
             oracle_corpus.corpus_sliding_windows_sql()
         ),
+        # corpus_weighted_median: token-weighted median doc length per
+        # source (2·cumw ≥ W suffix rule, integer-only; the data-mass
+        # length diagnostic) — oracle-only swept entry.
+        "corpus_weighted_median": (
+            oracle_dataops.corpus_weighted_median_sql()
+        ),
         # corpus_weighted_sample: per-row importance sampling — keep
         # probability an exact integer ratio via cross-multiplication
         # on the LCG key (no float round-off) — oracle-only swept entry.
@@ -341,6 +365,12 @@ def oracle_sql() -> dict[str, str]:
         # oracle-only swept entry.
         "corpus_contamination_scores": (
             oracle_corpus.corpus_contamination_scores_sql()
+        ),
+        # corpus_distinctive_terms: per-source distinctive vocabulary
+        # (exact integer-cross-product lift, sharded per-source top-10)
+        # — oracle-only swept entry.
+        "corpus_distinctive_terms": (
+            oracle_dataops.corpus_distinctive_terms_sql()
         ),
         # corpus_distinct_sketch: deterministic KMV cardinality sketch
         # (portable alternative to approx_count_distinct), bit-exact twin
@@ -425,6 +455,11 @@ def oracle_sql() -> dict[str, str]:
         # pos-ordered folds + two-level per-cell means) — oracle-only
         # swept entry.
         "embedding_silhouette": oracle_dataops.embedding_silhouette_sql(),
+        # embedding_bfs_dist: multi-source BFS hop distance from the
+        # label-0 seed set over the near-dup graph (plan-unrolled
+        # expand + groupBy-min vs a recursive-CTE twin) — oracle-only
+        # swept entry.
+        "embedding_bfs_dist": oracle_dataops.embedding_bfs_dist_sql(),
         # embedding_communities: synchronous label-propagation
         # communities over the near-dup graph (min-label tie-break,
         # integer-exact) — oracle-only swept entry.
@@ -463,4 +498,8 @@ def oracle_sql() -> dict[str, str]:
         # oracle-only swept entry.
         "events_gapfill": oracle.events_gapfill_sql(),
         "knn_recall_eval": oracle_dataops.knn_recall_eval_sql(),
+        # knn_label_vote: kNN majority-label classification over the
+        # exact top-5 neighbors (votes-desc/label-asc argmax, truth
+        # join for accuracy) — oracle-only swept entry.
+        "knn_label_vote": oracle_dataops.knn_label_vote_sql(),
     }

@@ -67,6 +67,17 @@ BENCH_QUERIES = [
     "events_retention",
     "events_anomalies",
     "embedding_triangles",
+    "events_gapfill",
+    "customer_value_deciles",
+    "events_audience_overlap",
+    "dedup_editdist_pairs",
+    "embedding_bfs_dist",
+    "lineitem_regression",
+    "events_pivot",
+    "corpus_weighted_median",
+    "corpus_distinctive_terms",
+    "knn_label_vote",
+    "dedup_er_pipeline",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

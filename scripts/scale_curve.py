@@ -71,6 +71,16 @@ SCALE_QUERIES = [
     "embedding_triangles",
     "corpus_cooccurrence",
     "dedup_span_coverage",
+    "events_gapfill",
+    "customer_value_deciles",
+    "events_audience_overlap",
+    "dedup_editdist_pairs",
+    "embedding_bfs_dist",
+    "lineitem_regression",
+    "events_pivot",
+    "corpus_weighted_median",
+    "corpus_distinctive_terms",
+    "dedup_er_pipeline",
 ]
 
 
@@ -81,8 +91,9 @@ def build_scaled(spark, out_dir: str) -> None:
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
     orders = spark.read.parquet(f"{BASE}/orders.parquet")
     events = spark.read.parquet(f"{BASE}/events.parquet")
+    lineitem = spark.read.parquet(f"{BASE}/lineitem.parquet")
 
-    doc_parts, emb_parts, ord_parts, ev_parts = [], [], [], []
+    doc_parts, emb_parts, ord_parts, ev_parts, li_parts = [], [], [], [], []
     for k in range(COPIES):
         tag = f"c{k}_"
         retok = F.concat(
@@ -120,6 +131,13 @@ def build_scaled(spark, out_dir: str) -> None:
                 "event_id", F.col("event_id") + k * 10**9
             ).withColumn("user_id", F.col("user_id") + k * 10**7)
         )
+        # lineitem: orderkeys offset per copy (regression groups keep
+        # their per-flag structure at 10x the rows)
+        li_parts.append(
+            lineitem.withColumn(
+                "l_orderkey", F.col("l_orderkey") + k * 10**10
+            )
+        )
 
     def union_all(parts):
         out = parts[0]
@@ -139,6 +157,9 @@ def build_scaled(spark, out_dir: str) -> None:
     )
     union_all(ev_parts).write.mode("overwrite").parquet(
         str(out / "events.parquet")
+    )
+    union_all(li_parts).write.mode("overwrite").parquet(
+        str(out / "lineitem.parquet")
     )
 
 

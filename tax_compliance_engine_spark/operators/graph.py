@@ -283,3 +283,53 @@ def lpa_communities(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     return labels.select("node", F.col("label").alias("community")).orderBy(
         "node"
     )
+
+
+def bfs_distance(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Multi-source BFS hop distance: for every node reachable from the
+    seed set within ``max_hops`` undirected hops, the exact minimum hop
+    count (seeds are 0; unreachable nodes are absent).  The graph-
+    traversal primitive behind contamination spread ("everything within
+    k hops of a known-bad document") and seed-expansion labeling.
+
+    Pure integer function of the graph — bit-exact by construction.
+
+    Plan shape: ``max_hops`` is a plan-build unroll (one lazy plan,
+    like ``lpa_communities``); each round expands the CURRENT distance
+    table across the edge list (one equi-join hash-shuffled on src) and
+    collapses with a groupBy-min on node, so the plan grows LINEARLY in
+    hops and dominated rows never survive a round.  Expanding from the
+    full table rather than the frontier trades ≤ hops× extra join rows
+    for a plan with no anti-join against an ever-growing union — the
+    right trade for a bounded unroll (classic frontier BFS wins only
+    with an iterative-checkpoint driver loop, which breaks the
+    one-lazy-plan / resumable-oracle property every operator here
+    keeps).  Hub nodes fold through partial min aggregation, never a
+    per-node sort.
+
+    ``seeds``: one ``node`` column; ``edges``: (src, dst), pass both
+    directions for undirected semantics."""
+    sym = edges.select("src", "dst")
+    dist = (
+        seeds.select("node")
+        .distinct()
+        .select("node", F.lit(0).cast("int").alias("dist"))
+    )
+    for i in range(int(max_hops)):
+        # per-round aliases: the edge list re-enters the plan every
+        # round, so unqualified refs would be ambiguous self-joins
+        e, d = sym.alias(f"_e{i}"), dist.alias(f"_d{i}")
+        hop = d.join(
+            e, F.col(f"_d{i}.node") == F.col(f"_e{i}.src")
+        ).select(
+            F.col(f"_e{i}.dst").alias("node"),
+            (F.col(f"_d{i}.dist") + 1).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(hop)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.orderBy("node")

@@ -1119,3 +1119,75 @@ JOIN tc ta ON ta.event_type = a.event_type
 JOIN tc tb ON tb.event_type = b.event_type
 GROUP BY a.event_type, b.event_type, ta.n, tb.n
 ORDER BY type_a, type_b"""
+
+
+def lineitem_regression_sql() -> str:
+    """Twin of queries.lineitem_regression: the same sufficient
+    statistics in HUGEINT (exact integers, == Spark's DECIMAL(38,0)
+    path), the same correctly-rounded wide-int→double conversions, and
+    the coefficient expressions written with the identical IEEE op
+    order."""
+    return """
+WITH rows_i AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS x,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM lineitem),
+s AS (
+  SELECT l_returnflag, count(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy
+  FROM rows_i GROUP BY 1),
+c AS (
+  SELECT l_returnflag, n, sx, sy,
+         CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+         CAST(n AS HUGEINT) * sxx - sx * sx AS den
+  FROM s)
+SELECT l_returnflag, n,
+       CAST(sx AS DOUBLE) AS sum_qty,
+       CAST(sy AS DOUBLE) AS sum_cents,
+       CAST(num AS DOUBLE) AS slope_num,
+       CAST(den AS DOUBLE) AS slope_den,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope_cents_per_unit,
+       (CAST(sy AS DOUBLE)
+        - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept_cents
+FROM c
+ORDER BY l_returnflag"""
+
+
+def events_pivot_sql() -> str:
+    """Twin of queries.events_pivot: the same hour × type crosstab as
+    explicit FILTER aggregates (the portable spelling of a
+    fixed-vocabulary pivot)."""
+    cols = ",\n       ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+        for t in ["click", "error", "purchase", "signup", "view"]
+    )
+    return f"""
+SELECT ((epoch_ns(ts) // 1000000000)
+        - (epoch_ns(ts) // 1000000000) % 3600) AS hour_sec,
+       {cols},
+       count(*) FILTER (WHERE event_type IN
+         ('click', 'error', 'purchase', 'signup', 'view')) AS n_total
+FROM events
+GROUP BY 1
+ORDER BY hour_sec"""
+
+
+def events_unpivot_sql() -> str:
+    """Twin of queries.events_unpivot: DuckDB's native UNPIVOT over the
+    same FILTER-aggregate crosstab, column names mapped back to the
+    type vocabulary, zero cells dropped."""
+    return f"""
+WITH wide AS (
+{events_pivot_sql()}
+),
+melted AS (
+  SELECT hour_sec, t, n
+  FROM (UNPIVOT wide ON n_click, n_error, n_purchase, n_signup, n_view
+        INTO NAME t VALUE n))
+SELECT hour_sec, substr(t, 3) AS event_type, n
+FROM melted WHERE n > 0
+ORDER BY hour_sec, event_type"""

@@ -1906,3 +1906,133 @@ WHERE m > 0
   AND CAST(1 AS DOUBLE) - CAST(edit_dist AS DOUBLE) / CAST(m AS DOUBLE)
         >= CAST({threshold!r} AS DOUBLE)
 ORDER BY doc1, doc2"""
+
+
+def embedding_bfs_dist_sql(threshold: float = 0.35, max_hops: int = 3) -> str:
+    """Twin of queries_dataops.embedding_bfs_dist: the verbatim
+    embedding_dup_pairs CTE symmetrized, then a RECURSIVE CTE whose
+    UNION dedups (node, dist) pairs per level (terminating at the hop
+    cap) with the final min(dist) per node — exactly the groupBy-min
+    the Spark unroll converges to.  Pure integers throughout."""
+    pairs_sql = embedding_dup_pairs_sql(threshold)
+    return f"""
+WITH RECURSIVE pairs AS (
+{pairs_sql}
+),
+e AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION ALL SELECT id2, id1 FROM pairs),
+reach(node, dist) AS (
+  SELECT vec_id, 0 FROM embeddings WHERE label = 0
+  UNION
+  SELECT e.dst, r.dist + 1
+  FROM reach r JOIN e ON e.src = r.node
+  WHERE r.dist < {max_hops})
+SELECT node AS vec_id, CAST(min(dist) AS INTEGER) AS dist
+FROM reach GROUP BY node ORDER BY node"""
+
+
+def corpus_weighted_median_sql() -> str:
+    """Twin of queries_dataops.corpus_weighted_median: the identical
+    cumulative-weight window over (n_chars, doc_id) and the same
+    2·cumw ≥ W suffix rule, taking the first qualifying row per source
+    — pure integers throughout."""
+    return f"""
+WITH toks AS (
+  SELECT source, doc_id, n_chars,
+         CAST(len({TOKENS}) AS BIGINT) AS w
+  FROM documents),
+cum AS (
+  SELECT source, doc_id, n_chars, w,
+         SUM(w) OVER (PARTITION BY source ORDER BY n_chars, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumw,
+         SUM(w) OVER (PARTITION BY source) AS total
+  FROM toks),
+med AS (
+  SELECT source, min(n_chars ORDER BY n_chars, doc_id) AS w_median_chars
+  FROM cum WHERE 2 * cumw >= total GROUP BY source),
+stats AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(SUM(w) AS BIGINT) AS total_tokens
+  FROM toks GROUP BY source)
+SELECT s.source, s.n_docs, s.total_tokens, m.w_median_chars
+FROM stats s JOIN med m ON m.source = s.source
+ORDER BY s.source"""
+
+
+def knn_label_vote_sql(k: int = 5, modulus: int = 50) -> str:
+    """Twin of queries_dataops.knn_label_vote: the verbatim
+    knn_bruteforce twin as a CTE, the same (votes DESC, label ASC)
+    argmax via row_number, and the truth join — integer-exact on top
+    of the bit-exact neighbor set."""
+    return f"""
+WITH nn AS (
+{knn_bruteforce_sql(k=k, modulus=modulus)}
+),
+v AS (
+  SELECT n.query_id, e.label, count(*) AS c
+  FROM nn n JOIN embeddings e ON e.vec_id = n.neighbor_id
+  GROUP BY 1, 2),
+pred AS (
+  SELECT query_id, label AS predicted_label, c AS n_votes
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY c DESC, label) AS r FROM v) t
+  WHERE r = 1)
+SELECT p.query_id, p.predicted_label, p.n_votes,
+       e.label AS true_label,
+       p.predicted_label = e.label AS correct
+FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+ORDER BY p.query_id"""
+
+
+def corpus_distinctive_terms_sql(min_df: int = 3, k: int = 10) -> str:
+    """Twin of queries_dataops.corpus_distinctive_terms: identical
+    distinct-(source, doc, token) frequencies, the same integer
+    cross-product lift under one exactly-rounded division, plain
+    window top-k per source (== the sharded two-level rank)."""
+    return f"""
+WITH per_doc AS (
+  SELECT DISTINCT source, doc_id, t.tok
+  FROM documents, unnest({TOKENS}) AS t(tok)),
+di AS (SELECT source, tok, count(*) AS df_in FROM per_doc GROUP BY 1, 2),
+da AS (SELECT tok, count(*) AS df_all FROM per_doc GROUP BY 1),
+ns AS (SELECT source, count(*) AS n_source FROM documents GROUP BY 1),
+nt AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT di.source, di.tok, di.df_in, da.df_all, ns.n_source, nt.n_docs,
+         CAST(di.df_in * nt.n_docs AS DOUBLE)
+           / CAST(ns.n_source * da.df_all AS DOUBLE) AS lift
+  FROM di
+  JOIN da USING (tok) JOIN ns USING (source), nt
+  WHERE di.df_in >= {min_df}),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY lift DESC, tok) AS r
+  FROM scored)
+SELECT source, tok, df_in, df_all, n_source, n_docs, lift
+FROM ranked WHERE r <= {k}
+ORDER BY source, lift DESC, tok"""
+
+
+def dedup_er_pipeline_sql(threshold: float = 0.8) -> str:
+    """Twin of queries_dataops.dedup_er_pipeline: the verbatim
+    editdist-pairs twin as the edge CTE, min-reachable-id closure via
+    the same recursive-CTE construction as the other cluster twins
+    (the fixed point is algorithm-independent), singletons included."""
+    pairs_sql = dedup_editdist_pairs_sql(threshold=threshold)
+    return f"""
+WITH RECURSIVE pairs AS (
+{pairs_sql}
+),
+adj AS (
+  SELECT doc1 AS node, doc2 AS nbr FROM pairs
+  UNION ALL
+  SELECT doc2 AS node, doc1 AS nbr FROM pairs),
+reach AS (
+  SELECT doc_id AS node, doc_id AS lab FROM documents
+  UNION
+  SELECT a.node, r.lab FROM adj a JOIN reach r ON r.node = a.nbr)
+SELECT node AS doc_id, MIN(lab) AS canonical_id,
+       node = MIN(lab) AS keep
+FROM reach GROUP BY node ORDER BY node"""

@@ -1350,3 +1350,110 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+def lineitem_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact closed-form OLS (price-vs-quantity) per return flag — the
+    sufficient-statistics regression a scan-once pipeline trains
+    distributed: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with every
+    sum and cross-product kept in EXACT integer arithmetic
+    (DECIMAL(38,0) — quantities are integral, prices become cents), so
+    the only floats are the final correctly-rounded int→double
+    conversions plus one fixed IEEE expression per coefficient,
+    identical in any engine.
+
+    Scale shape (100 TB): ONE aggregation pass with map-side partials
+    over a 3-key groupBy — the textbook "ML on sufficient statistics"
+    plan; nothing wide, nothing iterative, no collect."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    big = "decimal(38,0)"
+    qty = F.col("l_quantity").cast("decimal(18,2)").cast(big)
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(big)
+    s = (
+        li.select(
+            "l_returnflag", qty.alias("_x"), cents.alias("_y")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_x").alias("_sx"),
+            F.sum("_y").alias("_sy"),
+            F.sum((F.col("_x") * F.col("_x")).cast(big)).alias("_sxx"),
+            F.sum((F.col("_x") * F.col("_y")).cast(big)).alias("_sxy"),
+        )
+    )
+    n_dec = F.col("n").cast(big)
+    num = (n_dec * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(big)
+    den = (n_dec * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(big)
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        F.col("_sy").cast("double") - slope * F.col("_sx").cast("double")
+    ) / F.col("n").cast("double")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.col("_sx").cast("double").alias("sum_qty"),
+        F.col("_sy").cast("double").alias("sum_cents"),
+        num.cast("double").alias("slope_num"),
+        den.cast("double").alias("slope_den"),
+        slope.alias("slope_cents_per_unit"),
+        intercept.alias("intercept_cents"),
+    ).orderBy("l_returnflag")
+
+
+# the five event types are a closed vocabulary in this schema; pivots
+# MUST be given their column set up front — Spark's values-less
+# .pivot() silently runs a blocking collect-distinct job first, which
+# at 100 TB is a full extra scan before the plan even builds
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour × event-type crosstab (the pivot/wide-matrix operator):
+    one row per hour, one exact count column per type plus the row
+    total — the dashboard-matrix shape BI layers ask of an engine.
+
+    Scale shape: a pivot with EXPLICIT values is exactly one groupBy
+    with |values| conditional aggregates — map-side combinable, no
+    second pass, no collect; the type vocabulary is pinned
+    (EVENT_TYPES) so the plan never runs Spark's implicit
+    distinct-values job."""
+    ev = _events_with_ts_sec(spark, sf_dir)
+    hour_sec = (F.col("ts_sec") - F.col("ts_sec") % 3600).alias("hour_sec")
+    out = (
+        ev.groupBy(hour_sec)
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [
+        F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES
+    ]
+    total = None
+    for t in EVENT_TYPES:
+        c = F.coalesce(F.col(t), F.lit(0))
+        total = c if total is None else total + c
+    return out.select(
+        "hour_sec", *cols, total.alias("n_total")
+    ).orderBy("hour_sec")
+
+
+def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse of events_pivot: the wide hour × type
+    matrix back to long (hour_sec, event_type, n) rows, zero cells
+    dropped.  Round-tripping through the pivoted matrix (rather than
+    just re-aggregating) exercises the wide→long operator itself;
+    stack() is row-local, so the melt adds NO shuffle to the pivot
+    plan."""
+    wide = events_pivot(spark, sf_dir)
+    stack_args = ", ".join(f"'{t}', n_{t}" for t in EVENT_TYPES)
+    return (
+        wide.select(
+            "hour_sec",
+            F.expr(
+                f"stack({len(EVENT_TYPES)}, {stack_args}) "
+                "AS (event_type, n)"
+            ),
+        )
+        .filter(F.col("n") > 0)
+        .orderBy("hour_sec", "event_type")
+    )

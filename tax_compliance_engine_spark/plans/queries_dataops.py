@@ -1145,3 +1145,201 @@ def dedup_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 - dist/max(len) on the ASCII-normalized 256-char prefix (where
     Spark codepoint and DuckDB byte Levenshtein agree)."""
     return dedup.editdist_pairs(_docs(spark, sf_dir))
+
+
+def embedding_bfs_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (graph.bfs_distance) over the symmetrized
+    embedding near-dup graph: exact hop distance from the label-0
+    seed set within 3 hops — the contamination-spread / seed-expansion
+    traversal, verified against a recursive-CTE oracle."""
+    from ..operators import graph
+
+    emb = _emb(spark, sf_dir)
+    pairs = similarity.embedding_dup_pairs(emb, threshold=0.35)
+    edges = pairs.select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
+    )
+    seeds = emb.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("node")
+    )
+    return graph.bfs_distance(edges, seeds, max_hops=3).select(
+        F.col("node").alias("vec_id"), "dist"
+    )
+
+
+def corpus_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted median document length per source: the n_chars
+    value below which half the source's TOKENS live — the data-mass
+    length diagnostic (an unweighted median over-represents tiny docs;
+    training budgets are spent in tokens, not documents).
+
+    Exact and integer-only: per source, docs ordered by (n_chars,
+    doc_id) accumulate token weight in one window; the weighted median
+    is the first row where 2·cumw ≥ W — the qualifying set is a suffix
+    of the order, so its first element is min(struct(n_chars, doc_id))
+    under one narrow groupBy (no second sort, hub sources fold partial
+    minima).
+
+    Scale shape: one hash shuffle on source for the cumulative window,
+    one narrow groupBy — per-source history in one task is the same
+    inherent bound any per-key window has."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.size(textops.tokens_col(F.col("text"))).cast("long").alias("_w"),
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    cum = toks.withColumn(
+        "_cumw", F.sum("_w").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn(
+        "_total", F.sum("_w").over(w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+    )
+    stats = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_w").alias("total_tokens"),
+    )
+    med = (
+        cum.filter(2 * F.col("_cumw") >= F.col("_total"))
+        .groupBy("source")
+        .agg(
+            F.min(F.struct("n_chars", "doc_id")).alias("_m")
+        )
+        .select("source", F.col("_m.n_chars").alias("w_median_chars"))
+    )
+    return (
+        stats.join(med, "source")
+        .select("source", "n_docs", "total_tokens", "w_median_chars")
+        .orderBy("source")
+    )
+
+
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification over the exact top-5 cosine neighbors: each
+    query vector (every 50th id, treated as unlabeled) takes the
+    majority label of its neighbors, ties broken on the smallest label
+    — the label-propagation / weak-supervision primitive of an
+    embedding pipeline, with the true label joined back for an
+    accuracy readout.
+
+    The argmax is max(struct(votes, −label)) under one narrow groupBy
+    (integer-exact, hubs fold partial maxima); the neighbor search is
+    the guarded brute-force scorer — swap in ivf_knn for corpus-scale
+    query sets, the vote plan is identical."""
+    emb = _emb(spark, sf_dir)
+    nn = similarity.knn_bruteforce(
+        emb, query_pred=F.col("vec_id") % 50 == 0, k=5
+    )
+    nl = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("_nl")
+    )
+    pred = (
+        nn.join(nl, "neighbor_id")
+        .groupBy("query_id", "_nl")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("query_id")
+        .agg(
+            F.max(
+                F.struct(F.col("_c"), (-F.col("_nl")).alias("_neg"))
+            ).alias("_m")
+        )
+        .select(
+            "query_id",
+            (-F.col("_m._neg")).alias("predicted_label"),
+            F.col("_m._c").alias("n_votes"),
+        )
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        pred.join(truth, "query_id")
+        .select(
+            "query_id",
+            "predicted_label",
+            "n_votes",
+            "true_label",
+            (F.col("predicted_label") == F.col("true_label")).alias(
+                "correct"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def corpus_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary: the top-10 tokens whose
+    document frequency inside a source most exceeds their corpus-wide
+    rate (exact lift = (df_in/n_source)/(df_all/N), computed as ONE
+    exactly-rounded division of exact integer cross-products) — the
+    "what makes this source different" diagnostic behind source-mix
+    decisions, df_in ≥ 3 to kill one-off noise.
+
+    Scale shape: distinct (source, doc, token) collapses map-side; the
+    (source, token) and (token) frequency aggregations are narrow; the
+    per-source top-10 runs through the sharded two-level rank
+    (operators/topk.py) so a giant vocabulary never sorts in one task.
+    N rides a broadcast scalar."""
+    from ..operators.topk import top_k_per_group
+
+    docs = _docs(spark, sf_dir)
+    per_doc = docs.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.array_distinct(textops.tokens_col(F.col("text")))
+        ).alias("tok"),
+    )
+    df_in = per_doc.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("df_in")
+    )
+    df_all = per_doc.groupBy("tok").agg(F.count(F.lit(1)).alias("df_all"))
+    n_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+    n_total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        df_in.filter(F.col("df_in") >= 3)
+        .join(df_all, "tok")
+        .join(F.broadcast(n_src), "source")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "lift",
+            (F.col("df_in") * F.col("n_docs")).cast("double")
+            / (F.col("n_source") * F.col("df_all")).cast("double"),
+        )
+    )
+    top = top_k_per_group(
+        scored,
+        group_cols=["source"],
+        order_by=[F.desc("lift"), F.asc("tok")],
+        k=10,
+    )
+    return top.select(
+        "source", "tok", "df_in", "df_all", "n_source", "n_docs", "lift"
+    ).orderBy("source", F.desc("lift"), "tok")
+
+
+def dedup_er_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution under ONE hash gate (the
+    record-linkage composition, like corpus_clean_pipeline for
+    cleaning): BLOCK with the sorted-neighborhood candidate window →
+    VERIFY with Levenshtein (dedup.editdist_pairs, sim ≥ 0.8) →
+    CLUSTER with large-star/small-star connected components
+    (dedup.dup_clusters) → per doc its canonical (minimum reachable)
+    id and a keep flag.  Every stage is the already-gated operator;
+    the composition pins that they agree end to end."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.editdist_pairs(docs, threshold=0.8).select(
+        "doc1", "doc2"
+    )
+    clusters = dedup.dup_clusters(docs.select("doc_id"), pairs)
+    return clusters.select(
+        "doc_id",
+        F.col("cluster_id").alias("canonical_id"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    ).orderBy("doc_id")

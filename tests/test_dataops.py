@@ -2601,3 +2601,138 @@ def test_editdist_pairs_matches_snm_candidates(spark):
     assert scored <= cand
     # threshold=0 keeps every candidate whose max normalized length > 0
     assert len(scored) >= len(cand) - 5
+
+
+def test_bfs_distance_semantics(spark):
+    """Min distance wins on multi-path nodes, the hop cap truncates,
+    isolated seeds still emit dist 0, unreachable nodes are absent."""
+    from tax_compliance_engine_spark.operators.graph import bfs_distance
+
+    # chain 1-2-3-4-5 plus shortcut 1-4; island 9; seed {1, 9}
+    undirected = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)]
+    edges = spark.createDataFrame(
+        undirected + [(b, a) for a, b in undirected], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (9,)], "node long")
+    out = {
+        r["node"]: r["dist"]
+        for r in bfs_distance(edges, seeds, max_hops=2).collect()
+    }
+    # 4 is 1 hop via the shortcut (not 3 via the chain); 5 is 2 hops
+    assert out == {1: 0, 9: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+    out3 = {
+        r["node"]: r["dist"]
+        for r in bfs_distance(edges, seeds, max_hops=1).collect()
+    }
+    assert out3 == {1: 0, 9: 0, 2: 1, 4: 1}
+
+
+def test_corpus_weighted_median_hand_weighted(spark, tmp_path):
+    """The weighted median is the first length where cumulative token
+    weight reaches half the total — NOT the middle document."""
+    from tax_compliance_engine_spark.plans.queries_dataops import (
+        corpus_weighted_median,
+    )
+
+    # source s: lengths 1,2,3 with token weights 1,2,8 -> W=11,
+    # cum(1)=1, cum(2)=3, cum(3)=11; first 2*cum>=11 is n_chars=3
+    # (an unweighted median would say 2)
+    docs = [
+        (1, "a", "en", "s", 1),
+        (2, "b c", "en", "s", 2),
+        (3, " ".join(["w"] * 8), "en", "s", 3),
+        # source t: single doc
+        (4, "x y", "en", "t", 7),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r["source"]: r
+        for r in corpus_weighted_median(spark, str(tmp_path)).collect()
+    }
+    assert out["s"]["w_median_chars"] == 3
+    assert out["s"]["total_tokens"] == 11 and out["s"]["n_docs"] == 3
+    assert out["t"]["w_median_chars"] == 7
+
+
+def test_knn_label_vote_majority_and_tiebreak(spark, tmp_path):
+    """Crafted 2-D embeddings: the query's 5 nearest carry labels
+    [1,1,2,2,3] -> tie between 1 and 2 on votes, smallest label wins."""
+    import math
+
+    from tax_compliance_engine_spark.plans.queries_dataops import (
+        knn_label_vote,
+    )
+
+    rows = [(50, [1.0, 0.0], 9)]  # the query (id % 50 == 0), true label 9
+    # five near neighbors at small angles, labels 1,1,2,2,3
+    for i, (ang, lab) in enumerate(
+        [(0.01, 1), (0.02, 1), (0.03, 2), (0.04, 2), (0.05, 3)]
+    ):
+        rows.append((i + 1, [math.cos(ang), math.sin(ang)], lab))
+    # five far vectors (opposite direction) that must not be picked
+    for i in range(5):
+        rows.append((i + 10, [-1.0, float(i) * 0.1], 4))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = knn_label_vote(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["query_id"] == 50
+    assert r["predicted_label"] == 1 and r["n_votes"] == 2
+    assert r["true_label"] == 9 and r["correct"] is False
+
+
+def test_dedup_er_pipeline_transitive_chain(spark, tmp_path):
+    """A~B and B~C (one edit each) but A vs C two edits away must still
+    collapse into ONE cluster via transitivity; the canonical id is the
+    minimum, unrelated docs stay singleton keeps."""
+    from tax_compliance_engine_spark.plans.queries_dataops import (
+        dedup_er_pipeline,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again"
+    b = base.replace("dog", "dot")         # 1 edit from base
+    c = b.replace("quick", "quick1")       # 1 insert from b, 2 from base
+    docs = [
+        (1, base, "en", "s", len(base)),
+        (2, b, "en", "s", len(b)),
+        (3, c, "en", "s", len(c)),
+        (4, "zzz completely unrelated text qqq", "en", "s", 33),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r["doc_id"]: r for r in dedup_er_pipeline(spark, str(tmp_path)).collect()
+    }
+    assert out[1]["canonical_id"] == 1 and out[1]["keep"]
+    assert out[2]["canonical_id"] == 1 and not out[2]["keep"]
+    assert out[3]["canonical_id"] == 1 and not out[3]["keep"]
+    assert out[4]["canonical_id"] == 4 and out[4]["keep"]
+
+
+def test_corpus_distinctive_terms_lift(spark, tmp_path):
+    """A token appearing in ALL of one source's docs and nowhere else
+    gets lift = N/n_source and tops that source's list; a token uniform
+    across sources scores lift 1 and cannot outrank it."""
+    from tax_compliance_engine_spark.plans.queries_dataops import (
+        corpus_distinctive_terms,
+    )
+
+    docs = []
+    for i in range(4):
+        docs.append((i, f"common shared tok{i % 2} special", "en", "a", 30))
+    for i in range(4, 12):
+        docs.append((i, f"common shared tok{i % 2} other", "en", "b", 30))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = corpus_distinctive_terms(spark, str(tmp_path)).collect()
+    a_top = [r for r in out if r["source"] == "a"][0]
+    # "special": df_in=4, df_all=4, n_source=4, N=12 -> lift 3.0
+    assert a_top["tok"] == "special" and a_top["lift"] == 3.0
+    common = {r["tok"]: r for r in out if r["source"] == "a"}["common"]
+    assert common["lift"] == 1.0

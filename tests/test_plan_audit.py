@@ -64,6 +64,9 @@ GLOBAL_AGG_OK = {
     "customer_value_deciles",  # scalar N over the ≤10^4-row shard-count
     # table, and the final cum-share window over the 10 decile rows —
     # the per-customer rank itself is the sharded two-level form
+    "corpus_distinctive_terms",  # scalar N = n_docs for the lift
+    # denominator (one partial row per task through the exchange),
+    # broadcast back onto the (source, token) frequency table
 }
 
 

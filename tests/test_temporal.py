@@ -685,3 +685,76 @@ def test_events_audience_overlap_bitmap_exact(spark, tmp_path):
     r = out[("a", "b")]
     assert (r["n_a"], r["n_b"], r["n_both"]) == (4, 3, 2)
     assert r["jaccard"] == 2.0 / 5.0
+
+
+def test_lineitem_regression_exact_fit(spark, tmp_path):
+    """On perfectly collinear data (price = 300 + 50·qty cents) the
+    exact sufficient-statistics solve recovers slope/intercept with NO
+    float error; on a known small set the coefficients match the
+    hand-computed closed form."""
+    import datetime as dt
+
+    from tax_compliance_engine_spark.plans.queries import (
+        lineitem_regression,
+    )
+
+    d = dt.datetime(1995, 1, 1)
+    rows = []
+    # flag A: exact line y_cents = 300 + 50 x  (prices in dollars)
+    for i, x in enumerate([1, 2, 5, 10, 20]):
+        rows.append((i, 1, 1, i, float(x), (300 + 50 * x) / 100.0, "A"))
+    # flag B: hand-computed: points (1, 100c), (2, 200c), (3, 250c)
+    for i, (x, c) in enumerate([(1, 100), (2, 200), (3, 250)]):
+        rows.append((100 + i, 1, 1, i, float(x), c / 100.0, "B"))
+    df = spark.createDataFrame(
+        [
+            (ok, pk, sk, ln, q, p, 0.0, 0.0, fl, "O", d)
+            for ok, pk, sk, ln, q, p, fl in rows
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    out = {
+        r["l_returnflag"]: r
+        for r in lineitem_regression(spark, str(tmp_path)).collect()
+    }
+    a = out["A"]
+    assert a["slope_cents_per_unit"] == 50.0
+    assert a["intercept_cents"] == 300.0
+    b = out["B"]
+    # n=3 Sx=6 Sy=550 Sxx=14 Sxy=1250: num=3*1250-6*550=450, den=3*14-36=6
+    assert (b["slope_num"], b["slope_den"]) == (450.0, 6.0)
+    assert b["slope_cents_per_unit"] == 75.0
+    assert b["intercept_cents"] == (550.0 - 75.0 * 6.0) / 3.0
+
+
+def test_events_pivot_zero_fill(spark, tmp_path):
+    """Hours where a type is absent get an exact 0 column (not NULL),
+    and n_total sums only the pinned vocabulary."""
+    import datetime as dt
+
+    from tax_compliance_engine_spark.plans.queries import events_pivot
+
+    h0 = dt.datetime(2024, 1, 1, 0, 30)
+    h1 = dt.datetime(2024, 1, 1, 1, 15)
+    rows = [
+        (1, h0, 1, "click", 1.0, ""),
+        (2, h0, 2, "click", 1.0, ""),
+        (3, h0, 3, "view", 1.0, ""),
+        (4, h1, 1, "purchase", 1.0, ""),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r["hour_sec"]: r for r in events_pivot(spark, str(tmp_path)).collect()}
+    assert len(out) == 2
+    a = out[min(out)]
+    assert (a["n_click"], a["n_view"], a["n_purchase"], a["n_error"]) == (2, 1, 0, 0)
+    assert a["n_total"] == 3
+    b = out[max(out)]
+    assert b["n_purchase"] == 1 and b["n_total"] == 1 and b["n_click"] == 0
