@@ -182,6 +182,16 @@ def oracle_sql() -> dict[str, str]:
         # swept entry.
         "events_audience_overlap": oracle.events_audience_overlap_sql(),
         "events_asof_both": oracle.events_asof_both_sql(),
+        # events_wow_growth: Monday-aligned week-over-week growth per
+        # type (lag over the weekly series, gaps explicit) —
+        # oracle-only swept entry.
+        "events_wow_growth": oracle.events_wow_growth_sql(),
+        # events_attribution_linear: trailing-hour multi-touch value
+        # split at pair grain (range join + one exactly-rounded
+        # cents/int division, no float sums) — oracle-only swept entry.
+        "events_attribution_linear": (
+            oracle.events_attribution_linear_sql()
+        ),
         # events_pivot: hour × type crosstab with an EXPLICIT pivot
         # vocabulary (no implicit distinct-values job) — oracle-only
         # swept entry.
@@ -203,6 +213,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_counts": oracle_dataops.doc_token_counts_sql(),
         "doc_fingerprints": oracle_dataops.doc_fingerprints_sql(),
         "doc_repetition": oracle_dataops.doc_repetition_sql(),
+        # doc_mad_outliers: robust per-source length outliers via lower
+        # medians + MAD (integer-only; the z-score that outliers can't
+        # drag) — oracle-only swept entry.
+        "doc_mad_outliers": oracle_dataops.doc_mad_outliers_sql(),
         "doc_scrub_pii": oracle_dataops.doc_scrub_pii_sql(),
         "corpus_length_profile": oracle_dataops.corpus_length_profile_sql(),
         "dedup_exact": oracle_dataops.dedup_exact_sql(),

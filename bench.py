@@ -78,6 +78,9 @@ BENCH_QUERIES = [
     "corpus_distinctive_terms",
     "knn_label_vote",
     "dedup_er_pipeline",
+    "events_wow_growth",
+    "events_attribution_linear",
+    "doc_mad_outliers",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

@@ -81,6 +81,8 @@ SCALE_QUERIES = [
     "corpus_weighted_median",
     "corpus_distinctive_terms",
     "dedup_er_pipeline",
+    "events_attribution_linear",
+    "doc_mad_outliers",
 ]
 
 

@@ -1191,3 +1191,64 @@ melted AS (
 SELECT hour_sec, substr(t, 3) AS event_type, n
 FROM melted WHERE n > 0
 ORDER BY hour_sec, event_type"""
+
+
+def events_wow_growth_sql() -> str:
+    """Twin of queries.events_wow_growth: identical Monday-aligned
+    integer week arithmetic, lag over the per-type weekly series,
+    growth NULL across gaps, one exactly-rounded division."""
+    return """
+WITH weekly AS (
+  SELECT event_type,
+         (epoch_ns(ts) // 1000000000 + 259200) // 604800 AS week_idx,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2),
+lagged AS (
+  SELECT *,
+         lag(n_events) OVER (PARTITION BY event_type ORDER BY week_idx)
+           AS prev,
+         lag(week_idx) OVER (PARTITION BY event_type ORDER BY week_idx)
+           AS pwk
+  FROM weekly)
+SELECT event_type, week_idx,
+       strftime(make_timestamp((week_idx * 604800 - 259200) * 1000000),
+                '%Y-%m-%d') AS week_start,
+       n_events,
+       CASE WHEN pwk = week_idx - 1 THEN prev END AS prev_events,
+       CASE WHEN pwk = week_idx - 1 AND prev > 0
+            THEN CAST(n_events AS DOUBLE) / CAST(prev AS DOUBLE)
+       END AS wow_growth
+FROM lagged
+ORDER BY event_type, week_idx"""
+
+
+def events_attribution_linear_sql() -> str:
+    """Twin of queries.events_attribution_linear: the same trailing-
+    hour (user, time) pair join, per-purchase touch count, and one
+    exactly-rounded cents/int division at pair grain (no float sums
+    anywhere)."""
+    return """
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         epoch_ns(ts) // 1000 AS ts_us, value
+  FROM events),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts_us,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents
+  FROM ev WHERE event_type = 'purchase'),
+c AS (
+  SELECT event_id AS click_id, user_id, ts_us AS cts
+  FROM ev WHERE event_type = 'click'),
+pairs AS (
+  SELECT p.purchase_id, c.click_id, p.user_id, p.value_cents
+  FROM p JOIN c
+    ON c.user_id = p.user_id
+   AND c.cts BETWEEN p.ts_us - 3600000000 AND p.ts_us),
+cnt AS (
+  SELECT *, count(*) OVER (PARTITION BY purchase_id) AS n_touches
+  FROM pairs)
+SELECT purchase_id, click_id, user_id, n_touches,
+       CAST(value_cents AS DOUBLE) / CAST(n_touches AS DOUBLE)
+         AS share_cents
+FROM cnt
+ORDER BY purchase_id, click_id"""

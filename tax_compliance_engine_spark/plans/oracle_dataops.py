@@ -2036,3 +2036,37 @@ reach AS (
 SELECT node AS doc_id, MIN(lab) AS canonical_id,
        node = MIN(lab) AS keep
 FROM reach GROUP BY node ORDER BY node"""
+
+
+def doc_mad_outliers_sql() -> str:
+    """Twin of queries_dataops.doc_mad_outliers: the identical lower
+    medians (rank (n+1)//2 in (value, doc_id) order) and the same
+    integer 3-MAD comparison."""
+    return """
+WITH base AS (SELECT source, doc_id, n_chars FROM documents),
+med AS (
+  SELECT source, n_chars AS median_chars FROM (
+    SELECT source, n_chars, doc_id,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS r,
+           count(*) OVER (PARTITION BY source) AS n
+    FROM base) t
+  WHERE r = (n + 1) // 2),
+dev AS (
+  SELECT b.source, b.doc_id, abs(b.n_chars - m.median_chars) AS d,
+         m.median_chars
+  FROM base b JOIN med m ON m.source = b.source),
+mad AS (
+  SELECT source, d AS mad_chars FROM (
+    SELECT source, d, doc_id,
+           row_number() OVER (PARTITION BY source ORDER BY d, doc_id) AS r,
+           count(*) OVER (PARTITION BY source) AS n
+    FROM dev) t
+  WHERE r = (n + 1) // 2)
+SELECT dev.source, count(*) AS n_docs,
+       dev.median_chars, mad.mad_chars,
+       CAST(SUM(CASE WHEN dev.d > 3 * mad.mad_chars THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev JOIN mad ON mad.source = dev.source
+GROUP BY dev.source, dev.median_chars, mad.mad_chars
+ORDER BY dev.source"""

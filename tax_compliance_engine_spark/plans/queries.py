@@ -1457,3 +1457,96 @@ def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") > 0)
         .orderBy("hour_sec", "event_type")
     )
+
+
+def events_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type: Monday-aligned integer
+    week counts (same arithmetic as events_retention — no engine
+    date_trunc('week') semantics in play), the previous week's count
+    via lag over the per-type week series, and the growth ratio as one
+    exactly-rounded int/int division (NULL on the first week and weeks
+    following an absent week — gaps are explicit, not interpolated).
+
+    Scale shape: one (type, week) count with map-side combine, then a
+    lag window over the tiny dense-ish series — the raw stream never
+    enters a window."""
+    from pyspark.sql.window import Window
+
+    ev = _events_with_ts_sec(spark, sf_dir)
+    wk = F.expr(f"(ts_sec + {_WEEK_SHIFT}) div {_WEEK_SEC}")
+    weekly = ev.groupBy(
+        "event_type", wk.alias("week_idx")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("week_idx")
+    prev = F.lag("n_events").over(w)
+    prev_wk = F.lag("week_idx").over(w)
+    contiguous = prev_wk == F.col("week_idx") - 1
+    return weekly.select(
+        "event_type",
+        "week_idx",
+        F.from_unixtime(
+            F.col("week_idx") * _WEEK_SEC - _WEEK_SHIFT, "yyyy-MM-dd"
+        ).alias("week_start"),
+        "n_events",
+        F.when(contiguous, prev).alias("prev_events"),
+        F.when(
+            contiguous & (prev > 0),
+            F.col("n_events").cast("double") / prev.cast("double"),
+        ).alias("wow_growth"),
+    ).orderBy("event_type", "week_idx")
+
+
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase's value is split
+    EQUALLY across the same user's clicks in the trailing hour (the
+    batch twin of the streaming attribution monitor's problem, but
+    multi-touch instead of last-touch).  Emitted at PAIR grain —
+    (click, purchase, n_touches, share_cents) — so no float is ever
+    summed; the share is one exactly-rounded cents/int division.
+    Purchases with no trailing click are absent (an outer arm would
+    just restate events_asof).
+
+    Scale shape: the pair stream comes from the bucketized range join
+    (operators/temporal.py range_join — equi-join on (user, time
+    bucket), candidates bounded by window width × per-bucket density),
+    and the per-purchase touch count is one narrow window over the
+    pair stream keyed by purchase."""
+    from pyspark.sql.window import Window
+    from ..operators import temporal
+
+    ev = _events_with_ts_us(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts_us",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("value_cents"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts_us"
+    )
+    pairs = temporal.range_join(
+        p,
+        c,
+        by="user_id",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        lower=-3_600_000_000,
+        upper=0,
+    )
+    w = Window.partitionBy("purchase_id")
+    return (
+        pairs.withColumn("n_touches", F.count(F.lit(1)).over(w))
+        .select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            "n_touches",
+            (
+                F.col("value_cents").cast("double")
+                / F.col("n_touches").cast("double")
+            ).alias("share_cents"),
+        )
+        .orderBy("purchase_id", "click_id")
+    )

@@ -1343,3 +1343,63 @@ def dedup_er_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").alias("canonical_id"),
         (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
     ).orderBy("doc_id")
+
+
+def doc_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length-outlier profile via MAD (median
+    absolute deviation): per source the LOWER median of n_chars, the
+    lower median of |n_chars − median|, and how many docs sit more
+    than 3 MADs out — the outlier rule that, unlike mean/stddev
+    z-scores, is not itself dragged by the outliers it hunts.
+
+    Integer-only end to end: lower medians of integers are integers
+    (rank (n+1) div 2 in (value, doc_id) order) and the 3-MAD flag is
+    an integer comparison — nothing float anywhere.
+
+    Scale shape: two per-source rank windows (one per median pass)
+    over narrow (source, int) rows, medians broadcast back; the same
+    per-key-window bound as every grouped quantile."""
+    from pyspark.sql.window import Window
+
+    base = _docs(spark, sf_dir).select("source", "doc_id", "n_chars")
+    med = (
+        base.withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("n_chars", "doc_id")
+            ),
+        )
+        .withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("source"))
+        )
+        .filter(F.col("_r") == F.expr("(_n + 1) DIV 2"))
+        .select("source", F.col("n_chars").alias("median_chars"))
+    )
+    dev = base.join(F.broadcast(med), "source").withColumn(
+        "_dev", F.abs(F.col("n_chars") - F.col("median_chars"))
+    )
+    mad = (
+        dev.withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("_dev", "doc_id")
+            ),
+        )
+        .withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("source"))
+        )
+        .filter(F.col("_r") == F.expr("(_n + 1) DIV 2"))
+        .select("source", F.col("_dev").alias("mad_chars"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .groupBy("source", "median_chars", "mad_chars")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("_dev") > 3 * F.col("mad_chars"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select("source", "n_docs", "median_chars", "mad_chars", "n_outliers")
+        .orderBy("source")
+    )

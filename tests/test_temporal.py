@@ -758,3 +758,55 @@ def test_events_pivot_zero_fill(spark, tmp_path):
     assert a["n_total"] == 3
     b = out[max(out)]
     assert b["n_purchase"] == 1 and b["n_total"] == 1 and b["n_click"] == 0
+
+
+def test_events_attribution_linear_split(spark, tmp_path):
+    """A purchase with two trailing-hour clicks splits its cents in
+    half at pair grain; clicks outside the hour or on other users don't
+    count; a purchase with no trailing click is absent."""
+    import datetime as dt
+
+    from tax_compliance_engine_spark.plans.queries import (
+        events_attribution_linear,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 12, m)
+    rows = [
+        (1, t(0), 1, "click", 0.0, ""),
+        (2, t(30), 1, "click", 0.0, ""),
+        (3, t(59), 1, "purchase", 10.01, ""),   # both clicks in window
+        (4, dt.datetime(2024, 1, 1, 10, 0), 2, "click", 0.0, ""),
+        (5, t(30), 2, "purchase", 5.0, ""),     # click 2h earlier -> absent
+        (6, t(10), 3, "click", 0.0, ""),
+        (7, t(20), 1, "view", 0.0, ""),         # wrong type never counts
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = events_attribution_linear(spark, str(tmp_path)).collect()
+    assert {(r["purchase_id"], r["click_id"]) for r in out} == {(3, 1), (3, 2)}
+    for r in out:
+        assert r["n_touches"] == 2 and r["share_cents"] == 1001 / 2
+
+
+def test_doc_mad_outliers_hand_medians(spark, tmp_path):
+    """Lower medians and the 3-MAD rule on hand-computable lengths."""
+    from tax_compliance_engine_spark.plans.queries_dataops import (
+        doc_mad_outliers,
+    )
+
+    # lengths 10,10,12,14,100: lower median 12; devs 2,2,0,2,88 ->
+    # sorted 0,2,2,2,88, lower median (MAD) = 2; outliers: dev > 6 -> {100}
+    lens = [10, 10, 12, 14, 100]
+    docs = [
+        (i, "x" * n, "en", "s", n) for i, n in enumerate(lens)
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    r = doc_mad_outliers(spark, str(tmp_path)).collect()[0]
+    assert (r["n_docs"], r["median_chars"], r["mad_chars"], r["n_outliers"]) == (
+        5, 12, 2, 1,
+    )
