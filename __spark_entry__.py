@@ -176,6 +176,11 @@ def oracle_sql() -> dict[str, str]:
         # events_retention: Monday-aligned weekly retention cohorts —
         # oracle-only swept entry.
         "events_retention": oracle.events_retention_sql(),
+        # events_active_users: exact sliding-window DAU/WAU/stickiness
+        # via 62-bit bitmap-word folds exploded to their ≤7 covering
+        # windows (no approx distinct, no pair blowup) — oracle-only
+        # swept entry.
+        "events_active_users": oracle.events_active_users_sql(),
         # events_audience_overlap: exact cohort-overlap matrix between
         # event types via 62-bit bitmap-word folds (the roaring-bitmap
         # shape; twin uses the plain DISTINCT-pair join) — oracle-only

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "events_wow_growth",
     "events_attribution_linear",
     "doc_mad_outliers",
+    "events_active_users",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

@@ -83,6 +83,7 @@ SCALE_QUERIES = [
     "dedup_er_pipeline",
     "events_attribution_linear",
     "doc_mad_outliers",
+    "events_active_users",
 ]
 
 

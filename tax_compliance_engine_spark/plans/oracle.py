@@ -1252,3 +1252,26 @@ SELECT purchase_id, click_id, user_id, n_touches,
          AS share_cents
 FROM cnt
 ORDER BY purchase_id, click_id"""
+
+
+def events_active_users_sql() -> str:
+    """Twin of queries.events_active_users: the plain-SQL spelling —
+    per-day DISTINCT users and a trailing-week day-range join with
+    COUNT(DISTINCT) — vs the Spark side's sliding bitmap-word fold;
+    identical integers, one exactly-rounded stickiness division."""
+    return """
+WITH ev AS (
+  SELECT (epoch_ns(ts) // 1000000000) // 86400 AS day, user_id
+  FROM events),
+b AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+days AS (SELECT g.d AS day FROM b, unnest(range(b.lo, b.hi + 1)) AS g(d)),
+dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ev GROUP BY 1),
+wau AS (
+  SELECT d.day, count(DISTINCT e.user_id) AS wau
+  FROM days d JOIN ev e ON e.day BETWEEN d.day - 6 AND d.day
+  GROUP BY 1)
+SELECT w.day, COALESCE(dau.dau, 0) AS dau, w.wau,
+       CAST(COALESCE(dau.dau, 0) AS DOUBLE) / CAST(w.wau AS DOUBLE)
+         AS stickiness
+FROM wau w LEFT JOIN dau ON dau.day = w.day
+ORDER BY w.day"""

@@ -1913,8 +1913,9 @@ def embedding_bfs_dist_sql(threshold: float = 0.35, max_hops: int = 3) -> str:
     embedding_dup_pairs CTE symmetrized, then a RECURSIVE CTE whose
     UNION dedups (node, dist) pairs per level (terminating at the hop
     cap) with the final min(dist) per node — exactly the groupBy-min
-    the Spark unroll converges to.  Pure integers throughout."""
-    pairs_sql = embedding_dup_pairs_sql(threshold)
+    the Spark unroll converges to.  Pure integers throughout; same
+    32-plane wide geometry as the Spark side."""
+    pairs_sql = embedding_dup_pairs_sql(threshold, n_bands=4, bits_per_band=8)
     return f"""
 WITH RECURSIVE pairs AS (
 {pairs_sql}

@@ -1550,3 +1550,66 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id", "click_id")
     )
+
+
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily/weekly active users with EXACT sliding-window distinct
+    counts (DAU, trailing-7-day WAU, DAU/WAU stickiness) — the
+    engagement trio, computed without approx_count_distinct and
+    without a distinct-pair blowup.
+
+    The trick is the same 62-bit bitmap fold as events_audience_overlap
+    made SLIDING: per (day, word = user_id div 62) one bit_or collapses
+    the raw stream map-side; each bitmap row then explodes to the ≤7
+    target days whose trailing week it belongs to (bounded 7× growth of
+    the tiny bitmap table, NOT of the event stream), and one
+    (target_day, word) bit_or + popcount gives the exact distinct
+    count per window.  DAU rides the same pass as the OR of offset-0
+    contributions only.  A day with no event in its trailing week
+    drops out (nothing to count).
+
+    Scale shape (100 TB): event stream → per-(day, word) bitmaps is one
+    map-side-combinable aggregation; everything after is arithmetic on
+    |days| × |user-space|/62 rows.  The max-day bound is a broadcast
+    scalar."""
+    ev = _events_with_ts_sec(spark, sf_dir)
+    base = (
+        ev.select(
+            F.expr("ts_sec DIV 86400").alias("_day"),
+            F.expr("user_id DIV 62").alias("_word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))"
+            ).alias("_bit"),
+        )
+        .groupBy("_day", "_word")
+        .agg(F.bit_or("_bit").alias("_bits"))
+    )
+    bounds = base.agg(F.max("_day").alias("_max_day"))
+    contrib = (
+        base.withColumn("_off", F.explode(F.sequence(F.lit(0), F.lit(6))))
+        .withColumn("day", F.col("_day") + F.col("_off"))
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("day") <= F.col("_max_day"))
+    )
+    words = contrib.groupBy("day", "_word").agg(
+        F.bit_or("_bits").alias("_wbits"),
+        F.bit_or(F.when(F.col("_off") == 0, F.col("_bits"))).alias("_dbits"),
+    )
+    return (
+        words.groupBy("day")
+        .agg(
+            F.sum(
+                F.coalesce(F.bit_count("_dbits"), F.lit(0)).cast("long")
+            ).alias("dau"),
+            F.sum(F.bit_count("_wbits").cast("long")).alias("wau"),
+        )
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -1151,11 +1151,19 @@ def embedding_bfs_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS (graph.bfs_distance) over the symmetrized
     embedding near-dup graph: exact hop distance from the label-0
     seed set within 3 hops — the contamination-spread / seed-expansion
-    traversal, verified against a recursive-CTE oracle."""
+    traversal, verified against a recursive-CTE oracle.
+
+    Uses the corpus-scale 32-plane LSH geometry (4 bands × 8 sign
+    bits): with the default 4-bit bands the pair graph inherits the
+    corpus²-candidate growth and the traversal measured ×16 at 10×
+    data; the wide geometry's 1/256 per-band collision rate keeps the
+    edge list — and therefore every BFS round — near-linear."""
     from ..operators import graph
 
     emb = _emb(spark, sf_dir)
-    pairs = similarity.embedding_dup_pairs(emb, threshold=0.35)
+    pairs = similarity.embedding_dup_pairs(
+        emb, threshold=0.35, n_bands=4, bits_per_band=8
+    )
     edges = pairs.select(
         F.col("id1").alias("src"), F.col("id2").alias("dst")
     ).unionByName(

@@ -67,6 +67,8 @@ GLOBAL_AGG_OK = {
     "corpus_distinctive_terms",  # scalar N = n_docs for the lift
     # denominator (one partial row per task through the exchange),
     # broadcast back onto the (source, token) frequency table
+    "events_active_users",  # scalar max-day bound (one partial row per
+    # task through the exchange), broadcast back onto the bitmap table
 }
 
 

@@ -810,3 +810,39 @@ def test_doc_mad_outliers_hand_medians(spark, tmp_path):
     assert (r["n_docs"], r["median_chars"], r["mad_chars"], r["n_outliers"]) == (
         5, 12, 2, 1,
     )
+
+
+def test_events_active_users_sliding_exact(spark, tmp_path):
+    """WAU counts a user once across repeat days in the window, the
+    window slides off after 7 days, and word-boundary users (61/62)
+    stay distinct."""
+    import datetime as dt
+
+    from tax_compliance_engine_spark.plans.queries import (
+        events_active_users,
+    )
+
+    day = lambda d: dt.datetime(2024, 1, 1 + d, 5)
+    rows = [
+        (1, day(0), 61, "click", 1.0, ""),
+        (2, day(0), 62, "click", 1.0, ""),
+        (3, day(1), 61, "click", 1.0, ""),   # repeat user in window
+        (4, day(8), 99, "click", 1.0, ""),   # 8 days later: 61/62 aged out
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r["day"]: r for r in events_active_users(spark, str(tmp_path)).collect()}
+    d0 = int(
+        (dt.datetime(2024, 1, 1, 5) - dt.datetime(1970, 1, 1)).total_seconds()
+        // 86400
+    )  # epoch day of day(0)
+    assert out[d0]["dau"] == 2 and out[d0]["wau"] == 2
+    assert out[d0 + 1]["dau"] == 1 and out[d0 + 1]["wau"] == 2  # 61 once
+    assert out[d0 + 6]["dau"] == 0 and out[d0 + 6]["wau"] == 2
+    # day 7: day-0 events aged out, day-1 repeat of 61 still inside
+    assert out[d0 + 7]["dau"] == 0 and out[d0 + 7]["wau"] == 1
+    # day 8 window = days 2..8 -> only user 99
+    assert out[d0 + 8]["dau"] == 1 and out[d0 + 8]["wau"] == 1
