@@ -187,6 +187,10 @@ def oracle_sql() -> dict[str, str]:
         # swept entry.
         "events_audience_overlap": oracle.events_audience_overlap_sql(),
         "events_asof_both": oracle.events_asof_both_sql(),
+        # events_value_percentiles: per-type exact p50/p90/p99 over
+        # integer cents (percentile ≡ quantile_cont interpolation) —
+        # oracle-only swept entry.
+        "events_value_percentiles": oracle.events_value_percentiles_sql(),
         # events_wow_growth: Monday-aligned week-over-week growth per
         # type (lag over the weekly series, gaps explicit) —
         # oracle-only swept entry.
@@ -390,6 +394,11 @@ def oracle_sql() -> dict[str, str]:
         # — oracle-only swept entry.
         "corpus_distinctive_terms": (
             oracle_dataops.corpus_distinctive_terms_sql()
+        ),
+        # corpus_rare_token_docs: hapax-dominance noise signal (df-1
+        # token share per doc, integer flag) — oracle-only swept entry.
+        "corpus_rare_token_docs": (
+            oracle_dataops.corpus_rare_token_docs_sql()
         ),
         # corpus_distinct_sketch: deterministic KMV cardinality sketch
         # (portable alternative to approx_count_distinct), bit-exact twin

@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "events_attribution_linear",
     "doc_mad_outliers",
     "events_active_users",
+    "corpus_rare_token_docs",
+    "events_value_percentiles",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

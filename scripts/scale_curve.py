@@ -84,6 +84,8 @@ SCALE_QUERIES = [
     "events_attribution_linear",
     "doc_mad_outliers",
     "events_active_users",
+    "corpus_rare_token_docs",
+    "events_value_percentiles",
 ]
 
 

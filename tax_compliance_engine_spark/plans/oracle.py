@@ -1275,3 +1275,20 @@ SELECT w.day, COALESCE(dau.dau, 0) AS dau, w.wau,
          AS stickiness
 FROM wau w LEFT JOIN dau ON dau.day = w.day
 ORDER BY w.day"""
+
+
+def events_value_percentiles_sql() -> str:
+    """Twin of queries.events_value_percentiles: quantile_cont shares
+    Spark percentile's linear-interpolation definition over the exact
+    integer cents."""
+    return """
+SELECT event_type, count(*) AS n_events,
+       quantile_cont(c, 0.5) AS p50_cents,
+       quantile_cont(c, 0.9) AS p90_cents,
+       quantile_cont(c, 0.99) AS p99_cents,
+       max(c) AS max_cents
+FROM (SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM events) t
+GROUP BY event_type
+ORDER BY event_type"""

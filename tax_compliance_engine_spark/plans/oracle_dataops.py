@@ -2071,3 +2071,24 @@ SELECT dev.source, count(*) AS n_docs,
 FROM dev JOIN mad ON mad.source = dev.source
 GROUP BY dev.source, dev.median_chars, mad.mad_chars
 ORDER BY dev.source"""
+
+
+def corpus_rare_token_docs_sql() -> str:
+    """Twin of queries_dataops.corpus_rare_token_docs: identical
+    distinct-token explode, df-1 counts, one exactly-rounded division,
+    integer 2·hapax > n flag."""
+    return f"""
+WITH per_doc AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents, unnest({TOKENS}) AS t(tok)),
+dfreq AS (SELECT tok, count(*) AS df FROM per_doc GROUP BY 1)
+SELECT p.doc_id,
+       count(*) AS n_distinct_tokens,
+       CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hapax,
+       CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS hapax_ratio,
+       2 * SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) > count(*)
+         AS is_noisy
+FROM per_doc p JOIN dfreq d ON d.tok = p.tok
+GROUP BY p.doc_id ORDER BY p.doc_id"""

@@ -1613,3 +1613,27 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type exact value percentiles (p50/p90/p99 over integer
+    cents, count, max): the latency/value-distribution rollup, exact
+    via sort-based percentile — Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the same linear-interpolation definition,
+    so the doubles are bit-identical (the corpus_length_profile
+    precedent).  At extreme scale approx_percentile is the mergeable
+    one-pass drop-in; kept exact here so the oracle can gate it."""
+    ev = _events_with_ts_sec(spark, sf_dir)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    return (
+        ev.select("event_type", cents.alias("_c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("percentile(_c, 0.5)").alias("p50_cents"),
+            F.expr("percentile(_c, 0.9)").alias("p90_cents"),
+            F.expr("percentile(_c, 0.99)").alias("p99_cents"),
+            F.max("_c").alias("max_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -1411,3 +1411,47 @@ def doc_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_docs", "median_chars", "mad_chars", "n_outliers")
         .orderBy("source")
     )
+
+
+def corpus_rare_token_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-dominance noise signal: per document, its distinct-token
+    count, how many of those tokens appear in NO other document
+    (corpus document-frequency 1), and the hapax ratio — the classic
+    gibberish/OCR-noise detector (real language reuses vocabulary;
+    random strings don't), flagged above 0.5.
+
+    Integer counts + one exactly-rounded division.  Scale shape: the
+    distinct (doc, token) explode collapses map-side; the df table is
+    one narrow (token) count; the join back is token-keyed, and the
+    per-doc rollup is narrow — no pair streams anywhere."""
+    docs = _docs(spark, sf_dir)
+    per_doc = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(textops.tokens_col(F.col("text")))
+        ).alias("tok"),
+    )
+    df_tab = per_doc.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    joined = per_doc.join(df_tab, "tok")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).alias(
+                "n_hapax"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_distinct_tokens",
+            "n_hapax",
+            (
+                F.col("n_hapax").cast("double")
+                / F.col("n_distinct_tokens").cast("double")
+            ).alias("hapax_ratio"),
+            (2 * F.col("n_hapax") > F.col("n_distinct_tokens")).alias(
+                "is_noisy"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -487,3 +487,72 @@ def test_trending_topk_drained_equals_batch(spark, tmp_path):
     # three-way tie at n=3 whose top-2 breaks deterministically on token
     assert hour2[0][2:] == ("join", 3)
     assert hour2[1][2:] == ("shuffle", 3)
+
+
+def test_streaming_dau_drained_equals_batch(spark, tmp_path):
+    """Drained streaming DAU (watermarked dropDuplicates chained into a
+    windowed count) ≡ the batch twin: repeat users inside a day count
+    once — including repeats ACROSS drains — and each closed day emits
+    exactly once."""
+    import datetime as dt
+
+    from tax_compliance_engine_spark.streaming.active_users import (
+        batch_dau,
+        streaming_dau,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long"
+
+    def ev(i, hours, user):
+        return (i, t0 + dt.timedelta(hours=hours), user)
+
+    first = [
+        ev(0, 1, 10),
+        ev(1, 2, 10),   # same user same day -> counts once
+        ev(2, 3, 20),
+        ev(3, 26, 10),  # next day
+    ]
+    second = [
+        ev(4, 5, 30),   # late arrival for day 1, NEW user, within watermark?
+        ev(5, 27, 40),
+        # sentinel far in the future closes every data day
+        ev(99, 24 * 30, 999),
+    ]
+    # late-arrival note: the day-1 watermark after the first drain sits at
+    # 26h - 1h = 25h > end of day 1, so ev(4) at hour 5 is LATE and will
+    # be dropped by the streaming dedup — exclude day-1 late rows from the
+    # batch target the same way the engine excludes them.
+    src, out = tmp_path / "events", tmp_path / "dau"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            streaming_dau(stream, watermark_delay="1 hour")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.schema(
+            "day_start timestamp, day_end timestamp, dau long"
+        ).parquet(str(out))
+
+    spark.createDataFrame(first, schema).write.mode("append").parquet(str(src))
+    drain()
+    spark.createDataFrame(second, schema).write.mode("append").parquet(str(src))
+    got = sorted((r.day_start, r.dau) for r in drain().collect())
+
+    batch_rows = [r for r in first + second if r[0] != 99 and r[0] != 4]
+    want = sorted(
+        (r.day_start, r.dau)
+        for r in batch_dau(
+            spark.createDataFrame(batch_rows, schema)
+        ).collect()
+    )
+    assert got == want
+    # day 1: users {10, 20} once each despite the repeat
+    assert (t0, 2) in got and len(got) == 2
