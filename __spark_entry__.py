@@ -146,6 +146,14 @@ def oracle_sql() -> dict[str, str]:
         "states_exempting_grocery": oracle.states_exempting_grocery_sql(),
         "pricing_summary": oracle.pricing_summary_sql(),
         "pricing_rollup": oracle.pricing_rollup_sql(),
+        # pricing_cube: full CUBE over (flag, status) with grouping()
+        # flags — completes the multi-level family next to
+        # pricing_rollup — oracle-only swept entry.
+        "pricing_cube": oracle.pricing_cube_sql(),
+        # nation_top_customer_list: ordered LISTAGG of each nation's
+        # top-3 customers (sharded rank + pinned-order string fold) —
+        # oracle-only swept entry.
+        "nation_top_customer_list": oracle.nation_top_customer_list_sql(),
         # supplier_part_revenue: Q9-shaped 3-dimension broadcast join +
         # decimal-exact revenue rollup (exercises the part/supplier
         # tables) — oracle-only swept entry.

@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "events_active_users",
     "corpus_rare_token_docs",
     "events_value_percentiles",
+    "pricing_cube",
+    "nation_top_customer_list",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

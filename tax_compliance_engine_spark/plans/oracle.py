@@ -1292,3 +1292,43 @@ FROM (SELECT event_type,
       FROM events) t
 GROUP BY event_type
 ORDER BY event_type"""
+
+
+def pricing_cube_sql() -> str:
+    """Twin of queries.pricing_cube: DuckDB CUBE with the same
+    grouping() flags and decimal-exact sums."""
+    return """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price,
+       count(*) AS count_order,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY g_flag, g_status, l_returnflag, l_linestatus"""
+
+
+def nation_top_customer_list_sql() -> str:
+    """Twin of queries.nation_top_customer_list: window top-3 per
+    nation (== the sharded two-level rank) and DuckDB's ordered
+    string_agg in the identical (rank) order."""
+    return """
+WITH rev AS (
+  SELECT n.n_name, c.c_custkey, c.c_name,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS rev_cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY n_name ORDER BY rev_cents DESC, c_custkey) AS r
+  FROM rev)
+SELECT n_name, count(*) AS n_top,
+       CAST(SUM(rev_cents) AS BIGINT) AS top_rev_cents,
+       string_agg(c_name, ',' ORDER BY r) AS top_customers
+FROM ranked WHERE r <= 3
+GROUP BY n_name ORDER BY n_name"""

@@ -1637,3 +1637,93 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (returnflag, linestatus): every subtotal
+    combination — both one-dimension margins and the grand total — in
+    ONE aggregation pass (completes the multi-level family next to
+    pricing_rollup's hierarchy; grouping() flags disambiguate NULL data
+    values from subtotal rows).  Decimal-exact sums, map-side
+    combinable: CUBE expands each input row to its 4 grouping-set
+    replicas BEFORE the partial aggregation, so the shuffle carries
+    only (2+|flag|)·(2+|status|) group rows."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
+
+
+def nation_top_customer_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): per nation, its top-3
+    customers by exact revenue cents as one comma-joined string in
+    rank order — the report-ready denormalized rollup.  Deterministic:
+    rank ties break on custkey, and the string is built from an
+    array_sort'd struct collect (sort key = (rank,), exact) — the
+    pinned-order fold convention applied to strings.  Top-3 per nation
+    via the sharded two-level rank keeps hub nations out of single-task
+    sorts."""
+    from ..operators.topk import top_k_per_group
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = (
+        orders.join(
+            F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"]
+        )
+        .join(
+            F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"]
+        )
+        .groupBy("n_name", "c_custkey", "c_name")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    top = top_k_per_group(
+        rev,
+        group_cols=["n_name"],
+        order_by=[F.desc("rev_cents"), F.asc("c_custkey")],
+        k=3,
+    )
+    from pyspark.sql.window import Window
+
+    ranked = top.withColumn(
+        "_rank",
+        F.row_number().over(
+            Window.partitionBy("n_name").orderBy(
+                F.desc("rev_cents"), F.asc("c_custkey")
+            )
+        ),
+    )
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_top"),
+            F.sum("rev_cents").alias("top_rev_cents"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_rank", "c_name"))
+                    ),
+                    lambda s: s["c_name"],
+                ),
+                ",",
+            ).alias("top_customers"),
+        )
+        .orderBy("n_name")
+    )
