@@ -86,6 +86,8 @@ SCALE_QUERIES = [
     "events_active_users",
     "corpus_rare_token_docs",
     "events_value_percentiles",
+    "pricing_cube",
+    "nation_top_customer_list",
 ]
 
 
@@ -166,6 +168,12 @@ def build_scaled(spark, out_dir: str) -> None:
     union_all(li_parts).write.mode("overwrite").parquet(
         str(out / "lineitem.parquet")
     )
+    # dimension tables pass through unscaled (same customers, 10× the
+    # orders — the realistic fact-growth shape)
+    for dim in ("customer", "nation", "region"):
+        spark.read.parquet(f"{BASE}/{dim}.parquet").write.mode(
+            "overwrite"
+        ).parquet(str(out / f"{dim}.parquet"))
 
 
 def _timed(fn):
