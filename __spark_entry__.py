@@ -209,6 +209,11 @@ def oracle_sql() -> dict[str, str]:
         "events_attribution_linear": (
             oracle.events_attribution_linear_sql()
         ),
+        # events_debounce: burst-collapse of same-(user, type) events
+        # within 5 s into episode rows (the double-click/retry-storm
+        # cleaner; sessionization construction) — oracle-only swept
+        # entry.
+        "events_debounce": oracle.events_debounce_sql(),
         # events_pivot: hour × type crosstab with an EXPLICIT pivot
         # vocabulary (no implicit distinct-values job) — oracle-only
         # swept entry.

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "events_value_percentiles",
     "pricing_cube",
     "nation_top_customer_list",
+    "events_debounce",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

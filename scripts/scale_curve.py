@@ -88,6 +88,7 @@ SCALE_QUERIES = [
     "events_value_percentiles",
     "pricing_cube",
     "nation_top_customer_list",
+    "events_debounce",
 ]
 
 

@@ -1278,28 +1278,18 @@ def snm_candidates(
     (Levenshtein verify): two-level sharded global rank over the
     normalized-prefix sort key, then a rank-block-banded self-join
     emitting (doc1, doc2, rank_gap) for every pair within ``window``
-    positions (see ``snm_pairs`` for the 100 TB analysis)."""
-    from pyspark.sql.window import Window
+    positions (see ``snm_pairs`` for the 100 TB analysis; the rank is
+    ``topk.sharded_global_rank`` — the audited two-level pattern)."""
+    from .topk import sharded_global_rank
 
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
     keyed = docs.select(
         "doc_id",
         F.substring(norm, 1, key_len).alias("_key"),
-    ).withColumn("_bucket", F.substring("_key", 1, bucket_len))
-    lw = Window.partitionBy("_bucket").orderBy("_key", "doc_id")
-    local = keyed.withColumn("_lr", F.row_number().over(lw))
-    counts = keyed.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_cnt"))
-    c2 = counts.select(
-        F.col("_bucket").alias("_b2"), F.col("_cnt").alias("_c2")
     )
-    offsets = (
-        counts.join(F.broadcast(c2), F.col("_b2") < F.col("_bucket"), "left")
-        .groupBy("_bucket")
-        .agg(F.coalesce(F.sum("_c2"), F.lit(0)).alias("_off"))
-    )
-    ranked = local.join(F.broadcast(offsets), "_bucket").select(
-        "doc_id", (F.col("_off") + F.col("_lr")).alias("_r")
-    )
+    ranked = sharded_global_rank(
+        keyed, key="_key", tiebreak=F.asc("doc_id"), shard_len=bucket_len
+    ).select("doc_id", "_r")
     blk = ((F.col("_r") - 1) / window).cast("long")
     left = ranked.select(
         F.col("doc_id").alias("doc1"),

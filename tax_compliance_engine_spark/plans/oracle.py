@@ -1332,3 +1332,34 @@ SELECT n_name, count(*) AS n_top,
        string_agg(c_name, ',' ORDER BY r) AS top_customers
 FROM ranked WHERE r <= 3
 GROUP BY n_name ORDER BY n_name"""
+
+
+def events_debounce_sql(gap_us: int = 5_000_000) -> str:
+    """Twin of queries.events_debounce: the identical lag + running-sum
+    episode assignment over (user, type, ts_us, event_id) order."""
+    return f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+  FROM events),
+flagged AS (
+  SELECT *,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > {gap_us}
+              THEN 1 ELSE 0 END AS new_ep
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id, event_type
+               ORDER BY ts_us, event_id)),
+episodes AS (
+  SELECT *, CAST(SUM(new_ep) OVER (
+    PARTITION BY user_id, event_type ORDER BY ts_us, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+    AS episode
+  FROM flagged)
+SELECT user_id, event_type, episode,
+       (min(struct_pack(ts_us := ts_us, event_id := event_id))).event_id
+         AS first_event_id,
+       count(*) AS n_collapsed,
+       min(ts_us) AS start_us, max(ts_us) AS end_us
+FROM episodes
+GROUP BY user_id, event_type, episode
+ORDER BY user_id, event_type, episode"""

@@ -520,12 +520,10 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design (100 TB): SQL ntile needs a TOTAL order — the naive
     window is one single-partition sort of every customer.  Here the
-    global rank is built with the two-level sharded-rank pattern
-    (dedup.snm_candidates): the zero-padded decimal string of
-    rev_cents sorts exactly like the integer, so its 4-char prefix
-    shards the sort contiguously (≤10^4 shard rows; offsets via a
-    broadcast non-equi join of the tiny count table), and shard-local
-    row_numbers + offsets ARE the global rank.  The ascending rank by
+    global rank is ``topk.sharded_global_rank`` (the audited two-level
+    pattern shared with dedup.snm_candidates): the zero-padded decimal
+    string of rev_cents sorts exactly like the integer, so its 4-char
+    prefix shards the sort contiguously.  The ascending rank by
     (rev asc, custkey desc) is flipped to the (rev desc, custkey asc)
     rank ntile is defined over, and the tile index is the standard
     SQL formula from (rank, N) — pure integer arithmetic.  The only
@@ -533,6 +531,8 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer cents end-to-end; the two shares are exactly-rounded
     int→double divisions."""
     from pyspark.sql.window import Window
+
+    from ..operators.topk import sharded_global_rank
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     rev = orders.groupBy("o_custkey").agg(
@@ -542,23 +542,14 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keyed = rev.withColumn(
         "_key", F.lpad(F.col("rev_cents").cast("string"), 18, "0")
-    ).withColumn("_shard", F.substring("_key", 1, 4))
-    lw = Window.partitionBy("_shard").orderBy(
-        F.asc("_key"), F.desc("o_custkey")
     )
-    local = keyed.withColumn("_lr", F.row_number().over(lw))
-    counts = keyed.groupBy("_shard").agg(F.count(F.lit(1)).alias("_cnt"))
-    c2 = counts.select(F.col("_shard").alias("_s2"), F.col("_cnt").alias("_c2"))
-    offsets = (
-        counts.join(F.broadcast(c2), F.col("_s2") < F.col("_shard"), "left")
-        .groupBy("_shard")
-        .agg(F.coalesce(F.sum("_c2"), F.lit(0)).alias("_off"))
-    )
-    total_n = counts.agg(F.sum("_cnt").alias("_n"))
+    total_n = keyed.agg(F.count(F.lit(1)).alias("_n"))
     ranked = (
-        local.join(F.broadcast(offsets), "_shard")
+        sharded_global_rank(
+            keyed, key="_key", tiebreak=F.desc("o_custkey"), shard_len=4
+        )
         .crossJoin(F.broadcast(total_n))
-        .withColumn("_rank", F.col("_n") - (F.col("_off") + F.col("_lr")) + 1)
+        .withColumn("_rank", F.col("_n") - F.col("_r") + 1)
     )
     # standard SQL ntile(k) from (rank, N): first N%k tiles get N/k+1 rows
     k = 10
@@ -1268,6 +1259,19 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bitmap_word_cols(user_col: str = "user_id") -> tuple[F.Column, F.Column]:
+    """(word, bit) columns for the 62-bit user-bitmap fold shared by
+    events_audience_overlap and events_active_users.  62 bits per word
+    keeps the shifted literal exact in engines whose ``1 << 63``
+    overflows (DuckDB raises; Java wraps) — the invariant lives HERE so
+    both bitmap queries stay word-aligned with each other."""
+    word = F.expr(f"{user_col} DIV 62").alias("_word")
+    bit = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST({user_col} % 62 AS INT))"
+    ).alias("_bit")
+    return word, bit
+
+
 def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience overlap between event types: for every type pair, the
     EXACT count of users who triggered both, plus each side's exact
@@ -1291,14 +1295,9 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_both > 0, type_a < type_b; jaccard is one exactly-rounded
     int/int division."""
     ev = _events_with_ts_sec(spark, sf_dir)
+    word, bit = _bitmap_word_cols()
     words = (
-        ev.select(
-            "event_type",
-            F.expr("user_id DIV 62").alias("_word"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))"
-            ).alias("_bit"),
-        )
+        ev.select("event_type", word, bit)
         .groupBy("event_type", "_word")
         .agg(F.bit_or("_bit").alias("_bits"))
     )
@@ -1573,14 +1572,9 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     |days| × |user-space|/62 rows.  The max-day bound is a broadcast
     scalar."""
     ev = _events_with_ts_sec(spark, sf_dir)
+    word, bit = _bitmap_word_cols()
     base = (
-        ev.select(
-            F.expr("ts_sec DIV 86400").alias("_day"),
-            F.expr("user_id DIV 62").alias("_word"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))"
-            ).alias("_bit"),
-        )
+        ev.select(F.expr("ts_sec DIV 86400").alias("_day"), word, bit)
         .groupBy("_day", "_word")
         .agg(F.bit_or("_bit").alias("_bits"))
     )
@@ -1694,21 +1688,12 @@ def nation_top_customer_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev_cents")
         )
     )
-    top = top_k_per_group(
+    ranked = top_k_per_group(
         rev,
         group_cols=["n_name"],
         order_by=[F.desc("rev_cents"), F.asc("c_custkey")],
         k=3,
-    )
-    from pyspark.sql.window import Window
-
-    ranked = top.withColumn(
-        "_rank",
-        F.row_number().over(
-            Window.partitionBy("n_name").orderBy(
-                F.desc("rev_cents"), F.asc("c_custkey")
-            )
-        ),
+        rank_col="_rank",
     )
     return (
         ranked.groupBy("n_name")
@@ -1726,4 +1711,50 @@ def nation_top_customer_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_customers"),
         )
         .orderBy("n_name")
+    )
+
+
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce / episode-collapse: consecutive events of the same
+    (user, type) separated by ≤ 5 s merge into one EPISODE row carrying
+    the first event's id/time, the burst size, and the episode span —
+    the double-click / retry-storm / sensor-chatter cleaner that runs
+    before any per-event rate metric.
+
+    Same lag + running-sum construction as sessionization (gap > 5 s
+    starts a new episode), so it inherits its exactness and its scale
+    shape: one hash shuffle on (user, type), one sorted pass per
+    partition, integer microseconds end-to-end."""
+    from pyspark.sql.window import Window
+
+    ev = _events_with_ts_us(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts_us", "event_id"
+    )
+    gap_us = 5_000_000
+    flagged = ev.withColumn("_prev", F.lag("ts_us").over(w)).withColumn(
+        "_new",
+        F.when(
+            F.col("_prev").isNull()
+            | (F.col("ts_us") - F.col("_prev") > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    episodes = flagged.withColumn(
+        "_ep",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        episodes.groupBy(
+            "user_id", "event_type", F.col("_ep").cast("int").alias("episode")
+        )
+        .agg(
+            F.min(F.struct("ts_us", "event_id"))
+            .getField("event_id")
+            .alias("first_event_id"),
+            F.count(F.lit(1)).alias("n_collapsed"),
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+        )
+        .orderBy("user_id", "event_type", "episode")
     )

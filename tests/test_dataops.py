@@ -2553,9 +2553,10 @@ def test_snm_pairs_matches_single_partition_reference(spark):
 
 def test_editdist_pairs_semantics(spark):
     # four docs sharing a long common prefix so they land in one SNM
-    # window; doc 2 is one substitution from doc 1 (sim 1 - 1/29),
-    # doc 3 shares only the prefix (low sim), doc 4 is doc 1 with
-    # punctuation/case noise the normalization removes (sim 1.0).
+    # window; doc 2 is one substitution from doc 1 (sim 1 - 1/23 over
+    # the 23-char normalized text), doc 3 shares only the prefix (low
+    # sim), doc 4 is doc 1 with punctuation/case noise the
+    # normalization removes (sim 1.0).
     base = "the quick brown fox jumps ok"
     docs = spark.createDataFrame(
         [

@@ -846,3 +846,39 @@ def test_events_active_users_sliding_exact(spark, tmp_path):
     assert out[d0 + 7]["dau"] == 0 and out[d0 + 7]["wau"] == 1
     # day 8 window = days 2..8 -> only user 99
     assert out[d0 + 8]["dau"] == 1 and out[d0 + 8]["wau"] == 1
+
+
+def test_events_debounce_collapses_bursts(spark, tmp_path):
+    """A 3-click burst inside 5 s collapses to one episode carrying the
+    FIRST event's id and the burst span; a 4th click 6 s later starts a
+    new episode; other types/users never merge."""
+    import datetime as dt
+
+    from tax_compliance_engine_spark.plans.queries import events_debounce
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        (1, s(0), 1, "click", 0.0, ""),
+        (2, s(3), 1, "click", 0.0, ""),     # +3s  -> same episode
+        (3, s(7), 1, "click", 0.0, ""),     # +4s  -> still chained
+        (4, s(13), 1, "click", 0.0, ""),    # +6s  -> NEW episode
+        (5, s(1), 1, "view", 0.0, ""),      # other type: own episode
+        (6, s(2), 2, "click", 0.0, ""),     # other user: own episode
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {
+        (r["user_id"], r["event_type"], r["episode"]): r
+        for r in events_debounce(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 4
+    burst = out[(1, "click", 1)]
+    assert burst["first_event_id"] == 1 and burst["n_collapsed"] == 3
+    assert burst["end_us"] - burst["start_us"] == 7_000_000
+    assert out[(1, "click", 2)]["first_event_id"] == 4
+    assert out[(1, "view", 1)]["n_collapsed"] == 1
+    assert out[(2, "click", 1)]["n_collapsed"] == 1
