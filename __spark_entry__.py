@@ -146,6 +146,10 @@ def oracle_sql() -> dict[str, str]:
         "states_exempting_grocery": oracle.states_exempting_grocery_sql(),
         "pricing_summary": oracle.pricing_summary_sql(),
         "pricing_rollup": oracle.pricing_rollup_sql(),
+        # nation_pareto_cutoff: minimum customer-prefix covering 80% of
+        # a nation's revenue (integer 5·cum ≥ 4·total test) —
+        # oracle-only swept entry.
+        "nation_pareto_cutoff": oracle.nation_pareto_cutoff_sql(),
         # pricing_cube: full CUBE over (flag, status) with grouping()
         # flags — completes the multi-level family next to
         # pricing_rollup — oracle-only swept entry.

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "pricing_cube",
     "nation_top_customer_list",
     "events_debounce",
+    "nation_pareto_cutoff",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

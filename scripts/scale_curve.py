@@ -89,6 +89,7 @@ SCALE_QUERIES = [
     "pricing_cube",
     "nation_top_customer_list",
     "events_debounce",
+    "nation_pareto_cutoff",
 ]
 
 

@@ -1363,3 +1363,34 @@ SELECT user_id, event_type, episode,
 FROM episodes
 GROUP BY user_id, event_type, episode
 ORDER BY user_id, event_type, episode"""
+
+
+def nation_pareto_cutoff_sql() -> str:
+    """Twin of queries.nation_pareto_cutoff: identical rank/cumsum
+    windows and the same 5·cum ≥ 4·total integer test."""
+    return """
+WITH rev AS (
+  SELECT n.n_name, c.c_custkey,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS rev_cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT *,
+         row_number() OVER w AS r,
+         CAST(SUM(rev_cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(rev_cents) OVER (PARTITION BY n_name) AS BIGINT)
+           AS total
+  FROM rev
+  WINDOW w AS (PARTITION BY n_name ORDER BY rev_cents DESC, c_custkey))
+SELECT n_name, count(*) AS n_customers,
+       CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+       CAST(MIN(CASE WHEN 5 * cum >= 4 * total THEN r END) AS INTEGER)
+         AS n80,
+       CAST(MIN(CASE WHEN 5 * cum >= 4 * total THEN r END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS n80_share
+FROM ranked
+GROUP BY n_name ORDER BY n_name"""

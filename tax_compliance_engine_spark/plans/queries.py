@@ -1758,3 +1758,78 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type", "episode")
     )
+
+
+def nation_pareto_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration per nation: the MINIMUM number of customers
+    whose (revenue-ranked) prefix covers ≥ 80% of the nation's revenue
+    (N80), plus the share of customers that is — the "how top-heavy is
+    this market" statistic next to customer_value_deciles' global
+    Lorenz view.
+
+    Integer-exact: revenue in cents, the 80% test as the cross-
+    multiplication 5·cum ≥ 4·total (no float threshold), N80 = min rank
+    among qualifying rows; the one double is the final exactly-rounded
+    N80/n division.
+
+    Scale shape: one keyed aggregation to (nation, customer) cents,
+    then per-nation rank/cumsum windows over those narrow rows — the
+    same per-key-window bound as every grouped quantile (25 nations
+    here; at a hotter group cardinality the sharded rank applies as in
+    customer_value_deciles)."""
+    from pyspark.sql.window import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = (
+        orders.join(
+            F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"]
+        )
+        .join(
+            F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"]
+        )
+        .groupBy("n_name", "c_custkey")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("rev_cents"), F.asc("c_custkey")
+    )
+    cum = F.sum("rev_cents").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = (
+        rev.withColumn("_rank", F.row_number().over(w))
+        .withColumn("_cum", cum)
+        .withColumn(
+            "_total",
+            F.sum("rev_cents").over(Window.partitionBy("n_name")),
+        )
+    )
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev_cents").alias("total_cents"),
+            F.min(
+                F.when(
+                    5 * F.col("_cum") >= 4 * F.col("_total"), F.col("_rank")
+                )
+            ).alias("n80"),
+        )
+        .select(
+            "n_name",
+            "n_customers",
+            "total_cents",
+            F.col("n80").cast("int").alias("n80"),
+            (
+                F.col("n80").cast("double")
+                / F.col("n_customers").cast("double")
+            ).alias("n80_share"),
+        )
+        .orderBy("n_name")
+    )
