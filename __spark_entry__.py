@@ -412,6 +412,10 @@ def oracle_sql() -> dict[str, str]:
         "corpus_distinctive_terms": (
             oracle_dataops.corpus_distinctive_terms_sql()
         ),
+        # corpus_expectations: data-quality assertion report (5 rules,
+        # exact violation counts + min-id examples; scan rules in ONE
+        # aggregation pass) — oracle-only swept entry.
+        "corpus_expectations": oracle_dataops.corpus_expectations_sql(),
         # corpus_rare_token_docs: hapax-dominance noise signal (df-1
         # token share per doc, integer flag) — oracle-only swept entry.
         "corpus_rare_token_docs": (

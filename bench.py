@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "nation_top_customer_list",
     "events_debounce",
     "nation_pareto_cutoff",
+    "corpus_expectations",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

@@ -2092,3 +2092,31 @@ SELECT p.doc_id,
          AS is_noisy
 FROM per_doc p JOIN dfreq d ON d.tok = p.tok
 GROUP BY p.doc_id ORDER BY p.doc_id"""
+
+
+def corpus_expectations_sql() -> str:
+    """Twin of queries_dataops.corpus_expectations: the same five rules
+    as UNION'd scalar aggregates with min-id examples."""
+    langs = "('en', 'de', 'fr', 'es', 'ja')"
+    rules = [
+        ("text_present", "text IS NULL OR length(text) = 0"),
+        ("lang_known", f"lang NOT IN {langs}"),
+        ("n_chars_consistent", "n_chars <> length(text)"),
+        ("n_chars_in_range", "n_chars < 1 OR n_chars > 100000"),
+    ]
+    arms = [
+        f"""SELECT '{name}' AS rule, count(*) AS n_checked,
+       CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       MIN(CASE WHEN {cond} THEN doc_id END) AS example_id
+FROM documents"""
+        for name, cond in rules
+    ]
+    arms.append(
+        """SELECT 'doc_id_unique' AS rule, count(*) AS n_checked,
+       CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       MIN(CASE WHEN c > 1 THEN doc_id END) AS example_id
+FROM (SELECT doc_id, count(*) AS c FROM documents GROUP BY 1) t"""
+    )
+    return "\nUNION ALL\n".join(arms) + "\nORDER BY rule"

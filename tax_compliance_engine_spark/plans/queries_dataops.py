@@ -1455,3 +1455,63 @@ def corpus_rare_token_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def corpus_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations report (the dbt-test/Great-Expectations
+    shape): one row per rule with the exact violation count and a
+    DETERMINISTIC example violator (min doc_id — never a collect of
+    the violating set, which at 100 TB could itself be corpus-sized).
+
+    Rules: text present & non-empty; lang in the allowed set; n_chars
+    consistent with length(text); n_chars within [1, 100000]; doc_id
+    globally unique.  The five scan rules fold into ONE aggregation
+    pass (conditional counts + conditional mins — map-side
+    combinable); uniqueness is its own narrow (doc_id) aggregation.
+    The scalar one-row-per-rule results union into the report."""
+    docs = _docs(spark, sf_dir)
+    langs = ["en", "de", "fr", "es", "ja"]
+    scan_rules = [
+        ("text_present", F.col("text").isNull() | (F.length("text") == 0)),
+        ("lang_known", ~F.col("lang").isin(langs)),
+        ("n_chars_consistent", F.col("n_chars") != F.length("text")),
+        (
+            "n_chars_in_range",
+            (F.col("n_chars") < 1) | (F.col("n_chars") > 100_000),
+        ),
+    ]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name, violated in scan_rules:
+        aggs.append(F.sum(violated.cast("long")).alias(f"_v_{name}"))
+        aggs.append(
+            F.min(F.when(violated, F.col("doc_id"))).alias(f"_e_{name}")
+        )
+    one_pass = docs.agg(*aggs)
+    out = one_pass.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("rule"),
+                        F.col("_n").alias("n_checked"),
+                        F.col(f"_v_{name}").alias("n_violations"),
+                        F.col(f"_e_{name}").alias("example_id"),
+                    )
+                    for name, _ in scan_rules
+                ]
+            )
+        ).alias("_r")
+    ).select("_r.rule", "_r.n_checked", "_r.n_violations", "_r.example_id")
+    dup = (
+        docs.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            F.lit("doc_id_unique").alias("rule"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum((F.col("_c") > 1).cast("long")).alias("n_violations"),
+            F.min(F.when(F.col("_c") > 1, F.col("doc_id"))).alias(
+                "example_id"
+            ),
+        )
+    )
+    return out.unionByName(dup).orderBy("rule")

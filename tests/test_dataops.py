@@ -2737,3 +2737,39 @@ def test_corpus_distinctive_terms_lift(spark, tmp_path):
     assert a_top["tok"] == "special" and a_top["lift"] == 3.0
     common = {r["tok"]: r for r in out if r["source"] == "a"}["common"]
     assert common["lift"] == 1.0
+
+
+def test_corpus_expectations_catches_violations(spark, tmp_path):
+    """Each rule fires on a crafted violator and reports the MIN
+    violating id; clean rules report 0 with NULL example."""
+    from tax_compliance_engine_spark.plans.queries_dataops import (
+        corpus_expectations,
+    )
+
+    docs = [
+        (1, "good text", "en", "s", 9),
+        (2, "", "en", "s", 0),            # empty text; n_chars 0 also OOR
+        (3, "xx", "xx", "s", 2),          # unknown lang
+        (4, "abc", "en", "s", 99),        # n_chars inconsistent (+ no OOR)
+        (5, "dup", "en", "s", 3),
+        (5, "dup", "en", "s", 3),         # duplicate doc_id
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r["rule"]: r for r in corpus_expectations(spark, str(tmp_path)).collect()}
+    assert set(out) == {
+        "text_present", "lang_known", "n_chars_consistent",
+        "n_chars_in_range", "doc_id_unique",
+    }
+    assert out["text_present"]["n_violations"] == 1
+    assert out["text_present"]["example_id"] == 2
+    assert out["lang_known"]["n_violations"] == 1
+    assert out["lang_known"]["example_id"] == 3
+    assert out["n_chars_consistent"]["n_violations"] == 1  # doc 4 only
+    assert out["n_chars_consistent"]["example_id"] == 4
+    assert out["n_chars_in_range"]["n_violations"] == 1
+    assert out["doc_id_unique"]["n_violations"] == 1
+    assert out["doc_id_unique"]["example_id"] == 5
+    assert all(r["n_checked"] == 6 for n, r in out.items() if n != "doc_id_unique")
+    assert out["doc_id_unique"]["n_checked"] == 5  # distinct ids

@@ -69,6 +69,8 @@ GLOBAL_AGG_OK = {
     # broadcast back onto the (source, token) frequency table
     "events_active_users",  # scalar max-day bound (one partial row per
     # task through the exchange), broadcast back onto the bitmap table
+    "corpus_expectations",  # the result IS the 5-row assertion report
+    # (scalar conditional aggregates through the exchange)
 }
 
 
