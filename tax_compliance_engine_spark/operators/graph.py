@@ -259,12 +259,22 @@ def lpa_communities(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     instead of sorting its whole vote list in one task).  Nothing
     float anywhere: the whole algorithm is integer-exact.
 
-    Output: (node, community) for every node with at least one edge.
+    Output: (node, community) for every node with at least one edge —
+    in EITHER direction: labels initialize from the union of src and
+    dst endpoints, and a node that receives no votes in an iteration
+    (possible only on non-symmetrized input, where an out-degree-only
+    node has no in-neighbors) KEEPS its current label instead of
+    vanishing from the result.  On symmetrized input every node votes
+    and is voted for, so the retention join never fires a coalesce and
+    the result is identical to the src-only formulation.
     """
     sym = edges.select("src", "dst")
-    labels = sym.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
+    nodes = (
+        sym.select(F.col("src").alias("node"))
+        .unionByName(sym.select(F.col("dst").alias("node")))
+        .distinct()
     )
+    labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(n_iter):
         votes = (
             sym.join(labels, sym["src"] == labels["node"])
@@ -272,12 +282,19 @@ def lpa_communities(edges: DataFrame, n_iter: int = 3) -> DataFrame:
             .groupBy("v_node", "label")
             .agg(F.count("*").alias("_c"))
         )
-        labels = (
+        voted = (
             votes.groupBy("v_node")
             .agg(F.max(F.struct(F.col("_c"), (-F.col("label")).alias("_nl"))).alias("_m"))
             .select(
                 F.col("v_node").alias("node"),
-                (-F.col("_m._nl")).alias("label"),
+                (-F.col("_m._nl")).alias("_new"),
+            )
+        )
+        labels = (
+            labels.select("node", F.col("label").alias("_prev"))
+            .join(voted, "node", "left")
+            .select(
+                "node", F.coalesce("_new", "_prev").alias("label")
             )
         )
     return labels.select("node", F.col("label").alias("community")).orderBy(

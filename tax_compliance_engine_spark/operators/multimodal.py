@@ -2263,31 +2263,45 @@ def _split_mp4_samples(payload: bytes) -> list[bytes]:
         szs, sze = tables[b"stsz"]
         fixed_size = int.from_bytes(buf[szs + 4 : szs + 8], "big")
         n_samples = int.from_bytes(buf[szs + 8 : szs + 12], "big")
+        # The 32-bit count fields are UNTRUSTED: a crafted ~60-byte payload
+        # declaring 0xFFFFFFFF entries would allocate gigabytes in the
+        # executor before any slicing.  Every declared count is therefore
+        # clamped against the bytes that could actually hold it BEFORE any
+        # list materializes — counts past the extent mean a malformed file,
+        # and the contract is "return [] on anything malformed".
         if fixed_size:
+            if n_samples * fixed_size > len(buf):
+                return []
             sizes = [fixed_size] * n_samples
         else:
+            if szs + 12 + 4 * n_samples > sze:
+                return []
             sizes = [
                 int.from_bytes(buf[szs + 12 + 4 * i : szs + 16 + 4 * i], "big")
                 for i in range(n_samples)
             ]
-            if szs + 12 + 4 * n_samples > sze:
-                return []
         if b"stco" in tables:
-            cs, _ce = tables[b"stco"]
+            cs, ce = tables[b"stco"]
             n_chunks = int.from_bytes(buf[cs + 4 : cs + 8], "big")
+            if cs + 8 + 4 * n_chunks > ce:
+                return []
             offsets = [
                 int.from_bytes(buf[cs + 8 + 4 * i : cs + 12 + 4 * i], "big")
                 for i in range(n_chunks)
             ]
         else:
-            cs, _ce = tables[b"co64"]
+            cs, ce = tables[b"co64"]
             n_chunks = int.from_bytes(buf[cs + 4 : cs + 8], "big")
+            if cs + 8 + 8 * n_chunks > ce:
+                return []
             offsets = [
                 int.from_bytes(buf[cs + 8 + 8 * i : cs + 16 + 8 * i], "big")
                 for i in range(n_chunks)
             ]
         scs, sce = tables[b"stsc"]
         n_runs = int.from_bytes(buf[scs + 4 : scs + 8], "big")
+        if scs + 8 + 12 * n_runs > sce:
+            return []
         runs = [
             (
                 int.from_bytes(buf[scs + 8 + 12 * i : scs + 12 + 12 * i], "big"),

@@ -700,13 +700,19 @@ def multimodal_phash_pairs_sql() -> str:
         f"<> (b.phash >> {j * width}) & 255)"
         for j in range(bands - 1)
     )
-    return f"""WITH hashed AS (
+    return f"""WITH keyed AS (
+  -- key and mix constants pre-reduced mod 2^31 (506952113 = 2654435761
+  -- mod 2^31, 435 = 1099511628211 mod 2^31): same values, but products
+  -- stay < 2^62 at any doc_id < 2^31 instead of overflowing BIGINT
   SELECT doc_id,
-         ((CASE WHEN doc_id % 10 = 0 THEN doc_id + 1 ELSE doc_id END
-           * 2654435761 + 104729) % 2147483648)
-         + ((CASE WHEN doc_id % 10 = 0 THEN doc_id + 1 ELSE doc_id END
-           * 1099511628211 + 12345) % 2147483648) * 2147483648 AS phash
+         (CASE WHEN doc_id % 10 = 0 THEN doc_id + 1 ELSE doc_id END)
+           % 2147483648 AS key
   FROM documents),
+hashed AS (
+  SELECT doc_id,
+         ((key * 506952113 + 104729) % 2147483648)
+         + ((key * 435 + 12345) % 2147483648) * 2147483648 AS phash
+  FROM keyed),
 bands AS (
   SELECT doc_id, phash, u.band,
          (phash >> (u.band * {width})) & 255 AS band_val

@@ -2096,13 +2096,20 @@ GROUP BY p.doc_id ORDER BY p.doc_id"""
 
 def corpus_expectations_sql() -> str:
     """Twin of queries_dataops.corpus_expectations: the same five rules
-    as UNION'd scalar aggregates with min-id examples."""
+    as UNION'd scalar aggregates with min-id examples.  NULL-guarded
+    like the Spark side: NULL inputs COUNT as violations."""
     langs = "('en', 'de', 'fr', 'es', 'ja')"
     rules = [
         ("text_present", "text IS NULL OR length(text) = 0"),
-        ("lang_known", f"lang NOT IN {langs}"),
-        ("n_chars_consistent", "n_chars <> length(text)"),
-        ("n_chars_in_range", "n_chars < 1 OR n_chars > 100000"),
+        ("lang_known", f"lang IS NULL OR lang NOT IN {langs}"),
+        (
+            "n_chars_consistent",
+            "COALESCE(n_chars <> length(text), TRUE)",
+        ),
+        (
+            "n_chars_in_range",
+            "n_chars IS NULL OR n_chars < 1 OR n_chars > 100000",
+        ),
     ]
     arms = [
         f"""SELECT '{name}' AS rule, count(*) AS n_checked,

@@ -1046,8 +1046,16 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.when(
         F.col("doc_id") % 10 == 0, F.col("doc_id") + 1
     ).otherwise(F.col("doc_id"))
-    lo = (key * F.lit(2654435761) + F.lit(104729)) % F.lit(2**31)
-    hi = (key * F.lit(1099511628211) + F.lit(12345)) % F.lit(2**31)
+    # Everything is computed mod 2^31, so both the key and the mix
+    # constants reduce mod 2^31 BEFORE the multiply (identical values —
+    # (a*b) mod m = ((a mod m)(b mod m)) mod m): the unreduced form
+    # overflows int64 for doc_id above ~8.4e6, where Spark wraps
+    # silently while DuckDB raises, splitting the twin pair.  Reduced
+    # products stay < 2^62.  506952113 = 2654435761 mod 2^31;
+    # 435 = 1099511628211 mod 2^31 (it is 2^40 + 435).
+    key = key % F.lit(2**31)
+    lo = (key * F.lit(506952113) + F.lit(104729)) % F.lit(2**31)
+    hi = (key * F.lit(435) + F.lit(12345)) % F.lit(2**31)
     hashed = docs.select(
         "doc_id", (lo + hi * F.lit(2**31)).alias("phash")
     )
@@ -1468,16 +1476,31 @@ def corpus_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     globally unique.  The five scan rules fold into ONE aggregation
     pass (conditional counts + conditional mins — map-side
     combinable); uniqueness is its own narrow (doc_id) aggregation.
-    The scalar one-row-per-rule results union into the report."""
+    The scalar one-row-per-rule results union into the report.
+
+    Every predicate is NULL-GUARDED to count as a violation: a report
+    whose job is catching bad data must not let a column going all-NULL
+    upstream read as zero violations (``~isin`` over NULL is NULL, and
+    ``sum(NULL cast long)`` silently skips the row)."""
     docs = _docs(spark, sf_dir)
     langs = ["en", "de", "fr", "es", "ja"]
     scan_rules = [
         ("text_present", F.col("text").isNull() | (F.length("text") == 0)),
-        ("lang_known", ~F.col("lang").isin(langs)),
-        ("n_chars_consistent", F.col("n_chars") != F.length("text")),
+        (
+            "lang_known",
+            F.col("lang").isNull() | ~F.col("lang").isin(langs),
+        ),
+        (
+            "n_chars_consistent",
+            F.coalesce(
+                F.col("n_chars") != F.length("text"), F.lit(True)
+            ),
+        ),
         (
             "n_chars_in_range",
-            (F.col("n_chars") < 1) | (F.col("n_chars") > 100_000),
+            F.col("n_chars").isNull()
+            | (F.col("n_chars") < 1)
+            | (F.col("n_chars") > 100_000),
         ),
     ]
     aggs = [F.count(F.lit(1)).alias("_n")]

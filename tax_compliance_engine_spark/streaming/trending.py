@@ -119,14 +119,22 @@ def trending_topk_writer(
     rows to ``out_path`` — rank-on-emit, no second stateful operator,
     state stays the windowed counts' (vocab × open-windows) bound.
 
+    Each batch lands under ``out_path/batch=<id>`` with OVERWRITE (the
+    same idempotence discipline as the dedup/quality sinks): a
+    micro-batch re-delivered after a crash between parquet commit and
+    checkpoint advance rewrites its own directory instead of appending
+    duplicate top-k rows.  Readers see ``batch`` as a partition column.
+
     Returns the configured DataStreamWriter; the caller sets trigger /
     checkpoint and calls ``.start()``."""
     counts = trending_tokens(
         stream, ts_col, text_col, window, watermark_delay, min_count
     )
 
-    def write_batch(bdf: DataFrame, _batch_id: int) -> None:
-        rank_topk(bdf, k).write.mode("append").parquet(out_path)
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        rank_topk(bdf, k).write.mode("overwrite").parquet(
+            f"{out_path}/batch={batch_id}"
+        )
 
     return counts.writeStream.foreachBatch(write_batch)
 

@@ -2140,6 +2140,52 @@ def test_mp4_demux_trusts_sample_tables_not_layout(spark):
     ]
 
 
+def test_mp4_demux_clamps_untrusted_count_fields():
+    """The 32-bit count fields in stsz/stco/co64/stsc are attacker-
+    controlled: a ~100-byte payload declaring 0xFFFFFFFF entries must
+    return [] (malformed) without materializing a gigabyte list."""
+    import struct
+
+    def full(typ, body):
+        return multimodal._box(typ, b"\x00\x00\x00\x00" + body)
+
+    def container(stsz_body, stco_body, stsc_body):
+        stbl = multimodal._box(
+            b"stbl",
+            full(b"stsz", stsz_body)
+            + full(b"stco", stco_body)
+            + full(b"stsc", stsc_body),
+        )
+        moov = multimodal._box(
+            b"moov",
+            multimodal._box(
+                b"trak",
+                multimodal._box(b"mdia", multimodal._box(b"minf", stbl)),
+            ),
+        )
+        return moov + multimodal._box(b"mdat", b"\x00" * 16)
+
+    ok_stsz = struct.pack(">II", 4, 2)  # fixed size 4, 2 samples
+    ok_stco = struct.pack(">II", 1, 0)  # 1 chunk at offset 0 (bogus but small)
+    ok_stsc = struct.pack(">IIII", 1, 1, 2, 1)  # 1 run: chunk 1, 2 spc
+    # fixed-size path: declared sample bytes exceed the whole file
+    huge_fixed = container(
+        struct.pack(">II", 4, 0xFFFFFFFF), ok_stco, ok_stsc
+    )
+    assert multimodal._split_mp4_samples(huge_fixed) == []
+    # variable-size path: declared count exceeds the stsz table bytes
+    huge_var = container(
+        struct.pack(">II", 0, 0xFFFFFFFF), ok_stco, ok_stsc
+    )
+    assert multimodal._split_mp4_samples(huge_var) == []
+    # stco count with no entry bytes behind it
+    huge_stco = container(ok_stsz, struct.pack(">I", 0xFFFFFFFF), ok_stsc)
+    assert multimodal._split_mp4_samples(huge_stco) == []
+    # stsc run count with no entry bytes behind it
+    huge_stsc = container(ok_stsz, ok_stco, struct.pack(">I", 0xFFFFFFFF))
+    assert multimodal._split_mp4_samples(huge_stsc) == []
+
+
 # ── perceptual hashing ───────────────────────────────────────────────
 
 
@@ -2385,6 +2431,22 @@ def test_lpa_communities_star_adopts_hub_label(spark):
     )
     got = {r.node: r.community for r in lpa_communities(edges).collect()}
     assert got == {5: 6, 6: 5, 7: 5, 8: 5}
+
+
+def test_lpa_communities_keeps_out_degree_only_nodes(spark):
+    """Non-symmetrized input: nodes appearing only as src (no in-edges)
+    must stay in the result with their retained label, not vanish —
+    labels initialize from BOTH endpoints and a vote-less iteration
+    keeps the current label."""
+    from tax_compliance_engine_spark.operators.graph import lpa_communities
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 2)], "src long, dst long"
+    )
+    got = {r.node: r.community for r in lpa_communities(edges).collect()}
+    # node 2's in-neighbors hold labels {1, 3} every iteration → min 1;
+    # nodes 1 and 3 never receive a vote → keep their own labels
+    assert got == {1: 1, 2: 1, 3: 3}
 
 
 def test_bmp_decode_topdown_and_malformed():
