@@ -452,6 +452,15 @@ def oracle_sql() -> dict[str, str]:
         # nibble encoding, ADC shortlist, exact re-rank) — oracle-only
         # swept entry, bit-portable end to end.
         "pq_knn_portable": oracle_dataops.pq_knn_portable_sql(),
+        # *_prebuilt: the SAME three portable ANN searches answered from
+        # PARQUET-PERSISTED index artifacts (similarity.save_ann_index /
+        # load_ann_index; build once per corpus snapshot, per-run cost =
+        # probe/ADC/re-rank only).  Parquet doubles round-trip exactly,
+        # so each shares its inline twin's oracle SQL — the sweep proves
+        # load ≡ recompute bit-for-bit.
+        "ivf_knn_prebuilt": oracle_dataops.ivf_knn_portable_sql(),
+        "pq_knn_prebuilt": oracle_dataops.pq_knn_portable_sql(),
+        "ivfpq_knn_prebuilt": oracle_dataops.ivfpq_knn_portable_sql(),
         # multimodal_png_profile: REAL PNG decode (CRC'd chunk walk, zlib
         # inflate, all-five-filter scanline reconstruction) vs the analytic
         # pixel-sum twin — oracle-only swept entry.

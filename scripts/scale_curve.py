@@ -69,6 +69,9 @@ SCALE_QUERIES = [
     "events_retention",
     "events_anomalies",
     "embedding_triangles",
+    "embedding_pagerank",
+    "embedding_communities",
+    "embedding_dup_clusters",
     "corpus_cooccurrence",
     "dedup_span_coverage",
     "events_gapfill",

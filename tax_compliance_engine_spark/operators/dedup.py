@@ -1270,7 +1270,7 @@ def snm_candidates(
     docs: DataFrame,
     text_col: str = "text",
     key_len: int = 24,
-    bucket_len: int = 2,
+    bucket_len: int = 4,
     window: int = 8,
 ) -> DataFrame:
     """Sorted-neighborhood CANDIDATE pairs — the shared blocking stage
@@ -1279,7 +1279,17 @@ def snm_candidates(
     normalized-prefix sort key, then a rank-block-banded self-join
     emitting (doc1, doc2, rank_gap) for every pair within ``window``
     positions (see ``snm_pairs`` for the 100 TB analysis; the rank is
-    ``topk.sharded_global_rank`` — the audited two-level pattern)."""
+    ``topk.sharded_global_rank`` — the audited two-level pattern).
+
+    ``bucket_len`` sets the shard-prefix length of the two-level rank;
+    the GLOBAL rank — and therefore every output row — is identical at
+    any value (sharding is pure parallelization), so it is safe to
+    lengthen against skewed key prefixes.  Default 4: at 2, a corpus
+    whose keys share short family prefixes (the 10×-scale fixture's 10
+    copy tags; any crawl sharing boilerplate openings) collapses into
+    a handful of shards and the per-shard sort re-serializes —
+    measured 10.77× wall at 10× data for ``editdist_pairs``; 4 chars
+    re-spreads those families by their following text."""
     from .topk import sharded_global_rank
 
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
@@ -1315,7 +1325,7 @@ def snm_pairs(
     docs: DataFrame,
     text_col: str = "text",
     key_len: int = 24,
-    bucket_len: int = 2,
+    bucket_len: int = 4,
     window: int = 8,
     threshold: float = 0.5,
 ) -> DataFrame:
@@ -1377,7 +1387,7 @@ def editdist_pairs(
     docs: DataFrame,
     text_col: str = "text",
     key_len: int = 24,
-    bucket_len: int = 2,
+    bucket_len: int = 4,
     window: int = 8,
     prefix_len: int = 256,
     threshold: float = 0.8,

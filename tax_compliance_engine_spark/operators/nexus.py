@@ -30,6 +30,38 @@ def state_activity(txns: DataFrame) -> DataFrame:
     )
 
 
+def _period_predicates(d: F.Column, as_of_lit: F.Column) -> dict:
+    """The five measurement-period membership predicates over a date
+    column ``d`` — shared by the transaction-level batch path
+    (``periodized_activity``) and the month-granular streaming assembly
+    (``periodized_from_monthly``), so the period semantics live in
+    exactly one place."""
+    return {
+        "current_year": (d >= F.trunc(as_of_lit, "year")) & (d <= as_of_lit),
+        "prior_year": F.year(d) == (F.year(as_of_lit) - 1),
+        "rolling_12": (d > F.add_months(as_of_lit, -12)) & (d <= as_of_lit),
+        "rolling_4q": (
+            d >= F.add_months(F.trunc(as_of_lit, "quarter"), -12)
+        )
+        & (d <= as_of_lit),
+        "all_time": d <= as_of_lit,
+    }
+
+
+def _simple_period_col(mp: F.Column, preds: dict) -> F.Column:
+    """Membership under the state's own measurement_period for the four
+    single-window semantics (current_or_prior is resolved post-agg as
+    the max of the two component windows; no-threshold states measure
+    all-time)."""
+    return (
+        F.when(mp == "current_year", preds["current_year"])
+        .when(mp == "prior_year", preds["prior_year"])
+        .when(mp == "rolling_12", preds["rolling_12"])
+        .when(mp == "rolling_4q", preds["rolling_4q"])
+        .otherwise(preds["all_time"])
+    )
+
+
 def periodized_activity(txns: DataFrame, dims: Dims, as_of) -> DataFrame:
     """Per-state activity measured over each state's ``measurement_period``.
 
@@ -54,24 +86,9 @@ def periodized_activity(txns: DataFrame, dims: Dims, as_of) -> DataFrame:
     )
     df = txns.join(F.broadcast(nt), F.col("state") == F.col("_pa_state"), "left")
 
-    d = F.col("transaction_date")
-    as_of_lit = F.lit(as_of)
-    in_cur = (d >= F.trunc(as_of_lit, "year")) & (d <= as_of_lit)
-    in_prior = F.year(d) == (F.year(as_of_lit) - 1)
-    in_r12 = (d > F.add_months(as_of_lit, -12)) & (d <= as_of_lit)
-    in_r4q = (d >= F.add_months(F.trunc(as_of_lit, "quarter"), -12)) & (
-        d <= as_of_lit
-    )
-    in_all = d <= as_of_lit
-
-    mp = F.col("_mp")
-    in_simple = (
-        F.when(mp == "current_year", in_cur)
-        .when(mp == "prior_year", in_prior)
-        .when(mp == "rolling_12", in_r12)
-        .when(mp == "rolling_4q", in_r4q)
-        .otherwise(in_all)  # no-threshold states; current_or_prior overridden
-    )
+    preds = _period_predicates(F.col("transaction_date"), F.lit(as_of))
+    in_cur, in_prior = preds["current_year"], preds["prior_year"]
+    in_simple = _simple_period_col(F.col("_mp"), preds)
 
     def _sum_if(cond) -> F.Column:
         return F.coalesce(
@@ -80,6 +97,77 @@ def periodized_activity(txns: DataFrame, dims: Dims, as_of) -> DataFrame:
 
     def _cnt_if(cond) -> F.Column:
         return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    agg = df.groupBy("state").agg(
+        _sum_if(in_simple).alias("_rev_simple"),
+        _cnt_if(in_simple).alias("_cnt_simple"),
+        _sum_if(in_cur).alias("_rev_cur"),
+        _cnt_if(in_cur).alias("_cnt_cur"),
+        _sum_if(in_prior).alias("_rev_prior"),
+        _cnt_if(in_prior).alias("_cnt_prior"),
+        F.first("_mp").alias("_mp"),
+    )
+    is_cop = F.col("_mp") == "current_or_prior"
+    return agg.select(
+        "state",
+        F.when(is_cop, F.greatest("_rev_cur", "_rev_prior"))
+        .otherwise(F.col("_rev_simple"))
+        .alias("revenue"),
+        F.when(is_cop, F.greatest("_cnt_cur", "_cnt_prior"))
+        .otherwise(F.col("_cnt_simple"))
+        .alias("txn_count"),
+    )
+
+
+def periodized_from_monthly(months: DataFrame, dims: Dims, as_of) -> DataFrame:
+    """Period-aware per-state activity assembled from MONTH-GRANULAR
+    sub-aggregates — the batch half of the streaming nexus monitor:
+    the stream maintains (month, state, revenue, txn_count) running
+    state (``streaming.nexus_monitor.monthly_state_activity``, months ×
+    ≤51 states — tiny), and each snapshot assembles the five
+    measurement-period semantics from those buckets with the SAME
+    predicates the transaction-level batch path uses
+    (``_period_predicates``), applied to the bucket's month-start date.
+
+    ``as_of`` must be a month-END date (the monitor's snapshot
+    contract, asserted): every period boundary in ``_period_predicates``
+    is then month-aligned, so bucket membership ≡ row membership and —
+    Decimal/int sums being exact and order-free — the assembled totals
+    equal ``periodized_activity`` over the same transactions
+    bit-for-bit (pytest-pinned, multi-year replay).  A mid-month
+    ``as_of`` would need the current month's day-level rows, which the
+    monthly state no longer holds.
+
+    ``months``: (month date/timestamp, state, revenue, txn_count)."""
+    import datetime as _dt
+
+    if isinstance(as_of, str):
+        as_of = _dt.date.fromisoformat(as_of)
+    nxt = as_of + _dt.timedelta(days=1)
+    if nxt.day != 1:
+        raise ValueError(
+            f"periodized_from_monthly needs a month-end as_of, got {as_of}"
+        )
+    nt = dims.nexus_thresholds.select(
+        F.col("state_code").alias("_pa_state"),
+        F.col("measurement_period").alias("_mp"),
+    )
+    df = months.join(
+        F.broadcast(nt), F.col("state") == F.col("_pa_state"), "left"
+    )
+    preds = _period_predicates(F.to_date("month"), F.lit(as_of))
+    in_cur, in_prior = preds["current_year"], preds["prior_year"]
+    in_simple = _simple_period_col(F.col("_mp"), preds)
+
+    def _sum_if(cond) -> F.Column:
+        return F.coalesce(
+            F.sum(F.when(cond, F.col("revenue"))), F.lit(0)
+        ).cast(MONEY)
+
+    def _cnt_if(cond) -> F.Column:
+        return F.coalesce(
+            F.sum(F.when(cond, F.col("txn_count"))), F.lit(0)
+        ).cast("long")
 
     agg = df.groupBy("state").agg(
         _sum_if(in_simple).alias("_rev_simple"),

@@ -682,6 +682,21 @@ ranked AS (
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}"""
 
 
+# The embedding count of the CORRECTNESS corpora (sf0.001 AND sf0.01
+# both carry 500 embeddings — TESTDATA.md).  The Spark side's default
+# geometry is planner-sized from a runtime count probe
+# (similarity.planned_geometry); these static twins must bake the SAME
+# geometry in, so they evaluate the planner at the sweep corpus size.
+# Sweeping a default-geometry embedding twin at a different sf would
+# need the twin regenerated with that corpus's count (pass n_docs).
+ORACLE_EMB_COUNT = 500
+
+
+def _oracle_geometry(n_docs: int = ORACLE_EMB_COUNT) -> tuple[int, int]:
+    g = similarity.lsh_geometry_for_corpus(n_docs)
+    return g["n_bands"], g["bits_per_band"]
+
+
 def _lsh_cte(n_planes: int = similarity.N_PLANES) -> str:
     rows = []
     for p, plane in enumerate(similarity.hyperplanes(n_planes)):
@@ -701,9 +716,11 @@ lsh_sigs AS (
 
 
 def embedding_lsh_buckets_sql(
-    n_bands: int = similarity.LSH_BANDS,
-    bits_per_band: int = similarity.LSH_BITS_PER_BAND,
+    n_bands: int | None = None,
+    bits_per_band: int | None = None,
 ) -> str:
+    if n_bands is None or bits_per_band is None:
+        n_bands, bits_per_band = _oracle_geometry()
     mask = (1 << bits_per_band) - 1
     return f"""WITH {_lsh_cte(n_bands * bits_per_band)}
 SELECT vec_id, CAST(lsh_sig AS BIGINT) AS lsh_sig, CAST(b AS INTEGER) AS band,
@@ -713,9 +730,11 @@ FROM lsh_sigs, unnest(range(0, {n_bands})) AS u(b)"""
 
 def embedding_dup_pairs_sql(
     threshold: float = 0.35,
-    n_bands: int = similarity.LSH_BANDS,
-    bits_per_band: int = similarity.LSH_BITS_PER_BAND,
+    n_bands: int | None = None,
+    bits_per_band: int | None = None,
 ) -> str:
+    if n_bands is None or bits_per_band is None:
+        n_bands, bits_per_band = _oracle_geometry()
     dot_12 = DOT_FOLD.format(n=similarity.DIM, a="e1.v", b="e2.v")
     mask = (1 << bits_per_band) - 1
     return f"""WITH {_lsh_cte(n_bands * bits_per_band)},
@@ -1914,8 +1933,8 @@ def embedding_bfs_dist_sql(threshold: float = 0.35, max_hops: int = 3) -> str:
     UNION dedups (node, dist) pairs per level (terminating at the hop
     cap) with the final min(dist) per node — exactly the groupBy-min
     the Spark unroll converges to.  Pure integers throughout; same
-    32-plane wide geometry as the Spark side."""
-    pairs_sql = embedding_dup_pairs_sql(threshold, n_bands=4, bits_per_band=8)
+    planner-sized default geometry as the Spark side."""
+    pairs_sql = embedding_dup_pairs_sql(threshold)
     return f"""
 WITH RECURSIVE pairs AS (
 {pairs_sql}

@@ -194,7 +194,8 @@ def dedup_minhash_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters over the embedding cosine pair graph —
     the same iterative min-label propagation the MinHash path uses, fed by
-    LSH-banded embedding pairs (semantic dedup's clustering step)."""
+    LSH-banded embedding pairs (semantic dedup's clustering step) at the
+    planner-sized default geometry."""
     emb = _emb(spark, sf_dir)
     pairs = similarity.embedding_dup_pairs(emb).select(
         F.col("id1").alias("doc1"), F.col("id2").alias("doc2")
@@ -227,10 +228,22 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.lsh_bucket_assignments(_emb(spark, sf_dir))
+    """Band/bucket assignments at the PLANNER-SIZED geometry
+    (similarity.planned_geometry — one memoized corpus-count probe
+    feeding lsh_geometry_for_corpus), the same geometry every
+    default-path embedding composition rides."""
+    emb = _emb(spark, sf_dir)
+    g = similarity.planned_geometry(emb)
+    return similarity.lsh_bucket_assignments(
+        emb, n_bands=g["n_bands"], bits_per_band=g["bits_per_band"]
+    )
 
 
 def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at the DEFAULT — now planner-sized — geometry:
+    no caller composing on this query can silently inherit the fixed
+    4×4 default's corpus²-candidate growth (measured 99.4× candidates
+    at 10× data before the default moved to the planner)."""
     return similarity.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
 
 
@@ -267,7 +280,9 @@ def embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over the embedding near-dup pair graph
     (graph.triangle_counts) — clique-vs-chain structure of the dup
-    clusters, wedge join + semi-join closure."""
+    clusters, wedge join + semi-join closure.  The edge list rides the
+    planner-sized default geometry: at the old fixed 4×4 bands the
+    candidate stream (and thus every wedge) grew ∝ corpus²."""
     from ..operators import graph
 
     pairs = similarity.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.2)
@@ -280,7 +295,8 @@ def embedding_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over the symmetrized embedding near-dup
     graph (graph.pagerank, 5 iterations) — graph centrality as a data-
     curation weight, bit-exact through every iteration's src-ordered
-    contribution folds."""
+    contribution folds.  Edges come from the planner-sized default
+    geometry (near-linear edge volume at any corpus size)."""
     from ..operators import graph
 
     pairs = similarity.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
@@ -428,6 +444,112 @@ def ivfpq_knn_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         nprobe=2,
         shortlist=50,
+    )
+
+
+def _prebuilt_index(spark, emb, family: str, build):
+    """The persisted-ANN-index pattern (VERDICT r7 #3, mirroring
+    dedup.minhash_component_table): load the parquet index for this
+    (corpus snapshot, family) key, building + atomically publishing it
+    on first miss.  ``build`` returns the (name → DataFrame) component
+    map.  In-memory corpora (no file lineage ⇒ no safe cache key) build
+    inline every time."""
+    import os
+    import tempfile
+
+    key = similarity.ann_index_key(emb, family)
+    if key is None:
+        return build()
+    root = os.environ.get(
+        "TCE_ANN_INDEX_DIR",
+        os.path.join(tempfile.gettempdir(), "tce_ann_index"),
+    )
+    path = os.path.join(root, key)
+    try:
+        return similarity.load_ann_index(spark, path)
+    except FileNotFoundError:
+        similarity.save_ann_index(path, build())
+        return similarity.load_ann_index(spark, path)
+
+
+def ivf_knn_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ivf_knn_portable` answered from a PERSISTED index: the portable
+    coarse quantizer (centroids + inverted-file assignments) is built
+    once per corpus snapshot, parquet-persisted, and every later run
+    pays only the probe + in-cell exact scan — the production shape,
+    where the index artifact outlives the query session.  Bit-identical
+    to the inline build (parquet doubles round-trip exactly), so it
+    shares `ivf_knn_portable`'s oracle twin."""
+    emb = _emb(spark, sf_dir)
+
+    def build():
+        refined, assign = _portable_cells(spark, sf_dir, emb)
+        return {"centroids": refined, "assignments": assign}
+
+    idx = _prebuilt_index(spark, emb, "ivf", build)
+    return similarity.ivf_knn(
+        emb,
+        query_pred=F.col("vec_id") % 50 == 0,
+        k=5,
+        nprobe=2,
+        cell_col="cell",
+        centroids=idx["centroids"],
+        assignments=idx["assignments"],
+    )
+
+
+def pq_knn_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`pq_knn_portable` answered from a PERSISTED index (codebooks +
+    nibble codes): training runs once per corpus snapshot; the per-run
+    marginal cost is the ADC scan + shortlist re-rank — the half a
+    100 TB deployment actually pays per query batch.  Shares
+    `pq_knn_portable`'s oracle twin (bit-identical by construction)."""
+    emb = _emb(spark, sf_dir)
+
+    def build():
+        cb = similarity.pq_codebooks(emb)
+        return {"codebooks": cb, "codes": similarity.pq_codes(emb, cb)}
+
+    idx = _prebuilt_index(spark, emb, "pq", build)
+    return similarity.pq_knn_rerank(
+        emb,
+        query_pred=F.col("vec_id") % 50 == 0,
+        codebooks=idx["codebooks"],
+        codes=idx["codes"],
+        k=5,
+        shortlist=50,
+    )
+
+
+def ivfpq_knn_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ivfpq_knn_portable` answered from a PERSISTED index — all four
+    artifacts (coarse centroids, inverted file, residual codebooks,
+    codes) parquet-persisted via similarity.save_ann_index; the per-run
+    marginal cost is probe + ADC + re-rank.  Shares
+    `ivfpq_knn_portable`'s oracle twin."""
+    emb = _emb(spark, sf_dir)
+
+    def build():
+        refined, assign = _portable_cells(spark, sf_dir, emb)
+        cb, codes = similarity.ivfpq_index(emb, refined, assign)
+        return {
+            "centroids": refined,
+            "assignments": assign,
+            "codebooks": cb,
+            "codes": codes,
+        }
+
+    idx = _prebuilt_index(spark, emb, "ivfpq", build)
+    return similarity.ivfpq_knn(
+        emb,
+        query_pred=F.col("vec_id") % 50 == 0,
+        centroids=idx["centroids"],
+        assignments=idx["assignments"],
+        k=5,
+        nprobe=2,
+        shortlist=50,
+        codebooks=idx["codebooks"],
+        codes=idx["codes"],
     )
 
 
@@ -1082,7 +1204,8 @@ def embedding_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities over the symmetrized embedding
     near-dup graph (graph.lpa_communities, 3 synchronous iterations,
     min-label tie-break) — the cluster-structure view between
-    connected components (too coarse) and triangles (too local)."""
+    connected components (too coarse) and triangles (too local).
+    Edges come from the planner-sized default geometry."""
     from ..operators import graph
 
     pairs = similarity.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
@@ -1161,17 +1284,15 @@ def embedding_bfs_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed set within 3 hops — the contamination-spread / seed-expansion
     traversal, verified against a recursive-CTE oracle.
 
-    Uses the corpus-scale 32-plane LSH geometry (4 bands × 8 sign
-    bits): with the default 4-bit bands the pair graph inherits the
-    corpus²-candidate growth and the traversal measured ×16 at 10×
-    data; the wide geometry's 1/256 per-band collision rate keeps the
-    edge list — and therefore every BFS round — near-linear."""
+    Uses the planner-sized default geometry (this query was the first
+    moved off the fixed 4×4 bands after the traversal measured ×16
+    wall at 10× data on the quadratic candidate stream; the wide
+    geometry cut that to 2.66×, and the planner now sizes it to the
+    corpus instead of pinning one width)."""
     from ..operators import graph
 
     emb = _emb(spark, sf_dir)
-    pairs = similarity.embedding_dup_pairs(
-        emb, threshold=0.35, n_bands=4, bits_per_band=8
-    )
+    pairs = similarity.embedding_dup_pairs(emb, threshold=0.35)
     edges = pairs.select(
         F.col("id1").alias("src"), F.col("id2").alias("dst")
     ).unionByName(

@@ -80,6 +80,70 @@ def windowed_state_activity(
     )
 
 
+def monthly_state_activity(
+    stream: DataFrame, watermark_delay: str = "45 days"
+) -> DataFrame:
+    """Month × state running sub-aggregates — the streaming STATE behind
+    period-aware nexus measurement (the r7 verdict's residual: the
+    monitor tracked all-time running totals only, while batch
+    ``nexus_periodized`` honors all five measurement_period semantics).
+
+    Calendar months are not fixed durations, so this is a date_trunc
+    month key rather than ``F.window`` (which only takes fixed
+    intervals); the watermark still bounds how late a row may arrive
+    before it's dropped.  State volume: months × ≤51 states — a
+    multi-year replay is a few thousand rows, never a store problem.
+
+    Every period in ``nexus.periodized_from_monthly`` is month-aligned
+    at a month-end as_of, so these buckets are EXACTLY sufficient to
+    assemble current_year / prior_year / rolling_12 / rolling_4q /
+    current_or_prior — no transaction-level state needed."""
+    with_ts = stream.withColumn(
+        "event_time", F.col("transaction_date").cast("timestamp")
+    ).withWatermark("event_time", watermark_delay)
+    return with_ts.groupBy(
+        F.to_date(F.date_trunc("month", F.col("event_time"))).alias("month"),
+        F.upper(F.trim("state")).alias("state"),
+    ).agg(
+        F.sum("amount").cast(MONEY).alias("revenue"),
+        F.count("*").cast("long").alias("txn_count"),
+    )
+
+
+def run_periodized_monitor_once(
+    spark: SparkSession,
+    source_path: str,
+    dims: Dims,
+    checkpoint_dir: str,
+    as_of,
+    table_name: str = "nexus_monthly_state",
+) -> DataFrame:
+    """Drain the source into the month×state state table (complete-mode
+    memory sink — the aggregate is months×states, small by
+    construction), then assemble the period-aware per-state nexus
+    status at the month-end ``as_of`` via
+    ``nexus.periodized_from_monthly`` + ``nexus.check_nexus`` — the
+    streaming twin of the batch ``nexus_periodized`` query, equal to it
+    bit-for-bit on a drained replay (Decimal/int sums are exact and
+    order-free, so month-bucket → period totals ≡ one-pass totals)."""
+    from ..operators import nexus
+
+    stream = stream_transactions(spark, source_path)
+    query = (
+        monthly_state_activity(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(table_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    months = spark.table(table_name)
+    activity = nexus.periodized_from_monthly(months, dims, as_of)
+    return nexus.check_nexus(activity, dims)
+
+
 def threshold_status(activity: DataFrame, dims: Dims) -> DataFrame:
     """Join running totals to the broadcast thresholds and derive the
     crossing/approaching flags (compliance.py:305-316 semantics).

@@ -123,17 +123,80 @@ def test_lsh_wider_bands_suppress_random_candidates(spark):
     assert narrow > 100  # the 4-bit geometry actually generates noise here
 
 
-def test_lsh_default_geometry_unchanged(spark):
-    # Compatibility pin: the parameterized path at explicit 4x4 equals the
-    # default-arg path row for row (and the legacy HYPERPLANES constant is
-    # the 16-plane prefix of the widened matrix).
+def test_lsh_default_geometry_is_planner_sized(spark):
+    # The default-arg path must equal the EXPLICIT planner geometry for
+    # this corpus (no caller can silently inherit a fixed quadratic
+    # default), and the legacy HYPERPLANES constant stays the 16-plane
+    # prefix of the widened matrix.
     emb, _ = banded_dup_emb(spark)
+    g = similarity.planned_geometry(emb)
     d = similarity.embedding_dup_pairs(emb, threshold=0.99)
     e = similarity.embedding_dup_pairs(
-        emb, threshold=0.99, n_bands=4, bits_per_band=4
+        emb,
+        threshold=0.99,
+        n_bands=g["n_bands"],
+        bits_per_band=g["bits_per_band"],
     )
     assert d.exceptAll(e).count() == 0 and e.exceptAll(d).count() == 0
     assert similarity.hyperplanes(32)[:16] == similarity.HYPERPLANES
+    # the planner answer must itself hold the candidate budget
+    assert g["expected_candidates_per_doc"] <= 4.0
+    # half a geometry is ambiguous — refuse it
+    import pytest
+
+    with pytest.raises(ValueError, match="BOTH"):
+        similarity.embedding_dup_pairs(emb, threshold=0.99, n_bands=4)
+
+
+def test_ann_index_parquet_round_trip_bit_exact(spark, tmp_path):
+    """save_ann_index → load_ann_index → search must reproduce the
+    inline-built search BIT-exactly (parquet doubles round-trip
+    exactly) — the gate behind the *_prebuilt driver queries."""
+    emb, _ = banded_dup_emb(spark)
+    cents = similarity.label_centroids(emb).select(
+        F.col("label").alias("cell"), "centroid"
+    )
+    assign = similarity.nearest_cell_assignments(
+        emb, cents.select(F.col("cell").alias("label"), "centroid")
+    )
+    cb, codes = similarity.ivfpq_index(emb, cents, assign)
+    path = str(tmp_path / "idx")
+    similarity.save_ann_index(
+        path,
+        {
+            "centroids": cents,
+            "assignments": assign,
+            "codebooks": cb,
+            "codes": codes,
+        },
+    )
+    idx = similarity.load_ann_index(spark, path)
+    assert set(idx) == {"centroids", "assignments", "codebooks", "codes"}
+    pred = F.col("vec_id") % 7 == 0
+    inline = similarity.ivfpq_knn(
+        emb, pred, cents, assign, k=3, nprobe=2, shortlist=10
+    )
+    loaded = similarity.ivfpq_knn(
+        emb,
+        pred,
+        idx["centroids"],
+        idx["assignments"],
+        k=3,
+        nprobe=2,
+        shortlist=10,
+        codebooks=idx["codebooks"],
+        codes=idx["codes"],
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, loaded.collect())
+    )
+    # loading a missing index is the caller's rebuild signal
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        similarity.load_ann_index(spark, str(tmp_path / "nope"))
+    # in-memory frames have no file lineage → no safe cross-session key
+    assert similarity.ann_index_key(emb, "ivfpq") is None
 
 
 def misaligned_emb(spark):

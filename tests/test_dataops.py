@@ -384,7 +384,11 @@ def test_multitable_lsh_amplification(spark):
     emb = emb_df(spark, vecs)
     single = {
         (r.id1, r.id2): r.cosine
-        for r in similarity.embedding_dup_pairs(emb, threshold=0.8).collect()
+        for r in similarity.embedding_dup_pairs(
+            # pin the multitable path's own 4x4 default geometry: the
+            # single-table default is planner-sized and corpus-dependent
+            emb, threshold=0.8, n_bands=4, bits_per_band=4
+        ).collect()
     }
     one_table = {
         (r.id1, r.id2): r.cosine
@@ -2575,6 +2579,32 @@ def test_snm_pairs_two_level_rank_and_window(spark):
     # cross-bucket adjacency still pairs: d2(ab)-d3(ac) adjacent ranks,
     # but Jaccard below threshold => filtered
     assert (2, 3) not in got
+
+
+def test_snm_bucket_len_is_pure_parallelization(spark):
+    """Shard-prefix length must not change ANY output value (the global
+    rank is identical at every bucket_len — sharding only splits the
+    sort), including on a skew-family corpus where every key shares a
+    short copy-tag prefix (the 10×-fixture shape that motivated the
+    default bump from 2 to 4)."""
+    from tax_compliance_engine_spark.operators.dedup import (
+        editdist_pairs,
+        snm_pairs,
+    )
+
+    rows = []
+    words = ["red", "blue", "green", "gold", "iron", "salt", "wolf", "moon"]
+    for i in range(30):
+        tag = f"c{i % 3}_"
+        w = [tag + words[(i + j) % 8] for j in range(4)]
+        rows.append((i, " ".join(w)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for fn, kw in ((snm_pairs, dict(threshold=0.2)), (editdist_pairs, dict(threshold=0.3))):
+        outs = [
+            sorted(map(tuple, fn(docs, bucket_len=bl, **kw).collect()))
+            for bl in (1, 2, 4)
+        ]
+        assert outs[0] == outs[1] == outs[2] and outs[0], fn.__name__
 
 
 def test_snm_pairs_matches_single_partition_reference(spark):

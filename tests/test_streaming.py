@@ -74,6 +74,46 @@ def test_streaming_incremental_state(spark, dims, tmp_path):
     assert rows[0].state == "TX" and rows[0].severity == "critical"
 
 
+def test_periodized_monitor_drained_equals_batch(spark, dims, tmp_path):
+    """Drained period-aware monitor ≡ batch `nexus_periodized` semantics
+    on a MULTI-YEAR replay (the r7 verdict task): the stream keeps
+    month×state sub-aggregates; the snapshot assembly at a month-end
+    as_of must reproduce nexus.periodized_activity → check_nexus over
+    the same transactions bit-for-bit, across every measurement_period
+    class (rolling_12 CT, rolling_4q NY, prior_year AL, current_year
+    HI, current_or_prior CA, plus no-threshold all-time fallback)."""
+    as_of = dt.date(2024, 6, 30)
+    rows, i = [], 0
+    # spread each state's activity across 30 months: Jan 2022 .. Jun 2024
+    for state in ("CT", "NY", "AL", "HI", "CA", "XX"):
+        for m in range(30):
+            d = dt.date(2022 + m // 12, m % 12 + 1, 15)
+            rows.append(txn(i, state, f"{1000 + 7 * i}.00", d))
+            i += 1
+    src = tmp_path / "periodized_src"
+    spark.createDataFrame(rows, TXN_SCHEMA).write.parquet(str(src))
+
+    got = nm.run_periodized_monitor_once(
+        spark, str(src), dims, str(tmp_path / "pckpt"), as_of
+    )
+    txns = spark.read.schema(TXN_SCHEMA).parquet(str(src))
+    want = nexus.check_nexus(
+        nexus.periodized_activity(txns, dims, as_of), dims
+    )
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) == 6
+
+    # mid-month as_of violates the month-bucket contract — refused, not
+    # silently wrong
+    months = spark.createDataFrame(
+        [(dt.date(2024, 1, 1), "CA", Decimal("10.00"), 1)],
+        "month date, state string, revenue decimal(14,2), txn_count long",
+    )
+    with pytest.raises(ValueError, match="month-end"):
+        nexus.periodized_from_monthly(months, dims, dt.date(2024, 6, 15))
+
+
 def test_windowed_activity_watermark(spark, dims, tmp_path):
     src = tmp_path / "wsrc"
     rows = [
