@@ -267,6 +267,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_pairs": oracle_dataops.dedup_minhash_pairs_sql(),
         "dedup_minhash_est_pairs": oracle_dataops.dedup_minhash_est_pairs_sql(),
         "dedup_minhash_resolution": oracle_dataops.dedup_minhash_resolution_sql(),
+        # dedup_cluster_reps: per-cluster representative selection
+        # (longest member wins, min-id tiebreak; narrow argmax groupBy)
+        # — oracle-only swept entry.
+        "dedup_cluster_reps": oracle_dataops.dedup_cluster_reps_sql(),
         "dedup_minhash_keep": oracle_dataops.dedup_minhash_keep_sql(),
         "dedup_minhash_clusters": oracle_dataops.dedup_minhash_clusters_sql(),
         # dedup_incremental_pairs: batch-vs-corpus asymmetric banded
@@ -297,6 +301,10 @@ def oracle_sql() -> dict[str, str]:
         "corpus_samples": oracle_corpus.corpus_samples_sql(),
         "corpus_sample": oracle_corpus.corpus_sample_sql(),
         "corpus_stratified_sample": oracle_corpus.corpus_stratified_sample_sql(),
+        # corpus_budget_sample: global doc budget split across sources by
+        # exact largest-remainder allocation, quotas filled in LCG-hash
+        # order — oracle-only swept entry (integer-exact end to end).
+        "corpus_budget_sample": oracle_corpus.corpus_budget_sample_sql(),
         "corpus_mixture": oracle_corpus.corpus_mixture_sql(),
         # corpus_clean_pipeline: the four-stage training-data pipeline
         # (quality filter → exact-dedup keep → token-budget mixture →
@@ -497,6 +505,10 @@ def oracle_sql() -> dict[str, str]:
         # frame sizes) vs the analytic stream geometry — oracle-only
         # swept entry.
         "multimodal_mp3_probe": oracle_dataops.multimodal_mp3_probe_sql(),
+        # multimodal_mkv_probe: REAL Matroska/EBML demux (vint parse,
+        # guarded Segment/Cluster walk, SimpleBlock extraction) vs the
+        # analytic container geometry — oracle-only swept entry.
+        "multimodal_mkv_probe": oracle_dataops.multimodal_mkv_probe_sql(),
         # multimodal_g711_profile: REAL G.711 µ-law expansion-table
         # decode stats vs the analytic integer expansion — oracle-only
         # swept entry.

@@ -495,6 +495,75 @@ def stratified_sample(
     )
 
 
+def budget_allocated_sample(
+    docs: DataFrame,
+    budget: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split a GLOBAL document budget across strata proportionally with
+    LARGEST-REMAINDER rounding, then fill each stratum's quota in
+    deterministic hash order — the standard way a training-data mixture
+    turns "we can afford B documents" into per-source take counts
+    without floats or bias (floor quotas sum to ≤ B; the leftover seats
+    go to the largest fractional remainders, ties to the earlier
+    stratum name).  ``stratified_sample`` takes a per-stratum count as
+    GIVEN; this derives the counts from the corpus itself.
+
+    Exact integer arithmetic end to end: base = (B·n_s) div N,
+    remainder = (B·n_s) mod N (``budget`` is capped at 2³¹−1 so the
+    products stay inside int64 for strata up to ~4.3e9 docs — the
+    documented boundary; beyond it, allocate per-partition and merge).
+    The whole allocation lives on the per-stratum COUNT frame — one
+    narrow groupBy of the corpus, then unpartitioned windows over the
+    ≤|strata|-row result (total, remainder rank, leftover seats): those
+    single-partition exchanges carry one row per STRATUM, never data
+    rows, which is the honest plan for a table that is tiny by
+    construction.  Selection reuses ``stratified_sample``'s per-stratum
+    hash-order window and a broadcast quota join.
+
+    Output: (id, stratum, stratum_quota) for the B chosen docs (fewer
+    when the corpus itself is smaller than the budget)."""
+    if not 0 < budget <= 2**31 - 1:
+        raise ValueError(
+            f"budget must be in (0, 2^31-1], got {budget} — larger "
+            "budgets overflow the int64 quota products"
+        )
+    counts = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.desc("_rem"), F.asc(stratum_col))
+    # the total must NOT be named `_N`: SQL identifiers are
+    # case-insensitive, so `_N` inside an expr resolves to `_n`
+    quotas = (
+        counts.withColumn("_tot", F.sum("_n").over(w_all))
+        .withColumn(
+            "_base", F.expr(f"(CAST({budget} AS BIGINT) * _n) DIV _tot")
+        )
+        .withColumn(
+            "_rem", F.expr(f"(CAST({budget} AS BIGINT) * _n) % _tot")
+        )
+        .withColumn("_left", F.lit(budget) - F.sum("_base").over(w_all))
+        .withColumn("_rank", F.row_number().over(w_rank))
+        .select(
+            stratum_col,
+            (
+                F.col("_base")
+                + F.when(F.col("_rank") <= F.col("_left"), 1).otherwise(0)
+            ).alias("stratum_quota"),
+        )
+    )
+    w = Window.partitionBy(stratum_col).orderBy(
+        sample_hash_col(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        docs.select(id_col, stratum_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(quotas), stratum_col)
+        .filter(F.col("_rn") <= F.col("stratum_quota"))
+        .select(id_col, stratum_col, "stratum_quota")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     token_budget: int,

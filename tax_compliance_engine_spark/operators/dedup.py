@@ -866,6 +866,45 @@ def minhash_dup_pairs(
     return _verify_candidates(per_doc, threshold)
 
 
+def cluster_representatives(
+    docs: DataFrame, pairs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-cluster REPRESENTATIVE selection — the resolution rule real
+    dedup pipelines apply after transitive clustering: keep the member
+    with the MOST TOKENS (the longest variant preserves the most
+    information; min-id keep rules throw away content whenever the
+    shortest copy happens to have the smallest id), ties to the
+    smallest doc_id.  Integer-exact end to end.
+
+    One narrow groupBy(cluster_id) argmax via ``max(struct(n_tokens,
+    −doc_id))`` — a boilerplate mega-cluster folds partial maxima
+    map-side instead of sorting its member list in one task (the same
+    hub discipline as ``lpa_communities``).
+
+    Output: (cluster_id, rep_doc_id, rep_tokens, n_members) — one row
+    per cluster, singletons included (their own representative)."""
+    clusters = dup_clusters(docs.select("doc_id"), pairs)
+    toks = docs.select(
+        "doc_id", F.size(tokens_col(F.col(text_col))).alias("_nt")
+    )
+    return (
+        clusters.join(toks, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(
+                F.struct(F.col("_nt"), (-F.col("doc_id")).alias("_nd"))
+            ).alias("_m"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("_m._nd")).alias("rep_doc_id"),
+            F.col("_m._nt").alias("rep_tokens"),
+            "n_members",
+        )
+    )
+
+
 def dup_clusters(
     docs: DataFrame, pairs: DataFrame, max_iter: int = 20
 ) -> DataFrame:
@@ -1414,7 +1453,24 @@ def editdist_pairs(
 
     Scale shape (100 TB): identical to ``snm_pairs`` — the global sort
     is two-level sharded, candidates are ≤ window·n, and the banded
-    Levenshtein kernel runs on the capped prefix only."""
+    Levenshtein kernel runs on the capped prefix only.
+
+    Measured 10× curve (r8 diagnosis, closing the r7 "copy-tag shard
+    skew" hypothesis): growth ≈ 11× wall at 10× data is LINEAR
+    compute, not skew — shards spread fine (300 shards × ≤197 docs on
+    the scaled fixture), candidates are exactly linear (39,996 →
+    399,964), and the cost center is the verify kernel itself:
+    sort-ADJACENT pairs share long prefixes by construction, which
+    defeats the band's early abort (the full 2k+1 × 256 matrix runs,
+    ~1.7 ms/pair) — the 1× run is overhead-dominated, so the ratio
+    overstates per-row growth.  Four candidate accelerations were
+    measured and REJECTED as non-wins on Spark's interpreted
+    expression path: bag-distance lower-bound prefilter (56% pass ×
+    HOF fold cost ≥ saving), common-prefix trim via split/zip_with
+    (array allocs 1.5× slower) and via 8-step binary-search substring
+    compares (3× slower — repeated interpreted Substring), and an
+    equality short-circuit (0.4% of pairs equal).  A faster path
+    needs a JVM kernel change, not a plan change."""
     cand = snm_candidates(docs, text_col, key_len, bucket_len, window)
     norm = F.substring(
         F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""),

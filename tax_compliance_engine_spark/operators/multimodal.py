@@ -950,8 +950,10 @@ def sample_frames(
     ``_decode_gif`` / ``_decode_jpeg``).  MP4 payloads get a REAL ISO
     BMFF demux (``_split_mp4_samples``: box walk to the stbl sample
     tables, samples sliced at the stsz/stco/stsc-described offsets —
-    JPEG-in-MP4 frames then decode individually).  Other formats keep
-    the fixed-``frame_bytes`` chunk stand-in, preserving the
+    JPEG-in-MP4 frames then decode individually).  MKV/WebM payloads
+    get the REAL EBML demux since r8 (``_split_mkv_frames``: header
+    gate, Segment/Cluster walk, SimpleBlock extraction).  Other formats
+    keep the fixed-``frame_bytes`` chunk stand-in, preserving the
     row-explosion shape, Arrow batching, and per-frame indexing.  Rows
     with NULL payloads produce no frames (same as undecodable media)."""
 
@@ -976,6 +978,8 @@ def sample_frames(
                     chunks = _split_jpeg_frames(payload)
                 elif fmt == "mp4":
                     chunks = _split_mp4_samples(payload)
+                elif fmt == "mkv":
+                    chunks = _split_mkv_frames(payload)
                 else:
                     n_frames = len(payload) // frame_bytes
                     chunks = [
@@ -2372,6 +2376,323 @@ def synth_mp4(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "payload": payloads,
                     "payload_size": [len(p) for p in payloads],
                     "format": "mp4",
+                }
+            )
+
+    return ids.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+# ── MKV/WebM (EBML): real container demux ────────────────────────────
+#
+# Replaces the byte-truncate stand-in for Matroska payloads with a real
+# from-scratch EBML parser: variable-size integers (ids keep their
+# length-marker bits, sizes strip them, all-ones means unknown-size /
+# to-end), a guarded element walk (declared sizes clamped to the
+# enclosing extent — same untrusted-count discipline as the MP4 sample
+# tables), and SimpleBlock frame extraction (track vint + 16-bit
+# relative timestamp + flags; laced blocks are skipped, not guessed).
+# The WRITER emits a minimal-but-valid file: EBML header (DocType
+# matroska), Segment with Info/Tracks, and Timestamp'd Clusters of
+# SimpleBlocks.
+
+_EBML_HEADER = 0x1A45DFA3
+_MKV_SEGMENT = 0x18538067
+_MKV_CLUSTER = 0x1F43B675
+_MKV_TIMESTAMP = 0xE7
+_MKV_SIMPLEBLOCK = 0xA3
+
+
+def _ebml_size(value: int) -> bytes:
+    """EBML size vint: smallest width whose all-ones (reserved for
+    'unknown') is not the value."""
+    for length in range(1, 9):
+        if value < (1 << (7 * length)) - 1:
+            return (value | (1 << (7 * length))).to_bytes(length, "big")
+    raise ValueError(f"EBML size too large: {value}")
+
+
+def _ebml_read_size(buf, pos):
+    """(value, next_pos, is_unknown) for a size vint at ``pos``, or None
+    on truncation / a zero lead byte (no marker = malformed)."""
+    if pos >= len(buf) or buf[pos] == 0:
+        return None
+    first = buf[pos]
+    length, mask = 1, 0x80
+    while not first & mask:
+        mask >>= 1
+        length += 1
+    if pos + length > len(buf):
+        return None
+    v = first & (mask - 1)
+    for i in range(1, length):
+        v = (v << 8) | buf[pos + i]
+    unknown = v == (1 << (7 * length)) - 1
+    return v, pos + length, unknown
+
+
+def _ebml_read_id(buf, pos):
+    """(id, next_pos) for an element id at ``pos`` — ids KEEP the
+    length-marker bits (that is how Matroska ids are written down)."""
+    if pos >= len(buf) or buf[pos] == 0:
+        return None
+    first = buf[pos]
+    length, mask = 1, 0x80
+    while not first & mask:
+        mask >>= 1
+        length += 1
+    if length > 4 or pos + length > len(buf):
+        return None
+    return int.from_bytes(buf[pos : pos + length], "big"), pos + length
+
+
+def _walk_ebml(buf, start: int, end: int):
+    """Yield (id, payload_start, payload_end) for each well-formed EBML
+    element in [start, end); unknown-size elements extend to the
+    enclosing end; stops at the first malformed header (the
+    ``_walk_boxes`` contract)."""
+    pos = start
+    while pos < end:
+        rid = _ebml_read_id(buf, pos)
+        if rid is None:
+            return
+        eid, pos = rid
+        rsz = _ebml_read_size(buf, pos)
+        if rsz is None:
+            return
+        size, pos, unknown = rsz
+        pe = end if unknown else pos + size
+        if pe > end:
+            return
+        yield eid, pos, pe
+        pos = pe
+
+
+def _ebml_elem(eid: int, payload: bytes) -> bytes:
+    return (
+        eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+        + _ebml_size(len(payload))
+        + payload
+    )
+
+
+def _ebml_uint(eid: int, value: int) -> bytes:
+    body = value.to_bytes(max(1, (value.bit_length() + 7) // 8), "big")
+    return _ebml_elem(eid, body)
+
+
+def _build_mkv(
+    frames: list[bytes],
+    frames_per_cluster: int = 2,
+    frame_duration_ms: int = 40,
+) -> bytes:
+    """Minimal-but-valid single-track Matroska file: EBML header
+    (DocType matroska, version/read-version/id-size/size-size), Segment
+    → Info (TimestampScale 1 ms) + Tracks (one video TrackEntry) +
+    Clusters of ``frames_per_cluster`` SimpleBlocks each, cluster
+    Timestamp absolute, block timestamps relative int16."""
+    header = _ebml_elem(
+        _EBML_HEADER,
+        _ebml_uint(0x4286, 1)  # EBMLVersion
+        + _ebml_uint(0x42F7, 1)  # EBMLReadVersion
+        + _ebml_uint(0x42F2, 4)  # EBMLMaxIDLength
+        + _ebml_uint(0x42F3, 8)  # EBMLMaxSizeLength
+        + _ebml_elem(0x4282, b"matroska")  # DocType
+        + _ebml_uint(0x4287, 2)  # DocTypeVersion
+        + _ebml_uint(0x4285, 2),  # DocTypeReadVersion
+    )
+    info = _ebml_elem(
+        0x1549A966, _ebml_uint(0x2AD7B1, 1_000_000)  # TimestampScale 1 ms
+    )
+    tracks = _ebml_elem(
+        0x1654AE6B,
+        _ebml_elem(
+            0xAE,  # TrackEntry
+            _ebml_uint(0xD7, 1)  # TrackNumber
+            + _ebml_uint(0x73C5, 1)  # TrackUID
+            + _ebml_uint(0x83, 1),  # TrackType video
+        ),
+    )
+    clusters = []
+    for c0 in range(0, len(frames), frames_per_cluster):
+        cluster_ts = c0 * frame_duration_ms
+        body = _ebml_uint(_MKV_TIMESTAMP, cluster_ts)
+        for f, frame in enumerate(frames[c0 : c0 + frames_per_cluster]):
+            rel = f * frame_duration_ms
+            body += _ebml_elem(
+                _MKV_SIMPLEBLOCK,
+                bytes([0x81])  # track 1 as a 1-byte vint
+                + rel.to_bytes(2, "big", signed=True)
+                + bytes([0x80])  # keyframe, no lacing
+                + frame,
+            )
+        clusters.append(_ebml_elem(_MKV_CLUSTER, body))
+    segment = _ebml_elem(_MKV_SEGMENT, info + tracks + b"".join(clusters))
+    return header + segment
+
+
+def _mkv_containers(buf, start: int, end: int, want_id: int):
+    """Yield (payload_start, payload_end) for each ``want_id`` CONTAINER
+    element in [start, end), CLAMPING a declared extent that overruns
+    the buffer (a truncated download keeps its intact prefix — the
+    ``_split_mp4_samples`` salvage contract; leaf elements still
+    require exact extents via ``_walk_ebml``).  Non-matching siblings
+    with honest extents are skipped; the walk stops at the first
+    malformed header."""
+    pos = start
+    while pos < end:
+        rid = _ebml_read_id(buf, pos)
+        if rid is None:
+            return
+        eid, pos = rid
+        rsz = _ebml_read_size(buf, pos)
+        if rsz is None:
+            return
+        size, pos, unknown = rsz
+        pe = end if unknown else min(pos + size, end)
+        if eid == want_id:
+            yield pos, pe
+        pos = pe
+
+
+def _split_mkv_frames(payload: bytes) -> list[bytes]:
+    """REAL Matroska demux: EBML header gate, Segment walk, per-Cluster
+    SimpleBlock extraction (track vint skipped, 2-byte relative
+    timestamp + flags honored, LACED blocks skipped rather than
+    mis-split).  Container extents (Segment, Cluster) clamp to the
+    buffer so a truncated file keeps its intact frame prefix; leaf
+    blocks need exact extents.  Returns [] on anything that is not an
+    EBML stream — never raises."""
+    buf = payload
+    rid = _ebml_read_id(buf, 0)
+    if rid is None or rid[0] != _EBML_HEADER:
+        return []
+    rsz = _ebml_read_size(buf, rid[1])
+    if rsz is None:
+        return []
+    body = rsz[1] + rsz[0] if not rsz[2] else len(buf)
+    if body > len(buf):
+        return []
+    frames: list[bytes] = []
+    for ps, pe in _mkv_containers(buf, body, len(buf), _MKV_SEGMENT):
+        for cs, ce in _mkv_containers(buf, ps, pe, _MKV_CLUSTER):
+            for bid, bs, be in _walk_ebml(buf, cs, ce):
+                if bid != _MKV_SIMPLEBLOCK:
+                    continue
+                rtrack = _ebml_read_size(buf, bs)
+                if rtrack is None:
+                    continue
+                _, dpos, _ = rtrack
+                if dpos + 3 > be:
+                    continue
+                flags = buf[dpos + 2]
+                if flags & 0x06:  # laced — sizes live in a lace header
+                    continue
+                frames.append(bytes(buf[dpos + 3 : be]))
+    return frames
+
+
+MKV_PROBE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_clusters", LongType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("total_frame_bytes", LongType(), True),
+        StructField("first_frame_size", LongType(), True),
+    ]
+)
+
+
+def probe_mkv(media: DataFrame) -> DataFrame:
+    """REAL Matroska structure metadata (Arrow-batched ``mapInPandas``,
+    partition-parallel, no shuffle): cluster and SimpleBlock counts and
+    frame byte totals recovered from the actual EBML bytes — the audit
+    pass a video ingest runs before any decode.  Non-EBML payloads
+    probe to NULLs; non-mkv formats raise (the ``probe_mp3``
+    contract)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in MKV_PROBE_SCHEMA}
+            for doc_id, fmt, payload in zip(
+                pdf["doc_id"], pdf["format"], pdf["payload"]
+            ):
+                if fmt != "mkv":
+                    raise NotImplementedError(
+                        f"probe_mkv got format {fmt!r}: EBML/Matroska only"
+                    )
+                out["doc_id"].append(doc_id)
+                rid = None if payload is None else _ebml_read_id(payload, 0)
+                rsz = (
+                    None
+                    if rid is None or rid[0] != _EBML_HEADER
+                    else _ebml_read_size(payload, rid[1])
+                )
+                if rsz is not None:
+                    body = rsz[1] + rsz[0] if not rsz[2] else len(payload)
+                if rsz is None or body > len(payload):
+                    for key in (
+                        "n_clusters",
+                        "n_frames",
+                        "total_frame_bytes",
+                        "first_frame_size",
+                    ):
+                        out[key].append(None)
+                    continue
+                n_clusters = sum(
+                    1
+                    for ps, pe in _mkv_containers(
+                        payload, body, len(payload), _MKV_SEGMENT
+                    )
+                    for _ in _mkv_containers(
+                        payload, ps, pe, _MKV_CLUSTER
+                    )
+                )
+                frames = _split_mkv_frames(payload)
+                out["n_clusters"].append(n_clusters)
+                out["n_frames"].append(len(frames))
+                out["total_frame_bytes"].append(
+                    sum(len(f) for f in frames)
+                )
+                out["first_frame_size"].append(
+                    len(frames[0]) if frames else None
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=MKV_PROBE_SCHEMA)
+
+
+def synth_mkv(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic Matroska payload per id: 2 + id%3
+    binary-P6 PPM frames (frame f is the constant color ((id+17f)%256,
+    (2id+29f)%256, (5id+41f)%256) — synth_mp4's closed form, PPM-encoded
+    so every frame size and pixel sum is analytic), packed 2 per
+    Cluster.  Every probe field is therefore a pure function of the id
+    — and the Spark side must recover it from the actual EBML bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                frames = []
+                for f in range(2 + i % 3):
+                    px = bytes(
+                        [
+                            (i + 17 * f) % 256,
+                            (2 * i + 29 * f) % 256,
+                            (5 * i + 41 * f) % 256,
+                        ]
+                        * 64
+                    )
+                    frames.append(b"P6\n8 8\n255\n" + px)
+                payloads.append(_build_mkv(frames))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "media_type": "video",
+                    "payload": payloads,
+                    "payload_size": [len(p) for p in payloads],
+                    "format": "mkv",
                 }
             )
 

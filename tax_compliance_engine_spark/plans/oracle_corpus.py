@@ -129,6 +129,42 @@ def corpus_stratified_sample_sql(per_stratum: int = 10) -> str:
 SELECT doc_id, source FROM ranked WHERE rn <= {per_stratum}"""
 
 
+def corpus_budget_sample_sql(budget: int = 137) -> str:
+    """Twin of queries_dataops.corpus_budget_sample: the same exact
+    integer largest-remainder allocation (base = (B·n) // N, leftover
+    seats to the largest (rem, source ASC) remainders via a non-equi
+    self-join rank) and the same LCG-hash per-stratum fill order."""
+    return f"""WITH c AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c),
+q AS (
+  -- tot, not "N": SQL identifiers are case-insensitive, so N would
+  -- shadow/collide with the per-stratum n
+  SELECT source, n,
+         (CAST({budget} AS BIGINT) * n) // tot AS base,
+         (CAST({budget} AS BIGINT) * n) % tot AS rem
+  FROM c CROSS JOIN t),
+l AS (SELECT CAST({budget} AS BIGINT) - SUM(base) AS leftover FROM q),
+r AS (
+  SELECT a.source, a.base, count(b.source) AS ahead
+  FROM q a LEFT JOIN q b
+    ON (b.rem > a.rem) OR (b.rem = a.rem AND b.source < a.source)
+  GROUP BY a.source, a.base),
+quota AS (
+  SELECT r.source,
+         base + CASE WHEN ahead < l.leftover THEN 1 ELSE 0 END
+           AS stratum_quota
+  FROM r CROSS JOIN l),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {_HASH}, doc_id) AS rn
+  FROM documents)
+SELECT ranked.doc_id, ranked.source, quota.stratum_quota
+FROM ranked JOIN quota USING (source)
+WHERE rn <= stratum_quota"""
+
+
 def corpus_samples_sql(rate: float = 0.25, per_stratum: int = 10) -> str:
     """Twin of queries_dataops.corpus_samples: plain LCG rate sample and
     per-stratum quota sample, marker-tagged (both arms carry lang)."""

@@ -585,6 +585,38 @@ reach AS (
 SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node"""
 
 
+def dedup_cluster_reps_sql(threshold: float = 0.5) -> str:
+    """Twin of queries_dataops.dedup_cluster_reps: the recursive-CTE
+    cluster closure, then the same (tokens DESC, doc_id ASC) argmax per
+    cluster with member counts — pure integers."""
+    pairs_sql = dedup_minhash_pairs_sql(threshold)
+    return f"""WITH RECURSIVE pairs AS (
+{pairs_sql}
+),
+adj AS (
+  SELECT doc1 AS node, doc2 AS nbr FROM pairs
+  UNION ALL
+  SELECT doc2 AS node, doc1 AS nbr FROM pairs
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS lab FROM documents
+  UNION
+  SELECT a.node, r.lab FROM adj a JOIN reach r ON r.node = a.nbr
+),
+cl AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+tk AS (SELECT doc_id, len({TOKENS}) AS nt FROM documents),
+r AS (
+  SELECT cl.cluster_id, cl.doc_id, tk.nt,
+         row_number() OVER (PARTITION BY cl.cluster_id
+                            ORDER BY tk.nt DESC, cl.doc_id) AS rn,
+         count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+  FROM cl JOIN tk USING (doc_id))
+SELECT cluster_id, doc_id AS rep_doc_id,
+       CAST(nt AS INTEGER) AS rep_tokens,
+       CAST(n_members AS BIGINT) AS n_members
+FROM r WHERE rn = 1"""
+
+
 def dedup_minhash_resolution_sql(threshold: float = 0.5) -> str:
     """Twin of queries_dataops.dedup_minhash_resolution: the recursive-CTE
     cluster id plus the one-pass keep flag (not a loser doc2) per doc."""
@@ -1614,6 +1646,20 @@ SELECT doc_id,
   CAST(SUM(abs(s)) AS BIGINT) AS sum_abs,
   CAST(SUM(s * s) AS BIGINT) AS sum_sq
 FROM samples GROUP BY doc_id, n"""
+
+
+def multimodal_mkv_probe_sql() -> str:
+    """Twin of queries_dataops.multimodal_mkv_probe: synth_mkv geometry
+    is analytic — 2 + id%3 PPM frames of 11 header + 192 pixel bytes
+    (8×8×3), packed 2 SimpleBlocks per Cluster — so every probe field
+    the REAL EBML walk recovers from the bytes is a pure integer
+    function of the id."""
+    return """SELECT doc_id,
+  CAST(((2 + doc_id % 3) + 1) // 2 AS BIGINT) AS n_clusters,
+  CAST(2 + doc_id % 3 AS BIGINT) AS n_frames,
+  CAST(203 * (2 + doc_id % 3) AS BIGINT) AS total_frame_bytes,
+  CAST(203 AS BIGINT) AS first_frame_size
+FROM documents"""
 
 
 def multimodal_mp3_probe_sql() -> str:

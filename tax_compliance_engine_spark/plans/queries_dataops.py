@@ -163,6 +163,16 @@ def dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dedup_filter(docs.select("doc_id"), pairs)
 
 
+def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection (dedup.cluster_representatives):
+    one keep-decision row per MinHash near-dup cluster — longest member
+    wins, ties to the smallest doc_id — the resolution rule that
+    preserves content instead of the min-id accident."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_dup_pairs(docs, threshold=0.5)
+    return dedup.cluster_representatives(docs, pairs)
+
+
 def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters over the MinHash pair graph."""
     docs = _docs(spark, sf_dir)
@@ -569,6 +579,15 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-budget stratified sampling (corpus.budget_allocated_sample):
+    137 documents split across sources by exact largest-remainder
+    allocation, each source's quota filled in deterministic LCG-hash
+    order — integer-exact end to end, remainder ranking via a broadcast
+    non-equi self-join of the tiny per-source table."""
+    return corpus.budget_allocated_sample(_docs(spark, sf_dir), budget=137)
+
+
 def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.deterministic_sample(_docs(spark, sf_dir), rate=0.25).select(
         "doc_id", "source", "lang"
@@ -883,6 +902,20 @@ def multimodal_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return multimodal.probe_mp3(
         multimodal.synth_mp3(docs.select("doc_id"))
+    )
+
+
+def multimodal_mkv_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Matroska/EBML demux under the bit-exact gate: synth_mkv
+    files (EBML header, Segment/Info/Tracks, Timestamp'd Clusters of
+    SimpleBlock-wrapped PPM frames — every field a pure function of the
+    id) probed by multimodal.probe_mkv — vint id/size parse, guarded
+    container walk, SimpleBlock frame extraction — vs an analytic
+    DuckDB twin deriving cluster/frame counts and byte totals from the
+    id.  Closes the r7 'MKV/WebM byte-truncate stand-in' gap."""
+    docs = _docs(spark, sf_dir)
+    return multimodal.probe_mkv(
+        multimodal.synth_mkv(docs.select("doc_id"))
     )
 
 

@@ -79,6 +79,34 @@ def test_stratified_sample_quota(spark):
     assert per == {"s0": 4, "s1": 4, "s2": 4}
 
 
+def test_budget_allocated_sample_largest_remainder(spark):
+    """Exact largest-remainder allocation: strata 50/30/20 docs with
+    budget 7 → exact quotas 3.5/2.1/1.4 → bases 3/2/1 (sum 6), the one
+    leftover seat goes to the largest remainder (s0's .5) → 4/2/1; the
+    fill is the deterministic hash order; quotas sum to the budget."""
+    import pytest
+
+    rows = (
+        [(i, "x", "s0") for i in range(50)]
+        + [(100 + i, "x", "s1") for i in range(30)]
+        + [(200 + i, "x", "s2") for i in range(20)]
+    )
+    out = corpus.budget_allocated_sample(docs_df(spark, rows), budget=7).collect()
+    per = {}
+    for r in out:
+        per[r.source] = per.get(r.source, 0) + 1
+        assert r.stratum_quota == {"s0": 4, "s1": 2, "s2": 1}[r.source]
+    assert per == {"s0": 4, "s1": 2, "s2": 1}
+    assert sum(per.values()) == 7
+    # budget >= corpus: every doc is kept, never more
+    all_out = corpus.budget_allocated_sample(
+        docs_df(spark, rows), budget=1000
+    ).collect()
+    assert len(all_out) == 100
+    with pytest.raises(ValueError, match="budget"):
+        corpus.budget_allocated_sample(docs_df(spark, rows), budget=0)
+
+
 def test_pack_sequences_bins(spark):
     # docs of 3 tokens each, budget 4: prefix starts 0,3,6,9 → bins 0,0,1,2
     df = docs_df(spark, [(i, "a b c", "s0") for i in range(4)])

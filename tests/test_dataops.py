@@ -995,6 +995,31 @@ def test_dup_clusters_transitive(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
 
 
+def test_cluster_representatives_longest_wins(spark):
+    """Resolution rule: per cluster keep the member with the most
+    tokens, ties to the smallest doc_id; singletons represent
+    themselves."""
+    docs = spark.createDataFrame(
+        [
+            (0, "a b"),          # cluster 0 (chain 0-1-2)
+            (1, "a b c d e"),    # longest in cluster 0 → representative
+            (2, "a b c"),
+            (3, "x y"),          # cluster 3 (pair 3-4), tie on 2 tokens
+            (4, "p q"),          # → min doc_id 3 wins
+            (5, "solo doc"),     # singleton
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "doc1 long, doc2 long"
+    )
+    got = {
+        r.cluster_id: (r.rep_doc_id, r.rep_tokens, r.n_members)
+        for r in dedup.cluster_representatives(docs, pairs).collect()
+    }
+    assert got == {0: (1, 5, 3), 3: (3, 2, 2), 5: (5, 2, 1)}
+
+
 def test_dup_clusters_long_chain_logarithmic(spark):
     """A 100-node path graph (diameter 99) must converge well inside a
     logarithmic round budget — the case plain min-label propagation
@@ -2142,6 +2167,63 @@ def test_mp4_demux_trusts_sample_tables_not_layout(spark):
     assert [(r.frame_idx, bytes(r.frame_payload)) for r in rows] == [
         (0, frames[0])
     ]
+
+
+def test_mkv_ebml_demux_round_trip(spark):
+    """REAL EBML demux: _build_mkv files round-trip through
+    _split_mkv_frames; truncation keeps the intact frame prefix
+    (container extents clamp, leaf blocks need exact extents); non-EBML
+    bytes and laced blocks are refused, not mis-split."""
+    frames = [b"P6\n2 1\n255\n" + bytes(6), b"\x00\x01\x02\x03" * 10]
+    built = multimodal._build_mkv(frames)
+    assert multimodal._split_mkv_frames(built) == frames
+    # truncating into the final block drops it, keeps the first
+    assert multimodal._split_mkv_frames(built[:-3]) == frames[:1]
+    assert multimodal._split_mkv_frames(b"not an ebml stream") == []
+    assert multimodal._split_mkv_frames(b"") == []
+    # a laced SimpleBlock (flags bit set) is skipped, not guessed at
+    laced = multimodal._ebml_elem(
+        multimodal._MKV_SEGMENT,
+        multimodal._ebml_elem(
+            multimodal._MKV_CLUSTER,
+            multimodal._ebml_uint(multimodal._MKV_TIMESTAMP, 0)
+            + multimodal._ebml_elem(
+                multimodal._MKV_SIMPLEBLOCK,
+                bytes([0x81, 0, 0, 0x86]) + b"payload",
+            ),
+        ),
+    )
+    hdr = built[: built.index(bytes.fromhex("18538067"))]
+    assert multimodal._split_mkv_frames(hdr + laced) == []
+
+    # e2e: synth corpus demuxes through sample_frames and each emitted
+    # frame decodes as the analytic constant-color PPM
+    media = multimodal.synth_mkv(spark.range(0, 6).toDF("doc_id"))
+    rows = multimodal.sample_frames(media, every_n=1).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.frame_idx] = bytes(r.frame_payload)
+    for i in range(6):
+        assert len(by_doc[i]) == 2 + i % 3
+        for f, payload in by_doc[i].items():
+            arr = multimodal._decode_ppm(payload)
+            assert tuple(arr[0, 0]) == (
+                (i + 17 * f) % 256,
+                (2 * i + 29 * f) % 256,
+                (5 * i + 41 * f) % 256,
+            )
+
+
+def test_mkv_probe_null_on_malformed(spark):
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(b"garbage bytes here"), 18, "mkv"),
+            (2, "video", None, 0, "mkv"),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {r.doc_id: r for r in multimodal.probe_mkv(media).collect()}
+    assert rows[1].n_frames is None and rows[2].n_frames is None
 
 
 def test_mp4_demux_clamps_untrusted_count_fields():
