@@ -231,6 +231,20 @@ def oracle_sql() -> dict[str, str]:
         "events_range_pairs": oracle.events_range_pairs_sql(),
         "region_revenue": oracle.region_revenue_sql(),
         "customers_without_orders": oracle.customers_without_orders_sql(),
+        # order_shipping_priority: TPC-H Q3 shape (segment semi-side,
+        # date-split fact join, decimal-exact top-10 revenue) —
+        # oracle-only swept entry.
+        "order_shipping_priority": oracle.order_shipping_priority_sql(),
+        # nation_local_supplier_volume: TPC-H Q5 shape (6-way star with
+        # the customer-nation = supplier-nation cross-dimension
+        # equality) — oracle-only swept entry.
+        "nation_local_supplier_volume": (
+            oracle.nation_local_supplier_volume_sql()
+        ),
+        # part_promo_revenue: TPC-H Q19 shape (OR-of-ANDs disjunctive
+        # predicate mixing both join sides, scalar revenue) —
+        # oracle-only swept entry.
+        "part_promo_revenue": oracle.part_promo_revenue_sql(),
         "doc_profile": oracle_dataops.doc_profile_sql(),
         "doc_signals": oracle_dataops.doc_signals_sql(),
         "doc_text_stats": oracle_dataops.doc_text_stats_sql(),
@@ -290,6 +304,14 @@ def oracle_sql() -> dict[str, str]:
         # dedup — oracle-only swept entry.
         "embedding_dup_pairs_multitable": (
             oracle_dataops.embedding_dup_pairs_multitable_sql()
+        ),
+        # embedding_dup_pairs_amplified: the COMPLETE planner recipe —
+        # planner-sized bands + the prescribed amplification count,
+        # multitable OR, exact verify — oracle-only swept entry (twin
+        # pinned at the planner's answer for the 500-embedding
+        # correctness corpus).
+        "embedding_dup_pairs_amplified": (
+            oracle_dataops.embedding_dup_pairs_amplified_sql()
         ),
         "embedding_dup_clusters": oracle_dataops.embedding_dup_clusters_sql(),
         # label_centroids: rows-only (double-sum order sensitivity)

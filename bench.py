@@ -251,6 +251,15 @@ def main() -> None:
         timings[name] = round(
             min(clean or dirty or transient_walls), 3
         )
+        # Isolate queries from each other: the suite caches DataFrames
+        # inside many queries (LSH buckets, minhash signatures, ANN
+        # builds) and never unpersists them, so by mid-list the block
+        # manager is full of dead blocks and storage eviction pollutes
+        # the timings (observed: dedup_minhash_est_pairs 7.1 s mid-bench
+        # vs 1.09 s standalone on the same idle box).  Clearing between
+        # queries makes each number reproducible standalone; caching
+        # WITHIN a query still works during its runs.
+        spark.catalog.clearCache()
     gate["external_cores_max"] = round(ext_max, 2)
     gate["accounting_transients"] = transients
     gate["contended_queries"] = contended

@@ -862,6 +862,60 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name"""
 
 
+def order_shipping_priority_sql() -> str:
+    """Twin of queries.order_shipping_priority: same segment filter,
+    date split, decimal-exact revenue, (revenue DESC, orderkey) top-10."""
+    return """SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,
+       o.o_orderpriority,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10"""
+
+
+def nation_local_supplier_volume_sql() -> str:
+    """Twin of queries.nation_local_supplier_volume: the 6-way star with
+    the customer-nation = supplier-nation cross-dimension equality."""
+    return """SELECT n.n_name AS nation, r.r_name AS region,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE year(o.o_orderdate) = 1997
+GROUP BY n.n_name, r.r_name"""
+
+
+def part_promo_revenue_sql() -> str:
+    """Twin of queries.part_promo_revenue: the same OR-of-ANDs
+    disjunctive predicate over the part join."""
+    return """SELECT
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 25)
+   OR (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 40)"""
+
+
 def customers_without_orders_sql() -> str:
     return """SELECT c_custkey FROM customer
 EXCEPT

@@ -830,6 +830,21 @@ JOIN emb_n e2 ON e2.vec_id = c.id2
 WHERE {dot_12} / (e1.nrm * e2.nrm) >= {threshold}"""
 
 
+def embedding_dup_pairs_amplified_sql(
+    threshold: float = 0.35, n_docs: int = ORACLE_EMB_COUNT
+) -> str:
+    """Twin of queries_dataops.embedding_dup_pairs_amplified: the
+    multitable twin evaluated at the planner's full answer for the
+    sweep corpus — geometry AND table count."""
+    g = similarity.lsh_geometry_for_corpus(n_docs)
+    return embedding_dup_pairs_multitable_sql(
+        threshold=threshold,
+        n_tables=min(int(g["tables_for_90pct_recall"]), 8),
+        n_bands=g["n_bands"],
+        bits_per_band=g["bits_per_band"],
+    )
+
+
 def embedding_dup_pairs_wide_sql(threshold: float = 0.35) -> str:
     """Twin of queries_dataops.embedding_dup_pairs_wide: the 32-plane
     4×8-bit geometry — the corpus-scale setting whose per-band collision

@@ -1073,6 +1073,133 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: the 10 highest-revenue orders
+    from BUILDING-segment customers placed before the cutoff whose
+    lineitems ship after it (revenue still in flight at the date).
+
+    Plan shape: customer is a broadcast semi-side (segment filter cuts
+    it ~5×), orders filters on date BEFORE the join, lineitem's date
+    filter pushes to the scan, revenue is the decimal-exact
+    ``pricing_summary`` recipe, and the global top-10 lowers to
+    TakeOrderedAndProject (no single-partition sort)."""
+    cutoff = "1998-07-01"
+    li = _utc(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = _utc(spark).read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        li.filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+        .join(
+            orders.filter(
+                F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+            ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                customer.filter(
+                    F.col("c_mktsegment") == "BUILDING"
+                ).select("c_custkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(price * (one - disc)).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def nation_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier volume: 1997 revenue per nation
+    where the ordering CUSTOMER and the line's SUPPLIER sit in the SAME
+    nation — the classic 6-way star join with a cross-dimension
+    equality (the constraint that forces the optimizer to carry both
+    nationkeys to the fact row instead of pruning either dim).
+
+    All four dimension sides broadcast; the only shuffles are the
+    orders⋈lineitem fact join and the final ≤|nations| aggregate.
+    Decimal-exact revenue, double at the edge."""
+    li = _utc(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = _utc(spark).read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        li.join(
+            orders.filter(F.year("o_orderdate") == 1997).select(
+                "o_orderkey", "o_custkey"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.sum(price * (one - disc)).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def part_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate join: revenue from
+    lineitems matching EITHER of two (brand, size-range, qty-range)
+    promo arms — the OR-of-ANDs shape that exercises predicate handling
+    across a join (each conjunct mixes part and lineitem columns, so
+    neither side can be pre-filtered to one arm alone; only the
+    per-side disjunction envelope pushes down).  One broadcast join,
+    one scalar aggregate; decimal-exact revenue, double at the edge."""
+    li = _utc(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    arm1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 25)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#11")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    )
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .filter(arm1 | arm2)
+        .agg(
+            F.sum(price * (one - disc)).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join/EXCEPT: customers with no 1998 order.  (Restricted to one
     year so the result is non-trivial — the testdata has every customer

@@ -280,6 +280,16 @@ def embedding_dup_pairs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_dup_pairs_amplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full planner recipe (similarity.embedding_dup_pairs_amplified):
+    planner-sized bands AND the prescribed amplification count, ORed
+    multitable candidates, exact-cosine verify — what a production
+    near-dup pass should actually call."""
+    return similarity.embedding_dup_pairs_amplified(
+        _emb(spark, sf_dir), threshold=0.35
+    )
+
+
 def embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss ±1 random projection (64 → 16 dims,
     similarity.random_projection) — row-local, bit-portable, the cheap

@@ -71,6 +71,8 @@ GLOBAL_AGG_OK = {
     # task through the exchange), broadcast back onto the bitmap table
     "corpus_expectations",  # the result IS the 5-row assertion report
     # (scalar conditional aggregates through the exchange)
+    "part_promo_revenue",  # the result IS one scalar promo-revenue row
+    # (partial aggregates through the exchange)
     "corpus_budget_sample",  # the whole largest-remainder allocation
     # (total, remainder rank, leftover seats) runs as unpartitioned
     # windows over the ≤|strata|-row count table — one row per stratum
