@@ -489,6 +489,10 @@ def oracle_sql() -> dict[str, str]:
         # so each shares its inline twin's oracle SQL — the sweep proves
         # load ≡ recompute bit-for-bit.
         "ivf_knn_prebuilt": oracle_dataops.ivf_knn_portable_sql(),
+        # ivfpq_index_append: incremental ingest into the frozen IVFPQ
+        # index (nearest-current-centroid assign + residual encode with
+        # the EXISTING codebooks — no retrain) — oracle-only swept entry.
+        "ivfpq_index_append": oracle_dataops.ivfpq_index_append_sql(),
         "pq_knn_prebuilt": oracle_dataops.pq_knn_portable_sql(),
         "ivfpq_knn_prebuilt": oracle_dataops.ivfpq_knn_portable_sql(),
         # multimodal_png_profile: REAL PNG decode (CRC'd chunk walk, zlib

@@ -1234,36 +1234,23 @@ ranked AS (
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}"""
 
 
-def ivfpq_knn_portable_sql(
-    m: int = 8,
-    k_codes: int = 16,
-    topk: int = 5,
-    nprobe: int = 2,
-    shortlist: int = 50,
-    modulus: int = 50,
-) -> str:
-    """Twin of queries_dataops.ivfpq_knn_portable: the IVF twin's coarse
-    quantizer CTEs (label-seeded ordered-fold centroids, one Lloyd E+M),
-    then residuals (v − cell centroid), PQ codebook training on the
-    residuals (seed from k smallest vec_ids + one Lloyd step), nibble
-    encoding, L2²-ranked cell probes, per-(query, cell) ADC distance
-    tables over the QUERY residual, subspace-ordered ADC folds,
-    shortlist, exact re-rank.  Same IEEE folds → same index, same
-    ranks."""
+def _ivfpq_train_ctes(m: int = 8, k_codes: int = 16) -> str:
+    """The IVFPQ TRAINING CTE chain (shared by the search twin and the
+    incremental-append twin): label-seeded ordered-fold coarse
+    centroids, one Lloyd E+M refinement (cents2 = refined means over
+    the stage-1 cosine assignment), residuals, PQ codebook training on
+    the residuals (seed from the k smallest vec_ids + one Lloyd step).
+    Ends at ``cb_d`` (codebooks + self-dots); callers append their own
+    encode/search CTEs."""
     dim = similarity.DIM
     subdim = dim // m
     dot_vv = DOT_FOLD.format(n=dim, a="v", b="v")
     dot_cc_full = DOT_FOLD.format(n=dim, a="cvec", b="cvec")
     dot_ec = DOT_FOLD.format(n=dim, a="e.v", b="c.cvec")
-    dot_qc_full = DOT_FOLD.format(n=dim, a="q.v", b="c.cvec")
     dot_ss = DOT_FOLD.format(n=subdim, a="sv", b="sv")
     dot_cb = DOT_FOLD.format(n=subdim, a="cbvec", b="cbvec")
     dot_dcb = DOT_FOLD.format(n=subdim, a="d.sv", b="c.cbvec")
-    dot_qcb = DOT_FOLD.format(n=subdim, a="qs.sv", b="c.cbvec")
-    dot_qq = DOT_FOLD.format(n=dim, a="qe.v", b="qe.v")
-    dot_qn = DOT_FOLD.format(n=dim, a="qe.v", b="ne.v")
-    dot_nn = DOT_FOLD.format(n=dim, a="ne.v", b="ne.v")
-    return f"""WITH embL AS (
+    return f"""embL AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 embLn AS (
   SELECT vec_id, label, v, sqrt({dot_vv}) AS nrm FROM embL),
@@ -1333,7 +1320,39 @@ cb_comp AS (
 cb AS (
   SELECT subspace, code, list(mean_val ORDER BY pos) AS cbvec
   FROM cb_comp GROUP BY subspace, code),
-cb_d AS (SELECT subspace, code, cbvec, {dot_cb} AS cbcc FROM cb),
+cb_d AS (SELECT subspace, code, cbvec, {dot_cb} AS cbcc FROM cb),"""
+
+
+def ivfpq_knn_portable_sql(
+    m: int = 8,
+    k_codes: int = 16,
+    topk: int = 5,
+    nprobe: int = 2,
+    shortlist: int = 50,
+    modulus: int = 50,
+) -> str:
+    """Twin of queries_dataops.ivfpq_knn_portable: the IVF twin's coarse
+    quantizer CTEs (label-seeded ordered-fold centroids, one Lloyd E+M),
+    then residuals (v − cell centroid), PQ codebook training on the
+    residuals (seed from k smallest vec_ids + one Lloyd step), nibble
+    encoding, L2²-ranked cell probes, per-(query, cell) ADC distance
+    tables over the QUERY residual, subspace-ordered ADC folds,
+    shortlist, exact re-rank.  Same IEEE folds → same index, same
+    ranks."""
+    dim = similarity.DIM
+    subdim = dim // m
+    dot_vv = DOT_FOLD.format(n=dim, a="v", b="v")
+    dot_cc_full = DOT_FOLD.format(n=dim, a="cvec", b="cvec")
+    dot_ec = DOT_FOLD.format(n=dim, a="e.v", b="c.cvec")
+    dot_qc_full = DOT_FOLD.format(n=dim, a="q.v", b="c.cvec")
+    dot_ss = DOT_FOLD.format(n=subdim, a="sv", b="sv")
+    dot_cb = DOT_FOLD.format(n=subdim, a="cbvec", b="cbvec")
+    dot_dcb = DOT_FOLD.format(n=subdim, a="d.sv", b="c.cbvec")
+    dot_qcb = DOT_FOLD.format(n=subdim, a="qs.sv", b="c.cbvec")
+    dot_qq = DOT_FOLD.format(n=dim, a="qe.v", b="qe.v")
+    dot_qn = DOT_FOLD.format(n=dim, a="qe.v", b="ne.v")
+    dot_nn = DOT_FOLD.format(n=dim, a="ne.v", b="ne.v")
+    return f"""WITH {_ivfpq_train_ctes(m, k_codes)}
 codes AS (
   SELECT vec_id, subspace, code FROM (
     SELECT d.vec_id, d.subspace, c.code,
@@ -1387,6 +1406,56 @@ ranked AS (
                  ORDER BY d2, neighbor_id) AS INTEGER) AS rank
   FROM rerank)
 SELECT query_id, neighbor_id, d2, rank FROM ranked WHERE rank <= {topk}"""
+
+
+def ivfpq_index_append_sql(m: int = 8, k_codes: int = 16) -> str:
+    """Twin of queries_dataops.ivfpq_index_append: the shared training
+    CTE chain builds the SAME frozen index (refined cents2 + residual
+    codebooks), then the synthetic batch (vec_id%17 vectors × 1.5 under
+    fresh ids) is assigned to its nearest refined centroid by cosine
+    (desc, cell tie-break) and residual-encoded against the existing
+    codebooks — the incremental-ingest path, no retraining CTEs."""
+    dim = similarity.DIM
+    subdim = dim // m
+    dot_vv = DOT_FOLD.format(n=dim, a="v", b="v")
+    dot_cc_full = DOT_FOLD.format(n=dim, a="cvec", b="cvec")
+    dot_ec = DOT_FOLD.format(n=dim, a="e.v", b="c.cvec")
+    dot_ss = DOT_FOLD.format(n=subdim, a="sv", b="sv")
+    dot_dcb = DOT_FOLD.format(n=subdim, a="d.sv", b="c.cbvec")
+    return f"""WITH {_ivfpq_train_ctes(m, k_codes)}
+cents2_n AS (
+  SELECT cell, cvec, sqrt({dot_cc_full}) AS cnrm FROM cents2),
+newb AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(v, x -> x * 1.5) AS v
+  FROM embL WHERE vec_id % 17 = 0),
+newb_n AS (SELECT vec_id, v, sqrt({dot_vv}) AS nrm FROM newb),
+nassign AS (
+  SELECT vec_id, cell, v FROM (
+    SELECT e.vec_id, c.cell, e.v,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {dot_ec} / (e.nrm * c.cnrm) DESC,
+                                  c.cell) AS r
+    FROM newb_n e CROSS JOIN cents2_n c) t
+  WHERE r = 1),
+nres AS (
+  SELECT n.vec_id, n.cell,
+         list_transform(range(1, {dim} + 1), i -> n.v[i] - c.cvec[i]) AS rv
+  FROM nassign n JOIN cents2 c ON c.cell = n.cell),
+nsubs AS (
+  SELECT vec_id, cell, CAST(s AS INTEGER) AS subspace,
+         rv[(s*{subdim}+1):(s*{subdim}+{subdim})] AS sv
+  FROM nres, unnest(range(0, {m})) AS u(s)),
+nsubs_d AS (SELECT vec_id, cell, subspace, sv, {dot_ss} AS vv FROM nsubs),
+ncode AS (
+  SELECT vec_id, cell, subspace, code FROM (
+    SELECT d.vec_id, d.cell, d.subspace, c.code,
+      row_number() OVER (PARTITION BY d.vec_id, d.subspace
+        ORDER BY (d.vv - 2 * {dot_dcb}) + c.cbcc, c.code) AS r
+    FROM nsubs_d d JOIN cb_d c USING (subspace)) t
+  WHERE r = 1)
+SELECT vec_id, cell, list(code ORDER BY subspace) AS codes
+FROM ncode GROUP BY vec_id, cell"""
 
 
 def pq_knn_portable_sql(

@@ -573,6 +573,41 @@ def ivfpq_knn_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN ingest (similarity.ivfpq_index_append): a
+    deterministic synthetic batch — every vec_id%17==0 vector scaled by
+    1.5 under a fresh id — encoded against the SAME frozen index the
+    prebuilt queries persist (loaded from the parquet artifacts when
+    present): nearest-current-centroid assignment, residual encode with
+    the existing codebooks, append-only (vec_id, cell, codes) output.
+    The scale factor leaves cosine cell choices identical but changes
+    every residual, so the encode is exercised for real."""
+    emb = _emb(spark, sf_dir)
+
+    def build():
+        refined, assign = _portable_cells(spark, sf_dir, emb)
+        cb, codes = similarity.ivfpq_index(emb, refined, assign)
+        return {
+            "centroids": refined,
+            "assignments": assign,
+            "codebooks": cb,
+            "codes": codes,
+        }
+
+    idx = _prebuilt_index(spark, emb, "ivfpq", build)
+    from ..operators.similarity import _vec_d
+
+    batch = emb.filter(F.col("vec_id") % 17 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            _vec_d(F.col("embedding")), lambda x: x * F.lit(1.5)
+        ).alias("embedding"),
+    )
+    return similarity.ivfpq_index_append(
+        batch, idx["centroids"], idx["codebooks"]
+    )
+
+
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantize_embeddings(_emb(spark, sf_dir))
 

@@ -199,6 +199,32 @@ def test_ann_index_parquet_round_trip_bit_exact(spark, tmp_path):
     assert similarity.ann_index_key(emb, "ivfpq") is None
 
 
+def test_ivfpq_index_append_consistent_with_build(spark):
+    """Appending an exact copy of existing vectors (fresh ids) against
+    the frozen index must reproduce the originals' cells AND codes —
+    encode-against-artifacts is the same function the build applied."""
+    emb, _ = banded_dup_emb(spark)
+    cents = similarity.label_centroids(emb).select(
+        F.col("label").alias("cell"), "centroid"
+    )
+    assign = similarity.nearest_cell_assignments(
+        emb, cents, cell_col="cell"
+    )
+    cb, codes = similarity.ivfpq_index(emb, cents, assign)
+    want = {
+        r.vec_id: (r.cell, tuple(r.codes))
+        for r in assign.join(codes, "vec_id").collect()
+    }
+    batch = emb.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    got = {
+        r.vec_id - 10_000: (r.cell, tuple(r.codes))
+        for r in similarity.ivfpq_index_append(batch, cents, cb).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def misaligned_emb(spark):
     """Two true geometric clusters (axis 0 vs axis 1) whose LABELS are
     mixed 70/30 — the seed centroids are cluster mixtures, so label-seeded
