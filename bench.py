@@ -96,6 +96,11 @@ BENCH_QUERIES = [
     "ivf_knn_prebuilt",
     "pq_knn_prebuilt",
     "ivfpq_knn_prebuilt",
+    "ivfpq_index_append",
+    "order_shipping_priority",
+    "nation_local_supplier_volume",
+    "part_promo_revenue",
+    "embedding_dup_pairs_amplified",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

@@ -93,6 +93,11 @@ SCALE_QUERIES = [
     "nation_top_customer_list",
     "events_debounce",
     "nation_pareto_cutoff",
+    "order_shipping_priority",
+    "nation_local_supplier_volume",
+    "part_promo_revenue",
+    "embedding_dup_pairs_amplified",
+    "ivfpq_index_append",
 ]
 
 
@@ -175,7 +180,7 @@ def build_scaled(spark, out_dir: str) -> None:
     )
     # dimension tables pass through unscaled (same customers, 10× the
     # orders — the realistic fact-growth shape)
-    for dim in ("customer", "nation", "region"):
+    for dim in ("customer", "nation", "region", "supplier", "part"):
         spark.read.parquet(f"{BASE}/{dim}.parquet").write.mode(
             "overwrite"
         ).parquet(str(out / f"{dim}.parquet"))
