@@ -281,6 +281,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_pairs": oracle_dataops.dedup_minhash_pairs_sql(),
         "dedup_minhash_est_pairs": oracle_dataops.dedup_minhash_est_pairs_sql(),
         "dedup_minhash_resolution": oracle_dataops.dedup_minhash_resolution_sql(),
+        # dedup_source_overlap: cross-source duplication matrix (est-pair
+        # stream aggregated to least/greatest source cells; dyadic-exact
+        # estimate sums) — oracle-only swept entry.
+        "dedup_source_overlap": oracle_dataops.dedup_source_overlap_sql(),
         # dedup_cluster_reps: per-cluster representative selection
         # (longest member wins, min-id tiebreak; narrow argmax groupBy)
         # — oracle-only swept entry.

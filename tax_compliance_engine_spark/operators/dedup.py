@@ -445,6 +445,49 @@ def minhash_est_pairs(
     )
 
 
+def source_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-SOURCE duplication matrix: how much near-dup pressure each
+    pair of subcorpora exerts on each other — the view that tells a
+    curation pipeline which sources syndicate/mirror which (and how much
+    a source self-duplicates) before any per-document action is taken.
+
+    Built on the scale-path signature-estimated pairs
+    (``minhash_est_pairs``), aggregated to canonically-ordered
+    (source1 ≤ source2) cells: ``n_pairs`` plus the SUM of estimated
+    Jaccards — every estimate is a multiple of 1/16 (an exact dyadic),
+    so the sum is exact in binary floating point at any aggregation
+    order and the whole matrix sits under the bit-exact hash gate.
+
+    Scale shape: the pair stream is LSH-banded (never all-pairs), the
+    two source lookups are doc-id equi-joins, and the final groupBy is
+    bounded by |sources|² cells."""
+    pairs = minhash_est_pairs(docs, text_col, threshold)
+    src = docs.select("doc_id", F.col(source_col).alias("_src"))
+    joined = pairs.join(
+        src.select(F.col("doc_id").alias("doc1"), F.col("_src").alias("_s1")),
+        "doc1",
+    ).join(
+        src.select(F.col("doc_id").alias("doc2"), F.col("_src").alias("_s2")),
+        "doc2",
+    )
+    return (
+        joined.groupBy(
+            F.least("_s1", "_s2").alias("source1"),
+            F.greatest("_s1", "_s2").alias("source2"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("est_jaccard").alias("sum_est_jaccard"),
+        )
+        .orderBy("source1", "source2")
+    )
+
+
 def asymmetric_banded_est_pairs(
     new_per_doc: DataFrame,
     corpus_per_doc: DataFrame,

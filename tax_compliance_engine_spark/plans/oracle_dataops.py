@@ -528,6 +528,25 @@ JOIN sig_arrays s2 ON s2.doc_id = c.doc2
 WHERE {est} >= {threshold}"""
 
 
+def dedup_source_overlap_sql(threshold: float = 0.5) -> str:
+    """Twin of queries_dataops.dedup_source_overlap: the est-pairs CTE
+    aggregated to least/greatest-ordered source cells; estimate sums
+    are exact dyadics (multiples of 1/16), portable at any order."""
+    pairs_sql = dedup_minhash_est_pairs_sql(threshold)
+    return f"""WITH pairs AS (
+{pairs_sql}
+)
+SELECT least(d1.source, d2.source) AS source1,
+       greatest(d1.source, d2.source) AS source2,
+       count(*) AS n_pairs,
+       SUM(p.est_jaccard) AS sum_est_jaccard
+FROM pairs p
+JOIN documents d1 ON d1.doc_id = p.doc1
+JOIN documents d2 ON d2.doc_id = p.doc2
+GROUP BY 1, 2
+ORDER BY 1, 2"""
+
+
 def dedup_incremental_pairs_sql(
     threshold: float = 0.5, batch_mod: int = 13
 ) -> str:

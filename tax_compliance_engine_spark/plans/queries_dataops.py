@@ -215,6 +215,14 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("doc_id").alias("vec_id"), "cluster_id")
 
 
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix (dedup.source_overlap): per
+    canonically-ordered source pair, the count and exact dyadic sum of
+    signature-estimated near-dup Jaccards — which subcorpora mirror
+    which."""
+    return dedup.source_overlap(_docs(spark, sf_dir), threshold=0.5)
+
+
 def dedup_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_signatures(_docs(spark, sf_dir))
 
