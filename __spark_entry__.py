@@ -327,6 +327,10 @@ def oracle_sql() -> dict[str, str]:
         "corpus_samples": oracle_corpus.corpus_samples_sql(),
         "corpus_sample": oracle_corpus.corpus_sample_sql(),
         "corpus_stratified_sample": oracle_corpus.corpus_stratified_sample_sql(),
+        # corpus_shuffle_shards: deterministic training shuffle +
+        # round-robin shard assignment (two-level sharded global rank
+        # over the zero-padded LCG hash) — oracle-only swept entry.
+        "corpus_shuffle_shards": oracle_corpus.corpus_shuffle_shards_sql(),
         # corpus_budget_sample: global doc budget split across sources by
         # exact largest-remainder allocation, quotas filled in LCG-hash
         # order — oracle-only swept entry (integer-exact end to end).

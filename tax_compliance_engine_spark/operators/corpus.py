@@ -564,6 +564,48 @@ def budget_allocated_sample(
     )
 
 
+def shuffle_shards(
+    docs: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    bucket_len: int = 3,
+) -> DataFrame:
+    """Deterministic global TRAINING SHUFFLE + shard assignment: every
+    doc gets a reproducible shuffle rank (LCG hash order — no RNG
+    state, identical across runs and engines) and a round-robin train
+    shard, the write layout a training job consumes (reproducible data
+    order is what makes loss curves comparable across reruns; resuming
+    mid-epoch needs the (shard, rank) address of every sample).
+
+    The global rank is the audited two-level ``sharded_global_rank``
+    (never a single-partition sort): the hash is zero-padded to a
+    fixed-width decimal string so its prefix shards are CONTIGUOUS in
+    numeric order.  Round-robin sharding (rank−1 mod n_shards) gives
+    every shard an interleaved — i.e. equally shuffled — subsequence,
+    unlike contiguous splits whose last shard would hold the hash-order
+    tail.  Integer-exact end to end."""
+    from .topk import sharded_global_rank
+
+    width = len(str(SAMPLE_MOD))
+    keyed = docs.select(
+        id_col,
+        F.lpad(
+            sample_hash_col(F.col(id_col)).cast("string"), width, "0"
+        ).alias("_key"),
+    )
+    ranked = sharded_global_rank(
+        keyed, key="_key", tiebreak=F.asc(id_col), shard_len=bucket_len,
+        out="shuffle_rank",
+    )
+    return ranked.select(
+        id_col,
+        "shuffle_rank",
+        ((F.col("shuffle_rank") - 1) % n_shards)
+        .cast("int")
+        .alias("train_shard"),
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     token_budget: int,

@@ -129,6 +129,19 @@ def corpus_stratified_sample_sql(per_stratum: int = 10) -> str:
 SELECT doc_id, source FROM ranked WHERE rn <= {per_stratum}"""
 
 
+def corpus_shuffle_shards_sql(n_shards: int = 8) -> str:
+    """Twin of queries_dataops.corpus_shuffle_shards: one global
+    row_number over (LCG hash, doc_id) — DuckDB sorts globally; the
+    Spark side's two-level sharded rank equals it by construction —
+    and the same round-robin shard arithmetic."""
+    return f"""SELECT doc_id,
+  CAST(row_number() OVER (ORDER BY {_HASH}, doc_id) AS BIGINT)
+    AS shuffle_rank,
+  CAST((row_number() OVER (ORDER BY {_HASH}, doc_id) - 1) % {n_shards}
+       AS INTEGER) AS train_shard
+FROM documents"""
+
+
 def corpus_budget_sample_sql(budget: int = 137) -> str:
     """Twin of queries_dataops.corpus_budget_sample: the same exact
     integer largest-remainder allocation (base = (B·n) // N, leftover

@@ -632,6 +632,13 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training shuffle + round-robin shard assignment
+    (corpus.shuffle_shards): reproducible LCG-hash order rank via the
+    two-level sharded global rank, shard = (rank−1) mod 8."""
+    return corpus.shuffle_shards(_docs(spark, sf_dir), n_shards=8)
+
+
 def corpus_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global-budget stratified sampling (corpus.budget_allocated_sample):
     137 documents split across sources by exact largest-remainder

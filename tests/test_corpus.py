@@ -79,6 +79,35 @@ def test_stratified_sample_quota(spark):
     assert per == {"s0": 4, "s1": 4, "s2": 4}
 
 
+def test_shuffle_shards_deterministic_round_robin(spark):
+    """Shuffle ranks are a permutation in LCG-hash order (identical
+    across runs), shards interleave round-robin, and sparse/shuffled
+    ids spanning many rank shards still rank globally correctly."""
+    ids = [7, 1000, 3, 512, 64, 2, 999, 123, 500, 88, 4096, 9]
+    docs = docs_df(spark, [(i, "x", "s0") for i in ids])
+    out1 = sorted(
+        (r.doc_id, r.shuffle_rank, r.train_shard)
+        for r in corpus.shuffle_shards(docs, n_shards=3).collect()
+    )
+    out2 = sorted(
+        (r.doc_id, r.shuffle_rank, r.train_shard)
+        for r in corpus.shuffle_shards(docs, n_shards=3).collect()
+    )
+    assert out1 == out2  # no RNG state anywhere
+    want_order = sorted(
+        ids,
+        key=lambda i: (
+            (i * corpus.SAMPLE_MULT + corpus.SAMPLE_INC) % corpus.SAMPLE_MOD,
+            i,
+        ),
+    )
+    by_doc = {d: (r, s) for d, r, s in out1}
+    assert [d for d, _, _ in sorted(out1, key=lambda t: t[1])] == want_order
+    assert sorted(r for _, r, _ in out1) == list(range(1, len(ids) + 1))
+    for d, r, s in out1:
+        assert s == (r - 1) % 3
+
+
 def test_budget_allocated_sample_largest_remainder(spark):
     """Exact largest-remainder allocation: strata 50/30/20 docs with
     budget 7 → exact quotas 3.5/2.1/1.4 → bases 3/2/1 (sum 6), the one
