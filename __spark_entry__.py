@@ -554,6 +554,12 @@ def oracle_sql() -> dict[str, str]:
         # covered by a cross-document 8-gram) with the integer-exact
         # keep decision — oracle-only swept entry.
         "dedup_span_coverage": oracle_dataops.dedup_span_coverage_sql(),
+        # embedding_balanced_sample: cluster-balanced DIVERSITY sampling
+        # (equal per-kmeans-cell quotas flatten the cluster
+        # distribution; LCG-hash fill) — oracle-only swept entry.
+        "embedding_balanced_sample": (
+            oracle_dataops.embedding_balanced_sample_sql()
+        ),
         # embedding_silhouette: per-cell SIMPLIFIED silhouette of the
         # trained k-means clustering (centroid a/b distances, exact
         # pos-ordered folds + two-level per-cell means) — oracle-only

@@ -1117,6 +1117,60 @@ FROM comp{n_iter}"""
     )
 
 
+def embedding_balanced_sample_sql(
+    budget: int = 100, k: int = 8, n_iter: int = 2, shard_count: int = 256
+) -> str:
+    """Twin of queries_dataops.embedding_balanced_sample: the shared
+    Lloyd CTE chain + the silhouette twin's final E-step (cosine
+    argmax, ties → smaller cell), then equal-share quotas (B div
+    |cells|, the B mod |cells| leftovers to the smallest cell ids) and
+    the LCG-hash per-cell fill — pure integers after the assignment."""
+    from ..operators import corpus
+
+    dim = similarity.DIM
+    dot_cc = DOT_FOLD.format(n=dim, a="cvec", b="cvec")
+    dot_ec = DOT_FOLD.format(n=dim, a="e.v", b="c.cvec")
+    lcg = (
+        f"(a.vec_id * {corpus.SAMPLE_MULT} + {corpus.SAMPLE_INC}) "
+        f"% {corpus.SAMPLE_MOD}"
+    )
+    ctes = _kmeans_ctes(k, n_iter, shard_count)
+    fin = f"cents{n_iter}"
+    ctes.append(
+        f"""centsF AS (
+  SELECT cell, cvec, sqrt({dot_cc}) AS cnrm FROM {fin}),
+assignF AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {dot_ec} / (e.nrm * c.cnrm) DESC, c.cell)
+        AS r
+    FROM embVn e CROSS JOIN centsF c) t
+  WHERE r = 1),
+cellcounts AS (SELECT cell, count(*) AS n FROM assignF GROUP BY cell),
+quota AS (
+  SELECT cell,
+    CAST({budget} AS BIGINT) // (SELECT count(*) FROM cellcounts)
+    + CASE WHEN row_number() OVER (ORDER BY cell)
+             <= {budget} % (SELECT count(*) FROM cellcounts)
+           THEN 1 ELSE 0 END AS cell_quota
+  FROM cellcounts),
+rankedv AS (
+  SELECT a.vec_id, a.cell,
+    row_number() OVER (PARTITION BY a.cell
+                       ORDER BY {lcg}, a.vec_id) AS rn
+  FROM assignF a)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT r.vec_id, r.cell, q.cell_quota
+FROM rankedv r JOIN quota q USING (cell)
+WHERE rn <= cell_quota"""
+    )
+
+
 def embedding_silhouette_sql(
     k: int = 8, n_iter: int = 2, shard_count: int = 256
 ) -> str:

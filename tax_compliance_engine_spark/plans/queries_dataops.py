@@ -1285,6 +1285,17 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_span_stats(_docs(spark, sf_dir))
 
 
+def embedding_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling
+    (similarity.cluster_balanced_sample): a 100-vector budget split
+    EQUALLY across the trained k-means cells (flattening the cluster
+    distribution — head clusters stop dominating), quotas filled in
+    deterministic LCG-hash order."""
+    return similarity.cluster_balanced_sample(
+        _emb(spark, sf_dir), budget=100, k=8, n_iter=2
+    )
+
+
 def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell simplified silhouette of the trained k-means clustering
     (similarity.kmeans_silhouette): centroid-based a/b distances, exact

@@ -199,6 +199,36 @@ def test_ann_index_parquet_round_trip_bit_exact(spark, tmp_path):
     assert similarity.ann_index_key(emb, "ivfpq") is None
 
 
+def test_cluster_balanced_sample_flattens_head_cluster(spark):
+    """Two geometric clusters with 40 vs 8 members and budget 12: a
+    proportional draw would take ~10/2; equal per-cell quotas take 6/6
+    — the diversity-sampling contract — and quotas sum to the budget."""
+    def head(i):
+        return [10.0 + (i % 5) * 0.01] + [0.0] * 63
+
+    def tail(i):
+        return [0.0, 10.0 + (i % 3) * 0.01] + [0.0] * 62
+
+    # vec_ids 0 and 1 seed the k=2 training (smallest ids), so they
+    # must straddle the two geometric clusters
+    rows = [(0, head(0), 0), (1, tail(0), 1)]
+    rows += [(2 + i, head(i), 0) for i in range(39)]
+    rows += [(41 + i, tail(i), 1) for i in range(7)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = similarity.cluster_balanced_sample(emb, budget=12, k=2, n_iter=1)
+    per = {}
+    for r in out.collect():
+        per[r.cell] = per.get(r.cell, 0) + 1
+        assert r.cell_quota == 6
+    assert sorted(per.values()) == [6, 6]
+    import pytest
+
+    with pytest.raises(ValueError, match="budget"):
+        similarity.cluster_balanced_sample(emb, budget=0)
+
+
 def test_ivfpq_index_append_consistent_with_build(spark):
     """Appending an exact copy of existing vectors (fresh ids) against
     the frozen index must reproduce the originals' cells AND codes —

@@ -71,6 +71,10 @@ GLOBAL_AGG_OK = {
     # task through the exchange), broadcast back onto the bitmap table
     "corpus_expectations",  # the result IS the 5-row assertion report
     # (scalar conditional aggregates through the exchange)
+    "embedding_balanced_sample",  # inherits embedding_kmeans' scalar
+    # min/max(vec_id) bounds aggregate, plus the equal-share quota
+    # windows over the ≤k-row cell-count table (one row per CELL
+    # through the exchange, never data rows)
     "part_promo_revenue",  # the result IS one scalar promo-revenue row
     # (partial aggregates through the exchange)
     "corpus_budget_sample",  # the whole largest-remainder allocation
