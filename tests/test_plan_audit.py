@@ -188,6 +188,76 @@ def test_minhash_bucket_local_layout_plan_shape(spark):
     assert "HashAggregate(keys=[doc1" not in plan
 
 
+def _scan_sections(plan: str) -> list[str]:
+    """The per-scan detail blocks of a formatted plan (each 'Scan
+    parquet' node's Location/PushedFilters/ReadSchema lines)."""
+    blocks, cur = [], None
+    for ln in plan.splitlines():
+        if "Scan parquet" in ln and ln.lstrip().startswith("("):
+            cur = [ln]
+        elif cur is not None:
+            cur.append(ln)
+            if "ReadSchema" in ln:
+                blocks.append("\n".join(cur))
+                cur = None
+    return blocks
+
+
+def test_filters_push_down_to_parquet_scans(plans):
+    """Date/segment predicates must reach the parquet scan as
+    PushedFilters — a scan that filters after reading everything is
+    the plan that cannot survive 100 TB (row-group statistics prune
+    I/O only when the filter is pushed)."""
+    cases = {
+        # query: (scan table substring, pushed-filter substring)
+        "pricing_summary": ("lineitem", "l_shipdate"),
+        "order_shipping_priority": ("orders", "o_orderdate"),
+        "part_promo_revenue": ("part", "p_brand"),
+        "nation_local_supplier_volume": ("orders", "o_orderdate"),
+    }
+    for name, (table, needle) in cases.items():
+        blocks = [
+            b for b in _scan_sections(plans[name]) if table in b
+        ]
+        assert blocks, f"{name}: no {table} scan section found"
+        assert any(
+            "PushedFilters" in b and needle in b.split("ReadSchema")[0]
+            for b in blocks
+        ), (
+            f"{name}: {needle} not pushed into the {table} scan:\n"
+            + "\n---\n".join(blocks)
+        )
+
+
+def test_column_pruning_reaches_parquet_scans(plans):
+    """Projection must prune the scan schema: a 2-column rollup that
+    reads all 11 lineitem columns ships ~5× the bytes for nothing."""
+    # pricing_summary touches 7 of 11 lineitem columns; the join keys
+    # must NOT be read
+    li_blocks = [
+        b for b in _scan_sections(plans["pricing_summary"]) if "lineitem" in b
+    ]
+    assert li_blocks
+    for b in li_blocks:
+        schema = b.split("ReadSchema")[-1]
+        for dead in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+            assert dead not in schema, (
+                f"pricing_summary reads unused column {dead}:\n{b}"
+            )
+    # doc_text_stats needs only (doc_id, text[, lang]) of documents
+    doc_blocks = [
+        b
+        for b in _scan_sections(plans["doc_text_stats"])
+        if "documents" in b
+    ]
+    assert doc_blocks
+    for b in doc_blocks:
+        schema = b.split("ReadSchema")[-1]
+        assert "n_chars" not in schema, (
+            "doc_text_stats reads unused column n_chars:\n" + b
+        )
+
+
 def test_supplier_part_revenue_broadcasts_all_dims(plans):
     """The Q9-shaped rollup must broadcast all three dimension sides —
     the fact table reaches its one (nation, brand) aggregate through
