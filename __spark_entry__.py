@@ -539,6 +539,12 @@ def oracle_sql() -> dict[str, str]:
         # frame sizes) vs the analytic stream geometry — oracle-only
         # swept entry.
         "multimodal_mp3_probe": oracle_dataops.multimodal_mp3_probe_sql(),
+        # multimodal_mp3_sideinfo: REAL Layer III side-info bitfield
+        # parse (bit-reservoir pointer, scfsi, gr0-ch0 section lengths)
+        # vs the analytic 56-bit window — oracle-only swept entry.
+        "multimodal_mp3_sideinfo": (
+            oracle_dataops.multimodal_mp3_sideinfo_sql()
+        ),
         # multimodal_mkv_probe: REAL Matroska/EBML demux (vint parse,
         # guarded Segment/Cluster walk, SimpleBlock extraction) vs the
         # analytic container geometry — oracle-only swept entry.

@@ -1878,13 +1878,13 @@ _MP3_RATES = [44100, 48000, 32000]  # MPEG-1 samplerate index 0..2
 _MP3_SAMPLES_PER_FRAME = 1152
 
 
-def _probe_mp3(payload):
+def _mp3_frames(payload):
     """Walk an MPEG-1 Layer III stream: optional ID3v2 tag (syncsafe
     size), then consecutive frames sized from each header's
-    bitrate/samplerate/padding bits.  Returns (n_frames, samplerate,
-    n_samples, total_frame_bytes, is_vbr, has_id3) over the intact
-    frame prefix, or None when no complete frame parses (malformed,
-    free-bitrate, non-MPEG1-LayerIII, or mixed-samplerate streams)."""
+    bitrate/samplerate/padding bits.  Returns (buf, [(pos, flen)], sr,
+    bitrates, has_id3) over the intact frame prefix, or None for a
+    NULL payload — the shared walk behind ``_probe_mp3`` and the
+    side-info parser."""
     if payload is None:
         return None
     buf = bytes(payload)
@@ -1899,8 +1899,7 @@ def _probe_mp3(payload):
         )
         pos = 10 + size
         has_id3 = True
-    n_frames = 0
-    total = 0
+    frames: list[tuple[int, int]] = []
     sr = None
     bitrates: set[int] = set()
     while pos + 4 <= len(buf):
@@ -1925,20 +1924,125 @@ def _probe_mp3(payload):
         flen = (144 * br) // rate + pad
         if pos + flen > len(buf):
             break  # truncated final frame
-        n_frames += 1
-        total += flen
+        frames.append((pos, flen))
         bitrates.add(br)
         pos += flen
-    if n_frames == 0:
+    return buf, frames, sr, bitrates, has_id3
+
+
+def _probe_mp3(payload):
+    """(n_frames, samplerate, n_samples, total_frame_bytes, is_vbr,
+    has_id3) over the intact frame prefix, or None when no complete
+    frame parses (malformed, free-bitrate, non-MPEG1-LayerIII, or
+    mixed-samplerate streams)."""
+    walked = _mp3_frames(payload)
+    if walked is None:
+        return None
+    _, frames, sr, bitrates, has_id3 = walked
+    if not frames:
         return None
     return (
-        n_frames,
+        len(frames),
         sr,
-        n_frames * _MP3_SAMPLES_PER_FRAME,
-        total,
+        len(frames) * _MP3_SAMPLES_PER_FRAME,
+        sum(fl for _, fl in frames),
         len(bitrates) > 1,
         has_id3,
     )
+
+
+def _mp3_sideinfo_fields(buf, pos: int, flen: int):
+    """FIXED-OFFSET side-info bitfields of one MPEG-1 Layer III frame
+    without CRC in (joint-)stereo mode: main_data_begin (9 bits — the
+    bit-reservoir back-pointer), the 8 scfsi bits, and granule-0
+    channel-0's part2_3_length (12) / big_values (9) / global_gain (8)
+    — everything up to the first variable-position field, parsed from
+    the REAL bytes.  The remaining side info and the entropy payload
+    (Huffman spectral data) stay out of scope, documented.  Returns
+    None for CRC-protected or mono frames (both shift the offsets) or
+    a frame too short to hold the 7 bytes read."""
+    h = buf[pos : pos + 4]
+    if len(h) < 4 or (h[1] & 1) == 0:
+        return None  # protection bit 0 → a 2-byte CRC shifts side info
+    if ((h[3] >> 6) & 3) == 3:
+        return None  # mono: 17-byte side info with different offsets
+    si = buf[pos + 4 : pos + 11]
+    if len(si) < 7 or flen < 11:
+        return None
+    bits = int.from_bytes(si, "big")  # 56 bits
+
+    def field(off: int, n: int) -> int:
+        return (bits >> (56 - off - n)) & ((1 << n) - 1)
+
+    return (
+        field(0, 9),  # main_data_begin
+        field(12, 8),  # scfsi, both channels
+        field(20, 12),  # gr0 ch0 part2_3_length
+        field(32, 9),  # gr0 ch0 big_values
+        field(41, 8),  # gr0 ch0 global_gain
+    )
+
+
+MP3_SIDEINFO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("main_data_begin", LongType(), True),
+        StructField("scfsi", LongType(), True),
+        StructField("part2_3_length", LongType(), True),
+        StructField("big_values", LongType(), True),
+        StructField("global_gain", LongType(), True),
+    ]
+)
+
+
+def probe_mp3_sideinfo(media: DataFrame) -> DataFrame:
+    """REAL MPEG-1 Layer III SIDE-INFO bitfield parse per frame
+    (Arrow-batched ``mapInPandas``, 1 row in → n_frames rows out):
+    the fixed-offset fields every Layer III decoder reads before any
+    entropy work — bit-reservoir back-pointer, scfsi, and granule-0
+    channel-0's section lengths/gain — recovered from the actual
+    frame bytes.  Extends ``probe_mp3``'s frame walk one layer deeper
+    into the bitstream; the entropy decode itself remains the
+    documented out-of-scope boundary."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in MP3_SIDEINFO_SCHEMA}
+            for doc_id, fmt, payload in zip(
+                pdf["doc_id"], pdf["format"], pdf["payload"]
+            ):
+                if fmt != "mp3":
+                    raise NotImplementedError(
+                        f"probe_mp3_sideinfo got format {fmt!r}"
+                    )
+                walked = _mp3_frames(payload)
+                if walked is None:
+                    continue
+                buf, frames, _, _, _ = walked
+                for idx, (pos, flen) in enumerate(frames):
+                    parsed = _mp3_sideinfo_fields(buf, pos, flen)
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    if parsed is None:
+                        for key in (
+                            "main_data_begin",
+                            "scfsi",
+                            "part2_3_length",
+                            "big_values",
+                            "global_gain",
+                        ):
+                            out[key].append(None)
+                        continue
+                    mdb, scfsi, p23, bv, gg = parsed
+                    out["main_data_begin"].append(mdb)
+                    out["scfsi"].append(scfsi)
+                    out["part2_3_length"].append(p23)
+                    out["big_values"].append(bv)
+                    out["global_gain"].append(gg)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=MP3_SIDEINFO_SCHEMA)
 
 
 MP3_PROBE_SCHEMA = StructType(

@@ -1805,6 +1805,31 @@ SELECT doc_id,
 FROM samples GROUP BY doc_id, n"""
 
 
+def multimodal_mp3_sideinfo_sql() -> str:
+    """Twin of queries_dataops.multimodal_mp3_sideinfo: synth_mp3's
+    frame fill is fill[j] = (7·id + 13·f + j) mod 256, so the first 7
+    side-info bytes — and therefore the fixed-offset bitfields the
+    Spark side must recover from the REAL bytes — are analytic: pack
+    the 56-bit window as Σ fill[j]·256^(6−j), then shift/mask."""
+    byte_terms = " + ".join(
+        f"((7 * doc_id + 13 * f.frame_idx + {j}) % 256) "
+        f"* CAST({1 << (8 * (6 - j))} AS BIGINT)"
+        for j in range(7)
+    )
+    return f"""WITH f AS (
+  SELECT doc_id, CAST(u.fi AS BIGINT) AS frame_idx
+  FROM documents, unnest(range(0, 3 + doc_id % 4)) AS u(fi)),
+b AS (
+  SELECT doc_id, frame_idx, {byte_terms} AS bits FROM f)
+SELECT doc_id, frame_idx,
+  (bits >> 47) & 511 AS main_data_begin,
+  (bits >> 36) & 255 AS scfsi,
+  (bits >> 24) & 4095 AS part2_3_length,
+  (bits >> 15) & 511 AS big_values,
+  (bits >> 7) & 255 AS global_gain
+FROM b"""
+
+
 def multimodal_mkv_probe_sql() -> str:
     """Twin of queries_dataops.multimodal_mkv_probe: synth_mkv geometry
     is analytic — 2 + id%3 PPM frames of 11 header + 192 pixel bytes

@@ -979,6 +979,20 @@ def multimodal_mkv_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_mp3_sideinfo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-1 Layer III side-info bitfield parse under the
+    bit-exact gate (multimodal.probe_mp3_sideinfo): per frame, the
+    bit-reservoir back-pointer, scfsi, and granule-0 channel-0 section
+    lengths/gain recovered from the actual bytes of synth_mp3's
+    deterministic streams — the DuckDB twin derives the same 56-bit
+    field window analytically from the fill formula.  Shrinks the r7
+    'frame-header walk only' boundary to 'entropy decode only'."""
+    docs = _docs(spark, sf_dir)
+    return multimodal.probe_mp3_sideinfo(
+        multimodal.synth_mp3(docs.select("doc_id"))
+    )
+
+
 def multimodal_g711_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL G.711 µ-law decode under the bit-exact gate: the companded
     bytes are pure functions of doc_id (multimodal.synth_wav_g711), the

@@ -2214,6 +2214,28 @@ def test_mkv_ebml_demux_round_trip(spark):
             )
 
 
+def test_mp3_sideinfo_guards_crc_and_mono():
+    """Side-info offsets shift under CRC protection and mono mode —
+    those frames parse to None instead of silently wrong fields; a
+    valid stereo no-CRC frame parses the documented bit windows."""
+    si = bytes(range(32))
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + si
+    parsed = multimodal._mp3_sideinfo_fields(frame, 0, len(frame))
+    bits = int.from_bytes(si[:7], "big")
+    assert parsed == (
+        (bits >> 47) & 511,
+        (bits >> 36) & 255,
+        (bits >> 24) & 4095,
+        (bits >> 15) & 511,
+        (bits >> 7) & 255,
+    )
+    crc_frame = bytes([0xFF, 0xFA, 0x90, 0x00]) + si  # protection bit 0
+    assert multimodal._mp3_sideinfo_fields(crc_frame, 0, len(crc_frame)) is None
+    mono = bytes([0xFF, 0xFB, 0x90, 0xC0]) + si  # mode 11 = single channel
+    assert multimodal._mp3_sideinfo_fields(mono, 0, len(mono)) is None
+    assert multimodal._mp3_sideinfo_fields(frame[:8], 0, 8) is None
+
+
 def test_mkv_probe_null_on_malformed(spark):
     media = spark.createDataFrame(
         [
