@@ -98,6 +98,13 @@ SCALE_QUERIES = [
     "part_promo_revenue",
     "embedding_dup_pairs_amplified",
     "ivfpq_index_append",
+    "corpus_budget_sample",
+    "corpus_shuffle_shards",
+    "dedup_cluster_reps",
+    "dedup_source_overlap",
+    "embedding_balanced_sample",
+    "multimodal_mkv_probe",
+    "multimodal_mp3_sideinfo",
 ]
 
 

@@ -41,10 +41,18 @@ SAMPLE_MOD = 1_000_000_007
 
 
 def sample_hash_col(doc_id: Column) -> Column:
-    """Deterministic per-doc sampling key in [0, SAMPLE_MOD)."""
-    return (doc_id * F.lit(SAMPLE_MULT) + F.lit(SAMPLE_INC)) % F.lit(
-        SAMPLE_MOD
-    )
+    """Deterministic per-doc sampling key in [0, SAMPLE_MOD).
+
+    Both operands reduce mod SAMPLE_MOD BEFORE the multiply — identical
+    values ((a·b) mod m = ((a mod m)(b mod m)) mod m) but the products
+    stay < MOD² ≈ 10¹⁸ inside int64 at ANY doc_id, where the unreduced
+    form overflowed (ANSI ARITHMETIC_OVERFLOW) above doc_id ≈ 3.5e9 —
+    caught by the 10×-scale fixture's offset ids, the same bug class as
+    the phash mix constants."""
+    return (
+        (doc_id % F.lit(SAMPLE_MOD)) * F.lit(SAMPLE_MULT % SAMPLE_MOD)
+        + F.lit(SAMPLE_INC)
+    ) % F.lit(SAMPLE_MOD)
 
 
 def vocabulary(

@@ -15,8 +15,11 @@ from __future__ import annotations
 from ..operators import corpus
 from .oracle_dataops import TOKENS
 
+# operands pre-reduced mod SAMPLE_MOD (same values, no int64 overflow
+# at large doc_id — mirrors operators/corpus.sample_hash_col)
 _HASH = (
-    f"(doc_id * {corpus.SAMPLE_MULT} + {corpus.SAMPLE_INC}) % {corpus.SAMPLE_MOD}"
+    f"((doc_id % {corpus.SAMPLE_MOD}) * {corpus.SAMPLE_MULT % corpus.SAMPLE_MOD}"
+    f" + {corpus.SAMPLE_INC}) % {corpus.SAMPLE_MOD}"
 )
 
 

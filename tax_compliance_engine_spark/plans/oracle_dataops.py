@@ -1131,8 +1131,9 @@ def embedding_balanced_sample_sql(
     dot_cc = DOT_FOLD.format(n=dim, a="cvec", b="cvec")
     dot_ec = DOT_FOLD.format(n=dim, a="e.v", b="c.cvec")
     lcg = (
-        f"(a.vec_id * {corpus.SAMPLE_MULT} + {corpus.SAMPLE_INC}) "
-        f"% {corpus.SAMPLE_MOD}"
+        f"((a.vec_id % {corpus.SAMPLE_MOD}) "
+        f"* {corpus.SAMPLE_MULT % corpus.SAMPLE_MOD} "
+        f"+ {corpus.SAMPLE_INC}) % {corpus.SAMPLE_MOD}"
     )
     ctes = _kmeans_ctes(k, n_iter, shard_count)
     fin = f"cents{n_iter}"
