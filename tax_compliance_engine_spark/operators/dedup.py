@@ -759,20 +759,38 @@ def _verify_plan_file_key(per_doc: DataFrame, budget: int) -> str | None:
 
 
 def _verify_plan_store_path() -> str:
+    """Cross-session memo sidecar.  The default is PER-USER (uid in the
+    filename): the memo influences plan choice and — via
+    ``similarity._corpus_count`` — planner-sized LSH geometry, so a
+    shared world-writable file would let any local user steer another
+    user's plans by pre-planting entries.  A uid-scoped file in tempdir
+    is only writable by its owner (and the sticky bit stops renames
+    over it)."""
     import os
     import tempfile
 
+    uid = os.getuid() if hasattr(os, "getuid") else "u"
     return os.environ.get(
         "TCE_VERIFY_PLAN_MEMO",
-        os.path.join(tempfile.gettempdir(), "tce_verify_plan_memo.json"),
+        os.path.join(
+            tempfile.gettempdir(), f"tce_verify_plan_memo_{uid}.json"
+        ),
     )
 
 
 def _verify_plan_store_get(key: str) -> str | None:
     import json
+    import os
 
+    path = _verify_plan_store_path()
     try:
-        with open(_verify_plan_store_path()) as fh:
+        with open(path) as fh:
+            # a uid-named file can still be PRE-CREATED by another
+            # local user in a sticky tempdir; only trust content we
+            # own (fstat the open handle — no check/use race)
+            if hasattr(os, "getuid"):
+                if os.fstat(fh.fileno()).st_uid != os.getuid():
+                    return None
             return json.load(fh).get(key)
     except (OSError, ValueError):
         return None

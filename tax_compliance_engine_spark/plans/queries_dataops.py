@@ -475,29 +475,67 @@ def ivfpq_knn_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _prebuilt_index(spark, emb, family: str, build):
-    """The persisted-ANN-index pattern (VERDICT r7 #3, mirroring
-    dedup.minhash_component_table): load the parquet index for this
-    (corpus snapshot, family) key, building + atomically publishing it
-    on first miss.  ``build`` returns the (name → DataFrame) component
-    map.  In-memory corpora (no file lineage ⇒ no safe cache key) build
-    inline every time."""
+def _ann_index_root() -> str | None:
+    """Resolve (creating if needed) a TRUSTED root for persisted ANN
+    index artifacts.  Indexes are served back as query results with no
+    per-file integrity check, so the root must not be writable by other
+    users (a world-writable shared dir lets any local user pre-plant a
+    directory at the predictable cache key and poison query output).
+    Default: a mode-0700 per-uid dir under the temp dir.  Returns None
+    — callers then build inline, uncached — when the root (default or
+    $TCE_ANN_INDEX_DIR) exists but is owned by someone else or is
+    group/other-writable."""
     import os
+    import stat as stat_mod
     import tempfile
 
-    key = similarity.ann_index_key(emb, family)
-    if key is None:
-        return build()
+    uid = os.getuid() if hasattr(os, "getuid") else 0
     root = os.environ.get(
         "TCE_ANN_INDEX_DIR",
-        os.path.join(tempfile.gettempdir(), "tce_ann_index"),
+        os.path.join(tempfile.gettempdir(), f"tce_ann_index_{uid}"),
     )
+    try:
+        os.makedirs(root, mode=0o700, exist_ok=True)
+        st = os.stat(root)
+    except OSError:
+        return None
+    if hasattr(os, "getuid") and st.st_uid != os.getuid():
+        return None
+    if st.st_mode & (stat_mod.S_IWGRP | stat_mod.S_IWOTH):
+        return None
+    return root
+
+
+def _prebuilt_index(spark, emb, family: str, build, params=None):
+    """The persisted-ANN-index pattern (VERDICT r7 #3, mirroring
+    dedup.minhash_component_table): load the parquet index for this
+    (corpus snapshot, family, build params, format version) key,
+    building + atomically publishing it on first miss.  ``build``
+    returns the (name → DataFrame) component map; ``params`` is the
+    build-hyperparameter dict salted into the key so a knob change can
+    never serve a stale artifact.  In-memory corpora (no file lineage ⇒
+    no safe cache key) and untrusted cache roots (see
+    ``_ann_index_root``) build inline every time; a failed publish or
+    post-publish load also degrades to the fresh in-memory components
+    (bit-identical — parquet round-trips doubles exactly) instead of
+    raising."""
+    import os
+
+    key = similarity.ann_index_key(emb, family, params)
+    root = _ann_index_root()
+    if key is None or root is None:
+        return build()
     path = os.path.join(root, key)
     try:
         return similarity.load_ann_index(spark, path)
     except FileNotFoundError:
-        similarity.save_ann_index(path, build())
+        pass
+    components = build()
+    try:
+        similarity.save_ann_index(path, components)
         return similarity.load_ann_index(spark, path)
+    except OSError:
+        return components
 
 
 def ivf_knn_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -514,7 +552,9 @@ def ivf_knn_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
         refined, assign = _portable_cells(spark, sf_dir, emb)
         return {"centroids": refined, "assignments": assign}
 
-    idx = _prebuilt_index(spark, emb, "ivf", build)
+    idx = _prebuilt_index(
+        spark, emb, "ivf", build, params={"coarse": "portable_cells_v1"}
+    )
     return similarity.ivf_knn(
         emb,
         query_pred=F.col("vec_id") % 50 == 0,
@@ -538,7 +578,17 @@ def pq_knn_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
         cb = similarity.pq_codebooks(emb)
         return {"codebooks": cb, "codes": similarity.pq_codes(emb, cb)}
 
-    idx = _prebuilt_index(spark, emb, "pq", build)
+    idx = _prebuilt_index(
+        spark,
+        emb,
+        "pq",
+        build,
+        params={
+            "m": similarity.PQ_M,
+            "k": similarity.PQ_K,
+            "dim": similarity.DIM,
+        },
+    )
     return similarity.pq_knn_rerank(
         emb,
         query_pred=F.col("vec_id") % 50 == 0,
@@ -547,6 +597,18 @@ def pq_knn_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         shortlist=50,
     )
+
+
+# the shared ivfpq build knobs salted into the persisted-index key —
+# ivfpq_knn_prebuilt and ivfpq_index_append must agree so they share one
+# artifact (the append encodes against the same frozen index the queries
+# serve from)
+_IVFPQ_PARAMS = {
+    "coarse": "portable_cells_v1",
+    "m": similarity.PQ_M,
+    "k": similarity.PQ_K,
+    "dim": similarity.DIM,
+}
 
 
 def ivfpq_knn_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -567,7 +629,9 @@ def ivfpq_knn_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
             "codes": codes,
         }
 
-    idx = _prebuilt_index(spark, emb, "ivfpq", build)
+    idx = _prebuilt_index(
+        spark, emb, "ivfpq", build, params=_IVFPQ_PARAMS
+    )
     return similarity.ivfpq_knn(
         emb,
         query_pred=F.col("vec_id") % 50 == 0,
@@ -602,7 +666,9 @@ def ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             "codes": codes,
         }
 
-    idx = _prebuilt_index(spark, emb, "ivfpq", build)
+    idx = _prebuilt_index(
+        spark, emb, "ivfpq", build, params=_IVFPQ_PARAMS
+    )
     from ..operators.similarity import _vec_d
 
     batch = emb.filter(F.col("vec_id") % 17 == 0).select(
