@@ -1483,6 +1483,178 @@ def snm_pairs(
     )
 
 
+def _editdist_verify_arrow(cand_txt: DataFrame, bound: int) -> DataFrame:
+    """Arrow-batched Levenshtein verify kernel — the vectorized
+    replacement for the interpreted ``levenshtein(_n1, _n2, bound)``
+    expression on the SNM candidate stream (the multimodal-codec
+    mapInPandas precedent; the plan audit tolerates MapInPandas, only
+    row-at-a-time ``BatchEvalPython`` is banned).
+
+    Input: (doc1, doc2, rank_gap, _n1, _n2) candidate rows, ``_n1/_n2``
+    the lowercased alphanumeric-collapsed prefixes — pure ASCII by
+    construction, so byte == codepoint distance.  Output: (doc1, doc2,
+    rank_gap, edit_dist, _maxlen) for rows with edit_dist ≤ ``bound``
+    (every emitted distance is EXACT; rows that cannot pass the
+    downstream similarity filter are dropped in-kernel, exactly the
+    rows the old banded expression returned −1 for).
+
+    Per batch, entirely vectorized (no per-pair Python):
+    1. pairs with |len₁−len₂| > bound drop outright (dist ≥ |Δlen|),
+       and empty-side pairs resolve to dist = other length with no DP;
+    2. both sides pack into (n, m) uint8 matrices (one ``bytes.join``
+       + ``np.frombuffer`` per side — measured ~0.02 s per 40 k rows);
+    3. a BANDED Wagner-Fischer DP (band half-width = ``bound``) runs
+       with the pair axis vectorized: each text row i is ~6 numpy ops
+       on the (n_active, 2·bound+1) band — the insertion left-to-right
+       dependency resolves in one ``minimum.accumulate`` via the
+       standard ``min(m[c'] + (c−c'))  =  accumulate(m − c) + c``
+       identity — with EARLY ABORT: a pair whose band minimum exceeds
+       ``bound`` can never come back, so it leaves the active set
+       (arrays compact when enough pairs die).  On random-ish
+       neighbors the band minimum grows ~1 per row, so most pairs die
+       within ~``bound`` rows — the per-batch cost is ~bound·width
+       cells for the bulk plus full-length runs for true near-dups
+       only.
+
+    Banded DP values ≤ ``bound`` are EXACT (an optimal path for a
+    distance ≤ k never leaves the |i−j| ≤ k band); larger values may
+    be overestimates, which is irrelevant — both engines drop them.
+    Cross-checked cell-for-cell against DuckDB's full-matrix
+    ``levenshtein`` on the sf0.1 candidate stream (hypothesis fuzz in
+    tests/test_dedup_editdist_kernel.py).
+
+    Measured ~44 µs/pair end-to-end vs ~1.7 ms/pair for the
+    interpreted banded expression (~38×) — the kernel-level fix the r8
+    plan-change experiments (bag-distance prefilter, zip_with /
+    substring lcp trims, equality short-circuit — all measured slower)
+    said this needed."""
+    out_schema = (
+        "doc1 long, doc2 long, rank_gap long, edit_dist int, _maxlen int"
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ok = (~pdf["_n1"].isna() & ~pdf["_n2"].isna()).to_numpy()
+            if not ok.all():
+                pdf = pdf[ok].reset_index(drop=True)
+                n = len(pdf)
+                if n == 0:
+                    continue
+            a_list = pdf["_n1"].tolist()
+            b_list = pdf["_n2"].tolist()
+            dist = banded_editdist_batch(a_list, b_list, bound)
+            fin = dist <= bound
+            out = pdf.loc[fin, ["doc1", "doc2", "rank_gap"]].copy()
+            out["edit_dist"] = dist[fin].astype(np.int32)
+            la = np.fromiter((len(s) for s in a_list), np.int64, n)
+            lb = np.fromiter((len(s) for s in b_list), np.int64, n)
+            out["_maxlen"] = np.maximum(la, lb)[fin].astype(np.int32)
+            yield out
+
+    return cand_txt.mapInPandas(kernel, schema=out_schema)
+
+
+def banded_editdist_batch(a_list, b_list, bound: int):
+    """Batch-vectorized banded Levenshtein (the ``_editdist_verify_arrow``
+    kernel, module-level so it is unit-testable without Spark): returns
+    an int64 distance per pair.  Values ≤ ``bound`` are EXACT; values
+    > ``bound`` only assert "exceeds bound" (band overestimate / Δlen
+    shortcut / early abort — callers must treat them as dropped).
+
+    Inputs must be ASCII (the SNM normalizer strips to [a-z0-9]); byte
+    distance == codepoint distance there.  See
+    ``_editdist_verify_arrow`` for the vectorization scheme."""
+    import numpy as np
+
+    INF = np.int16(20000)
+    n = len(a_list)
+    dist = np.full(n, 30000, dtype=np.int64)
+    if n == 0:
+        return dist
+    la0 = np.fromiter((len(s) for s in a_list), np.int64, n)
+    lb0 = np.fromiter((len(s) for s in b_list), np.int64, n)
+    pre = np.abs(la0 - lb0) <= bound  # dist ≥ |Δlen|: hopeless pairs skip
+    if not pre.any():
+        return dist
+    sel = np.nonzero(pre)[0]
+    a_sel = [a_list[i] for i in sel]
+    b_sel = [b_list[i] for i in sel]
+    la = la0[sel]
+    lb = lb0[sel]
+    n = len(sel)
+    m = int(max(la.max(), lb.max(), 1))
+    pad = b"\x00"
+    A = np.frombuffer(
+        b"".join(s.encode().ljust(m, pad) for s in a_sel), dtype=np.uint8
+    ).reshape(n, m)
+    B = np.frombuffer(
+        b"".join(s.encode().ljust(m, pad) for s in b_sel), dtype=np.uint8
+    ).reshape(n, m)
+
+    k = int(bound)
+    w = 2 * k + 1
+    ar = np.arange(w, dtype=np.int16)
+    act = np.arange(n)
+    out = np.full(n, 30000, dtype=np.int64)
+    zero_a = la == 0
+    out[zero_a] = lb[zero_a]  # |Δlen| ≤ bound already holds
+    # Bpad[:, i + c] == b[(i - k + c) - 1]
+    Bpad = np.zeros((n, m + w + 2), dtype=np.uint8)
+    Bpad[:, k + 1 : k + 1 + m] = B
+    curr = np.where(ar >= k, (ar - k).astype(np.int16), INF)
+    curr = np.broadcast_to(curr, (n, w)).copy()
+    curr[(ar.astype(np.int64) - k)[None, :] > lb[:, None]] = INF
+    laA, lbA, AA, BpadA = la, lb, A, Bpad
+    maxla = int(la.max())
+    i = 1
+    while len(act) and i <= maxla:
+        achar = AA[:, i - 1][:, None]
+        bwin = BpadA[:, i : i + w]
+        sub = curr + (achar != bwin).astype(np.int16)
+        dele = np.empty_like(curr)
+        dele[:, :-1] = curr[:, 1:]
+        dele[:, -1] = INF
+        dele += 1
+        mm = np.minimum(sub, dele)
+        t = mm - ar
+        np.minimum.accumulate(t, axis=1, out=t)
+        curr = t + ar
+        np.minimum(curr, INF, out=curr)
+        if i <= k:
+            curr[:, : k - i + 1] = INF  # j < 0 cells
+            # dp[i][0] = i boundary; its rightward insertion chain is
+            # dominated by sub/del paths from the same column, so
+            # setting it after the accumulate is exact
+            curr[:, k - i] = np.minimum(curr[:, k - i], np.int16(i))
+        hi = lbA[:, None] - i + k
+        curr[ar[None, :] > hi] = INF  # j > lb cells
+        done = laA == i
+        if done.any():
+            d_idx = np.nonzero(done)[0]
+            c_end = (lbA[d_idx] - i + k).astype(np.int64)
+            out[act[d_idx]] = curr[d_idx, c_end]
+        # row minima are non-decreasing in i (every cell derives from a
+        # row-(i-1) value plus ≥0), so a band min > bound never recovers
+        alive = (~done) & (curr.min(axis=1) <= k)
+        n_alive = int(alive.sum())
+        if n_alive == 0 or n_alive <= (len(act) * 3) // 4:
+            idx = np.nonzero(alive)[0]
+            act, curr = act[idx], curr[idx]
+            AA, BpadA = AA[idx], BpadA[idx]
+            laA, lbA = laA[idx], lbA[idx]
+        elif done.any():
+            # park finished rows at INF without a full compaction
+            curr[np.nonzero(done)[0]] = INF
+        i += 1
+    dist[sel] = out
+    return dist
+
+
 def editdist_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -1491,6 +1663,7 @@ def editdist_pairs(
     window: int = 8,
     prefix_len: int = 256,
     threshold: float = 0.8,
+    verify_kernel: str = "arrow",
 ) -> DataFrame:
     """Edit-distance-verified near-dup pairs: the record-linkage verify
     stage — Levenshtein distance over the sorted-neighborhood candidate
@@ -1513,25 +1686,31 @@ def editdist_pairs(
     division.
 
     Scale shape (100 TB): identical to ``snm_pairs`` — the global sort
-    is two-level sharded, candidates are ≤ window·n, and the banded
-    Levenshtein kernel runs on the capped prefix only.
+    is two-level sharded, candidates are ≤ window·n, and the verify
+    kernel runs on the capped prefix only.
 
-    Measured 10× curve (r8 diagnosis, closing the r7 "copy-tag shard
-    skew" hypothesis): growth ≈ 11× wall at 10× data is LINEAR
-    compute, not skew — shards spread fine (300 shards × ≤197 docs on
-    the scaled fixture), candidates are exactly linear (39,996 →
-    399,964), and the cost center is the verify kernel itself:
-    sort-ADJACENT pairs share long prefixes by construction, which
-    defeats the band's early abort (the full 2k+1 × 256 matrix runs,
-    ~1.7 ms/pair) — the 1× run is overhead-dominated, so the ratio
-    overstates per-row growth.  Four candidate accelerations were
-    measured and REJECTED as non-wins on Spark's interpreted
-    expression path: bag-distance lower-bound prefilter (56% pass ×
-    HOF fold cost ≥ saving), common-prefix trim via split/zip_with
-    (array allocs 1.5× slower) and via 8-step binary-search substring
-    compares (3× slower — repeated interpreted Substring), and an
-    equality short-circuit (0.4% of pairs equal).  A faster path
-    needs a JVM kernel change, not a plan change."""
+    The verify stage is selected by ``verify_kernel``:
+
+    - ``"arrow"`` (default): the vectorized mapInPandas kernel
+      (``_editdist_verify_arrow`` — batch-vectorized banded DP with
+      early abort, ~44 µs/pair).  This replaced the banded
+      ``levenshtein(a, b, bound)`` expression after the r8 diagnosis
+      (BASELINE.md "SNM/editdist growth diagnosis") proved the old
+      ~11× wall growth at 10× data was the verify's interpreted
+      per-pair constant (~1.7 ms/pair on sort-adjacent prefix-sharing
+      candidates, where shared prefixes defeat the band's early abort)
+      and that NO plan change could win: bag-distance lower-bound
+      prefilter, zip_with/substring lcp trims, and an equality
+      short-circuit were all measured slower on the expression path.
+    - ``"expr"``: the original declarative banded expression — kept as
+      the pure-JVM fallback (no Python workers / no duckdb) and as the
+      equivalence pin for the pytest that asserts the two kernels
+      return identical rows.
+
+    Both produce bit-identical output: every kept row's distance is
+    the exact Levenshtein distance (the band / the in-kernel drops
+    only remove rows the ``edit_sim`` filter provably rejects), and
+    ``edit_sim`` is computed by the same plan-side double division."""
     cand = snm_candidates(docs, text_col, key_len, bucket_len, window)
     norm = F.substring(
         F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""),
@@ -1542,15 +1721,30 @@ def editdist_pairs(
     txt = docs.select("doc_id", norm.alias("_n"))
     t1 = txt.select(F.col("doc_id").alias("doc1"), F.col("_n").alias("_n1"))
     t2 = txt.select(F.col("doc_id").alias("doc2"), F.col("_n").alias("_n2"))
-    maxlen = F.greatest(F.length("_n1"), F.length("_n2"))
-    return (
-        cand.join(t1, "doc1")
-        .join(t2, "doc2")
-        .withColumn(
-            "edit_dist", F.expr(f"levenshtein(_n1, _n2, {bound})")
+    joined = cand.join(t1, "doc1").join(t2, "doc2")
+    if verify_kernel == "arrow":
+        # The verify is CPU-bound per ROW while the candidate stream is
+        # small in BYTES, so AQE's byte-based coalescing funnels it into
+        # one or two partitions and serializes the kernel (measured: 1
+        # partition at sf0.1).  Spread it explicitly to the cluster's
+        # core count — at real scale this is a narrow ~100 B/row
+        # shuffle, trivial next to the DP it parallelizes.
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        verified = _editdist_verify_arrow(
+            joined.select("doc1", "doc2", "rank_gap", "_n1", "_n2")
+            .repartition(par, "doc1", "doc2"),
+            bound,
         )
-        .filter(F.col("edit_dist") >= 0)
-        .withColumn(
+        maxlen = F.col("_maxlen")
+    elif verify_kernel == "expr":
+        verified = joined.withColumn(
+            "edit_dist", F.expr(f"levenshtein(_n1, _n2, {bound})")
+        ).filter(F.col("edit_dist") >= 0)
+        maxlen = F.greatest(F.length("_n1"), F.length("_n2"))
+    else:
+        raise ValueError(f"unknown verify_kernel {verify_kernel!r}")
+    return (
+        verified.withColumn(
             "edit_sim",
             F.when(
                 maxlen > 0,
