@@ -287,10 +287,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_source_overlap": oracle_dataops.dedup_source_overlap_sql(),
         # dedup_cluster_reps: per-cluster representative selection
         # (longest member wins, min-id tiebreak; narrow argmax groupBy)
-        # — oracle-only swept entry.
+        # over the SCALE-PATH est pair graph (r9) — oracle-only swept.
         "dedup_cluster_reps": oracle_dataops.dedup_cluster_reps_sql(),
         "dedup_minhash_keep": oracle_dataops.dedup_minhash_keep_sql(),
         "dedup_minhash_clusters": oracle_dataops.dedup_minhash_clusters_sql(),
+        # dedup_est_keep / dedup_est_clusters: the same keep-set and
+        # transitive-cluster resolutions composed on the est pair stream
+        # — the 100 TB compositions (r9) — oracle-only swept entries.
+        "dedup_est_keep": oracle_dataops.dedup_est_keep_sql(),
+        "dedup_est_clusters": oracle_dataops.dedup_est_clusters_sql(),
         # dedup_incremental_pairs: batch-vs-corpus asymmetric banded
         # minhash screen (the per-ingest dedup an incremental pipeline
         # runs) — oracle-only swept entry.

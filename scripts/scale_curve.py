@@ -101,6 +101,7 @@ SCALE_QUERIES = [
     "corpus_budget_sample",
     "corpus_shuffle_shards",
     "dedup_cluster_reps",
+    "dedup_est_clusters",
     "dedup_source_overlap",
     "embedding_balanced_sample",
     "multimodal_mkv_probe",

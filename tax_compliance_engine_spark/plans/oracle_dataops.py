@@ -604,11 +604,44 @@ reach AS (
 SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node"""
 
 
+def dedup_est_keep_sql(threshold: float = 0.5) -> str:
+    """Twin of queries_dataops.dedup_est_keep: the est-pairs CTE, then
+    the one-pass not-a-loser filter."""
+    pairs_sql = dedup_minhash_est_pairs_sql(threshold)
+    return f"""WITH pairs AS (
+{pairs_sql}
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc2 FROM pairs)"""
+
+
+def dedup_est_clusters_sql(threshold: float = 0.5) -> str:
+    """Twin of queries_dataops.dedup_est_clusters: the recursive-CTE
+    reachability closure over the EST pair graph, MIN label per node."""
+    pairs_sql = dedup_minhash_est_pairs_sql(threshold)
+    return f"""WITH RECURSIVE pairs AS (
+{pairs_sql}
+),
+adj AS (
+  SELECT doc1 AS node, doc2 AS nbr FROM pairs
+  UNION ALL
+  SELECT doc2 AS node, doc1 AS nbr FROM pairs
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS lab FROM documents
+  UNION
+  SELECT a.node, r.lab FROM adj a JOIN reach r ON r.node = a.nbr
+)
+SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node"""
+
+
 def dedup_cluster_reps_sql(threshold: float = 0.5) -> str:
     """Twin of queries_dataops.dedup_cluster_reps: the recursive-CTE
-    cluster closure, then the same (tokens DESC, doc_id ASC) argmax per
-    cluster with member counts — pure integers."""
-    pairs_sql = dedup_minhash_pairs_sql(threshold)
+    cluster closure over the SCALE-PATH est pair graph (the r9
+    recomposition — the Spark query moved off exact-verify pairs), then
+    the same (tokens DESC, doc_id ASC) argmax per cluster with member
+    counts — pure integers."""
+    pairs_sql = dedup_minhash_est_pairs_sql(threshold)
     return f"""WITH RECURSIVE pairs AS (
 {pairs_sql}
 ),

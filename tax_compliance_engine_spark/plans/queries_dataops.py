@@ -167,9 +167,18 @@ def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-representative selection (dedup.cluster_representatives):
     one keep-decision row per MinHash near-dup cluster — longest member
     wins, ties to the smallest doc_id — the resolution rule that
-    preserves content instead of the min-id accident."""
+    preserves content instead of the min-id accident.
+
+    Composes on the SCALE-PATH pair stream (`minhash_est_pairs`:
+    signature-estimated Jaccard, verify cost independent of document
+    length) rather than the exact-token-verify pairs: r8 measured the
+    exact-pairs composition inheriting an 8.61× wall curve at 10× data
+    purely from verify shuffle volume, while the reps argmax itself is
+    one narrow groupBy.  The exact-verify resolution composite
+    (`dedup_minhash_resolution`) keeps the exact-pairs lineage for the
+    quality-over-cost regime."""
     docs = _docs(spark, sf_dir)
-    pairs = dedup.minhash_dup_pairs(docs, threshold=0.5)
+    pairs = dedup.minhash_est_pairs(docs, threshold=0.5)
     return dedup.cluster_representatives(docs, pairs)
 
 
@@ -177,6 +186,26 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters over the MinHash pair graph."""
     docs = _docs(spark, sf_dir)
     pairs = dedup.minhash_dup_pairs(docs, threshold=0.5)
+    return dedup.dup_clusters(docs.select("doc_id"), pairs)
+
+
+def dedup_est_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path deduplicated id-set: `near_dedup_filter` over the
+    signature-estimated pair stream — the keep decision a 100 TB run
+    makes (est verify touches 16 ints per candidate; the exact-verify
+    twin `dedup_minhash_keep` is the quality-over-cost variant)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_est_pairs(docs, threshold=0.5)
+    return dedup.near_dedup_filter(docs.select("doc_id"), pairs)
+
+
+def dedup_est_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path transitive near-dup clusters: min-label propagation
+    over the signature-estimated pair graph (the composition every
+    100 TB resolution pass uses; `dedup_minhash_clusters` keeps the
+    exact-verify lineage)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_est_pairs(docs, threshold=0.5)
     return dedup.dup_clusters(docs.select("doc_id"), pairs)
 
 
