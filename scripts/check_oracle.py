@@ -152,6 +152,22 @@ def main() -> int:
         if name not in queries and name in extras:
             queries[name] = extras[name]
 
+    # Planner-geometry twins travel with scale: the Spark side sizes its
+    # LSH geometry from a runtime corpus-count probe, so when this dir's
+    # embedding count differs from the 500-embedding fixtures the static
+    # entries were generated for, regenerate those twins at THIS count.
+    from tax_compliance_engine_spark.plans import oracle_dataops as od
+
+    emb_count = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+    if emb_count != od.ORACLE_EMB_COUNT:
+        for name, gen in od.GEOMETRY_PARAMETRIC_SQL.items():
+            if name in oracles:
+                oracles[name] = gen(emb_count)
+        print(
+            f"note: planner twins regenerated for n_docs={emb_count} "
+            f"(fixture default {od.ORACLE_EMB_COUNT})"
+        )
+
     failures = []
     for name, fn in queries.items():
         if only and name not in only:

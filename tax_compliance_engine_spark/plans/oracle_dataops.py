@@ -771,13 +771,16 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}"""
 # geometry is planner-sized from a runtime count probe
 # (similarity.planned_geometry); these static twins must bake the SAME
 # geometry in, so they evaluate the planner at the sweep corpus size.
-# Sweeping a default-geometry embedding twin at a different sf would
-# need the twin regenerated with that corpus's count (pass n_docs).
+# Every planner-geometry twin takes n_docs (defaulting to this fixture
+# count) and is listed in GEOMETRY_PARAMETRIC_SQL at the bottom of this
+# module — scripts/check_oracle.py regenerates those entries at the
+# target dir's actual embedding count, so the bit-exact gate sweeps at
+# ANY scale factor (verified green at sf0.1's 2000 embeddings).
 ORACLE_EMB_COUNT = 500
 
 
-def _oracle_geometry(n_docs: int = ORACLE_EMB_COUNT) -> tuple[int, int]:
-    g = similarity.lsh_geometry_for_corpus(n_docs)
+def _oracle_geometry(n_docs: int | None = None) -> tuple[int, int]:
+    g = similarity.lsh_geometry_for_corpus(n_docs or ORACLE_EMB_COUNT)
     return g["n_bands"], g["bits_per_band"]
 
 
@@ -802,9 +805,10 @@ lsh_sigs AS (
 def embedding_lsh_buckets_sql(
     n_bands: int | None = None,
     bits_per_band: int | None = None,
+    n_docs: int | None = None,
 ) -> str:
     if n_bands is None or bits_per_band is None:
-        n_bands, bits_per_band = _oracle_geometry()
+        n_bands, bits_per_band = _oracle_geometry(n_docs)
     mask = (1 << bits_per_band) - 1
     return f"""WITH {_lsh_cte(n_bands * bits_per_band)}
 SELECT vec_id, CAST(lsh_sig AS BIGINT) AS lsh_sig, CAST(b AS INTEGER) AS band,
@@ -816,9 +820,10 @@ def embedding_dup_pairs_sql(
     threshold: float = 0.35,
     n_bands: int | None = None,
     bits_per_band: int | None = None,
+    n_docs: int | None = None,
 ) -> str:
     if n_bands is None or bits_per_band is None:
-        n_bands, bits_per_band = _oracle_geometry()
+        n_bands, bits_per_band = _oracle_geometry(n_docs)
     dot_12 = DOT_FOLD.format(n=similarity.DIM, a="e1.v", b="e2.v")
     mask = (1 << bits_per_band) - 1
     return f"""WITH {_lsh_cte(n_bands * bits_per_band)},
@@ -883,12 +888,12 @@ WHERE {dot_12} / (e1.nrm * e2.nrm) >= {threshold}"""
 
 
 def embedding_dup_pairs_amplified_sql(
-    threshold: float = 0.35, n_docs: int = ORACLE_EMB_COUNT
+    threshold: float = 0.35, n_docs: int | None = None
 ) -> str:
     """Twin of queries_dataops.embedding_dup_pairs_amplified: the
     multitable twin evaluated at the planner's full answer for the
     sweep corpus — geometry AND table count."""
-    g = similarity.lsh_geometry_for_corpus(n_docs)
+    g = similarity.lsh_geometry_for_corpus(n_docs or ORACLE_EMB_COUNT)
     return embedding_dup_pairs_multitable_sql(
         threshold=threshold,
         n_tables=min(int(g["tables_for_90pct_recall"]), 8),
@@ -905,10 +910,12 @@ def embedding_dup_pairs_wide_sql(threshold: float = 0.35) -> str:
     return embedding_dup_pairs_sql(threshold, n_bands=4, bits_per_band=8)
 
 
-def embedding_dup_clusters_sql(threshold: float = 0.35) -> str:
+def embedding_dup_clusters_sql(
+    threshold: float = 0.35, n_docs: int | None = None
+) -> str:
     """Min-reachable-id connected components over the embedding pair graph
     (recursive-CTE closure — same construction as the MinHash twin)."""
-    pairs_sql = embedding_dup_pairs_sql(threshold)
+    pairs_sql = embedding_dup_pairs_sql(threshold, n_docs=n_docs)
     return f"""WITH RECURSIVE pairs AS (
 {pairs_sql}
 ),
@@ -947,11 +954,13 @@ def embedding_projection_sql(k: int | None = None) -> str:
 FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"""
 
 
-def embedding_triangles_sql(threshold: float = 0.2) -> str:
+def embedding_triangles_sql(
+    threshold: float = 0.2, n_docs: int | None = None
+) -> str:
     """Twin of queries_dataops.embedding_triangles: the same canonical
     (id1 < id2) edge list, wedge join on the middle node, edge-closure
     semi-join, per-node explode + count."""
-    pairs_sql = embedding_dup_pairs_sql(threshold)
+    pairs_sql = embedding_dup_pairs_sql(threshold, n_docs=n_docs)
     return f"""WITH pairs AS (
 {pairs_sql}
 ),
@@ -975,6 +984,7 @@ def embedding_pagerank_sql(
     damping: float = 0.85,
     iterations: int = 5,
     shard_count: int = 256,
+    n_docs: int | None = None,
 ) -> str:
     """Twin of queries_dataops.embedding_pagerank: the pairs CTE is the
     verbatim embedding_dup_pairs SQL, symmetrized; each unrolled
@@ -985,7 +995,7 @@ def embedding_pagerank_sql(
     exact 0.0) — so five chained iterations of doubles still hash
     bit-exact.  Shard assignment is pure integer arithmetic (equal-width
     src intervals), identical in both engines."""
-    pairs_sql = embedding_dup_pairs_sql(threshold)
+    pairs_sql = embedding_dup_pairs_sql(threshold, n_docs=n_docs)
     its = []
     prev = "r0"
     for k in range(1, iterations + 1):
@@ -1999,7 +2009,7 @@ ORDER BY doc_id
 
 
 def embedding_communities_sql(
-    threshold: float = 0.35, n_iter: int = 3
+    threshold: float = 0.35, n_iter: int = 3, n_docs: int | None = None
 ) -> str:
     """Twin of queries_dataops.embedding_communities: verbatim
     embedding_dup_pairs CTE symmetrized, then one unrolled CTE pair per
@@ -2007,7 +2017,7 @@ def embedding_communities_sql(
     (count DESC, label ASC) via row_number; Spark computes the same
     argmax as max(struct(count, −label)), an identical integer
     function, so the twin needs no float care at all."""
-    pairs_sql = embedding_dup_pairs_sql(threshold)
+    pairs_sql = embedding_dup_pairs_sql(threshold, n_docs=n_docs)
     ctes = [
         f"""pairs AS (
 {pairs_sql}
@@ -2189,14 +2199,16 @@ WHERE m > 0
 ORDER BY doc1, doc2"""
 
 
-def embedding_bfs_dist_sql(threshold: float = 0.35, max_hops: int = 3) -> str:
+def embedding_bfs_dist_sql(
+    threshold: float = 0.35, max_hops: int = 3, n_docs: int | None = None
+) -> str:
     """Twin of queries_dataops.embedding_bfs_dist: the verbatim
     embedding_dup_pairs CTE symmetrized, then a RECURSIVE CTE whose
     UNION dedups (node, dist) pairs per level (terminating at the hop
     cap) with the final min(dist) per node — exactly the groupBy-min
     the Spark unroll converges to.  Pure integers throughout; same
     planner-sized default geometry as the Spark side."""
-    pairs_sql = embedding_dup_pairs_sql(threshold)
+    pairs_sql = embedding_dup_pairs_sql(threshold, n_docs=n_docs)
     return f"""
 WITH RECURSIVE pairs AS (
 {pairs_sql}
@@ -2408,3 +2420,27 @@ FROM documents"""
 FROM (SELECT doc_id, count(*) AS c FROM documents GROUP BY 1) t"""
     )
     return "\nUNION ALL\n".join(arms) + "\nORDER BY rule"
+
+
+# ---------------------------------------------------------------------------
+# Planner-geometry parametric twins (r9).  The Spark side of these queries
+# sizes its LSH geometry from a runtime corpus-count probe
+# (similarity.planned_geometry); the static oracle_sql() strings bake the
+# planner's answer for ORACLE_EMB_COUNT (the 500-embedding sf0.001/sf0.01
+# fixtures).  Sweeping them at ANY OTHER scale factor just needs the twin
+# regenerated with that corpus's count — scripts/check_oracle.py counts the
+# target dir's embeddings and rebuilds these entries through this registry,
+# so the bit-exact gate travels with scale instead of being pinned to the
+# 500-embedding fixtures.
+GEOMETRY_PARAMETRIC_SQL = {
+    "embedding_lsh_buckets": lambda n: embedding_lsh_buckets_sql(n_docs=n),
+    "embedding_dup_pairs": lambda n: embedding_dup_pairs_sql(n_docs=n),
+    "embedding_dup_pairs_amplified": (
+        lambda n: embedding_dup_pairs_amplified_sql(n_docs=n)
+    ),
+    "embedding_dup_clusters": lambda n: embedding_dup_clusters_sql(n_docs=n),
+    "embedding_triangles": lambda n: embedding_triangles_sql(n_docs=n),
+    "embedding_pagerank": lambda n: embedding_pagerank_sql(n_docs=n),
+    "embedding_bfs_dist": lambda n: embedding_bfs_dist_sql(n_docs=n),
+    "embedding_communities": lambda n: embedding_communities_sql(n_docs=n),
+}
