@@ -245,6 +245,20 @@ def oracle_sql() -> dict[str, str]:
         # predicate mixing both join sides, scalar revenue) —
         # oracle-only swept entry.
         "part_promo_revenue": oracle.part_promo_revenue_sql(),
+        # part_small_qty_revenue: TPC-H Q17 shape (per-part correlated
+        # average-quantity threshold, window-decorrelated) — oracle-only.
+        "part_small_qty_revenue": oracle.part_small_qty_revenue_sql(),
+        # supplier_dominant_parts: TPC-H Q20 shape (per-group correlated
+        # >50%-share threshold, then the supplier semi side) — oracle-only.
+        "supplier_dominant_parts": oracle.supplier_dominant_parts_sql(),
+        # supplier_wait_chain: TPC-H Q21 shape (EXISTS + NOT EXISTS
+        # anti-semi chain on multi-supplier orders) — oracle-only.
+        "supplier_wait_chain": oracle.supplier_wait_chain_sql(),
+        # customer_order_distribution: TPC-H Q13 shape (left-join count
+        # distribution keeping zero-order customers) — oracle-only.
+        "customer_order_distribution": (
+            oracle.customer_order_distribution_sql()
+        ),
         "doc_profile": oracle_dataops.doc_profile_sql(),
         "doc_signals": oracle_dataops.doc_signals_sql(),
         "doc_text_stats": oracle_dataops.doc_text_stats_sql(),

@@ -916,6 +916,94 @@ WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
        AND l.l_quantity BETWEEN 10 AND 40)"""
 
 
+def part_small_qty_revenue_sql() -> str:
+    """Twin of queries.part_small_qty_revenue: same brand prune, same
+    window-decorrelated per-part average (integral-double quantity sums
+    are exact at any order, so avg is one deterministic division), same
+    DECIMAL revenue sum → double → /7."""
+    return """WITH pruned AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice, p.p_brand
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand IN ('Brand#1', 'Brand#11', 'Brand#21')),
+flagged AS (
+  SELECT p_brand, l_extendedprice,
+         l_quantity < CAST(0.2 AS DOUBLE)
+                      * avg(l_quantity) OVER (PARTITION BY l_partkey)
+           AS small
+  FROM pruned)
+SELECT p_brand,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         / CAST(7.0 AS DOUBLE) AS avg_yearly,
+       count(*) AS n_items
+FROM flagged WHERE small
+GROUP BY p_brand
+ORDER BY p_brand"""
+
+
+def supplier_dominant_parts_sql() -> str:
+    """Twin of queries.supplier_dominant_parts: (supp, part) quantity
+    cells, window total per part, >50% share filter, name joins."""
+    return """WITH cells AS (
+  SELECT l.l_suppkey, l.l_partkey, SUM(l.l_quantity) AS qty
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE year(o.o_orderdate) = 1997
+  GROUP BY l.l_suppkey, l.l_partkey),
+dominant AS (
+  SELECT l_suppkey FROM (
+    SELECT l_suppkey, qty,
+           SUM(qty) OVER (PARTITION BY l_partkey) AS total
+    FROM cells) t
+  WHERE qty > CAST(0.5 AS DOUBLE) * total)
+SELECT s.s_name, n.n_name AS nation, counts.n_parts
+FROM (SELECT l_suppkey, count(*) AS n_parts FROM dominant GROUP BY 1) counts
+JOIN supplier s ON counts.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+ORDER BY s.s_name"""
+
+
+def supplier_wait_chain_sql() -> str:
+    """Twin of queries.supplier_wait_chain: the literal EXISTS +
+    NOT EXISTS formulation DuckDB decorrelates itself — the fixed point
+    is formulation-independent (pure integers and timestamps)."""
+    return """WITH base AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'),
+l1 AS (SELECT l_orderkey, l_suppkey FROM base WHERE late)
+SELECT s.s_name, count(*) AS numwait
+FROM l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM base b2
+    WHERE b2.l_orderkey = l1.l_orderkey
+      AND b2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM base b3
+    WHERE b3.l_orderkey = l1.l_orderkey
+      AND b3.l_suppkey <> l1.l_suppkey AND b3.late)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name"""
+
+
+def customer_order_distribution_sql() -> str:
+    """Twin of queries.customer_order_distribution: left join keeps
+    zero-order customers; count(o_orderkey) skips the nulls."""
+    return """WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey)
+SELECT c_count, count(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC"""
+
+
 def customers_without_orders_sql() -> str:
     return """SELECT c_custkey FROM customer
 EXCEPT

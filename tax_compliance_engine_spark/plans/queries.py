@@ -1200,6 +1200,191 @@ def part_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def part_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated scalar: per-brand yearly revenue lost
+    to SMALL-QUANTITY orders — lineitems whose quantity sits under 20%
+    of that part's average order quantity (the reference-class
+    correlated aggregate: the threshold depends on the outer row's
+    part).
+
+    Decorrelation: the brand dimension broadcast-prunes lineitem, then
+    ONE window (`avg over partition by l_partkey`) computes every
+    part's average in a single pass over the pruned stream — no per-row
+    subquery, no second lineitem scan (the two-scan agg+join-back
+    decorrelation was the alternative; the window reuses the same
+    shuffle).
+
+    Bit-portable: quantities are integral doubles, so their sums are
+    exact at any order and avg = one deterministic IEEE division; the
+    revenue sum rides DECIMAL and converts to double once, then one
+    division by 7."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    from pyspark.sql.window import Window
+
+    brands = ["Brand#1", "Brand#11", "Brand#21"]
+    pruned = li.join(
+        F.broadcast(
+            part.filter(F.col("p_brand").isin(brands)).select(
+                "p_partkey", "p_brand"
+            )
+        ),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    w = Window.partitionBy("l_partkey")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    return (
+        pruned.withColumn("_avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("_avg_qty"))
+        .groupBy("p_brand")
+        .agg(
+            (F.sum(price).cast("double") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def supplier_dominant_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped per-group correlated threshold: suppliers who
+    shipped MORE THAN HALF of a part's total 1997 volume, with how many
+    parts they dominate that way.  (The reference Q20 compares partsupp
+    availability to 50% of shipped volume; this corpus carries no
+    partsupp table, so the same correlated-threshold-then-semi-join
+    shape runs supplier-share-vs-part-total.)
+
+    Decorrelation: ONE aggregate to (suppkey, partkey) quantity cells
+    — integral-double sums, exact at any order — then a window sum
+    over partkey turns the correlated `total per part` scalar into a
+    second pass over the SAME shuffle layout (partkey ⊂ grouping key,
+    no extra exchange); the filter and the ≤|suppliers| broadcast name
+    join finish it.  No per-row subquery, one lineitem scan."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = _utc(spark).read.parquet(f"{sf_dir}/orders.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    from pyspark.sql.window import Window
+
+    cells = (
+        li.join(
+            orders.filter(F.year("o_orderdate") == 1997).select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = cells.withColumn("_total", F.sum("_qty").over(w)).filter(
+        F.col("_qty") > F.lit(0.5) * F.col("_total")
+    )
+    return (
+        dominant.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_name", F.col("n_name").alias("nation"), "n_parts")
+        .orderBy("s_name")
+    )
+
+
+def supplier_wait_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped EXISTS + NOT EXISTS chain: suppliers who were
+    the SOLE late shipper on multi-supplier finished orders.  A line is
+    late when it ships more than 60 days after the order date (the
+    reference compares receipt to commit dates; this corpus carries
+    ship and order dates).  For each late line l1 on an 'F' order:
+    EXISTS another supplier's line on the same order, NOT EXISTS
+    another supplier's line that is ALSO late — count such lines per
+    supplier.
+
+    Plan shape — the chain COLLAPSES TO ONE PASS: per order, the three
+    correlated conditions are functions of two distinct-counts
+    (EXISTS another supplier ⇔ n_suppliers ≥ 2; NOT EXISTS another
+    late supplier ⇔ n_late_suppliers = 1, in which case every late
+    line belongs to that single supplier), so one groupBy(l_orderkey)
+    with conditional aggregates replaces the textbook LEFT SEMI + LEFT
+    ANTI decorrelation's THREE passes over the fact join — 2 shuffles
+    total instead of re-reading lineitem per subquery, the win that
+    matters at 100 TB.  The DuckDB twin keeps the literal
+    EXISTS + NOT EXISTS formulation, so the sweep bit-exactly pins the
+    rewrite's equivalence."""
+    li = _utc(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = _utc(spark).read.parquet(f"{sf_dir}/orders.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    per_order = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey", late.alias("_late"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("_n_supp"),
+            F.countDistinct(
+                F.when(F.col("_late"), F.col("l_suppkey"))
+            ).alias("_n_late_supp"),
+            F.max(F.when(F.col("_late"), F.col("l_suppkey"))).alias(
+                "_late_supp"
+            ),
+            F.sum(F.col("_late").cast("long")).alias("_n_late_lines"),
+        )
+        .filter((F.col("_n_supp") >= 2) & (F.col("_n_late_supp") == 1))
+    )
+    return (
+        per_order.groupBy("_late_supp")
+        .agg(F.sum("_n_late_lines").alias("numwait"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("_late_supp") == F.col("s_suppkey"),
+        )
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped left-join count distribution: how many customers
+    placed exactly k qualifying orders (urgent orders excluded, the
+    stand-in for Q13's comment-pattern exclusion), INCLUDING the
+    zero-order customers a plain join would drop.
+
+    Plan shape: one LEFT OUTER join (count(o_orderkey) skips the
+    nulls), then two ≤|customers| aggregates — the distribution
+    groupBy's input is already one row per customer."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per_cust = (
+        customer.select("c_custkey")
+        .join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT").select(
+                "o_orderkey", "o_custkey"
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join/EXCEPT: customers with no 1998 order.  (Restricted to one
     year so the result is non-trivial — the testdata has every customer
