@@ -1004,31 +1004,52 @@ def dup_clusters(
     while the groupBy folds each node's clique-dense neighborhood to
     one partial row per map task and the join's probe side is the
     ~|V|-row min table (AQE picks broadcast when it fits, sort-merge
-    when it doesn't — never worse than the window, measured ~4× faster
-    end-to-end on the 63 M-edge 10× est-pair graph).  Identical
-    output: both forms compute min(N(u)) exactly."""
-    edges = (
+    when it doesn't).  Identical output: both forms compute min(N(u))
+    exactly.
+
+    The INPUT edge set is persisted DISK_ONLY, not
+    distinct+localCheckpointed: the near-dup pair generators emit
+    distinct pairs by construction (banded first-shared-band dedup),
+    so the old up-front ``distinct`` was a pure 63 M-row shuffle
+    (measured 22 s of a 48 s total at the 10× fixture) — duplicate
+    edges are harmless anyway, the per-round ``distinct`` bounds them
+    — and parking the round-1 working set in executor memory evicted
+    the very shuffle pages round 1 needs (GC thrash at default heap).
+    Disk-serialized input costs two sequential scans and leaves the
+    heap to the aggregates.  Later rounds operate on star-forest-sized
+    frames, where ``localCheckpoint``'s lineage truncation is the
+    point and memory residency is free."""
+    from pyspark import StorageLevel
+
+    in_edges = (
         pairs.select(
             F.col("doc1").cast("long").alias("a"),
             F.col("doc2").cast("long").alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
+        .persist(StorageLevel.DISK_ONLY)
     )
+    edges = in_edges
     converged = False
+    n_edges: int | None = None  # carried across rounds: |edges| is the
+    #                             previous round's |small|, so only the
+    #                             input is ever counted directly
     for _ in range(max_iter):
         # large-star: for each node u, connect each neighbor v > u to
         # min(N(u) ∪ {u}).  Output edges are (larger, smaller) by
         # construction, which is exactly small-star's input orientation.
+        # The min table folds over the FULL symmetric neighborhood; the
+        # join probe only needs the b > a half (the filter is on b
+        # alone, so filtering before the join halves probe volume
+        # without changing any m).
         sym = edges.unionByName(
             edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
         mins = sym.groupBy("a").agg(F.min("b").alias("_mb"))
         large = (
-            sym.join(mins, "a")
+            sym.filter(F.col("b") > F.col("a"))
+            .join(mins, "a")
             .withColumn("m", F.least(F.col("_mb"), F.col("a")))
-            .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .filter(F.col("a") != F.col("b"))
             .distinct()
@@ -1048,11 +1069,15 @@ def dup_clusters(
         )
         # a star forest is a fixed point of both rewrites: converged when
         # the edge set is unchanged
+        n_small = small.count()
+        if n_edges is None:
+            n_edges = edges.count()
         unchanged = (
-            small.count() == edges.count()
+            n_small == n_edges
             and small.join(edges, ["a", "b"], "left_anti").count() == 0
         )
         edges = small
+        n_edges = n_small
         if unchanged:
             converged = True
             break
@@ -1063,6 +1088,9 @@ def dup_clusters(
             "(logarithmic convergence makes this a pathological input); "
             "raise max_iter"
         )
+    # every surviving frame is localCheckpoint-materialized, so the
+    # disk-persisted input can be released before the result is consumed
+    in_edges.unpersist()
     mapping = edges.select(F.col("a").alias("node"), F.col("b").alias("label"))
     return (
         docs.select(F.col("doc_id").cast("long").alias("node"))
