@@ -564,6 +564,11 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_mp3_sideinfo": (
             oracle_dataops.multimodal_mp3_sideinfo_sql()
         ),
+        # multimodal_mp3_decode: REAL Layer III gr0-ch0 big_values
+        # ENTROPY decode (full side-info parse, slen scalefactor bit
+        # accounting, Huffman prefix walk + linbits escapes + sign
+        # bits) vs the analytic generative formulas — oracle-only.
+        "multimodal_mp3_decode": oracle_dataops.multimodal_mp3_decode_sql(),
         # multimodal_mkv_probe: REAL Matroska/EBML demux (vint parse,
         # guarded Segment/Cluster walk, SimpleBlock extraction) vs the
         # analytic container geometry — oracle-only swept entry.

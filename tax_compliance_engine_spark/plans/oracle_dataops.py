@@ -1874,6 +1874,70 @@ SELECT doc_id, frame_idx,
 FROM b"""
 
 
+def multimodal_mp3_decode_sql() -> str:
+    """Twin of queries_dataops.multimodal_mp3_decode: synth_mp3_coded's
+    decoded spectral values are pure functions of (id, frame, pair) —
+    x = (3i+5f+7k) % M, y = (2i+3f+11k) % M, negated when (i+f+k)%2 —
+    with M, the Huffman table id, the linbits width and the slen
+    scalefactor bit count all analytic, so every aggregate the Spark
+    side must recover by actually WALKING the coded bits (prefix
+    lengths, escapes, sign bits, part2_3_length) reduces to exact
+    integer SQL."""
+    linbits_tab = "[1,2,3,4,6,8,10,13]"
+    s1_tab = "[0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4]"
+    s2_tab = "[0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3]"
+    return f"""WITH f AS (
+  SELECT doc_id, CAST(u.fi AS BIGINT) AS frame_idx
+  FROM documents, unnest(range(0, 1 + doc_id % 2)) AS u(fi)),
+geom AS (
+  SELECT doc_id, frame_idx,
+    CASE WHEN (doc_id + frame_idx) % 3 = 0 THEN 1
+         ELSE 16 + (doc_id + frame_idx) % 8 END AS huff_table,
+    CASE WHEN (doc_id + frame_idx) % 3 = 0 THEN 0
+         ELSE {linbits_tab}[(doc_id + frame_idx) % 8 + 1] END AS linbits,
+    6 + (doc_id + frame_idx) % 5 AS n_pairs,
+    {s1_tab}[(doc_id + frame_idx) % 16 + 1] AS s1,
+    {s2_tab}[(doc_id + frame_idx) % 16 + 1] AS s2
+  FROM f),
+geom2 AS (
+  SELECT *, CASE WHEN linbits = 0 THEN 2
+                 ELSE 16 + least((1 << linbits) - 1, 14) END AS m
+  FROM geom),
+pairs AS (
+  SELECT g.*, CAST(u.k AS BIGINT) AS k,
+    (3 * doc_id + 5 * frame_idx + 7 * u.k) % m AS x,
+    (2 * doc_id + 3 * frame_idx + 11 * u.k) % m AS y,
+    (doc_id + frame_idx + u.k) % 2 = 1 AS neg
+  FROM geom2 g, unnest(range(0, n_pairs)) AS u(k)),
+scored AS (
+  SELECT doc_id, frame_idx, huff_table, linbits, n_pairs, s1, s2,
+    (CASE WHEN neg AND x <> 0 THEN -x ELSE x END)
+      + (CASE WHEN neg AND y <> 0 THEN -y ELSE y END) AS sv,
+    x + y AS sa,
+    greatest(x, y) AS mx,
+    (CASE WHEN linbits > 0 AND x >= 15 THEN 1 ELSE 0 END)
+      + (CASE WHEN linbits > 0 AND y >= 15 THEN 1 ELSE 0 END) AS esc,
+    (CASE WHEN huff_table = 1
+          THEN CASE x * 2 + y WHEN 0 THEN 1 WHEN 1 THEN 3
+                              WHEN 2 THEN 2 ELSE 3 END
+          ELSE 8 END)
+      + linbits * ((CASE WHEN linbits > 0 AND x >= 15 THEN 1 ELSE 0 END)
+                   + (CASE WHEN linbits > 0 AND y >= 15 THEN 1 ELSE 0 END))
+      + (CASE WHEN x <> 0 THEN 1 ELSE 0 END)
+      + (CASE WHEN y <> 0 THEN 1 ELSE 0 END) AS bits
+  FROM pairs)
+SELECT doc_id, frame_idx,
+  CAST(huff_table AS INTEGER) AS huff_table,
+  CAST(2 * n_pairs AS INTEGER) AS n_values,
+  CAST(SUM(sv) AS BIGINT) AS sum_values,
+  CAST(SUM(sa) AS BIGINT) AS sum_abs,
+  CAST(MAX(mx) AS BIGINT) AS max_abs,
+  CAST(SUM(esc) AS INTEGER) AS n_escapes,
+  CAST(11 * s1 + 10 * s2 + SUM(bits) AS INTEGER) AS bits_read
+FROM scored
+GROUP BY doc_id, frame_idx, huff_table, n_pairs, s1, s2"""
+
+
 def multimodal_mkv_probe_sql() -> str:
     """Twin of queries_dataops.multimodal_mkv_probe: synth_mkv geometry
     is analytic — 2 + id%3 PPM frames of 11 header + 192 pixel bytes

@@ -1088,6 +1088,22 @@ def multimodal_mp3_sideinfo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_mp3_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-1 Layer III gr0-ch0 big_values ENTROPY DECODE under the
+    bit-exact gate (multimodal.decode_mp3_bigvalues over
+    synth_mp3_coded): full stereo side-info parse, ISO slen-table
+    scalefactor bit accounting, canonical Huffman prefix walk with ESC
+    linbits escapes and sign bits over genuine coded main data — the
+    decoded-value aggregates and the exact bit count consumed, which
+    the DuckDB twin derives analytically from the generative formulas.
+    Shrinks the r8 'entropy decode' boundary to 'ESC codebook data +
+    bit-reservoir assembly' (multimodal.py codebook-honesty note)."""
+    docs = _docs(spark, sf_dir)
+    return multimodal.decode_mp3_bigvalues(
+        multimodal.synth_mp3_coded(docs.select("doc_id"))
+    )
+
+
 def multimodal_g711_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL G.711 µ-law decode under the bit-exact gate: the companded
     bytes are pure functions of doc_id (multimodal.synth_wav_g711), the

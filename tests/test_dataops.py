@@ -2236,6 +2236,94 @@ def test_mp3_sideinfo_guards_crc_and_mono():
     assert multimodal._mp3_sideinfo_fields(frame[:8], 0, 8) is None
 
 
+def test_mp3_bigvalues_decode_roundtrip_and_guards():
+    """The gr0-ch0 big_values entropy decode recovers exactly the values
+    synth_mp3_coded encodes (bit count ≡ part2_3_length), and every
+    scope gate degrades to None instead of a wrong value."""
+    import pandas as pd
+
+    class StubDF:
+        def __init__(self, pdf):
+            self.pdf = pdf
+
+        def mapInPandas(self, fn, schema):
+            self.fn = fn
+            return self
+
+        def run(self):
+            return list(self.fn(iter([self.pdf])))[0]
+
+    ids = StubDF(pd.DataFrame({"doc_id": list(range(60))}))
+    coded = multimodal.synth_mp3_coded(ids).run()
+    for i, payload in zip(coded["doc_id"], coded["payload"]):
+        i = int(i)
+        buf, frames, _, _, _ = multimodal._mp3_frames(payload)
+        assert len(frames) == 1 + i % 2
+        for f, (pos, flen) in enumerate(frames):
+            got = multimodal._decode_one_bigvalues(buf, pos, flen)
+            assert got is not None, (i, f)
+            table, n_vals, sv, sa, mx, esc, bits = got
+            if (i + f) % 3 == 0:
+                assert table == 1 and mx <= 1 and esc == 0
+            else:
+                assert table == 16 + (i + f) % 8
+            n_pairs = 6 + (i + f) % 5
+            assert n_vals == 2 * n_pairs
+            # bit accounting: decode consumed exactly part2_3_length
+            si = multimodal._mp3_gr0ch0_sideinfo(buf, pos)
+            assert bits == si[1]
+            # sum of signed values: re-derive from the generative formula
+            if (i + f) % 3 == 0:
+                m = 2
+            else:
+                lb = multimodal._MP3_LINBITS[table]
+                m = 16 + min((1 << lb) - 1, 14)
+            exp_sv = 0
+            for k in range(n_pairs):
+                x = (3 * i + 5 * f + 7 * k) % m
+                y = (2 * i + 3 * f + 11 * k) % m
+                s = -1 if (i + f + k) % 2 == 1 else 1
+                exp_sv += (s * x if x else 0) + (s * y if y else 0)
+            assert sv == exp_sv
+
+    # guards: CRC frame, mono frame, reservoir back-pointer, mixed
+    # table selects, unsupported table — all None, never wrong values
+    si32 = bytes(32)
+    crc = bytes([0xFF, 0xFA, 0x90, 0x00]) + si32
+    assert multimodal._decode_one_bigvalues(crc, 0, len(crc)) is None
+    mono = bytes([0xFF, 0xFB, 0x90, 0xC0]) + si32
+    assert multimodal._decode_one_bigvalues(mono, 0, len(mono)) is None
+
+    def si_with(mdb=0, tsel=(1, 1, 1), table_ok=True):
+        w = multimodal._BitWriter()
+        w.put(mdb, 9)
+        w.put(0, 3)
+        w.put(0, 8)
+        w.put(0, 12)  # p23
+        w.put(0, 9)  # big_values
+        w.put(0, 8)
+        w.put(0, 4)
+        w.put(0, 1)  # wsf
+        for t in tsel:
+            w.put(t, 5)
+        w.put(0, 4 + 3 + 1 + 1 + 1)
+        for _ in range(3):
+            w.put(0, 59)
+        return bytes([0xFF, 0xFB, 0x90, 0x00]) + w.tobytes() + bytes(64)
+
+    f_res = si_with(mdb=5)
+    assert multimodal._decode_one_bigvalues(f_res, 0, len(f_res)) is None
+    f_mix = si_with(tsel=(1, 16, 1))
+    assert multimodal._decode_one_bigvalues(f_mix, 0, len(f_mix)) is None
+    f_bad = si_with(tsel=(9, 9, 9))  # table 9: no supported codebook
+    assert multimodal._decode_one_bigvalues(f_bad, 0, len(f_bad)) is None
+    # zero big_values with consistent p23=0 decodes to an empty frame
+    f_zero = si_with()
+    assert multimodal._decode_one_bigvalues(f_zero, 0, len(f_zero)) == (
+        1, 0, 0, 0, 0, 0, 0,
+    )
+
+
 def test_mkv_probe_null_on_malformed(spark):
     media = spark.createDataFrame(
         [
