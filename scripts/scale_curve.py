@@ -53,6 +53,7 @@ SCALE_QUERIES = [
     "ivfpq_knn_fixed_queries",
     "corpus_decontaminate_bloom",
     "corpus_bpe_merges",
+    "doc_bpe_token_counts",
     "dedup_incremental_pairs",
     "corpus_chunk_dedup",
     "corpus_apply_changes",
