@@ -584,6 +584,11 @@ def oracle_sql() -> dict[str, str]:
         # covered by a cross-document 8-gram) with the integer-exact
         # keep decision — oracle-only swept entry.
         "dedup_span_coverage": oracle_dataops.dedup_span_coverage_sql(),
+        # dedup_span_screen: ingest-time asymmetric span screen (batch
+        # slice scored against the standing corpus's dup-gram set; the
+        # streamable form — streaming_span_screen_writer is its
+        # drained ≡ batch twin) — oracle-only swept entry.
+        "dedup_span_screen": oracle_dataops.dedup_span_screen_sql(),
         # embedding_balanced_sample: cluster-balanced DIVERSITY sampling
         # (equal per-kmeans-cell quotas flatten the cluster
         # distribution; LCG-hash fill) — oracle-only swept entry.

@@ -1308,6 +1308,120 @@ def dup_span_stats(
     )
 
 
+def corpus_dup_grams(
+    corpus_docs: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The standing corpus's duplicated-gram set: every positioned token
+    ``n``-gram appearing in at least ``min_docs`` distinct corpus
+    documents — the static side of ``span_screen``.  Build once, cache /
+    persist, screen forever (at 100 TB this is the parquet artifact an
+    ingest pipeline refreshes with the corpus, bucketed by gram)."""
+    toks = tokens_col(F.col(text_col))
+    sized = corpus_docs.select(
+        "doc_id", toks.alias("_toks"), F.size(toks).alias("n_tokens")
+    )
+    gram_arr = F.when(
+        F.col("n_tokens") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_tokens") - n),
+            lambda i: F.array_join(F.slice("_toks", i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        sized.select("doc_id", F.explode(gram_arr).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram")
+    )
+
+
+def span_screen(
+    batch_docs: DataFrame,
+    corpus_docs: DataFrame | None = None,
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+    max_coverage_pct: int = 50,
+    dup_grams: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric span-duplication screen: score ARRIVING documents'
+    n-gram coverage against a STANDING corpus's duplicated-gram set
+    (``corpus_dup_grams``) — the ingest-time form of ``dup_span_stats``
+    exactly as ``incremental_minhash_pairs`` is the ingest-time form of
+    ``minhash_dup_pairs``.  A document's verdict depends only on its own
+    tokens and the FIXED gram set, never on other arriving documents —
+    the property that makes the streaming twin
+    (``streaming.dedup_stream.streaming_span_screen_writer``)
+    micro-batch-local yet globally correct.
+
+    Output: (doc_id, n_tokens, covered_tokens, dup_coverage, keep) —
+    identical shape and float/integer discipline to ``dup_span_stats``
+    (one exactly-rounded division; integer-exact keep compare).
+
+    Scale shape (100 TB): batch grams are a row-linear projection; the
+    membership test is one equi-join on gram against the prepared set
+    (key-partitioned or broadcast when it fits — never all-pairs); the
+    covered-position distinct shuffles narrow (doc_id, pos) pairs.  The
+    corpus is touched only to build ``dup_grams`` — pass a prepared /
+    persisted set to amortize it across batches."""
+    if dup_grams is None:
+        if corpus_docs is None:
+            raise ValueError("need corpus_docs or a prepared dup_grams")
+        dup_grams = corpus_dup_grams(corpus_docs, text_col, n, min_docs)
+    toks = tokens_col(F.col(text_col))
+    sized = batch_docs.select(
+        "doc_id", toks.alias("_toks"), F.size(toks).alias("n_tokens")
+    )
+    gram_arr = F.when(
+        F.col("n_tokens") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_tokens") - n),
+            lambda i: F.array_join(F.slice("_toks", i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = sized.select(
+        "doc_id", F.posexplode(gram_arr).alias("pos", "gram")
+    )
+    covered = (
+        grams.join(dup_grams, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("_cp"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("covered_tokens"))
+    )
+    return (
+        sized.select("doc_id", "n_tokens")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).alias(
+                "covered_tokens"
+            ),
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double")
+            )
+            .alias("dup_coverage"),
+            (
+                F.coalesce(F.col("covered_tokens"), F.lit(0)) * 100
+                <= F.col("n_tokens") * max_coverage_pct
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def strip_dup_spans(
     docs: DataFrame,
     text_col: str = "text",

@@ -2072,6 +2072,49 @@ ORDER BY doc_id
 """
 
 
+def dedup_span_screen_sql(
+    n: int = 8,
+    min_docs: int = 2,
+    max_coverage_pct: int = 50,
+    batch_mod: int = 13,
+) -> str:
+    """Twin of queries_dataops.dedup_span_screen: dup grams from the
+    CORPUS slice only (doc_id%mod <> 0), coverage scored for the batch
+    slice — otherwise identical construction to the symmetric
+    dedup_span_coverage twin."""
+    return f"""
+WITH sized AS (
+  SELECT doc_id, {TOKENS} AS t FROM documents
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(t, i, i + {n - 1}), ' ') AS gram
+  FROM sized, unnest(range(1, len(t) - {n} + 2)) AS u(i)
+  WHERE len(t) >= {n}
+),
+dupg AS (
+  SELECT gram FROM g WHERE doc_id % {batch_mod} <> 0 GROUP BY gram
+  HAVING count(DISTINCT doc_id) >= {min_docs}
+),
+cov AS (
+  SELECT DISTINCT g.doc_id, cp
+  FROM g JOIN dupg USING (gram), unnest(range(g.pos, g.pos + {n})) AS c(cp)
+  WHERE g.doc_id % {batch_mod} = 0
+),
+cnt AS (SELECT doc_id, count(*) AS covered_tokens FROM cov GROUP BY doc_id)
+SELECT b.doc_id, len(b.t) AS n_tokens,
+       COALESCE(c.covered_tokens, 0) AS covered_tokens,
+       CASE WHEN len(b.t) = 0 THEN 0.0
+            ELSE CAST(COALESCE(c.covered_tokens, 0) AS DOUBLE)
+                 / CAST(len(b.t) AS DOUBLE) END AS dup_coverage,
+       (COALESCE(c.covered_tokens, 0) * 100
+          <= len(b.t) * {max_coverage_pct}) AS keep
+FROM sized b LEFT JOIN cnt c USING (doc_id)
+WHERE b.doc_id % {batch_mod} = 0
+ORDER BY b.doc_id
+"""
+
+
 def embedding_communities_sql(
     threshold: float = 0.35, n_iter: int = 3, n_docs: int | None = None
 ) -> str:

@@ -1461,6 +1461,20 @@ def multimodal_bmp_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_span_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time span-duplication screen (dedup.span_screen): the
+    doc_id%13 slice plays the arriving batch, the rest the standing
+    corpus — each batch doc's n-gram coverage against the CORPUS's
+    duplicated-gram set only (the asymmetric form whose verdicts are
+    doc-local given the static side, hence streamable —
+    streaming_span_screen_writer is the drained ≡ batch twin)."""
+    docs = _docs(spark, sf_dir)
+    return dedup.span_screen(
+        docs.filter(F.col("doc_id") % 13 == 0),
+        docs.filter(F.col("doc_id") % 13 != 0),
+    )
+
+
 def dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-span removal (dedup.strip_dup_spans): every token
     position covered by an 8-gram shared across ≥2 documents is cut,

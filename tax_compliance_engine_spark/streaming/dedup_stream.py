@@ -89,6 +89,56 @@ def streaming_decontaminate_writer(
     return stream.writeStream.foreachBatch(write_batch)
 
 
+def streaming_span_screen_writer(
+    stream: DataFrame,
+    corpus_docs: DataFrame,
+    out_path: str,
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+    max_coverage_pct: int = 50,
+):
+    """Streaming SPAN-duplication screen: score every arriving document's
+    n-gram coverage against a standing corpus's duplicated-gram set —
+    the streaming twin of ``operators/dedup.span_screen`` (drained ≡
+    batch), closing the span-dedup family's streaming gap the way
+    ``streaming_incremental_dedup`` closed MinHash's.
+
+    A document's (covered_tokens, dup_coverage, keep) verdict is a pure
+    function of the doc itself and the FIXED corpus gram set — never of
+    other stream documents — so micro-batch-local scoring IS the global
+    semantics and no state store, watermark, or eviction policy exists:
+    memory stays bounded forever.  The gram set is prepared ONCE
+    (cached + materialized here; at 100 TB it is the persisted artifact
+    ``corpus_dup_grams`` documents, refreshed with the corpus), so each
+    micro-batch pays only the equi-join membership test and its own
+    row-linear gram explode.
+
+    Output lands under ``out_path/batch=<id>`` with per-batch
+    OVERWRITE — micro-batch re-delivery rewrites the same directory
+    instead of double-appending (idempotent, like the repo's other
+    streaming sinks).  Read back with ``spark.read.parquet(out_path)``.
+
+    Returns the configured DataStreamWriter; the caller sets trigger /
+    checkpoint and calls ``.start()``."""
+    from ..operators.dedup import corpus_dup_grams, span_screen
+
+    dup_grams = corpus_dup_grams(corpus_docs, text_col, n, min_docs).cache()
+    dup_grams.count()  # materialize once, before the first micro-batch
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        span_screen(
+            bdf,
+            text_col=text_col,
+            n=n,
+            min_docs=min_docs,
+            max_coverage_pct=max_coverage_pct,
+            dup_grams=dup_grams,
+        ).write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+
+    return stream.writeStream.foreachBatch(write_batch)
+
+
 def streaming_incremental_dedup(
     stream: DataFrame,
     corpus_docs: DataFrame,

@@ -513,6 +513,70 @@ def test_streaming_decontaminate_matches_batch(spark, tmp_path):
     assert [d for d, _ in got] == [1, 2, 4]
 
 
+def test_streaming_span_screen_matches_batch(spark, tmp_path):
+    """Drained span-duplication screen ≡ batch dedup.span_screen over the
+    same arrivals: coverage/keep verdicts are identical no matter which
+    drain a document arrives in (the gram set is corpus-only, so the
+    foreachBatch-local scoring is globally correct), and re-drains stay
+    idempotent (batch=<id> overwrite)."""
+    from tax_compliance_engine_spark.operators import dedup as dedup_ops
+    from tax_compliance_engine_spark.streaming.dedup_stream import (
+        streaming_span_screen_writer,
+    )
+
+    schema = "doc_id long, text string"
+    boiler = "shared boilerplate run of eight exact tokens here"  # 8 toks
+    corpus = spark.createDataFrame(
+        [
+            (900, f"alpha {boiler} one"),
+            (901, f"beta {boiler} two"),  # => boiler 8-gram is duplicated
+            (902, "unique corpus text that repeats in no other document"),
+        ],
+        schema,
+    )
+    first = [
+        (0, f"prefix {boiler} suffix words"),  # partially covered
+        (1, "totally fresh arrival with nothing shared at all"),
+        (2, "tiny"),  # < n tokens: zero grams, zero coverage
+    ]
+    second = [
+        (3, boiler),  # fully covered -> keep = False at 50%
+        (4, f"{boiler} trailing unique tail padding tokens making it long"),
+    ]
+    src, out = tmp_path / "docs", tmp_path / "screened"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            streaming_span_screen_writer(stream, corpus, str(out), n=8)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(str(out)).select(
+            "doc_id", "n_tokens", "covered_tokens", "dup_coverage", "keep"
+        )
+
+    spark.createDataFrame(first, schema).write.mode("append").parquet(str(src))
+    drain()
+    spark.createDataFrame(second, schema).write.mode("append").parquet(str(src))
+    got = sorted(map(tuple, drain().collect()))
+    # a third drain with no new input must not duplicate anything
+    assert sorted(map(tuple, drain().collect())) == got
+
+    batch = spark.createDataFrame(first + second, schema)
+    want = sorted(
+        map(tuple, dedup_ops.span_screen(batch, corpus, n=8).collect())
+    )
+    assert got == want
+    verdicts = {r[0]: r[4] for r in got}
+    assert verdicts[1] and verdicts[2]  # untouched docs keep
+    assert not verdicts[3]  # fully-boilerplate arrival dropped
+    cov = {r[0]: r[2] for r in got}
+    assert cov[0] > 0 and cov[3] == 8 and cov[1] == 0 and cov[2] == 0
+
+
 def test_streaming_quality_filter_matches_batch(spark, tmp_path):
     """Drained quality screen ≡ batch quality_model_scores filtering:
     each arrival's verdict depends only on its own tokens and the fixed
