@@ -259,6 +259,16 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_distribution": (
             oracle.customer_order_distribution_sql()
         ),
+        # order_priority_check: TPC-H Q4 shape (EXISTS → one LEFT SEMI
+        # with a cross-side date residual) — oracle-only.
+        "order_priority_check": oracle.order_priority_check_sql(),
+        # large_volume_customers: TPC-H Q18 shape (correlated HAVING →
+        # aggregate-then-rejoin, no per-row subquery) — oracle-only.
+        "large_volume_customers": oracle.large_volume_customers_sql(),
+        # idle_rich_customers: TPC-H Q22 shape (global correlated scalar
+        # decorrelated to a broadcast 1-row agg + LEFT ANTI no-orders
+        # test) — oracle-only.
+        "idle_rich_customers": oracle.idle_rich_customers_sql(),
         "doc_profile": oracle_dataops.doc_profile_sql(),
         "doc_signals": oracle_dataops.doc_signals_sql(),
         "doc_text_stats": oracle_dataops.doc_text_stats_sql(),

@@ -989,6 +989,58 @@ GROUP BY s.s_name
 ORDER BY numwait DESC, s.s_name"""
 
 
+def order_priority_check_sql() -> str:
+    """Twin of queries.order_priority_check: the literal EXISTS form of
+    the late-lineitem semi-join."""
+    return """SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority"""
+
+
+def large_volume_customers_sql(threshold: float = 230.0) -> str:
+    """Twin of queries.large_volume_customers: correlated HAVING as the
+    literal IN-subquery; integral-double quantity sums are exact at any
+    order."""
+    return f"""WITH big AS (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > CAST({threshold!r} AS DOUBLE))
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, b.total_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY b.total_qty DESC, o.o_orderkey"""
+
+
+def idle_rich_customers_sql() -> str:
+    """Twin of queries.idle_rich_customers: the same decorrelated global
+    scalar (DECIMAL-exact positive-balance sum, ONE double division)
+    compared per customer, NOT EXISTS for the 1998-order test."""
+    return """WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS a
+  FROM customer WHERE c_acctbal > CAST(0.0 AS DOUBLE))
+SELECT n.n_name AS nation, count(*) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         AS totacctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey, avg_bal
+WHERE CAST(c.c_acctbal AS DOUBLE) > avg_bal.a
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1998)
+GROUP BY n.n_name
+ORDER BY nation"""
+
+
 def customer_order_distribution_sql() -> str:
     """Twin of queries.customer_order_distribution: left join keeps
     zero-order customers; count(o_orderkey) skips the nulls."""

@@ -1355,6 +1355,127 @@ def supplier_wait_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS semi-join: per order priority, how many
+    1997-H1 orders had AT LEAST ONE late lineitem (shipping more than
+    60 days after the order date — the ship-vs-order stand-in this
+    corpus supports for Q4's commit-vs-receipt test).
+
+    Plan shape: the EXISTS lowers to one LEFT SEMI join on the order
+    key (the date predicate referencing both sides rides the join as a
+    residual condition), then a ≤5-row aggregate.  The orders date
+    filter pushes to the scan."""
+    li = _utc(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = _utc(spark).read.parquet(f"{sf_dir}/orders.parquet")
+    window = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    return (
+        window.join(
+            li.select("l_orderkey", "l_shipdate"),
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped correlated HAVING: customers who placed an order
+    whose total lineitem quantity exceeds the threshold — the classic
+    group-filter-then-rejoin shape (the subquery's HAVING SUM(qty)
+    becomes one aggregate whose survivors semi-drive the detail joins).
+
+    Plan shape: ONE groupBy(l_orderkey) with an integral-double sum
+    (exact at any order), the > filter, then broadcast-friendly joins
+    back to orders and customer for the names; no per-row subquery,
+    one lineitem scan."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = _utc(spark).read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > F.lit(230.0))
+    )
+    return (
+        big.join(
+            orders.select(
+                "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",  # raw double passthrough: no rounding risk
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+    )
+
+
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped global-scalar + anti-join: per nation, the count
+    and total balance of ABOVE-AVERAGE-balance customers who placed no
+    1998 order — would-be spenders going idle.  The average is the
+    global mean of positive account balances: a correlated scalar every
+    row compares against.
+
+    Plan shape: the scalar decorrelates into a 1-row aggregate built
+    from a SEPARATE scan lineage (a self-lineage agg-rejoin trips
+    Spark's ambiguous-reference analysis) and broadcast-crossed onto
+    the customer scan; the no-orders test is one LEFT ANTI join; the
+    balance sums ride DECIMAL and convert to double once at the edge."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    avg_bal = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("_avg")
+        )
+    )
+    recent = orders.filter(F.year("o_orderdate") == 1998).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal").cast("double") > F.col("_avg"))
+        .join(recent, "c_custkey", "left_anti")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+        .orderBy("nation")
+    )
+
+
 def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13-shaped left-join count distribution: how many customers
     placed exactly k qualifying orders (urgent orders excluded, the
