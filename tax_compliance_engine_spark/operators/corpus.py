@@ -225,13 +225,24 @@ def bm25_search(
         qrows.extend((qid, t) for t in terms)
     spark = docs.sparkSession
     qtoks = spark.createDataFrame(qrows, "query_id long, token string")
-
-    one_minus_b = 1.0 - b
-    k1p1 = k1 + 1.0
-
+    # corpus side filtered to query tokens FIRST: tf/df see only postings
+    # that can score (per-token tf/df are unchanged by the pre-filter, so
+    # this stays ≡ the full prepared index the streaming path serves from)
     toks = docs.select(
         "doc_id", F.explode(_tokens(text_col)).alias("token")
     )
+    postings = (
+        toks.join(F.broadcast(qtoks.select("token").distinct()), "token")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    sized, stats = _bm25_doc_stats(docs, text_col)
+    return bm25_score_queries(
+        postings, sized, stats, qtoks, k1=k1, b=b, k=k, n_shards=n_shards
+    )
+
+
+def _bm25_doc_stats(docs: DataFrame, text_col: str = "text"):
     sized = docs.select("doc_id", F.size(_tokens(text_col)).alias("dl"))
     stats = sized.agg(
         F.count("*").alias("_n"), F.sum("dl").alias("_sl")
@@ -241,14 +252,49 @@ def bm25_search(
             "_avgdl"
         ),
     )
-    # corpus side filtered to query tokens FIRST: tf/df see only postings
-    # that can score
-    qtf = (
-        toks.join(
-            F.broadcast(qtoks.select("token").distinct()), "token"
-        )
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
+    return sized, stats
+
+
+def bm25_index(docs: DataFrame, text_col: str = "text"):
+    """The standing BM25 index artifacts: (FULL postings (doc_id, token,
+    tf), doc lengths (doc_id, dl), one-row corpus stats (_n, _avgdl)) —
+    build once per corpus snapshot, cache/persist, serve queries
+    forever (``bm25_search`` instead derives a query-token-filtered
+    postings frame in-plan; the streaming query path materializes these
+    up front — streaming/search_stream.py)."""
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(text_col)).alias("token")
+    )
+    postings = toks.groupBy("doc_id", "token").agg(
+        F.count("*").alias("tf")
+    )
+    sized, stats = _bm25_doc_stats(docs, text_col)
+    return postings, sized, stats
+
+
+def bm25_score_queries(
+    postings: DataFrame,
+    sized: DataFrame,
+    stats: DataFrame,
+    qtoks: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    n_shards: int = 16,
+) -> DataFrame:
+    """The scoring core of ``bm25_search`` over PREPARED index frames
+    and a (query_id, token) frame — exactly the same float-op sequence
+    (see ``bm25_search`` for the surrogate-idf contract), so list-built
+    and frame-built query sets score bit-identically.  ``qtoks`` must
+    be distinct per (query_id, token) with no empty tokens; per-token
+    tf/df are unchanged by pre-filtering the postings to query tokens,
+    which is what keeps the prepared-index path ≡ the in-plan path."""
+    from .topk import top_k_per_group
+
+    one_minus_b = 1.0 - b
+    k1p1 = k1 + 1.0
+    qtf = postings.join(
+        F.broadcast(qtoks.select("token").distinct()), "token"
     )
     df_tbl = qtf.groupBy("token").agg(F.count("*").alias("df"))
     idf = (

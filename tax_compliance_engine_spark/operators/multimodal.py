@@ -2206,7 +2206,7 @@ def _mp3_huff_codes(table: int):
     return None
 
 
-class _BitWriter:
+class _Mp3BitWriter:
     def __init__(self) -> None:
         self.bits: list[int] = []
 
@@ -2231,7 +2231,7 @@ class _BitWriter:
         return bytes(out)
 
 
-class _BitReader:
+class _Mp3BitReader:
     def __init__(self, buf: bytes, bitpos: int = 0) -> None:
         self.buf = buf
         self.pos = bitpos
@@ -2257,7 +2257,7 @@ def _mp3_gr0ch0_sideinfo(buf: bytes, pos: int):
     si = buf[pos + 4 : pos + 36]
     if len(si) < 32:
         return None
-    r = _BitReader(si)
+    r = _Mp3BitReader(si)
     mdb = r.get(9)
     r.get(3)  # private_bits (stereo)
     r.get(8)  # scfsi
@@ -2352,7 +2352,7 @@ def _decode_one_bigvalues(buf: bytes, pos: int, flen: int):
     # invert to a prefix-walk map: (hlen, hcod) -> (x, y)
     dec = {v: k for k, v in book.items()}
     main = buf[pos + 36 : pos + flen]
-    r = _BitReader(main)
+    r = _Mp3BitReader(main)
     # part2: scalefactor bits (slen1 over sfb 0-10, slen2 over 11-20)
     r.get(11 * _MP3_SLEN1[scomp] + 10 * _MP3_SLEN2[scomp])
     sum_v = sum_a = max_a = 0
@@ -2420,7 +2420,7 @@ def synth_mp3_coded(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 m = 16 + min((1 << linbits) - 1, 14)
             scomp = (i + f) % 16
             n_pairs = 6 + (i + f) % 5
-            w = _BitWriter()
+            w = _Mp3BitWriter()
             # filler scalefactors: slen1 bits each for sfb 0-10, slen2
             # for 11-20 — values (i+f+sfb) masked to width
             s1, s2 = _MP3_SLEN1[scomp], _MP3_SLEN2[scomp]
@@ -2443,7 +2443,7 @@ def synth_mp3_coded(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             p23 = w.tell()
             main = w.tobytes()
 
-            si = _BitWriter()
+            si = _Mp3BitWriter()
             si.put(0, 9)  # main_data_begin
             si.put(0, 3)  # private_bits
             si.put(0, 8)  # scfsi

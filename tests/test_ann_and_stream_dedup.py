@@ -577,6 +577,72 @@ def test_streaming_span_screen_matches_batch(spark, tmp_path):
     assert cov[0] > 0 and cov[3] == 8 and cov[1] == 0 and cov[2] == 0
 
 
+def test_streaming_bm25_matches_batch(spark, tmp_path):
+    """Drained BM25 query serving ≡ batch corpus.bm25_search over the
+    same query set: identical ranked (query_id, rank, doc_id, score)
+    rows — bit-equal scores — no matter which drain a query arrives in,
+    and an empty re-drain stays idempotent."""
+    from tax_compliance_engine_spark.operators import corpus as corpus_ops
+    from tax_compliance_engine_spark.streaming.search_stream import (
+        streaming_bm25_writer,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "apple banana cherry apple"),
+            (1, "banana banana date"),
+            (2, "cherry date elderberry fig"),
+            (3, "apple fig fig fig banana"),
+            (4, "grape melon kiwi"),
+        ],
+        "doc_id long, text string",
+    )
+    qschema = "query_id long, terms array<string>"
+    first = [(100, ["apple", "banana"]), (101, ["date"])]
+    second = [(102, ["fig", "fig", "", "cherry"])]  # dups/empties dropped
+    src, out = tmp_path / "queries", tmp_path / "results"
+
+    def drain():
+        stream = spark.readStream.schema(qschema).parquet(str(src))
+        q = (
+            streaming_bm25_writer(stream, corpus, str(out), k=3)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(str(out)).select(
+            "query_id", "rank", "doc_id", "score"
+        )
+
+    spark.createDataFrame(first, qschema).write.mode("append").parquet(
+        str(src)
+    )
+    drain()
+    spark.createDataFrame(second, qschema).write.mode("append").parquet(
+        str(src)
+    )
+    got = sorted(map(tuple, drain().collect()))
+    assert sorted(map(tuple, drain().collect())) == got  # idempotent
+
+    want = sorted(
+        map(
+            tuple,
+            corpus_ops.bm25_search(
+                corpus,
+                [
+                    (100, ["apple", "banana"]),
+                    (101, ["date"]),
+                    (102, ["fig", "fig", "", "cherry"]),
+                ],
+                k=3,
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert {q for q, *_ in got} == {100, 101, 102}
+
+
 def test_streaming_quality_filter_matches_batch(spark, tmp_path):
     """Drained quality screen ≡ batch quality_model_scores filtering:
     each arrival's verdict depends only on its own tokens and the fixed

@@ -2295,7 +2295,7 @@ def test_mp3_bigvalues_decode_roundtrip_and_guards():
     assert multimodal._decode_one_bigvalues(mono, 0, len(mono)) is None
 
     def si_with(mdb=0, tsel=(1, 1, 1), table_ok=True):
-        w = multimodal._BitWriter()
+        w = multimodal._Mp3BitWriter()
         w.put(mdb, 9)
         w.put(0, 3)
         w.put(0, 8)
