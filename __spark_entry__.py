@@ -269,6 +269,40 @@ def oracle_sql() -> dict[str, str]:
         # decorrelated to a broadcast 1-row agg + LEFT ANTI no-orders
         # test) — oracle-only.
         "idle_rich_customers": oracle.idle_rich_customers_sql(),
+        # revenue_forecast_delta: TPC-H Q6 shape (pure pushed-filter scan
+        # + one scalar aggregate, no join) — oracle-only.
+        "revenue_forecast_delta": oracle.revenue_forecast_delta_sql(),
+        # nation_trade_volume: TPC-H Q7 shape (bilateral nation pair
+        # evaluated across both broadcast dims, per-year volume) —
+        # oracle-only.
+        "nation_trade_volume": oracle.nation_trade_volume_sql(),
+        # nation_market_share: TPC-H Q8 shape (conditional-sum/total-sum
+        # market-share ratio, numerator condition on a different
+        # dimension than the scope filters) — oracle-only.
+        "nation_market_share": oracle.nation_market_share_sql(),
+        # returned_item_losses: TPC-H Q10 shape (returned-revenue top-20
+        # customers; TakeOrderedAndProject) — oracle-only.
+        "returned_item_losses": oracle.returned_item_losses_sql(),
+        # important_part_stock: TPC-H Q11 shape (per-group value vs a
+        # global-scalar fraction HAVING, separate-lineage decorrelation)
+        # — oracle-only.
+        "important_part_stock": oracle.important_part_stock_sql(),
+        # shipping_delay_priority: TPC-H Q12 shape (derived-bucket
+        # crosstab with two conditional counts) — oracle-only.
+        "shipping_delay_priority": oracle.shipping_delay_priority_sql(),
+        # promo_revenue_share: TPC-H Q14 shape (conditional/total revenue
+        # percentage, one scalar row) — oracle-only.
+        "promo_revenue_share": oracle.promo_revenue_share_sql(),
+        # top_revenue_supplier: TPC-H Q15 shape (view-then-max equality
+        # with ties, DECIMAL-exact compare) — oracle-only.
+        "top_revenue_supplier": oracle.top_revenue_supplier_sql(),
+        # part_min_cost_supplier: TPC-H Q2 shape (per-part correlated min
+        # unit cost, window-decorrelated, min-suppkey tiebreak) —
+        # oracle-only.
+        "part_min_cost_supplier": oracle.part_min_cost_supplier_sql(),
+        # part_supplier_variety: TPC-H Q16 shape (NOT IN exclusion +
+        # COUNT DISTINCT per part class) — oracle-only.
+        "part_supplier_variety": oracle.part_supplier_variety_sql(),
         "doc_profile": oracle_dataops.doc_profile_sql(),
         "doc_signals": oracle_dataops.doc_signals_sql(),
         "doc_text_stats": oracle_dataops.doc_text_stats_sql(),

@@ -1056,6 +1056,220 @@ GROUP BY c_count
 ORDER BY custdist DESC, c_count DESC"""
 
 
+def revenue_forecast_delta_sql() -> str:
+    """Twin of queries.revenue_forecast_delta: same three pushed range
+    predicates, DECIMAL price×discount sum, double at the edge."""
+    return """SELECT
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+         AS revenue_delta,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN CAST(0.03 AS DOUBLE) AND CAST(0.05 AS DOUBLE)
+  AND l_quantity < 24"""
+
+
+def nation_trade_volume_sql() -> str:
+    """Twin of queries.nation_trade_volume: both directions of the
+    NATION_1 ↔ NATION_2 pair, 1996-1997 ship years, DECIMAL revenue."""
+    return """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+  AND year(l.l_shipdate) IN (1996, 1997)
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year"""
+
+
+def nation_market_share_sql() -> str:
+    """Twin of queries.nation_market_share: conditional DECIMAL sum over
+    total DECIMAL sum, each cast to double once, ONE IEEE division per
+    year (NULL share where the nation sold nothing, matching Spark's
+    null-skipping conditional sum)."""
+    return """SELECT year(o.o_orderdate) AS o_year,
+       CAST(SUM(CASE WHEN n1.n_name = 'NATION_3' THEN
+                CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+           END) AS DOUBLE)
+         / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS mkt_share,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS total_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+JOIN region r ON n2.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+WHERE p.p_type = 'STANDARD' AND r.r_name = 'EUROPE'
+GROUP BY year(o.o_orderdate)
+ORDER BY o_year"""
+
+
+def returned_item_losses_sql() -> str:
+    """Twin of queries.returned_item_losses: returned-flag filter,
+    1997-Q1 order window, (revenue DESC, custkey) top-20."""
+    return """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20"""
+
+
+def important_part_stock_sql() -> str:
+    """Twin of queries.important_part_stock: per-part DECIMAL value vs
+    0.1% of the global NATION_0 total — the compare runs in double (one
+    rounded multiply per side), the values stay DECIMAL until the
+    edge."""
+    return """WITH n0 AS (
+  SELECT l.l_partkey, CAST(l.l_extendedprice AS DECIMAL(18,2)) AS price
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_0'),
+per_part AS (
+  SELECT l_partkey, SUM(price) AS value FROM n0 GROUP BY l_partkey),
+total AS (SELECT CAST(SUM(price) AS DOUBLE) AS t FROM n0)
+SELECT p.l_partkey AS p_partkey,
+       CAST(p.value AS DOUBLE) AS stock_value
+FROM per_part p, total
+WHERE CAST(p.value AS DOUBLE) > CAST(0.001 AS DOUBLE) * total.t
+ORDER BY stock_value DESC, p_partkey"""
+
+
+def shipping_delay_priority_sql() -> str:
+    """Twin of queries.shipping_delay_priority: same delay buckets
+    (datediff('day', orderdate, shipdate) — all values are midnight
+    UTC, so boundary counting equals Spark's date subtraction), same
+    two conditional counts."""
+    return """SELECT CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) < 30
+            THEN 'FAST'
+            WHEN datediff('day', o.o_orderdate, l.l_shipdate) < 90
+            THEN 'NORMAL' ELSE 'SLOW' END AS delay_bucket,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE year(l.l_shipdate) = 1997
+GROUP BY 1
+ORDER BY delay_bucket"""
+
+
+def promo_revenue_share_sql() -> str:
+    """Twin of queries.promo_revenue_share: conditional and total DECIMAL
+    sums each cast to double once, then 100·promo/total — two
+    exactly-rounded IEEE ops."""
+    return """SELECT
+       CAST(100.0 AS DOUBLE)
+         * CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN
+                  CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+             END) AS DOUBLE)
+         / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+              AS DOUBLE) AS promo_pct,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS total_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'"""
+
+
+def top_revenue_supplier_sql() -> str:
+    """Twin of queries.top_revenue_supplier: the view-then-max-equality
+    shape; the compare runs in DECIMAL (exact), ties kept."""
+    return """WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+           AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, CAST(rev.r AS DOUBLE) AS total_revenue
+FROM rev
+JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+WHERE rev.r = (SELECT max(r) FROM rev)
+ORDER BY s.s_suppkey"""
+
+
+def part_min_cost_supplier_sql() -> str:
+    """Twin of queries.part_min_cost_supplier: same window-decorrelated
+    per-part min unit price (ONE IEEE division of parquet doubles per
+    row, identical on both engines), min-suppkey tiebreak resolved by a
+    scalar min + name join-back (suppkey → name is functional)."""
+    return """WITH pruned AS (
+  SELECT p.p_partkey, p.p_brand, l.l_suppkey,
+         l.l_extendedprice / l.l_quantity AS unit
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE p.p_type = 'STANDARD' AND p.p_size BETWEEN 10 AND 20
+    AND r.r_name = 'EUROPE'),
+flagged AS (
+  SELECT p_partkey, p_brand, l_suppkey, unit,
+         min(unit) OVER (PARTITION BY p_partkey) AS m
+  FROM pruned),
+winners AS (
+  SELECT p_partkey, p_brand, m AS unit_cost, min(l_suppkey) AS sk
+  FROM flagged WHERE unit = m
+  GROUP BY p_partkey, p_brand, m)
+SELECT w.p_partkey, w.p_brand, s.s_name, n.n_name AS nation, w.unit_cost
+FROM winners w
+JOIN supplier s ON w.sk = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+ORDER BY unit_cost DESC, p_partkey
+LIMIT 100"""
+
+
+def part_supplier_variety_sql() -> str:
+    """Twin of queries.part_supplier_variety: same part prune, NOT IN
+    negative-balance exclusion, COUNT(DISTINCT) per (brand, type,
+    size)."""
+    return """SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#2'
+  AND p.p_size IN (1, 5, 10, 15, 20, 25)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+
 def customers_without_orders_sql() -> str:
     return """SELECT c_custkey FROM customer
 EXCEPT

@@ -1506,6 +1506,458 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_forecast_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped what-if scalar: revenue that would have been added
+    by eliminating a band of small discounts on low-quantity 1997 lines
+    — sum(extendedprice · discount) under three conjunctive range
+    predicates, all of which push to the parquet scan.
+
+    Plan shape: no join at all — one scan with every filter pushed
+    (shipdate range, discount band, quantity cap), then one scalar
+    aggregate (exempted in GLOBAL_AGG_OK: the result IS one row).
+    Revenue rides DECIMAL (prices 18,2 × discounts 4,2) and converts to
+    double once at the edge."""
+    li = _utc(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(price * disc).cast("double").alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bilateral trade volume: 1996-1997 shipped revenue
+    between NATION_1 and NATION_2 in BOTH directions (supplier's nation
+    ≠ customer's nation by construction of the pair filter), grouped by
+    (supp_nation, cust_nation, ship year).
+
+    Plan shape: the two nation-pruned dimension sides (supplier⋈nation,
+    customer⋈nation) broadcast onto the fact stream — the pair
+    disjunction is evaluated after both names are attached, exactly the
+    cross-side predicate that keeps either dim from absorbing it alone.
+    One fact shuffle (orders⋈lineitem), ≤4-group aggregate."""
+    li = _utc(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = _utc(spark).read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    pair = ("NATION_1", "NATION_2")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    supp_side = supplier.join(
+        nation.filter(F.col("n_name").isin(*pair)).select(
+            "n_nationkey", F.col("n_name").alias("supp_nation")
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    cust_side = customer.join(
+        nation.filter(F.col("n_name").isin(*pair)).select(
+            F.col("n_nationkey").alias("_cnk"),
+            F.col("n_name").alias("cust_nation"),
+        ),
+        F.col("c_nationkey") == F.col("_cnk"),
+    ).select("c_custkey", "cust_nation")
+    return (
+        li.filter(F.year("l_shipdate").isin(1996, 1997))
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supp_side), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust_side), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(price * (one - disc)).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: NATION_3 suppliers' share of EUROPE's
+    STANDARD-part order revenue, by order year — the
+    conditional-sum-over-sum ratio whose numerator condition lives on a
+    DIFFERENT dimension (supplier nation) than the group key (order
+    year) or the scope filters (customer region, part type).
+
+    Plan shape: all five dimension sides broadcast; one fact shuffle;
+    per-year ratio = two DECIMAL sums (conditional and total) each cast
+    to double once, then ONE exactly-rounded IEEE division — bit-equal
+    on any engine."""
+    li = _utc(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = _utc(spark).read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    vol = price * (one - disc)
+    euro_cust = (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(
+                        region.filter(F.col("r_name") == "EUROPE").select(
+                            "r_regionkey"
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp_nation = supplier.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("_snk"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("_snk"),
+    ).select("s_suppkey", "supp_nation")
+    target = F.col("supp_nation") == "NATION_3"
+    return (
+        li.join(
+            F.broadcast(
+                part.filter(F.col("p_type") == "STANDARD").select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(euro_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(target, vol)).cast("double").alias("_target_rev"),
+            F.sum(vol).cast("double").alias("total_revenue"),
+        )
+        .select(
+            "o_year",
+            (F.col("_target_rev") / F.col("total_revenue")).alias("mkt_share"),
+            "total_revenue",
+        )
+        .orderBy("o_year")
+    )
+
+
+def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: the 20 customers who cost
+    the most revenue in returned ('R') lineitems against 1997-Q1 orders
+    — who to call first about return fraud / fulfilment quality.
+
+    Plan shape: the order date filter prunes the fact join's probe side
+    BEFORE the shuffle, the returnflag filter pushes to the lineitem
+    scan, customer + nation broadcast, and the global top-20 lowers to
+    TakeOrderedAndProject.  DECIMAL revenue, double at the edge."""
+    li = _utc(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = _utc(spark).read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+        .agg(F.sum(price * (one - disc)).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped important-stock scan: parts whose NATION_0-supplied
+    shipped value exceeds 0.1% of ALL NATION_0-supplied value — the
+    per-group-vs-global-scalar HAVING (this corpus has no partsupp, so
+    shipped lineitem value stands in for stock value; same shape).
+
+    Decorrelation: the global total is a 1-row aggregate built from a
+    SEPARATE scan lineage (a self-lineage agg-rejoin trips Spark's
+    ambiguous-reference analysis — see idle_rich_customers) and
+    broadcast-crossed onto the ≤|parts| per-part value table.  The
+    threshold compare runs in double (one rounded multiply per side,
+    identical on both engines); the values themselves ride DECIMAL."""
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    n0_supps = F.broadcast(
+        supplier.join(
+            nation.filter(F.col("n_name") == "NATION_0").select("n_nationkey"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey")
+    )
+
+    def _n0_value_stream(li: DataFrame) -> DataFrame:
+        return li.join(n0_supps, F.col("l_suppkey") == F.col("s_suppkey"))
+
+    per_part = (
+        _n0_value_stream(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+        .groupBy("l_partkey")
+        .agg(F.sum(price).alias("_value"))
+    )
+    total = _n0_value_stream(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ).agg(F.sum(price).cast("double").alias("_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("_value").cast("double") > F.lit(0.001) * F.col("_total")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("_value").cast("double").alias("stock_value"),
+        )
+        .orderBy(F.desc("stock_value"), "p_partkey")
+    )
+
+
+def shipping_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped shipping-performance crosstab: 1997 lineitems
+    bucketed by order→ship delay (FAST <30d, NORMAL <90d, SLOW ≥90d —
+    the stand-in for Q12's shipmode, which this corpus doesn't carry),
+    with urgent/high-priority vs lower-priority line counts per bucket
+    (the classic two-conditional-sum CASE aggregation).
+
+    Plan shape: ship-year filter pushes to the lineitem scan, one fact
+    join to fetch the order date + priority, 3-group aggregate."""
+    li = _utc(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = _utc(spark).read.parquet(f"{sf_dir}/orders.parquet")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay < 30, "FAST").when(delay < 90, "NORMAL").otherwise("SLOW")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(F.year("l_shipdate") == 1997)
+        .select("l_orderkey", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promotion effect: the percentage of 1997-09
+    shipped revenue attributable to PROMO-type parts — conditional sum
+    over total sum, as one scalar row (GLOBAL_AGG_OK).
+
+    Bit-portable ratio: both sums ride DECIMAL, each converts to double
+    once, and the 100·promo/total expression is two exactly-rounded
+    IEEE ops evaluated identically by both engines."""
+    li = _utc(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    vol = price * (one - disc)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", vol))
+            .cast("double")
+            .alias("_promo_rev"),
+            F.sum(vol).cast("double").alias("total_revenue"),
+        )
+        .select(
+            (F.lit(100.0) * F.col("_promo_rev") / F.col("total_revenue")).alias(
+                "promo_pct"
+            ),
+            "total_revenue",
+        )
+    )
+
+
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: the supplier(s) whose 1997-Q1
+    shipped revenue equals the maximum over all suppliers — the
+    view-then-max-equality shape, ties kept.
+
+    Decorrelation: revenue aggregates once to the ≤|suppliers| table;
+    the max rides an UNPARTITIONED window over that tiny frame (one row
+    per supplier through the exchange, never data rows — GLOBAL_AGG_OK;
+    the alternative agg-rejoin trips Spark's self-lineage analysis).
+    The equality compare runs in DECIMAL — exact, no float tie risk."""
+    li = _utc(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    from pyspark.sql.window import Window
+
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(price * (one - disc)).alias("_rev"))
+    )
+    w = Window.partitionBy()
+    return (
+        rev.withColumn("_max", F.max("_rev").over(w))
+        .filter(F.col("_rev") == F.col("_max"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def part_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped cheapest-supplier lookup: for each mid-size
+    STANDARD part, the EUROPE supplier who shipped it at the lowest
+    observed unit price (extendedprice/quantity — this corpus has no
+    partsupp, so shipped unit price stands in for supplycost; same
+    correlated-min + equality-join-back shape), min-suppkey tiebreak.
+
+    Decorrelation: ONE window (`min over partition by l_partkey`) on
+    the region-and-part-pruned stream — the same shuffle the equality
+    filter then reuses; no per-row subquery, one lineitem scan.  The
+    unit price is a single IEEE division of parquet doubles, computed
+    identically by both engines, so the min-equality is bit-safe."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    from pyspark.sql.window import Window
+
+    euro_supp = supplier.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(
+                    region.filter(F.col("r_name") == "EUROPE").select(
+                        "r_regionkey"
+                    )
+                ),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            ).select("n_nationkey", "n_name")
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    pruned = (
+        li.join(
+            F.broadcast(
+                part.filter(
+                    (F.col("p_type") == "STANDARD")
+                    & F.col("p_size").between(10, 20)
+                ).select("p_partkey", "p_brand")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("_unit", F.col("l_extendedprice") / F.col("l_quantity"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        pruned.withColumn("_min", F.min("_unit").over(w))
+        .filter(F.col("_unit") == F.col("_min"))
+        .groupBy("p_partkey", "p_brand", F.col("_min").alias("unit_cost"))
+        .agg(F.min(F.struct("s_suppkey", "s_name", "nation")).alias("_s"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.col("_s.s_name").alias("s_name"),
+            F.col("_s.nation").alias("nation"),
+            "unit_cost",
+        )
+        .orderBy(F.desc("unit_cost"), "p_partkey")
+        .limit(100)
+    )
+
+
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier-variety count: distinct suppliers who
+    shipped each (brand, type, size) of the non-Brand#2 parts in six
+    target sizes, EXCLUDING negative-balance suppliers (the NOT IN
+    complaints exclusion → one broadcast LEFT ANTI join).
+
+    Plan shape: part filter broadcast-prunes the fact stream, the
+    exclusion list broadcasts (≤|suppliers|), and COUNT(DISTINCT)
+    lowers to Spark's two-level expand-aggregate — no row explosion
+    beyond the group×supplier distinct cells."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    bad_supps = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(
+            F.broadcast(
+                part.filter(
+                    (F.col("p_brand") != "Brand#2")
+                    & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+                ).select("p_partkey", "p_brand", "p_type", "p_size")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(bad_supps),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join/EXCEPT: customers with no 1998 order.  (Restricted to one
     year so the result is non-trivial — the testdata has every customer
