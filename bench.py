@@ -101,6 +101,32 @@ BENCH_QUERIES = [
     "nation_local_supplier_volume",
     "part_promo_revenue",
     "embedding_dup_pairs_amplified",
+    # round-9: scale-path cluster resolution, new probes/samplers, and
+    # the TPC-H-22 completion (correlated shapes + the ten final Qs)
+    "dedup_cluster_reps",
+    "dedup_est_clusters",
+    "corpus_budget_sample",
+    "corpus_shuffle_shards",
+    "multimodal_mkv_probe",
+    "multimodal_mp3_sideinfo",
+    "multimodal_mp3_decode",
+    "part_small_qty_revenue",
+    "supplier_dominant_parts",
+    "supplier_wait_chain",
+    "customer_order_distribution",
+    "large_volume_customers",
+    "idle_rich_customers",
+    "order_priority_check",
+    "part_min_cost_supplier",
+    "nation_market_share",
+    "part_supplier_variety",
+    "returned_item_losses",
+    "nation_trade_volume",
+    "important_part_stock",
+    "shipping_delay_priority",
+    "top_revenue_supplier",
+    "promo_revenue_share",
+    "revenue_forecast_delta",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

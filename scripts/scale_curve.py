@@ -107,6 +107,21 @@ SCALE_QUERIES = [
     "embedding_balanced_sample",
     "multimodal_mkv_probe",
     "multimodal_mp3_sideinfo",
+    # TPC-H-22 completion (r9): the join-heavy / correlated shapes.
+    # Scalar one-row shapes (Q6/Q12/Q14/Q15) ride the same scans and
+    # are cheaper than all of these — not separately curved.
+    "part_small_qty_revenue",
+    "supplier_dominant_parts",
+    "supplier_wait_chain",
+    "customer_order_distribution",
+    "large_volume_customers",
+    "idle_rich_customers",
+    "part_min_cost_supplier",
+    "nation_market_share",
+    "part_supplier_variety",
+    "returned_item_losses",
+    "nation_trade_volume",
+    "important_part_stock",
 ]
 
 
