@@ -203,6 +203,11 @@ def oracle_sql() -> dict[str, str]:
         # integer cents (percentile ≡ quantile_cont interpolation) —
         # oracle-only swept entry.
         "events_value_percentiles": oracle.events_value_percentiles_sql(),
+        # events_value_sketch: the O(k)-state MERGEABLE quantile
+        # estimate next to the exact form (min-k-by-LCG-hash sample +
+        # exact quantiles of the sample; deterministic, so bit-exact
+        # gateable unlike approx_percentile) — oracle-only swept entry.
+        "events_value_sketch": oracle.events_value_sketch_sql(),
         # events_wow_growth: Monday-aligned week-over-week growth per
         # type (lag over the weekly series, gaps explicit) —
         # oracle-only swept entry.

@@ -111,3 +111,75 @@ def sharded_global_rank(
         .withColumn(out, (F.col("_sgr_off") + F.col("_sgr_lr")).cast("long"))
         .drop("_sgr_shard", "_sgr_lr", "_sgr_off")
     )
+
+
+def grouped_quantile_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    quantiles: dict[str, float],
+    k: int = 512,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Mergeable deterministic per-group quantile ESTIMATE with O(k)
+    state per group: exact interpolated quantiles of a fixed-size
+    uniform sample — the ``k`` rows with the smallest deterministic LCG
+    hash of ``id_col`` (``corpus.sample_hash_col``, the KMV idea
+    pointed at values).
+
+    This is the 100-TB path next to an exact percentile: the exact form
+    must sort every row of every group (memory ∝ group size), while the
+    min-k-by-hash sample is an associative, idempotent fold — per
+    partition keep k, merge keeps k — so partial aggregation bounds
+    both the shuffle and the final state at k rows per group, and two
+    sketches of disjoint (or overlapping: dedupe by id) row sets merge
+    into the sketch of their union.  Sampling error is the standard
+    ~1/√k binomial bound on the rank, NOT a value-accuracy bound.
+
+    Determinism: the hash is a pure function of ``id_col`` (unique ids
+    required, as everywhere in the sampling family), the cut uses
+    (hash, id) total order, and the quantile interpolation is Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont`` (the
+    events_value_percentiles precedent) — so the estimate is one
+    reproducible number, not a run-dependent one.
+
+    Output: ``group_cols`` + ``sample_n`` (≤k) + one double column per
+    ``quantiles`` entry (name → fraction)."""
+    if not 0 < len(quantiles):
+        raise ValueError("quantiles must be non-empty")
+    for name, q in quantiles.items():
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {name}={q} outside [0, 1]")
+    sample = min_k_by_hash(df, group_cols, id_col, k, n_shards=n_shards)
+    aggs = [F.count(F.lit(1)).alias("sample_n")]
+    for name, q in quantiles.items():
+        aggs.append(F.expr(f"percentile({value_col}, {q!r})").alias(name))
+    return sample.groupBy(*group_cols).agg(*aggs)
+
+
+def min_k_by_hash(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    k: int,
+    n_shards: int = 16,
+) -> DataFrame:
+    """The ``k`` rows per group with the SMALLEST deterministic LCG hash
+    of ``id_col`` — a fixed-size uniform sample without replacement
+    that is an associative, idempotent fold: min-k of (min-k ∪ min-k)
+    over deduped ids equals min-k of the union, so partial per-shard
+    cuts, cross-partition merges, and incremental (streaming) state
+    updates all reproduce the one global sample.  The hash is a pure
+    function of the id (``corpus.sample_hash_col``), never stored — a
+    merge recomputes it, so state carries only real columns.
+    Output columns = input columns."""
+    from .corpus import sample_hash_col
+
+    return top_k_per_group(
+        df.withColumn("_qs_hk", sample_hash_col(F.col(id_col))),
+        group_cols,
+        [F.col("_qs_hk"), F.col(id_col)],
+        k,
+        n_shards=n_shards,
+    ).drop("_qs_hk")

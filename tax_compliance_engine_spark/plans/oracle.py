@@ -1702,6 +1702,32 @@ GROUP BY event_type
 ORDER BY event_type"""
 
 
+def events_value_sketch_sql(k: int = 512) -> str:
+    """Twin of queries.events_value_sketch: the single-window form of
+    the min-k-by-LCG-hash sample (value-identical to the engine's
+    sharded two-level cut), then the same quantile_cont ≡ percentile
+    interpolation over the sample.  The LCG reduces both operands mod
+    1e9+7 BEFORE the multiply, exactly like corpus.sample_hash_col."""
+    return f"""WITH h AS (
+  SELECT event_type, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+         ((event_id % 1000000007) * (2654435761 % 1000000007) + 104729)
+           % 1000000007 AS hk
+  FROM events),
+r AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY hk, event_id) AS rn
+  FROM h)
+SELECT event_type, count(*) AS sample_n,
+       quantile_cont(c, 0.5) AS p50_est,
+       quantile_cont(c, 0.9) AS p90_est,
+       quantile_cont(c, 0.99) AS p99_est
+FROM r WHERE rn <= {k}
+GROUP BY event_type
+ORDER BY event_type"""
+
+
 def pricing_cube_sql() -> str:
     """Twin of queries.pricing_cube: DuckDB CUBE with the same
     grouping() flags and decimal-exact sums."""

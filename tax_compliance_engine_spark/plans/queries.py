@@ -2518,6 +2518,33 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_value_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type APPROXIMATE value quantiles with O(k) state per group —
+    the 100-TB scale path next to ``events_value_percentiles``' exact
+    sort (the same exact-vs-estimate pairing as
+    dedup_minhash_pairs / dedup_minhash_est_pairs): exact interpolated
+    p50/p90/p99 of a fixed 512-row deterministic uniform sample per
+    event type (min-512 by the LCG hash of event_id — an associative,
+    idempotent, MERGEABLE fold, so partial aggregation bounds shuffle
+    and state at k rows per group no matter how hot the group).
+
+    Deterministic end to end (hash cut + percentile ≡ quantile_cont),
+    so the DuckDB twin gates it bit-exact — unlike approx_percentile,
+    whose estimate is neither portable nor stable."""
+    from ..operators.topk import grouped_quantile_sketch
+
+    ev = _events_with_ts_sec(spark, sf_dir)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    return grouped_quantile_sketch(
+        ev.select("event_type", "event_id", cents.alias("_c")),
+        ["event_type"],
+        "_c",
+        "event_id",
+        {"p50_est": 0.5, "p90_est": 0.9, "p99_est": 0.99},
+        k=512,
+    ).orderBy("event_type")
+
+
 def pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full CUBE over (returnflag, linestatus): every subtotal
     combination — both one-dimension margins and the grand total — in

@@ -1,0 +1,96 @@
+"""Streaming quantile monitoring with bounded per-group state.
+
+The batch sketch (``operators/topk.grouped_quantile_sketch``) is built
+on an associative, idempotent min-k-by-hash fold: the k rows per group
+with the smallest deterministic LCG hash of the id.  Merging a
+micro-batch's rows into the stored sample and re-cutting to k yields
+EXACTLY the min-k of all rows ever seen — so the drained state
+reproduces the batch sketch bit-for-bit regardless of how the stream
+was chopped into micro-batches, and a re-delivered micro-batch is
+absorbed by the id-dedupe before the cut (same rows → same sample).
+
+State is one parquet directory holding ≤ k rows per group — O(k·groups)
+forever, no watermark, no state store timeouts; the hash is recomputed
+from the id on every merge, so state carries only real columns.  This
+is the streaming twin the exact percentile can never have: an exact
+per-type percentile over an unbounded stream needs unbounded state,
+while the sketch's error stays the fixed ~1/√k rank bound.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.topk import min_k_by_hash
+
+
+def streaming_value_sketch_writer(
+    stream: DataFrame,
+    state_dir: str,
+    group_cols: list[str],
+    id_col: str,
+    k: int = 512,
+):
+    """foreachBatch sink maintaining the per-group min-k-by-hash sample
+    under ``state_dir`` (all stream columns are kept in the state, so
+    any value column can be aggregated from it later).
+
+    Each micro-batch: cut the batch to its own min-k, union with the
+    stored sample, drop duplicate ids within a group (idempotent under
+    re-delivery), re-cut to k, and atomically publish the new state
+    (write to a staging dir, then swap — a reader never sees a
+    half-written directory; single-writer per state_dir assumed, which
+    is what one streaming query is).
+
+    Returns the configured DataStreamWriter; the caller sets trigger /
+    checkpoint and calls ``.start()``.  Read the current estimate with
+    ``sketch_from_state``."""
+
+    def merge_batch(bdf: DataFrame, batch_id: int) -> None:
+        spark = bdf.sparkSession
+        batch_cut = min_k_by_hash(bdf, group_cols, id_col, k)
+        if os.path.isdir(state_dir):
+            prev = spark.read.parquet(state_dir).select(*batch_cut.columns)
+            merged = prev.unionByName(batch_cut)
+        else:
+            merged = batch_cut
+        new_state = min_k_by_hash(
+            merged.dropDuplicates([*group_cols, id_col]),
+            group_cols,
+            id_col,
+            k,
+        )
+        staging = f"{state_dir}.staging.{os.getpid()}"
+        shutil.rmtree(staging, ignore_errors=True)
+        new_state.write.mode("overwrite").parquet(staging)
+        old = f"{state_dir}.old.{os.getpid()}"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(state_dir):
+            os.rename(state_dir, old)
+        os.rename(staging, state_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return stream.writeStream.foreachBatch(merge_batch)
+
+
+def sketch_from_state(
+    spark: SparkSession,
+    state_dir: str,
+    group_cols: list[str],
+    value_col: str,
+    quantiles: dict[str, float],
+) -> DataFrame:
+    """Current quantile estimate from the persisted sample state — the
+    same aggregate ``grouped_quantile_sketch`` runs on its in-plan
+    sample, so after draining a stream this equals the batch sketch of
+    the full input bit-for-bit (parquet round-trips the sample rows
+    exactly; the quantile interpolation sees identical values)."""
+    state = spark.read.parquet(state_dir)
+    aggs = [F.count(F.lit(1)).alias("sample_n")]
+    for name, q in quantiles.items():
+        aggs.append(F.expr(f"percentile({value_col}, {q!r})").alias(name))
+    return state.groupBy(*group_cols).agg(*aggs)

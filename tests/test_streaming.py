@@ -596,3 +596,68 @@ def test_streaming_dau_drained_equals_batch(spark, tmp_path):
     assert got == want
     # day 1: users {10, 20} once each despite the repeat
     assert (t0, 2) in got and len(got) == 2
+
+
+def test_streaming_value_sketch_drained_equals_batch(spark, tmp_path):
+    """Drained streaming min-k quantile sketch ≡ the batch sketch over
+    the union of all arrivals — bit-for-bit, including a duplicated-id
+    redelivery overlap between the drains (absorbed by the in-merge id
+    dedupe) — and the state directory holds ≤ k rows per group."""
+    from tax_compliance_engine_spark.operators.topk import (
+        grouped_quantile_sketch,
+    )
+    from tax_compliance_engine_spark.streaming.quantile_stream import (
+        sketch_from_state,
+        streaming_value_sketch_writer,
+    )
+
+    schema = "event_id long, event_type string, cents long"
+    types = ["click", "view", "buy"]
+
+    def row(i):
+        # deterministic scattered values; 3 types, 600 rows per type
+        return (i, types[i % 3], (i * 7919) % 100_000)
+
+    first = [row(i) for i in range(0, 1200)]
+    second = [row(i) for i in range(1100, 1800)]  # ids 1100-1199 redelivered
+    src = tmp_path / "src"
+    state = tmp_path / "state"
+    quantiles = {"p50_est": 0.5, "p90_est": 0.9, "p99_est": 0.99}
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            streaming_value_sketch_writer(
+                stream, str(state), ["event_type"], "event_id", k=64
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(first, schema).write.mode("append").parquet(str(src))
+    drain()
+    spark.createDataFrame(second, schema).write.mode("append").parquet(str(src))
+    drain()
+
+    got = sorted(
+        sketch_from_state(
+            spark, str(state), ["event_type"], "cents", quantiles
+        ).collect()
+    )
+    all_rows = {r[0]: r for r in first + second}  # id-keyed union
+    want = sorted(
+        grouped_quantile_sketch(
+            spark.createDataFrame(sorted(all_rows.values()), schema),
+            ["event_type"],
+            "cents",
+            "event_id",
+            quantiles,
+            k=64,
+        ).collect()
+    )
+    assert got == want  # exact float equality — same sample, same interp
+    assert all(r.sample_n == 64 for r in got)  # the cut actually bound
+    state_rows = spark.read.parquet(str(state))
+    assert state_rows.count() == 64 * len(types)  # O(k · groups) state
