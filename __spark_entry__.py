@@ -208,6 +208,11 @@ def oracle_sql() -> dict[str, str]:
         # exact quantiles of the sample; deterministic, so bit-exact
         # gateable unlike approx_percentile) — oracle-only swept entry.
         "events_value_sketch": oracle.events_value_sketch_sql(),
+        # events_reach_sketch: per-group distinct-ID cardinality
+        # estimate via deterministic KMV over LCG-hashed entity ids
+        # (O(k) state, mergeable; the portable approx_count_distinct)
+        # — oracle-only swept entry.
+        "events_reach_sketch": oracle.events_reach_sketch_sql(),
         # events_wow_growth: Monday-aligned week-over-week growth per
         # type (lag over the weekly series, gaps explicit) —
         # oracle-only swept entry.

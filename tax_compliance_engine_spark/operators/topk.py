@@ -183,3 +183,51 @@ def min_k_by_hash(
         k,
         n_shards=n_shards,
     ).drop("_qs_hk")
+
+
+def grouped_reach_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    k: int = 64,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Per-group distinct-ID cardinality ("reach") ESTIMATE with O(k)
+    state: KMV order statistics over the deterministic LCG hash of
+    ``id_col`` — ``corpus.distinct_sketch``'s estimator pointed at
+    integer entity ids instead of tokens, built on the same
+    ``min_k_by_hash`` cut the quantile sketch uses (so it inherits the
+    associative/idempotent merge: two sketches of overlapping row sets
+    re-cut into the sketch of their union after an id dedupe).
+
+    Below k distinct ids the count is exact; at ≥ k the estimate is
+    (k−1)·M / h_k (h_k = k-th smallest hash, M = the LCG modulus) —
+    deterministic, so the DuckDB twin reproduces it bit-for-bit, unlike
+    approx_count_distinct's engine-private HLL registers.  The LCG's
+    multiplicative step equidistributes sequential ids across [0, M)
+    (the same argument as the KMV token scramble).
+
+    Output: ``group_cols`` + ``n_kept`` (≤k) + ``kth_hash`` +
+    ``est_reach`` (double; exact count below k)."""
+    from .corpus import SAMPLE_MOD, sample_hash_col
+
+    deduped = df.select(*group_cols, id_col).dropDuplicates()
+    sample = min_k_by_hash(deduped, group_cols, id_col, k, n_shards=n_shards)
+    # (k−1)·M precomputed in Python: < 2^53, exactly representable, so
+    # the estimate is ONE exactly-rounded division on both engines.
+    scale = float((k - 1) * SAMPLE_MOD)
+    return (
+        sample.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max(sample_hash_col(F.col(id_col))).alias("kth_hash"),
+        )
+        .select(
+            *group_cols,
+            "n_kept",
+            "kth_hash",
+            F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+            .otherwise(F.lit(scale) / F.col("kth_hash").cast("double"))
+            .alias("est_reach"),
+        )
+    )

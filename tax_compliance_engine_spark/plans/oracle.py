@@ -1728,6 +1728,33 @@ GROUP BY event_type
 ORDER BY event_type"""
 
 
+def events_reach_sketch_sql(k: int = 64) -> str:
+    """Twin of queries.events_reach_sketch: distinct (type, user) pairs,
+    the same LCG hash (both operands reduced mod 1e9+7 before the
+    multiply), the k smallest per type, and the KMV estimate — (k−1)·M
+    precomputed exactly, ONE rounded division."""
+    scale = repr(float((k - 1) * 1_000_000_007))
+    return f"""WITH u AS (
+  SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type, user_id,
+         ((user_id % 1000000007) * (2654435761 % 1000000007) + 104729)
+           % 1000000007 AS hk
+  FROM u),
+r AS (
+  SELECT event_type, hk,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY hk, user_id) AS rn
+  FROM h)
+SELECT event_type, count(*) AS n_kept, max(hk) AS kth_hash,
+       CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+            ELSE CAST({scale} AS DOUBLE) / CAST(max(hk) AS DOUBLE)
+       END AS est_reach
+FROM r WHERE rn <= {k}
+GROUP BY event_type
+ORDER BY event_type"""
+
+
 def pricing_cube_sql() -> str:
     """Twin of queries.pricing_cube: DuckDB CUBE with the same
     grouping() flags and decimal-exact sums."""

@@ -2545,6 +2545,26 @@ def events_value_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def events_reach_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distinct-USER cardinality estimate ("reach") with O(k)
+    state — KMV order statistics over the LCG-hashed user ids
+    (``topk.grouped_reach_sketch``; ``corpus.distinct_sketch``'s
+    estimator pointed at entity ids).  The 100-TB path next to an exact
+    count_distinct, and the batch twin of the streaming reach monitor:
+    two sketches merge by re-cutting the union, so per-partition,
+    per-day, or per-micro-batch partials compose exactly.
+
+    Deterministic (hash order + one exactly-rounded division), so the
+    DuckDB twin gates the ESTIMATE bit-for-bit — unlike
+    approx_count_distinct's engine-private HLL registers."""
+    from ..operators.topk import grouped_reach_sketch
+
+    ev = _events_with_ts_sec(spark, sf_dir)
+    return grouped_reach_sketch(
+        ev.select("event_type", "user_id"), ["event_type"], "user_id", k=64
+    ).orderBy("event_type")
+
+
 def pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full CUBE over (returnflag, linestatus): every subtotal
     combination — both one-dimension margins and the grand total — in

@@ -52,7 +52,12 @@ def streaming_value_sketch_writer(
 
     def merge_batch(bdf: DataFrame, batch_id: int) -> None:
         spark = bdf.sparkSession
-        batch_cut = min_k_by_hash(bdf, group_cols, id_col, k)
+        # in-batch id dedupe first: repeated ids (retries, or genuinely
+        # repeating entity ids when the sample is keyed by e.g. user_id
+        # for the reach sketch) must occupy ONE sample slot
+        batch_cut = min_k_by_hash(
+            bdf.dropDuplicates([*group_cols, id_col]), group_cols, id_col, k
+        )
         if os.path.isdir(state_dir):
             prev = spark.read.parquet(state_dir).select(*batch_cut.columns)
             merged = prev.unionByName(batch_cut)
@@ -94,3 +99,28 @@ def sketch_from_state(
     for name, q in quantiles.items():
         aggs.append(F.expr(f"percentile({value_col}, {q!r})").alias(name))
     return state.groupBy(*group_cols).agg(*aggs)
+
+
+def reach_from_state(
+    spark: SparkSession,
+    state_dir: str,
+    group_cols: list[str],
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Current distinct-ID cardinality estimate from the SAME persisted
+    min-k sample state (the hash is a pure function of the id, so the
+    KMV order statistic is recomputable from the stored rows): exact
+    count below k, (k−1)·M / h_k at k — bit-identical to
+    ``topk.grouped_reach_sketch`` over the drained input.  ``k`` must
+    be the writer's k: the state holds min-k rows, and the estimator
+    needs to know whether the cut bound.
+
+    Implementation: the sketch operator run ON the state — min-k of a
+    min-k sample is itself (idempotent fold), so this is literally the
+    batch estimator with its dedupe and cut as no-ops, one code path."""
+    from ..operators.topk import grouped_reach_sketch
+
+    return grouped_reach_sketch(
+        spark.read.parquet(state_dir), group_cols, id_col, k
+    )

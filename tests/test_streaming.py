@@ -661,3 +661,69 @@ def test_streaming_value_sketch_drained_equals_batch(spark, tmp_path):
     assert all(r.sample_n == 64 for r in got)  # the cut actually bound
     state_rows = spark.read.parquet(str(state))
     assert state_rows.count() == 64 * len(types)  # O(k · groups) state
+
+
+def test_streaming_reach_sketch_drained_equals_batch(spark, tmp_path):
+    """Drained streaming reach monitor ≡ the batch KMV reach sketch over
+    the union of arrivals — the SAME min-k state the quantile monitor
+    maintains, keyed by a REPEATING entity id (user_id): in-batch and
+    in-merge id dedupes make repeats occupy one sample slot.  Also pins
+    the below-k exact branch (a type with < k distinct users reports
+    its exact count)."""
+    from tax_compliance_engine_spark.operators.topk import (
+        grouped_reach_sketch,
+    )
+    from tax_compliance_engine_spark.streaming.quantile_stream import (
+        reach_from_state,
+        streaming_value_sketch_writer,
+    )
+
+    schema = "event_id long, event_type string, user_id long"
+    # 'big': 300 distinct users (>> k=32), each seen twice across drains;
+    # 'small': 5 distinct users (< k) with heavy in-batch repeats
+    first = [(i, "big", 1000 + i % 300) for i in range(0, 450)] + [
+        (10_000 + i, "small", 1 + i % 5) for i in range(25)
+    ]
+    second = [(i, "big", 1000 + i % 300) for i in range(450, 900)] + [
+        (20_000 + i, "small", 1 + i % 3) for i in range(9)
+    ]
+    src, state = tmp_path / "src", tmp_path / "state"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            streaming_value_sketch_writer(
+                stream, str(state), ["event_type"], "user_id", k=32
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(first, schema).write.mode("append").parquet(str(src))
+    drain()
+    spark.createDataFrame(second, schema).write.mode("append").parquet(str(src))
+    drain()
+
+    got = sorted(
+        reach_from_state(
+            spark, str(state), ["event_type"], "user_id", k=32
+        ).collect()
+    )
+    want = sorted(
+        grouped_reach_sketch(
+            spark.createDataFrame(first + second, schema).select(
+                "event_type", "user_id"
+            ),
+            ["event_type"],
+            "user_id",
+            k=32,
+        ).collect()
+    )
+    assert got == want  # exact float equality — same k-th hash
+    by_type = {r.event_type: r for r in got}
+    assert by_type["small"].n_kept == 5  # below k: exact
+    assert by_type["small"].est_reach == 5.0
+    assert by_type["big"].n_kept == 32  # cut bound; estimate in range
+    assert 150 < by_type["big"].est_reach < 600
