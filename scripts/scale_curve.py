@@ -122,6 +122,10 @@ SCALE_QUERIES = [
     "returned_item_losses",
     "nation_trade_volume",
     "important_part_stock",
+    # mergeable O(k)-state sketches (r9): fixed-size samples, so the
+    # cut cost tracks the scan and the aggregate stays constant
+    "events_value_sketch",
+    "events_reach_sketch",
 ]
 
 
