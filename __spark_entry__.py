@@ -208,6 +208,10 @@ def oracle_sql() -> dict[str, str]:
         # exact quantiles of the sample; deterministic, so bit-exact
         # gateable unlike approx_percentile) — oracle-only swept entry.
         "events_value_sketch": oracle.events_value_sketch_sql(),
+        # events_props_profile: semi-structured JSON drift report
+        # (per-key presence/distinct/numeric-range stats; row-local
+        # codegen JSON parsing, no Python) — oracle-only swept entry.
+        "events_props_profile": oracle.events_props_profile_sql(),
         # events_reach_sketch: per-group distinct-ID cardinality
         # estimate via deterministic KMV over LCG-hashed entity ids
         # (O(k) state, mergeable; the portable approx_count_distinct)

@@ -1728,6 +1728,28 @@ GROUP BY event_type
 ORDER BY event_type"""
 
 
+def events_props_profile_sql() -> str:
+    """Twin of queries.events_props_profile: per-row json_keys explode,
+    dynamic-path string extraction, try_cast numeric stats."""
+    return """WITH ex AS (
+  SELECT event_type, unnest(json_keys(props)) AS json_key, props
+  FROM events),
+vals AS (
+  SELECT event_type, json_key,
+         json_extract_string(props, '$.' || json_key) AS v
+  FROM ex)
+SELECT event_type, json_key,
+       count(*) AS n_rows,
+       count(v) AS n_vals,
+       count(DISTINCT v) AS n_distinct,
+       count(try_cast(v AS DOUBLE)) AS n_numeric,
+       min(try_cast(v AS DOUBLE)) AS min_num,
+       max(try_cast(v AS DOUBLE)) AS max_num
+FROM vals
+GROUP BY event_type, json_key
+ORDER BY event_type, json_key"""
+
+
 def events_reach_sketch_sql(k: int = 64) -> str:
     """Twin of queries.events_reach_sketch: distinct (type, user) pairs,
     the same LCG hash (both operands reduced mod 1e9+7 before the

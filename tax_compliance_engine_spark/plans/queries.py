@@ -2545,6 +2545,22 @@ def events_value_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def events_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured drift report over the events JSON ``props``
+    column: per (event_type, json key) — presence, value count, exact
+    distinct strings, numeric parse count, numeric min/max
+    (``jsonops.json_key_profile``).  Row-local JVM JSON parsing
+    (json_object_keys + get_json_object inside codegen, no Python),
+    one ≤ types×keys aggregate — the profile an ingest pipeline diffs
+    between loads to catch producer-side schema drift."""
+    from ..operators.jsonops import json_key_profile
+
+    ev = _events_with_ts_sec(spark, sf_dir)
+    return json_key_profile(
+        ev.select("event_type", "props"), "props", ["event_type"]
+    ).orderBy("event_type", "json_key")
+
+
 def events_reach_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type distinct-USER cardinality estimate ("reach") with O(k)
     state — KMV order statistics over the LCG-hashed user ids
