@@ -50,8 +50,16 @@ def streaming_value_sketch_writer(
     checkpoint and calls ``.start()``.  Read the current estimate with
     ``sketch_from_state``."""
 
+    old = f"{state_dir}.old"
+
     def merge_batch(bdf: DataFrame, batch_id: int) -> None:
         spark = bdf.sparkSession
+        # crash recovery: a writer that died between the two renames
+        # below leaves the previous state parked at `old` — adopt it
+        # rather than silently restarting from an empty sample (the
+        # re-delivered micro-batch then merges on top, same fixed point)
+        if not os.path.isdir(state_dir) and os.path.isdir(old):
+            os.rename(old, state_dir)
         # in-batch id dedupe first: repeated ids (retries, or genuinely
         # repeating entity ids when the sample is keyed by e.g. user_id
         # for the reach sketch) must occupy ONE sample slot
@@ -72,7 +80,6 @@ def streaming_value_sketch_writer(
         staging = f"{state_dir}.staging.{os.getpid()}"
         shutil.rmtree(staging, ignore_errors=True)
         new_state.write.mode("overwrite").parquet(staging)
-        old = f"{state_dir}.old.{os.getpid()}"
         shutil.rmtree(old, ignore_errors=True)
         if os.path.isdir(state_dir):
             os.rename(state_dir, old)

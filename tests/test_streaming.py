@@ -727,3 +727,69 @@ def test_streaming_reach_sketch_drained_equals_batch(spark, tmp_path):
     assert by_type["small"].est_reach == 5.0
     assert by_type["big"].n_kept == 32  # cut bound; estimate in range
     assert 150 < by_type["big"].est_reach < 600
+
+
+def test_streaming_sketch_state_crash_recovery(spark, tmp_path):
+    """A writer that died between the state renames leaves the sample
+    parked at `<state>.old`; the next micro-batch adopts it instead of
+    restarting from an empty sample — the drained result matches the
+    uninterrupted run exactly."""
+    import os
+
+    from tax_compliance_engine_spark.streaming.quantile_stream import (
+        sketch_from_state,
+        streaming_value_sketch_writer,
+    )
+
+    schema = "event_id long, event_type string, cents long"
+    first = [(i, "t", (i * 7919) % 1000) for i in range(200)]
+    second = [(i, "t", (i * 7919) % 1000) for i in range(200, 400)]
+    src, state = tmp_path / "src", tmp_path / "state"
+    quantiles = {"p50_est": 0.5}
+
+    def drain(ckpt):
+        q = (
+            streaming_value_sketch_writer(
+                spark.readStream.schema(schema).parquet(str(src)),
+                str(state),
+                ["event_type"],
+                "event_id",
+                k=32,
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(first, schema).write.mode("append").parquet(str(src))
+    drain("ckpt")
+    # simulate the crash window: previous state parked at .old
+    os.rename(str(state), f"{state}.old")
+    spark.createDataFrame(second, schema).write.mode("append").parquet(str(src))
+    drain("ckpt")
+    got = sketch_from_state(
+        spark, str(state), ["event_type"], "cents", quantiles
+    ).collect()
+
+    # uninterrupted reference run over the same arrivals
+    src2, state2 = tmp_path / "src2", tmp_path / "state2"
+    spark.createDataFrame(first + second, schema).write.parquet(str(src2))
+    q = (
+        streaming_value_sketch_writer(
+            spark.readStream.schema(schema).parquet(str(src2)),
+            str(state2),
+            ["event_type"],
+            "event_id",
+            k=32,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    want = sketch_from_state(
+        spark, str(state2), ["event_type"], "cents", quantiles
+    ).collect()
+    assert sorted(got) == sorted(want)
+    assert not os.path.isdir(f"{state}.old")  # recovery cleaned up
