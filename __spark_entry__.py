@@ -425,6 +425,15 @@ def oracle_sql() -> dict[str, str]:
         # with them in one composed plan — oracle-only swept entry (the
         # tokenizer-pipeline composition gate).
         "doc_bpe_token_counts": oracle_corpus.doc_bpe_token_counts_sql(),
+        # doc_bpe_token_counts_prebuilt: the SAME tokenizer pipeline
+        # answered from a PARQUET-PERSISTED merge-rule artifact (train
+        # once per corpus snapshot via the keyed ANN-index store; later
+        # runs pay only row-local segmentation).  Rule strings
+        # round-trip parquet exactly, so it shares the inline twin —
+        # the sweep proves load ≡ retrain bit-for-bit.
+        "doc_bpe_token_counts_prebuilt": (
+            oracle_corpus.doc_bpe_token_counts_sql()
+        ),
         # corpus_heavy_hitters: exact heavy-hitter tokens behind a
         # count-min-sketch prefilter — oracle-only swept entry (the
         # result is exact, so the twin is the plain HAVING aggregation).

@@ -1507,11 +1507,33 @@ def bpe_token_counts(
     truncate lineage instead of recomputing the O(k²) lazy chain) —
     identical results, measurably faster, at the cost of eager jobs at
     plan-build time."""
-    from .textops import tokens_col
-
     rules = bpe_merges(
         docs, n_merges=n_merges, text_col=text_col, materialize=materialize
     ).cache()
+    return bpe_token_counts_from_rules(
+        docs, rules, n_merges=n_merges, text_col=text_col, id_col=id_col
+    )
+
+
+def bpe_token_counts_from_rules(
+    docs: DataFrame,
+    rules: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The APPLICATION half of ``bpe_token_counts``: segment every
+    document under an already-learned merge-rule table (step, left_sym,
+    right_sym, …) — the path a persisted tokenizer artifact takes
+    (train once per corpus snapshot, parquet the rules, segment
+    everywhere; the save_ann_index pattern pointed at the tokenizer).
+    ``n_merges`` bounds the steps applied; steps missing from ``rules``
+    (degenerate training corpus) ride the NULL-rule identity fold, same
+    as the inline form.  Bit-identical to training-composed segmentation
+    whenever ``rules`` equals the trained table — integer rule strings
+    round-trip parquet exactly."""
+    from .textops import tokens_col
+
     out = docs.select(id_col, tokens_col(F.col(text_col)).alias("_words"))
     for step in range(1, n_merges + 1):
         bp = F.broadcast(

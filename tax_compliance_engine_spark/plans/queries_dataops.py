@@ -879,6 +879,34 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_bpe_token_counts_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`doc_bpe_token_counts` answered from a PERSISTED tokenizer: the
+    BPE merge-rule table is trained once per corpus snapshot, parquet-
+    persisted through the same keyed artifact store as the ANN indexes
+    (snapshot + params + format-version key, atomic publish, untrusted-
+    root refusal), and every later run pays only the row-local
+    segmentation fold — the production tokenizer shape (train once,
+    ship the artifact, tokenize everywhere).  Rule strings round-trip
+    parquet exactly, so this shares `doc_bpe_token_counts`' oracle
+    twin (load ≡ retrain, bit-for-bit)."""
+    docs = _docs(spark, sf_dir)
+    n_merges = 6
+    idx = _prebuilt_index(
+        spark,
+        docs,
+        "bpe",
+        lambda: {
+            "merges": corpus.bpe_merges(
+                docs, n_merges=n_merges, materialize=True
+            )
+        },
+        params={"n_merges": n_merges},
+    )
+    return corpus.bpe_token_counts_from_rules(
+        docs, idx["merges"], n_merges=n_merges
+    )
+
+
 def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy-hitter tokens via the count-min prefilter + exact
     verify (corpus.heavy_hitters) — the result is exact, so the oracle

@@ -88,3 +88,54 @@ def test_memo_count_physical_bounds(spark, tmp_path):
     # in-memory frames (no file lineage) are never trusted
     mem = spark.createDataFrame([(1, [0.1])], "vec_id long, embedding array<double>")
     assert not similarity._count_in_physical_bounds(mem, 1)
+
+
+def test_bpe_tokenizer_artifact_roundtrip(spark, tmp_path, monkeypatch):
+    """Persisted-tokenizer path: the first call trains and publishes a
+    keyed merge-rule artifact, the second call LOADS it (the key dir
+    already exists), and both — plus the inline train-compose form —
+    produce identical per-doc counts."""
+    import os
+
+    from tax_compliance_engine_spark.operators import corpus
+    from tax_compliance_engine_spark.plans.queries_dataops import (
+        _prebuilt_index,
+    )
+
+    root = tmp_path / "artifacts"
+    root.mkdir()
+    os.chmod(root, 0o700)
+    monkeypatch.setenv("TCE_ANN_INDEX_DIR", str(root))
+
+    pq = tmp_path / "docs.parquet"
+    rows = [(i, f"aba bab abab {'ab' * (i % 4)}") for i in range(40)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(pq)
+    )
+    docs = spark.read.parquet(str(pq))
+
+    def run():
+        idx = _prebuilt_index(
+            spark,
+            docs,
+            "bpe",
+            lambda: {
+                "merges": corpus.bpe_merges(docs, n_merges=4, materialize=True)
+            },
+            params={"n_merges": 4},
+        )
+        return sorted(
+            corpus.bpe_token_counts_from_rules(
+                docs, idx["merges"], n_merges=4
+            ).collect()
+        )
+
+    first = run()
+    published = [d for d in os.listdir(root) if d.startswith("bpe-")]
+    assert len(published) == 1  # keyed artifact landed
+    second = run()  # loads — same key dir, no new publish
+    assert [d for d in os.listdir(root) if d.startswith("bpe-")] == published
+    inline = sorted(
+        corpus.bpe_token_counts(docs, n_merges=4, materialize=True).collect()
+    )
+    assert first == second == inline
