@@ -482,6 +482,13 @@ def oracle_sql() -> dict[str, str]:
         # delete outranks upsert; standing side never shuffles) —
         # oracle-only swept entry.
         "corpus_apply_changes": oracle_corpus.corpus_apply_changes_sql(),
+        # corpus_incremental_rollup: materialized-view maintenance —
+        # the per-source rollup updated from the CDC delta alone (base
+        # never re-aggregated); the twin recomputes from scratch, so
+        # the gate proves incremental ≡ recompute — oracle-only swept.
+        "corpus_incremental_rollup": (
+            oracle_corpus.corpus_incremental_rollup_sql()
+        ),
         # corpus_change_history: SCD2-style validity intervals over the
         # same CDC feed (LEAD per key, chain head = current) —
         # oracle-only swept entry.

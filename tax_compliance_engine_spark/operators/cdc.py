@@ -354,3 +354,87 @@ def incremental_merge_write(
         return affected
     finally:
         resolved.unpersist()
+
+
+def incremental_rollup(
+    base: DataFrame,
+    agg: DataFrame,
+    changes: DataFrame,
+    group_cols: list[str],
+    sum_cols: dict[str, str],
+    count_col: str = "n_rows",
+    key_col: str = "doc_id",
+    seq_col: str = "seq",
+    op_col: str = "op",
+    broadcast_changes: bool = True,
+) -> DataFrame:
+    """Materialized-view maintenance: update a count + additive-sums
+    rollup under a CDC feed WITHOUT rescanning the base — the operator
+    that keeps a 100 TB corpus's per-source statistics current at
+    O(|delta|) cost per refresh instead of a full recompute.
+
+    ``agg`` must be exactly the current rollup of ``base``:
+    ``base.groupBy(group_cols).agg(count(*) AS count_col,
+    sum(src) AS out for each (out, src) in sum_cols)``.  The update:
+
+    1. resolve the feed to one winner per key (``resolve_changes``);
+    2. fetch the affected keys' OLD rows with ONE key join against
+       base (broadcast delta — base never shuffles; against a bucketed
+       snapshot this is additionally partition-prunable) and emit their
+       contributions NEGATED;
+    3. emit winning upserts' NEW contributions positively (group
+       membership comes from the new payload, so a row migrating
+       between groups naturally decrements one and increments the
+       other);
+    4. merge the summed deltas into ``agg`` with one outer join over
+       ≤ |groups| rows; groups whose support reaches zero drop out,
+       brand-new groups appear.
+
+    Counts and sums are the additive aggregates this works for by
+    construction (min/max are NOT incrementally maintainable under
+    deletes — recompute those per touched group instead).  NULL sum
+    sources contribute 0 on both sides.  Same unguarded contract as
+    plain ``apply_changes``: ``changes`` is the NEW feed against the
+    pre-change ``base`` snapshot."""
+    for out in [count_col, *sum_cols]:
+        if out not in agg.columns:
+            raise ValueError(f"agg is missing output column {out!r}")
+    resolved = resolve_changes(changes, key_col, seq_col, op_col)
+    touched = resolved.select(key_col)
+    if broadcast_changes:
+        touched = F.broadcast(touched)
+
+    def contributions(df: DataFrame, sign: int) -> DataFrame:
+        return df.select(
+            *group_cols,
+            F.lit(sign).cast("long").alias(f"_d_{count_col}"),
+            *[
+                (F.lit(sign) * F.coalesce(F.col(src).cast("long"), F.lit(0)))
+                .alias(f"_d_{out}")
+                for out, src in sum_cols.items()
+            ],
+        )
+
+    minus = contributions(base.join(touched, key_col), -1)
+    plus = contributions(resolved.filter(F.col(op_col) == "upsert"), 1)
+    deltas = (
+        minus.unionByName(plus)
+        .groupBy(*group_cols)
+        .agg(
+            *[
+                F.sum(f"_d_{out}").alias(f"_d_{out}")
+                for out in [count_col, *sum_cols]
+            ]
+        )
+    )
+    merged = agg.join(deltas, group_cols, "full_outer")
+    updated = [
+        (
+            F.coalesce(F.col(out), F.lit(0))
+            + F.coalesce(F.col(f"_d_{out}"), F.lit(0))
+        ).alias(out)
+        for out in [count_col, *sum_cols]
+    ]
+    return merged.select(*group_cols, *updated).filter(
+        F.col(count_col) > 0
+    )

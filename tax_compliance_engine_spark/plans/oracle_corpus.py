@@ -644,6 +644,32 @@ SELECT doc_id, text, lang, source, n_chars
 FROM resolved WHERE op = 'upsert'"""
 
 
+def corpus_incremental_rollup_sql() -> str:
+    """Twin of cdc.incremental_rollup over the derived feed: the FULL
+    RECOMPUTE — rollup of the post-change corpus — which the Spark
+    side must reproduce from the delta alone (that equivalence is the
+    operator's whole claim)."""
+    return f"""WITH {_CDC_CHANGES},
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id
+    ORDER BY seq DESC,
+             CASE op WHEN 'delete' THEN 1 ELSE 0 END DESC) AS rn
+  FROM changes),
+resolved AS (SELECT * FROM ranked WHERE rn = 1),
+post AS (
+  SELECT d.source, d.n_chars
+  FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM resolved)
+  UNION ALL
+  SELECT source, n_chars FROM resolved WHERE op = 'upsert')
+SELECT source, count(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM post
+GROUP BY source
+ORDER BY source"""
+
+
 def corpus_change_history_sql() -> str:
     """Twin of cdc.change_history: LEAD(seq) per key over the same
     (seq, op-rank) order; NULL lead = still-current chain head."""

@@ -1323,6 +1323,34 @@ def corpus_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance under the derived CDC feed
+    (cdc.incremental_rollup): the per-source (n_docs, total_chars)
+    rollup updated from the delta alone — old contributions fetched by
+    ONE broadcast key join, negated, new upsert contributions added,
+    merged into the standing agg over ≤|sources| rows.  The base corpus
+    is never re-aggregated.  The oracle twin computes the rollup of the
+    POST-change corpus from scratch, so the hash gate proves
+    incremental maintenance ≡ full recompute, cross-engine — including
+    group migration (upserts move docs to the 'cdc-update' source) and
+    delete shrinkage."""
+    from ..operators import cdc
+
+    docs = _docs(spark, sf_dir)
+    agg0 = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return cdc.incremental_rollup(
+        docs,
+        agg0,
+        _cdc_changes(docs),
+        ["source"],
+        {"total_chars": "n_chars"},
+        count_col="n_docs",
+    ).orderBy("source")
+
+
 def corpus_change_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2-style validity intervals (cdc.change_history) over the same
     derived CDC feed: each change valid from its seq until the next

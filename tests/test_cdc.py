@@ -335,3 +335,56 @@ def test_streaming_cdc_maintains_snapshot(spark, tmp_path):
     assert got == want
     assert got[1] == ("one-v2", 12, 2)
     assert 4 not in got and got[11] == ("eleven", 110, 1)
+
+
+def test_incremental_rollup_equals_recompute(spark):
+    """incremental_rollup over a crafted feed ≡ re-aggregating the
+    post-change corpus: group migration, a brand-new group appearing, a
+    group dropping to zero support, a delete of an absent key (no-op),
+    and an upsert of a brand-new key."""
+    from pyspark.sql import functions as F
+
+    from tax_compliance_engine_spark.operators import cdc
+
+    base = spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (2, "a", 20),
+            (3, "b", 30),  # the only 'b' row — deleted below
+            (4, "c", None),  # NULL sum source contributes 0
+        ],
+        "doc_id long, source string, n_chars long",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "upsert", 1, "d", 15),  # migrates a → d (new group)
+            (3, "delete", 1, None, None),  # b drops to zero support
+            (9, "delete", 1, None, None),  # absent key: no-op
+            (5, "upsert", 1, "a", 7),  # brand-new key into a
+            (5, "upsert", 2, "a", 8),  # later seq wins
+        ],
+        "doc_id long, op string, seq long, source string, n_chars long",
+    )
+    agg0 = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("chars"),
+    )
+    got = sorted(
+        cdc.incremental_rollup(
+            base, agg0, changes, ["source"], {"chars": "n_chars"}
+        ).collect()
+    )
+    post = cdc.apply_changes(base, changes)
+    want = sorted(
+        post.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).alias("chars"),
+        )
+        .collect()
+    )
+    assert got == want
+    by_src = {r.source: r for r in got}
+    assert "b" not in by_src  # zero-support group removed
+    assert by_src["d"].n_rows == 1 and by_src["d"].chars == 15  # new group
+    assert by_src["a"].n_rows == 2 and by_src["a"].chars == 28  # 20 + 8
