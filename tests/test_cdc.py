@@ -388,3 +388,128 @@ def test_incremental_rollup_equals_recompute(spark):
     assert "b" not in by_src  # zero-support group removed
     assert by_src["d"].n_rows == 1 and by_src["d"].chars == 15  # new group
     assert by_src["a"].n_rows == 2 and by_src["a"].chars == 28  # 20 + 8
+
+
+def _rollup_writer_drain(spark, src, snap, agg, ckpt):
+    from tax_compliance_engine_spark.streaming.rollup_stream import (
+        streaming_cdc_rollup_writer,
+    )
+
+    schema = "doc_id bigint, op string, seq int, text string, n bigint, grp string"
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        streaming_cdc_rollup_writer(
+            stream,
+            str(snap),
+            str(agg),
+            ["grp"],
+            {"total_n": "n"},
+            count_col="n_rows",
+            n_buckets=4,
+        )
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_streaming_cdc_rollup_maintains_view(spark, tmp_path):
+    """Drained stream keeps snapshot AND rollup consistent: the view
+    equals re-aggregating the final snapshot, across a cross-batch
+    version chain, group migration, deletes, and a full checkpoint-wipe
+    re-delivery (version guard + batch marker absorb it)."""
+    import shutil
+
+    base = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i}", n=i, grp=("a" if i % 2 else "b"))
+         for i in range(10)]
+    ).withColumn("version", F.lit(None).cast("long"))
+    snap, agg = tmp_path / "snap", tmp_path / "agg"
+    cdc.write_bucketed_snapshot(base, str(snap), n_buckets=4)
+
+    schema = "doc_id bigint, op string, seq int, text string, n bigint, grp string"
+    src, ckpt = tmp_path / "feed", tmp_path / "ckpt"
+    first = [
+        (1, "upsert", 1, "one-v1", 100, "b"),  # migrates a -> b
+        (4, "delete", 1, None, None, None),
+    ]
+    second = [
+        (1, "upsert", 2, "one-v2", 200, "a"),  # back to a, new value
+        (11, "upsert", 1, "eleven", 110, "c"),  # brand-new group
+    ]
+    spark.createDataFrame(first, schema).write.mode("append").parquet(str(src))
+    _rollup_writer_drain(spark, src, snap, agg, ckpt)
+    spark.createDataFrame(second, schema).write.mode("append").parquet(str(src))
+    _rollup_writer_drain(spark, src, snap, agg, ckpt)
+
+    def view():
+        return sorted(
+            (r.grp, r.n_rows, r.total_n)
+            for r in spark.read.parquet(str(agg)).collect()
+        )
+
+    def recompute():
+        return sorted(
+            (r.grp, r["count(1)"], r["sum"])
+            for r in spark.read.parquet(str(snap))
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)), F.coalesce(F.sum("n"), F.lit(0)).alias("sum"))
+            .collect()
+        )
+
+    assert view() == recompute()
+    # checkpoint-wipe full re-delivery: guard + marker absorb everything
+    before = view()
+    shutil.rmtree(ckpt)
+    _rollup_writer_drain(spark, src, snap, agg, ckpt)
+    assert view() == before == recompute()
+
+
+def test_streaming_cdc_rollup_crash_between_stores(spark, tmp_path, monkeypatch):
+    """Crash AFTER the agg publish but BEFORE the snapshot merge: the
+    failed micro-batch is re-delivered with the same batch id, the
+    marker skips the (already-published) agg update, and the replayed
+    guarded merge completes the snapshot — both stores end consistent."""
+    import pytest as _pytest
+
+    from tax_compliance_engine_spark.streaming import rollup_stream
+
+    base = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i}", n=i, grp="a") for i in range(6)]
+    ).withColumn("version", F.lit(None).cast("long"))
+    snap, agg = tmp_path / "snap", tmp_path / "agg"
+    cdc.write_bucketed_snapshot(base, str(snap), n_buckets=4)
+
+    schema = "doc_id bigint, op string, seq int, text string, n bigint, grp string"
+    src, ckpt = tmp_path / "feed", tmp_path / "ckpt"
+    feed = [(1, "upsert", 1, "one-v1", 100, "a"), (2, "delete", 1, None, None, None)]
+    spark.createDataFrame(feed, schema).write.mode("append").parquet(str(src))
+
+    real_merge = rollup_stream.incremental_merge_write
+
+    def dying_merge(*a, **kw):
+        raise RuntimeError("simulated crash between agg publish and merge")
+
+    monkeypatch.setattr(rollup_stream, "incremental_merge_write", dying_merge)
+    with _pytest.raises(Exception):
+        _rollup_writer_drain(spark, src, snap, agg, ckpt)
+    # agg was published (marker present), snapshot untouched
+    assert rollup_stream._last_applied(str(agg)) >= 0
+    assert {r.doc_id for r in spark.read.parquet(str(snap)).collect()} == set(range(6))
+
+    monkeypatch.setattr(rollup_stream, "incremental_merge_write", real_merge)
+    _rollup_writer_drain(spark, src, snap, agg, ckpt)  # replay heals
+    got = sorted(
+        (r.grp, r.n_rows, r.total_n)
+        for r in spark.read.parquet(str(agg)).collect()
+    )
+    want = sorted(
+        (r.grp, r["count(1)"], r["s"])
+        for r in spark.read.parquet(str(snap))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)), F.sum("n").alias("s"))
+        .collect()
+    )
+    assert got == want
+    assert {r.doc_id for r in spark.read.parquet(str(snap)).collect()} == {0, 1, 3, 4, 5}
