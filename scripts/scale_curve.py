@@ -126,6 +126,10 @@ SCALE_QUERIES = [
     # cut cost tracks the scan and the aggregate stays constant
     "events_value_sketch",
     "events_reach_sketch",
+    # r9: JSON drift profile (row-local parse) + incremental rollup
+    # (delta-sized maintenance vs a 10× base)
+    "events_props_profile",
+    "corpus_incremental_rollup",
 ]
 
 

@@ -35,11 +35,12 @@ def json_flatten(
     )
 
 
-def _json_str(json_col: str, key: Column) -> Column:
-    """String value of a dynamic top-level ``key`` (simple identifier
-    keys — the '$.' path concat does not escape dots/quotes inside key
-    names, documented limit of the dynamic-path profile)."""
-    return F.expr(f"get_json_object({json_col}, concat('$.', _key))")
+def _json_str(json_col: str) -> Column:
+    """String value of the dynamic top-level key in the ``_key`` column
+    (simple identifier keys — the '$.' path concat does not escape
+    dots/quotes inside key names, documented limit of the dynamic-path
+    profile)."""
+    return F.expr(f"get_json_object(`{json_col}`, concat('$.', _key))")
 
 
 def json_key_profile(
@@ -63,7 +64,7 @@ def json_key_profile(
     ).select(
         *group_cols,
         "_key",
-        _json_str(json_col, F.col("_key")).alias("_v"),
+        _json_str(json_col).alias("_v"),
     )
     num = F.expr("try_cast(_v AS double)")
     return (

@@ -154,7 +154,9 @@ def grouped_quantile_sketch(
     sample = min_k_by_hash(df, group_cols, id_col, k, n_shards=n_shards)
     aggs = [F.count(F.lit(1)).alias("sample_n")]
     for name, q in quantiles.items():
-        aggs.append(F.expr(f"percentile({value_col}, {q!r})").alias(name))
+        aggs.append(
+            F.expr(f"percentile(`{value_col}`, {q!r})").alias(name)
+        )
     return sample.groupBy(*group_cols).agg(*aggs)
 
 

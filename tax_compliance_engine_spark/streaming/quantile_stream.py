@@ -104,7 +104,9 @@ def sketch_from_state(
     state = spark.read.parquet(state_dir)
     aggs = [F.count(F.lit(1)).alias("sample_n")]
     for name, q in quantiles.items():
-        aggs.append(F.expr(f"percentile({value_col}, {q!r})").alias(name))
+        aggs.append(
+            F.expr(f"percentile(`{value_col}`, {q!r})").alias(name)
+        )
     return state.groupBy(*group_cols).agg(*aggs)
 
 
