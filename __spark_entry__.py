@@ -489,6 +489,11 @@ def oracle_sql() -> dict[str, str]:
         "corpus_incremental_rollup": (
             oracle_corpus.corpus_incremental_rollup_sql()
         ),
+        # corpus_pit_versions: point-in-time dimension lookup over the
+        # CDC feed (as-of join on seq, delete-outranks tiebreak;
+        # never-written / deleted probes report is_live=false) —
+        # oracle-only swept entry.
+        "corpus_pit_versions": oracle_corpus.corpus_pit_versions_sql(),
         # corpus_change_history: SCD2-style validity intervals over the
         # same CDC feed (LEAD per key, chain head = current) —
         # oracle-only swept entry.

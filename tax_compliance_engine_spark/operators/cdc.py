@@ -438,3 +438,57 @@ def incremental_rollup(
     return merged.select(*group_cols, *updated).filter(
         F.col(count_col) > 0
     )
+
+
+def pit_lookup(
+    probes: DataFrame,
+    changes: DataFrame,
+    payload_cols: list[str],
+    key_col: str = "doc_id",
+    seq_col: str = "seq",
+    op_col: str = "op",
+    as_of_col: str = "as_of_seq",
+    shard_width: int | None = None,
+) -> DataFrame:
+    """Point-in-time lookup over a CDC/SCD2 change feed: for each probe
+    (key, as_of seq), the payload of the version valid AT that seq —
+    the latest change with seq ≤ as_of, with the family's equal-seq
+    delete-outranks-upsert rank as the tiebreak.  ``is_live`` is false
+    (and the payload NULL) when the key was never written by then or
+    its winning change is a delete — the dimension-correctness join a
+    warehouse runs to ask "what did this row look like when the fact
+    happened".
+
+    One ``temporal.asof_join`` (union-marker window — one shuffle, no
+    per-probe subquery); the delete-outranks rank doubles as the as-of
+    tiebreak, so resolution and lookup can never disagree.
+    ``shard_width`` passes through to the as-of hot-key sharding."""
+    from .temporal import asof_join
+
+    ranked = changes.select(
+        key_col,
+        F.col(seq_col).cast("long").alias("_pit_seq"),
+        _op_rank(F.col(op_col)).alias("_pit_rank"),
+        F.col(op_col).alias("_pit_op"),
+        *payload_cols,
+    )
+    joined = asof_join(
+        probes.withColumn("_pit_seq", F.col(as_of_col).cast("long")),
+        ranked,
+        on="_pit_seq",
+        by=key_col,
+        tiebreak="_pit_rank",
+        right_cols=["_pit_op", "_pit_rank", *payload_cols],
+        direction="backward",
+        suffix="_pit",
+        shard_width=shard_width,
+    )
+    live = F.col("_pit_op_pit") == "upsert"
+    return joined.select(
+        *probes.columns,
+        F.coalesce(live, F.lit(False)).alias("is_live"),
+        *[
+            F.when(live, F.col(f"{c}_pit")).alias(c)
+            for c in payload_cols
+        ],
+    )

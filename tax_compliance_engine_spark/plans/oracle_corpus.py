@@ -670,6 +670,29 @@ GROUP BY source
 ORDER BY source"""
 
 
+def corpus_pit_versions_sql() -> str:
+    """Twin of cdc.pit_lookup: ordered-LATERAL best-version-at-seq per
+    probe (the asof-twin convention), same delete-outranks-upsert
+    tiebreak; no-match and delete probes report is_live = false."""
+    return f"""WITH {_CDC_CHANGES},
+probes AS (
+  SELECT doc_id, a.as_of_seq
+  FROM documents, (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT))) a(as_of_seq)
+  WHERE doc_id % 3 = 0)
+SELECT p.doc_id, p.as_of_seq,
+       COALESCE(best.op = 'upsert', FALSE) AS is_live,
+       CASE WHEN best.op = 'upsert' THEN best.text END AS text
+FROM probes p
+LEFT JOIN LATERAL (
+  SELECT c.op, c.text
+  FROM changes c
+  WHERE c.doc_id = p.doc_id AND c.seq <= p.as_of_seq
+  ORDER BY c.seq DESC,
+           CASE c.op WHEN 'delete' THEN 1 ELSE 0 END DESC
+  LIMIT 1) best ON TRUE
+ORDER BY doc_id, as_of_seq"""
+
+
 def corpus_change_history_sql() -> str:
     """Twin of cdc.change_history: LEAD(seq) per key over the same
     (seq, op-rank) order; NULL lead = still-current chain head."""

@@ -1351,6 +1351,30 @@ def corpus_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def corpus_pit_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup (cdc.pit_lookup): for every third
+    doc_id probed at as_of seq 1 AND seq 2, the text version valid at
+    that moment over the derived CDC feed — never-written keys and
+    winning deletes report is_live=false with NULL payload; the
+    equal-seq delete/upsert conflicts (doc_id%30) resolve
+    delete-outranks-upsert exactly like the merge.  One as-of join
+    (union-marker window), no per-probe subquery."""
+    from ..operators import cdc
+
+    docs = _docs(spark, sf_dir)
+    probes = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+        .withColumn(
+            "as_of_seq",
+            F.explode(F.array(F.lit(1).cast("long"), F.lit(2).cast("long"))),
+        )
+    )
+    return cdc.pit_lookup(
+        probes, _cdc_changes(docs), payload_cols=["text"]
+    ).orderBy("doc_id", "as_of_seq")
+
+
 def corpus_change_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2-style validity intervals (cdc.change_history) over the same
     derived CDC feed: each change valid from its seq until the next
