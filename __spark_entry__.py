@@ -489,6 +489,11 @@ def oracle_sql() -> dict[str, str]:
         "corpus_incremental_rollup": (
             oracle_corpus.corpus_incremental_rollup_sql()
         ),
+        # corpus_k_anonymity: privacy release screen — QI group sizes,
+        # k=10 compliance, suppression survivor counts (the
+        # indirect-identifier complement to the PII scrub) —
+        # oracle-only swept entry.
+        "corpus_k_anonymity": oracle_corpus.corpus_k_anonymity_sql(),
         # corpus_pit_versions: point-in-time dimension lookup over the
         # CDC feed (as-of join on seq, delete-outranks tiebreak;
         # never-written / deleted probes report is_live=false) —

@@ -62,3 +62,43 @@ def profile_table(
         ]
     )
     return one.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def k_anonymity_audit(
+    df: DataFrame, qi_cols: list[str], k: int
+) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns: one row per QI
+    combination with its group size and whether it meets the ``k``
+    threshold — rows in sub-k groups are re-identifiable by joining the
+    quasi-identifiers against outside data, the screen a training-data
+    release runs next to PII scrubbing (scrubbing removes direct
+    identifiers; this catches the indirect ones).
+
+    One exact groupBy over the QI key (map-side combinable counts);
+    NULL QI values form their own group, like any grouping."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    return df.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).alias("group_size"),
+        (F.count(F.lit(1)) >= k).alias("is_k_anonymous"),
+    )
+
+
+def suppress_small_groups(
+    df: DataFrame, qi_cols: list[str], k: int
+) -> DataFrame:
+    """k-anonymity ENFORCEMENT by suppression: drop every row whose QI
+    combination has fewer than ``k`` members — the remaining dataset is
+    k-anonymous w.r.t. ``qi_cols`` by construction.  A window count
+    over the QI key (the same shuffle the audit pays, reused as a
+    filter — no join back)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*qi_cols)
+    return (
+        df.withColumn("_ka_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_ka_n") >= k)
+        .drop("_ka_n")
+    )

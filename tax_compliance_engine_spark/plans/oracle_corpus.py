@@ -670,6 +670,26 @@ GROUP BY source
 ORDER BY source"""
 
 
+def corpus_k_anonymity_sql(k: int = 10) -> str:
+    """Twin of profiling.k_anonymity_audit + suppress_small_groups over
+    the (lang, source, exact length decile) QI key: group counts, the
+    ≥k flag, and the survivor count (= group_size where compliant, 0
+    where suppressed)."""
+    return f"""WITH qi AS (
+  SELECT lang, source,
+         LEAST(CAST(n_chars AS BIGINT) // 100, CAST(9 AS BIGINT))
+           AS len_bucket
+  FROM documents)
+SELECT lang, source, len_bucket,
+       count(*) AS group_size,
+       count(*) >= {k} AS is_k_anonymous,
+       CASE WHEN count(*) >= {k} THEN count(*)
+            ELSE CAST(0 AS BIGINT) END AS n_kept
+FROM qi
+GROUP BY lang, source, len_bucket
+ORDER BY lang, source, len_bucket"""
+
+
 def corpus_pit_versions_sql() -> str:
     """Twin of cdc.pit_lookup: ordered-LATERAL best-version-at-seq per
     probe (the asof-twin convention), same delete-outranks-upsert

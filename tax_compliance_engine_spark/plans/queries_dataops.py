@@ -1351,6 +1351,47 @@ def corpus_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def corpus_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy release screen (profiling.k_anonymity_audit): group sizes
+    over the (lang, source, length-decile) quasi-identifier key and the
+    k=10 compliance flag, plus the suppression survivor count — rows in
+    sub-k groups are re-identifiable by joining the QI against outside
+    data (the indirect-identifier complement to doc_scrub_pii's direct
+    scrub).  The length decile is an exact integer bucket (n_chars
+    DIV 100 capped at 9), so the audit is engine-portable."""
+    from ..operators import profiling
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.least(
+            F.expr("CAST(n_chars AS LONG) DIV 100"), F.lit(9).cast("long")
+        ).alias("len_bucket"),
+    )
+    audit = profiling.k_anonymity_audit(
+        docs, ["lang", "source", "len_bucket"], k=10
+    )
+    survivors = profiling.suppress_small_groups(
+        docs, ["lang", "source", "len_bucket"], k=10
+    )
+    n_kept = survivors.groupBy("lang", "source", "len_bucket").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+    return (
+        audit.join(n_kept, ["lang", "source", "len_bucket"], "left")
+        .select(
+            "lang",
+            "source",
+            "len_bucket",
+            "group_size",
+            "is_k_anonymous",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("lang", "source", "len_bucket")
+    )
+
+
 def corpus_pit_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time dimension lookup (cdc.pit_lookup): for every third
     doc_id probed at as_of seq 1 AND seq 2, the text version valid at
