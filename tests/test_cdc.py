@@ -513,3 +513,69 @@ def test_streaming_cdc_rollup_crash_between_stores(spark, tmp_path, monkeypatch)
     )
     assert got == want
     assert {r.doc_id for r in spark.read.parquet(str(snap)).collect()} == {0, 1, 3, 4, 5}
+
+
+def test_streaming_pit_enrich_drained_equals_batch(spark, tmp_path):
+    """Drained streaming PIT enrichment ≡ one batch pit_lookup over all
+    facts: a late fact (arriving in drain 2 with as_of_seq 1) still
+    sees the seq-1 dimension payload, and re-delivery rewrites the same
+    batch dirs instead of duplicating."""
+    from tax_compliance_engine_spark.operators.cdc import pit_lookup
+    from tax_compliance_engine_spark.streaming.enrich_stream import (
+        streaming_pit_enrich_writer,
+    )
+
+    dim_schema = "doc_id bigint, op string, seq bigint, name string"
+    dim = spark.createDataFrame(
+        [
+            (1, "upsert", 1, "one-v1"),
+            (1, "upsert", 2, "one-v2"),
+            (2, "upsert", 1, "two-v1"),
+            (2, "delete", 2, None),
+        ],
+        dim_schema,
+    )
+    fact_schema = "fact_id bigint, doc_id bigint, as_of_seq bigint"
+    first = [(100, 1, 2), (101, 2, 1)]
+    # late fact: arrives second, refers to seq 1; plus a then-deleted ref
+    second = [(102, 1, 1), (103, 2, 2), (104, 9, 2)]
+    src, out = tmp_path / "facts", tmp_path / "enriched"
+
+    def drain():
+        stream = spark.readStream.schema(fact_schema).parquet(str(src))
+        q = (
+            streaming_pit_enrich_writer(
+                stream, dim, str(out), payload_cols=["name"]
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(first, fact_schema).write.mode("append").parquet(
+        str(src)
+    )
+    drain()
+    spark.createDataFrame(second, fact_schema).write.mode("append").parquet(
+        str(src)
+    )
+    drain()
+
+    got = sorted(
+        (r.fact_id, r.is_live, r.name)
+        for r in spark.read.parquet(str(out))
+        .select("fact_id", "is_live", "name")
+        .collect()
+    )
+    facts = spark.createDataFrame(first + second, fact_schema)
+    want = sorted(
+        (r.fact_id, r.is_live, r.name)
+        for r in pit_lookup(facts, dim, payload_cols=["name"]).collect()
+    )
+    assert got == want
+    by_id = dict((f, (l, n)) for f, l, n in got)
+    assert by_id[102] == (True, "one-v1")  # late fact sees the OLD version
+    assert by_id[100] == (True, "one-v2")
+    assert by_id[103] == (False, None)  # deleted as of seq 2
+    assert by_id[104] == (False, None)  # never-written key kept, flagged
