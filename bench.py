@@ -127,6 +127,15 @@ BENCH_QUERIES = [
     "top_revenue_supplier",
     "promo_revenue_share",
     "revenue_forecast_delta",
+    # round-9 session 2: sketches, JSON profile, CDC view maintenance,
+    # PIT lookup, privacy screen, persisted tokenizer
+    "events_value_sketch",
+    "events_reach_sketch",
+    "events_props_profile",
+    "corpus_incremental_rollup",
+    "corpus_pit_versions",
+    "corpus_k_anonymity",
+    "doc_bpe_token_counts_prebuilt",
 ]
 
 # The original 18-query set every round since r1 has recorded — their
