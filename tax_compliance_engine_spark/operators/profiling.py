@@ -89,16 +89,26 @@ def suppress_small_groups(
 ) -> DataFrame:
     """k-anonymity ENFORCEMENT by suppression: drop every row whose QI
     combination has fewer than ``k`` members — the remaining dataset is
-    k-anonymous w.r.t. ``qi_cols`` by construction.  A window count
-    over the QI key (the same shuffle the audit pays, reused as a
-    filter — no join back)."""
+    k-anonymous w.r.t. ``qi_cols`` by construction.
+
+    Scale shape: a map-side-combinable groupBy count + a LEFT SEMI join
+    back on the compliant key set, NOT a window count — a window
+    serializes each QI group through one task, so one dominant
+    combination (the common failure mode of a skewed corpus) would
+    bottleneck the whole pass; the join spreads it.  The semi join uses
+    NULL-SAFE equality so null-QI groups suppress by the same rule they
+    group by (a plain equijoin would silently drop every null-QI row
+    regardless of group size)."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy(*qi_cols)
-    return (
-        df.withColumn("_ka_n", F.count(F.lit(1)).over(w))
+    keep = (
+        df.groupBy(*qi_cols)
+        .agg(F.count(F.lit(1)).alias("_ka_n"))
         .filter(F.col("_ka_n") >= k)
-        .drop("_ka_n")
+        .select(*[F.col(c).alias(f"_ka_{c}") for c in qi_cols])
     )
+    cond = None
+    for c in qi_cols:
+        clause = F.col(c).eqNullSafe(F.col(f"_ka_{c}"))
+        cond = clause if cond is None else cond & clause
+    return df.join(keep, cond, "left_semi")
