@@ -693,6 +693,10 @@ def oracle_sql() -> dict[str, str]:
         # communities over the near-dup graph (min-label tie-break,
         # integer-exact) — oracle-only swept entry.
         "embedding_communities": oracle_dataops.embedding_communities_sql(),
+        # embedding_kcore: k-core peeling over the near-dup graph (the
+        # dense-duplication-core screen; pure integer degree rounds,
+        # unrolled-CTE twin) — oracle-only swept entry.
+        "embedding_kcore": oracle_dataops.embedding_kcore_sql(),
         # multimodal_bmp_profile: REAL 24-bit BI_RGB BMP decode (header
         # parse, 4-byte stride, bottom-up flip, BGR→RGB) vs the analytic
         # pixel-sum twin — oracle-only swept entry.

@@ -350,3 +350,49 @@ def bfs_distance(
             .agg(F.min("dist").alias("dist"))
         )
     return dist.orderBy("node")
+
+
+def kcore_nodes(
+    edges: DataFrame, k: int, n_iter: int = 4, materialize: bool = False
+) -> DataFrame:
+    """k-core peeling over a SYMMETRIC (src, dst) edge list, ``n_iter``
+    synchronous rounds: each round drops every node whose current
+    degree is below ``k`` and restricts the edge list to survivors on
+    BOTH endpoints — the graph-degeneracy screen that separates densely
+    inter-duplicated cores (template farms, mirror clusters) from
+    incidental near-dup pairs, the next structural lens after
+    components (too coarse) and triangles (too local).
+
+    Synchronous peeling is confluent — the k-core is the unique maximal
+    subgraph of min-degree ≥ k, and each round removes only nodes that
+    can never re-qualify — so once the peel converges, extra rounds are
+    no-ops; two engines unrolling the SAME round count agree exactly
+    even mid-convergence (pure integer degrees).  Callers pick
+    ``n_iter`` for their graph; convergence on a given corpus is
+    asserted where it matters (pytest fixes a chain-plus-clique graph).
+
+    Per round: one combinable degree aggregate + two semi-join-shaped
+    inner joins against the ≤|nodes| keep set — no windows, no
+    all-pairs anything.  ``materialize=True`` localCheckpoints each
+    round's edge list (the iterative-algorithm lineage-truncation
+    pattern ``corpus.bpe_merges`` uses — the lazy chain re-derives the
+    full prefix per round, O(n²) work); results are identical.
+    Output: (node, degree) in the final subgraph."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    e = edges
+    for _ in range(n_iter):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") >= k)
+            .select("src")
+        )
+        e = e.join(keep, "src").join(
+            keep.select(F.col("src").alias("dst")), "dst"
+        )
+        if materialize:
+            e = e.localCheckpoint()
+    return e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )

@@ -2156,6 +2156,51 @@ SELECT node AS vec_id, label AS community FROM lab{n_iter} ORDER BY node"""
     )
 
 
+def embedding_kcore_sql(
+    threshold: float = 0.15,
+    k: int = 2,
+    n_iter: int = 8,
+    n_docs: int | None = None,
+) -> str:
+    """Twin of queries_dataops.embedding_kcore: verbatim
+    embedding_dup_pairs CTE symmetrized, then one unrolled CTE pair per
+    synchronous peel round (combinable degree count, ≥k keep set, edge
+    restriction on both endpoints) — pure integer degrees, no float
+    care needed."""
+    pairs_sql = embedding_dup_pairs_sql(threshold, n_docs=n_docs)
+    # every e{r} is referenced TWICE by round r+1 (degree count + edge
+    # restriction) and keep{r} twice by its own round — without AS
+    # MATERIALIZED DuckDB inlines CTEs per reference, so the chain
+    # re-evaluates e0 (and the whole pairs CTE) 2^n_iter times and dies
+    # on file handles before it dies on time
+    ctes = [
+        f"""pairs AS MATERIALIZED (
+{pairs_sql}
+),
+e0 AS MATERIALIZED (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION ALL SELECT id2, id1 FROM pairs)"""
+    ]
+    for r in range(1, n_iter + 1):
+        ctes.append(
+            f"""keep{r} AS MATERIALIZED (
+  SELECT src FROM e{r - 1} GROUP BY src HAVING count(*) >= {k}),
+e{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{r - 1} e
+  JOIN keep{r} ks ON e.src = ks.src
+  JOIN keep{r} kd ON e.dst = kd.src)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT src AS vec_id, count(*) AS degree
+FROM e{n_iter}
+GROUP BY src
+ORDER BY vec_id"""
+    )
+
+
 def multimodal_bmp_profile_sql() -> str:
     """Twin of queries_dataops.multimodal_bmp_profile: synth_bmp pixels
     share synth_ppm's closed form, so the analytic per-channel sums are

