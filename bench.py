@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "corpus_pit_versions",
     "corpus_k_anonymity",
     "doc_bpe_token_counts_prebuilt",
+    "embedding_kcore",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

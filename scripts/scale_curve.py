@@ -130,6 +130,7 @@ SCALE_QUERIES = [
     # (delta-sized maintenance vs a 10× base)
     "events_props_profile",
     "corpus_incremental_rollup",
+    "embedding_kcore",
 ]
 
 
