@@ -454,6 +454,10 @@ def oracle_sql() -> dict[str, str]:
         # corpus_phrase_search: row-local exact phrase search (pure
         # projection+filter, no shuffle) — oracle-only swept entry.
         "corpus_phrase_search": oracle_corpus.corpus_phrase_search_sql(),
+        # corpus_retrieval_mrr: labeled-data-free self-retrieval eval
+        # (hits@1/hits@10/MRR@10 over probes querying their own top
+        # terms; pinned-fold reciprocal ranks) — oracle-only swept.
+        "corpus_retrieval_mrr": oracle_corpus.corpus_retrieval_mrr_sql(),
         # corpus_cooccurrence: association mining (top-k-vocab pair
         # counts + exact-ratio lift) — oracle-only swept entry.
         "corpus_cooccurrence": oracle_corpus.corpus_cooccurrence_sql(),

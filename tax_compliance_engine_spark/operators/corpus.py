@@ -1774,3 +1774,89 @@ def cooccurrence(
             ).alias("lift"),
         )
     )
+
+
+def retrieval_self_mrr(
+    docs: DataFrame,
+    probe_mod: int = 29,
+    n_terms: int = 2,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Retrieval-quality evaluation by SELF-RETRIEVAL: every probe doc
+    (doc_id % probe_mod == 0) queries the corpus with its own
+    ``n_terms`` most frequent tokens (count DESC, token tie-break) and
+    we measure where the probe ranks in its OWN result list — the
+    labeled-data-free eval loop a retrieval pipeline runs after every
+    index change (a doc that can't find itself under its best terms
+    signals scoring or indexing drift).
+
+    Output is ONE row: n_queries, hits_at_1, hits_at_k (probe found at
+    rank 1 / within top-k) and mrr_at_k — mean reciprocal rank with
+    rank misses contributing 0.  Bit-portable: each 1/rank is a single
+    exactly-rounded division, the mean folds per-query terms in
+    query_id order (the pinned-fold recipe), and the ranking underneath
+    is the log-free BM25 surrogate (``bm25_search``) that already sits
+    under the hash gate.
+
+    Scale shape: probes are a 1/probe_mod sample; query terms broadcast
+    like any query set; everything else is the standing ``bm25_search``
+    machinery (token-filtered postings, sharded top-k)."""
+    from .topk import top_k_per_group
+
+    probes = docs.filter(F.col("doc_id") % probe_mod == 0)
+    pcnt = (
+        probes.select(
+            "doc_id", F.explode(_tokens(text_col)).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("_c"))
+    )
+    qtoks = top_k_per_group(
+        pcnt, ["doc_id"], [F.desc("_c"), F.col("token")], n_terms
+    ).select(F.col("doc_id").alias("query_id"), "token")
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(text_col)).alias("token")
+    )
+    postings = (
+        toks.join(F.broadcast(qtoks.select("token").distinct()), "token")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    sized, stats = _bm25_doc_stats(docs, text_col)
+    ranked = bm25_score_queries(
+        postings, sized, stats, qtoks, k1=k1, b=b, k=k
+    )
+    hits = ranked.filter(F.col("doc_id") == F.col("query_id")).select(
+        "query_id", "rank"
+    )
+    per = (
+        qtoks.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "rank",
+            F.coalesce(
+                F.lit(1.0) / F.col("rank").cast("double"), F.lit(0.0)
+            ).alias("_rr"),
+        )
+    )
+    ordered_sum = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("query_id", "_rr"))),
+            lambda s: s["_rr"],
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.when(F.col("rank") == 1, 1).otherwise(0)).alias("hits_at_1"),
+        F.sum(F.when(F.col("rank").isNotNull(), 1).otherwise(0)).alias(
+            "hits_at_k"
+        ),
+        (ordered_sum / F.count(F.lit(1)).cast("double")).alias("mrr_at_k"),
+    )

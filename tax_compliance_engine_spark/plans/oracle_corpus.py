@@ -848,22 +848,31 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 7"""
 
 
 def _bm25_ranked_ctes(
-    queries: list[tuple[int, list[str]]],
+    queries: list[tuple[int, list[str]]] | None = None,
     k1: float = 1.2,
     b: float = 0.75,
+    qtoks_cte: str | None = None,
 ) -> str:
     """CTE chain ending in ``bm25_ranked`` (query_id, rank, doc_id,
     score) — the log-free BM25 surrogate shared by the keyword-search
-    twin and the hybrid-fusion twin."""
-    qvals = ",\n    ".join(
-        f"({qid}, '{t}')"
-        for qid, terms in queries
-        for t in dict.fromkeys(terms)
-    )
+    twin, the hybrid-fusion twin, and the self-retrieval eval twin.
+    Either ``queries`` (a static list rendered as VALUES) or
+    ``qtoks_cte`` (SQL for one or more CTEs, the last of which must be
+    ``qtoks(query_id, token)`` — data-DERIVED query sets) supplies the
+    query tokens; the scoring chain is identical either way."""
+    if (queries is None) == (qtoks_cte is None):
+        raise ValueError("pass exactly one of queries / qtoks_cte")
+    if qtoks_cte is None:
+        qvals = ",\n    ".join(
+            f"({qid}, '{t}')"
+            for qid, terms in queries
+            for t in dict.fromkeys(terms)
+        )
+        qtoks_cte = f"""qtoks(query_id, token) AS (VALUES
+    {qvals})"""
     one_minus_b = 1.0 - b
     k1p1 = k1 + 1.0
-    return f"""qtoks(query_id, token) AS (VALUES
-    {qvals}),
+    return f"""{qtoks_cte},
 toks AS (SELECT doc_id, unnest({TOKENS}) AS token FROM documents),
 sized AS (SELECT doc_id, len({TOKENS}) AS dl FROM documents),
 stats AS (
@@ -914,6 +923,50 @@ def corpus_bm25_search_sql(
     return f"""WITH {_bm25_ranked_ctes(BM25_QUERIES, k1, b)}
 SELECT query_id, rank, doc_id, score FROM bm25_ranked
 WHERE rank <= {k}"""
+
+
+def corpus_retrieval_mrr_sql(
+    probe_mod: int = 29,
+    n_terms: int = 2,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Twin of corpus.retrieval_self_mrr: the SAME derived query set
+    (per-probe top-n_terms tokens, count DESC / token tie-break), the
+    shared BM25 chain, then the self-rank hits and the pinned-order
+    reciprocal-rank fold (one rounded division per hit, misses 0.0)."""
+    qtoks_cte = f"""ptoks AS (
+  SELECT doc_id, unnest({TOKENS}) AS token FROM documents
+  WHERE doc_id % {probe_mod} = 0),
+pcnt AS (
+  SELECT doc_id, token, count(*) AS c FROM ptoks GROUP BY doc_id, token),
+qtoks(query_id, token) AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, token,
+      row_number() OVER (PARTITION BY doc_id
+                         ORDER BY c DESC, token) AS r
+    FROM pcnt) t
+  WHERE r <= {n_terms})"""
+    chain = _bm25_ranked_ctes(k1=k1, b=b, qtoks_cte=qtoks_cte)
+    return f"""WITH {chain},
+hits AS (
+  SELECT query_id, rank FROM bm25_ranked
+  WHERE doc_id = query_id AND rank <= {k}),
+per AS (
+  SELECT q.query_id, h.rank,
+         COALESCE(1.0 / CAST(h.rank AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rr
+  FROM (SELECT DISTINCT query_id FROM qtoks) q
+  LEFT JOIN hits h USING (query_id))
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN rank = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS hits_at_1,
+       CAST(SUM(CASE WHEN rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS hits_at_k,
+       list_reduce(list_prepend(0.0, list(rr ORDER BY query_id)),
+                   (acc, x) -> acc + x)
+         / CAST(count(*) AS DOUBLE) AS mrr_at_k
+FROM per"""
 
 
 def corpus_hybrid_search_sql(

@@ -994,6 +994,16 @@ def corpus_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.bm25_search(_docs(spark, sf_dir), BM25_QUERIES, k=10)
 
 
+def corpus_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled-data-free retrieval eval (corpus.retrieval_self_mrr):
+    every 29th doc queries the corpus with its own top-2 tokens and we
+    score where it ranks in its own results — hits@1, hits@10, MRR@10
+    in one row (GLOBAL_AGG_OK: the result IS the scalar eval report).
+    The ranking underneath is the same gated log-free BM25; the MRR is
+    a pinned-order fold of exactly-rounded reciprocal ranks."""
+    return corpus.retrieval_self_mrr(_docs(spark, sf_dir))
+
+
 def corpus_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-local exact phrase search for 'spark window' over the corpus
     (corpus.phrase_search) — pure projection+filter, no shuffle."""
