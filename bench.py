@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "corpus_k_anonymity",
     "doc_bpe_token_counts_prebuilt",
     "embedding_kcore",
+    "corpus_retrieval_mrr",
 ]
 
 # The original 18-query set every round since r1 has recorded — their
