@@ -1778,7 +1778,7 @@ def cooccurrence(
 
 def retrieval_self_mrr(
     docs: DataFrame,
-    probe_mod: int = 29,
+    probe_mod: int = 149,
     n_terms: int = 2,
     k: int = 10,
     k1: float = 1.2,
@@ -1801,9 +1801,16 @@ def retrieval_self_mrr(
     is the log-free BM25 surrogate (``bm25_search``) that already sits
     under the hash gate.
 
-    Scale shape: probes are a 1/probe_mod sample; query terms broadcast
-    like any query set; everything else is the standing ``bm25_search``
-    machinery (token-filtered postings, sharded top-k)."""
+    Scale + cost shape: the eval's per-query cost is inherently
+    Σ_terms df(term) score rows (frequent query terms touch most of the
+    corpus — a selective-terms variant was measured and REJECTED on
+    this corpus: its tiny fixed vocabulary gives every token df ∝ N,
+    so a df cap either empties the query set or picks incidental rare
+    tokens that aren't distinctive of their probe and collapse the MRR
+    to noise).  The honest knob is the probe SAMPLE (1/probe_mod of
+    the corpus): eval cost scales with probes × corpus, dialed
+    independently of corpus size.  Zero eligible probes reports
+    mrr 0.0, not a division error."""
     from .topk import top_k_per_group
 
     probes = docs.filter(F.col("doc_id") % probe_mod == 0)
@@ -1814,12 +1821,12 @@ def retrieval_self_mrr(
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("_c"))
     )
-    qtoks = top_k_per_group(
-        pcnt, ["doc_id"], [F.desc("_c"), F.col("token")], n_terms
-    ).select(F.col("doc_id").alias("query_id"), "token")
     toks = docs.select(
         "doc_id", F.explode(_tokens(text_col)).alias("token")
     )
+    qtoks = top_k_per_group(
+        pcnt, ["doc_id"], [F.desc("_c"), F.col("token")], n_terms
+    ).select(F.col("doc_id").alias("query_id"), "token")
     postings = (
         toks.join(F.broadcast(qtoks.select("token").distinct()), "token")
         .groupBy("doc_id", "token")
@@ -1852,11 +1859,14 @@ def retrieval_self_mrr(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    n_q = F.count(F.lit(1))
     return per.agg(
-        F.count(F.lit(1)).alias("n_queries"),
+        n_q.alias("n_queries"),
         F.sum(F.when(F.col("rank") == 1, 1).otherwise(0)).alias("hits_at_1"),
         F.sum(F.when(F.col("rank").isNotNull(), 1).otherwise(0)).alias(
             "hits_at_k"
         ),
-        (ordered_sum / F.count(F.lit(1)).cast("double")).alias("mrr_at_k"),
+        F.when(n_q > 0, ordered_sum / n_q.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("mrr_at_k"),
     )

@@ -926,7 +926,7 @@ WHERE rank <= {k}"""
 
 
 def corpus_retrieval_mrr_sql(
-    probe_mod: int = 29,
+    probe_mod: int = 149,
     n_terms: int = 2,
     k: int = 10,
     k1: float = 1.2,
@@ -935,7 +935,8 @@ def corpus_retrieval_mrr_sql(
     """Twin of corpus.retrieval_self_mrr: the SAME derived query set
     (per-probe top-n_terms tokens, count DESC / token tie-break), the
     shared BM25 chain, then the self-rank hits and the pinned-order
-    reciprocal-rank fold (one rounded division per hit, misses 0.0)."""
+    reciprocal-rank fold (one rounded division per hit, misses 0.0,
+    the zero-probes case an explicit 0.0)."""
     qtoks_cte = f"""ptoks AS (
   SELECT doc_id, unnest({TOKENS}) AS token FROM documents
   WHERE doc_id % {probe_mod} = 0),
@@ -963,9 +964,11 @@ SELECT CAST(count(*) AS BIGINT) AS n_queries,
          AS hits_at_1,
        CAST(SUM(CASE WHEN rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS hits_at_k,
-       list_reduce(list_prepend(0.0, list(rr ORDER BY query_id)),
-                   (acc, x) -> acc + x)
-         / CAST(count(*) AS DOUBLE) AS mrr_at_k
+       CASE WHEN count(*) > 0 THEN
+         list_reduce(list_prepend(0.0, list(rr ORDER BY query_id)),
+                     (acc, x) -> acc + x)
+           / CAST(count(*) AS DOUBLE)
+       ELSE CAST(0.0 AS DOUBLE) END AS mrr_at_k
 FROM per"""
 
 
