@@ -131,6 +131,7 @@ SCALE_QUERIES = [
     "events_props_profile",
     "corpus_incremental_rollup",
     "embedding_kcore",
+    "corpus_retrieval_mrr",
 ]
 
 
