@@ -132,6 +132,8 @@ SCALE_QUERIES = [
     "corpus_incremental_rollup",
     "embedding_kcore",
     "corpus_retrieval_mrr",
+    "corpus_pit_versions",
+    "corpus_k_anonymity",
 ]
 
 
