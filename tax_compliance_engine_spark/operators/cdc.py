@@ -427,7 +427,27 @@ def incremental_rollup(
             ]
         )
     )
-    merged = agg.join(deltas, group_cols, "full_outer")
+    # NULL-SAFE outer merge: a NULL group key must fold into ONE
+    # maintained group (matching the groupBy above, which treats NULL
+    # as its own group) — a plain full_outer equijoin never matches
+    # NULLs and would leave a stale agg row plus a delta-only row.
+    # The delta side's keys are RENAMED first: agg and deltas usually
+    # share lineage (both derive from base), so an unaliased
+    # agg[c]/deltas[c] condition resolves to a trivially-true
+    # same-attribute compare.
+    deltas = deltas.select(
+        *[F.col(c).alias(f"_dg_{c}") for c in group_cols],
+        *[F.col(f"_d_{out}") for out in [count_col, *sum_cols]],
+    )
+    cond = None
+    for c in group_cols:
+        clause = F.col(c).eqNullSafe(F.col(f"_dg_{c}"))
+        cond = clause if cond is None else cond & clause
+    merged = agg.join(deltas, cond, "full_outer")
+    group_out = [
+        F.coalesce(F.col(c), F.col(f"_dg_{c}")).alias(c)
+        for c in group_cols
+    ]
     updated = [
         (
             F.coalesce(F.col(out), F.lit(0))
@@ -435,7 +455,7 @@ def incremental_rollup(
         ).alias(out)
         for out in [count_col, *sum_cols]
     ]
-    return merged.select(*group_cols, *updated).filter(
+    return merged.select(*group_out, *updated).filter(
         F.col(count_col) > 0
     )
 
@@ -462,7 +482,15 @@ def pit_lookup(
     One ``temporal.asof_join`` (union-marker window — one shuffle, no
     per-probe subquery); the delete-outranks rank doubles as the as-of
     tiebreak, so resolution and lookup can never disagree.
-    ``shard_width`` passes through to the as-of hot-key sharding."""
+    ``shard_width`` passes through to the as-of hot-key sharding.
+
+    Input contract (same as ``resolve_changes``): at most ONE change
+    per (key, seq, op) — the op rank is the tiebreak within an equal
+    seq, so duplicate upserts sharing (key, seq) would leave the picked
+    payload nondeterministic across runs.  Feeds that can repeat (raw
+    at-least-once logs) must be deduplicated on (key, seq, op)
+    upstream; a CDC feed keyed by a monotonic per-key sequence
+    satisfies this by construction."""
     from .temporal import asof_join
 
     ranked = changes.select(

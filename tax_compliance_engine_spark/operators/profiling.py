@@ -112,3 +112,37 @@ def suppress_small_groups(
         clause = F.col(c).eqNullSafe(F.col(f"_ka_{c}"))
         cond = clause if cond is None else cond & clause
     return df.join(keep, cond, "left_semi")
+
+
+def k_anonymity_report(
+    df: DataFrame, qi_cols: list[str], k: int
+) -> DataFrame:
+    """Audit + enforcement in one report: per QI combination, the group
+    size, the ≥k flag, and ``n_kept`` — how many of the group's rows a
+    ``suppress_small_groups`` release would retain (= group_size for
+    compliant groups, 0 for suppressed ones).
+
+    The survivor count is rejoined to the audit with NULL-SAFE equality
+    on every QI column, mirroring the suppression rule itself: a
+    NULL-valued QI group that survives must report its kept count — a
+    plain equijoin never matches NULL keys and would report n_kept=0
+    for exactly the groups whose null-handling the audit exists to
+    certify."""
+    audit = k_anonymity_audit(df, qi_cols, k)
+    survivors = suppress_small_groups(df, qi_cols, k)
+    kept = survivors.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+    kept = kept.select(
+        *[F.col(c).alias(f"_nk_{c}") for c in qi_cols], "n_kept"
+    )
+    cond = None
+    for c in qi_cols:
+        clause = audit[c].eqNullSafe(F.col(f"_nk_{c}"))
+        cond = clause if cond is None else cond & clause
+    return audit.join(kept, cond, "left").select(
+        *[audit[c] for c in qi_cols],
+        "group_size",
+        "is_k_anonymous",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )

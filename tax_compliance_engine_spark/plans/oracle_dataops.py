@@ -2595,4 +2595,5 @@ GEOMETRY_PARAMETRIC_SQL = {
     "embedding_pagerank": lambda n: embedding_pagerank_sql(n_docs=n),
     "embedding_bfs_dist": lambda n: embedding_bfs_dist_sql(n_docs=n),
     "embedding_communities": lambda n: embedding_communities_sql(n_docs=n),
+    "embedding_kcore": lambda n: embedding_kcore_sql(n_docs=n),
 }

@@ -1379,27 +1379,9 @@ def corpus_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(n_chars AS LONG) DIV 100"), F.lit(9).cast("long")
         ).alias("len_bucket"),
     )
-    audit = profiling.k_anonymity_audit(
+    return profiling.k_anonymity_report(
         docs, ["lang", "source", "len_bucket"], k=10
-    )
-    survivors = profiling.suppress_small_groups(
-        docs, ["lang", "source", "len_bucket"], k=10
-    )
-    n_kept = survivors.groupBy("lang", "source", "len_bucket").agg(
-        F.count(F.lit(1)).alias("n_kept")
-    )
-    return (
-        audit.join(n_kept, ["lang", "source", "len_bucket"], "left")
-        .select(
-            "lang",
-            "source",
-            "len_bucket",
-            "group_size",
-            "is_k_anonymous",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-        )
-        .orderBy("lang", "source", "len_bucket")
-    )
+    ).orderBy("lang", "source", "len_bucket")
 
 
 def corpus_pit_versions(spark: SparkSession, sf_dir: str) -> DataFrame:

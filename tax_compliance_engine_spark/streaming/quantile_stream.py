@@ -19,6 +19,7 @@ while the sketch's error stays the fixed ~1/√k rank bound.
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 
@@ -77,8 +78,14 @@ def streaming_value_sketch_writer(
             id_col,
             k,
         )
+        # reap staging dirs from ANY pid, not just our own: a writer
+        # that crashed after writing staging but before the rename
+        # leaves <state>.staging.<oldpid> behind, and the restarted
+        # process (new pid) would otherwise never clean it
+        # (single-writer per state_dir is already assumed)
         staging = f"{state_dir}.staging.{os.getpid()}"
-        shutil.rmtree(staging, ignore_errors=True)
+        for stale in glob.glob(f"{state_dir}.staging.*"):
+            shutil.rmtree(stale, ignore_errors=True)
         new_state.write.mode("overwrite").parquet(staging)
         shutil.rmtree(old, ignore_errors=True)
         if os.path.isdir(state_dir):

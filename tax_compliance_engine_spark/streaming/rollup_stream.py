@@ -25,6 +25,7 @@ no state store, no watermark; memory stays bounded forever.
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 
@@ -109,8 +110,12 @@ def streaming_cdc_rollup_writer(
                 seq_col=seq_col,
                 op_col=op_col,
             )
+            # reap staging dirs from ANY pid: a writer that crashed
+            # pre-rename leaves <agg>.staging.<oldpid> behind and the
+            # restarted process (new pid) would never clean it
             staging = f"{agg_path}.staging.{os.getpid()}"
-            shutil.rmtree(staging, ignore_errors=True)
+            for stale in glob.glob(f"{agg_path}.staging.*"):
+                shutil.rmtree(stale, ignore_errors=True)
             new_agg.write.mode("overwrite").parquet(staging)
             with open(os.path.join(staging, _MARKER), "w") as fh:
                 fh.write(str(batch_id))

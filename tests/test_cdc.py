@@ -579,3 +579,35 @@ def test_streaming_pit_enrich_drained_equals_batch(spark, tmp_path):
     assert by_id[100] == (True, "one-v2")
     assert by_id[103] == (False, None)  # deleted as of seq 2
     assert by_id[104] == (False, None)  # never-written key kept, flagged
+
+
+def test_incremental_rollup_null_group_key(spark):
+    """A NULL group key folds into ONE maintained group (null-safe
+    outer merge) — a plain full_outer equijoin would leave a stale agg
+    row plus an unmerged delta-only row for the NULL group."""
+    from pyspark.sql import functions as F
+
+    from tax_compliance_engine_spark.operators import cdc
+
+    base = spark.createDataFrame(
+        [(1, None, 10), (2, None, 20), (3, "a", 30)],
+        "doc_id long, source string, n_chars long",
+    )
+    changes = spark.createDataFrame(
+        [
+            (4, "upsert", 1, None, 5),  # new key into the NULL group
+            (1, "delete", 1, None, None),  # NULL-group member removed
+        ],
+        "doc_id long, op string, seq long, source string, n_chars long",
+    )
+    agg0 = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("chars"),
+    )
+    got = cdc.incremental_rollup(
+        base, agg0, changes, ["source"], {"chars": "n_chars"}
+    ).collect()
+    rows = {r.source: (r.n_rows, r.chars) for r in got}
+    assert len(got) == 2  # exactly one NULL-group row, one 'a' row
+    assert rows[None] == (2, 25)  # {2:20, 4:5}
+    assert rows["a"] == (1, 30)

@@ -50,3 +50,23 @@ def test_suppress_output_is_k_anonymous(spark):
     out = suppress_small_groups(df, ["lang", "src"], k=3)
     audit = k_anonymity_audit(out, ["lang", "src"], k=3)
     assert audit.filter(~audit.is_k_anonymous).count() == 0
+
+
+def test_report_null_qi_survivor_counts(spark):
+    """k_anonymity_report rejoins survivor counts NULL-SAFELY: a
+    NULL-QI group that survives suppression reports n_kept=group_size
+    (a plain equijoin would report 0 for exactly those groups)."""
+    from tax_compliance_engine_spark.operators.profiling import (
+        k_anonymity_report,
+    )
+
+    rep = {
+        (r.lang, r.src): (r.group_size, r.is_k_anonymous, r.n_kept)
+        for r in k_anonymity_report(
+            spark.createDataFrame(ROWS, SCHEMA), ["lang", "src"], k=3
+        ).collect()
+    }
+    assert rep[(None, "c")] == (3, True, 3)  # null group kept, counted
+    assert rep[(None, "d")] == (1, False, 0)  # null singleton suppressed
+    assert rep[("en", "a")] == (3, True, 3)
+    assert rep[("de", "b")] == (1, False, 0)

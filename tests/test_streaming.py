@@ -793,3 +793,46 @@ def test_streaming_sketch_state_crash_recovery(spark, tmp_path):
     ).collect()
     assert sorted(got) == sorted(want)
     assert not os.path.isdir(f"{state}.old")  # recovery cleaned up
+
+
+def test_streaming_sketch_stale_staging_reaped(spark, tmp_path):
+    """A staging dir left by a crashed writer under a DIFFERENT pid is
+    reaped on the next merge (the restarted process has a new pid, so
+    a pid-scoped cleanup would leak it forever)."""
+    import os
+
+    from tax_compliance_engine_spark.streaming.quantile_stream import (
+        sketch_from_state,
+        streaming_value_sketch_writer,
+    )
+
+    schema = "event_id long, event_type string, cents long"
+    src, state = tmp_path / "src", tmp_path / "state"
+    stale = f"{state}.staging.424242"  # not our pid
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-zombie.parquet"), "w") as fh:
+        fh.write("half-written")
+    spark.createDataFrame(
+        [(i, "t", i * 3) for i in range(100)], schema
+    ).write.parquet(str(src))
+    q = (
+        streaming_value_sketch_writer(
+            spark.readStream.schema(schema).parquet(str(src)),
+            str(state),
+            ["event_type"],
+            "event_id",
+            k=32,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert not os.path.isdir(stale)  # zombie reaped
+    assert not [  # no staging dirs of any pid survive a clean publish
+        p for p in os.listdir(tmp_path) if ".staging." in p
+    ]
+    got = sketch_from_state(
+        spark, str(state), ["event_type"], "cents", {"p50_est": 0.5}
+    ).collect()
+    assert len(got) == 1 and got[0].sample_n == 32
