@@ -973,52 +973,62 @@ def dup_clusters(
     is the minimum doc_id reachable through the pair graph (connected
     components; docs in no pair are their own singleton cluster).
 
-    Alternating large-star / small-star edge contraction (Kiveris et al.
-    2014, "Connected Components in MapReduce and Beyond"): each round
-    rewrites the edge set twice with window aggregations —
+    Hook-and-shortcut CONTRACTION (the Shiloach-Vishkin discipline in
+    the MapReduce framing of Rastogi et al. 2013 / Kiveris et al. 2014):
+    each LEVEL
 
-    - large-star hangs every neighbor LARGER than a node off the minimum
-      of its neighborhood (min(N(u) ∪ {u}));
-    - small-star re-hangs each node's SMALLER neighbors (and the node)
-      off that minimum;
+    1. HOOKS every node to its neighborhood minimum — parent(u) =
+       min(u ∪ N(u)), ONE map-side-combining aggregation over the
+       symmetric edge stream;
+    2. SHORTCUTS the parent forest to closure by pointer doubling —
+       parent ← parent∘parent until fixed — so every node labels its
+       tree root (a LOCAL minimum: a node smaller than all its
+       neighbors).  Each squaring halves the surviving pointer depth,
+       so a depth-d forest closes in ⌈log₂ d⌉ self-joins of the ≤|V|-row
+       label table — this is what makes a monotone million-node chain
+       converge in ~20 tiny jobs where plain min-label propagation pays
+       a full edge pass per hop;
+    3. CONTRACTS: rewrites every edge through the closed labels and
+       drops the self-loops this creates.  The supergraph's nodes are
+       the local minima — adjacent nodes can't both be local minima, so
+       components shrink strictly every level and collapse in a
+       logarithmic handful (ONE level for the dense near-clique graphs
+       real near-dup thresholds produce, where almost every member sees
+       the cluster minimum directly).
 
-    and the edge set converges to a star forest — every non-root node
-    linked directly to its component minimum — in O(log² n) rounds
-    (O(log d) in practice), vs O(diameter) for plain min-label
-    propagation, so chain-shaped boilerplate graphs converge in a
-    handful of rounds instead of one per hop.  ``localCheckpoint``
-    truncates lineage so the per-round plan stays constant-size.
+    A node's final label composes the per-level labels.  The old
+    alternating large-star/small-star loop paid 8 rounds of full
+    edge-stream rewrites (two groupBy + two join + two distinct over
+    the multi-million-row stream per round) for the same fixed point;
+    contraction touches the big stream exactly twice total — the hook
+    aggregation (which also computes the pair lineage into the disk
+    persist) and the rewrite (which reads it back) — and every later
+    level runs on the supergraph, smaller than |V|.
+
     Deterministic, so the DuckDB oracle replicates the RESULT (reachable
     minimum per node) with a recursive CTE — the fixed point is
-    algorithm-independent.
+    algorithm-independent.  Fixed-point correctness: labels are always
+    same-component node ids and the component minimum always labels
+    itself (it is its own neighborhood minimum and its own root at
+    every level), so when the contracted edge set empties, every
+    surviving supernode is a component minimum and every node's
+    composed label is exactly that minimum.
 
-    Raises RuntimeError if ``max_iter`` rounds pass without a fixed
-    point (with the logarithmic bound, that means a pathological input
-    far beyond any real near-dup graph) rather than silently returning
-    wrong labels.
+    Raises RuntimeError if ``max_iter`` levels pass with edges still
+    alive, rather than silently returning wrong labels (components
+    shrink strictly per level, so this bounds pathology, not real
+    corpora).
 
-    Neighborhood minima are computed by a map-side-combining
-    ``groupBy(a).min(b)`` joined back onto the edge stream, NOT a
-    ``min over (partition by a)`` window: the window SORTS the full
-    symmetric edge stream every round (127 M rows at the 10× fixture),
-    while the groupBy folds each node's clique-dense neighborhood to
-    one partial row per map task and the join's probe side is the
-    ~|V|-row min table (AQE picks broadcast when it fits, sort-merge
-    when it doesn't).  Identical output: both forms compute min(N(u))
-    exactly.
-
-    The INPUT edge set is persisted DISK_ONLY, not
-    distinct+localCheckpointed: the near-dup pair generators emit
-    distinct pairs by construction (banded first-shared-band dedup),
-    so the old up-front ``distinct`` was a pure 63 M-row shuffle
-    (measured 22 s of a 48 s total at the 10× fixture) — duplicate
-    edges are harmless anyway, the per-round ``distinct`` bounds them
-    — and parking the round-1 working set in executor memory evicted
-    the very shuffle pages round 1 needs (GC thrash at default heap).
-    Disk-serialized input costs two sequential scans and leaves the
-    heap to the aggregates.  Later rounds operate on star-forest-sized
-    frames, where ``localCheckpoint``'s lineage truncation is the
-    point and memory residency is free."""
+    Scale shape: the input edge stream is persisted DISK_ONLY (read
+    twice — the near-dup generators upstream are the expensive lineage)
+    and NEVER shuffled: the label table is aggregation output (≤ |V|
+    rows, tiny against the edge stream), so the rewrite joins broadcast
+    under AQE; the shuffles a level pays are the hook ``groupBy(a)
+    .min(b)``, the ⌈log₂ depth⌉ label self-joins, and the ``distinct``
+    on the already-collapsed rewritten edges.  On a 1000-executor
+    corpus where |V| outgrows broadcast, AQE falls back to sort-merge
+    and the recursion is unchanged — levels stay logarithmic, streams
+    stay narrow long-pairs."""
     from pyspark import StorageLevel
 
     in_edges = (
@@ -1030,71 +1040,112 @@ def dup_clusters(
         .persist(StorageLevel.DISK_ONLY)
     )
     edges = in_edges
+    mapping: DataFrame | None = None  # composed (node, lbl) across levels
     converged = False
-    n_edges: int | None = None  # carried across rounds: |edges| is the
-    #                             previous round's |small|, so only the
-    #                             input is ever counted directly
-    for _ in range(max_iter):
-        # large-star: for each node u, connect each neighbor v > u to
-        # min(N(u) ∪ {u}).  Output edges are (larger, smaller) by
-        # construction, which is exactly small-star's input orientation.
-        # The min table folds over the FULL symmetric neighborhood; the
-        # join probe only needs the b > a half (the filter is on b
-        # alone, so filtering before the join halves probe volume
-        # without changing any m).
+    for level in range(max_iter):
+        # HOOK: parent(u) = min(u ∪ N(u)) over the symmetric
+        # neighborhood — the union is a no-shuffle plan node, so the big
+        # stream is read once here; on level 0 this eager checkpoint job
+        # doubles as the pass that computes the expensive pair lineage
+        # and fills the DISK_ONLY persist.
         sym = edges.unionByName(
             edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
-        mins = sym.groupBy("a").agg(F.min("b").alias("_mb"))
-        large = (
-            sym.filter(F.col("b") > F.col("a"))
-            .join(mins, "a")
-            .withColumn("m", F.least(F.col("_mb"), F.col("a")))
-            .select(F.col("b").alias("a"), F.col("m").alias("b"))
-            .filter(F.col("a") != F.col("b"))
-            .distinct()
+        m = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("_mb"))
+            .select(
+                F.col("a").alias("node"),
+                F.least(F.col("_mb"), F.col("a")).alias("lbl"),
+            )
+            .localCheckpoint()
         )
-        # small-star: all neighbors here are < a; connect each of them
-        # (and a itself) to the minimum.
-        mins2 = large.groupBy("a").agg(F.min("b").alias("_mb"))
-        withm = large.join(mins2, "a").withColumn(
-            "m", F.least(F.col("_mb"), F.col("a"))
-        )
-        small = (
-            withm.select(F.col("b").alias("a"), F.col("m").alias("b"))
-            .unionByName(withm.select("a", F.col("m").alias("b")))
-            .filter(F.col("a") != F.col("b"))
+        # m is empty iff the level's edge set is empty — the recursion's
+        # termination signal (cheap: m is checkpoint-materialized)
+        if m.isEmpty():
+            converged = True
+            break
+        # SHORTCUT: pointer-double the parent forest to closure.  Labels
+        # are always node ids present in m (lbl(u) ∈ {u} ∪ N(u)), so the
+        # squaring join is inner and lossless; depth halves per
+        # squaring, and 64 squarings covers any depth a long id space
+        # can express (the loop exits on the first unchanged pass —
+        # dense near-dup forests are depth ≤ 2 and pay one squaring).
+        for _ in range(64):
+            par = m.select(
+                F.col("node").alias("_pn"), F.col("lbl").alias("_pl")
+            )
+            m2 = (
+                m.join(par, m["lbl"] == F.col("_pn"))
+                .select(
+                    "node",
+                    F.col("_pl").alias("lbl"),
+                    (F.col("_pl") != F.col("lbl")).alias("_chg"),
+                )
+                .localCheckpoint()
+            )
+            changed = m2.filter(F.col("_chg")).count()
+            m = m2.select("node", "lbl")
+            if changed == 0:
+                break
+        # CONTRACT: rewrite each edge through the closed labels;
+        # intra-tree edges become self-loops and die, and the
+        # orientation normalization lets distinct's map-side partial
+        # aggregation collapse mirror pairs
+        ma = m.select(F.col("node").alias("a"), F.col("lbl").alias("_la"))
+        mb = m.select(F.col("node").alias("b"), F.col("lbl").alias("_lb"))
+        edges = (
+            edges.join(ma, "a")
+            .join(mb, "b")
+            .filter(F.col("_la") != F.col("_lb"))
+            .select(
+                F.least("_la", "_lb").alias("a"),
+                F.greatest("_la", "_lb").alias("b"),
+            )
             .distinct()
             .localCheckpoint()
         )
-        # a star forest is a fixed point of both rewrites: converged when
-        # the edge set is unchanged
-        n_small = small.count()
-        if n_edges is None:
-            n_edges = edges.count()
-        unchanged = (
-            n_small == n_edges
-            and small.join(edges, ["a", "b"], "left_anti").count() == 0
-        )
-        edges = small
-        n_edges = n_small
-        if unchanged:
+        if level == 0:
+            in_edges.unpersist()
+            mapping = m
+        else:
+            # compose the level's (small: ≤ previous level's supernode
+            # count) label table into the standing mapping — a broadcast
+            # probe against the |V|-row frame under AQE
+            mapping = (
+                mapping.join(
+                    m.select(
+                        F.col("node").alias("_n"), F.col("lbl").alias("_l")
+                    ),
+                    mapping["lbl"] == F.col("_n"),
+                    "left",
+                )
+                .select(
+                    "node", F.coalesce("_l", F.col("lbl")).alias("lbl")
+                )
+                .localCheckpoint()
+            )
+        # an edgeless supergraph is the fixed point (cheap check: the
+        # contracted edges are checkpoint-materialized)
+        if edges.isEmpty():
             converged = True
             break
     if not converged:
         raise RuntimeError(
-            f"dup_clusters did not reach a star-forest fixed point in "
-            f"{max_iter} alternating large-star/small-star rounds "
-            "(logarithmic convergence makes this a pathological input); "
-            "raise max_iter"
+            f"dup_clusters did not contract to an edgeless supergraph "
+            f"(the fixed point) in {max_iter} hook-and-shortcut levels "
+            "(components shrink strictly per level — this is a "
+            "pathological input); raise max_iter"
         )
-    # every surviving frame is localCheckpoint-materialized, so the
-    # disk-persisted input can be released before the result is consumed
-    in_edges.unpersist()
-    mapping = edges.select(F.col("a").alias("node"), F.col("b").alias("label"))
+    out_docs = docs.select(F.col("doc_id").cast("long").alias("node"))
+    if mapping is None:  # no edges at all: everyone is a singleton
+        return out_docs.select(
+            F.col("node").alias("doc_id"), F.col("node").alias("cluster_id")
+        )
     return (
-        docs.select(F.col("doc_id").cast("long").alias("node"))
-        .join(mapping, "node", "left")
+        out_docs.join(
+            mapping.withColumnRenamed("lbl", "label"), "node", "left"
+        )
         .select(
             F.col("node").alias("doc_id"),
             F.coalesce("label", F.col("node")).alias("cluster_id"),

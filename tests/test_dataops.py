@@ -1035,14 +1035,21 @@ def test_dup_clusters_long_chain_logarithmic(spark):
 
 
 def test_dup_clusters_guard_raises_without_fixed_point(spark):
-    """max_iter=1 cannot reach the star-forest fixed point on a chain —
-    the guard must raise rather than return unconverged labels."""
-    docs = spark.createDataFrame([(i,) for i in range(16)], "doc_id long")
+    """A graph with two local minima in one component (node 1 is
+    smaller than its only neighbor 3, so level 0 contracts 2-0-3-1 to
+    the supergraph edge 0-1) needs a second contraction level —
+    max_iter=1 must raise rather than return unconverged labels."""
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(15)], "doc1 long, doc2 long"
+        [(2, 0), (0, 3), (3, 1)], "doc1 long, doc2 long"
     )
     with pytest.raises(RuntimeError, match="fixed point"):
         dedup.dup_clusters(docs, pairs, max_iter=1)
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dup_clusters(docs, pairs, max_iter=2).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0}  # 2 levels suffice
 
 
 def test_repetition_stats_edges(spark):
