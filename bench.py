@@ -335,11 +335,35 @@ def main() -> None:
     )
     # The full line above outgrew the driver's tail capture once the
     # query set passed ~60 entries (BENCH_r07.json recorded a truncated
-    # string with "parsed": null).  This compact summary — total,
-    # core18, sf, and the provenance gate fields, WITHOUT the per-query
-    # map — is printed LAST so the tail window always ends with one
-    # short parsable record; the full per-query line stays first for
-    # humans and local tooling.
+    # string with "parsed": null), making per-query regression diffs
+    # impossible from the artifacts alone.  Persist the COMPLETE record
+    # to a sidecar file next to this script — every query's seconds plus
+    # the gate fields — so each round's artifact set is self-sufficient
+    # (the file is committed per round; round-over-round diffs read it
+    # directly).
+    sidecar = Path(__file__).resolve().parent / "BENCH_queries_full.json"
+    with open(sidecar, "w") as fh:
+        json.dump(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "value_core18": core18,
+                "queries": timings,
+                "sf": float(sf),
+                "wall_clock_utc": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                ),
+                **gate,
+            },
+            fh,
+            indent=1,
+        )
+    # This compact summary — total, core18, sf, the provenance gate
+    # fields, and the sidecar's name, WITHOUT the per-query map — is
+    # printed LAST so the tail window always ends with one short
+    # parsable record; the full per-query line stays first for humans
+    # and local tooling.
     print(
         json.dumps(
             {
@@ -349,6 +373,7 @@ def main() -> None:
                 "value_core18": core18,
                 "n_queries": len(timings),
                 "sf": float(sf),
+                "queries_file": "BENCH_queries_full.json",
                 **gate,
             }
         )
