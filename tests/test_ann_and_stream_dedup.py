@@ -1102,3 +1102,68 @@ def test_streaming_near_dedup_matches_batch_on_real_corpus(spark, tmp_path):
         for r in dedup.minhash_est_pairs(docs, threshold=0.5).collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_streaming_ivfpq_knn_matches_prebuilt(spark, tmp_path, monkeypatch):
+    """Drained streaming ANN serving over the PERSISTED IVFPQ index ≡
+    the batch prebuilt query on the same query vectors — bit-equal
+    exact-re-rank distances, no matter which drain a query arrives in,
+    and an empty re-drain stays idempotent.  The stream loads the SAME
+    parquet artifacts the batch query persisted (build once, serve
+    forever), exercising external queries_df serving end to end."""
+    import os
+
+    from tax_compliance_engine_spark.operators import similarity
+    from tax_compliance_engine_spark.plans import queries_dataops as qd
+    from tax_compliance_engine_spark.streaming.ann_stream import (
+        streaming_ivfpq_knn_writer,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    monkeypatch.setenv("TCE_ANN_INDEX_DIR", str(tmp_path / "idx"))
+    # batch reference — also builds + persists the index artifacts
+    want = sorted(
+        map(tuple, qd.ivfpq_knn_prebuilt(spark, sf_dir).collect())
+    )
+    emb = qd._emb(spark, sf_dir)
+    key = similarity.ann_index_key(emb, "ivfpq", qd._IVFPQ_PARAMS)
+    index = similarity.load_ann_index(
+        spark, os.path.join(str(tmp_path / "idx"), key)
+    )
+
+    # replay the batch predicate's query vectors as a 2-drain stream
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qschema = queries.schema
+    rows = queries.collect()
+    assert len(rows) >= 4
+    first, second = rows[: len(rows) // 2], rows[len(rows) // 2 :]
+    src, out = tmp_path / "queries", tmp_path / "results"
+
+    def drain():
+        stream = spark.readStream.schema(qschema).parquet(str(src))
+        q = (
+            streaming_ivfpq_knn_writer(
+                stream, emb, index, str(out), k=5, nprobe=2, shortlist=50
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(str(out)).select(
+            "query_id", "neighbor_id", "d2", "rank"
+        )
+
+    spark.createDataFrame(first, qschema).write.mode("append").parquet(
+        str(src)
+    )
+    drain()
+    spark.createDataFrame(second, qschema).write.mode("append").parquet(
+        str(src)
+    )
+    got = sorted(map(tuple, drain().collect()))
+    assert sorted(map(tuple, drain().collect())) == got  # idempotent
+    assert got == want  # bit-equal d2, same ranks
+    assert {q for q, *_ in got} == {r.query_id for r in rows}
