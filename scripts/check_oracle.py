@@ -141,9 +141,12 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # driver testdata ships single parquet FILES; Spark-written
+        # fixtures (scale_curve scale-ups) are DIRECTORIES of part
+        # files — glob those so scaled dirs sweep through the same gate
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if Path(p).is_dir() else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     queries = dict(entry.queries())
     oracles = entry.oracle_sql()

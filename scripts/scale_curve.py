@@ -137,17 +137,19 @@ SCALE_QUERIES = [
 ]
 
 
-def build_scaled(spark, out_dir: str) -> None:
+def build_scaled(
+    spark, out_dir: str, copies: int = COPIES, base: str = BASE
+) -> None:
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{BASE}/documents.parquet")
-    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
-    orders = spark.read.parquet(f"{BASE}/orders.parquet")
-    events = spark.read.parquet(f"{BASE}/events.parquet")
-    lineitem = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    docs = spark.read.parquet(f"{base}/documents.parquet")
+    emb = spark.read.parquet(f"{base}/embeddings.parquet")
+    orders = spark.read.parquet(f"{base}/orders.parquet")
+    events = spark.read.parquet(f"{base}/events.parquet")
+    lineitem = spark.read.parquet(f"{base}/lineitem.parquet")
 
     doc_parts, emb_parts, ord_parts, ev_parts, li_parts = [], [], [], [], []
-    for k in range(COPIES):
+    for k in range(copies):
         tag = f"c{k}_"
         retok = F.concat(
             F.lit(tag), F.replace(F.col("text"), F.lit(" "), F.lit(f" {tag}"))
@@ -217,7 +219,7 @@ def build_scaled(spark, out_dir: str) -> None:
     # dimension tables pass through unscaled (same customers, 10× the
     # orders — the realistic fact-growth shape)
     for dim in ("customer", "nation", "region", "supplier", "part"):
-        spark.read.parquet(f"{BASE}/{dim}.parquet").write.mode(
+        spark.read.parquet(f"{base}/{dim}.parquet").write.mode(
             "overwrite"
         ).parquet(str(out / f"{dim}.parquet"))
 
