@@ -2168,12 +2168,20 @@ def synth_mp3(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
 # ``synth_mp3_coded`` writes with the same codebooks.
 #
 # Codebook honesty: Huffman TABLE 1 carries the ISO 11172-3 Table B.7
-# data (x,y ∈ {0,1}: hlen/hcod = 1/1, 3/1, 2/1, 3/0) and the ESC
-# linbits schedule is ISO's (tables 16-23 → 1,2,3,4,6,8,10,13); the
-# 16×16 ESC code VALUES themselves are a declared stand-in (a uniform
-# 8-bit canonical code — the full B.7 listing is not reproducible in
-# this container), so real-world ESC frames would not decode — the
-# remaining, narrower boundary, stated here rather than papered over.
+# data (x,y ∈ {0,1}: hlen/hcod = 1/1, 3/1, 2/1, 3/0), the ESC linbits
+# schedule is ISO's (tables 16-23 → 1,2,3,4,6,8,10,13), and the count1
+# region decodes with the REAL ISO Table B quadruple code
+# (count1table_select=1: every vwxy quadruple in 4 bits as its one's
+# complement — fully specified, no listing needed).  Two declared
+# stand-ins/boundaries remain, stated here rather than papered over:
+# the 16×16 ESC code VALUES are a uniform 8-bit canonical code (the
+# full B.7 listing is not reproducible in this container), so
+# real-world ESC frames would not decode; and count1 Table A
+# (select=0) frames with a non-empty count1 region scope-gate to null
+# (Table A's exact code assignment is likewise not safely
+# reproducible — a guessed table shared by this module's encoder AND
+# decoder would pass every round-trip gate while being wrong, the one
+# failure mode the bit-exact gates cannot catch).
 
 _MP3_HUFF_TABLE1 = {
     (0, 0): (1, 0b1),
@@ -2271,7 +2279,10 @@ def _mp3_gr0ch0_sideinfo(buf: bytes, pos: int):
     tsel = (r.get(5), r.get(5), r.get(5))
     reg0 = r.get(4)
     reg1 = r.get(3)
-    return mdb, p23, bv, scomp, tsel, reg0, reg1
+    r.get(1)  # preflag
+    r.get(1)  # scalefac_scale
+    c1sel = r.get(1)  # count1table_select: 0 = table A, 1 = table B
+    return mdb, p23, bv, scomp, tsel, reg0, reg1, c1sel
 
 
 MP3_DECODE_SCHEMA = StructType(
@@ -2285,6 +2296,8 @@ MP3_DECODE_SCHEMA = StructType(
         StructField("max_abs", LongType(), True),
         StructField("n_escapes", IntegerType(), True),
         StructField("bits_read", IntegerType(), True),
+        StructField("n_count1", IntegerType(), True),
+        StructField("sum_count1", LongType(), True),
     ]
 )
 
@@ -2299,12 +2312,17 @@ def decode_mp3_bigvalues(media: DataFrame) -> DataFrame:
     written only for nonzero values) — and emit per-frame aggregates of
     the decoded values plus the exact bit count consumed.
 
+    After big_values, the COUNT1 region decodes until part2_3_length is
+    exhausted: quadruples of ±1/0 values under the real ISO Table B
+    code (4-bit one's complement + sign bits), reported as
+    (n_count1, sum_count1).
+
     Scope gates (null row, never a wrong value): CRC-protected / mono /
     short-block frames, nonzero main_data_begin (bit-reservoir
     assembly), mixed per-region table_select (region boundaries need
-    the samplerate's scalefactor-band table), and table_select values
-    outside the supported codebooks (see the codebook-honesty note
-    above)."""
+    the samplerate's scalefactor-band table), table_select values
+    outside the supported codebooks, and count1 Table A regions (see
+    the codebook-honesty note above)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -2340,7 +2358,7 @@ def _decode_one_bigvalues(buf: bytes, pos: int, flen: int):
     si = _mp3_gr0ch0_sideinfo(buf, pos)
     if si is None:
         return None
-    mdb, p23, bv, scomp, tsel, _reg0, _reg1 = si
+    mdb, p23, bv, scomp, tsel, _reg0, _reg1, c1sel = si
     if mdb != 0:
         return None  # bit-reservoir assembly out of scope
     if not (tsel[0] == tsel[1] == tsel[2]):
@@ -2380,11 +2398,29 @@ def _decode_one_bigvalues(buf: bytes, pos: int, flen: int):
                 sum_v += v
                 sum_a += abs(v)
                 max_a = max(max_a, abs(v))
+        # count1 region: quadruples of ±1/0 values until part2_3_length
+        # is exhausted.  Table B (count1table_select=1) is the REAL ISO
+        # 11172-3 code — every quadruple vwxy in 4 bits as its one's
+        # complement; Table A's code assignment is a remaining declared
+        # boundary (see the codebook-honesty note), so select=0 frames
+        # with a non-empty count1 region scope-gate to null.
+        n_c1 = 0
+        sum_c1 = 0
+        while r.pos < p23:
+            if c1sel != 1:
+                return None  # count1 Table A: declared boundary
+            quad = r.get(4) ^ 0xF  # table B: hcod = ~vwxy
+            for shift in (3, 2, 1, 0):
+                bit = (quad >> shift) & 1
+                if bit:
+                    val = -1 if r.get(1) else 1
+                    sum_c1 += val
+            n_c1 += 1
     except IndexError:
         return None  # ran off the frame: malformed stream
     if r.pos != p23:
         return None  # part2_3_length disagrees with the bits consumed
-    return (tsel[0], 2 * bv, sum_v, sum_a, max_a, n_esc, r.pos)
+    return (tsel[0], 2 * bv, sum_v, sum_a, max_a, n_esc, r.pos, n_c1, sum_c1)
 
 
 def synth_mp3_coded(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -2404,7 +2440,10 @@ def synth_mp3_coded(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     x = (3·id + 5·f + 7·k) % M, y = (2·id + 3·f + 11·k) % M with sign
     bits (id+f+k)%2 on nonzero values; big_values = 6 + (id+f)%5
     pairs; scalefac_compress = (id+f) % 16 prepends the slen-table bit
-    count of filler scalefactor bits."""
+    count of filler scalefactor bits.  A count1 region of 2 + (id+f)%3
+    quadruples follows under the real ISO Table B code: quadruple q's
+    bits are ((id+f+q)%2, (id+2f+3q)%2, (2id+f+5q)%2, (id+3f+7q)%2)
+    with sign bit (id+f+q+p)%2 on each nonzero position p."""
 
     def one_payload(i: int) -> bytes:
         parts = []
@@ -2440,6 +2479,27 @@ def synth_mp3_coded(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         w.put(v - _MP3_ESC_MAX, linbits)
                     if v != 0:
                         w.put((i + f + k) % 2, 1)  # 1 → negative
+            # count1 region: 2 + (i+f)%3 quadruples of ±1/0 values,
+            # coded with the REAL ISO Table B (hcod = one's complement
+            # of vwxy in 4 bits) + a sign bit per nonzero position
+            n_quads = 2 + (i + f) % 3
+            for q in range(n_quads):
+                bits = (
+                    (i + f + q) % 2,
+                    (i + 2 * f + 3 * q) % 2,
+                    (2 * i + f + 5 * q) % 2,
+                    (i + 3 * f + 7 * q) % 2,
+                )
+                quad = (
+                    (bits[0] << 3)
+                    | (bits[1] << 2)
+                    | (bits[2] << 1)
+                    | bits[3]
+                )
+                w.put(quad ^ 0xF, 4)
+                for p, bit in enumerate(bits):
+                    if bit:
+                        w.put((i + f + q + p) % 2, 1)  # 1 → negative
             p23 = w.tell()
             main = w.tobytes()
 
@@ -2460,7 +2520,7 @@ def synth_mp3_coded(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             si.put(7, 3)  # region1_count
             si.put(0, 1)  # preflag
             si.put(0, 1)  # scalefac_scale
-            si.put(0, 1)  # count1table_select
+            si.put(1, 1)  # count1table_select: table B (the real code)
             # gr0 ch1 + gr1 ch0 + gr1 ch1: silent (all-zero, 59 bits
             # each — valid: p23 = 0, big_values = 0)
             for _ in range(3):

@@ -1925,17 +1925,40 @@ scored AS (
                    + (CASE WHEN linbits > 0 AND y >= 15 THEN 1 ELSE 0 END))
       + (CASE WHEN x <> 0 THEN 1 ELSE 0 END)
       + (CASE WHEN y <> 0 THEN 1 ELSE 0 END) AS bits
-  FROM pairs)
-SELECT doc_id, frame_idx,
+  FROM pairs),
+c1bits AS (
+  SELECT g.doc_id, g.frame_idx, CAST(u.q AS BIGINT) AS q,
+         CAST(u2.p AS BIGINT) AS p,
+    CASE u2.p WHEN 0 THEN (g.doc_id + g.frame_idx + u.q) % 2
+              WHEN 1 THEN (g.doc_id + 2 * g.frame_idx + 3 * u.q) % 2
+              WHEN 2 THEN (2 * g.doc_id + g.frame_idx + 5 * u.q) % 2
+              ELSE (g.doc_id + 3 * g.frame_idx + 7 * u.q) % 2 END AS bit,
+    (g.doc_id + g.frame_idx + u.q + u2.p) % 2 = 1 AS neg
+  FROM geom g,
+       unnest(range(0, 2 + (g.doc_id + g.frame_idx) % 3)) AS u(q),
+       unnest(range(0, 4)) AS u2(p)),
+c1 AS (
+  SELECT doc_id, frame_idx,
+    CAST(2 + (doc_id + frame_idx) % 3 AS INTEGER) AS n_count1,
+    CAST(SUM(CASE WHEN bit = 0 THEN 0
+                  WHEN neg THEN -1 ELSE 1 END) AS BIGINT) AS sum_count1,
+    CAST(4 * (2 + (doc_id + frame_idx) % 3) + SUM(bit) AS INTEGER)
+      AS c1_bits
+  FROM c1bits GROUP BY doc_id, frame_idx)
+SELECT s.doc_id, s.frame_idx,
   CAST(huff_table AS INTEGER) AS huff_table,
   CAST(2 * n_pairs AS INTEGER) AS n_values,
   CAST(SUM(sv) AS BIGINT) AS sum_values,
   CAST(SUM(sa) AS BIGINT) AS sum_abs,
   CAST(MAX(mx) AS BIGINT) AS max_abs,
   CAST(SUM(esc) AS INTEGER) AS n_escapes,
-  CAST(11 * s1 + 10 * s2 + SUM(bits) AS INTEGER) AS bits_read
-FROM scored
-GROUP BY doc_id, frame_idx, huff_table, n_pairs, s1, s2"""
+  CAST(11 * s1 + 10 * s2 + SUM(bits) + ANY_VALUE(c1.c1_bits) AS INTEGER)
+    AS bits_read,
+  ANY_VALUE(c1.n_count1) AS n_count1,
+  ANY_VALUE(c1.sum_count1) AS sum_count1
+FROM scored s
+JOIN c1 ON c1.doc_id = s.doc_id AND c1.frame_idx = s.frame_idx
+GROUP BY s.doc_id, s.frame_idx, huff_table, n_pairs, s1, s2"""
 
 
 def multimodal_mkv_probe_sql() -> str:

@@ -1131,11 +1131,13 @@ def multimodal_mp3_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exact gate (multimodal.decode_mp3_bigvalues over
     synth_mp3_coded): full stereo side-info parse, ISO slen-table
     scalefactor bit accounting, canonical Huffman prefix walk with ESC
-    linbits escapes and sign bits over genuine coded main data — the
-    decoded-value aggregates and the exact bit count consumed, which
-    the DuckDB twin derives analytically from the generative formulas.
-    Shrinks the r8 'entropy decode' boundary to 'ESC codebook data +
-    bit-reservoir assembly' (multimodal.py codebook-honesty note)."""
+    linbits escapes and sign bits, and (r10) the COUNT1 region under
+    the real ISO Table B quadruple code, over genuine coded main data —
+    the decoded-value aggregates (including n_count1/sum_count1) and
+    the exact bit count consumed, which the DuckDB twin derives
+    analytically from the generative formulas.  Remaining declared
+    boundary: ESC codebook values, count1 Table A, bit-reservoir
+    assembly (multimodal.py codebook-honesty note)."""
     docs = _docs(spark, sf_dir)
     return multimodal.decode_mp3_bigvalues(
         multimodal.synth_mp3_coded(docs.select("doc_id"))

@@ -2269,7 +2269,7 @@ def test_mp3_bigvalues_decode_roundtrip_and_guards():
         for f, (pos, flen) in enumerate(frames):
             got = multimodal._decode_one_bigvalues(buf, pos, flen)
             assert got is not None, (i, f)
-            table, n_vals, sv, sa, mx, esc, bits = got
+            table, n_vals, sv, sa, mx, esc, bits, n_c1, sum_c1 = got
             if (i + f) % 3 == 0:
                 assert table == 1 and mx <= 1 and esc == 0
             else:
@@ -2292,6 +2292,20 @@ def test_mp3_bigvalues_decode_roundtrip_and_guards():
                 s = -1 if (i + f + k) % 2 == 1 else 1
                 exp_sv += (s * x if x else 0) + (s * y if y else 0)
             assert sv == exp_sv
+            # count1 region: real ISO Table B quadruples, re-derived
+            assert n_c1 == 2 + (i + f) % 3
+            exp_c1 = 0
+            for q in range(n_c1):
+                qbits = (
+                    (i + f + q) % 2,
+                    (i + 2 * f + 3 * q) % 2,
+                    (2 * i + f + 5 * q) % 2,
+                    (i + 3 * f + 7 * q) % 2,
+                )
+                for p, bit in enumerate(qbits):
+                    if bit:
+                        exp_c1 += -1 if (i + f + q + p) % 2 else 1
+            assert sum_c1 == exp_c1
 
     # guards: CRC frame, mono frame, reservoir back-pointer, mixed
     # table selects, unsupported table — all None, never wrong values
@@ -2325,10 +2339,51 @@ def test_mp3_bigvalues_decode_roundtrip_and_guards():
     f_bad = si_with(tsel=(9, 9, 9))  # table 9: no supported codebook
     assert multimodal._decode_one_bigvalues(f_bad, 0, len(f_bad)) is None
     # zero big_values with consistent p23=0 decodes to an empty frame
+    # (count1table_select=0 is fine here: the count1 region is empty)
     f_zero = si_with()
     assert multimodal._decode_one_bigvalues(f_zero, 0, len(f_zero)) == (
-        1, 0, 0, 0, 0, 0, 0,
+        1, 0, 0, 0, 0, 0, 0, 0, 0,
     )
+
+    def si_c1(c1sel: int):
+        # p23 = 4 bits: one count1 quadruple 0000 (no sign bits), zero
+        # big_values — exercises the count1-only path and the Table A
+        # scope gate
+        w = multimodal._Mp3BitWriter()
+        w.put(0, 9)
+        w.put(0, 3)
+        w.put(0, 8)
+        w.put(4, 12)  # p23: one 4-bit quad
+        w.put(0, 9)  # big_values
+        w.put(0, 8)
+        w.put(0, 4)
+        w.put(0, 1)  # wsf
+        for _ in range(3):
+            w.put(1, 5)  # table 1
+        w.put(0, 4)
+        w.put(0, 3)
+        w.put(0, 1)  # preflag
+        w.put(0, 1)  # scalefac_scale
+        w.put(c1sel, 1)
+        for _ in range(3):
+            w.put(0, 59)
+        main = multimodal._Mp3BitWriter()
+        main.put(0b1111, 4)  # table B code for quad 0000 (~0000)
+        return (
+            bytes([0xFF, 0xFB, 0x90, 0x00])
+            + w.tobytes()
+            + main.tobytes()
+            + bytes(64)
+        )
+
+    # table B: the all-zero quad decodes (1 quad, sum 0, 4 bits read)
+    f_b = si_c1(1)
+    assert multimodal._decode_one_bigvalues(f_b, 0, len(f_b)) == (
+        1, 0, 0, 0, 0, 0, 4, 1, 0,
+    )
+    # table A: declared boundary — scope-gates to None, never a guess
+    f_a = si_c1(0)
+    assert multimodal._decode_one_bigvalues(f_a, 0, len(f_a)) is None
 
 
 def test_mkv_probe_null_on_malformed(spark):
