@@ -20,3 +20,16 @@ __version__ = "0.1.0"
 from .dims import Dims, load_dims  # noqa: E402,F401
 from .rates_api import RateDatabase  # noqa: E402,F401
 from .session import get_spark  # noqa: E402,F401
+
+# The versioned public surface: session + dims bootstrap here at the
+# top level; everything else is reached through its stable submodule
+# (operators.tax, operators.dedup, operators.similarity, plans.queries,
+# streaming.*, reports, cli) — `from tax_compliance_engine_spark import
+# *` deliberately exposes only the bootstrap, not 70 operator names.
+__all__ = [
+    "Dims",
+    "RateDatabase",
+    "__version__",
+    "get_spark",
+    "load_dims",
+]

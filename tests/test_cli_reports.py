@@ -301,3 +301,33 @@ def test_partitioned_sink_prunes(spark, dims, spark_results, tmp_path):
     plan = tx_only._jdf.queryExecution().executedPlan().toString()
     assert tx_only.count() == spark_results.filter(F.col("state") == "TX").count()
     assert (tmp_path / "results" / "state=TX").exists()
+
+
+def test_module_entry_point_smoke():
+    """`python -m tax_compliance_engine_spark` is a real installable
+    entry point (same main as the pyproject console script): the
+    calculate subcommand runs end to end over the reference sample CSV
+    in a subprocess and prints the known-good batch totals."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "tax_compliance_engine_spark",
+            "calculate",
+            "--file",
+            "/root/reference/data/sample_transactions.csv",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    # cross-checked against the reference library (see .claude verify
+    # recipe): 57 rows, total tax 4,140.38
+    assert "4,140.38" in proc.stdout or "4140.38" in proc.stdout, (
+        proc.stdout[-2000:]
+    )
