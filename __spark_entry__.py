@@ -677,6 +677,16 @@ def oracle_sql() -> dict[str, str]:
         # streamable form — streaming_span_screen_writer is its
         # drained ≡ batch twin) — oracle-only swept entry.
         "dedup_span_screen": oracle_dataops.dedup_span_screen_sql(),
+        # dedup_winnow_fingerprints: MOSS winnowing (SIGMOD'03) — per
+        # doc the rightmost-min k-gram hash of every w-window, selected
+        # entirely row-local — oracle-only swept entry (r10).
+        "dedup_winnow_fingerprints": (
+            oracle_dataops.dedup_winnow_fingerprints_sql()
+        ),
+        # dedup_winnow_pairs: copy-detection pairs over shared winnowed
+        # fingerprints with the deterministic df-cap — oracle-only
+        # swept entry (r10).
+        "dedup_winnow_pairs": oracle_dataops.dedup_winnow_pairs_sql(),
         # embedding_balanced_sample: cluster-balanced DIVERSITY sampling
         # (equal per-kmeans-cell quotas flatten the cluster
         # distribution; LCG-hash fill) — oracle-only swept entry.

@@ -138,6 +138,9 @@ BENCH_QUERIES = [
     "doc_bpe_token_counts_prebuilt",
     "embedding_kcore",
     "corpus_retrieval_mrr",
+    # round-10: winnowing fingerprints (MOSS) + copy-detection pairs
+    "dedup_winnow_fingerprints",
+    "dedup_winnow_pairs",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

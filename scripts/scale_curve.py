@@ -134,6 +134,9 @@ SCALE_QUERIES = [
     "corpus_retrieval_mrr",
     "corpus_pit_versions",
     "corpus_k_anonymity",
+    # r10: winnowing — row-local selection, fp-value-keyed pair join
+    "dedup_winnow_fingerprints",
+    "dedup_winnow_pairs",
 ]
 
 

@@ -2620,3 +2620,67 @@ GEOMETRY_PARAMETRIC_SQL = {
     "embedding_communities": lambda n: embedding_communities_sql(n_docs=n),
     "embedding_kcore": lambda n: embedding_kcore_sql(n_docs=n),
 }
+
+
+def _winnow_fp_cte(k: int, w: int) -> str:
+    """Shared winnowing CTE chain: per-doc gram-hash keys with the
+    arithmetic rightmost-min encoding (hash·2²⁰ + (2²⁰−1−pos)), then the
+    distinct per-window minima — the DuckDB twin of
+    dedup.winnow_fingerprints' row-local selection, including the same
+    two-level hash (per-token char fold once, then a k-element
+    (h·31 + x) mod P fold per gram)."""
+    tok_hash = TOK_HASH.format(t="tok")
+    gram_hash = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_slice(th, p + 1, p + {k})), "
+        f"(h, x) -> (h*31 + x) % {hashing.HASH_MOD})"
+    )
+    return f"""toks AS (
+  SELECT doc_id,
+         list_transform({TOKENS}, tok -> {tok_hash}) AS th
+  FROM documents),
+g AS (
+  SELECT doc_id, len(th) - {k} + 1 AS ng,
+    list_transform(range(0, len(th) - {k} + 1),
+      p -> {gram_hash} * 1048576 + (1048575 - p)) AS keys
+  FROM toks WHERE len(th) >= {k}),
+fp AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(0, greatest(ng - {w}, 0) + 1),
+      j -> list_aggregate(list_slice(keys, j + 1, j + {w}), 'min'))
+  )) AS key
+  FROM g)"""
+
+
+def dedup_winnow_fingerprints_sql(k: int = 5, w: int = 4) -> str:
+    """Twin of queries_dataops.dedup_winnow_fingerprints: the same
+    polynomial gram hashes, the same arithmetic tie encoding, decoded
+    with exact integer division — bit-exact, strings and ints only."""
+    return f"""WITH {_winnow_fp_cte(k, w)}
+SELECT doc_id,
+       CAST(1048575 - (key % 1048576) AS INTEGER) AS pos,
+       key // 1048576 AS fp_hash
+FROM fp
+ORDER BY doc_id, pos, fp_hash"""
+
+
+def dedup_winnow_pairs_sql(
+    k: int = 5, w: int = 4, min_shared: int = 2, df_cap: int = 50
+) -> str:
+    """Twin of queries_dataops.dedup_winnow_pairs: distinct per-doc
+    fingerprints, the 2-to-df_cap document-frequency band, and the
+    shared-count self-join on the fingerprint value."""
+    return f"""WITH {_winnow_fp_cte(k, w)},
+fpd AS (SELECT DISTINCT doc_id, key // 1048576 AS fp_hash FROM fp),
+rare AS (
+  SELECT fp_hash FROM fpd
+  GROUP BY fp_hash HAVING count(*) BETWEEN 2 AND {df_cap})
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fpd a
+JOIN rare USING (fp_hash)
+JOIN fpd b USING (fp_hash)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
+ORDER BY doc1, doc2"""

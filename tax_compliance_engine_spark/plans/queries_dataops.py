@@ -2043,3 +2043,26 @@ def corpus_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.unionByName(dup).orderBy("rule")
+
+
+def dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (dedup.winnow_fingerprints — the MOSS
+    SIGMOD'03 algorithm): per doc, the minimum k-gram hash of every
+    w-window with the rightmost-min tie rule, entirely row-local (zero
+    shuffle before the output explode).  Any k+w−1-token verbatim
+    overlap between two docs is guaranteed a shared fingerprint at
+    ~2/(w+1) of full-gram storage."""
+    return dedup.winnow_fingerprints(_docs(spark, sf_dir)).orderBy(
+        "doc_id", "pos", "fp_hash"
+    )
+
+
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-detection pairs over winnowed fingerprints
+    (dedup.winnow_overlap_pairs): docs sharing ≥2 selected fingerprints,
+    with over-common fingerprints (df > 50 — template boilerplate, and
+    the joins' quadratic hot keys) dropped by the deterministic df-cap
+    that is part of the operator contract."""
+    return dedup.winnow_overlap_pairs(
+        _docs(spark, sf_dir), min_shared=2, df_cap=50
+    )

@@ -3152,3 +3152,82 @@ def test_kcore_peels_chain_keeps_clique(spark):
     assert mat == got  # lineage truncation is result-identical
     # 4-core of a 4-clique is empty (max degree 3)
     assert kcore_nodes(edges, k=4, n_iter=3).count() == 0
+
+
+def test_winnow_guarantee_and_tie_rule(spark):
+    """Winnowing pins (SIGMOD'03 semantics):
+    - any shared substring of ≥ k+w−1 tokens yields ≥1 shared
+      fingerprint (the algorithm's detection guarantee);
+    - ties pick the RIGHTMOST minimal gram (encoded arithmetically);
+    - docs shorter than k tokens yield nothing; docs with 1 ≤ G < w
+      grams yield exactly the whole-doc minimum;
+    - density ≈ 2/(w+1): far fewer fingerprints than grams."""
+    k, w = 3, 4
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens ≥ k+w−1
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four five six seven"),
+            (2, f"xx yy zz {shared} qq rr ss tt uu vv"),
+            (3, "completely different words entirely here now"),
+            (4, "a b"),  # < k tokens: no fingerprints
+            (5, "p q r s"),  # G=2 < w: single whole-doc min
+        ],
+        "doc_id long, text string",
+    )
+    fps = dedup.winnow_fingerprints(docs, k=k, w=w)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp_hash)
+    assert by_doc[1] & by_doc[2], "shared k+w-1 substring missed"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    assert 4 not in by_doc
+    assert len(by_doc[5]) == 1  # short doc: one whole-doc fingerprint
+
+    # tie rule: a doc of one repeated token has ONE distinct gram hash
+    # tied everywhere; each window must select its RIGHTMOST position,
+    # so the selected positions are exactly w-1 .. G-1
+    rep = spark.createDataFrame(
+        [(9, " ".join(["same"] * 10))], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.pos, r.fp_hash)
+        for r in dedup.winnow_fingerprints(rep, k=k, w=w).collect()
+    )
+    G = 10 - k + 1  # 8 grams
+    assert [p for p, _ in got] == list(range(w - 1, G))
+    assert len({h for _, h in got}) == 1
+
+    # density: fingerprints ≪ grams on real-ish text
+    long_doc = spark.createDataFrame(
+        [(7, " ".join(f"tok{(i * 37) % 101}" for i in range(200)))],
+        "doc_id long, text string",
+    )
+    n_fp = dedup.winnow_fingerprints(long_doc, k=k, w=w).count()
+    n_grams = 200 - k + 1
+    assert n_fp < n_grams / 2  # ~2/(w+1) = 0.4 expected
+
+
+def test_winnow_pairs_df_cap_drops_boilerplate(spark):
+    """The df-cap is the deterministic contract: a fingerprint shared by
+    MORE than df_cap docs (template boilerplate, the join's quadratic
+    hot key) contributes no pairs; rare shared fingerprints do."""
+    boiler = "copyright two thousand twenty six all rights reserved"
+    rows = [(i, f"{boiler} unique{i} filler{i} more{i}") for i in range(6)]
+    rows += [
+        (100, "rare shared phrase here only twice plus padding one"),
+        (101, "rare shared phrase here only twice plus padding two"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap below the boilerplate df (6): its fingerprints all drop
+    pairs = dedup.winnow_overlap_pairs(
+        docs, k=3, w=4, min_shared=1, df_cap=5
+    ).collect()
+    got = {(r.doc1, r.doc2) for r in pairs}
+    assert (100, 101) in got
+    assert not any(a < 100 and b < 100 for a, b in got), got
+    # cap raised: the boilerplate family pairs up
+    pairs2 = dedup.winnow_overlap_pairs(
+        docs, k=3, w=4, min_shared=1, df_cap=10
+    ).collect()
+    got2 = {(r.doc1, r.doc2) for r in pairs2}
+    assert (0, 1) in got2 and (100, 101) in got2
