@@ -618,6 +618,11 @@ def oracle_sql() -> dict[str, str]:
         # integer-exact stand-in for perplexity filtering) — oracle-only
         # swept entry.
         "doc_lm_coverage": oracle_dataops.doc_lm_coverage_sql(),
+        # doc_bigram_lm: GRADED LM quality (mean add-1-smoothed bigram
+        # probability under the held-in model; ln-free — exactly-rounded
+        # divisions + position-pinned float fold) — oracle-only swept
+        # entry (r10).
+        "doc_bigram_lm": oracle_corpus.doc_bigram_lm_sql(),
         # doc_normalized: row-local text canonicalization (control-char
         # strip, whitespace collapse, trim, lower) — oracle-only swept
         # entry.

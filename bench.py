@@ -138,9 +138,11 @@ BENCH_QUERIES = [
     "doc_bpe_token_counts_prebuilt",
     "embedding_kcore",
     "corpus_retrieval_mrr",
-    # round-10: winnowing fingerprints (MOSS) + copy-detection pairs
+    # round-10: winnowing fingerprints (MOSS) + copy-detection pairs,
+    # graded bigram-LM quality score
     "dedup_winnow_fingerprints",
     "dedup_winnow_pairs",
+    "doc_bigram_lm",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

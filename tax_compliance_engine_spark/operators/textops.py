@@ -390,6 +390,100 @@ def lm_coverage(
     )
 
 
+def bigram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    train_pred: Column | None = None,
+    alpha: int = 1,
+) -> DataFrame:
+    """GRADED language-model quality score: every document's mean
+    add-alpha-smoothed bigram probability under a word-bigram model
+    trained on a held-in corpus slice — the CCNet-perplexity signal
+    with actual probabilities, complementing ``lm_coverage``'s binary
+    seen/unseen counting (coverage says "how much is in-distribution";
+    this says "HOW in-distribution the rest is").
+
+    Bit-portability without ``ln`` (JVM Math.log and C libm may differ
+    by 1 ULP — the reason the repo's IDF/BM25 are log-free): each
+    bigram probability P(w2|w1) = (c12 + alpha) / (c1 + alpha·V) is one
+    exactly-rounded IEEE division of exact integers, and the per-doc
+    mean folds those doubles in TOKEN-POSITION ORDER (array_sort on the
+    position, then a left fold — the same pinned-order discipline as
+    the silhouette op) followed by one final division, so every float
+    on both engines is the identical bit pattern.
+
+    Scale shape: bigrams come from one ``lead()`` window over the
+    posexploded tokens (one doc_id-keyed shuffle); the model is two
+    map-side-combinable count tables joined back on their own keys
+    (AQE broadcasts when they fit); the per-doc fold carries one
+    doc-length-bounded list per document.  Docs with < 2 tokens score
+    NULL mean_prob with n_bigrams = 0.
+
+    Output: (doc_id, n_bigrams, n_hapax, mean_prob) — n_hapax counts
+    the doc's bigrams seen nowhere in the TRAIN slice (c12 = 0), the
+    out-of-distribution tail coverage cannot grade."""
+    from pyspark.sql.window import Window
+
+    if train_pred is None:
+        train_pred = F.col("doc_id") % 10 < 8
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col(text_col))).alias("p", "w1")
+    )
+    seq_w = Window.partitionBy("doc_id").orderBy("p")
+    bigrams = toks.select(
+        "doc_id", "p", "w1", F.lead("w1").over(seq_w).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    train = bigrams.filter(train_pred)
+    c12 = train.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("_c12")
+    )
+    c1 = train.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    vocab = docs.filter(train_pred).select(
+        F.explode(tokens_col(F.col(text_col))).alias("w")
+    )
+    v = vocab.agg(F.count_distinct("w").alias("_v"))
+    probs = (
+        bigrams.join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "p",
+            (F.coalesce("_c12", F.lit(0)) == 0).cast("int").alias("_hapax"),
+            (
+                (F.coalesce("_c12", F.lit(0)) + F.lit(alpha)).cast("double")
+                / (
+                    F.coalesce("_c1", F.lit(0))
+                    + F.lit(alpha) * F.col("_v")
+                ).cast("double")
+            ).alias("_prob"),
+        )
+    )
+    per_doc = probs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("_hapax").cast("long").alias("n_hapax"),
+        (
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("p", "_prob"))
+                    ),
+                    lambda s: s["_prob"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_prob"),
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("n_hapax", F.lit(0)).alias("n_hapax"),
+        "mean_prob",
+    )
+
+
 # ── Hashed-feature linear classifier inference ───────────────────────────
 
 QM_BUCKETS = 1 << 16  # feature-hashing space (2^16 buckets)

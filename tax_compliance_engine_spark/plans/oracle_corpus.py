@@ -1059,3 +1059,46 @@ SELECT p.token1, p.token2,
 FROM pairs p
 JOIN counts c1 ON c1.token = p.token1
 JOIN counts c2 ON c2.token = p.token2, n"""
+
+
+def doc_bigram_lm_sql(alpha: int = 1) -> str:
+    """Twin of queries_dataops.doc_bigram_lm: the same train-slice
+    bigram/context/vocab counts, the same exactly-rounded smoothed
+    divisions, and the same position-ordered left fold for the mean
+    (list_reduce over list(prob ORDER BY p) — bit-identical to Spark's
+    sorted-struct aggregate)."""
+    return f"""WITH toks AS (
+  SELECT doc_id, {{TOKENS}} AS t FROM documents),
+bigrams AS (
+  SELECT doc_id, u.i - 1 AS p, t[u.i] AS w1, t[u.i + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS u(i)),
+train AS (SELECT * FROM bigrams WHERE doc_id % 10 < 8),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM train GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM train GROUP BY 1),
+v AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT unnest(t) AS w FROM toks WHERE doc_id % 10 < 8)),
+probs AS (
+  SELECT b.doc_id, b.p,
+    CASE WHEN COALESCE(c12.c12, 0) = 0 THEN 1 ELSE 0 END AS hapax,
+    CAST(COALESCE(c12.c12, 0) + {alpha} AS DOUBLE)
+      / CAST(COALESCE(c1.c1, 0) + {alpha} * v.v AS DOUBLE) AS prob
+  FROM bigrams b
+  LEFT JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+  LEFT JOIN c1 ON c1.w1 = b.w1
+  CROSS JOIN v),
+per_doc AS (
+  SELECT doc_id,
+    CAST(count(*) AS BIGINT) AS n_bigrams,
+    CAST(SUM(hapax) AS BIGINT) AS n_hapax,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                             list(prob ORDER BY p)),
+                (a, x) -> a + x) / count(*) AS mean_prob
+  FROM probs GROUP BY doc_id)
+SELECT d.doc_id,
+  COALESCE(per_doc.n_bigrams, 0) AS n_bigrams,
+  COALESCE(per_doc.n_hapax, 0) AS n_hapax,
+  per_doc.mean_prob
+FROM documents d
+LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id
+ORDER BY d.doc_id""".replace("{TOKENS}", TOKENS)

@@ -2066,3 +2066,14 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnow_overlap_pairs(
         _docs(spark, sf_dir), min_shared=2, df_cap=50
     )
+
+
+def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded LM quality score (textops.bigram_lm_score): mean
+    add-1-smoothed word-bigram probability under the doc_id%10<8
+    held-in model, with the out-of-distribution bigram count — the
+    CCNet-perplexity signal kept bit-portable by replacing ln with
+    exactly-rounded divisions and a token-position-pinned float fold."""
+    from ..operators import textops
+
+    return textops.bigram_lm_score(_docs(spark, sf_dir)).orderBy("doc_id")

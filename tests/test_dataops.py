@@ -3231,3 +3231,50 @@ def test_winnow_pairs_df_cap_drops_boilerplate(spark):
     ).collect()
     got2 = {(r.doc1, r.doc2) for r in pairs2}
     assert (0, 1) in got2 and (100, 101) in got2
+
+
+def test_bigram_lm_score_semantics(spark):
+    """Bigram LM pins: smoothed probabilities re-derived exactly from
+    the train-slice counts, hapax = bigrams absent from train, held-out
+    docs score under the held-in model, short docs yield n_bigrams=0
+    with NULL mean, and a fluent repeat of a train phrase outscores
+    shuffled gibberish over the same vocabulary."""
+    from tax_compliance_engine_spark.operators import textops
+
+    rows = [
+        # train slice: doc_id % 10 < 8
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran on the mat"),
+        (3, "the dog sat on the rug"),
+        # held-out: 8/18 score under the model trained on 1-3
+        (8, "the cat sat on the mat"),  # in-distribution
+        (18, "mat the on sat cat the"),  # shuffled: OOD bigrams
+        (28, "solo"),  # one token: no bigrams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in textops.bigram_lm_score(docs).collect()
+    }
+    # exact re-derivation for doc 8: V=9 distinct train tokens, alpha=1
+    import collections
+
+    train_tokens = [rows[i][1].split() for i in range(3)]
+    c12 = collections.Counter(
+        (a, b) for t in train_tokens for a, b in zip(t, t[1:])
+    )
+    c1 = collections.Counter(a for t in train_tokens for a in t[:-1])
+    V = len({w for t in train_tokens for w in t})
+    doc8 = rows[3][1].split()
+    probs = [
+        (c12[(a, b)] + 1) / (c1[a] + V) for a, b in zip(doc8, doc8[1:])
+    ]
+    acc = 0.0
+    for x in probs:
+        acc += x
+    assert got[8].mean_prob == acc / len(probs)  # bit-exact fold
+    assert got[8].n_hapax == 0
+    assert got[18].n_hapax > 0  # shuffled: unseen bigrams
+    assert got[8].mean_prob > got[18].mean_prob  # graded, not binary
+    assert got[28].n_bigrams == 0 and got[28].mean_prob is None
+    assert got[1].n_bigrams == 5
