@@ -692,6 +692,11 @@ def oracle_sql() -> dict[str, str]:
         # fingerprints with the deterministic df-cap — oracle-only
         # swept entry (r10).
         "dedup_winnow_pairs": oracle_dataops.dedup_winnow_pairs_sql(),
+        # dedup_winnow_screen: ingest-time winnowed-fingerprint copy
+        # screen (batch slice vs standing corpus fingerprint set;
+        # streaming_winnow_screen_writer is its drained ≡ batch twin)
+        # — oracle-only swept entry (r10).
+        "dedup_winnow_screen": oracle_dataops.dedup_winnow_screen_sql(),
         # embedding_balanced_sample: cluster-balanced DIVERSITY sampling
         # (equal per-kmeans-cell quotas flatten the cluster
         # distribution; LCG-hash fill) — oracle-only swept entry.

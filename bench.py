@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     # graded bigram-LM quality score
     "dedup_winnow_fingerprints",
     "dedup_winnow_pairs",
+    "dedup_winnow_screen",
     "doc_bigram_lm",
 ]
 

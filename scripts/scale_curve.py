@@ -137,6 +137,7 @@ SCALE_QUERIES = [
     # r10: winnowing — row-local selection, fp-value-keyed pair join
     "dedup_winnow_fingerprints",
     "dedup_winnow_pairs",
+    "dedup_winnow_screen",
     # r10: bigram LM — lead() window + two count tables + pinned fold
     "doc_bigram_lm",
 ]

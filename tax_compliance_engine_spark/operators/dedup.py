@@ -2107,3 +2107,73 @@ def winnow_overlap_pairs(
         .filter(F.col("n_shared") >= min_shared)
         .orderBy("doc1", "doc2")
     )
+
+
+def winnow_screen(
+    batch: DataFrame,
+    corpus_fps: DataFrame,
+    min_shared: int = 2,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Ingest-time copy screen over winnowed fingerprints: score every
+    BATCH document by how many of its distinct fingerprints appear in a
+    standing corpus's fingerprint set, and keep it only below
+    ``min_shared`` — the asymmetric (batch-vs-corpus, never
+    batch-vs-batch) form every arriving-data pipeline actually runs,
+    completing the winnowing family the way ``span_screen`` completes
+    span dedup.
+
+    ``corpus_fps`` is the PREPARED corpus side — pass
+    ``winnow_corpus_fps(corpus_docs, ...)`` (typically cached or
+    parquet-persisted; at 100 TB it is the refreshed index artifact),
+    so each batch pays only its own fingerprinting + one equi-join
+    membership probe against the fingerprint VALUE set.
+
+    Output: (doc_id, n_fps, n_matched, keep) — one row per batch doc,
+    docs with no fingerprints (< k tokens) trivially keep."""
+    fps = winnow_fingerprints(batch, k=k, w=w, text_col=text_col).select(
+        "doc_id", "fp_hash"
+    ).distinct()
+    probe = fps.join(
+        corpus_fps.withColumn("_hit", F.lit(1)), "fp_hash", "left"
+    )
+    scored = probe.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fps"),
+        F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_matched"),
+    )
+    return (
+        batch.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_fps", F.lit(0)).alias("n_fps"),
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            (F.coalesce("n_matched", F.lit(0)) < min_shared).alias("keep"),
+        )
+    )
+
+
+def winnow_corpus_fps(
+    corpus_docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    df_cap: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """The standing-corpus side of ``winnow_screen``: the corpus's
+    distinct fingerprint VALUES, with fingerprints appearing in more
+    than ``df_cap`` corpus documents dropped — template boilerplate
+    matches the corpus, not a copy, and is exactly the hot key that
+    would blow up the membership probe.  One column (fp_hash), ready to
+    cache or persist as the refreshable screen artifact."""
+    fps = winnow_fingerprints(
+        corpus_docs, k=k, w=w, text_col=text_col
+    ).select("doc_id", "fp_hash").distinct()
+    return (
+        fps.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= df_cap)
+        .select("fp_hash")
+    )

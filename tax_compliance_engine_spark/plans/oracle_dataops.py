@@ -2622,34 +2622,39 @@ GEOMETRY_PARAMETRIC_SQL = {
 }
 
 
-def _winnow_fp_cte(k: int, w: int) -> str:
+def _winnow_fp_cte(
+    k: int, w: int, prefix: str = "", doc_where: str = ""
+) -> str:
     """Shared winnowing CTE chain: per-doc gram-hash keys with the
     arithmetic rightmost-min encoding (hash·2²⁰ + (2²⁰−1−pos)), then the
     distinct per-window minima — the DuckDB twin of
-    dedup.winnow_fingerprints' row-local selection, including the same
-    two-level hash (per-token char fold once, then a k-element
-    (h·31 + x) mod P fold per gram)."""
+    dedup.winnow_fingerprints' selection, including the same two-level
+    hash (per-token char fold once, then a k-element (h·31 + x) mod P
+    fold per gram).  ``prefix`` namespaces the CTEs so one query can
+    fingerprint two document slices (the screen twin); ``doc_where``
+    filters the source rows."""
     tok_hash = TOK_HASH.format(t="tok")
     gram_hash = (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
         f"list_slice(th, p + 1, p + {k})), "
         f"(h, x) -> (h*31 + x) % {hashing.HASH_MOD})"
     )
-    return f"""toks AS (
+    t, g, fp = f"{prefix}toks", f"{prefix}g", f"{prefix}fp"
+    return f"""{t} AS (
   SELECT doc_id,
          list_transform({TOKENS}, tok -> {tok_hash}) AS th
-  FROM documents),
-g AS (
+  FROM documents {doc_where}),
+{g} AS (
   SELECT doc_id, len(th) - {k} + 1 AS ng,
     list_transform(range(0, len(th) - {k} + 1),
       p -> {gram_hash} * 1048576 + (1048575 - p)) AS keys
-  FROM toks WHERE len(th) >= {k}),
-fp AS (
+  FROM {t} WHERE len(th) >= {k}),
+{fp} AS (
   SELECT doc_id, unnest(list_distinct(
     list_transform(range(0, greatest(ng - {w}, 0) + 1),
       j -> list_aggregate(list_slice(keys, j + 1, j + {w}), 'min'))
   )) AS key
-  FROM g)"""
+  FROM {g})"""
 
 
 def dedup_winnow_fingerprints_sql(k: int = 5, w: int = 4) -> str:
@@ -2684,3 +2689,37 @@ WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= {min_shared}
 ORDER BY doc1, doc2"""
+
+
+def dedup_winnow_screen_sql(
+    k: int = 5, w: int = 4, min_shared: int = 2, df_cap: int = 50
+) -> str:
+    """Twin of queries_dataops.dedup_winnow_screen: the corpus slice's
+    df-capped distinct fingerprint set, the batch slice's distinct
+    fingerprints, one membership probe, and the keep verdict."""
+    corpus_cte = _winnow_fp_cte(
+        k, w, prefix="c", doc_where="WHERE doc_id % 13 <> 0"
+    )
+    batch_cte = _winnow_fp_cte(
+        k, w, prefix="b", doc_where="WHERE doc_id % 13 = 0"
+    )
+    return f"""WITH {corpus_cte},
+cfpd AS (SELECT DISTINCT doc_id, key // 1048576 AS fp_hash FROM cfp),
+cset AS (
+  SELECT fp_hash FROM cfpd GROUP BY fp_hash HAVING count(*) <= {df_cap}),
+{batch_cte},
+bfpd AS (SELECT DISTINCT doc_id, key // 1048576 AS fp_hash FROM bfp),
+scored AS (
+  SELECT b.doc_id, count(*) AS n_fps,
+         SUM(CASE WHEN c.fp_hash IS NOT NULL THEN 1 ELSE 0 END)
+           AS n_matched
+  FROM bfpd b LEFT JOIN cset c ON c.fp_hash = b.fp_hash
+  GROUP BY b.doc_id)
+SELECT d.doc_id,
+  CAST(COALESCE(s.n_fps, 0) AS BIGINT) AS n_fps,
+  CAST(COALESCE(s.n_matched, 0) AS BIGINT) AS n_matched,
+  COALESCE(s.n_matched, 0) < {min_shared} AS keep
+FROM documents d
+LEFT JOIN scored s ON s.doc_id = d.doc_id
+WHERE d.doc_id % 13 = 0
+ORDER BY d.doc_id"""

@@ -2077,3 +2077,18 @@ def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import textops
 
     return textops.bigram_lm_score(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def dedup_winnow_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time winnowed-fingerprint copy screen (dedup.winnow_screen):
+    the doc_id%13==0 slice plays the arriving batch, the rest the
+    standing corpus — per batch doc its fingerprint count, corpus
+    matches (under the corpus-side df-cap), and the keep verdict.  The
+    streamable form: streaming_winnow_screen_writer is its drained ≡
+    batch twin."""
+    docs = _docs(spark, sf_dir)
+    batch = docs.filter(F.col("doc_id") % 13 == 0)
+    corpus_docs = docs.filter(F.col("doc_id") % 13 != 0)
+    return dedup.winnow_screen(
+        batch, dedup.winnow_corpus_fps(corpus_docs)
+    ).orderBy("doc_id")

@@ -310,3 +310,52 @@ def streaming_near_dedup(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_winnow_screen_writer(
+    stream: DataFrame,
+    corpus_docs: DataFrame,
+    out_path: str,
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    df_cap: int = 50,
+):
+    """Streaming winnowed-fingerprint copy screen: score every arriving
+    document's fingerprint overlap against a standing corpus's
+    fingerprint set — the streaming twin of ``operators/dedup
+    .winnow_screen`` (drained ≡ batch), closing the winnowing family's
+    streaming gap the way ``streaming_span_screen_writer`` closed span
+    dedup's.
+
+    A document's (n_fps, n_matched, keep) verdict is a pure function of
+    the doc itself and the FIXED corpus fingerprint set — never of
+    other stream documents — so micro-batch-local scoring IS the global
+    semantics: no state store, no watermark, bounded memory forever.
+    The corpus side is prepared ONCE (``winnow_corpus_fps``, cached +
+    materialized here; at 100 TB the parquet-persisted artifact a
+    refresh pipeline maintains).
+
+    Output lands under ``out_path/batch=<id>`` with per-batch OVERWRITE
+    (idempotent under re-delivery).  Returns the configured
+    DataStreamWriter; the caller sets trigger / checkpoint and calls
+    ``.start()``."""
+    from ..operators.dedup import winnow_corpus_fps, winnow_screen
+
+    corpus_fps = winnow_corpus_fps(
+        corpus_docs, k=k, w=w, df_cap=df_cap, text_col=text_col
+    ).cache()
+    corpus_fps.count()  # materialize once, before the first micro-batch
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        winnow_screen(
+            bdf,
+            corpus_fps,
+            min_shared=min_shared,
+            k=k,
+            w=w,
+            text_col=text_col,
+        ).write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+
+    return stream.writeStream.foreachBatch(write_batch)

@@ -1167,3 +1167,58 @@ def test_streaming_ivfpq_knn_matches_prebuilt(spark, tmp_path, monkeypatch):
     assert sorted(map(tuple, drain().collect())) == got  # idempotent
     assert got == want  # bit-equal d2, same ranks
     assert {q for q, *_ in got} == {r.query_id for r in rows}
+
+
+def test_streaming_winnow_screen_matches_batch(spark, tmp_path):
+    """Drained streaming winnow screen ≡ the batch winnow_screen over
+    the same arrivals (real sf0.001 corpus split): identical
+    (doc_id, n_fps, n_matched, keep) rows regardless of which drain a
+    doc arrives in, and an empty re-drain stays idempotent."""
+    from tax_compliance_engine_spark.operators import dedup as dd
+    from tax_compliance_engine_spark.streaming.dedup_stream import (
+        streaming_winnow_screen_writer,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 13 != 0)
+    batch_all = docs.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id", "text"
+    )
+    rows = batch_all.collect()
+    first, second = rows[: len(rows) // 2], rows[len(rows) // 2 :]
+    src, out = tmp_path / "arrivals", tmp_path / "screened"
+    schema = batch_all.schema
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        qy = (
+            streaming_winnow_screen_writer(stream, corpus, str(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination()
+        return spark.read.parquet(str(out)).select(
+            "doc_id", "n_fps", "n_matched", "keep"
+        )
+
+    spark.createDataFrame(first, schema).write.mode("append").parquet(
+        str(src)
+    )
+    drain()
+    spark.createDataFrame(second, schema).write.mode("append").parquet(
+        str(src)
+    )
+    got = sorted(map(tuple, drain().collect()))
+    assert sorted(map(tuple, drain().collect())) == got  # idempotent
+    want = sorted(
+        map(
+            tuple,
+            dd.winnow_screen(
+                batch_all, dd.winnow_corpus_fps(corpus)
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert len(got) == len(rows)
+    assert any(not k for *_, k in got) or any(k for *_, k in got)
