@@ -376,11 +376,18 @@ def kcore_nodes(
     all-pairs anything.  ``materialize=True`` localCheckpoints each
     round's edge list (the iterative-algorithm lineage-truncation
     pattern ``corpus.bpe_merges`` uses — the lazy chain re-derives the
-    full prefix per round, O(n²) work); results are identical.
+    full prefix per round, O(n²) work) and EXITS EARLY once a round
+    removes no edges: peeling is monotone (the edge set only shrinks),
+    so an unchanged round count proves the fixed point and every later
+    round is a no-op — the result is identical to running all
+    ``n_iter`` rounds, just without paying job overhead for the no-ops
+    (the checkpoint materializes each round anyway, so the count is a
+    cheap cached scan).  Results are identical in both modes.
     Output: (node, degree) in the final subgraph."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     e = edges
+    n_edges: int | None = None
     for _ in range(n_iter):
         keep = (
             e.groupBy("src")
@@ -393,6 +400,10 @@ def kcore_nodes(
         )
         if materialize:
             e = e.localCheckpoint()
+            n_now = e.count()
+            if n_now == n_edges:
+                break  # fixed point: remaining rounds are no-ops
+            n_edges = n_now
     return e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )

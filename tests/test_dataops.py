@@ -3150,6 +3150,16 @@ def test_kcore_peels_chain_keeps_clique(spark):
         for r in kcore_nodes(edges, k=2, n_iter=4, materialize=True).collect()
     }
     assert mat == got  # lineage truncation is result-identical
+    # materialized early exit: a generous round budget converges at the
+    # fixed point (2 real rounds here) instead of running 64 rounds —
+    # result identical, so over-provisioning n_iter is free
+    big = {
+        r.node: r.degree
+        for r in kcore_nodes(
+            edges, k=2, n_iter=64, materialize=True
+        ).collect()
+    }
+    assert big == got
     # 4-core of a 4-clique is empty (max degree 3)
     assert kcore_nodes(edges, k=4, n_iter=3).count() == 0
 

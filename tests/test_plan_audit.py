@@ -39,6 +39,9 @@ GLOBAL_AGG_OK = {
     "refund_summary",  # same
     "doc_tfidf_top_terms",  # scalar count(*) = N for the IDF term, then
     # broadcast back — one partial-count row per task through the exchange
+    "doc_bigram_lm",  # scalar count_distinct = V for the add-alpha
+    # smoothing denominator (one partial row per task through the
+    # exchange), broadcast back onto the bigram stream
     "embedding_pagerank",  # scalar min/max(src) bounds for the src-range
     # shard width (one partial row per task), broadcast back onto edges
     "embedding_kmeans",  # same bounds pattern: scalar min/max(vec_id)
