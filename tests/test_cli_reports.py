@@ -326,8 +326,8 @@ def test_module_entry_point_smoke():
         cwd="/root/repo",
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
-    # cross-checked against the reference library (see .claude verify
-    # recipe): 57 rows, total tax 4,140.38
+    # cross-checked against the reference library: 57 rows, total tax
+    # 4,140.38
     assert "4,140.38" in proc.stdout or "4140.38" in proc.stdout, (
         proc.stdout[-2000:]
     )
