@@ -232,6 +232,10 @@ def oracle_sql() -> dict[str, str]:
         # cleaner; sessionization construction) — oracle-only swept
         # entry.
         "events_debounce": oracle.events_debounce_sql(),
+        # events_bot_regularity: inter-arrival regularity bot screen
+        # (exact integer gap moments, pure-integer cv² < 0.01 flag) —
+        # oracle-only swept entry (r10).
+        "events_bot_regularity": oracle.events_bot_regularity_sql(),
         # events_pivot: hour × type crosstab with an EXPLICIT pivot
         # vocabulary (no implicit distinct-values job) — oracle-only
         # swept entry.

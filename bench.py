@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "dedup_winnow_pairs",
     "dedup_winnow_screen",
     "doc_bigram_lm",
+    "events_bot_regularity",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

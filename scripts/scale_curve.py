@@ -140,6 +140,8 @@ SCALE_QUERIES = [
     "dedup_winnow_screen",
     # r10: bigram LM — lead() window + two count tables + pinned fold
     "doc_bigram_lm",
+    # r10: bot-regularity screen — lag window + combinable moments
+    "events_bot_regularity",
 ]
 
 

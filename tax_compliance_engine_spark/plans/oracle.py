@@ -1877,3 +1877,32 @@ SELECT n_name, count(*) AS n_customers,
          / CAST(count(*) AS DOUBLE) AS n80_share
 FROM ranked
 GROUP BY n_name ORDER BY n_name"""
+
+
+def events_bot_regularity_sql() -> str:
+    """Twin of queries.events_bot_regularity: the same integer-exact
+    gap moments (lag over epoch-microseconds), one exactly-rounded
+    division for cv², and the pure-integer bot-flag comparison."""
+    return """WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           AS gap
+  FROM events),
+stats AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap) AS BIGINT) AS sum_gap,
+         SUM(CAST(gap AS HUGEINT) * gap) AS gsq
+  FROM gaps WHERE gap IS NOT NULL GROUP BY user_id),
+m AS (
+  SELECT user_id, n_gaps, sum_gap,
+         CAST(n_gaps AS HUGEINT) * gsq
+           - CAST(sum_gap AS HUGEINT) * sum_gap AS num,
+         CAST(sum_gap AS HUGEINT) * sum_gap AS s2
+  FROM stats)
+SELECT user_id, n_gaps, sum_gap,
+  CAST(num AS DOUBLE) / CAST(s2 AS DOUBLE) AS cv2,
+  CASE WHEN n_gaps >= 5 THEN 100 * num < s2 END AS is_bot_like
+FROM m
+ORDER BY user_id"""

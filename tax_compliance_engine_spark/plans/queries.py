@@ -2781,3 +2781,65 @@ def nation_pareto_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot / automation detection by inter-arrival REGULARITY: per user,
+    the exact squared coefficient of variation of consecutive event
+    gaps — scripted traffic fires on a timer (cv² ≈ 0) while human
+    activity is bursty (cv² ≳ 1) — the abuse screen run before user
+    events are trusted as engagement signal or training data.
+
+    Exactness: gaps are integer microseconds (lag over the per-user
+    sequence); n and Σg are exact BIGINT, and the second moment runs in
+    DECIMAL(38,0) — a squared multi-hour gap overflows int64, while
+    128-bit decimal holds n·Σg² and (Σg)² exactly for any plausible
+    history (Σg² ≤ 1e26, products ≤ 1e32 « 1e38).  cv² =
+    (n·Σg² − (Σg)²) / (Σg)² is then ONE pair of exactly-rounded
+    decimal→double conversions and one division, and the bot flag
+    compares the decimals directly (100·(n·Σg² − S²) < S², i.e.
+    cv² < 0.01 — no float in the decision).  Only users with ≥ 5 gaps
+    are judged (flag NULL below).
+
+    Scale shape: one (user_id) hash shuffle + sorted pass for the lag,
+    one combinable groupBy — the sessionization/debounce discipline."""
+    from pyspark.sql.window import Window
+
+    ev = _events_with_ts_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = (
+        ev.withColumn("_prev", F.lag("ts_us").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            "user_id", (F.col("ts_us") - F.col("_prev")).alias("_gap")
+        )
+    )
+    gd = F.col("_gap").cast("decimal(19,0)")
+    stats = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("_gap").cast("long").alias("sum_gap"),
+        F.sum((gd * gd).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("_gsq"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = (dec(F.col("n_gaps")) * F.col("_gsq")).cast(
+        "decimal(38,0)"
+    ) - (dec(F.col("sum_gap")) * dec(F.col("sum_gap"))).cast("decimal(38,0)")
+    s2 = (dec(F.col("sum_gap")) * dec(F.col("sum_gap"))).cast("decimal(38,0)")
+    return (
+        stats.select(
+            "user_id",
+            "n_gaps",
+            "sum_gap",
+            (num.cast("double") / s2.cast("double")).alias("cv2"),
+            F.when(
+                F.col("n_gaps") >= 5,
+                (F.lit(100).cast("decimal(38,0)") * num).cast(
+                    "decimal(38,0)"
+                )
+                < s2,
+            ).alias("is_bot_like"),
+        )
+        .orderBy("user_id")
+    )

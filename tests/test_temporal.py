@@ -882,3 +882,49 @@ def test_events_debounce_collapses_bursts(spark, tmp_path):
     assert out[(1, "click", 2)]["first_event_id"] == 4
     assert out[(1, "view", 1)]["n_collapsed"] == 1
     assert out[(2, "click", 1)]["n_collapsed"] == 1
+
+
+def test_bot_regularity_flags_timers_not_humans(spark, tmp_path):
+    """Inter-arrival regularity pins: a fixed-timer user flags
+    bot-like (cv² = 0), jittered-human traffic does not, users below
+    5 gaps get a NULL verdict, and cv² re-derives exactly from the
+    integer gap moments."""
+    import datetime as dt
+
+    from tax_compliance_engine_spark.plans import queries as q
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: perfect 10s timer, 12 events -> cv2 = 0, bot
+    for i in range(12):
+        rows.append((eid, base + dt.timedelta(seconds=10 * i), 1, "click", 1.0, "{}"))
+        eid += 1
+    # user 2: bursty human-ish gaps (1s,60s,2s,300s,5s,45s,3s,600s)
+    t = base
+    for g in (0, 1, 60, 2, 300, 5, 45, 3, 600):
+        t = t + dt.timedelta(seconds=g)
+        rows.append((eid, t, 2, "view", 1.0, "{}"))
+        eid += 1
+    # user 3: only 3 events (2 gaps) -> NULL verdict
+    for i in range(3):
+        rows.append((eid, base + dt.timedelta(seconds=7 * i), 3, "buy", 1.0, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    df.write.parquet(str(sf / "events.parquet"))
+    got = {r.user_id: r for r in q.events_bot_regularity(spark, str(sf)).collect()}
+    assert got[1].is_bot_like is True and got[1].cv2 == 0.0
+    assert got[2].is_bot_like is False
+    assert got[3].is_bot_like is None and got[3].n_gaps == 2
+    # exact cv2 re-derivation for user 2 (microsecond gaps)
+    g = [1, 60, 2, 300, 5, 45, 3, 600]
+    gus = [x * 1_000_000 for x in g]
+    n, s, ss = len(gus), sum(gus), sum(x * x for x in gus)
+    assert got[2].n_gaps == n and got[2].sum_gap == s
+    assert got[2].cv2 == float(n * ss - s * s) / float(s * s)
