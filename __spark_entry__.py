@@ -701,6 +701,12 @@ def oracle_sql() -> dict[str, str]:
         # streaming_winnow_screen_writer is its drained ≡ batch twin)
         # — oracle-only swept entry (r10).
         "dedup_winnow_screen": oracle_dataops.dedup_winnow_screen_sql(),
+        # corpus_leakage_safe_split: near-dup clusters assigned to
+        # train/val/test WHOLE (no near-dup pair straddles an eval
+        # boundary) — oracle-only swept entry (r10).
+        "corpus_leakage_safe_split": (
+            oracle_dataops.corpus_leakage_safe_split_sql()
+        ),
         # embedding_balanced_sample: cluster-balanced DIVERSITY sampling
         # (equal per-kmeans-cell quotas flatten the cluster
         # distribution; LCG-hash fill) — oracle-only swept entry.

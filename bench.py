@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "dedup_winnow_screen",
     "doc_bigram_lm",
     "events_bot_regularity",
+    "corpus_leakage_safe_split",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

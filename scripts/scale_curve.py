@@ -142,6 +142,8 @@ SCALE_QUERIES = [
     "doc_bigram_lm",
     # r10: bot-regularity screen — lag window + combinable moments
     "events_bot_regularity",
+    # r10: cluster-whole splits — contraction + LCG on cluster id
+    "corpus_leakage_safe_split",
 ]
 
 

@@ -1870,3 +1870,43 @@ def retrieval_self_mrr(
         .otherwise(F.lit(0.0))
         .alias("mrr_at_k"),
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    fractions: list[tuple[str, float]] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: transitive near-dup CLUSTERS
+    are assigned whole — every member inherits its cluster's label — so
+    a document can never sit in train while its near-duplicate sits in
+    test (the eval-leakage channel a per-document split leaves open no
+    matter how good its hash is; dedup REDUCES duplicates, this
+    guarantees the survivors' copies can't straddle the boundary).
+
+    Composition: ``dedup.dup_clusters`` over the pair graph (hook-and-
+    shortcut contraction — the scale path), then ``split_assign``'s LCG
+    key on the CLUSTER id, joined back member-wise.  Labels inherit
+    split_assign's stability contract at the cluster level: a cluster's
+    label never changes when other docs are added, though a NEW pair
+    merging two clusters re-keys the merged cluster (necessarily — the
+    guarantee itself demands the members move together).
+
+    Scale shape: the cluster-label table is ≤ |clusters| rows (one LCG
+    projection, no shuffle), and the member join is broadcast-sized
+    under AQE for real corpora; everything else is the contraction's
+    own cost.  Output: (doc_id, cluster_id, split)."""
+    from .dedup import dup_clusters
+
+    clusters = dup_clusters(
+        docs.select(F.col(id_col).alias("doc_id")), pairs
+    )
+    labels = split_assign(
+        clusters.select("cluster_id").distinct(),
+        fractions,
+        id_col="cluster_id",
+    ).select(F.col("doc_id").alias("cluster_id"), "split")
+    return clusters.join(labels, "cluster_id").select(
+        "doc_id", "cluster_id", "split"
+    )

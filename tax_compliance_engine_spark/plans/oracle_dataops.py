@@ -2723,3 +2723,44 @@ FROM documents d
 LEFT JOIN scored s ON s.doc_id = d.doc_id
 WHERE d.doc_id % 13 = 0
 ORDER BY d.doc_id"""
+
+
+def corpus_leakage_safe_split_sql(threshold: float = 0.5) -> str:
+    """Twin of queries_dataops.corpus_leakage_safe_split: the recursive
+    reachability closure over the est pair graph (cluster = reachable
+    minimum), then split_assign's LCG CASE applied to the CLUSTER id —
+    default 0.9/0.05/0.05 thresholds."""
+    from ..operators import corpus as corpus_mod
+
+    pairs_sql = dedup_minhash_est_pairs_sql(threshold)
+    mod = corpus_mod.SAMPLE_MOD
+    mult = corpus_mod.SAMPLE_MULT % corpus_mod.SAMPLE_MOD
+    inc = corpus_mod.SAMPLE_INC
+    h = f"((cluster_id % {mod}) * {mult} + {inc}) % {mod}"
+    cuts, cum = [], 0.0
+    for label, frac in [("train", 0.9), ("val", 0.05), ("test", 0.05)]:
+        cum += frac
+        cuts.append((label, int(cum * mod)))
+    whens = "\n       ".join(
+        f"WHEN {h} < {cut} THEN '{label}'" for label, cut in cuts[:-1]
+    )
+    return f"""WITH RECURSIVE pairs AS (
+{pairs_sql}
+),
+adj AS (
+  SELECT doc1 AS node, doc2 AS nbr FROM pairs
+  UNION ALL
+  SELECT doc2 AS node, doc1 AS nbr FROM pairs
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS lab FROM documents
+  UNION
+  SELECT a.node, r.lab FROM adj a JOIN reach r ON r.node = a.nbr
+),
+clusters AS (
+  SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+  CASE {whens}
+       ELSE '{cuts[-1][0]}' END AS split
+FROM clusters
+ORDER BY doc_id"""

@@ -2092,3 +2092,16 @@ def dedup_winnow_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnow_screen(
         batch, dedup.winnow_corpus_fps(corpus_docs)
     ).orderBy("doc_id")
+
+
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe splits (corpus.leakage_safe_split): near-dup
+    clusters over the scale-path est pair graph assigned to
+    train/val/test WHOLE, so no near-duplicate pair straddles an
+    evaluation boundary — the split discipline decontamination and
+    dedup alone don't guarantee."""
+    from ..operators import corpus
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_est_pairs(docs, threshold=0.5)
+    return corpus.leakage_safe_split(docs, pairs).orderBy("doc_id")

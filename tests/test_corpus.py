@@ -1224,3 +1224,43 @@ def test_cooccurrence_counts_and_lift(spark):
     ac = got[("apple", "cherry")]
     assert (ac.pair_count, ac.count1, ac.count2) == (2, 3, 2)
     assert ac.lift == (5 * 2) / (3 * 2)  # > 1: positively associated
+
+
+def test_leakage_safe_split_moves_clusters_whole(spark):
+    """The leakage guarantee: every member of a near-dup cluster lands
+    in the SAME split (no pair straddles an eval boundary), singletons
+    are their own cluster, and labels re-derive from the LCG key of the
+    cluster id exactly."""
+    from tax_compliance_engine_spark.operators import corpus as corpus_mod
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # clusters: {0..4} chained, {10,11}, everything else singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)],
+        "doc1 long, doc2 long",
+    )
+    got = corpus_mod.leakage_safe_split(docs, pairs).collect()
+    by_doc = {r.doc_id: r for r in got}
+    assert len(got) == 200
+    # cluster members share cluster id AND split
+    assert {by_doc[i].cluster_id for i in range(5)} == {0}
+    assert len({by_doc[i].split for i in range(5)}) == 1
+    assert by_doc[10].split == by_doc[11].split
+    assert by_doc[10].cluster_id == 10 and by_doc[11].cluster_id == 10
+    # label = split_assign of the cluster id, member-wise
+    want = {
+        r.doc_id: r.split
+        for r in corpus_mod.split_assign(
+            spark.createDataFrame(
+                [(by_doc[i].cluster_id,) for i in range(200)],
+                "doc_id long",
+            )
+        ).collect()
+    }
+    # (split_assign keyed by cluster id values; compare per cluster id)
+    for i in range(200):
+        assert by_doc[i].split == want[by_doc[i].cluster_id]
+    # all three labels appear over 200 mostly-singleton clusters
+    assert {r.split for r in got} == {"train", "val", "test"}
