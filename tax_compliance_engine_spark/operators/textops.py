@@ -390,42 +390,56 @@ def lm_coverage(
     )
 
 
-def bigram_lm_score(
+def bigram_lm_model(
     docs: DataFrame,
     text_col: str = "text",
     train_pred: Column | None = None,
-    alpha: int = 1,
-) -> DataFrame:
-    """GRADED language-model quality score: every document's mean
-    add-alpha-smoothed bigram probability under a word-bigram model
-    trained on a held-in corpus slice — the CCNet-perplexity signal
-    with actual probabilities, complementing ``lm_coverage``'s binary
-    seen/unseen counting (coverage says "how much is in-distribution";
-    this says "HOW in-distribution the rest is").
-
-    Bit-portability without ``ln`` (JVM Math.log and C libm may differ
-    by 1 ULP — the reason the repo's IDF/BM25 are log-free): each
-    bigram probability P(w2|w1) = (c12 + alpha) / (c1 + alpha·V) is one
-    exactly-rounded IEEE division of exact integers, and the per-doc
-    mean folds those doubles in TOKEN-POSITION ORDER (array_sort on the
-    position, then a left fold — the same pinned-order discipline as
-    the silhouette op) followed by one final division, so every float
-    on both engines is the identical bit pattern.
-
-    Scale shape: bigrams come from one ``lead()`` window over the
-    posexploded tokens (one doc_id-keyed shuffle); the model is two
-    map-side-combinable count tables joined back on their own keys
-    (AQE broadcasts when they fit); the per-doc fold carries one
-    doc-length-bounded list per document.  Docs with < 2 tokens score
-    NULL mean_prob with n_bigrams = 0.
-
-    Output: (doc_id, n_bigrams, n_hapax, mean_prob) — n_hapax counts
-    the doc's bigrams seen nowhere in the TRAIN slice (c12 = 0), the
-    out-of-distribution tail coverage cannot grade."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The trained half of the bigram LM: (c12, c1, v) count tables over
+    the ``train_pred`` slice (None = the whole frame) — bigram counts,
+    context counts, and the one-row distinct-vocabulary size.  Built
+    once and cached/persisted, these are the frozen model a scoring
+    pass (batch or streaming) probes; all three are map-side-combinable
+    aggregations."""
     from pyspark.sql.window import Window
 
-    if train_pred is None:
-        train_pred = F.col("doc_id") % 10 < 8
+    train_docs = docs if train_pred is None else docs.filter(train_pred)
+    toks = train_docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col(text_col))).alias("p", "w1")
+    )
+    seq_w = Window.partitionBy("doc_id").orderBy("p")
+    bigrams = toks.select(
+        "doc_id", "p", "w1", F.lead("w1").over(seq_w).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    c12 = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("_c12")
+    )
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    v = (
+        train_docs.select(
+            F.explode(tokens_col(F.col(text_col))).alias("w")
+        )
+        .agg(F.count_distinct("w").alias("_v"))
+    )
+    return c12, c1, v
+
+
+def bigram_lm_score_against(
+    docs: DataFrame,
+    model: tuple[DataFrame, DataFrame, DataFrame],
+    text_col: str = "text",
+    alpha: int = 1,
+) -> DataFrame:
+    """Score ``docs`` under a FROZEN bigram LM (``bigram_lm_model``
+    output): per doc the add-alpha-smoothed mean probability, bigram
+    count, and train-unseen bigram count — a pure function of the doc
+    and the fixed model, which is what makes the streaming screen's
+    micro-batch-local scoring the global semantics.  Same pinned-order
+    float discipline as ``bigram_lm_score`` (exactly-rounded divisions,
+    token-position-ordered fold, one final division)."""
+    from pyspark.sql.window import Window
+
+    c12, c1, v = model
     toks = docs.select(
         "doc_id", F.posexplode(tokens_col(F.col(text_col))).alias("p", "w1")
     )
@@ -433,15 +447,6 @@ def bigram_lm_score(
     bigrams = toks.select(
         "doc_id", "p", "w1", F.lead("w1").over(seq_w).alias("w2")
     ).filter(F.col("w2").isNotNull())
-    train = bigrams.filter(train_pred)
-    c12 = train.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("_c12")
-    )
-    c1 = train.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
-    vocab = docs.filter(train_pred).select(
-        F.explode(tokens_col(F.col(text_col))).alias("w")
-    )
-    v = vocab.agg(F.count_distinct("w").alias("_v"))
     probs = (
         bigrams.join(c12, ["w1", "w2"], "left")
         .join(c1, "w1", "left")
@@ -482,6 +487,48 @@ def bigram_lm_score(
         F.coalesce("n_hapax", F.lit(0)).alias("n_hapax"),
         "mean_prob",
     )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    train_pred: Column | None = None,
+    alpha: int = 1,
+) -> DataFrame:
+    """GRADED language-model quality score: every document's mean
+    add-alpha-smoothed bigram probability under a word-bigram model
+    trained on a held-in corpus slice — the CCNet-perplexity signal
+    with actual probabilities, complementing ``lm_coverage``'s binary
+    seen/unseen counting (coverage says "how much is in-distribution";
+    this says "HOW in-distribution the rest is").
+
+    Bit-portability without ``ln`` (JVM Math.log and C libm may differ
+    by 1 ULP — the reason the repo's IDF/BM25 are log-free): each
+    bigram probability P(w2|w1) = (c12 + alpha) / (c1 + alpha·V) is one
+    exactly-rounded IEEE division of exact integers, and the per-doc
+    mean folds those doubles in TOKEN-POSITION ORDER (array_sort on the
+    position, then a left fold — the same pinned-order discipline as
+    the silhouette op) followed by one final division, so every float
+    on both engines is the identical bit pattern.
+
+    Scale shape: bigrams come from one ``lead()`` window over the
+    posexploded tokens (one doc_id-keyed shuffle); the model is two
+    map-side-combinable count tables joined back on their own keys
+    (AQE broadcasts when they fit); the per-doc fold carries one
+    doc-length-bounded list per document.  Docs with < 2 tokens score
+    NULL mean_prob with n_bigrams = 0.
+
+    Train/score halves are exposed separately (``bigram_lm_model`` /
+    ``bigram_lm_score_against``) so the model can be built once over a
+    standing corpus and served — the streaming quality screen's shape.
+
+    Output: (doc_id, n_bigrams, n_hapax, mean_prob) — n_hapax counts
+    the doc's bigrams seen nowhere in the TRAIN slice (c12 = 0), the
+    out-of-distribution tail coverage cannot grade."""
+    if train_pred is None:
+        train_pred = F.col("doc_id") % 10 < 8
+    model = bigram_lm_model(docs, text_col, train_pred)
+    return bigram_lm_score_against(docs, model, text_col, alpha)
 
 
 # ── Hashed-feature linear classifier inference ───────────────────────────

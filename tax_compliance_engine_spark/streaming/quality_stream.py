@@ -51,3 +51,40 @@ def streaming_quality_filter_writer(
         kept.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
 
     return stream.writeStream.foreachBatch(write_batch)
+
+
+def streaming_bigram_lm_writer(
+    stream: DataFrame,
+    corpus_docs: DataFrame,
+    out_path: str,
+    text_col: str = "text",
+    alpha: int = 1,
+):
+    """Streaming GRADED LM quality screen: score every arriving
+    document's mean smoothed bigram probability under a bigram model
+    trained ONCE on the standing corpus — the streaming twin of
+    ``textops.bigram_lm_score_against`` (drained ≡ batch, float
+    bit-equal: the pinned per-doc fold never sees other documents), the
+    probability-graded companion to the hashed-classifier screen above.
+
+    The stream IS the held-out set by construction (the model trains on
+    the full standing corpus, never on arrivals), so no per-batch
+    held-in split is needed.  The three model tables are cached and
+    materialized up front; each micro-batch pays only its own bigram
+    extraction + count-table probes + per-doc fold.  Output lands under
+    ``out_path/batch=<id>`` with per-batch OVERWRITE (idempotent under
+    re-delivery).  Returns the configured DataStreamWriter; the caller
+    sets trigger / checkpoint and calls ``.start()``."""
+    from ..operators.textops import bigram_lm_model, bigram_lm_score_against
+
+    c12, c1, v = bigram_lm_model(corpus_docs, text_col)
+    model = (c12.cache(), c1.cache(), v.cache())
+    for df in model:
+        df.count()  # materialize the frozen model before the first batch
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        bigram_lm_score_against(
+            bdf, model, text_col=text_col, alpha=alpha
+        ).write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+
+    return stream.writeStream.foreachBatch(write_batch)

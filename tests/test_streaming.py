@@ -836,3 +836,64 @@ def test_streaming_sketch_stale_staging_reaped(spark, tmp_path):
         spark, str(state), ["event_type"], "cents", {"p50_est": 0.5}
     ).collect()
     assert len(got) == 1 and got[0].sample_n == 32
+
+
+def test_streaming_bigram_lm_matches_batch(spark, tmp_path):
+    """Drained streaming bigram-LM quality screen ≡ the batch
+    score-against over the same arrivals (real sf0.001 corpus split),
+    float bit-equal — the per-doc pinned fold never sees other docs, so
+    micro-batch boundaries can't move any value — and an empty re-drain
+    stays idempotent."""
+    from pyspark.sql import functions as F
+
+    from tax_compliance_engine_spark.operators.textops import (
+        bigram_lm_model,
+        bigram_lm_score_against,
+    )
+    from tax_compliance_engine_spark.streaming.quality_stream import (
+        streaming_bigram_lm_writer,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 13 != 0)
+    arrivals = docs.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id", "text"
+    )
+    rows = arrivals.collect()
+    first, second = rows[: len(rows) // 2], rows[len(rows) // 2 :]
+    src, out = tmp_path / "arrivals", tmp_path / "scored"
+    schema = arrivals.schema
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        qy = (
+            streaming_bigram_lm_writer(stream, corpus, str(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination()
+        return spark.read.parquet(str(out)).select(
+            "doc_id", "n_bigrams", "n_hapax", "mean_prob"
+        )
+
+    spark.createDataFrame(first, schema).write.mode("append").parquet(
+        str(src)
+    )
+    drain()
+    spark.createDataFrame(second, schema).write.mode("append").parquet(
+        str(src)
+    )
+    got = sorted(map(tuple, drain().collect()))
+    assert sorted(map(tuple, drain().collect())) == got  # idempotent
+    want = sorted(
+        map(
+            tuple,
+            bigram_lm_score_against(
+                arrivals, bigram_lm_model(corpus)
+            ).collect(),
+        )
+    )
+    assert got == want  # exact, incl. bit-equal mean_prob floats
+    assert len(got) == len(rows)
+    assert any(r[3] is not None for r in got)
