@@ -226,6 +226,55 @@ def _cpu_totals() -> tuple[float, float]:
     return busy, ours
 
 
+def regression_diff(
+    timings: dict[str, float],
+    contended: list[str],
+    sidecar: Path,
+    threshold: float = 1.3,
+    min_sec: float = 0.2,
+) -> tuple[dict | None, list[dict]]:
+    """Round-over-round regression diff, computed IN the bench run so a
+    slowdown is a one-line artifact fact instead of a judge exercise:
+    the sidecar on disk at start-of-run is the previous capture
+    (committed per round), so comparing against it before overwriting
+    yields ``regressions: [{query, prev, now, ratio, contended}]`` for
+    every query >``threshold``× its previous time.  Fail-soft by
+    construction — a missing/corrupt previous sidecar reports
+    ``prev_sidecar: null`` and an empty list; contended rows are
+    ANNOTATED, not excluded, so the reader sees both the ratio and its
+    provenance.  Rows under ``min_sec`` on both sides are skipped
+    (scheduler jitter dominates; a 0.05→0.08 s "1.6×" is noise)."""
+    try:
+        with open(sidecar) as fh:
+            prev = json.load(fh)
+        prev_q = prev.get("queries", {})
+    except (OSError, ValueError):
+        return None, []
+    prev_meta = {
+        "wall_clock_utc": prev.get("wall_clock_utc"),
+        "value_core18": prev.get("value_core18"),
+        "n_queries": len(prev_q),
+    }
+    regressions: list[dict] = []
+    for name, now_s in timings.items():
+        p = prev_q.get(name)
+        if p is None or max(p, now_s) < min_sec:
+            continue
+        ratio = now_s / p if p > 0 else float("inf")
+        if ratio > threshold:
+            regressions.append(
+                {
+                    "query": name,
+                    "prev": p,
+                    "now": now_s,
+                    "ratio": round(ratio, 2),
+                    "contended": name in contended,
+                }
+            )
+    regressions.sort(key=lambda r: -r["ratio"])
+    return prev_meta, regressions
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -328,6 +377,10 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     core18 = round(sum(timings[n] for n in CORE18 if n in timings), 3)
+    sidecar = Path(__file__).resolve().parent / "BENCH_queries_full.json"
+    prev_meta, regressions = regression_diff(timings, contended, sidecar)
+    gate["prev_sidecar"] = prev_meta
+    gate["regressions"] = regressions
     print(
         json.dumps(
             {
@@ -349,7 +402,6 @@ def main() -> None:
     # the gate fields — so each round's artifact set is self-sufficient
     # (the file is committed per round; round-over-round diffs read it
     # directly).
-    sidecar = Path(__file__).resolve().parent / "BENCH_queries_full.json"
     with open(sidecar, "w") as fh:
         json.dump(
             {
