@@ -1874,9 +1874,10 @@ def retrieval_self_mrr(
 
 def leakage_safe_split(
     docs: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None = None,
     fractions: list[tuple[str, float]] | None = None,
     id_col: str = "doc_id",
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup-aware train/val/test split: transitive near-dup CLUSTERS
     are assigned whole — every member inherits its cluster's label — so
@@ -1896,12 +1897,24 @@ def leakage_safe_split(
     Scale shape: the cluster-label table is ≤ |clusters| rows (one LCG
     projection, no shuffle), and the member join is broadcast-sized
     under AQE for real corpora; everything else is the contraction's
-    own cost.  Output: (doc_id, cluster_id, split)."""
+    own cost.  Output: (doc_id, cluster_id, split).
+
+    Compose-order: pipelines that already ran ``dedup.dup_clusters``
+    (resolution, reps) should pass that frame via ``clusters`` —
+    (doc_id, cluster_id), every doc present — instead of ``pairs``, so
+    the contraction isn't paid twice; both call forms are
+    value-identical by construction (pytest-pinned).  Exactly one of
+    ``pairs`` / ``clusters`` must be given."""
     from .dedup import dup_clusters
 
-    clusters = dup_clusters(
-        docs.select(F.col(id_col).alias("doc_id")), pairs
-    )
+    if (pairs is None) == (clusters is None):
+        raise ValueError(
+            "leakage_safe_split takes exactly one of pairs= or clusters="
+        )
+    if clusters is None:
+        clusters = dup_clusters(
+            docs.select(F.col(id_col).alias("doc_id")), pairs
+        )
     labels = split_assign(
         clusters.select("cluster_id").distinct(),
         fractions,

@@ -197,7 +197,10 @@ def containment_pairs(
 
 
 def _minhash_per_doc(
-    docs: DataFrame, text_col: str, with_token_sets: bool = False
+    docs: DataFrame,
+    text_col: str,
+    with_token_sets: bool = False,
+    with_token_counts: bool = False,
 ) -> DataFrame:
     """Per-doc full MinHash component columns `_mh0.._mh15`: all 16 mins as
     parallel aggregates in ONE groupBy(doc_id) pass over the exploded tokens
@@ -208,9 +211,25 @@ def _minhash_per_doc(
     so int32 halves the bytes the exact-verify shuffle carries per row vs
     array<long>) in the SAME aggregation — the exact verify step consumes
     it without a second tokenization pass over the corpus."""
-    toks = _doc_tokens(docs, text_col).withColumn(
-        "tok_hash", hashing.tok_hash_col(F.col("tok"))
-    )
+    if with_token_counts:
+        # Carry the TOTAL token count (duplicates included — the
+        # pre-explode F.size, NOT the distinct-row count the explode
+        # yields) on the exploded rows and fold it back with min():
+        # downstream per-doc stats consumers (cluster_representatives'
+        # longest-member rule) get F.size(tokens_col(text)) semantics
+        # out of THIS tokenization pass instead of a second corpus scan
+        # (whole-stage codegen subexpression-eliminates the repeated
+        # tokens_col inside the one projection).
+        toks = docs.select(
+            "doc_id",
+            F.size(tokens_col(F.col(text_col))).alias("_n_total"),
+            F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias(
+                "tok"
+            ),
+        )
+    else:
+        toks = _doc_tokens(docs, text_col)
+    toks = toks.withColumn("tok_hash", hashing.tok_hash_col(F.col("tok")))
     aggs = [
         F.min(
             (F.lit(a) * F.col("tok_hash") + F.lit(b)) % hashing.HASH_MOD
@@ -221,6 +240,8 @@ def _minhash_per_doc(
         aggs.append(
             F.collect_set(F.col("tok_hash").cast("int")).alias("tok_set")
         )
+    if with_token_counts:
+        aggs.append(F.min("_n_total").cast("int").alias("n_tokens"))
     return toks.groupBy("doc_id").agg(*aggs)
 
 
@@ -406,9 +427,37 @@ def minhash_est_pairs(
     so the DuckDB oracle replicates it bit-for-bit (estimates are
     multiples of 1/16 — exact in binary floating point on both
     engines)."""
+    per_doc = _minhash_per_doc(docs, text_col).cache()
+    return _est_pairs_from_per_doc(per_doc, threshold)
+
+
+def minhash_est_pairs_stats(
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.5
+) -> tuple[DataFrame, DataFrame]:
+    """``minhash_est_pairs`` plus the per-doc stats its own tokenization
+    pass already computed: returns ``(pairs, doc_stats)`` where
+    ``doc_stats`` is (doc_id, n_tokens) — total token count, duplicates
+    included, identical to ``F.size(tokens_col(text))`` for every doc
+    that HAS tokens (zero-token docs have no exploded rows, hence no
+    stats row; consumers coalesce to 0).
+
+    The count rides the SAME cached groupBy(doc_id) aggregation the
+    signatures come from, so a downstream resolution step
+    (``cluster_representatives``) that needs token lengths pays zero
+    extra corpus scans — under bench cache isolation the second
+    tokenization scan was the reps row's one avoidable constant."""
+    per_doc = _minhash_per_doc(docs, text_col, with_token_counts=True).cache()
+    return (
+        _est_pairs_from_per_doc(per_doc, threshold),
+        per_doc.select("doc_id", "n_tokens"),
+    )
+
+
+def _est_pairs_from_per_doc(per_doc: DataFrame, threshold: float) -> DataFrame:
+    """Shared est-pair tail: banded explode + bucket-local in-join scoring
+    over an already-built (and cached) per-doc signature frame."""
     from functools import reduce
 
-    per_doc = _minhash_per_doc(docs, text_col).cache()
     n_perms = len(hashing.MINHASH_PERMS)
     banded = _banded(
         per_doc,
@@ -928,7 +977,10 @@ def minhash_dup_pairs(
 
 
 def cluster_representatives(
-    docs: DataFrame, pairs: DataFrame, text_col: str = "text"
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    doc_stats: DataFrame | None = None,
 ) -> DataFrame:
     """Per-cluster REPRESENTATIVE selection — the resolution rule real
     dedup pipelines apply after transitive clustering: keep the member
@@ -943,13 +995,42 @@ def cluster_representatives(
     hub discipline as ``lpa_communities``).
 
     Output: (cluster_id, rep_doc_id, rep_tokens, n_members) — one row
-    per cluster, singletons included (their own representative)."""
+    per cluster, singletons included (their own representative).
+
+    ``doc_stats`` (optional, (doc_id, n_tokens)) lets callers whose pair
+    lineage already tokenized the corpus — ``minhash_est_pairs_stats``
+    returns it off the signature aggregation itself — skip the second
+    full-corpus tokenization scan this function otherwise pays.  Docs
+    absent from ``doc_stats`` count 0 tokens (zero-token docs have no
+    exploded rows), which is exactly what the ``F.size`` scan yields, so
+    both stats sources are VALUE-IDENTICAL (pytest-pinned)."""
     clusters = dup_clusters(docs.select("doc_id"), pairs)
+    if doc_stats is not None:
+        toks = doc_stats.select(
+            "doc_id", F.col("n_tokens").cast("int").alias("_nt")
+        )
+        return _reps_from_clusters(clusters, toks, outer=True)
     toks = docs.select(
         "doc_id", F.size(tokens_col(F.col(text_col))).alias("_nt")
     )
+    return _reps_from_clusters(clusters, toks, outer=False)
+
+
+def _reps_from_clusters(
+    clusters: DataFrame, toks: DataFrame, outer: bool
+) -> DataFrame:
+    """Shared representative argmax; ``outer`` left-joins the stats and
+    coalesces missing docs to 0 tokens (the precomputed-stats source
+    omits zero-token docs; the projection source never misses a row)."""
+    joined = (
+        clusters.join(toks, "doc_id", "left").withColumn(
+            "_nt", F.coalesce("_nt", F.lit(0))
+        )
+        if outer
+        else clusters.join(toks, "doc_id")
+    )
     return (
-        clusters.join(toks, "doc_id")
+        joined
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
@@ -2010,7 +2091,17 @@ def winnow_fingerprints(
     its characters ONCE (the shared portable ``tok_hash_col``), and a
     gram's hash folds its k token hashes with the same (h·31 + x) mod P
     recurrence — a pure engine-portable integer recurrence the DuckDB
-    twin replicates bit-for-bit."""
+    twin replicates bit-for-bit.
+
+    MAX-DOC-LENGTH LIMIT: the arithmetic encoding reserves 2²⁰ position
+    slots per doc, so only the first ``_WINNOW_POS_SPACE`` (1,048,576)
+    gram positions — i.e. the first 2²⁰+k−1 tokens — are fingerprinted;
+    grams beyond that are deterministically TRUNCATED (the doc behaves
+    as if it ended there).  Without the explicit bound, position 2²⁰
+    would make the tie-break term negative and silently corrupt both
+    the window-min selection and the decoded (pos, fp_hash) — and since
+    the oracle twin repeats the same arithmetic, the bit-exact sweep
+    could never catch it.  The DuckDB CTE applies the identical cap."""
     from pyspark.sql.window import Window
 
     if k < 1 or w < 1:
@@ -2026,6 +2117,9 @@ def winnow_fingerprints(
             "doc_id", "p", F.collect_list("_th").over(gram_w).alias("_win")
         )
         .filter(F.size("_win") == k)  # tail positions: no full gram
+        # position-space guard (see docstring): gram positions ≥ 2²⁰
+        # would drive the rightmost-min tie term negative — truncate
+        .filter(F.col("p") < pos_space)
         .select(
             "doc_id",
             "p",

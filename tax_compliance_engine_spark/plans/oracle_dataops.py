@@ -2645,8 +2645,11 @@ def _winnow_fp_cte(
          list_transform({TOKENS}, tok -> {tok_hash}) AS th
   FROM documents {doc_where}),
 {g} AS (
-  SELECT doc_id, len(th) - {k} + 1 AS ng,
-    list_transform(range(0, len(th) - {k} + 1),
+  -- least(..., 1048576): the position-space guard — only the first 2^20
+  -- gram positions are fingerprinted (same deterministic truncation as
+  -- the Spark operator; beyond it the tie-break term would go negative)
+  SELECT doc_id, least(len(th) - {k} + 1, 1048576) AS ng,
+    list_transform(range(0, least(len(th) - {k} + 1, 1048576)),
       p -> {gram_hash} * 1048576 + (1048575 - p)) AS keys
   FROM {t} WHERE len(th) >= {k}),
 {fp} AS (

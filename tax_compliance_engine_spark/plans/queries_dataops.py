@@ -176,10 +176,15 @@ def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     purely from verify shuffle volume, while the reps argmax itself is
     one narrow groupBy.  The exact-verify resolution composite
     (`dedup_minhash_resolution`) keeps the exact-pairs lineage for the
-    quality-over-cost regime."""
+    quality-over-cost regime.
+
+    Token lengths for the longest-member rule come from the pair
+    lineage's own signature aggregation (`minhash_est_pairs_stats`) —
+    the r10 bench showed the second full-corpus tokenization scan was
+    this row's one avoidable constant under bench cache isolation."""
     docs = _docs(spark, sf_dir)
-    pairs = dedup.minhash_est_pairs(docs, threshold=0.5)
-    return dedup.cluster_representatives(docs, pairs)
+    pairs, doc_stats = dedup.minhash_est_pairs_stats(docs, threshold=0.5)
+    return dedup.cluster_representatives(docs, pairs, doc_stats=doc_stats)
 
 
 def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

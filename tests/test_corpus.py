@@ -1264,3 +1264,33 @@ def test_leakage_safe_split_moves_clusters_whole(spark):
         assert by_doc[i].split == want[by_doc[i].cluster_id]
     # all three labels appear over 200 mostly-singleton clusters
     assert {r.split for r in got} == {"train", "val", "test"}
+
+
+def test_leakage_safe_split_clusters_passthrough(spark):
+    """Pipelines that already ran dup_clusters pass the frame in via
+    ``clusters=`` and must get the IDENTICAL split table (no second
+    contraction); passing both or neither of pairs/clusters raises."""
+    import pytest
+
+    from tax_compliance_engine_spark.operators import corpus as corpus_mod
+    from tax_compliance_engine_spark.operators import dedup
+
+    docs = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (7, 8)], "doc1 long, doc2 long"
+    )
+    clusters = dedup.dup_clusters(docs, pairs)
+    via_pairs = sorted(
+        map(tuple, corpus_mod.leakage_safe_split(docs, pairs).collect())
+    )
+    via_clusters = sorted(
+        map(
+            tuple,
+            corpus_mod.leakage_safe_split(docs, clusters=clusters).collect(),
+        )
+    )
+    assert via_pairs == via_clusters
+    with pytest.raises(ValueError):
+        corpus_mod.leakage_safe_split(docs, pairs, clusters=clusters)
+    with pytest.raises(ValueError):
+        corpus_mod.leakage_safe_split(docs)

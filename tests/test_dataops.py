@@ -1020,6 +1020,54 @@ def test_cluster_representatives_longest_wins(spark):
     assert got == {0: (1, 5, 3), 3: (3, 2, 2), 5: (5, 2, 1)}
 
 
+def test_cluster_representatives_doc_stats_identity(spark):
+    """Both stats sources — the fresh F.size scan and the pair
+    lineage's own token counts (minhash_est_pairs_stats) — yield the
+    IDENTICAL representative table: same argmax, same tie-breaks, and
+    a zero-token doc (absent from the aggregated stats) coalesces to
+    the 0 the scan reports."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c"),
+            (1, "a b c d"),
+            (2, "a b c e f"),
+            (3, ""),  # zero tokens: no stats row, still a singleton rep
+            (4, "x y z x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs, doc_stats = dedup.minhash_est_pairs_stats(docs, threshold=0.2)
+    via_scan = sorted(
+        map(tuple, dedup.cluster_representatives(docs, pairs).collect())
+    )
+    via_stats = sorted(
+        map(
+            tuple,
+            dedup.cluster_representatives(
+                docs, pairs, doc_stats=doc_stats
+            ).collect(),
+        )
+    )
+    assert via_scan == via_stats
+    # and the stats counts are exactly F.size(tokens_col(text))
+    want = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id",
+            F.size(textops.tokens_col(F.col("text"))).alias("n"),
+        ).collect()
+        if r.n > 0
+    }
+    assert {r.doc_id: r.n_tokens for r in doc_stats.collect()} == want
+    # est pairs themselves are unchanged by the stats-returning form
+    plain = dedup.minhash_est_pairs(docs, threshold=0.2)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, pairs.collect())
+    )
+
+
 def test_dup_clusters_long_chain_logarithmic(spark):
     """A 100-node path graph (diameter 99) must converge well inside a
     logarithmic round budget — the case plain min-label propagation
@@ -3215,6 +3263,36 @@ def test_winnow_guarantee_and_tie_rule(spark):
     n_fp = dedup.winnow_fingerprints(long_doc, k=k, w=w).count()
     n_grams = 200 - k + 1
     assert n_fp < n_grams / 2  # ~2/(w+1) = 0.4 expected
+
+
+def test_winnow_position_space_truncation(spark, monkeypatch):
+    """The position-space guard: gram positions ≥ _WINNOW_POS_SPACE are
+    deterministically truncated (the doc behaves as if it ended there),
+    so the rightmost-min tie term can never go negative.  Patched down
+    to 8 slots so a 30-token doc exercises the bound: its fingerprints
+    must equal those of the doc PRE-truncated to the surviving grams'
+    tokens, every decoded pos stays inside the space, and no key is
+    negative."""
+    monkeypatch.setattr(dedup, "_WINNOW_POS_SPACE", 8)
+    k, w = 3, 4
+    toks = [f"t{(i * 29) % 13}" for i in range(30)]
+    long_doc = spark.createDataFrame(
+        [(1, " ".join(toks))], "doc_id long, text string"
+    )
+    # surviving grams: p < 8 → tokens 0 .. 8+k-1
+    short_doc = spark.createDataFrame(
+        [(1, " ".join(toks[: 8 + k - 1]))], "doc_id long, text string"
+    )
+    got_long = sorted(
+        (r.pos, r.fp_hash)
+        for r in dedup.winnow_fingerprints(long_doc, k=k, w=w).collect()
+    )
+    got_short = sorted(
+        (r.pos, r.fp_hash)
+        for r in dedup.winnow_fingerprints(short_doc, k=k, w=w).collect()
+    )
+    assert got_long == got_short and got_long
+    assert all(0 <= p < 8 and h >= 0 for p, h in got_long)
 
 
 def test_winnow_pairs_df_cap_drops_boilerplate(spark):
