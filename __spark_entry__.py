@@ -589,6 +589,10 @@ def oracle_sql() -> dict[str, str]:
         # iterations, vec_id-ordered fold means — bit-portable) —
         # oracle-only swept entry.
         "embedding_kmeans": oracle_dataops.embedding_kmeans_sql(),
+        # embedding_semdedup: SemDeDup semantic dedup (k-means +
+        # cell-local cosine ε-graph components + keep-the-atypical
+        # representative) — r11
+        "embedding_semdedup": oracle_dataops.embedding_semdedup_sql(),
         # embedding_pagerank: 5-iteration PageRank over the symmetrized
         # near-dup graph, src-ordered folds per iteration — oracle-only
         # swept entry (iterative float algorithm under the hash gate).

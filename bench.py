@@ -146,6 +146,8 @@ BENCH_QUERIES = [
     "doc_bigram_lm",
     "events_bot_regularity",
     "corpus_leakage_safe_split",
+    # round-11: semantic dedup (SemDeDup), URL/host hygiene, trigram LM
+    "embedding_semdedup",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

@@ -1283,6 +1283,73 @@ ORDER BY cell"""
     )
 
 
+def embedding_semdedup_sql(
+    k: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.4,
+    shard_count: int = 256,
+) -> str:
+    """Twin of queries_dataops.embedding_semdedup: the shared unrolled
+    Lloyd chain, a final E-step that KEEPS the winning cosine (the
+    typicality signal), cell-local pairwise cosine thresholding,
+    recursive-CTE connected components over the ε-graph (nodes = every
+    vector, so singletons are their own group), then the
+    keep-the-atypical rank — lowest cent_cos first, ties to the
+    smallest vec_id — all with the same IEEE fold shapes the Spark
+    side computes."""
+    dim = similarity.DIM
+    dot_cc = DOT_FOLD.format(n=dim, a="cvec", b="cvec")
+    dot_ec = DOT_FOLD.format(n=dim, a="e.v", b="c.cvec")
+    dot_ab = DOT_FOLD.format(n=dim, a="a.v", b="b.v")
+    ctes = _kmeans_ctes(k, n_iter, shard_count)
+    fin = f"cents{n_iter}"
+    ctes.append(
+        f"""centsF AS (
+  SELECT cell, cvec, sqrt({dot_cc}) AS cnrm FROM {fin}),
+assignF AS (
+  SELECT vec_id, cell, cos AS cent_cos FROM (
+    SELECT e.vec_id, c.cell,
+      {dot_ec} / (e.nrm * c.cnrm) AS cos,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {dot_ec} / (e.nrm * c.cnrm) DESC, c.cell)
+        AS r
+    FROM embVn e CROSS JOIN centsF c) t
+  WHERE r = 1),
+vn AS (
+  SELECT a.vec_id, a.cell, e.v, e.nrm
+  FROM assignF a JOIN embVn e USING (vec_id)),
+spairs AS (
+  SELECT id1, id2 FROM (
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+      {dot_ab} / (a.nrm * b.nrm) AS cosine
+    FROM vn a JOIN vn b ON a.cell = b.cell AND a.vec_id < b.vec_id) t
+  WHERE cosine >= {threshold}),
+adj AS (
+  SELECT id1 AS node, id2 AS nbr FROM spairs
+  UNION ALL
+  SELECT id2 AS node, id1 AS nbr FROM spairs),
+reach AS (
+  SELECT vec_id AS node, vec_id AS lab FROM embeddings
+  UNION
+  SELECT a.node, r.lab FROM adj a JOIN reach r ON r.node = a.nbr
+),
+grp AS (SELECT node AS vec_id, MIN(lab) AS group_id FROM reach GROUP BY node),
+rankedk AS (
+  SELECT g.vec_id, a.cell, g.group_id, a.cent_cos,
+         row_number() OVER (PARTITION BY g.group_id
+                            ORDER BY a.cent_cos, g.vec_id) AS rn
+  FROM grp g JOIN assignF a USING (vec_id))"""
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + """
+SELECT vec_id, cell, group_id, cent_cos, rn = 1 AS keep
+FROM rankedk
+ORDER BY vec_id"""
+    )
+
+
 def ivf_knn_portable_sql(k: int = 5, nprobe: int = 2, modulus: int = 50) -> str:
     """Twin of queries_dataops.ivf_knn_portable incl. the one Lloyd
     iteration: label-seeded ordered-fold centroids → nearest-centroid
@@ -2619,6 +2686,11 @@ GEOMETRY_PARAMETRIC_SQL = {
     "embedding_bfs_dist": lambda n: embedding_bfs_dist_sql(n_docs=n),
     "embedding_communities": lambda n: embedding_communities_sql(n_docs=n),
     "embedding_kcore": lambda n: embedding_kcore_sql(n_docs=n),
+    # semdedup's knob is the CLUSTER COUNT, not band geometry: the twin
+    # regenerates with the same pure k-planning rule the Spark side runs
+    "embedding_semdedup": lambda n: embedding_semdedup_sql(
+        k=similarity.semdedup_k_for_corpus(n)
+    ),
 }
 
 

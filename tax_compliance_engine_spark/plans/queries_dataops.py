@@ -2110,3 +2110,18 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = dedup.minhash_est_pairs(docs, threshold=0.5)
     return corpus.leakage_safe_split(docs, pairs).orderBy("doc_id")
+
+
+def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (similarity.semdedup, Abbas et al. 2023):
+    id-seeded k-means, cell-local cosine ε-graph, connected-component
+    duplicate groups, keep-the-atypical representative (lowest cosine
+    to centroid, ties → smallest id).  The one major public LLM-dedup
+    family exact/MinHash/SimHash/winnowing don't cover: near-identical
+    MEANING with different surface forms.  k is planner-sized from the
+    corpus count (cells ~250 rows → the cell-local pairwise step stays
+    linear-per-document); the DuckDB twin regenerates at the same count
+    via GEOMETRY_PARAMETRIC_SQL."""
+    return similarity.semdedup(
+        _emb(spark, sf_dir), n_iter=2, threshold=0.4
+    ).orderBy("vec_id")

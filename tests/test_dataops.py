@@ -529,6 +529,44 @@ def test_kmeans_recovers_two_clusters(spark):
             assert mean == acc / len(ids)
 
 
+def test_semdedup_groups_and_keep_rule(spark):
+    """SemDeDup semantics on a hand-built geometry: two k-means cells,
+    one near-identical pair inside each, cross-cell/loose pairs never
+    grouped; every group keeps exactly one member and it is the argmin
+    of cent_cos (the paper's keep-the-atypical rule), ties impossible
+    here; singletons keep themselves."""
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],     # 0: seed A
+        [0.0, 1.0, 0.0, 0.0],     # 1: seed B
+        [0.999, 0.04, 0.0, 0.0],  # 2: near-dup of 0 (cos≈0.9992)
+        [0.98, 0.2, 0.0, 0.0],    # 3: cell A, loose (cos to 0 ≈ 0.98)
+        [0.0, 0.9, 0.43, 0.0],    # 4: cell B, loose
+        [0.05, 0.999, 0.0, 0.0],  # 5: near-dup of 1 (cos≈0.9987)
+    ]
+    out = {
+        r.vec_id: r
+        for r in similarity.semdedup(
+            emb_df(spark, vecs), k=2, n_iter=2, threshold=0.99
+        ).collect()
+    }
+    assert len(out) == 6
+    # cells: {0,2,3} together, {1,4,5} together
+    assert out[0].cell == out[2].cell == out[3].cell
+    assert out[1].cell == out[4].cell == out[5].cell
+    assert out[0].cell != out[1].cell
+    # ε-groups: {0,2}, {1,5}, singletons 3 and 4
+    assert out[0].group_id == out[2].group_id == 0
+    assert out[1].group_id == out[5].group_id == 1
+    assert out[3].group_id == 3 and out[4].group_id == 4
+    assert out[3].keep and out[4].keep  # singletons keep themselves
+    # exactly one keep per group, and it's the lowest-cent_cos member
+    for a, b in [(0, 2), (1, 5)]:
+        assert out[a].keep != out[b].keep
+        kept = a if out[a].keep else b
+        dropped = b if out[a].keep else a
+        assert out[kept].cent_cos <= out[dropped].cent_cos
+
+
 def test_kmeans_mega_cell_two_level_fold(spark):
     """A cell swallowing (nearly) the whole corpus exercises the sharded
     M-step: with 600 members and ~3-wide id shards the two-level fold

@@ -48,6 +48,9 @@ GLOBAL_AGG_OK = {
     # for the M-step's id-range shard width, broadcast back
     "embedding_silhouette",  # inherits embedding_kmeans' scalar
     # min/max(vec_id) bounds aggregate (same shard-width broadcast)
+    "embedding_semdedup",  # inherits embedding_kmeans' scalar
+    # min/max(vec_id) bounds aggregate (same shard-width broadcast);
+    # the ε-graph self-join itself is cell-keyed, never single-task
     "corpus_bm25_search",  # scalar N/avgdl corpus stats (one partial
     # row per task through the exchange), broadcast back onto scores
     "events_funnel",  # the result IS k scalar step counts (3 rows)
