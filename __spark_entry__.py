@@ -700,6 +700,11 @@ def oracle_sql() -> dict[str, str]:
         # fingerprints with the deterministic df-cap — oracle-only
         # swept entry (r10).
         "dedup_winnow_pairs": oracle_dataops.dedup_winnow_pairs_sql(),
+        # web_*: URL/host corpus hygiene (r11) — canonicalization,
+        # host-mix profile, deterministic per-host cap
+        "web_url_canonical": oracle_dataops.web_url_canonical_sql(),
+        "web_host_profile": oracle_dataops.web_host_profile_sql(),
+        "web_host_cap_sample": oracle_dataops.web_host_cap_sample_sql(),
         # dedup_winnow_screen: ingest-time winnowed-fingerprint copy
         # screen (batch slice vs standing corpus fingerprint set;
         # streaming_winnow_screen_writer is its drained ≡ batch twin)

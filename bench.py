@@ -148,6 +148,9 @@ BENCH_QUERIES = [
     "corpus_leakage_safe_split",
     # round-11: semantic dedup (SemDeDup), URL/host hygiene, trigram LM
     "embedding_semdedup",
+    "web_url_canonical",
+    "web_host_profile",
+    "web_host_cap_sample",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

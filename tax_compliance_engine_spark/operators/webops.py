@@ -1,0 +1,162 @@
+"""URL / host-level corpus hygiene — the CommonCrawl-pipeline operators a
+web-scale corpus build runs BEFORE text dedup: URL canonicalization (so
+`HTTP://Example.COM:80/a?b=2&a=1#f` and `http://example.com/a?a=1&b=2`
+collapse to one key), per-host mix profiling (what share of the corpus
+each host contributes), and deterministic per-host cap sampling (no host
+dominates the training mix).
+
+Everything is pure Spark string/regex Column expressions — no UDFs, fully
+whole-stage-codegen'd, and every regex is RE2-compatible (no lookaround)
+so the DuckDB oracle runs the IDENTICAL patterns.  At 100 TB each
+operator is one narrow projection plus at most one host-keyed exchange.
+
+Canonicalization contract (RFC 3986 §6 syntax-based normalization, the
+subset that needs no network and no suffix list):
+
+- scheme and host lowercase; userinfo preserved verbatim
+- default ports stripped (http:80, https:443); other ports kept
+- empty path → "/"
+- query: parameters split on "&", empties dropped, byte-order sorted,
+  re-joined ("?" dropped when nothing survives)
+- fragment stripped
+- rows that don't parse as `scheme://...` yield NULL url_canon/host
+  (kept, not dropped — the caller decides; a hygiene pipeline typically
+  quarantines them)
+
+Deliberately OUT of scope (documented boundary, same honesty rule as the
+multimodal codecs): percent-encoding re-normalization, IDN/punycode, and
+public-suffix registrable-domain extraction (the PSL is a downloaded
+artifact, not spec-derivable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .corpus import sample_hash_col
+
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_REST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://(.*)$"
+
+
+def _canon_cols(url: Column) -> dict[str, Column]:
+    """The shared parse: every piece as a Column expression over ``url``.
+
+    Order of operations matters and is mirrored in the oracle CTE:
+    authority ends at the first ``/``, ``?`` or ``#``; the FRAGMENT is
+    cut before the query is located (a ``?`` inside a fragment is not a
+    query); userinfo splits on the LAST ``@`` (greedy ``^(.*)@``)."""
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    rest = F.regexp_extract(url, _REST_RE, 1)
+    authority = F.regexp_extract(rest, "^([^/?#]*)", 1)
+    after_auth = F.substring(rest, F.length(authority) + 1, F.lit(2**31 - 1))
+    pre_frag = F.regexp_extract(after_auth, "^([^#]*)", 1)
+    userinfo = F.regexp_extract(authority, "^(.*)@", 1)
+    host_port = F.regexp_extract(authority, "([^@]*)$", 1)
+    host = F.lower(F.regexp_extract(host_port, "^([^:]*)", 1))
+    port = F.regexp_extract(host_port, ":([0-9]+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    raw_path = F.regexp_extract(pre_frag, "^([^?]*)", 1)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    query = F.regexp_extract(pre_frag, "\\?(.*)$", 1)
+    query_canon = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"), lambda x: x != "")), "&"
+    )
+    url_canon = F.concat(
+        scheme,
+        F.lit("://"),
+        F.when(userinfo != "", F.concat(userinfo, F.lit("@"))).otherwise(
+            F.lit("")
+        ),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(
+            query_canon != "", F.concat(F.lit("?"), query_canon)
+        ).otherwise(F.lit("")),
+    )
+    parses = scheme != ""
+    return {
+        "url_canon": F.when(parses, url_canon),
+        "host": F.when(parses, host),
+    }
+
+
+def url_canonicalize(
+    df: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Append ``url_canon`` and ``host`` (both NULL for rows that don't
+    parse as ``scheme://...``) — one narrow projection, no shuffle, no
+    UDF; the dedup/profile/cap operators below consume the output."""
+    cols = _canon_cols(F.col(url_col))
+    return df.withColumn("url_canon", cols["url_canon"]).withColumn(
+        "host", cols["host"]
+    )
+
+
+def host_profile(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-host corpus mix: (host, n_urls, n_canon_distinct, share) —
+    how many rows each host contributes, how many DISTINCT canonical
+    URLs those collapse to (n_urls − n_canon_distinct = the host's
+    URL-level duplication), and the host's share of all parseable rows.
+
+    One host-keyed aggregation (distinct counted from per-(host, canon)
+    partials, so no count_distinct shuffle of raw rows) plus a one-row
+    total broadcast back for the share division.  Unparseable rows
+    (NULL host) are excluded — they have no host to attribute."""
+    canon = url_canonicalize(df, url_col).filter(F.col("host").isNotNull())
+    per_canon = canon.groupBy("host", "url_canon").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    per_host = per_canon.groupBy("host").agg(
+        F.sum("_n").cast("long").alias("n_urls"),
+        F.count(F.lit(1)).cast("long").alias("n_canon_distinct"),
+    )
+    total = per_host.agg(F.sum("n_urls").alias("_total"))
+    return per_host.crossJoin(F.broadcast(total)).select(
+        "host",
+        "n_urls",
+        "n_canon_distinct",
+        (F.col("n_urls").cast("double") / F.col("_total").cast("double")).alias(
+            "share"
+        ),
+    )
+
+
+def per_host_cap_sample(
+    df: DataFrame,
+    cap: int = 20,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per host, chosen DETERMINISTICALLY: rows
+    rank within their host by the shared LCG sampling key of ``id_col``
+    (ties → smaller id), and ranks ≤ cap survive — the anti-domination
+    mix control every web-corpus build applies (a crawl where one host
+    is 40% of pages must not be 40% of training data).
+
+    Stability contract (inherited from ``sample_hash_col``): a kept row
+    can only be displaced by a NEW row of the same host with a smaller
+    key — never by re-running.  Unparseable rows (NULL host) are
+    excluded (no host to cap by; quarantine them upstream).
+
+    One host-keyed window over (id, key) pairs — the vectors/text never
+    ride the exchange if the caller projects first.  Output: the kept
+    rows' (``id_col``, host, url_canon, host_rank)."""
+    if cap < 1:
+        raise ValueError(f"cap must be ≥ 1: {cap}")
+    from pyspark.sql.window import Window
+
+    canon = url_canonicalize(df, url_col).filter(F.col("host").isNotNull())
+    w = Window.partitionBy("host").orderBy("_key", id_col)
+    return (
+        canon.withColumn("_key", sample_hash_col(F.col(id_col)))
+        .withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= cap)
+        .select(id_col, "host", "url_canon", "host_rank")
+    )

@@ -2839,3 +2839,111 @@ SELECT doc_id, cluster_id,
        ELSE '{cuts[-1][0]}' END AS split
 FROM clusters
 ORDER BY doc_id"""
+
+
+_SYNTH_URL_CASE = """CASE CAST(doc_id % 8 AS INTEGER)
+    WHEN 0 THEN 'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+    WHEN 1 THEN 'HTTPS://WWW.' || upper(source) || '.Example.COM:443/docs/' || CAST(doc_id AS VARCHAR) || '#frag'
+    WHEN 2 THEN 'http://' || source || '.example.com:80/a/b?b=2&a=1'
+    WHEN 3 THEN 'http://' || source || '.example.com'
+    WHEN 4 THEN 'https://user@' || source || '.example.com:8443/x?z=1&&y=2&'
+    WHEN 5 THEN 'https://' || source || '.example.com/path/' || lang || '?q=' || CAST(n_chars AS VARCHAR)
+    WHEN 6 THEN 'ftp://files.' || source || '.example.com/f' || CAST(doc_id AS VARCHAR)
+    ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END"""
+
+
+def _url_canon_cte() -> str:
+    """Shared URL-canonicalization CTE chain: the synthetic doc_id%8 URL
+    (same CASE arms as queries_dataops._synth_url) parsed and normalized
+    with the IDENTICAL RE2-safe regexes and operation order as
+    webops._canon_cols — fragment cut before the query is located,
+    userinfo split on the last '@', default ports stripped, query params
+    de-emptied then byte-order sorted.  Ends in ``canon(doc_id, url,
+    url_canon, host)`` with NULLs for unparseable rows."""
+    return f"""urls AS (
+  SELECT doc_id, {_SYNTH_URL_CASE} AS url FROM documents),
+up0 AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(.*)$', 1) AS rest
+  FROM urls),
+up1 AS (SELECT *, regexp_extract(rest, '^([^/?#]*)', 1) AS authority FROM up0),
+up2 AS (SELECT *, substr(rest, length(authority) + 1) AS after_auth FROM up1),
+up3 AS (
+  SELECT *,
+    regexp_extract(after_auth, '^([^#]*)', 1) AS pre_frag,
+    regexp_extract(authority, '^(.*)@', 1) AS userinfo,
+    regexp_extract(authority, '([^@]*)$', 1) AS host_port
+  FROM up2),
+up4 AS (
+  SELECT *,
+    lower(regexp_extract(host_port, '^([^:]*)', 1)) AS host0,
+    regexp_extract(host_port, ':([0-9]+)$', 1) AS port,
+    regexp_extract(pre_frag, '^([^?]*)', 1) AS raw_path,
+    regexp_extract(pre_frag, '\\?(.*)$', 1) AS query
+  FROM up3),
+up5 AS (
+  SELECT *,
+    CASE WHEN raw_path = '' THEN '/' ELSE raw_path END AS path,
+    coalesce(array_to_string(list_sort(list_filter(
+      string_split(query, '&'), x -> x <> '')), '&'), '') AS query_canon,
+    (port <> '' AND NOT (scheme = 'http' AND port = '80')
+               AND NOT (scheme = 'https' AND port = '443')) AS keep_port
+  FROM up4),
+canon AS (
+  SELECT doc_id, url,
+    CASE WHEN scheme <> '' THEN
+      scheme || '://'
+        || CASE WHEN userinfo <> '' THEN userinfo || '@' ELSE '' END
+        || host0
+        || CASE WHEN keep_port THEN ':' || port ELSE '' END
+        || path
+        || CASE WHEN query_canon <> '' THEN '?' || query_canon ELSE '' END
+    END AS url_canon,
+    CASE WHEN scheme <> '' THEN host0 END AS host
+  FROM up5)"""
+
+
+def web_url_canonical_sql() -> str:
+    """Twin of queries_dataops.web_url_canonical."""
+    return f"""WITH {_url_canon_cte()}
+SELECT doc_id, url, url_canon, host FROM canon ORDER BY doc_id"""
+
+
+def web_host_profile_sql() -> str:
+    """Twin of queries_dataops.web_host_profile: per-(host, canon)
+    partials, host rollup, one-row total joined back for the share."""
+    return f"""WITH {_url_canon_cte()},
+per_canon AS (
+  SELECT host, url_canon, count(*) AS n
+  FROM canon WHERE host IS NOT NULL
+  GROUP BY host, url_canon),
+per_host AS (
+  SELECT host, CAST(SUM(n) AS BIGINT) AS n_urls,
+         CAST(count(*) AS BIGINT) AS n_canon_distinct
+  FROM per_canon GROUP BY host)
+SELECT host, n_urls, n_canon_distinct,
+       CAST(n_urls AS DOUBLE)
+         / CAST((SELECT SUM(n_urls) FROM per_host) AS DOUBLE) AS share
+FROM per_host ORDER BY host"""
+
+
+def web_host_cap_sample_sql(cap: int = 20) -> str:
+    """Twin of queries_dataops.web_host_cap_sample: the shared LCG key
+    (reduce-before-multiply, same constants), row_number within host
+    ordered (key, doc_id), ranks ≤ cap."""
+    from ..operators import corpus
+
+    lcg = (
+        f"((doc_id % {corpus.SAMPLE_MOD}) "
+        f"* {corpus.SAMPLE_MULT % corpus.SAMPLE_MOD} "
+        f"+ {corpus.SAMPLE_INC}) % {corpus.SAMPLE_MOD}"
+    )
+    return f"""WITH {_url_canon_cte()},
+ranked AS (
+  SELECT doc_id, host, url_canon,
+         row_number() OVER (PARTITION BY host ORDER BY {lcg}, doc_id)
+           AS host_rank
+  FROM canon WHERE host IS NOT NULL)
+SELECT doc_id, host, url_canon, CAST(host_rank AS INTEGER) AS host_rank
+FROM ranked WHERE host_rank <= {cap} ORDER BY doc_id"""

@@ -2125,3 +2125,62 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup(
         _emb(spark, sf_dir), n_iter=2, threshold=0.4
     ).orderBy("vec_id")
+
+
+def _synth_url() -> F.Column:
+    """Deterministic synthetic URL per document — the testdata has no URL
+    column, so the web-hygiene queries derive one from (doc_id, source,
+    lang, n_chars) with doc_id%8 adversarial forms: already-canonical,
+    uppercase scheme/host + default port + fragment, sortable duplicate
+    params, empty path, userinfo + kept port + empty params, value-bearing
+    params, non-http scheme, and an unparseable row.  The DuckDB twin
+    builds the IDENTICAL strings (same CASE arms), so the canonicalizer —
+    not the fixture — is what the gate exercises."""
+    m = F.col("doc_id") % 8
+    src = F.col("source")
+    did = F.col("doc_id").cast("string")
+    return (
+        F.when(m == 0, F.concat(F.lit("https://"), src, F.lit(".example.com/docs/"), did))
+        .when(m == 1, F.concat(F.lit("HTTPS://WWW."), F.upper(src), F.lit(".Example.COM:443/docs/"), did, F.lit("#frag")))
+        .when(m == 2, F.concat(F.lit("http://"), src, F.lit(".example.com:80/a/b?b=2&a=1")))
+        .when(m == 3, F.concat(F.lit("http://"), src, F.lit(".example.com")))
+        .when(m == 4, F.concat(F.lit("https://user@"), src, F.lit(".example.com:8443/x?z=1&&y=2&")))
+        .when(m == 5, F.concat(F.lit("https://"), src, F.lit(".example.com/path/"), F.col("lang"), F.lit("?q="), F.col("n_chars").cast("string")))
+        .when(m == 6, F.concat(F.lit("ftp://files."), src, F.lit(".example.com/f"), did))
+        .otherwise(F.concat(F.lit("not a url "), did))
+    )
+
+
+def web_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (webops.url_canonicalize): RFC 3986 §6
+    syntax normalization — scheme/host lowercase, default-port strip,
+    empty path → '/', query params de-empty + sorted, fragment dropped;
+    unparseable rows keep NULL url_canon/host.  Pure regex/string
+    Column expressions, zero UDFs."""
+    from ..operators import webops
+
+    docs = _docs(spark, sf_dir).withColumn("url", _synth_url())
+    return webops.url_canonicalize(docs).select(
+        "doc_id", "url", "url_canon", "host"
+    ).orderBy("doc_id")
+
+
+def web_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host corpus mix (webops.host_profile): rows per host, the
+    distinct canonical URLs they collapse to, and each host's share of
+    parseable rows — the host-concentration report a crawl-hygiene
+    pipeline reads before capping."""
+    from ..operators import webops
+
+    docs = _docs(spark, sf_dir).withColumn("url", _synth_url())
+    return webops.host_profile(docs).orderBy("host")
+
+
+def web_host_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-host cap (webops.per_host_cap_sample, cap=20):
+    rows rank within their host by the shared LCG key (ties → smaller
+    doc_id), ranks ≤ cap survive — the anti-domination mix control."""
+    from ..operators import webops
+
+    docs = _docs(spark, sf_dir).withColumn("url", _synth_url())
+    return webops.per_host_cap_sample(docs, cap=20).orderBy("doc_id")

@@ -100,6 +100,9 @@ GLOBAL_AGG_OK = {
     "important_part_stock",  # scalar global NATION_0 total (one
     # partial row per task through the exchange), broadcast back onto
     # the ≤|parts| per-part value table — the Q11 decorrelation
+    "web_host_profile",  # scalar total-parseable-rows aggregate over the
+    # ≤|hosts|-row per-host table (one row per host through the
+    # exchange, never data rows), broadcast back for the share division
     "corpus_retrieval_mrr",  # the result IS one scalar eval row
     # (pinned-order reciprocal-rank fold over ≤|probes| rows through
     # the exchange; embeds corpus_bm25_search's scalar N/avgdl stats)

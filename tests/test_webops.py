@@ -1,0 +1,121 @@
+"""webops: URL canonicalization goldens on adversarial forms, host-mix
+profile counts, and the deterministic per-host cap."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tax_compliance_engine_spark.operators import webops
+from tax_compliance_engine_spark.operators.corpus import (
+    SAMPLE_INC,
+    SAMPLE_MOD,
+    SAMPLE_MULT,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+    )
+    return {
+        r.url: (r.url_canon, r.host)
+        for r in webops.url_canonicalize(df).collect()
+    }
+
+
+def test_url_canonicalize_goldens(spark):
+    cases = {
+        # scheme+host lowercase, default port stripped, params sorted,
+        # empties dropped, fragment stripped; path/userinfo case KEPT
+        "HTTP://User:Pw@Example.COM:80/Path/A?b=2&a=1&&#frag": (
+            "http://User:Pw@example.com/Path/A?a=1&b=2",
+            "example.com",
+        ),
+        # empty path -> "/", https default port stripped
+        "https://Example.com:443": ("https://example.com/", "example.com"),
+        # non-default port kept, empty path with query
+        "https://example.com:8443?x=1": (
+            "https://example.com:8443/?x=1",
+            "example.com",
+        ),
+        # only http/https defaults strip; ftp:21 is kept
+        "ftp://example.com:21/f": ("ftp://example.com:21/f", "example.com"),
+        # userinfo splits on the LAST '@'
+        "http://a@b@c.com/": ("http://a@b@c.com/", "c.com"),
+        # fragment cut BEFORE the query is located
+        "https://EXAMPLE.com/p#f?notquery": (
+            "https://example.com/p",
+            "example.com",
+        ),
+        # trailing '?' with no surviving params drops
+        "http://h/p?": ("http://h/p", "h"),
+        # already canonical: fixed point
+        "https://example.com/docs/7?a=1": (
+            "https://example.com/docs/7?a=1",
+            "example.com",
+        ),
+        # unparseable rows -> NULLs, kept
+        "garbage": (None, None),
+        "://nohost": (None, None),
+    }
+    got = _canon(spark, list(cases))
+    assert got == cases
+    # idempotence: canonicalizing the canonical form is a no-op
+    again = _canon(spark, [c for c, _ in cases.values() if c is not None])
+    for c, h in cases.values():
+        if c is not None:
+            assert again[c] == (c, h)
+
+
+def test_host_profile_counts_and_share(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "http://A.com/x?b=2&a=1"),
+            (1, "http://a.com:80/x?a=1&b=2"),  # same canonical as row 0
+            (2, "http://a.com/y"),
+            (3, "https://b.com/"),
+            (4, "not a url"),  # no host: excluded
+        ],
+        "doc_id long, url string",
+    )
+    got = {r.host: r for r in webops.host_profile(df).collect()}
+    assert set(got) == {"a.com", "b.com"}
+    assert (got["a.com"].n_urls, got["a.com"].n_canon_distinct) == (3, 2)
+    assert (got["b.com"].n_urls, got["b.com"].n_canon_distinct) == (1, 1)
+    assert got["a.com"].share == 3 / 4 and got["b.com"].share == 1 / 4
+
+
+def test_per_host_cap_deterministic(spark):
+    n = 30
+    df = spark.createDataFrame(
+        [(i, f"http://only.com/{i}") for i in range(n)],
+        "doc_id long, url string",
+    )
+    kept = webops.per_host_cap_sample(df, cap=5).collect()
+    assert len(kept) == 5
+    assert sorted(r.host_rank for r in kept) == [1, 2, 3, 4, 5]
+    # the kept ids are exactly the 5 smallest LCG keys (ties -> id)
+    key = lambda i: ((i % SAMPLE_MOD) * (SAMPLE_MULT % SAMPLE_MOD) + SAMPLE_INC) % SAMPLE_MOD  # noqa: E731
+    want = sorted(range(n), key=lambda i: (key(i), i))[:5]
+    assert sorted(r.doc_id for r in kept) == sorted(want)
+    # stability: adding rows with larger keys never displaces kept rows
+    extra = spark.createDataFrame(
+        [(i, f"http://only.com/{i}") for i in range(n, n + 10)],
+        "doc_id long, url string",
+    )
+    kept2 = {
+        r.doc_id
+        for r in webops.per_host_cap_sample(df.union(extra), cap=5).collect()
+    }
+    want2 = set(sorted(range(n + 10), key=lambda i: (key(i), i))[:5])
+    assert kept2 == want2
+    # unparseable rows are excluded, and cap<1 raises
+    import pytest
+
+    none_kept = webops.per_host_cap_sample(
+        spark.createDataFrame([(1, "junk")], "doc_id long, url string"),
+        cap=5,
+    ).collect()
+    assert none_kept == []
+    with pytest.raises(ValueError):
+        webops.per_host_cap_sample(df, cap=0)
