@@ -631,6 +631,9 @@ def oracle_sql() -> dict[str, str]:
         # divisions + position-pinned float fold) — oracle-only swept
         # entry (r10).
         "doc_bigram_lm": oracle_corpus.doc_bigram_lm_sql(),
+        # doc_trigram_lm: stupid-backoff trigram extension (r11) —
+        # ln-free, normalization-free, pinned-fold mean
+        "doc_trigram_lm": oracle_corpus.doc_trigram_lm_sql(),
         # doc_normalized: row-local text canonicalization (control-char
         # strip, whitespace collapse, trim, lower) — oracle-only swept
         # entry.

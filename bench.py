@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "web_url_canonical",
     "web_host_profile",
     "web_host_cap_sample",
+    "doc_trigram_lm",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

@@ -531,6 +531,187 @@ def bigram_lm_score(
     return bigram_lm_score_against(docs, model, text_col, alpha)
 
 
+_SB_ALPHA = 0.4  # Brants et al. 2007's backoff weight; exact literal in
+# both engines (same parsed double), applied one exactly-rounded
+# multiply per backoff level
+
+
+def trigram_lm_model(
+    docs: DataFrame,
+    text_col: str = "text",
+    train_pred: Column | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The trained half of the stupid-backoff trigram LM: (c123, c12,
+    c1, n) count tables over the ``train_pred`` slice (None = the whole
+    frame) — trigram counts, bigram counts (BOTH the trigram prefix
+    denominator and the backoff numerator probe the same table),
+    unigram counts, and the one-row total token count.  All four are
+    map-side-combinable aggregations off ONE posexplode + lead() window
+    pass; built once and cached, they are the frozen model a scoring
+    pass (batch or streaming) probes."""
+    from pyspark.sql.window import Window
+
+    train_docs = docs if train_pred is None else docs.filter(train_pred)
+    toks = train_docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col(text_col))).alias("p", "w1")
+    )
+    seq_w = Window.partitionBy("doc_id").orderBy("p")
+    grams = toks.select(
+        "doc_id",
+        "p",
+        "w1",
+        F.lead("w1", 1).over(seq_w).alias("w2"),
+        F.lead("w1", 2).over(seq_w).alias("w3"),
+    )
+    c123 = (
+        grams.filter(F.col("w3").isNotNull())
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("_c123"))
+    )
+    c12 = (
+        grams.filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_c12"))
+    )
+    c1 = toks.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    n = toks.agg(F.count(F.lit(1)).alias("_n"))
+    return c123, c12, c1, n
+
+
+def trigram_lm_score_against(
+    docs: DataFrame,
+    model: tuple[DataFrame, DataFrame, DataFrame, DataFrame],
+    text_col: str = "text",
+    alpha: float = _SB_ALPHA,
+) -> DataFrame:
+    """Score ``docs`` under a FROZEN stupid-backoff trigram LM (Brants
+    et al. 2007, "Large Language Models in Machine Translation"):
+
+        S(w3|w1,w2) = c123/c12              when the trigram is seen
+                    = α·(c23/c2)            else, when the bigram is
+                    = α·(α·(c3/N))          else (0 for unseen words)
+
+    — the large-corpus score that skips normalization entirely, which
+    is exactly what makes it bit-portable with NO ``ln`` and NO
+    smoothing denominator: every branch is one exactly-rounded IEEE
+    division of exact integers with at most two exactly-rounded
+    multiplies by the α literal, nested in backoff order, and the
+    per-doc mean folds the doubles in TOKEN-POSITION ORDER (the same
+    pinned-fold discipline as ``bigram_lm_score_against``).
+
+    A pure function of the doc and the fixed model — micro-batch-local
+    scoring IS the global semantics, so the streaming screen
+    (``streaming/quality_stream.streaming_trigram_lm_writer``) inherits
+    it unchanged.  Docs with < 3 tokens score NULL mean_score with
+    n_trigrams = 0.
+
+    Output: (doc_id, n_trigrams, n_backoff_bi, n_backoff_uni,
+    mean_score) — the backoff counters grade HOW the doc scored:
+    n_backoff_bi trigrams fell back to the bigram branch,
+    n_backoff_uni all the way to unigram (the out-of-distribution
+    tail)."""
+    from pyspark.sql.window import Window
+
+    c123, c12, c1, n = model
+    a = F.lit(float(alpha))
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col(text_col))).alias("p", "w1")
+    )
+    seq_w = Window.partitionBy("doc_id").orderBy("p")
+    tri = toks.select(
+        "doc_id",
+        "p",
+        "w1",
+        F.lead("w1", 1).over(seq_w).alias("w2"),
+        F.lead("w1", 2).over(seq_w).alias("w3"),
+    ).filter(F.col("w3").isNotNull())
+    ctx12 = c12.select("w1", "w2", F.col("_c12").alias("_ctx12"))
+    c23 = c12.select(
+        F.col("w1").alias("w2"),
+        F.col("w2").alias("w3"),
+        F.col("_c12").alias("_c23"),
+    )
+    ctx2 = c1.select(F.col("w1").alias("w2"), F.col("_c1").alias("_ctx2"))
+    c3u = c1.select(F.col("w1").alias("w3"), F.col("_c1").alias("_c3"))
+    tri_seen = F.coalesce("_c123", F.lit(0)) > 0
+    bi_seen = F.coalesce("_c23", F.lit(0)) > 0
+    score = (
+        F.when(
+            tri_seen,
+            F.col("_c123").cast("double") / F.col("_ctx12").cast("double"),
+        )
+        .when(
+            bi_seen,
+            a * (F.col("_c23").cast("double") / F.col("_ctx2").cast("double")),
+        )
+        .otherwise(
+            a
+            * (
+                a
+                * (
+                    F.coalesce("_c3", F.lit(0)).cast("double")
+                    / F.col("_n").cast("double")
+                )
+            )
+        )
+    )
+    probs = (
+        tri.join(c123, ["w1", "w2", "w3"], "left")
+        .join(ctx12, ["w1", "w2"], "left")
+        .join(c23, ["w2", "w3"], "left")
+        .join(ctx2, ["w2"], "left")
+        .join(c3u, ["w3"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "p",
+            (~tri_seen & bi_seen).cast("int").alias("_bo_bi"),
+            (~tri_seen & ~bi_seen).cast("int").alias("_bo_uni"),
+            score.alias("_score"),
+        )
+    )
+    per_doc = probs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.sum("_bo_bi").cast("long").alias("n_backoff_bi"),
+        F.sum("_bo_uni").cast("long").alias("n_backoff_uni"),
+        (
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "_score"))),
+                    lambda s: s["_score"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_score"),
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+        F.coalesce("n_backoff_bi", F.lit(0)).alias("n_backoff_bi"),
+        F.coalesce("n_backoff_uni", F.lit(0)).alias("n_backoff_uni"),
+        "mean_score",
+    )
+
+
+def trigram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    train_pred: Column | None = None,
+    alpha: float = _SB_ALPHA,
+) -> DataFrame:
+    """Stupid-backoff trigram extension of the graded LM quality screen:
+    train the (c123, c12, c1, N) tables on the held-in slice (default
+    doc_id%10 < 8, matching ``bigram_lm_score``), score every document.
+    See ``trigram_lm_score_against`` for the backoff math and the
+    bit-portability argument."""
+    if train_pred is None:
+        train_pred = F.col("doc_id") % 10 < 8
+    model = trigram_lm_model(docs, text_col, train_pred)
+    return trigram_lm_score_against(docs, model, text_col, alpha)
+
+
 # ── Hashed-feature linear classifier inference ───────────────────────────
 
 QM_BUCKETS = 1 << 16  # feature-hashing space (2^16 buckets)

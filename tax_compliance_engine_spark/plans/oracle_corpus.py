@@ -1102,3 +1102,72 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id
 ORDER BY d.doc_id""".replace("{TOKENS}", TOKENS)
+
+
+def doc_trigram_lm_sql(alpha: float = 0.4) -> str:
+    """Twin of queries_dataops.doc_trigram_lm: the same train-slice
+    trigram/bigram/unigram/N counts off the token lists, the same
+    nested stupid-backoff CASE (each branch one exactly-rounded
+    division, one α multiply per backoff level, α nested innermost-
+    last exactly like the Spark expression), and the same
+    position-ordered left fold for the per-doc mean."""
+    return f"""WITH toks AS (
+  SELECT doc_id, {{TOKENS}} AS t FROM documents),
+uni AS (
+  SELECT doc_id, u.i - 1 AS p, t[u.i] AS w1
+  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+bi AS (
+  SELECT doc_id, u.i - 1 AS p, t[u.i] AS w1, t[u.i + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS u(i)),
+tri AS (
+  SELECT doc_id, u.i - 1 AS p, t[u.i] AS w1, t[u.i + 1] AS w2,
+         t[u.i + 2] AS w3
+  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),
+c123 AS (
+  SELECT w1, w2, w3, count(*) AS c123 FROM tri
+  WHERE doc_id % 10 < 8 GROUP BY 1, 2, 3),
+c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM bi
+  WHERE doc_id % 10 < 8 GROUP BY 1, 2),
+c1 AS (
+  SELECT w1, count(*) AS c1 FROM uni
+  WHERE doc_id % 10 < 8 GROUP BY 1),
+n AS (SELECT count(*) AS n FROM uni WHERE doc_id % 10 < 8),
+probs AS (
+  SELECT t.doc_id, t.p,
+    CASE WHEN COALESCE(g.c123, 0) = 0 AND COALESCE(bo.c12, 0) > 0
+         THEN 1 ELSE 0 END AS bo_bi,
+    CASE WHEN COALESCE(g.c123, 0) = 0 AND COALESCE(bo.c12, 0) = 0
+         THEN 1 ELSE 0 END AS bo_uni,
+    CASE
+      WHEN COALESCE(g.c123, 0) > 0
+        THEN CAST(g.c123 AS DOUBLE) / CAST(ctx.c12 AS DOUBLE)
+      WHEN COALESCE(bo.c12, 0) > 0
+        THEN {alpha} * (CAST(bo.c12 AS DOUBLE) / CAST(ctx2.c1 AS DOUBLE))
+      ELSE {alpha} * ({alpha} * (CAST(COALESCE(u3.c1, 0) AS DOUBLE)
+                                   / CAST(n.n AS DOUBLE)))
+    END AS score
+  FROM tri t
+  LEFT JOIN c123 g ON g.w1 = t.w1 AND g.w2 = t.w2 AND g.w3 = t.w3
+  LEFT JOIN c12 ctx ON ctx.w1 = t.w1 AND ctx.w2 = t.w2
+  LEFT JOIN c12 bo ON bo.w1 = t.w2 AND bo.w2 = t.w3
+  LEFT JOIN c1 ctx2 ON ctx2.w1 = t.w2
+  LEFT JOIN c1 u3 ON u3.w1 = t.w3
+  CROSS JOIN n),
+per_doc AS (
+  SELECT doc_id,
+    CAST(count(*) AS BIGINT) AS n_trigrams,
+    CAST(SUM(bo_bi) AS BIGINT) AS n_backoff_bi,
+    CAST(SUM(bo_uni) AS BIGINT) AS n_backoff_uni,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                             list(score ORDER BY p)),
+                (a, x) -> a + x) / count(*) AS mean_score
+  FROM probs GROUP BY doc_id)
+SELECT d.doc_id,
+  COALESCE(per_doc.n_trigrams, 0) AS n_trigrams,
+  COALESCE(per_doc.n_backoff_bi, 0) AS n_backoff_bi,
+  COALESCE(per_doc.n_backoff_uni, 0) AS n_backoff_uni,
+  per_doc.mean_score
+FROM documents d
+LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id
+ORDER BY d.doc_id""".replace("{TOKENS}", TOKENS)

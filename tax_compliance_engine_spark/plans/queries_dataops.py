@@ -2184,3 +2184,14 @@ def web_host_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).withColumn("url", _synth_url())
     return webops.per_host_cap_sample(docs, cap=20).orderBy("doc_id")
+
+
+def doc_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram LM score (textops.trigram_lm_score, Brants
+    et al. 2007): per doc the mean backoff score of its trigrams under
+    the doc_id%10<8 held-in model, with bigram/unigram backoff counts —
+    ln-free and normalization-free, so bit-portable with the same
+    pinned-fold discipline as doc_bigram_lm."""
+    from ..operators import textops
+
+    return textops.trigram_lm_score(_docs(spark, sf_dir)).orderBy("doc_id")

@@ -88,3 +88,45 @@ def streaming_bigram_lm_writer(
         ).write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
 
     return stream.writeStream.foreachBatch(write_batch)
+
+
+def streaming_trigram_lm_writer(
+    stream: DataFrame,
+    corpus_docs: DataFrame,
+    out_path: str,
+    text_col: str = "text",
+    alpha: float | None = None,
+):
+    """Streaming stupid-backoff trigram LM screen: score every arriving
+    document under the (c123, c12, c1, N) tables trained ONCE on the
+    standing corpus — the streaming twin of
+    ``textops.trigram_lm_score_against`` (drained ≡ batch, float
+    bit-equal: each trigram's backoff score probes only the frozen
+    model, and the per-doc pinned fold never sees other documents).
+
+    Same shape as ``streaming_bigram_lm_writer``: the stream IS the
+    held-out set (the model never trains on arrivals), the four model
+    tables are cached and materialized up front, each micro-batch pays
+    only its own window pass + count-table probes + per-doc fold.
+    Output lands under ``out_path/batch=<id>`` with per-batch OVERWRITE
+    (idempotent under re-delivery).  Returns the configured
+    DataStreamWriter; the caller sets trigger / checkpoint and calls
+    ``.start()``."""
+    from ..operators.textops import (
+        _SB_ALPHA,
+        trigram_lm_model,
+        trigram_lm_score_against,
+    )
+
+    if alpha is None:
+        alpha = _SB_ALPHA
+    model = tuple(df.cache() for df in trigram_lm_model(corpus_docs, text_col))
+    for df in model:
+        df.count()  # materialize the frozen model before the first batch
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        trigram_lm_score_against(
+            bdf, model, text_col=text_col, alpha=alpha
+        ).write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+
+    return stream.writeStream.foreachBatch(write_batch)

@@ -3404,3 +3404,57 @@ def test_bigram_lm_score_semantics(spark):
     assert got[8].mean_prob > got[18].mean_prob  # graded, not binary
     assert got[28].n_bigrams == 0 and got[28].mean_prob is None
     assert got[1].n_bigrams == 5
+
+
+def test_trigram_lm_stupid_backoff_semantics(spark):
+    """Stupid-backoff pins: every backoff branch re-derived exactly from
+    the train counts with the nested α multiplies (trigram seen →
+    c123/c12; else bigram seen → α·(c23/c2); else α·(α·(c3/N)), 0 for
+    unseen words), backoff counters grade the branches, <3-token docs
+    yield n_trigrams=0 with NULL mean."""
+    from tax_compliance_engine_spark.operators import textops
+
+    rows = [
+        # train slice: doc_id % 10 < 8
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran on the mat"),
+        (3, "the dog sat on the rug"),
+        # held-out docs exercising each branch
+        (8, "the cat sat on the mat"),   # all trigrams seen
+        (18, "mat the cat nonword rug"),  # bigram + unigram backoffs
+        (28, "two words"),                # <3 tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r for r in textops.trigram_lm_score(docs).collect()
+    }
+    import collections
+
+    a = 0.4
+    train = [rows[i][1].split() for i in range(3)]
+    c123 = collections.Counter(
+        (x, y, z) for t in train for x, y, z in zip(t, t[1:], t[2:])
+    )
+    c12 = collections.Counter((x, y) for t in train for x, y in zip(t, t[1:]))
+    c1 = collections.Counter(x for t in train for x in t)
+    N = sum(len(t) for t in train)
+
+    def sb(x, y, z):
+        if c123[(x, y, z)] > 0:
+            return c123[(x, y, z)] / c12[(x, y)]
+        if c12[(y, z)] > 0:
+            return a * (c12[(y, z)] / c1[y])
+        return a * (a * (c1[z] / N))
+
+    for doc_id in (8, 18):
+        toks = dict(rows)[doc_id].split()
+        scores = [sb(x, y, z) for x, y, z in zip(toks, toks[1:], toks[2:])]
+        acc = 0.0
+        for s in scores:
+            acc += s
+        assert got[doc_id].mean_score == acc / len(scores)  # bit-exact
+    assert got[8].n_backoff_bi == 0 and got[8].n_backoff_uni == 0
+    # doc 18: "mat the"/"the cat" seen as bigrams; "nonword" unseen word
+    assert got[18].n_backoff_bi > 0 and got[18].n_backoff_uni > 0
+    assert got[8].mean_score > got[18].mean_score  # graded
+    assert got[28].n_trigrams == 0 and got[28].mean_score is None

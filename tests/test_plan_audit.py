@@ -42,6 +42,9 @@ GLOBAL_AGG_OK = {
     "doc_bigram_lm",  # scalar count_distinct = V for the add-alpha
     # smoothing denominator (one partial row per task through the
     # exchange), broadcast back onto the bigram stream
+    "doc_trigram_lm",  # scalar N = train token count for the unigram
+    # backoff denominator (one partial row per task through the
+    # exchange), broadcast back onto the trigram stream
     "embedding_pagerank",  # scalar min/max(src) bounds for the src-range
     # shard width (one partial row per task), broadcast back onto edges
     "embedding_kmeans",  # same bounds pattern: scalar min/max(vec_id)

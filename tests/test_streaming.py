@@ -897,3 +897,67 @@ def test_streaming_bigram_lm_matches_batch(spark, tmp_path):
     assert got == want  # exact, incl. bit-equal mean_prob floats
     assert len(got) == len(rows)
     assert any(r[3] is not None for r in got)
+
+
+def test_streaming_trigram_lm_matches_batch(spark, tmp_path):
+    """Drained streaming stupid-backoff trigram screen ≡ the batch
+    score-against over the same arrivals (real sf0.001 corpus split),
+    float bit-equal, idempotent on an empty re-drain — the same
+    frozen-model argument as the bigram screen."""
+    from pyspark.sql import functions as F
+
+    from tax_compliance_engine_spark.operators.textops import (
+        trigram_lm_model,
+        trigram_lm_score_against,
+    )
+    from tax_compliance_engine_spark.streaming.quality_stream import (
+        streaming_trigram_lm_writer,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 13 != 0)
+    arrivals = docs.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id", "text"
+    )
+    rows = arrivals.collect()
+    first, second = rows[: len(rows) // 2], rows[len(rows) // 2 :]
+    src, out = tmp_path / "arrivals", tmp_path / "scored"
+    schema = arrivals.schema
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        qy = (
+            streaming_trigram_lm_writer(stream, corpus, str(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination()
+        return spark.read.parquet(str(out)).select(
+            "doc_id",
+            "n_trigrams",
+            "n_backoff_bi",
+            "n_backoff_uni",
+            "mean_score",
+        )
+
+    spark.createDataFrame(first, schema).write.mode("append").parquet(
+        str(src)
+    )
+    drain()
+    spark.createDataFrame(second, schema).write.mode("append").parquet(
+        str(src)
+    )
+    got = sorted(map(tuple, drain().collect()))
+    assert sorted(map(tuple, drain().collect())) == got  # idempotent
+    want = sorted(
+        map(
+            tuple,
+            trigram_lm_score_against(
+                arrivals, trigram_lm_model(corpus)
+            ).collect(),
+        )
+    )
+    assert got == want  # exact, incl. bit-equal mean_score floats
+    assert len(got) == len(rows)
+    assert any(r[4] is not None for r in got)
