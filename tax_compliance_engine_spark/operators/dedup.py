@@ -2261,13 +2261,69 @@ def winnow_corpus_fps(
     than ``df_cap`` corpus documents dropped — template boilerplate
     matches the corpus, not a copy, and is exactly the hot key that
     would blow up the membership probe.  One column (fp_hash), ready to
-    cache or persist as the refreshable screen artifact."""
+    cache or persist as the refreshable screen artifact.
+
+    Derives from ``winnow_fp_counts`` — persist THAT (fp_hash, df)
+    table when the index must be maintained incrementally (the cap
+    filter is not mergeable; the counts are)."""
+    return (
+        winnow_fp_counts(corpus_docs, k=k, w=w, text_col=text_col)
+        .filter(F.col("df") <= df_cap)
+        .select("fp_hash")
+    )
+
+
+def winnow_fp_counts(
+    corpus_docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """The MERGEABLE form of the winnow corpus index: (fp_hash, df) —
+    per-fingerprint distinct-document counts, NO cap filter.  This is
+    what an incrementally-maintained index persists: counts add across
+    disjoint document batches (``winnow_merge_fp_counts``), while the
+    served set (``winnow_corpus_fps``'s df ≤ cap filter) is a cheap
+    projection of the counts — a fingerprint that crosses the cap after
+    a merge correctly LEAVES the served set, which a values-only
+    artifact could never express."""
     fps = winnow_fingerprints(
         corpus_docs, k=k, w=w, text_col=text_col
     ).select("doc_id", "fp_hash").distinct()
-    return (
-        fps.groupBy("fp_hash")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= df_cap)
-        .select("fp_hash")
+    return fps.groupBy("fp_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+
+
+def winnow_merge_fp_counts(
+    existing: DataFrame,
+    batch_docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Merge a NEW document batch into a persisted winnow-count index:
+    full-outer on fp_hash, dfs add (absent side counts 0).  Exactly the
+    full rebuild's result when the batch is disjoint from the documents
+    already counted — ``winnow_fp_counts(old ∪ batch) ≡
+    merge(winnow_fp_counts(old), batch)`` (pytest-pinned bit-exact) —
+    because distinct-doc counts over disjoint doc sets are additive.
+
+    The DISJOINTNESS contract is the caller's (same contract as
+    ``incremental_minhash_pairs``): re-merging a batch already in the
+    counts double-counts it.  The streaming maintainer
+    (``streaming/dedup_stream.streaming_winnow_index_writer``) enforces
+    it with the batch-id marker guard, which is what makes re-delivery
+    idempotent.  Cost: O(|batch| fingerprints) + one |index|-row merge
+    join — the standing corpus is never re-fingerprinted."""
+    delta = winnow_fp_counts(batch_docs, k=k, w=w, text_col=text_col)
+    e = existing.select("fp_hash", F.col("df").alias("_df_old"))
+    d = delta.select("fp_hash", F.col("df").alias("_df_new"))
+    return e.join(d, "fp_hash", "full_outer").select(
+        "fp_hash",
+        (
+            F.coalesce("_df_old", F.lit(0)) + F.coalesce("_df_new", F.lit(0))
+        )
+        .cast("long")
+        .alias("df"),
     )

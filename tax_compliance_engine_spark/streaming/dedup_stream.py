@@ -359,3 +359,72 @@ def streaming_winnow_screen_writer(
         ).write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
 
     return stream.writeStream.foreachBatch(write_batch)
+
+
+def streaming_winnow_index_writer(
+    stream: DataFrame,
+    index_path: str,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+):
+    """INCREMENTAL maintenance of the persisted winnow corpus index: each
+    micro-batch of new documents merges its fingerprint counts into the
+    (fp_hash, df) parquet at ``index_path`` — the refresh path the
+    frozen-index screen (``streaming_winnow_screen_writer``, which
+    serves ``winnow_corpus_fps``' capped projection of these counts)
+    was missing.  The standing corpus is NEVER re-fingerprinted: cost
+    per batch is the batch's own fingerprints plus one |index|-row
+    merge join (``dedup.winnow_merge_fp_counts``).
+
+    Crash-safety is the ``streaming_cdc_rollup_writer`` discipline,
+    verbatim: write the merged counts to ``<index>.staging.<pid>``
+    (reaping stale staging dirs from ANY pid first), stamp the batch-id
+    marker inside, swap via ``<index>.old``, adopt a publish parked
+    mid-swap on restart, and SKIP batches at or below the marker — so
+    micro-batch re-delivery is idempotent even though the count merge
+    itself is not.  The first batch bootstraps an empty index.
+
+    Returns the configured DataStreamWriter; the caller sets trigger /
+    checkpoint and calls ``.start()``.  Read the counts with
+    ``spark.read.parquet(index_path)``; serve the screen set as
+    ``counts.filter(df <= cap).select("fp_hash")``."""
+    import glob
+    import os
+    import shutil
+
+    from ..operators.dedup import winnow_fp_counts, winnow_merge_fp_counts
+    from .rollup_stream import _MARKER, _last_applied
+
+    old = f"{index_path}.old"
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        spark = bdf.sparkSession
+        # adopt a publish parked mid-swap by a crashed writer
+        if not os.path.isdir(index_path) and os.path.isdir(old):
+            os.rename(old, index_path)
+        if batch_id <= _last_applied(index_path):
+            return  # re-delivery: already merged, skip (idempotence)
+        if os.path.isdir(index_path):
+            merged = winnow_merge_fp_counts(
+                spark.read.parquet(index_path),
+                bdf,
+                k=k,
+                w=w,
+                text_col=text_col,
+            )
+        else:
+            merged = winnow_fp_counts(bdf, k=k, w=w, text_col=text_col)
+        staging = f"{index_path}.staging.{os.getpid()}"
+        for stale in glob.glob(f"{index_path}.staging.*"):
+            shutil.rmtree(stale, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(staging)
+        with open(os.path.join(staging, _MARKER), "w") as fh:
+            fh.write(str(batch_id))
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(index_path):
+            os.rename(index_path, old)
+        os.rename(staging, index_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return stream.writeStream.foreachBatch(write_batch)

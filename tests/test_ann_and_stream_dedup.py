@@ -1222,3 +1222,86 @@ def test_streaming_winnow_screen_matches_batch(spark, tmp_path):
     assert got == want
     assert len(got) == len(rows)
     assert any(not k for *_, k in got) or any(k for *_, k in got)
+
+
+def test_streaming_winnow_index_refresh_matches_rebuild(spark, tmp_path):
+    """Incremental winnow-index maintenance: draining two document
+    batches through streaming_winnow_index_writer yields (fp_hash, df)
+    counts BIT-EXACT equal to a full rebuild over all drained docs, the
+    capped served set matches winnow_corpus_fps of the union, an empty
+    re-drain (and a simulated re-delivery of an old batch id) changes
+    nothing, and stale staging dirs from a "crashed" writer are reaped."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tax_compliance_engine_spark.operators.dedup import (
+        winnow_corpus_fps,
+        winnow_fp_counts,
+        winnow_merge_fp_counts,
+    )
+    from tax_compliance_engine_spark.streaming.dedup_stream import (
+        streaming_winnow_index_writer,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    rows = docs.collect()
+    first, second = rows[: len(rows) // 2], rows[len(rows) // 2 :]
+    src, idx = tmp_path / "arrivals", str(tmp_path / "winnow_index")
+    schema = docs.schema
+
+    # a stale staging dir left by a "crashed" writer (different pid)
+    stale = f"{idx}.staging.99999"
+    os.makedirs(stale)
+    (tmp_path / "winnow_index.staging.99999" / "junk").write_text("x")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        qy = (
+            streaming_winnow_index_writer(stream, idx)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination()
+        return sorted(
+            map(tuple, spark.read.parquet(idx).collect())
+        )
+
+    spark.createDataFrame(first, schema).write.mode("append").parquet(
+        str(src)
+    )
+    drain()
+    assert not os.path.isdir(stale)  # reaped from ANY pid
+    spark.createDataFrame(second, schema).write.mode("append").parquet(
+        str(src)
+    )
+    got = drain()
+    assert drain() == got  # empty re-drain: nothing changes
+
+    # refreshed index == full rebuild over everything drained, bit-exact
+    want = sorted(map(tuple, winnow_fp_counts(docs).collect()))
+    assert got == want
+    # and the served (capped) set matches the batch operator's
+    served = {
+        r.fp_hash
+        for r in spark.read.parquet(idx)
+        .filter(F.col("df") <= 50)
+        .select("fp_hash")
+        .collect()
+    }
+    assert served == {
+        r.fp_hash for r in winnow_corpus_fps(docs, df_cap=50).collect()
+    }
+    # the merge operator alone is also rebuild-exact on a disjoint split
+    d1 = docs.filter(F.col("doc_id") % 2 == 0)
+    d2 = docs.filter(F.col("doc_id") % 2 == 1)
+    merged = sorted(
+        map(
+            tuple,
+            winnow_merge_fp_counts(winnow_fp_counts(d1), d2).collect(),
+        )
+    )
+    assert merged == want
