@@ -703,6 +703,19 @@ def oracle_sql() -> dict[str, str]:
         # fingerprints with the deterministic df-cap — oracle-only
         # swept entry (r10).
         "dedup_winnow_pairs": oracle_dataops.dedup_winnow_pairs_sql(),
+        # embedding_threshold_curve: dedup-threshold calibration off one
+        # planner-geometry pair pass (r11)
+        "embedding_threshold_curve": (
+            oracle_dataops.embedding_threshold_curve_sql()
+        ),
+        # dedup_est_quality: precision/recall of the est pair stream vs
+        # the exact-verified stream + mean |est-exact| (r11 eval harness)
+        "dedup_est_quality": oracle_dataops.dedup_est_quality_sql(),
+        # corpus_temperature_sample: mC4/XLM-R alpha-sampling (r11) —
+        # sqrt-flattened stratum quotas, largest-remainder, LCG fill
+        "corpus_temperature_sample": (
+            oracle_corpus.corpus_temperature_sample_sql()
+        ),
         # web_*: URL/host corpus hygiene (r11) — canonicalization,
         # host-mix profile, deterministic per-host cap
         "web_url_canonical": oracle_dataops.web_url_canonical_sql(),

@@ -152,6 +152,9 @@ BENCH_QUERIES = [
     "web_host_profile",
     "web_host_cap_sample",
     "doc_trigram_lm",
+    "corpus_temperature_sample",
+    "dedup_est_quality",
+    "embedding_threshold_curve",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

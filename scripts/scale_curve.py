@@ -144,6 +144,12 @@ SCALE_QUERIES = [
     "events_bot_regularity",
     # r10: cluster-whole splits — contraction + LCG on cluster id
     "corpus_leakage_safe_split",
+    # r11: SemDeDup (planner-sized k), URL hygiene, trigram LM
+    "embedding_semdedup",
+    "web_url_canonical",
+    "web_host_profile",
+    "web_host_cap_sample",
+    "doc_trigram_lm",
 ]
 
 
@@ -611,11 +617,16 @@ def main() -> None:
             "at 10x); per-layout growth is the pinned rows"
         )
 
-    skew = skew_bench(spark, workdir)
-    for name, row in skew.items():
-        print(f"{name}: {row}", file=sys.stderr)
-    emb = emb_candidate_counts(spark, workdir)
-    print(f"emb_candidates: {emb}", file=sys.stderr)
+    # --curve-only: skip the skew/candidate benches when iterating on a
+    # per-query subset (they re-measure unrelated shapes for minutes)
+    if "--curve-only" in sys.argv:
+        skew, emb = {}, {}
+    else:
+        skew = skew_bench(spark, workdir)
+        for name, row in skew.items():
+            print(f"{name}: {row}", file=sys.stderr)
+        emb = emb_candidate_counts(spark, workdir)
+        print(f"emb_candidates: {emb}", file=sys.stderr)
 
     print(
         json.dumps(

@@ -618,6 +618,104 @@ def budget_allocated_sample(
     )
 
 
+def temperature_allocated_sample(
+    docs: DataFrame,
+    budget: int,
+    alpha: float = 0.5,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TEMPERATURE-flattened budget allocation — the multilingual-LM
+    mixing rule (mC4 / XLM-R style α-sampling): stratum quotas follow
+    n_s^α instead of n_s, so α < 1 upweights small sources relative to
+    proportional sampling (α=1 is exactly ``budget_allocated_sample``'s
+    allocation; α→0 approaches equal shares).  Largest-remainder
+    rounding on the flattened weights, then each stratum's quota filled
+    in the shared deterministic LCG-hash order.
+
+    Bit-portability boundary: α is restricted to {1.0, 0.5, 0.25} —
+    n^0.5 and n^0.25 are sqrt / sqrt∘sqrt chains, and IEEE sqrt is
+    correctly rounded on both engines, while a general ``pow`` is NOT
+    exactly-rounded and differs across libms (the same reason the
+    repo's scoring is ln-free).  The weight total folds in
+    stratum-name order (pinned fold over the ≤|strata|-row table), so
+    base = floor(B·w_s / W) and the fractional remainders are the
+    identical doubles on both engines; leftover seats go to the
+    largest remainders, ties to the earlier stratum name.
+
+    Same scale shape as ``budget_allocated_sample``: the allocation
+    lives on the per-stratum count frame (single-partition windows
+    carry one row per STRATUM), selection is one window + broadcast
+    quota join.  Output: (id, stratum, stratum_quota).  A stratum
+    smaller than its flattened quota contributes everything it has and
+    the budget under-fills — deliberately no reallocation pass (the
+    α-sampling literature oversamples small sources by REPETITION at
+    the trainer, never by stealing budget back; quota vs actual is
+    visible in the output)."""
+    if not 0 < budget <= 2**31 - 1:
+        raise ValueError(
+            f"budget must be in (0, 2^31-1], got {budget} — larger "
+            "budgets overflow the int64 quota products"
+        )
+    if alpha not in (1.0, 0.5, 0.25):
+        raise ValueError(
+            f"alpha must be 1.0, 0.5 or 0.25 (exactly-rounded sqrt "
+            f"chains — general pow is not bit-portable): {alpha}"
+        )
+    n_d = F.col("_n").cast("double")
+    weight = {
+        1.0: n_d,
+        0.5: F.sqrt(n_d),
+        0.25: F.sqrt(F.sqrt(n_d)),
+    }[alpha]
+    counts = (
+        docs.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_w", weight)
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.desc("_frac"), F.asc(stratum_col))
+    # pinned stratum-name-order fold for the weight total (the DuckDB
+    # twin folds list(_w ORDER BY stratum) — identical double)
+    wtot = F.aggregate(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(stratum_col, "_w")).over(w_all)
+            ),
+            lambda s: s["_w"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    quotas = (
+        counts.withColumn("_wtot", wtot)
+        .withColumn(
+            "_share", F.lit(float(budget)) * F.col("_w") / F.col("_wtot")
+        )
+        .withColumn("_base", F.floor("_share").cast("long"))
+        .withColumn("_frac", F.col("_share") - F.col("_base").cast("double"))
+        .withColumn("_left", F.lit(budget) - F.sum("_base").over(w_all))
+        .withColumn("_rank", F.row_number().over(w_rank))
+        .select(
+            stratum_col,
+            (
+                F.col("_base")
+                + F.when(F.col("_rank") <= F.col("_left"), 1).otherwise(0)
+            ).alias("stratum_quota"),
+        )
+    )
+    w = Window.partitionBy(stratum_col).orderBy(
+        sample_hash_col(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        docs.select(id_col, stratum_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(quotas), stratum_col)
+        .filter(F.col("_rn") <= F.col("stratum_quota"))
+        .select(id_col, stratum_col, "stratum_quota")
+    )
+
+
 def shuffle_shards(
     docs: DataFrame,
     n_shards: int = 8,

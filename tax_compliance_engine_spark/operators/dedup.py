@@ -976,6 +976,83 @@ def minhash_dup_pairs(
     return _verify_candidates(per_doc, threshold)
 
 
+def est_pair_quality(
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """EVAL harness for the scale-path trade: precision/recall of the
+    signature-estimated pair stream (``minhash_est_pairs`` — what a
+    100 TB run keeps) against the exact-verified stream
+    (``minhash_dup_pairs``) at the same threshold, plus the mean
+    absolute estimate error over the agreeing pairs — the one-row
+    report that says whether the 16-permutation geometry is adequate
+    for THIS corpus before committing a full dedup pass to it.
+
+    Full-outer join on the pair key classifies every pair exactly:
+    both sides → true positive (carrying |est − exact|), est-only →
+    false positive, exact-only → false negative.  All three counts are
+    integers; precision/recall are single exactly-rounded divisions and
+    the error mean is a TWO-LEVEL pinned fold — per doc1%256 shard in
+    (doc1, doc2) order, then shard partials in shard order (a flat
+    collect_list over millions of pairs would be the single-task-OOM
+    shape the kmeans M-step avoids) — bit-portable, DuckDB twin folds
+    the same two levels.  Output: (n_est, n_exact, n_both, precision,
+    recall, mean_abs_err)."""
+    est = minhash_est_pairs(docs, text_col, threshold).select(
+        "doc1", "doc2", "est_jaccard"
+    )
+    exact = minhash_dup_pairs(docs, text_col=text_col, threshold=threshold)
+    joined = est.join(exact, ["doc1", "doc2"], "full_outer").select(
+        "doc1",
+        "doc2",
+        F.col("est_jaccard").isNotNull().cast("int").alias("_in_est"),
+        F.col("jaccard").isNotNull().cast("int").alias("_in_exact"),
+        F.when(
+            F.col("est_jaccard").isNotNull() & F.col("jaccard").isNotNull(),
+            F.abs(F.col("est_jaccard") - F.col("jaccard")),
+        ).alias("_err"),
+    )
+
+    def fold(key_cols, val):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(*key_cols, val))),
+                lambda s: s[val],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    partials = (
+        joined.withColumn("_shard", F.pmod(F.col("doc1"), F.lit(256)))
+        .withColumn("_e0", F.coalesce("_err", F.lit(0.0)))
+        .groupBy("_shard")
+        .agg(
+            F.sum("_in_est").alias("_pe"),
+            F.sum("_in_exact").alias("_px"),
+            F.sum(F.col("_in_est") * F.col("_in_exact")).alias("_pb"),
+            fold(["doc1", "doc2"], "_e0").alias("_perr"),
+        )
+    )
+    n_est = F.sum("_pe").cast("long")
+    n_exact = F.sum("_px").cast("long")
+    n_both = F.sum("_pb").cast("long")
+    err_sum = fold(["_shard"], "_perr")
+    return partials.agg(
+        n_est.alias("n_est"),
+        n_exact.alias("n_exact"),
+        n_both.alias("n_both"),
+        F.when(n_est > 0, n_both.cast("double") / n_est.cast("double"))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("precision"),
+        F.when(n_exact > 0, n_both.cast("double") / n_exact.cast("double"))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("recall"),
+        F.when(n_both > 0, err_sum / n_both.cast("double"))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("mean_abs_err"),
+    )
+
+
 def cluster_representatives(
     docs: DataFrame,
     pairs: DataFrame,

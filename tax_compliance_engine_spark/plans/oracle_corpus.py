@@ -1171,3 +1171,53 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id
 ORDER BY d.doc_id""".replace("{TOKENS}", TOKENS)
+
+
+def corpus_temperature_sample_sql(
+    budget: int = 137, alpha: float = 0.5
+) -> str:
+    """Twin of queries_dataops.corpus_temperature_sample: n^α weights
+    via the same exactly-rounded sqrt chain, the weight total as the
+    same stratum-name-ordered fold, base = floor(B·w/W) on identical
+    doubles, leftover seats to the largest fractional remainders via
+    the non-equi self-join rank, and the shared LCG fill order."""
+    w_expr = {
+        1.0: "CAST(n AS DOUBLE)",
+        0.5: "sqrt(CAST(n AS DOUBLE))",
+        0.25: "sqrt(sqrt(CAST(n AS DOUBLE)))",
+    }[alpha]
+    return f"""WITH c AS (
+  SELECT source, count(*) AS n, {w_expr} AS w
+  FROM documents GROUP BY source),
+t AS (
+  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(w ORDER BY source)),
+                     (a, x) -> a + x) AS wtot
+  FROM c),
+q AS (
+  SELECT source, n,
+         CAST({budget} AS DOUBLE) * w / wtot AS share,
+         CAST(floor(CAST({budget} AS DOUBLE) * w / wtot) AS BIGINT) AS base
+  FROM c CROSS JOIN t),
+q2 AS (
+  SELECT source, base, share - CAST(base AS DOUBLE) AS frac FROM q),
+l AS (SELECT CAST({budget} AS BIGINT) - SUM(base) AS leftover FROM q2),
+r AS (
+  SELECT a.source, a.base, count(b.source) AS ahead
+  FROM q2 a LEFT JOIN q2 b
+    ON (b.frac > a.frac) OR (b.frac = a.frac AND b.source < a.source)
+  GROUP BY a.source, a.base),
+quota AS (
+  SELECT r.source,
+         base + CASE WHEN ahead < l.leftover THEN 1 ELSE 0 END
+           AS stratum_quota
+  FROM r CROSS JOIN l),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {_HASH}, doc_id) AS rn
+  FROM documents)
+SELECT ranked.doc_id, ranked.source, quota.stratum_quota
+FROM ranked JOIN quota USING (source)
+WHERE rn <= stratum_quota
+ORDER BY ranked.doc_id"""

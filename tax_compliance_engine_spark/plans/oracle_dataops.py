@@ -2691,6 +2691,9 @@ GEOMETRY_PARAMETRIC_SQL = {
     "embedding_semdedup": lambda n: embedding_semdedup_sql(
         k=similarity.semdedup_k_for_corpus(n)
     ),
+    "embedding_threshold_curve": lambda n: embedding_threshold_curve_sql(
+        n_docs=n
+    ),
 }
 
 
@@ -2947,3 +2950,76 @@ ranked AS (
   FROM canon WHERE host IS NOT NULL)
 SELECT doc_id, host, url_canon, CAST(host_rank AS INTEGER) AS host_rank
 FROM ranked WHERE host_rank <= {cap} ORDER BY doc_id"""
+
+
+def dedup_est_quality_sql(threshold: float = 0.5) -> str:
+    """Twin of queries_dataops.dedup_est_quality: the est and exact pair
+    CTEs full-outer joined on the pair key, the same integer
+    counts/divisions, and the same TWO-LEVEL pinned error fold
+    (per-doc1%256-shard in (doc1, doc2) order, shard partials in shard
+    order)."""
+    est_sql = dedup_minhash_est_pairs_sql(threshold)
+    exact_sql = dedup_minhash_pairs_sql(threshold)
+    return f"""WITH est AS (
+{est_sql}
+),
+exact AS (
+{exact_sql}
+),
+j AS (
+  SELECT COALESCE(e.doc1, x.doc1) AS doc1,
+         COALESCE(e.doc2, x.doc2) AS doc2,
+         CASE WHEN e.doc1 IS NOT NULL THEN 1 ELSE 0 END AS in_est,
+         CASE WHEN x.doc1 IS NOT NULL THEN 1 ELSE 0 END AS in_exact,
+         CASE WHEN e.doc1 IS NOT NULL AND x.doc1 IS NOT NULL
+              THEN abs(e.est_jaccard - x.jaccard)
+              ELSE CAST(0.0 AS DOUBLE) END AS e0
+  FROM est e FULL OUTER JOIN exact x
+    ON e.doc1 = x.doc1 AND e.doc2 = x.doc2),
+p AS (
+  SELECT doc1 % 256 AS shard,
+         SUM(in_est) AS pe, SUM(in_exact) AS px,
+         SUM(in_est * in_exact) AS pb,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(e0 ORDER BY doc1, doc2)),
+                     (a, x) -> a + x) AS perr
+  FROM j GROUP BY doc1 % 256)
+SELECT CAST(SUM(pe) AS BIGINT) AS n_est,
+       CAST(SUM(px) AS BIGINT) AS n_exact,
+       CAST(SUM(pb) AS BIGINT) AS n_both,
+       CASE WHEN SUM(pe) > 0
+            THEN CAST(SUM(pb) AS DOUBLE) / CAST(SUM(pe) AS DOUBLE) END
+         AS precision,
+       CASE WHEN SUM(px) > 0
+            THEN CAST(SUM(pb) AS DOUBLE) / CAST(SUM(px) AS DOUBLE) END
+         AS recall,
+       CASE WHEN SUM(pb) > 0
+            THEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                          list(perr ORDER BY shard)),
+                             (a, x) -> a + x)
+                   / CAST(SUM(pb) AS DOUBLE) END
+         AS mean_abs_err
+FROM p"""
+
+
+def embedding_threshold_curve_sql(
+    thresholds: tuple[float, ...] = similarity._CURVE_GRID,
+    n_docs: int | None = None,
+) -> str:
+    """Twin of queries_dataops.embedding_threshold_curve: the dup-pairs
+    CTE at the loosest grid threshold (same planner geometry via
+    ``n_docs``), then a grid VALUES spine non-equi-left-joined onto the
+    verified cosines — zero-pair grid points report 0."""
+    grid = sorted(float(t) for t in thresholds)
+    pairs_sql = embedding_dup_pairs_sql(threshold=grid[0], n_docs=n_docs)
+    # DuckDB parses bare decimal literals in VALUES as DECIMAL — cast
+    values = ", ".join(f"(CAST({t} AS DOUBLE))" for t in grid)
+    return f"""WITH pairs AS (
+{pairs_sql}
+),
+grid(threshold) AS (VALUES {values})
+SELECT g.threshold,
+       CAST(count(p.cosine) AS BIGINT) AS n_pairs
+FROM grid g LEFT JOIN pairs p ON p.cosine >= g.threshold
+GROUP BY g.threshold
+ORDER BY g.threshold"""

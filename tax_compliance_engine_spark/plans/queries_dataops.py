@@ -2195,3 +2195,32 @@ def doc_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import textops
 
     return textops.trigram_lm_score(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened budget allocation (corpus.
+    temperature_allocated_sample, α=0.5): stratum quotas follow √n_s —
+    the mC4/XLM-R α-sampling rule that upweights small sources — with
+    largest-remainder rounding on the flattened weights and the shared
+    LCG fill order.  Bit-portable because √ is exactly-rounded IEEE and
+    the weight total folds in stratum-name order."""
+    return corpus.temperature_allocated_sample(
+        _docs(spark, sf_dir), budget=137, alpha=0.5
+    ).orderBy("doc_id")
+
+
+def dedup_est_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path adequacy eval (dedup.est_pair_quality): one-row
+    precision/recall of the signature-estimated pair stream against the
+    exact-verified stream at threshold 0.5, with the mean |est − exact|
+    over agreeing pairs — run this before committing a 100 TB dedup to
+    the est path."""
+    return dedup.est_pair_quality(_docs(spark, sf_dir), threshold=0.5)
+
+
+def embedding_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold calibration curve (similarity.dup_threshold_curve):
+    verified near-dup pair counts at each grid cut off ONE planner-
+    geometry pair pass — the elbow report that picks the SemDeDup ε /
+    dup-pair threshold before a full run."""
+    return similarity.dup_threshold_curve(_emb(spark, sf_dir))

@@ -136,6 +136,68 @@ def test_budget_allocated_sample_largest_remainder(spark):
         corpus.budget_allocated_sample(docs_df(spark, rows), budget=0)
 
 
+def test_temperature_allocated_sample_flattens(spark):
+    """α-sampling pins: √n weights re-derived exactly in Python (same
+    IEEE sqrt/division/floor), quotas sum to the budget, α=0.5 shifts
+    seats from the big stratum to the small ones vs proportional, α=1
+    reproduces budget_allocated_sample's counts, a stratum smaller than
+    its quota under-fills without reallocation, and the α guard
+    raises."""
+    import math
+
+    import pytest
+
+    rows = (
+        [(i, "x", "s0") for i in range(64)]
+        + [(100 + i, "x", "s1") for i in range(16)]
+        + [(200 + i, "x", "s2") for i in range(4)]
+    )
+    df = docs_df(spark, rows)
+    budget = 21
+    out = corpus.temperature_allocated_sample(df, budget=budget, alpha=0.5)
+    per: dict[str, int] = {}
+    quota: dict[str, int] = {}
+    for r in out.collect():
+        per[r.source] = per.get(r.source, 0) + 1
+        quota[r.source] = r.stratum_quota
+    # exact re-derivation: w = sqrt(n) = 8/4/2, W folded in name order
+    w = {"s0": math.sqrt(64.0), "s1": math.sqrt(16.0), "s2": math.sqrt(4.0)}
+    acc = 0.0
+    for s in sorted(w):
+        acc += w[s]
+    shares = {s: budget * w[s] / acc for s in w}
+    bases = {s: int(math.floor(shares[s])) for s in w}
+    left = budget - sum(bases.values())
+    order = sorted(w, key=lambda s: (-(shares[s] - bases[s]), s))
+    want = dict(bases)
+    for s in order[:left]:
+        want[s] += 1
+    assert quota == want and per == want
+    assert sum(per.values()) == budget
+    # flattening: small strata get MORE than proportional allocation
+    prop = {
+        r.source: r.stratum_quota
+        for r in corpus.budget_allocated_sample(df, budget=budget).collect()
+    }
+    assert quota["s2"] > prop["s2"] and quota["s0"] < prop["s0"]
+    # α=1 ≡ proportional allocation
+    a1 = {
+        r.source: r.stratum_quota
+        for r in corpus.temperature_allocated_sample(
+            df, budget=budget, alpha=1.0
+        ).collect()
+    }
+    assert a1 == prop
+    # under-fill: s2 (4 docs) can't fill a big flattened quota
+    big = corpus.temperature_allocated_sample(
+        df, budget=70, alpha=0.25
+    ).collect()
+    s2_rows = [r for r in big if r.source == "s2"]
+    assert len(s2_rows) == 4 and s2_rows[0].stratum_quota > 4
+    with pytest.raises(ValueError, match="alpha"):
+        corpus.temperature_allocated_sample(df, budget=7, alpha=0.3)
+
+
 def test_pack_sequences_bins(spark):
     # docs of 3 tokens each, budget 4: prefix starts 0,3,6,9 → bins 0,0,1,2
     df = docs_df(spark, [(i, "a b c", "s0") for i in range(4)])

@@ -1058,6 +1058,41 @@ def test_cluster_representatives_longest_wins(spark):
     assert got == {0: (1, 5, 3), 3: (3, 2, 2), 5: (5, 2, 1)}
 
 
+def test_est_pair_quality_perfect_agreement(spark):
+    """On a corpus of exact duplicate pairs, the est and exact streams
+    agree completely: precision = recall = 1.0, mean_abs_err = 0.0
+    (identical docs share every minhash component AND every token), and
+    the counts match the pair count."""
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "one two three four five six"),
+            (3, "one two three four five six"),
+            (4, "totally unrelated text payload here"),
+        ],
+        "doc_id long, text string",
+    )
+    row = dedup.est_pair_quality(docs, threshold=0.5).collect()[0]
+    assert (row.n_est, row.n_exact, row.n_both) == (2, 2, 2)
+    assert row.precision == 1.0 and row.recall == 1.0
+    assert row.mean_abs_err == 0.0
+
+
+def test_dup_threshold_curve_monotone(spark):
+    """The calibration curve reports every grid point, counts are
+    non-increasing in the threshold, and the loosest point equals the
+    dup-pairs count at that threshold (one pair pass, graded in-stage)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    curve = similarity.dup_threshold_curve(emb).collect()
+    grid = [r.threshold for r in curve]
+    assert grid == sorted(grid) and len(grid) == 6
+    counts = [r.n_pairs for r in curve]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    base_pairs = similarity.embedding_dup_pairs(emb, threshold=grid[0])
+    assert counts[0] == base_pairs.count()
+
+
 def test_cluster_representatives_doc_stats_identity(spark):
     """Both stats sources — the fresh F.size scan and the pair
     lineage's own token counts (minhash_est_pairs_stats) — yield the

@@ -86,6 +86,10 @@ GLOBAL_AGG_OK = {
     # through the exchange, never data rows)
     "part_promo_revenue",  # the result IS one scalar promo-revenue row
     # (partial aggregates through the exchange)
+    "dedup_est_quality",  # the result IS one scalar eval row (shard
+    # partials — 256 rows max — through the exchange, never pair rows)
+    "corpus_temperature_sample",  # same ≤|strata|-row allocation windows
+    # as corpus_budget_sample (flattened-weight variant)
     "corpus_budget_sample",  # the whole largest-remainder allocation
     # (total, remainder rank, leftover seats) runs as unpartitioned
     # windows over the ≤|strata|-row count table — one row per stratum
