@@ -119,3 +119,79 @@ def test_per_host_cap_deterministic(spark):
     assert none_kept == []
     with pytest.raises(ValueError):
         webops.per_host_cap_sample(df, cap=0)
+
+
+def test_streaming_host_cap_admission_control(spark, tmp_path):
+    """Streaming per-host cap: admits the first `cap` arrivals per host
+    (id order within a drain), carries admission counts ACROSS drains in
+    state, skips re-delivered ids, and drops unparseable rows — the
+    drained result equals the pure-Python admission replay over the same
+    batch boundaries."""
+    from tax_compliance_engine_spark.streaming.web_stream import (
+        streaming_host_cap,
+    )
+
+    schema = "doc_id long, url string"
+    first = [(i, f"http://A.com/{i}") for i in range(4)] + [
+        (100, "http://b.com/x"),
+        (999, "garbage"),  # unparseable: dropped
+    ]
+    # batch 2: more a.com (host already at 3/4 -> only one seat left),
+    # a re-delivered id 1, and a new host
+    second = [(i, f"http://a.com:80/{i}") for i in range(4, 8)] + [
+        (1, "http://A.com/1"),  # re-delivery: never re-emitted
+        (200, "http://c.com/y"),
+    ]
+    src, out = tmp_path / "docs", tmp_path / "kept"
+    cap = 5
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            streaming_host_cap(stream, cap=cap)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.schema(
+            "doc_id long, host string, url_canon string, host_rank int"
+        ).parquet(str(out))
+
+    spark.createDataFrame(first, schema).write.mode("append").parquet(
+        str(src)
+    )
+    drain()
+    spark.createDataFrame(second, schema).write.mode("append").parquet(
+        str(src)
+    )
+    got = sorted(
+        (r.doc_id, r.host, r.host_rank) for r in drain().collect()
+    )
+    # python replay of the admission rule over the same batch boundaries
+    admitted: dict[str, list[int]] = {}
+    want = []
+    for batch in (first, second):
+        rows = []
+        for doc_id, url in sorted(batch):
+            host = None
+            if url.startswith("http://"):
+                host = url[7:].split("/")[0].split(":")[0].lower()
+            if host is None:
+                continue
+            a = admitted.setdefault(host, [])
+            if doc_id in a or len(a) >= cap:
+                continue
+            a.append(doc_id)
+            rows.append((doc_id, host, len(a)))
+        want.extend(rows)
+    assert got == sorted(want)
+    # a.com admitted exactly cap rows despite 8 non-dup arrivals
+    assert sum(1 for _, h, _ in got if h == "a.com") == cap
+    # idempotent empty re-drain
+    assert sorted(
+        (r.doc_id, r.host, r.host_rank) for r in drain().collect()
+    ) == got
