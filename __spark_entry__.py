@@ -703,6 +703,9 @@ def oracle_sql() -> dict[str, str]:
         # fingerprints with the deterministic df-cap — oracle-only
         # swept entry (r10).
         "dedup_winnow_pairs": oracle_dataops.dedup_winnow_pairs_sql(),
+        # dedup_full_stack: exact → near → semantic verdict per doc —
+        # the three-layer corpus-dedup discipline under one gate (r11)
+        "dedup_full_stack": oracle_dataops.dedup_full_stack_sql(),
         # embedding_threshold_curve: dedup-threshold calibration off one
         # planner-geometry pair pass (r11)
         "embedding_threshold_curve": (

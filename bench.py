@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "corpus_temperature_sample",
     "dedup_est_quality",
     "embedding_threshold_curve",
+    "dedup_full_stack",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

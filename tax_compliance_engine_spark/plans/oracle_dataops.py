@@ -437,14 +437,14 @@ WHERE greatest(CAST(n_shared AS DOUBLE) / CAST(s1.n_grams AS DOUBLE),
       >= {threshold}"""
 
 
-def _minhash_sig_ctes() -> str:
+def _minhash_sig_ctes(source: str = "documents") -> str:
     perms = oracle._values(
         [(i, a, b) for i, (a, b) in enumerate(hashing.MINHASH_PERMS)]
     )
     rows_per_band = len(hashing.MINHASH_PERMS) // hashing.MINHASH_BANDS
     th = TOK_HASH.format(t="tok")
     return f"""doc_toks AS (
-  SELECT doc_id, unnest(list_distinct({TOKENS})) AS tok FROM documents),
+  SELECT doc_id, unnest(list_distinct({TOKENS})) AS tok FROM {source}),
 tok_hashes AS (
   SELECT doc_id, {th} AS tok_hash FROM doc_toks),
 perms(i, a, b) AS (VALUES
@@ -507,13 +507,15 @@ FROM verified
 WHERE CAST(n_shared AS DOUBLE) / CAST(n1 + n2 - n_shared AS DOUBLE) >= {threshold}"""
 
 
-def dedup_minhash_est_pairs_sql(threshold: float = 0.5) -> str:
+def dedup_minhash_est_pairs_sql(
+    threshold: float = 0.5, source: str = "documents"
+) -> str:
     n = len(hashing.MINHASH_PERMS)
     est = (
         f"CAST(len(list_filter(range(1, {n}+1), i -> s1.sig[i] = s2.sig[i])) "
         f"AS DOUBLE) / {float(n)}"
     )
-    return f"""WITH {_minhash_sig_ctes()},
+    return f"""WITH {_minhash_sig_ctes(source)},
 sig_arrays AS (
   SELECT doc_id, list(mh ORDER BY i) AS sig FROM minhashes GROUP BY doc_id),
 candidates AS (
@@ -2694,6 +2696,10 @@ GEOMETRY_PARAMETRIC_SQL = {
     "embedding_threshold_curve": lambda n: embedding_threshold_curve_sql(
         n_docs=n
     ),
+    # the full stack embeds semdedup — its k travels with corpus count
+    "dedup_full_stack": lambda n: dedup_full_stack_sql(
+        k=similarity.semdedup_k_for_corpus(n)
+    ),
 }
 
 
@@ -3023,3 +3029,52 @@ SELECT g.threshold,
 FROM grid g LEFT JOIN pairs p ON p.cosine >= g.threshold
 GROUP BY g.threshold
 ORDER BY g.threshold"""
+
+
+def dedup_full_stack_sql(
+    near_threshold: float = 0.5,
+    sem_threshold: float = 0.4,
+    k: int = 8,
+    n_iter: int = 2,
+) -> str:
+    """Twin of queries_dataops.dedup_full_stack: the exact-dedup window,
+    the est-pairs CTE chain REBASED onto the exact survivors (the
+    ``source`` parameter of ``_minhash_sig_ctes``), the full semdedup
+    query nested as a subquery CTE (its own WITH RECURSIVE is legal
+    inside the parenthesized body), and the same verdict CASE
+    precedence."""
+    est_sql = dedup_minhash_est_pairs_sql(near_threshold, source="s1")
+    # the est generator emits a complete WITH ...; splice its CTE list
+    # into ours (strip the leading "WITH ")
+    assert est_sql.startswith("WITH ")
+    est_body = est_sql[len("WITH ") :]
+    sem_sql = embedding_semdedup_sql(
+        k=k, n_iter=n_iter, threshold=sem_threshold
+    )
+    return f"""WITH exact AS (
+  SELECT doc_id,
+         doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text))
+           AS is_duplicate
+  FROM documents),
+s1 AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN exact USING (doc_id) WHERE NOT is_duplicate),
+estp AS (
+  WITH {est_body}
+),
+near_losers AS (SELECT DISTINCT doc2 AS doc_id FROM estp),
+sem AS (
+{sem_sql}
+)
+SELECT d.doc_id,
+  CASE
+    WHEN e.is_duplicate THEN 'exact_dup'
+    WHEN nl.doc_id IS NOT NULL THEN 'near_dup'
+    WHEN NOT COALESCE(sem.keep, TRUE) THEN 'semantic_dup'
+    ELSE 'kept'
+  END AS verdict
+FROM documents d
+JOIN exact e USING (doc_id)
+LEFT JOIN near_losers nl USING (doc_id)
+LEFT JOIN sem ON sem.vec_id = d.doc_id
+ORDER BY d.doc_id"""

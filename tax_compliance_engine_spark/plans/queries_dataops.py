@@ -2224,3 +2224,58 @@ def embedding_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     geometry pair pass — the elbow report that picks the SemDeDup ε /
     dup-pair threshold before a full run."""
     return similarity.dup_threshold_curve(_emb(spark, sf_dir))
+
+
+def dedup_full_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL dedup stack under ONE hash gate — the three-layer discipline
+    a real corpus build runs, composed stage-on-stage: exact dedup
+    (md5-group canonical ids) → MinHash near-dup screen over the exact
+    SURVIVORS (scale-path est pairs, not-a-loser keep) → SemDeDup
+    semantic verdicts (corpus-level k-means ε-graph representatives)
+    applied last.  One row per document with the verdict:
+
+      'exact_dup'    — a non-canonical byte-identical copy
+      'near_dup'     — survived exact, lost the near-dup screen
+      'semantic_dup' — survived both, but is a non-representative
+                       member of a semantic-duplicate group
+      'kept'         — survives all three layers
+
+    Stage precedence is the CASE order (a doc that is both an exact
+    copy and semantically redundant reports 'exact_dup').  Semantic
+    verdicts are computed over the FULL embedding corpus (planner-sized
+    k travels with the corpus count) and applied to the survivors —
+    the conservative direction: a semantic group whose representative
+    was itself a surface-level duplicate keeps no member, never an
+    extra one.  Docs with no embedding row pass the semantic layer
+    (nothing to compare).  The near screen runs ONLY on exact
+    survivors, so its pair stream never wastes work on byte-copies."""
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    exact = dedup.exact_dedup(docs).select("doc_id", "is_duplicate")
+    s1 = docs.join(exact.filter(~F.col("is_duplicate")), "doc_id").select(
+        "doc_id", "text"
+    )
+    near_losers = (
+        dedup.minhash_est_pairs(s1, threshold=0.5)
+        .select(F.col("doc2").alias("doc_id"))
+        .distinct()
+        .withColumn("_near_loser", F.lit(True))
+    )
+    sem = similarity.semdedup(emb, threshold=0.4).select(
+        F.col("vec_id").alias("doc_id"), F.col("keep").alias("_sem_keep")
+    )
+    return (
+        docs.select("doc_id")
+        .join(exact, "doc_id")
+        .join(near_losers, "doc_id", "left")
+        .join(sem, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_duplicate"), F.lit("exact_dup"))
+            .when(F.coalesce("_near_loser", F.lit(False)), F.lit("near_dup"))
+            .when(~F.coalesce("_sem_keep", F.lit(True)), F.lit("semantic_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )

@@ -54,6 +54,8 @@ GLOBAL_AGG_OK = {
     "embedding_semdedup",  # inherits embedding_kmeans' scalar
     # min/max(vec_id) bounds aggregate (same shard-width broadcast);
     # the ε-graph self-join itself is cell-keyed, never single-task
+    "dedup_full_stack",  # embeds semdedup's scalar bounds aggregate
+    # (same one-row shard-width broadcast); every dedup stage is keyed
     "corpus_bm25_search",  # scalar N/avgdl corpus stats (one partial
     # row per task through the exchange), broadcast back onto scores
     "events_funnel",  # the result IS k scalar step counts (3 rows)
