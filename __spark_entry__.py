@@ -634,6 +634,12 @@ def oracle_sql() -> dict[str, str]:
         # doc_trigram_lm: stupid-backoff trigram extension (r11) —
         # ln-free, normalization-free, pinned-fold mean
         "doc_trigram_lm": oracle_corpus.doc_trigram_lm_sql(),
+        # corpus_bpe_fertility: per-lang tokenizer fertility/compression
+        # off the trained BPE (r11)
+        "corpus_bpe_fertility": oracle_corpus.corpus_bpe_fertility_sql(),
+        # corpus_quality_mixture: LM-score-tiered soft curriculum
+        # sampling (r11)
+        "corpus_quality_mixture": oracle_corpus.corpus_quality_mixture_sql(),
         # doc_normalized: row-local text canonicalization (control-char
         # strip, whitespace collapse, trim, lower) — oracle-only swept
         # entry.

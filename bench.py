@@ -156,6 +156,8 @@ BENCH_QUERIES = [
     "dedup_est_quality",
     "embedding_threshold_curve",
     "dedup_full_stack",
+    "corpus_bpe_fertility",
+    "corpus_quality_mixture",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

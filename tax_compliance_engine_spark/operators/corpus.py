@@ -618,6 +618,66 @@ def budget_allocated_sample(
     )
 
 
+def quality_tiered_sample(
+    scored: DataFrame,
+    rates: tuple[float, ...] = (0.1, 0.4, 0.7, 1.0),
+    score_col: str = "mean_prob",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """QUALITY-TIERED sampling — the curriculum/mixing rule quality-
+    scored corpora feed the trainer with (keep most of the best docs,
+    a thin slice of the worst, instead of a hard cutoff): rank every
+    document by its quality score, cut the ranking into len(``rates``)
+    equal-population tiers, and keep each tier at its own rate
+    (``rates[0]`` = worst tier … ``rates[-1]`` = best) via the shared
+    LCG key.
+
+    Determinism/portability: the rank key is the score scaled to an
+    integer (floor(score·10¹⁵), zero-padded decimal string — the
+    operator's defined ordering contract; floor is exact, and the
+    DuckDB twin ranks the identical string) with NULL scores coalesced
+    to 0.0 (unscorable docs rank worst), ties to the smaller id; tier =
+    ((rank−1)·n_tiers) div N is pure integers; the keep decision is
+    ``sample_hash_col`` against rate·MOD, the same comparison shape as
+    ``mixture``.
+
+    Scale shape: the global rank is the audited two-level
+    ``sharded_global_rank`` (never a single-partition sort); N is one
+    scalar count broadcast back; everything else is a projection.
+    Output: kept rows' (id, tier, tier_rate, score)."""
+    from .topk import sharded_global_rank
+
+    n_tiers = len(rates)
+    if n_tiers < 1 or any(not 0.0 <= r <= 1.0 for r in rates):
+        raise ValueError(f"rates must be non-empty, each in [0,1]: {rates}")
+    s = F.coalesce(F.col(score_col), F.lit(0.0))
+    keyed = scored.select(
+        F.col(id_col),
+        s.alias("_score"),
+        F.lpad(
+            F.floor(s * F.lit(1e15)).cast("long").cast("string"), 16, "0"
+        ).alias("_qkey"),
+    )
+    ranked = sharded_global_rank(
+        keyed, "_qkey", F.col(id_col), out="_qr"
+    )
+    total = ranked.agg(F.count(F.lit(1)).alias("_qn"))
+    rate_arr = F.array(*[F.lit(float(r)) for r in rates])
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(
+            "tier",
+            F.expr(f"CAST(((_qr - 1) * {n_tiers}) DIV _qn AS INT)"),
+        )
+        .withColumn("tier_rate", F.element_at(rate_arr, F.col("tier") + 1))
+        .filter(
+            sample_hash_col(F.col(id_col)).cast("double")
+            < F.col("tier_rate") * F.lit(float(SAMPLE_MOD))
+        )
+        .select(id_col, "tier", "tier_rate", F.col("_score").alias("score"))
+    )
+
+
 def temperature_allocated_sample(
     docs: DataFrame,
     budget: int,

@@ -1221,3 +1221,63 @@ SELECT ranked.doc_id, ranked.source, quota.stratum_quota
 FROM ranked JOIN quota USING (source)
 WHERE rn <= stratum_quota
 ORDER BY ranked.doc_id"""
+
+
+def corpus_bpe_fertility_sql(n_merges: int = 6) -> str:
+    """Twin of queries_dataops.corpus_bpe_fertility: the end-to-end BPE
+    train+apply twin as a CTE, joined to (lang, n_chars), per-lang
+    integer sums, and the same two exactly-rounded divisions."""
+    counts_sql = doc_bpe_token_counts_sql(n_merges)
+    return f"""WITH counts AS (
+{counts_sql}
+)
+SELECT d.lang,
+       CAST(SUM(c.n_words) AS BIGINT) AS total_words,
+       CAST(SUM(c.n_subwords) AS BIGINT) AS total_subwords,
+       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(c.n_subwords) AS DOUBLE) / CAST(SUM(c.n_words) AS DOUBLE)
+         AS fertility,
+       CAST(SUM(d.n_chars) AS DOUBLE) / CAST(SUM(c.n_subwords) AS DOUBLE)
+         AS chars_per_subword
+FROM counts c JOIN documents d USING (doc_id)
+GROUP BY d.lang
+ORDER BY d.lang"""
+
+
+def corpus_quality_mixture_sql(
+    rates: tuple[float, ...] = (0.1, 0.4, 0.7, 1.0), alpha: int = 1
+) -> str:
+    """Twin of queries_dataops.corpus_quality_mixture: the bigram-LM
+    score CTE, the identical floor(score·10¹⁵) zero-padded rank key
+    (NULLs → 0.0, ties → doc_id), integer tier arithmetic, the same
+    per-tier rate CASE, and the shared LCG keep comparison."""
+    scored_sql = doc_bigram_lm_sql(alpha)
+    n_tiers = len(rates)
+    rate_case = " ".join(
+        f"WHEN {i} THEN CAST({float(r)} AS DOUBLE)"
+        for i, r in enumerate(rates)
+    )
+    return f"""WITH scored AS (
+{scored_sql}
+),
+keyed AS (
+  SELECT doc_id, COALESCE(mean_prob, 0.0) AS s,
+         lpad(CAST(CAST(floor(COALESCE(mean_prob, 0.0) * 1e15) AS BIGINT)
+                   AS VARCHAR), 16, '0') AS qkey
+  FROM scored),
+ranked AS (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY qkey, doc_id) AS r,
+         count(*) OVER () AS n
+  FROM keyed),
+tiered AS (
+  SELECT doc_id, s,
+         CAST(((r - 1) * {n_tiers}) // n AS INTEGER) AS tier
+  FROM ranked)
+SELECT doc_id, tier,
+       CASE tier {rate_case} END AS tier_rate,
+       s AS score
+FROM tiered
+WHERE CAST({_HASH} AS DOUBLE)
+      < (CASE tier {rate_case} END) * 1000000007.0
+ORDER BY doc_id"""

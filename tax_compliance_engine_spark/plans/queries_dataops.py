@@ -2279,3 +2279,55 @@ def dedup_full_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def corpus_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY / compression eval per language — the
+    standard multilingual-tokenizer health report (a language whose
+    fertility is far above the corpus mean is being over-segmented and
+    will train poorly at the same sequence budget): per lang the total
+    whitespace words, post-BPE subwords, and characters off the same
+    trained 6-merge tokenizer `doc_bpe_token_counts` gates, with
+    fertility = subwords/word and compression = chars/subword as single
+    exactly-rounded divisions of exact integer sums (no floats until
+    the final two columns — bit-portable by construction)."""
+    docs = _docs(spark, sf_dir)
+    counts = corpus.bpe_token_counts(docs, n_merges=6, materialize=True)
+    return (
+        counts.join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("n_subwords").cast("long").alias("total_subwords"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            "lang",
+            "total_words",
+            "total_subwords",
+            "total_chars",
+            (
+                F.col("total_subwords").cast("double")
+                / F.col("total_words").cast("double")
+            ).alias("fertility"),
+            (
+                F.col("total_chars").cast("double")
+                / F.col("total_subwords").cast("double")
+            ).alias("chars_per_subword"),
+        )
+        .orderBy("lang")
+    )
+
+
+def corpus_quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-tiered corpus mixing (corpus.quality_tiered_sample over
+    the graded bigram-LM score): documents ranked by mean LM
+    probability, cut into four equal-population tiers, kept at
+    (0.1, 0.4, 0.7, 1.0) — the soft curriculum real pipelines apply
+    instead of a hard quality cutoff."""
+    from ..operators import textops
+
+    scored = textops.bigram_lm_score(_docs(spark, sf_dir)).select(
+        "doc_id", "mean_prob"
+    )
+    return corpus.quality_tiered_sample(scored).orderBy("doc_id")

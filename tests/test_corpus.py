@@ -198,6 +198,74 @@ def test_temperature_allocated_sample_flattens(spark):
         corpus.temperature_allocated_sample(df, budget=7, alpha=0.3)
 
 
+def test_bpe_fertility_sums_and_divisions(spark):
+    """Per-lang fertility re-derived from the per-doc counts: the lang
+    rollup's integer sums equal a Python regroup of bpe_token_counts'
+    output joined to the docs, and fertility/compression are exactly
+    sum ratios."""
+    from tax_compliance_engine_spark.plans import queries_dataops as qd
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.lang: r for r in qd.corpus_bpe_fertility(spark, sf).collect()}
+    docs = {
+        r.doc_id: (r.lang, r.n_chars)
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+        .collect()
+    }
+    counts = corpus.bpe_token_counts(
+        spark.read.parquet(f"{sf}/documents.parquet"), n_merges=6
+    ).collect()
+    agg: dict[str, list[int]] = {}
+    for r in counts:
+        lang, n_chars = docs[r.doc_id]
+        a = agg.setdefault(lang, [0, 0, 0])
+        a[0] += r.n_words
+        a[1] += r.n_subwords
+        a[2] += n_chars
+    assert set(got) == set(agg)
+    for lang, (w, s, c) in agg.items():
+        g = got[lang]
+        assert (g.total_words, g.total_subwords, g.total_chars) == (w, s, c)
+        assert g.fertility == s / w
+        assert g.chars_per_subword == c / s
+        assert g.fertility > 1.0  # subwords never fewer than words
+
+
+def test_quality_tiered_sample_tiers_and_rates(spark):
+    """Tier arithmetic and keep rule re-derived exactly: 8 docs with
+    known scores cut into 4 equal tiers (worst tier = lowest scores,
+    NULL coalesces to 0.0 and ranks worst), each kept iff its LCG key
+    clears its tier's rate; tier_rate column echoes the rates tuple."""
+    rows = [
+        (0, 0.9), (1, 0.8), (2, 0.7), (3, 0.6),
+        (4, 0.3), (5, 0.2), (6, 0.1), (7, None),
+    ]
+    scored = spark.createDataFrame(rows, "doc_id long, mean_prob double")
+    rates = (0.0, 0.5, 1.0, 1.0)
+    got = {
+        r.doc_id: (r.tier, r.tier_rate)
+        for r in corpus.quality_tiered_sample(scored, rates=rates).collect()
+    }
+    # rank order (score asc, null->0.0 worst): 7,6,5,4,3,2,1,0
+    want_tier = {7: 0, 6: 0, 5: 1, 4: 1, 3: 2, 2: 2, 1: 3, 0: 3}
+    key = lambda i: ((i % corpus.SAMPLE_MOD) * (corpus.SAMPLE_MULT % corpus.SAMPLE_MOD) + corpus.SAMPLE_INC) % corpus.SAMPLE_MOD  # noqa: E731
+    for doc_id, tier in want_tier.items():
+        rate = rates[tier]
+        kept = float(key(doc_id)) < rate * float(corpus.SAMPLE_MOD)
+        if kept:
+            assert got[doc_id] == (tier, rate)
+        else:
+            assert doc_id not in got
+    # tier 0 (rate 0.0) keeps nothing; tiers 2-3 (rate 1.0) keep all
+    assert all(got[d][0] >= 2 for d in (0, 1, 2, 3) if d in got)
+    assert 7 not in got and 6 not in got
+    import pytest
+
+    with pytest.raises(ValueError, match="rates"):
+        corpus.quality_tiered_sample(scored, rates=(1.5,))
+
+
 def test_pack_sequences_bins(spark):
     # docs of 3 tokens each, budget 4: prefix starts 0,3,6,9 → bins 0,0,1,2
     df = docs_df(spark, [(i, "a b c", "s0") for i in range(4)])

@@ -92,6 +92,10 @@ GLOBAL_AGG_OK = {
     # partials — 256 rows max — through the exchange, never pair rows)
     "corpus_temperature_sample",  # same ≤|strata|-row allocation windows
     # as corpus_budget_sample (flattened-weight variant)
+    "corpus_quality_mixture",  # embeds doc_bigram_lm's scalar V
+    # aggregate plus the scalar N count for the tier arithmetic (one
+    # partial row per task through each exchange, never data rows; the
+    # rank itself is the sharded two-level form)
     "corpus_budget_sample",  # the whole largest-remainder allocation
     # (total, remainder rank, leftover seats) runs as unpartitioned
     # windows over the ≤|strata|-row count table — one row per stratum
