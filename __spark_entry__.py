@@ -640,6 +640,9 @@ def oracle_sql() -> dict[str, str]:
         # corpus_quality_mixture: LM-score-tiered soft curriculum
         # sampling (r11)
         "corpus_quality_mixture": oracle_corpus.corpus_quality_mixture_sql(),
+        # corpus_l_diversity: homogeneity-attack screen over the QI key
+        # (r11 privacy family extension)
+        "corpus_l_diversity": oracle_corpus.corpus_l_diversity_sql(),
         # doc_normalized: row-local text canonicalization (control-char
         # strip, whitespace collapse, trim, lower) — oracle-only swept
         # entry.

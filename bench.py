@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "dedup_full_stack",
     "corpus_bpe_fertility",
     "corpus_quality_mixture",
+    "corpus_l_diversity",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

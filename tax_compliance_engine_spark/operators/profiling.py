@@ -114,6 +114,49 @@ def suppress_small_groups(
     return df.join(keep, cond, "left_semi")
 
 
+def l_diversity_report(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    l_threshold: int,
+) -> DataFrame:
+    """ℓ-DIVERSITY audit (Machanavajjhala et al. 2007) — the screen
+    k-anonymity alone misses: a group can be large (k-compliant) yet
+    have every member sharing one sensitive value, so membership alone
+    discloses it (the homogeneity attack).  Per QI combination: group
+    size, the number of distinct sensitive values, and the ≥ℓ flag.
+
+    NULL handling mirrors the k-anonymity report's discipline on both
+    axes: NULL-valued QI groups are real groups (groupBy keeps them),
+    and a NULL sensitive value counts as ONE distinct value (an absent
+    diagnosis is itself disclosable — dropping it would overstate
+    diversity exactly where the audit matters).
+
+    Scale shape: distinct counted from per-(QI, sensitive) partials —
+    one map-side-combinable aggregation then a ≤|groups|-row rollup,
+    never a count_distinct shuffle of raw rows."""
+    if l_threshold <= 0:
+        raise ValueError(f"l must be positive, got {l_threshold}")
+    per_val = df.groupBy(
+        *qi_cols, F.col(sensitive_col).alias("_lv_s")
+    ).agg(F.count(F.lit(1)).alias("_lv_n"))
+    return (
+        per_val.groupBy(*qi_cols)
+        .agg(
+            F.sum("_lv_n").cast("long").alias("group_size"),
+            F.count(F.lit(1)).cast("long").alias("n_sensitive_distinct"),
+        )
+        .select(
+            *qi_cols,
+            "group_size",
+            "n_sensitive_distinct",
+            (F.col("n_sensitive_distinct") >= l_threshold).alias(
+                "is_l_diverse"
+            ),
+        )
+    )
+
+
 def k_anonymity_report(
     df: DataFrame, qi_cols: list[str], k: int
 ) -> DataFrame:

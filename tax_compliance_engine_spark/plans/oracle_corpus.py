@@ -1281,3 +1281,22 @@ FROM tiered
 WHERE CAST({_HASH} AS DOUBLE)
       < (CASE tier {rate_case} END) * 1000000007.0
 ORDER BY doc_id"""
+
+
+def corpus_l_diversity_sql(l_threshold: int = 3) -> str:
+    """Twin of queries_dataops.corpus_l_diversity: per-(QI, sensitive)
+    partials then the group rollup — NULL sensitive values count as one
+    distinct value via the GROUP BY itself, same as Spark's."""
+    return f"""WITH per_val AS (
+  SELECT lang,
+         least(CAST(n_chars AS BIGINT) // 100, 9) AS len_bucket,
+         source AS s, count(*) AS n
+  FROM documents
+  GROUP BY 1, 2, 3)
+SELECT lang, len_bucket,
+       CAST(SUM(n) AS BIGINT) AS group_size,
+       CAST(count(*) AS BIGINT) AS n_sensitive_distinct,
+       count(*) >= {l_threshold} AS is_l_diverse
+FROM per_val
+GROUP BY lang, len_bucket
+ORDER BY lang, len_bucket"""

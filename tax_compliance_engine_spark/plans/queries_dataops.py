@@ -2331,3 +2331,24 @@ def corpus_quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "mean_prob"
     )
     return corpus.quality_tiered_sample(scored).orderBy("doc_id")
+
+
+def corpus_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ℓ-diversity privacy audit (profiling.l_diversity_report): over
+    the (lang, length-decile) quasi-identifier key, how many distinct
+    sources each group exposes and the ℓ=3 flag — the homogeneity-
+    attack screen k-anonymity alone misses (a big group whose members
+    all share one sensitive value discloses it by membership)."""
+    from ..operators import profiling
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.least(
+            F.expr("CAST(n_chars AS LONG) DIV 100"), F.lit(9).cast("long")
+        ).alias("len_bucket"),
+        "source",
+    )
+    return profiling.l_diversity_report(
+        docs, ["lang", "len_bucket"], "source", l_threshold=3
+    ).orderBy("lang", "len_bucket")

@@ -70,3 +70,36 @@ def test_report_null_qi_survivor_counts(spark):
     assert rep[(None, "d")] == (1, False, 0)  # null singleton suppressed
     assert rep[("en", "a")] == (3, True, 3)
     assert rep[("de", "b")] == (1, False, 0)
+
+
+def test_l_diversity_homogeneity_and_nulls(spark):
+    """ℓ-diversity pins: a large-but-homogeneous group fails (the
+    attack k-anonymity misses), NULL sensitive values count as ONE
+    distinct value, NULL QI groups are real groups, counts exact."""
+    import pytest
+
+    from tax_compliance_engine_spark.operators.profiling import (
+        l_diversity_report,
+    )
+
+    rows = [
+        # QI group ("en",): 4 rows, all sensitive "x" -> homogeneous
+        (1, "en", "x"), (2, "en", "x"), (3, "en", "x"), (4, "en", "x"),
+        # QI group ("de",): 3 rows, 2 distinct + NULL = 3 distinct
+        (5, "de", "x"), (6, "de", "y"), (7, "de", None),
+        # NULL-QI group: 2 rows, 2 distinct
+        (8, None, "a"), (9, None, "b"),
+    ]
+    df = spark.createDataFrame(rows, "id long, lang string, s string")
+    got = {
+        r.lang: r
+        for r in l_diversity_report(df, ["lang"], "s", l_threshold=2).collect()
+    }
+    assert (got["en"].group_size, got["en"].n_sensitive_distinct) == (4, 1)
+    assert not got["en"].is_l_diverse  # big group, zero diversity
+    assert (got["de"].group_size, got["de"].n_sensitive_distinct) == (3, 3)
+    assert got["de"].is_l_diverse
+    assert (got[None].group_size, got[None].n_sensitive_distinct) == (2, 2)
+    assert got[None].is_l_diverse
+    with pytest.raises(ValueError, match="l must be positive"):
+        l_diversity_report(df, ["lang"], "s", l_threshold=0)
