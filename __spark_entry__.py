@@ -643,6 +643,14 @@ def oracle_sql() -> dict[str, str]:
         # corpus_l_diversity: homogeneity-attack screen over the QI key
         # (r11 privacy family extension)
         "corpus_l_diversity": oracle_corpus.corpus_l_diversity_sql(),
+        # dedup_drop_witness: drop provenance — min-id witness + score
+        # per dropped doc (r11 audit trail)
+        "dedup_drop_witness": oracle_dataops.dedup_drop_witness_sql(),
+        # embedding_semdedup_screen: frozen-index semantic-dup ingest
+        # screen (r11) — batch slice vs the corpus-trained index
+        "embedding_semdedup_screen": (
+            oracle_dataops.embedding_semdedup_screen_sql()
+        ),
         # doc_normalized: row-local text canonicalization (control-char
         # strip, whitespace collapse, trim, lower) — oracle-only swept
         # entry.

@@ -159,6 +159,8 @@ BENCH_QUERIES = [
     "corpus_bpe_fertility",
     "corpus_quality_mixture",
     "corpus_l_diversity",
+    "dedup_drop_witness",
+    "embedding_semdedup_screen",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

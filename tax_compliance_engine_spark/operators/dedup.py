@@ -1325,6 +1325,38 @@ def near_dedup_filter(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     return docs.join(losers, "doc_id", "left_anti")
 
 
+def near_dedup_witness(
+    pairs: DataFrame, score_col: str = "est_jaccard"
+) -> DataFrame:
+    """Drop PROVENANCE for ``near_dedup_filter``: one row per dropped
+    doc with the WITNESS that killed it — the smallest-id doc1 it
+    paired with (min-id, matching the filter's keep rule) and that
+    pair's similarity, plus how many winning pairs hit it.  This is
+    the audit trail a production dedup keeps (the question is never
+    just "was X dropped" but "dropped as a near-dup of WHAT, at what
+    similarity") and the appeal path when a drop looks wrong.
+
+    One map-side-combinable groupBy(doc2) argmin via
+    ``min(struct(doc1, score))`` — integers + one carried double, no
+    sort, no window.  Output: (doc_id, witness_id, witness_score,
+    n_hits), doc_id = the dropped doc."""
+    return (
+        pairs.groupBy(F.col("doc2").alias("doc_id"))
+        .agg(
+            F.min(
+                F.struct(F.col("doc1"), F.col(score_col).alias("_s"))
+            ).alias("_w"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            F.col("_w.doc1").alias("witness_id"),
+            F.col("_w._s").alias("witness_score"),
+            "n_hits",
+        )
+    )
+
+
 def _bit_sum(toks_hashed: Column, b: int) -> Column:
     # factory: `b` must be a Python int (shiftright's numBits), closed over
     # so the aggregate lambda stays binary

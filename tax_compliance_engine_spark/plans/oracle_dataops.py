@@ -1085,17 +1085,21 @@ SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
 FROM scaled, unnest(range(1, {dim} + 1)) AS u(i)"""
 
 
-def _kmeans_ctes(k: int, n_iter: int, shard_count: int) -> list[str]:
+def _kmeans_ctes(
+    k: int, n_iter: int, shard_count: int, source: str = "embeddings"
+) -> list[str]:
     """The unrolled Lloyd CTE chain shared by embedding_kmeans_sql and
     embedding_silhouette_sql (final components live in comp{n_iter},
-    final assembled centroids in cents{n_iter})."""
+    final assembled centroids in cents{n_iter}).  ``source`` rebases
+    the whole chain onto another relation (the semdedup screen trains
+    on a corpus slice)."""
     dim = similarity.DIM
     dot_vv = DOT_FOLD.format(n=dim, a="v", b="v")
     dot_cc = DOT_FOLD.format(n=dim, a="cvec", b="cvec")
     dot_ec = DOT_FOLD.format(n=dim, a="e.v", b="c.cvec")
     ctes = [
         f"""embV AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {source}),
 embVn AS (
   SELECT vec_id, v, sqrt({dot_vv}) AS nrm FROM embV),
 bounds AS (
@@ -1285,25 +1289,21 @@ ORDER BY cell"""
     )
 
 
-def embedding_semdedup_sql(
-    k: int = 8,
-    n_iter: int = 2,
-    threshold: float = 0.4,
-    shard_count: int = 256,
-) -> str:
-    """Twin of queries_dataops.embedding_semdedup: the shared unrolled
-    Lloyd chain, a final E-step that KEEPS the winning cosine (the
-    typicality signal), cell-local pairwise cosine thresholding,
-    recursive-CTE connected components over the ε-graph (nodes = every
-    vector, so singletons are their own group), then the
-    keep-the-atypical rank — lowest cent_cos first, ties to the
-    smallest vec_id — all with the same IEEE fold shapes the Spark
-    side computes."""
+def _semdedup_ctes(
+    k: int,
+    n_iter: int,
+    threshold: float,
+    shard_count: int,
+    source: str = "embeddings",
+) -> list[str]:
+    """The semdedup CTE chain through ``rankedk`` (vec_id, cell,
+    group_id, cent_cos, rn; keep ⇔ rn = 1), rebased onto ``source`` —
+    shared by the dedup twin and the frozen-index screen twin."""
     dim = similarity.DIM
     dot_cc = DOT_FOLD.format(n=dim, a="cvec", b="cvec")
     dot_ec = DOT_FOLD.format(n=dim, a="e.v", b="c.cvec")
     dot_ab = DOT_FOLD.format(n=dim, a="a.v", b="b.v")
-    ctes = _kmeans_ctes(k, n_iter, shard_count)
+    ctes = _kmeans_ctes(k, n_iter, shard_count, source=source)
     fin = f"cents{n_iter}"
     ctes.append(
         f"""centsF AS (
@@ -1331,7 +1331,7 @@ adj AS (
   UNION ALL
   SELECT id2 AS node, id1 AS nbr FROM spairs),
 reach AS (
-  SELECT vec_id AS node, vec_id AS lab FROM embeddings
+  SELECT vec_id AS node, vec_id AS lab FROM {source}
   UNION
   SELECT a.node, r.lab FROM adj a JOIN reach r ON r.node = a.nbr
 ),
@@ -1342,6 +1342,24 @@ rankedk AS (
                             ORDER BY a.cent_cos, g.vec_id) AS rn
   FROM grp g JOIN assignF a USING (vec_id))"""
     )
+    return ctes
+
+
+def embedding_semdedup_sql(
+    k: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.4,
+    shard_count: int = 256,
+) -> str:
+    """Twin of queries_dataops.embedding_semdedup: the shared unrolled
+    Lloyd chain, a final E-step that KEEPS the winning cosine (the
+    typicality signal), cell-local pairwise cosine thresholding,
+    recursive-CTE connected components over the ε-graph (nodes = every
+    vector, so singletons are their own group), then the
+    keep-the-atypical rank — lowest cent_cos first, ties to the
+    smallest vec_id — all with the same IEEE fold shapes the Spark
+    side computes."""
+    ctes = _semdedup_ctes(k, n_iter, threshold, shard_count)
     return (
         "WITH RECURSIVE "
         + ",\n".join(ctes)
@@ -2700,6 +2718,9 @@ GEOMETRY_PARAMETRIC_SQL = {
     "dedup_full_stack": lambda n: dedup_full_stack_sql(
         k=similarity.semdedup_k_for_corpus(n)
     ),
+    "embedding_semdedup_screen": lambda n: embedding_semdedup_screen_sql(
+        k=similarity.semdedup_k_for_corpus(n)
+    ),
 }
 
 
@@ -3078,3 +3099,88 @@ JOIN exact e USING (doc_id)
 LEFT JOIN near_losers nl USING (doc_id)
 LEFT JOIN sem ON sem.vec_id = d.doc_id
 ORDER BY d.doc_id"""
+
+
+def dedup_drop_witness_sql(threshold: float = 0.5) -> str:
+    """Twin of queries_dataops.dedup_drop_witness: the est-pairs CTE,
+    then per doc2 the (doc1, score) struct-min (arg_min on doc1 — the
+    struct min's first field dominates, doc1 values are unique per
+    doc2 group so the carried score is the argmin pair's) and the hit
+    count."""
+    pairs_sql = dedup_minhash_est_pairs_sql(threshold)
+    return f"""WITH pairs AS (
+{pairs_sql}
+)
+SELECT doc2 AS doc_id,
+       MIN(doc1) AS witness_id,
+       arg_min(est_jaccard, doc1) AS witness_score,
+       CAST(count(*) AS BIGINT) AS n_hits
+FROM pairs
+GROUP BY doc2
+ORDER BY doc_id"""
+
+
+def embedding_semdedup_screen_sql(
+    k: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.4,
+    shard_count: int = 256,
+    batch_mod: int = 13,
+) -> str:
+    """Twin of queries_dataops.embedding_semdedup_screen: the semdedup
+    chain rebased onto the standing-corpus slice (``source`` param),
+    the kept reps joined back to their vectors, then the batch slice
+    assigned to the FROZEN centroids and scored against its cell's
+    reps only — argmax cosine with ties to the smaller rep id, the
+    same IEEE folds throughout."""
+    dim = similarity.DIM
+    dot_bb = DOT_FOLD.format(n=dim, a="v", b="v")
+    dot_bc = DOT_FOLD.format(n=dim, a="e.v", b="c.cvec")
+    dot_br = DOT_FOLD.format(n=dim, a="b.v", b="r.v")
+    ctes = _semdedup_ctes(
+        k, n_iter, threshold, shard_count, source="corpusE"
+    )
+    ctes.insert(
+        0,
+        f"""corpusE AS (
+  SELECT * FROM embeddings WHERE vec_id % {batch_mod} <> 0)""",
+    )
+    ctes.append(
+        f"""repsq AS (
+  SELECT r.vec_id AS rep_id, r.cell, e.v, e.nrm
+  FROM rankedk r JOIN embVn e USING (vec_id)
+  WHERE r.rn = 1),
+batchE AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % {batch_mod} = 0),
+batchVn AS (SELECT vec_id, v, sqrt({dot_bb}) AS nrm FROM batchE),
+bassign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {dot_bc} / (e.nrm * c.cnrm) DESC, c.cell)
+        AS r
+    FROM batchVn e CROSS JOIN centsF c) t
+  WHERE r = 1),
+best AS (
+  SELECT vec_id, rep_id, cos FROM (
+    SELECT b.vec_id, r.rep_id,
+      {dot_br} / (b.nrm * r.nrm) AS cos,
+      row_number() OVER (PARTITION BY b.vec_id
+                         ORDER BY {dot_br} / (b.nrm * r.nrm) DESC, r.rep_id)
+        AS rr
+    FROM batchVn b JOIN bassign a USING (vec_id)
+    JOIN repsq r ON r.cell = a.cell) t
+  WHERE rr = 1)"""
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a.vec_id, a.cell,
+       CASE WHEN best.cos >= {threshold} THEN best.rep_id END AS match_id,
+       CASE WHEN best.cos >= {threshold} THEN best.cos END AS match_cos,
+       COALESCE(NOT (best.cos >= {threshold}), TRUE) AS keep
+FROM bassign a LEFT JOIN best ON best.vec_id = a.vec_id
+ORDER BY a.vec_id"""
+    )

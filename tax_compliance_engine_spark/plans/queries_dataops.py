@@ -2352,3 +2352,31 @@ def corpus_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiling.l_diversity_report(
         docs, ["lang", "len_bucket"], "source", l_threshold=3
     ).orderBy("lang", "len_bucket")
+
+
+def dedup_drop_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop provenance (dedup.near_dedup_witness) over the scale-path
+    est pair stream: per dropped doc, the min-id witness that killed it
+    with that pair's estimated Jaccard and the total winning-pair hit
+    count — the audit trail a production dedup keeps alongside the
+    keep-set."""
+    pairs = dedup.minhash_est_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return dedup.near_dedup_witness(pairs).orderBy("doc_id")
+
+
+def embedding_semdedup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time semantic-dup screen (similarity.semdedup_screen): the
+    vec_id%13==0 slice plays the arriving batch against a FROZEN
+    SemDeDup index built on the rest — nearest trained centroid, best
+    cosine against that cell's kept representatives, keep verdict.  k
+    is planned from the FULL table count on both sides so the
+    parametric twin travels with scale; the streaming writer is the
+    drained ≡ batch twin."""
+    emb = _emb(spark, sf_dir)
+    k = similarity.semdedup_k_for_corpus(similarity._corpus_count(emb))
+    corpus_emb = emb.filter(F.col("vec_id") % 13 != 0)
+    batch = emb.filter(F.col("vec_id") % 13 == 0)
+    idx = similarity.semdedup_index(corpus_emb, k=k, threshold=0.4)
+    return similarity.semdedup_screen(batch, idx, threshold=0.4).orderBy(
+        "vec_id"
+    )

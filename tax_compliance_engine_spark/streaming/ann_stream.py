@@ -78,3 +78,42 @@ def streaming_ivfpq_knn_writer(
         ).write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
 
     return query_stream.writeStream.foreachBatch(write_batch)
+
+
+def streaming_semdedup_screen_writer(
+    stream: DataFrame,
+    index: tuple[DataFrame, DataFrame],
+    out_path: str,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Streaming SEMANTIC-dup ingest screen over a frozen SemDeDup index
+    (``similarity.semdedup_index``): every arriving embedding is
+    assigned to its nearest trained centroid and scored against that
+    cell's kept representatives — match witness, best cosine, keep
+    verdict — the semantic companion to the winnowed-fingerprint and
+    near-dup ingest screens.
+
+    A verdict is a pure function of (vector, frozen index), never of
+    other arrivals, so micro-batch-local scoring IS the global
+    semantics (drained ≡ batch ``semdedup_screen``, float bit-equal):
+    no state store, no watermark.  The two index frames are cached and
+    materialized up front; each micro-batch pays its own broadcast
+    assignment + one cell-keyed rep join.  Output lands under
+    ``out_path/batch=<id>`` with per-batch OVERWRITE (idempotent under
+    re-delivery).  Returns the configured DataStreamWriter; the caller
+    sets trigger / checkpoint and calls ``.start()``."""
+    from ..operators.similarity import semdedup_screen
+
+    cents, reps = index
+    index = (cents.cache(), reps.cache())
+    for df in index:
+        df.count()  # materialize the frozen index before the first batch
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        semdedup_screen(
+            bdf, index, threshold=threshold, vec_col=vec_col, id_col=id_col
+        ).write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+
+    return stream.writeStream.foreachBatch(write_batch)

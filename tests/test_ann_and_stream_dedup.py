@@ -1305,3 +1305,60 @@ def test_streaming_winnow_index_refresh_matches_rebuild(spark, tmp_path):
         )
     )
     assert merged == want
+
+
+def test_streaming_semdedup_screen_matches_batch(spark, tmp_path):
+    """Drained streaming semantic-dup screen ≡ batch semdedup_screen
+    over the same arrivals against the same frozen index (real sf0.001
+    embeddings split), float bit-equal match cosines, idempotent empty
+    re-drain — the frozen-index argument."""
+    from pyspark.sql import functions as F
+
+    from tax_compliance_engine_spark.operators import similarity
+    from tax_compliance_engine_spark.streaming.ann_stream import (
+        streaming_semdedup_screen_writer,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 13 != 0)
+    arrivals = emb.filter(F.col("vec_id") % 13 == 0).select(
+        "vec_id", "embedding"
+    )
+    idx = similarity.semdedup_index(corpus, k=8, threshold=0.4)
+    rows = arrivals.collect()
+    first, second = rows[: len(rows) // 2], rows[len(rows) // 2 :]
+    src, out = tmp_path / "arrivals", tmp_path / "screened"
+    schema = arrivals.schema
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            streaming_semdedup_screen_writer(stream, idx, str(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(str(out)).select(
+            "vec_id", "cell", "match_id", "match_cos", "keep"
+        )
+
+    spark.createDataFrame(first, schema).write.mode("append").parquet(
+        str(src)
+    )
+    drain()
+    spark.createDataFrame(second, schema).write.mode("append").parquet(
+        str(src)
+    )
+    got = sorted(map(tuple, drain().collect()))
+    assert sorted(map(tuple, drain().collect())) == got  # idempotent
+    want = sorted(
+        map(
+            tuple,
+            similarity.semdedup_screen(arrivals, idx, threshold=0.4).collect(),
+        )
+    )
+    assert got == want  # exact, incl. bit-equal cosines
+    assert len(got) == len(rows)
+    # both verdicts occur on the real fixture
+    assert {r[4] for r in got} == {True, False}

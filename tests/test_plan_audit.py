@@ -56,6 +56,8 @@ GLOBAL_AGG_OK = {
     # the ε-graph self-join itself is cell-keyed, never single-task
     "dedup_full_stack",  # embeds semdedup's scalar bounds aggregate
     # (same one-row shard-width broadcast); every dedup stage is keyed
+    "embedding_semdedup_screen",  # embeds the index build's scalar
+    # bounds aggregate (frozen-index screen; probes are cell-keyed)
     "corpus_bm25_search",  # scalar N/avgdl corpus stats (one partial
     # row per task through the exchange), broadcast back onto scores
     "events_funnel",  # the result IS k scalar step counts (3 rows)
