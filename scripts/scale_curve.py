@@ -150,6 +150,19 @@ SCALE_QUERIES = [
     "web_host_profile",
     "web_host_cap_sample",
     "doc_trigram_lm",
+    # r11 session 2: evals, curriculum mixing, full stack, screens
+    # (est_quality is measured via its documented eval-on-sample scale
+    # path — the full-corpus form runs BOTH pair lineages in one plan
+    # and is a deliberate sf-gate-only shape)
+    "dedup_est_quality_sampled",
+    "embedding_threshold_curve",
+    "dedup_full_stack",
+    "corpus_temperature_sample",
+    "corpus_quality_mixture",
+    "corpus_l_diversity",
+    "corpus_bpe_fertility",
+    "dedup_drop_witness",
+    "embedding_semdedup_screen",
 ]
 
 
@@ -571,6 +584,15 @@ def main() -> None:
     queries["dedup_minhash_pairs_candidates"] = _mh_pinned("candidates")
     queries["dedup_minhash_pairs_bucket_local"] = _mh_pinned("bucket_local")
 
+    def _est_quality_sampled(sp, sf_dir):
+        from tax_compliance_engine_spark.operators import dedup
+
+        return dedup.est_pair_quality(
+            qd._docs(sp, sf_dir), threshold=0.5, sample_mod=3
+        )
+
+    queries["dedup_est_quality_sampled"] = _est_quality_sampled
+
     # shared with bench.py (moved to queries_dataops in round 7)
     queries["pq_knn_fixed_queries"] = qd.pq_knn_fixed_queries
     queries["ivfpq_knn_fixed_queries"] = qd.ivfpq_knn_fixed_queries
@@ -592,9 +614,17 @@ def main() -> None:
     results = {}
     for name in SCALE_QUERIES if not skew_only else []:
         fn = queries[name]
-        fn(spark, WARM).write.format("noop").mode("overwrite").save()  # warm
-        t1 = run(fn, BASE)
-        t10 = run(fn, workdir)
+        # fail-soft per query: one OOM/analysis error must not discard
+        # every other query's measurements (an r11 full-corpus eval
+        # OOM'd the 8g driver at 10× and took the whole run with it)
+        try:
+            fn(spark, WARM).write.format("noop").mode("overwrite").save()
+            t1 = run(fn, BASE)
+            t10 = run(fn, workdir)
+        except Exception as e:  # noqa: BLE001
+            results[name] = {"error": str(e).split("\n")[0][:200]}
+            print(f"{name}: ERROR {results[name]['error']}", file=sys.stderr)
+            continue
         ratio = round(t10 / t1, 2) if t1 else None
         results[name] = {
             "sf0.1_sec": t1,

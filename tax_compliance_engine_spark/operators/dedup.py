@@ -977,7 +977,10 @@ def minhash_dup_pairs(
 
 
 def est_pair_quality(
-    docs: DataFrame, text_col: str = "text", threshold: float = 0.5
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """EVAL harness for the scale-path trade: precision/recall of the
     signature-estimated pair stream (``minhash_est_pairs`` — what a
@@ -996,7 +999,21 @@ def est_pair_quality(
     collect_list over millions of pairs would be the single-task-OOM
     shape the kmeans M-step avoids) — bit-portable, DuckDB twin folds
     the same two levels.  Output: (n_est, n_exact, n_both, precision,
-    recall, mean_abs_err)."""
+    recall, mean_abs_err).
+
+    SCALE PATH — ``sample_mod``: the eval runs BOTH pair lineages in
+    one plan (the exact side carries token sets), so at corpus scale
+    run it on a deterministic LCG document sample (docs whose sample
+    hash ≡ 0 mod ``sample_mod``), not the full corpus: precision/
+    recall/MAE are ratio estimates and a uniform doc sample estimates
+    them unbiasedly (pairs subsample at rate ~1/mod²; size the mod so
+    ~10⁵-10⁶ pairs survive).  None = full corpus (the sf gate)."""
+    if sample_mod is not None:
+        from .corpus import sample_hash_col
+
+        docs = docs.filter(
+            sample_hash_col(F.col("doc_id")) % sample_mod == 0
+        )
     est = minhash_est_pairs(docs, text_col, threshold).select(
         "doc1", "doc2", "est_jaccard"
     )
