@@ -739,6 +739,7 @@ def oracle_sql() -> dict[str, str]:
         # web_*: URL/host corpus hygiene (r11) — canonicalization,
         # host-mix profile, deterministic per-host cap
         "web_url_canonical": oracle_dataops.web_url_canonical_sql(),
+        "web_url_dedup": oracle_dataops.web_url_dedup_sql(),
         "web_host_profile": oracle_dataops.web_host_profile_sql(),
         "web_host_cap_sample": oracle_dataops.web_host_cap_sample_sql(),
         # dedup_winnow_screen: ingest-time winnowed-fingerprint copy

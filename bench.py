@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "corpus_l_diversity",
     "dedup_drop_witness",
     "embedding_semdedup_screen",
+    "web_url_dedup",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

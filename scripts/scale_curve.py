@@ -163,6 +163,7 @@ SCALE_QUERIES = [
     "corpus_bpe_fertility",
     "dedup_drop_witness",
     "embedding_semdedup_screen",
+    "web_url_dedup",
 ]
 
 

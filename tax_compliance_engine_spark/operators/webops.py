@@ -99,6 +99,40 @@ def url_canonicalize(
     )
 
 
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level dedup — the FIRST dedup pass a crawl pipeline runs,
+    before any text is even fetched/compared: rows whose URLs
+    canonicalize to the same string are one logical page, and the
+    smallest id per canonical URL is the canonical fetch.  One row per
+    input row with (id, url_canon, canonical_id, is_url_duplicate) —
+    the same audit-friendly shape as ``exact_dedup``'s text digest.
+
+    Unparseable rows (NULL url_canon) are never each other's
+    duplicates (a NULL key is not a page identity): they keep
+    themselves, flagged ``is_url_duplicate = false`` with
+    canonical_id = their own id.  One hash aggregation on the
+    canonical string + a broadcast-or-shuffle rejoin — no windows."""
+    canon = url_canonicalize(df, url_col).select(
+        F.col(id_col), "url_canon"
+    )
+    mins = (
+        canon.filter(F.col("url_canon").isNotNull())
+        .groupBy("url_canon")
+        .agg(F.min(id_col).alias("_canonical_id"))
+    )
+    return canon.join(mins, "url_canon", "left").select(
+        id_col,
+        "url_canon",
+        F.coalesce("_canonical_id", F.col(id_col)).alias("canonical_id"),
+        (
+            F.col("url_canon").isNotNull()
+            & (F.col(id_col) != F.coalesce("_canonical_id", F.col(id_col)))
+        ).alias("is_url_duplicate"),
+    )
+
+
 def host_profile(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Per-host corpus mix: (host, n_urls, n_canon_distinct, share) —
     how many rows each host contributes, how many DISTINCT canonical

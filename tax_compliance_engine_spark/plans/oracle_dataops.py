@@ -3184,3 +3184,20 @@ SELECT a.vec_id, a.cell,
 FROM bassign a LEFT JOIN best ON best.vec_id = a.vec_id
 ORDER BY a.vec_id"""
     )
+
+
+def web_url_dedup_sql() -> str:
+    """Twin of queries_dataops.web_url_dedup: the shared canonicalization
+    CTE, min-id per canonical URL, NULL canon rows keeping themselves."""
+    return f"""WITH {_url_canon_cte()},
+mins AS (
+  SELECT url_canon, MIN(doc_id) AS canonical_id
+  FROM canon WHERE url_canon IS NOT NULL
+  GROUP BY url_canon)
+SELECT c.doc_id, c.url_canon,
+       COALESCE(m.canonical_id, c.doc_id) AS canonical_id,
+       (c.url_canon IS NOT NULL
+        AND c.doc_id <> COALESCE(m.canonical_id, c.doc_id))
+         AS is_url_duplicate
+FROM canon c LEFT JOIN mins m USING (url_canon)
+ORDER BY c.doc_id"""

@@ -2380,3 +2380,15 @@ def embedding_semdedup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup_screen(batch, idx, threshold=0.4).orderBy(
         "vec_id"
     )
+
+
+def web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (webops.url_dedup): rows whose synthetic URLs
+    canonicalize to the same string collapse to the smallest doc_id —
+    the before-any-text dedup pass every crawl pipeline runs first
+    (here the doc_id%8 fixture makes m∈{2,3} rows per source collapse:
+    their URLs differ only by default port / param order)."""
+    from ..operators import webops
+
+    docs = _docs(spark, sf_dir).withColumn("url", _synth_url())
+    return webops.url_dedup(docs).orderBy("doc_id")

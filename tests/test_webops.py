@@ -195,3 +195,28 @@ def test_streaming_host_cap_admission_control(spark, tmp_path):
     assert sorted(
         (r.doc_id, r.host, r.host_rank) for r in drain().collect()
     ) == got
+
+
+def test_url_dedup_canonical_collapse_and_nulls(spark):
+    """URL dedup: rows differing only by default port / param order
+    collapse to the smallest id; distinct pages never collapse;
+    unparseable rows keep themselves (NULL canon is not an identity)."""
+    df = spark.createDataFrame(
+        [
+            (3, "HTTP://A.com:80/x?b=2&a=1"),
+            (1, "http://a.com/x?a=1&b=2"),   # same page as 3 -> canonical
+            (7, "http://a.com/x?a=1&b=2#f"), # fragment stripped: same page
+            (2, "http://a.com/y"),           # different page
+            (9, "junk"),                     # unparseable
+            (10, "more junk"),               # unparseable: NOT 9's dup
+        ],
+        "doc_id long, url string",
+    )
+    got = {r.doc_id: r for r in webops.url_dedup(df).collect()}
+    assert got[1].canonical_id == 1 and not got[1].is_url_duplicate
+    assert got[3].canonical_id == 1 and got[3].is_url_duplicate
+    assert got[7].canonical_id == 1 and got[7].is_url_duplicate
+    assert got[2].canonical_id == 2 and not got[2].is_url_duplicate
+    for i in (9, 10):
+        assert got[i].canonical_id == i and not got[i].is_url_duplicate
+        assert got[i].url_canon is None
