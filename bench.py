@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "dedup_drop_witness",
     "embedding_semdedup_screen",
     "web_url_dedup",
+    "web_blocklist_screen",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

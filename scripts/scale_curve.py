@@ -164,6 +164,7 @@ SCALE_QUERIES = [
     "dedup_drop_witness",
     "embedding_semdedup_screen",
     "web_url_dedup",
+    "web_blocklist_screen",
 ]
 
 

@@ -133,6 +133,51 @@ def url_dedup(
     )
 
 
+def url_blocklist_screen(
+    df: DataFrame,
+    blocked_host_suffixes: list[str],
+    blocked_path_terms: list[str] | None = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """Blocklist screen — the UT1-style pattern pass a crawl pipeline
+    runs right after canonicalization: a row is blocked when its
+    canonical HOST equals (or is a subdomain of) any blocked suffix, or
+    its canonical URL's path/query contains any blocked term.  Appends
+    ``block_reason`` ('host:<suffix>' / 'path:<term>', first match in
+    the caller's list order wins, host rules before path rules) and
+    ``blocked``; unparseable rows are NOT blocked by patterns (no host
+    to match) — quarantine them separately.
+
+    Pure Column expressions: the pattern lists unroll into a when-chain
+    (blocklists are config-sized; a million-entry list belongs in a
+    broadcast join keyed on the host's suffix set — documented
+    boundary, same planner honesty as the LSH geometry notes).  Suffix
+    matching is exact-label: 'ads.com' blocks 'ads.com' and
+    'x.ads.com', never 'roads.com'."""
+    if not blocked_host_suffixes and not blocked_path_terms:
+        raise ValueError("at least one blocklist must be non-empty")
+    blocked_path_terms = blocked_path_terms or []
+    canon = url_canonicalize(df, url_col)
+    host = F.col("host")
+    # path+query = the canonical URL from its first post-authority "/"
+    # (the canonical form guarantees a path, so locate always hits)
+    tail = F.element_at(F.split(F.col("url_canon"), "://", 2), 2)
+    path_q = F.substring(tail, F.locate("/", tail), F.lit(2**31 - 1))
+    chain: list = []
+    for s in blocked_host_suffixes:
+        chain.append(
+            ((host == s) | host.endswith("." + s), F.lit(f"host:{s}"))
+        )
+    for term in blocked_path_terms:
+        chain.append((F.locate(term, path_q) > 0, F.lit(f"path:{term}")))
+    reason = F.lit(None).cast("string")
+    for hit, label in reversed(chain):
+        reason = F.when(hit, label).otherwise(reason)
+    return canon.withColumn("block_reason", reason).withColumn(
+        "blocked", reason.isNotNull()
+    )
+
+
 def host_profile(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Per-host corpus mix: (host, n_urls, n_canon_distinct, share) —
     how many rows each host contributes, how many DISTINCT canonical

@@ -3201,3 +3201,34 @@ SELECT c.doc_id, c.url_canon,
          AS is_url_duplicate
 FROM canon c LEFT JOIN mins m USING (url_canon)
 ORDER BY c.doc_id"""
+
+
+def web_blocklist_screen_sql(
+    blocked_host_suffixes: tuple[str, ...] = ("src1.example.com",),
+    blocked_path_terms: tuple[str, ...] = ("z=1",),
+) -> str:
+    """Twin of queries_dataops.web_blocklist_screen: the shared canon
+    CTE, exact-label suffix matches (ends_with — never LIKE, whose _
+    wildcard could fire inside a suffix), path/query term containment
+    on the canonical tail, first-match-wins CASE in the same order."""
+    arms = []
+    for s in blocked_host_suffixes:
+        arms.append(
+            f"WHEN host = '{s}' OR ends_with(host, '.{s}') "
+            f"THEN 'host:{s}'"
+        )
+    for term in blocked_path_terms:
+        arms.append(f"WHEN strpos(path_q, '{term}') > 0 THEN 'path:{term}'")
+    case = "CASE " + " ".join(arms) + " END"
+    return f"""WITH {_url_canon_cte()},
+tails AS (
+  SELECT doc_id, host,
+         substr(t, strpos(t, '/')) AS path_q
+  FROM (SELECT doc_id, host,
+               str_split(url_canon, '://')[2] AS t
+        FROM canon))
+SELECT doc_id, host,
+       {case} AS block_reason,
+       ({case}) IS NOT NULL AS blocked
+FROM tails
+ORDER BY doc_id"""

@@ -2392,3 +2392,22 @@ def web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).withColumn("url", _synth_url())
     return webops.url_dedup(docs).orderBy("doc_id")
+
+
+def web_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist screen (webops.url_blocklist_screen): canonical hosts
+    under src1.example.com (subdomains included) and any URL whose
+    path/query contains 'z=1' are flagged with their first-match
+    reason — the UT1-style pattern pass after canonicalization."""
+    from ..operators import webops
+
+    docs = _docs(spark, sf_dir).withColumn("url", _synth_url())
+    return (
+        webops.url_blocklist_screen(
+            docs,
+            blocked_host_suffixes=["src1.example.com"],
+            blocked_path_terms=["z=1"],
+        )
+        .select("doc_id", "host", "block_reason", "blocked")
+        .orderBy("doc_id")
+    )

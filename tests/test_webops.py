@@ -220,3 +220,39 @@ def test_url_dedup_canonical_collapse_and_nulls(spark):
     for i in (9, 10):
         assert got[i].canonical_id == i and not got[i].is_url_duplicate
         assert got[i].url_canon is None
+
+
+def test_url_blocklist_screen_rules(spark):
+    """Blocklist pins: exact-label suffix matching (subdomains blocked,
+    'roads.com' NOT blocked by 'ads.com'), path/query term containment,
+    host rules before path rules in reason priority, unparseable rows
+    never pattern-blocked, empty blocklists rejected."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [
+            (0, "http://ads.com/x"),            # host: exact
+            (1, "http://x.ADS.com/y"),          # host: subdomain
+            (2, "http://roads.com/z"),          # NOT a suffix label match
+            (3, "http://ok.com/buy?track=1"),   # path term
+            (4, "http://ads.com/buy?track=1"),  # both -> host reason wins
+            (5, "http://ok.com/clean"),
+            (6, "junk"),                        # unparseable: not blocked
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r.doc_id: (r.blocked, r.block_reason)
+        for r in webops.url_blocklist_screen(
+            df, ["ads.com"], ["track="]
+        ).collect()
+    }
+    assert got[0] == (True, "host:ads.com")
+    assert got[1] == (True, "host:ads.com")
+    assert got[2] == (False, None)
+    assert got[3] == (True, "path:track=")
+    assert got[4] == (True, "host:ads.com")  # host rule wins
+    assert got[5] == (False, None)
+    assert got[6] == (False, None)
+    with pytest.raises(ValueError, match="blocklist"):
+        webops.url_blocklist_screen(df, [], [])
