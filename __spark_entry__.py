@@ -741,6 +741,7 @@ def oracle_sql() -> dict[str, str]:
         "web_url_canonical": oracle_dataops.web_url_canonical_sql(),
         "web_url_dedup": oracle_dataops.web_url_dedup_sql(),
         "web_blocklist_screen": oracle_dataops.web_blocklist_screen_sql(),
+        "web_host_scorecard": oracle_dataops.web_host_scorecard_sql(),
         "web_host_profile": oracle_dataops.web_host_profile_sql(),
         "web_host_cap_sample": oracle_dataops.web_host_cap_sample_sql(),
         # dedup_winnow_screen: ingest-time winnowed-fingerprint copy

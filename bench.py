@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "embedding_semdedup_screen",
     "web_url_dedup",
     "web_blocklist_screen",
+    "web_host_scorecard",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

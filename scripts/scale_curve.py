@@ -165,6 +165,7 @@ SCALE_QUERIES = [
     "embedding_semdedup_screen",
     "web_url_dedup",
     "web_blocklist_screen",
+    "web_host_scorecard",
 ]
 
 

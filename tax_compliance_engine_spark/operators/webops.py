@@ -207,6 +207,75 @@ def host_profile(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def host_scorecard(
+    df: DataFrame,
+    doc_scores: DataFrame,
+    blocked_host_suffixes: list[str],
+    blocked_path_terms: list[str] | None = None,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    score_col: str = "mean_prob",
+) -> DataFrame:
+    """Per-host CURATION scorecard — the table a crawl-curation pass
+    ranks hosts by before deciding caps/blocks for the NEXT crawl: for
+    every canonical host, its row count, URL-level duplicate count
+    (same canonical URL, non-canonical fetch), blocklist hits, and the
+    mean document quality score.
+
+    The quality mean is bit-portable at any host size: a TWO-LEVEL
+    pinned fold (per (host, id%256) shard in id order, shard partials
+    in shard order — the kmeans M-step discipline, so a mega-host never
+    builds one |host|-element array in a single task).  Docs absent
+    from ``doc_scores`` (or NULL-scored) fold as 0.0 — unscorable docs
+    drag a host down, which is the curation-correct direction.
+    Unparseable-URL rows are excluded (no host).  Output: (host,
+    n_rows, n_url_dups, n_blocked, mean_score), one row per host."""
+    screened = url_blocklist_screen(
+        df, blocked_host_suffixes, blocked_path_terms, url_col
+    ).filter(F.col("host").isNotNull())
+    dups = url_dedup(df, url_col, id_col).select(
+        id_col, "is_url_duplicate"
+    )
+    scores = doc_scores.select(
+        F.col(id_col), F.col(score_col).alias("_hs_score")
+    )
+    base = (
+        screened.select(id_col, "host", "blocked")
+        .join(dups, id_col)
+        .join(scores, id_col, "left")
+        .withColumn("_s0", F.coalesce("_hs_score", F.lit(0.0)))
+    )
+
+    def fold(key: str, val: str) -> F.Column:
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(key, val))),
+                lambda s: s[val],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    partials = (
+        base.withColumn("_shard", F.pmod(F.col(id_col), F.lit(256)))
+        .groupBy("host", "_shard")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.sum(F.col("is_url_duplicate").cast("int")).alias("_d"),
+            F.sum(F.col("blocked").cast("int")).alias("_b"),
+            fold(id_col, "_s0").alias("_p"),
+        )
+    )
+    return partials.groupBy("host").agg(
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.sum("_d").cast("long").alias("n_url_dups"),
+        F.sum("_b").cast("long").alias("n_blocked"),
+        (fold("_shard", "_p") / F.sum("_c").cast("double")).alias(
+            "mean_score"
+        ),
+    )
+
+
 def per_host_cap_sample(
     df: DataFrame,
     cap: int = 20,

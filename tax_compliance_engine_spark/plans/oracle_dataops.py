@@ -3232,3 +3232,61 @@ SELECT doc_id, host,
        ({case}) IS NOT NULL AS blocked
 FROM tails
 ORDER BY doc_id"""
+
+
+def web_host_scorecard_sql(
+    blocked_host_suffixes: tuple[str, ...] = ("src1.example.com",),
+    blocked_path_terms: tuple[str, ...] = ("z=1",),
+) -> str:
+    """Twin of queries_dataops.web_host_scorecard: the canon CTE, the
+    dup and blocklist flags re-derived with the same rules, the bigram
+    LM score CTE, then the identical two-level (host, doc_id%256)
+    pinned fold for the mean."""
+    from . import oracle_corpus
+
+    arms = []
+    for s in blocked_host_suffixes:
+        arms.append(
+            f"WHEN host = '{s}' OR ends_with(host, '.{s}') THEN 1"
+        )
+    for term in blocked_path_terms:
+        arms.append(f"WHEN strpos(path_q, '{term}') > 0 THEN 1")
+    blocked = "COALESCE(CASE " + " ".join(arms) + " END, 0)"
+    scored_sql = oracle_corpus.doc_bigram_lm_sql()
+    return f"""WITH {_url_canon_cte()},
+scored AS (
+{scored_sql}
+),
+mins AS (
+  SELECT url_canon, MIN(doc_id) AS canonical_id
+  FROM canon WHERE url_canon IS NOT NULL
+  GROUP BY url_canon),
+flagged AS (
+  SELECT c.doc_id, c.host,
+         CASE WHEN c.doc_id <> m.canonical_id THEN 1 ELSE 0 END AS is_dup,
+         {blocked} AS blk,
+         COALESCE(s.mean_prob, 0.0) AS s0
+  FROM canon c
+  JOIN mins m USING (url_canon)
+  LEFT JOIN scored s USING (doc_id)
+  CROSS JOIN LATERAL (
+    SELECT substr(t, strpos(t, '/')) AS path_q
+    FROM (SELECT str_split(c.url_canon, '://')[2] AS t)) pq
+  WHERE c.host IS NOT NULL),
+partials AS (
+  SELECT host, doc_id % 256 AS shard,
+         count(*) AS c, SUM(is_dup) AS d, SUM(blk) AS b,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(s0 ORDER BY doc_id)),
+                     (a, x) -> a + x) AS p
+  FROM flagged GROUP BY host, doc_id % 256)
+SELECT host,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(SUM(d) AS BIGINT) AS n_url_dups,
+       CAST(SUM(b) AS BIGINT) AS n_blocked,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                list(p ORDER BY shard)),
+                   (a, x) -> a + x) / CAST(SUM(c) AS DOUBLE) AS mean_score
+FROM partials
+GROUP BY host
+ORDER BY host"""

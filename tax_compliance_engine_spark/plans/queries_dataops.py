@@ -2411,3 +2411,20 @@ def web_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "host", "block_reason", "blocked")
         .orderBy("doc_id")
     )
+
+
+def web_host_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host curation scorecard (webops.host_scorecard): rows, URL
+    duplicates, blocklist hits, and the mean graded LM quality per
+    canonical host — the table the NEXT crawl's caps/blocks come from.
+    Two-level pinned quality fold (mega-host-safe, bit-portable)."""
+    from ..operators import textops, webops
+
+    docs = _docs(spark, sf_dir).withColumn("url", _synth_url())
+    scores = textops.bigram_lm_score(docs).select("doc_id", "mean_prob")
+    return webops.host_scorecard(
+        docs,
+        scores,
+        blocked_host_suffixes=["src1.example.com"],
+        blocked_path_terms=["z=1"],
+    ).orderBy("host")

@@ -115,6 +115,9 @@ GLOBAL_AGG_OK = {
     "important_part_stock",  # scalar global NATION_0 total (one
     # partial row per task through the exchange), broadcast back onto
     # the ≤|parts| per-part value table — the Q11 decorrelation
+    "web_host_scorecard",  # embeds doc_bigram_lm's scalar V aggregate
+    # (one partial row per task through the exchange); host rollup and
+    # the two-level quality fold are host-keyed
     "web_host_profile",  # scalar total-parseable-rows aggregate over the
     # ≤|hosts|-row per-host table (one row per host through the
     # exchange, never data rows), broadcast back for the share division

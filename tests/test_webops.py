@@ -256,3 +256,39 @@ def test_url_blocklist_screen_rules(spark):
     assert got[6] == (False, None)
     with pytest.raises(ValueError, match="blocklist"):
         webops.url_blocklist_screen(df, [], [])
+
+
+def test_host_scorecard_counts_and_pinned_mean(spark):
+    """Scorecard pins: per-host rows/dups/blocked counts exact, the
+    quality mean equals the two-level pinned Python fold with missing
+    scores folding as 0.0, unparseable rows excluded."""
+    docs = spark.createDataFrame(
+        [
+            (0, "http://a.com/x?b=2&a=1"),
+            (1, "http://A.com:80/x?a=1&b=2"),  # dup of 0's page
+            (2, "http://a.com/y"),
+            (3, "http://bad.com/z"),           # blocked host
+            (4, "junk"),                       # excluded
+        ],
+        "doc_id long, url string",
+    )
+    scores = spark.createDataFrame(
+        [(0, 0.5), (1, 0.25), (3, 0.125)],  # doc 2 unscored -> 0.0
+        "doc_id long, mean_prob double",
+    )
+    got = {
+        r.host: r
+        for r in webops.host_scorecard(
+            docs, scores, blocked_host_suffixes=["bad.com"]
+        ).collect()
+    }
+    assert set(got) == {"a.com", "bad.com"}
+    a = got["a.com"]
+    assert (a.n_rows, a.n_url_dups, a.n_blocked) == (3, 1, 0)
+    acc = 0.0
+    for s in [0.5, 0.25, 0.0]:  # doc_id order 0,1,2
+        acc += s
+    assert a.mean_score == acc / 3
+    b = got["bad.com"]
+    assert (b.n_rows, b.n_url_dups, b.n_blocked) == (1, 0, 1)
+    assert b.mean_score == 0.125
