@@ -744,6 +744,15 @@ def oracle_sql() -> dict[str, str]:
         "web_host_scorecard": oracle_dataops.web_host_scorecard_sql(),
         "web_host_profile": oracle_dataops.web_host_profile_sql(),
         "web_host_cap_sample": oracle_dataops.web_host_cap_sample_sql(),
+        # web_registrable_domain / web_domain_cap_sample: eTLD+1
+        # extraction under a caller-provided PSL-format suffix table and
+        # the subdomain-spray-proof per-domain cap (r12)
+        "web_registrable_domain": (
+            oracle_dataops.web_registrable_domain_sql()
+        ),
+        "web_domain_cap_sample": (
+            oracle_dataops.web_domain_cap_sample_sql()
+        ),
         # dedup_winnow_screen: ingest-time winnowed-fingerprint copy
         # screen (batch slice vs standing corpus fingerprint set;
         # streaming_winnow_screen_writer is its drained ≡ batch twin)

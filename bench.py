@@ -278,7 +278,13 @@ def regression_diff(
         p = prev_q.get(name)
         if p is None or max(p, now_s) < min_sec:
             continue
-        ratio = now_s / p if p > 0 else float("inf")
+        if p <= 0:
+            # round(…, 3) can zero a sub-ms previous timing; a ratio
+            # against it would be float('inf'), which json.dump emits as
+            # bare Infinity — invalid JSON for strict parsers.  No real
+            # query runs in 0 s, so the row is jitter, not a regression.
+            continue
+        ratio = now_s / p
         if ratio > threshold:
             regressions.append(
                 {

@@ -641,6 +641,16 @@ def quality_tiered_sample(
     ``sample_hash_col`` against rate·MOD, the same comparison shape as
     ``mixture``.
 
+    SCORE DOMAIN CONTRACT — ``score_col`` must lie in [0, 10): the
+    16-digit zero-padded key is order-isomorphic to the score exactly
+    on that interval (negative scores invert lexicographically among
+    themselves; ≥ 10 needs a 17th digit that lpad would truncate into
+    key collisions).  Out-of-domain rows RAISE at execution time
+    (``raise_error`` arm in the key expression — the DuckDB twin
+    carries the identical guard) rather than silently mis-ranking;
+    probability-style scores (``mean_prob`` ∈ [0, 1], the default) are
+    always in domain.
+
     Scale shape: the global rank is the audited two-level
     ``sharded_global_rank`` (never a single-partition sort); N is one
     scalar count broadcast back; everything else is a projection.
@@ -651,12 +661,24 @@ def quality_tiered_sample(
     if n_tiers < 1 or any(not 0.0 <= r <= 1.0 for r in rates):
         raise ValueError(f"rates must be non-empty, each in [0,1]: {rates}")
     s = F.coalesce(F.col(score_col), F.lit(0.0))
-    keyed = scored.select(
-        F.col(id_col),
-        s.alias("_score"),
+    qkey = F.when(
+        (s < 0.0) | (s >= 10.0),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "quality_tiered_sample: score outside the [0, 10) "
+                    "ordering domain (see docstring): "
+                ),
+                s.cast("string"),
+            )
+        ),
+    ).otherwise(
         F.lpad(
             F.floor(s * F.lit(1e15)).cast("long").cast("string"), 16, "0"
-        ).alias("_qkey"),
+        )
+    )
+    keyed = scored.select(
+        F.col(id_col), s.alias("_score"), qkey.alias("_qkey")
     )
     ranked = sharded_global_rank(
         keyed, "_qkey", F.col(id_col), out="_qr"

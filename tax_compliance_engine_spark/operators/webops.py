@@ -13,20 +13,35 @@ operator is one narrow projection plus at most one host-keyed exchange.
 Canonicalization contract (RFC 3986 §6 syntax-based normalization, the
 subset that needs no network and no suffix list):
 
+- percent-encoding normalized FIRST (RFC 3986 §6.2.2.2): %XX pairs that
+  decode to an unreserved character (ALPHA / DIGIT / "-" "." "_" "~")
+  are decoded; every RETAINED pair's hex is uppercased ("%2f" → "%2F");
+  a "%" not followed by two hex digits stays literal.  Decoding
+  unreserved bytes never introduces a delimiter, so it is safe on the
+  whole string before parsing.
 - scheme and host lowercase; userinfo preserved verbatim
 - default ports stripped (http:80, https:443); other ports kept
 - empty path → "/"
 - query: parameters split on "&", empties dropped, byte-order sorted,
   re-joined ("?" dropped when nothing survives)
 - fragment stripped
-- rows that don't parse as `scheme://...` yield NULL url_canon/host
-  (kept, not dropped — the caller decides; a hygiene pipeline typically
-  quarantines them)
+- rows that don't parse as `scheme://...`, or whose post-userinfo
+  authority is not `host[:digits]` with a bracket/colon-free host
+  (bracketed IPv6 literals, non-numeric ports), yield NULL
+  url_canon/host (kept, not dropped — the caller decides; a hygiene
+  pipeline typically quarantines them; silently mis-parsing "[::1]" or
+  dropping ":8a" would collapse DISTINCT URLs into one dedup key)
 
-Deliberately OUT of scope (documented boundary, same honesty rule as the
-multimodal codecs): percent-encoding re-normalization, IDN/punycode, and
-public-suffix registrable-domain extraction (the PSL is a downloaded
-artifact, not spec-derivable).
+Registrable-domain (eTLD+1) grouping: the PSL *file* is a downloaded
+artifact and stays out of scope, but the matching *algorithm*
+(longest-suffix with wildcard and exception rules) is public spec —
+``registrable_domain_col`` takes a caller-provided suffix table and the
+host-keyed operators accept ``suffix_rules=`` to group by eTLD+1 so a
+subdomain-spraying host can't evade ``per_host_cap_sample``.
+
+Still deliberately OUT of scope (documented boundary, same honesty rule
+as the multimodal codecs): IDN/punycode and non-UTF-8 percent-encoded
+octets ≥ 0x80 (decoding those needs charset guessing, not spec).
 """
 
 from __future__ import annotations
@@ -38,15 +53,60 @@ from .corpus import sample_hash_col
 
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 _REST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://(.*)$"
+_HEX = "0123456789abcdef"
+# post-userinfo authority must be host[:digits], host bracket/colon-free
+_AUTH_RE = "^[^:\\[\\]]*(:[0-9]+)?$"
+
+
+def _pct_normalize(url: Column) -> Column:
+    """RFC 3986 §6.2.2.2 percent-encoding normalization as one pure
+    Column expression: split on ``%``, decode each following hex pair
+    when it is an UNRESERVED byte (ALPHA / DIGIT / ``-.~_``), uppercase
+    the hex of every pair that stays encoded, keep a ``%`` without two
+    hex digits literal.  Unreserved bytes are never delimiters, so the
+    whole-string pass is parse-safe; the result is a fixed point of the
+    pass itself (idempotent).  Non-ASCII octets (≥ 0x80) stay encoded —
+    decoding them is charset interpretation, not normalization."""
+    parts = F.split(url, "%")
+    tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+
+    def piece(p: Column) -> Column:
+        hp = F.substring(p, 1, 2)
+        hl = F.lower(hp)
+        is_hex = hl.rlike("^[0-9a-f]{2}$")
+        v = (F.position(F.substring(hl, 1, 1), F.lit(_HEX)) - 1) * 16 + (
+            F.position(F.substring(hl, 2, 1), F.lit(_HEX)) - 1
+        )
+        unreserved = (
+            ((v >= 48) & (v <= 57))   # DIGIT
+            | ((v >= 65) & (v <= 90))  # ALPHA upper
+            | ((v >= 97) & (v <= 122))  # ALPHA lower
+            | v.isin(45, 46, 95, 126)  # - . _ ~
+        )
+        rest_p = F.substring(p, 3, F.lit(2**31 - 1))
+        return (
+            F.when(is_hex & unreserved, F.concat(F.char(v), rest_p))
+            .when(is_hex, F.concat(F.lit("%"), F.upper(hp), rest_p))
+            .otherwise(F.concat(F.lit("%"), p))
+        )
+
+    return F.concat(
+        F.element_at(parts, 1), F.array_join(F.transform(tail, piece), "")
+    )
 
 
 def _canon_cols(url: Column) -> dict[str, Column]:
     """The shared parse: every piece as a Column expression over ``url``.
 
     Order of operations matters and is mirrored in the oracle CTE:
-    authority ends at the first ``/``, ``?`` or ``#``; the FRAGMENT is
-    cut before the query is located (a ``?`` inside a fragment is not a
-    query); userinfo splits on the LAST ``@`` (greedy ``^(.*)@``)."""
+    percent-encoding is normalized FIRST (whole string — unreserved
+    decoding can't create delimiters); authority ends at the first
+    ``/``, ``?`` or ``#``; the FRAGMENT is cut before the query is
+    located (a ``?`` inside a fragment is not a query); userinfo splits
+    on the LAST ``@`` (greedy ``^(.*)@``); an authority that is not
+    ``host[:digits]`` with a bracket/colon-free host fails the parse
+    (NULL outputs — the quarantine contract)."""
+    url = _pct_normalize(url)
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
     rest = F.regexp_extract(url, _REST_RE, 1)
     authority = F.regexp_extract(rest, "^([^/?#]*)", 1)
@@ -80,7 +140,7 @@ def _canon_cols(url: Column) -> dict[str, Column]:
             query_canon != "", F.concat(F.lit("?"), query_canon)
         ).otherwise(F.lit("")),
     )
-    parses = scheme != ""
+    parses = (scheme != "") & host_port.rlike(_AUTH_RE)
     return {
         "url_canon": F.when(parses, url_canon),
         "host": F.when(parses, host),
@@ -97,6 +157,105 @@ def url_canonicalize(
     return df.withColumn("url_canon", cols["url_canon"]).withColumn(
         "host", cols["host"]
     )
+
+
+def _parse_suffix_rules(suffix_rules: list[str]) -> list[tuple[bool, list[str]]]:
+    """Validate + lower a PSL-format rule list into (is_exception,
+    labels) tuples.  Accepted grammar (the public-suffix algorithm's
+    own): dot-separated labels, an optional leading ``!`` marking an
+    exception rule, ``*`` only as a WHOLE label (the form every rule in
+    the published list uses)."""
+    if not suffix_rules:
+        raise ValueError("suffix_rules must be non-empty")
+    parsed = []
+    for rule in suffix_rules:
+        r = rule.strip().lower()
+        is_exc = r.startswith("!")
+        labels = (r[1:] if is_exc else r).split(".")
+        if any(not lab for lab in labels):
+            raise ValueError(f"empty label in suffix rule: {rule!r}")
+        if any("*" in lab and lab != "*" for lab in labels):
+            raise ValueError(
+                f"'*' must be a whole label in suffix rule: {rule!r}"
+            )
+        if is_exc and len(labels) < 2:
+            raise ValueError(f"exception rule needs ≥2 labels: {rule!r}")
+        parsed.append((is_exc, labels))
+    return parsed
+
+
+def registrable_domain_col(
+    host: Column, suffix_rules: list[str]
+) -> Column:
+    """Registrable domain (eTLD+1) of ``host`` under a CALLER-PROVIDED
+    suffix table — the public-suffix *algorithm*
+    (publicsuffix.org/list/: right-to-left label match, ``*`` matches
+    exactly one label, exception ``!rule`` prevails over all others and
+    names a suffix one label SHORTER than itself, otherwise the longest
+    matching rule wins, default rule ``*`` when nothing matches) as one
+    pure Column expression.  The PSL file itself is a downloaded
+    artifact and deliberately NOT bundled (module-docstring boundary) —
+    tests and the oracle twin pass fixture tables.
+
+    NULL when the host IS a public suffix (no extra label) or is NULL.
+    Rule lists are config-sized, so the match unrolls into a
+    greatest/when chain — zero UDFs, zero shuffles, whole-stage
+    codegen'd; a million-rule table would instead need a broadcast join
+    on the host's label-suffix set (same documented boundary as the
+    blocklist screen)."""
+    parsed = _parse_suffix_rules(suffix_rules)
+    labels = F.split(host, "\\.")
+    n = F.size(labels)
+
+    def match(rule_labels: list[str]) -> Column:
+        k = len(rule_labels)
+        cond = n >= k
+        for i, lab in enumerate(rule_labels):
+            if lab != "*":
+                # greatest(…, 1): Column `&` does NOT short-circuit, so
+                # a rule longer than the host would feed element_at an
+                # index ≤ 0 (a runtime error) even though `n >= k`
+                # already falsifies the conjunction; the clamp makes the
+                # dead branch safe without changing any outcome.
+                cond = cond & (
+                    F.element_at(
+                        labels, F.greatest(n - k + 1 + i, F.lit(1))
+                    )
+                    == lab
+                )
+        return cond
+
+    exc_lens = [
+        F.when(match(labels_), F.lit(len(labels_) - 1))
+        for is_exc, labels_ in parsed
+        if is_exc
+    ]
+    norm_lens = [
+        F.when(match(labels_), F.lit(len(labels_)))
+        for is_exc, labels_ in parsed
+        if not is_exc
+    ] + [F.lit(1)]  # the algorithm's default rule '*'
+    norm_len = norm_lens[0] if len(norm_lens) == 1 else F.greatest(*norm_lens)
+    suffix_len = (
+        F.coalesce(*(exc_lens + [norm_len])) if exc_lens else norm_len
+    )
+    return F.when(
+        host.isNotNull() & (n > suffix_len),
+        F.array_join(
+            F.slice(labels, n - suffix_len, suffix_len + 1), "."
+        ),
+    )
+
+
+def _host_group(suffix_rules: list[str] | None) -> Column:
+    """The host-keyed operators' group key: the raw canonical host, or —
+    when a suffix table is provided — the registrable domain with a
+    raw-host fallback (a host that IS a public suffix still needs a
+    capping identity of its own)."""
+    host = F.col("host")
+    if suffix_rules is None:
+        return host
+    return F.coalesce(registrable_domain_col(host, suffix_rules), host)
 
 
 def url_dedup(
@@ -178,17 +337,30 @@ def url_blocklist_screen(
     )
 
 
-def host_profile(df: DataFrame, url_col: str = "url") -> DataFrame:
+def host_profile(
+    df: DataFrame,
+    url_col: str = "url",
+    suffix_rules: list[str] | None = None,
+) -> DataFrame:
     """Per-host corpus mix: (host, n_urls, n_canon_distinct, share) —
     how many rows each host contributes, how many DISTINCT canonical
     URLs those collapse to (n_urls − n_canon_distinct = the host's
     URL-level duplication), and the host's share of all parseable rows.
 
+    ``suffix_rules`` switches the group key from the raw canonical host
+    to the registrable domain (eTLD+1) under that table — collapsing a
+    subdomain-spraying site into one profile row (the ``host`` output
+    column then carries the registrable domain, raw host when none).
+
     One host-keyed aggregation (distinct counted from per-(host, canon)
     partials, so no count_distinct shuffle of raw rows) plus a one-row
     total broadcast back for the share division.  Unparseable rows
     (NULL host) are excluded — they have no host to attribute."""
-    canon = url_canonicalize(df, url_col).filter(F.col("host").isNotNull())
+    canon = (
+        url_canonicalize(df, url_col)
+        .filter(F.col("host").isNotNull())
+        .withColumn("host", _host_group(suffix_rules))
+    )
     per_canon = canon.groupBy("host", "url_canon").agg(
         F.count(F.lit(1)).alias("_n")
     )
@@ -215,12 +387,15 @@ def host_scorecard(
     url_col: str = "url",
     id_col: str = "doc_id",
     score_col: str = "mean_prob",
+    suffix_rules: list[str] | None = None,
 ) -> DataFrame:
     """Per-host CURATION scorecard — the table a crawl-curation pass
     ranks hosts by before deciding caps/blocks for the NEXT crawl: for
     every canonical host, its row count, URL-level duplicate count
     (same canonical URL, non-canonical fetch), blocklist hits, and the
-    mean document quality score.
+    mean document quality score.  ``suffix_rules`` groups by
+    registrable domain instead of raw host (``_host_group``) so one
+    eTLD+1 spraying subdomains reads as one scorecard row.
 
     The quality mean is bit-portable at any host size: a TWO-LEVEL
     pinned fold (per (host, id%256) shard in id order, shard partials
@@ -230,9 +405,13 @@ def host_scorecard(
     drag a host down, which is the curation-correct direction.
     Unparseable-URL rows are excluded (no host).  Output: (host,
     n_rows, n_url_dups, n_blocked, mean_score), one row per host."""
-    screened = url_blocklist_screen(
-        df, blocked_host_suffixes, blocked_path_terms, url_col
-    ).filter(F.col("host").isNotNull())
+    screened = (
+        url_blocklist_screen(
+            df, blocked_host_suffixes, blocked_path_terms, url_col
+        )
+        .filter(F.col("host").isNotNull())
+        .withColumn("host", _host_group(suffix_rules))
+    )
     dups = url_dedup(df, url_col, id_col).select(
         id_col, "is_url_duplicate"
     )
@@ -281,12 +460,16 @@ def per_host_cap_sample(
     cap: int = 20,
     url_col: str = "url",
     id_col: str = "doc_id",
+    suffix_rules: list[str] | None = None,
 ) -> DataFrame:
     """Keep at most ``cap`` rows per host, chosen DETERMINISTICALLY: rows
     rank within their host by the shared LCG sampling key of ``id_col``
     (ties → smaller id), and ranks ≤ cap survive — the anti-domination
     mix control every web-corpus build applies (a crawl where one host
-    is 40% of pages must not be 40% of training data).
+    is 40% of pages must not be 40% of training data).  ``suffix_rules``
+    caps by registrable domain (eTLD+1) instead of raw host, closing the
+    subdomain-spray evasion (``a1.evil.com`` … ``aN.evil.com`` share ONE
+    cap); the ``host`` output column then carries the group key.
 
     Stability contract (inherited from ``sample_hash_col``): a kept row
     can only be displaced by a NEW row of the same host with a smaller
@@ -300,7 +483,11 @@ def per_host_cap_sample(
         raise ValueError(f"cap must be ≥ 1: {cap}")
     from pyspark.sql.window import Window
 
-    canon = url_canonicalize(df, url_col).filter(F.col("host").isNotNull())
+    canon = (
+        url_canonicalize(df, url_col)
+        .filter(F.col("host").isNotNull())
+        .withColumn("host", _host_group(suffix_rules))
+    )
     w = Window.partitionBy("host").orderBy("_key", id_col)
     return (
         canon.withColumn("_key", sample_hash_col(F.col(id_col)))

@@ -1262,8 +1262,12 @@ def corpus_quality_mixture_sql(
 ),
 keyed AS (
   SELECT doc_id, COALESCE(mean_prob, 0.0) AS s,
-         lpad(CAST(CAST(floor(COALESCE(mean_prob, 0.0) * 1e15) AS BIGINT)
-                   AS VARCHAR), 16, '0') AS qkey
+         CASE WHEN COALESCE(mean_prob, 0.0) < 0.0
+                   OR COALESCE(mean_prob, 0.0) >= 10.0
+              THEN error('score outside [0, 10) ordering domain')
+              ELSE lpad(CAST(CAST(floor(COALESCE(mean_prob, 0.0) * 1e15)
+                                  AS BIGINT) AS VARCHAR), 16, '0')
+         END AS qkey
   FROM scored),
 ranked AS (
   SELECT doc_id, s,

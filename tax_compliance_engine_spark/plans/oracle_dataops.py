@@ -2886,17 +2886,34 @@ def _url_canon_cte() -> str:
     """Shared URL-canonicalization CTE chain: the synthetic doc_id%8 URL
     (same CASE arms as queries_dataops._synth_url) parsed and normalized
     with the IDENTICAL RE2-safe regexes and operation order as
-    webops._canon_cols — fragment cut before the query is located,
-    userinfo split on the last '@', default ports stripped, query params
-    de-emptied then byte-order sorted.  Ends in ``canon(doc_id, url,
-    url_canon, host)`` with NULLs for unparseable rows."""
+    webops._canon_cols — percent-encoding normalized first (unreserved
+    %XX decoded, retained hex uppercased, lone '%' literal), fragment
+    cut before the query is located, userinfo split on the last '@',
+    authorities that are not host[:digits] fail the parse, default
+    ports stripped, query params de-emptied then byte-order sorted.
+    Ends in ``canon(doc_id, url, url_canon, host)`` with NULLs for
+    unparseable rows."""
+    hx = "strpos('0123456789abcdef', substr(lower(substr(p, 1, 2)), {}, 1))"
+    v = f"(({hx.format(1)} - 1) * 16 + ({hx.format(2)} - 1))"
+    piece = f"""CASE
+        WHEN regexp_matches(lower(substr(p, 1, 2)), '^[0-9a-f]{{2}}$') THEN
+          CASE WHEN ({v} BETWEEN 48 AND 57) OR ({v} BETWEEN 65 AND 90)
+                    OR ({v} BETWEEN 97 AND 122) OR {v} IN (45, 46, 95, 126)
+               THEN chr(CAST({v} AS INTEGER)) || substr(p, 3)
+               ELSE '%' || upper(substr(p, 1, 2)) || substr(p, 3) END
+        ELSE '%' || p END"""
     return f"""urls AS (
   SELECT doc_id, {_SYNTH_URL_CASE} AS url FROM documents),
+pct AS (
+  SELECT doc_id, url,
+         parts[1] || coalesce(array_to_string(
+           list_transform(parts[2:], p -> {piece}), ''), '') AS urln
+  FROM (SELECT doc_id, url, string_split(url, '%') AS parts FROM urls)),
 up0 AS (
   SELECT doc_id, url,
-    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(.*)$', 1) AS rest
-  FROM urls),
+    lower(regexp_extract(urln, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_extract(urln, '^[A-Za-z][A-Za-z0-9+.-]*://(.*)$', 1) AS rest
+  FROM pct),
 up1 AS (SELECT *, regexp_extract(rest, '^([^/?#]*)', 1) AS authority FROM up0),
 up2 AS (SELECT *, substr(rest, length(authority) + 1) AS after_auth FROM up1),
 up3 AS (
@@ -2918,11 +2935,12 @@ up5 AS (
     coalesce(array_to_string(list_sort(list_filter(
       string_split(query, '&'), x -> x <> '')), '&'), '') AS query_canon,
     (port <> '' AND NOT (scheme = 'http' AND port = '80')
-               AND NOT (scheme = 'https' AND port = '443')) AS keep_port
+               AND NOT (scheme = 'https' AND port = '443')) AS keep_port,
+    regexp_matches(host_port, '^[^:\\[\\]]*(:[0-9]+)?$') AS auth_ok
   FROM up4),
 canon AS (
   SELECT doc_id, url,
-    CASE WHEN scheme <> '' THEN
+    CASE WHEN scheme <> '' AND auth_ok THEN
       scheme || '://'
         || CASE WHEN userinfo <> '' THEN userinfo || '@' ELSE '' END
         || host0
@@ -2930,7 +2948,7 @@ canon AS (
         || path
         || CASE WHEN query_canon <> '' THEN '?' || query_canon ELSE '' END
     END AS url_canon,
-    CASE WHEN scheme <> '' THEN host0 END AS host
+    CASE WHEN scheme <> '' AND auth_ok THEN host0 END AS host
   FROM up5)"""
 
 
@@ -2975,6 +2993,105 @@ ranked AS (
          row_number() OVER (PARTITION BY host ORDER BY {lcg}, doc_id)
            AS host_rank
   FROM canon WHERE host IS NOT NULL)
+SELECT doc_id, host, url_canon, CAST(host_rank AS INTEGER) AS host_rank
+FROM ranked WHERE host_rank <= {cap} ORDER BY doc_id"""
+
+
+def _reg_domain_sql(
+    suffix_rules: tuple[str, ...],
+) -> str:
+    """The public-suffix matching expression over ``l`` (host labels)
+    and ``n`` (label count) — same unrolled greatest/coalesce shape as
+    webops.registrable_domain_col: exception rules prevail (suffix one
+    label shorter than the rule), else the longest matching rule, else
+    the default rule '*' (suffix = last label).  Returns the SQL for
+    the winning suffix LENGTH."""
+
+    def match(labels: list[str]) -> str:
+        k = len(labels)
+        conds = [f"n >= {k}"]
+        for i, lab in enumerate(labels):
+            if lab != "*":
+                conds.append(f"l[n - {k} + {1 + i}] = '{lab}'")
+        return " AND ".join(conds)
+
+    exc_arms, norm_arms = [], []
+    for rule in suffix_rules:
+        is_exc = rule.startswith("!")
+        labels = (rule[1:] if is_exc else rule).lower().split(".")
+        m = match(labels)
+        if is_exc:
+            exc_arms.append(f"CASE WHEN {m} THEN {len(labels) - 1} END")
+        else:
+            # coalesce-to-1: DuckDB greatest must never see NULL arms
+            norm_arms.append(
+                f"coalesce(CASE WHEN {m} THEN {len(labels)} END, 1)"
+            )
+    norm = "greatest(" + ", ".join(norm_arms + ["1"]) + ")"
+    if exc_arms:
+        return "coalesce(" + ", ".join(exc_arms + [norm]) + ")"
+    return norm
+
+
+_PSL_FIXTURE = (
+    "com",
+    "example.com",
+    "*.src1.example.com",
+    "!files.src1.example.com",
+)
+
+
+def web_registrable_domain_sql(
+    suffix_rules: tuple[str, ...] = _PSL_FIXTURE,
+) -> str:
+    """Twin of queries_dataops.web_registrable_domain: the canon CTE,
+    host labels split on '.', the same exception-over-longest-match
+    suffix-length expression, registrable domain = last suffix_len+1
+    labels (NULL when the host IS a public suffix)."""
+    return f"""WITH {_url_canon_cte()},
+lab AS (
+  SELECT doc_id, host, string_split(host, '.') AS l,
+         len(string_split(host, '.')) AS n
+  FROM canon),
+sl AS (SELECT doc_id, host, l, n,
+              {_reg_domain_sql(suffix_rules)} AS s
+       FROM lab)
+SELECT doc_id, host,
+       CASE WHEN host IS NOT NULL AND n > s
+            THEN array_to_string(l[n - s : n], '.') END AS reg_domain
+FROM sl ORDER BY doc_id"""
+
+
+def web_domain_cap_sample_sql(
+    cap: int = 20, suffix_rules: tuple[str, ...] = _PSL_FIXTURE
+) -> str:
+    """Twin of queries_dataops.web_domain_cap_sample: the cap window
+    partitions on coalesce(registrable domain, raw host) — one eTLD+1,
+    one cap, subdomain spray collapsed."""
+    from ..operators import corpus
+
+    lcg = (
+        f"((doc_id % {corpus.SAMPLE_MOD}) "
+        f"* {corpus.SAMPLE_MULT % corpus.SAMPLE_MOD} "
+        f"+ {corpus.SAMPLE_INC}) % {corpus.SAMPLE_MOD}"
+    )
+    return f"""WITH {_url_canon_cte()},
+lab AS (
+  SELECT doc_id, host, url_canon, string_split(host, '.') AS l,
+         len(string_split(host, '.')) AS n
+  FROM canon WHERE host IS NOT NULL),
+sl AS (SELECT *, {_reg_domain_sql(suffix_rules)} AS s FROM lab),
+grouped AS (
+  SELECT doc_id, url_canon,
+         coalesce(CASE WHEN n > s
+                       THEN array_to_string(l[n - s : n], '.') END,
+                  host) AS host
+  FROM sl),
+ranked AS (
+  SELECT doc_id, host, url_canon,
+         row_number() OVER (PARTITION BY host ORDER BY {lcg}, doc_id)
+           AS host_rank
+  FROM grouped)
 SELECT doc_id, host, url_canon, CAST(host_rank AS INTEGER) AS host_rank
 FROM ranked WHERE host_rank <= {cap} ORDER BY doc_id"""
 
@@ -3225,7 +3342,10 @@ tails AS (
   SELECT doc_id, host,
          substr(t, strpos(t, '/')) AS path_q
   FROM (SELECT doc_id, host,
-               str_split(url_canon, '://')[2] AS t
+               -- first-'://'-onward, NOT str_split[2]: a later '://'
+               -- inside the query (?next=https://x) must stay in the
+               -- tail, mirroring Spark's F.split(…, '://', 2) limit-2.
+               substr(url_canon, strpos(url_canon, '://') + 3) AS t
         FROM canon))
 SELECT doc_id, host,
        {case} AS block_reason,
@@ -3271,7 +3391,8 @@ flagged AS (
   LEFT JOIN scored s USING (doc_id)
   CROSS JOIN LATERAL (
     SELECT substr(t, strpos(t, '/')) AS path_q
-    FROM (SELECT str_split(c.url_canon, '://')[2] AS t)) pq
+    FROM (SELECT substr(c.url_canon, strpos(c.url_canon, '://') + 3)
+                   AS t)) pq
   WHERE c.host IS NOT NULL),
 partials AS (
   SELECT host, doc_id % 256 AS shard,

@@ -2413,6 +2413,57 @@ def web_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# public-suffix fixture table for the registrable-domain gate: exercises
+# a plain suffix (example.com — www./files. subdomains collapse into the
+# srcN.example.com eTLD+1), a wildcard (every label under src1.example.com
+# is itself a public suffix → www.src1.example.com has NO registrable
+# domain), and an exception (!files.src1.example.com prevails over the
+# wildcard, making files.src1.example.com registrable again).
+PSL_FIXTURE_RULES = (
+    "com",
+    "example.com",
+    "*.src1.example.com",
+    "!files.src1.example.com",
+)
+
+
+def web_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain (eTLD+1) extraction
+    (webops.registrable_domain_col) under the caller-provided
+    PSL-format fixture table — longest-suffix match with wildcard and
+    exception rules, the public-suffix *algorithm* with the *file* as a
+    parameter.  NULL when the host IS a public suffix or the URL is
+    unparseable."""
+    from ..operators import webops
+
+    docs = _docs(spark, sf_dir).withColumn("url", _synth_url())
+    return (
+        webops.url_canonicalize(docs)
+        .select(
+            "doc_id",
+            "host",
+            webops.registrable_domain_col(
+                F.col("host"), list(PSL_FIXTURE_RULES)
+            ).alias("reg_domain"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def web_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-REGISTRABLE-DOMAIN cap (webops.per_host_cap_sample with the
+    PSL fixture table, cap=20): one eTLD+1 shares one cap across all
+    its subdomains — the subdomain-spray-proof variant of
+    web_host_cap_sample (www./files. rows now compete with their apex
+    host's rows for the same 20 seats)."""
+    from ..operators import webops
+
+    docs = _docs(spark, sf_dir).withColumn("url", _synth_url())
+    return webops.per_host_cap_sample(
+        docs, cap=20, suffix_rules=list(PSL_FIXTURE_RULES)
+    ).orderBy("doc_id")
+
+
 def web_host_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host curation scorecard (webops.host_scorecard): rows, URL
     duplicates, blocklist hits, and the mean graded LM quality per

@@ -264,6 +264,15 @@ def test_quality_tiered_sample_tiers_and_rates(spark):
 
     with pytest.raises(ValueError, match="rates"):
         corpus.quality_tiered_sample(scored, rates=(1.5,))
+    # score-domain contract: the rank key is order-correct only on
+    # [0, 10) — out-of-domain scores RAISE at execution (both engines
+    # carry the guard), never silently mis-rank
+    for bad in (-0.5, 10.0, 123.4):
+        out_of_domain = spark.createDataFrame(
+            [(0, 0.5), (1, bad)], "doc_id long, mean_prob double"
+        )
+        with pytest.raises(Exception, match="ordering domain"):
+            corpus.quality_tiered_sample(out_of_domain).collect()
 
 
 def test_pack_sequences_bins(spark):

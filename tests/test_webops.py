@@ -57,6 +57,28 @@ def test_url_canonicalize_goldens(spark):
         # unparseable rows -> NULLs, kept
         "garbage": (None, None),
         "://nohost": (None, None),
+        # --- percent-encoding normalization (RFC 3986 §6.2.2.2) ---
+        # unreserved decodes: %7E -> ~, %41 -> A, %2e -> ., %5F -> _
+        "http://Example.com/%7Euser/%41%2e%5F": (
+            "http://example.com/~user/A._",
+            "example.com",
+        ),
+        # reserved stays encoded but hex uppercases (%2f -> %2F);
+        # '%' without two hex digits stays literal
+        "http://h/a%2fb?x=%G1&y=100%": (
+            "http://h/a%2Fb?x=%G1&y=100%",
+            "h",
+        ),
+        # decoding applies to the host too (%61 -> a), before lowering
+        "http://ex%61mple.com/": ("http://example.com/", "example.com"),
+        # consecutive '%%41': first '%' literal, then %41 -> A
+        "http://h/p%%41": ("http://h/p%A", "h"),
+        # --- strict authority: quarantined, never mis-collapsed ---
+        # bracketed IPv6 literal: out of scope -> NULL (never host '[')
+        "http://[::1]:8080/x": (None, None),
+        # non-numeric port: NULL (never silently dropped)
+        "http://host:8a/x": (None, None),
+        "http://host:80and/x": (None, None),
     }
     got = _canon(spark, list(cases))
     assert got == cases
@@ -65,6 +87,52 @@ def test_url_canonicalize_goldens(spark):
     for c, h in cases.values():
         if c is not None:
             assert again[c] == (c, h)
+
+
+def test_url_canonicalize_oracle_twin_adversarial(spark):
+    """The DuckDB twin CTE must mirror the Spark canonicalizer on inputs
+    the doc_id%8 gate fixture never produces: percent-encodings, bad
+    authorities, and a query that EMBEDS a second '://' (the str_split
+    limit-2 class the r11 advice flagged in the blocklist twins)."""
+    import duckdb
+
+    from tax_compliance_engine_spark.plans import oracle_dataops as od
+
+    urls = [
+        "http://Example.com/%7Euser/%41%2e%5F?next=https://x.com/y",
+        "https://h:8443/a%2fb?x=%G1&y=100%",
+        "http://ex%61mple.com:80/",
+        "http://[::1]:8080/x",
+        "http://host:8a/x",
+        "HTTPS://User@WWW.Ex.COM:443/P?b=2&a=1&&#f",
+        "junk",
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+    )
+    spark_rows = sorted(
+        (r.doc_id, r.url_canon, r.host)
+        for r in webops.url_canonicalize(df).collect()
+    )
+    # the twin CTE reads `documents` and synthesizes its URL; rebind the
+    # urls CTE to this fixture by swapping the synth CASE for a VALUES join
+    cte = od._url_canon_cte()
+    vals = ", ".join(
+        f"({i}, '{u}')" for i, u in enumerate(urls)
+    )
+    head, tail = cte.split(" AS url FROM documents)", 1)
+    assert head.startswith("urls AS ")  # fixture swap still lines up
+    cte2 = (
+        f"urls AS (SELECT * FROM (VALUES {vals}) AS t(doc_id, url))" + tail
+    )
+    duck_rows = sorted(
+        duckdb.connect()
+        .execute(f"WITH {cte2} SELECT doc_id, url_canon, host FROM canon")
+        .fetchall()
+    )
+    assert spark_rows == duck_rows
+    # and the embedded-'://' URL kept its tail past the first '://'
+    assert spark_rows[0][1].endswith("?next=https://x.com/y")
 
 
 def test_host_profile_counts_and_share(spark):
@@ -256,6 +324,67 @@ def test_url_blocklist_screen_rules(spark):
     assert got[6] == (False, None)
     with pytest.raises(ValueError, match="blocklist"):
         webops.url_blocklist_screen(df, [], [])
+
+
+def test_registrable_domain_psl_algorithm(spark):
+    """Public-suffix algorithm goldens (the canonical kobe.jp example
+    from the PSL spec): longest match, wildcard consumes exactly one
+    label, exception prevails and names a one-shorter suffix, default
+    rule '*' when nothing matches, NULL when the host IS a suffix."""
+    import pytest
+
+    rules = ["com", "jp", "*.kobe.jp", "!city.kobe.jp"]
+    cases = {
+        "example.com": "example.com",
+        "a.b.example.com": "example.com",   # longest rule = 'com'
+        "kobe.jp": "kobe.jp",               # wildcard needs 3 labels
+        "x.kobe.jp": None,                  # wildcard: x.kobe.jp IS a suffix
+        "y.x.kobe.jp": "y.x.kobe.jp",       # registrable under x.kobe.jp
+        "city.kobe.jp": "city.kobe.jp",     # exception beats wildcard
+        "z.city.kobe.jp": "city.kobe.jp",
+        "com": None,                        # a bare public suffix
+        "unmatched.tld": "unmatched.tld",   # default rule '*'
+        "tld": None,
+    }
+    df = spark.createDataFrame(
+        [(h,) for h in cases], "host string"
+    ).select(
+        "host",
+        webops.registrable_domain_col(F.col("host"), rules).alias("rd"),
+    )
+    assert {r.host: r.rd for r in df.collect()} == cases
+    # rule-grammar validation
+    for bad in ([], ["a..b"], ["x*.com"], ["!solo"]):
+        with pytest.raises(ValueError):
+            webops._parse_suffix_rules(bad)
+
+
+def test_per_domain_cap_blocks_subdomain_spray(spark):
+    """One eTLD+1 spraying unique subdomains cannot exceed the cap when
+    capping by registrable domain — the evasion that defeats the
+    raw-host cap (20 subdomains → 20 separate caps) collapses to ONE
+    group of `cap` kept rows; an unrelated host is unaffected."""
+    rows = [(i, f"http://sub{i}.evil.com/p") for i in range(20)] + [
+        (100 + i, f"http://ok.org/{i}") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    # raw-host cap: every sprayed subdomain is its own group -> all kept
+    assert webops.per_host_cap_sample(df, cap=5).count() == 23
+    # domain cap: evil.com is ONE group -> exactly cap survive
+    kept = webops.per_host_cap_sample(
+        df, cap=5, suffix_rules=["com", "org"]
+    ).collect()
+    by_dom: dict[str, int] = {}
+    for r in kept:
+        by_dom[r.host] = by_dom.get(r.host, 0) + 1
+    assert by_dom == {"evil.com": 5, "ok.org": 3}
+    assert sorted(r.host_rank for r in kept if r.host == "evil.com") == [
+        1,
+        2,
+        3,
+        4,
+        5,
+    ]
 
 
 def test_host_scorecard_counts_and_pinned_mean(spark):
