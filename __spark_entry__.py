@@ -637,6 +637,16 @@ def oracle_sql() -> dict[str, str]:
         # corpus_bpe_fertility: per-lang tokenizer fertility/compression
         # off the trained BPE (r11)
         "corpus_bpe_fertility": oracle_corpus.corpus_bpe_fertility_sql(),
+        # corpus_bpe_fertility_prebuilt: the same eval served from the
+        # persisted merge-rule artifact (r12) — load ≡ retrain, shares
+        # the twin; separates train cost from the per-ingest eval cost
+        "corpus_bpe_fertility_prebuilt": (
+            oracle_corpus.corpus_bpe_fertility_sql()
+        ),
+        # doc_rule_quality: Gopher-style rule-based quality screen (r12)
+        # — per-rule booleans + passed-count + verdict, the cheap
+        # pre-classifier pass before model scoring
+        "doc_rule_quality": oracle_dataops.doc_rule_quality_sql(),
         # corpus_quality_mixture: LM-score-tiered soft curriculum
         # sampling (r11)
         "corpus_quality_mixture": oracle_corpus.corpus_quality_mixture_sql(),
@@ -649,6 +659,12 @@ def oracle_sql() -> dict[str, str]:
         # embedding_semdedup_screen: frozen-index semantic-dup ingest
         # screen (r11) — batch slice vs the corpus-trained index
         "embedding_semdedup_screen": (
+            oracle_dataops.embedding_semdedup_screen_sql()
+        ),
+        # embedding_semdedup_screen_prebuilt: same screen served from
+        # the parquet-persisted (centroids, reps) index artifact (r12)
+        # — bit-identical to the inline build, shares its twin
+        "embedding_semdedup_screen_prebuilt": (
             oracle_dataops.embedding_semdedup_screen_sql()
         ),
         # doc_normalized: row-local text canonicalization (control-char

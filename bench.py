@@ -164,6 +164,12 @@ BENCH_QUERIES = [
     "web_url_dedup",
     "web_blocklist_screen",
     "web_host_scorecard",
+    # r12: serve-only semdedup marginal (persisted index), eTLD+1 cap,
+    # Gopher-style rule screen, prebuilt-tokenizer fertility
+    "embedding_semdedup_screen_prebuilt",
+    "web_domain_cap_sample",
+    "doc_rule_quality",
+    "corpus_bpe_fertility_prebuilt",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

@@ -976,11 +976,29 @@ def minhash_dup_pairs(
     return _verify_candidates(per_doc, threshold)
 
 
+def est_quality_sample_mod_for_corpus(
+    n: int, full_form_max: int = 20_000, target_docs: int = 10_000
+) -> int | None:
+    """Planner rule for ``est_pair_quality``'s sampling gate: the full
+    two-lineage eval is allowed only up to ``full_form_max`` documents
+    (the measured single-node cliff — both pair lineages in one plan
+    OOM'd an 8 GiB driver at ~50k docs); above it, the smallest LCG
+    ``sample_mod`` that brings the expected sampled corpus to
+    ~``target_docs`` documents (pairs then subsample at ~1/mod², which
+    is exactly the unbiased-ratio-estimate regime the eval wants).
+    Pure integers, shared verbatim with the DuckDB twin generator so
+    the bit-exact gate travels with corpus count — the
+    ``lsh_geometry_for_corpus`` discipline."""
+    if n <= full_form_max:
+        return None
+    return -(-int(n) // target_docs)
+
+
 def est_pair_quality(
     docs: DataFrame,
     text_col: str = "text",
     threshold: float = 0.5,
-    sample_mod: int | None = None,
+    sample_mod: int | None | str = "auto",
 ) -> DataFrame:
     """EVAL harness for the scale-path trade: precision/recall of the
     signature-estimated pair stream (``minhash_est_pairs`` — what a
@@ -1003,11 +1021,26 @@ def est_pair_quality(
 
     SCALE PATH — ``sample_mod``: the eval runs BOTH pair lineages in
     one plan (the exact side carries token sets), so at corpus scale
-    run it on a deterministic LCG document sample (docs whose sample
+    it runs on a deterministic LCG document sample (docs whose sample
     hash ≡ 0 mod ``sample_mod``), not the full corpus: precision/
     recall/MAE are ratio estimates and a uniform doc sample estimates
-    them unbiasedly (pairs subsample at rate ~1/mod²; size the mod so
-    ~10⁵-10⁶ pairs survive).  None = full corpus (the sf gate)."""
+    them unbiasedly (pairs subsample at rate ~1/mod²).
+
+    The DEFAULT is planner-gated (``sample_mod="auto"``): a memoized
+    corpus-count probe (``similarity._corpus_count`` — the same probe
+    the LSH geometry planner uses) feeds
+    ``est_quality_sample_mod_for_corpus``, which keeps the full form
+    below 20k documents and auto-sizes the mod to a ~10k-doc sample
+    above it — so the default can never hand a 100 TB corpus the
+    both-lineages-at-full-width plan that OOM'd an 8 GiB driver at 10×
+    sf0.1.  Pass ``sample_mod=None`` to FORCE the full form (you own
+    the memory math), or a pinned int to reproduce a prior sample."""
+    if sample_mod == "auto":
+        from .similarity import _corpus_count
+
+        sample_mod = est_quality_sample_mod_for_corpus(
+            _corpus_count(docs)
+        )
     if sample_mod is not None:
         from .corpus import sample_hash_col
 

@@ -113,6 +113,110 @@ def quality_score(stats: DataFrame) -> DataFrame:
     return stats.withColumn("quality_score", score)
 
 
+# the Gopher rule set's stop-word list (Rae et al. 2021, Appendix A —
+# "must contain at least 2 of": the, be, to, of, and, that, have, with)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def rule_quality_screen(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style RULE-BASED quality screen (Rae et al. 2021 Appendix
+    A; the same heuristic family RedPajama/C4 reuse) — the cheap
+    pre-classifier pass every web-corpus build runs before any model
+    scoring: per document the measured signals, one boolean per rule,
+    the passed-rule count (a usable graded score for
+    ``corpus.quality_tiered_sample``), and the all-rules verdict.
+
+    Rules (the published thresholds):
+      1. 50 ≤ word count ≤ 100,000
+      2. mean word length in [3, 10]
+      3. symbol-to-word ratio ≤ 0.1 ('#' and '...' occurrences)
+      4. ≤ 90% of lines start with a bullet ('•', '- ', '* ')
+      5. ≤ 30% of lines end with an ellipsis ('...' or '…')
+      6. ≥ 80% of words contain ≥ 1 alphabetic character
+      7. ≥ 2 distinct Gopher stop words present
+
+    Determinism/portability: words are the shared whitespace
+    tokenization (``tokens_col``), lines split on '\\n' (identical
+    both engines, trailing-separator empties included), '...' counts
+    via non-overlapping replace (left-to-right, identical semantics),
+    every ratio a single exactly-rounded double division with
+    zero-denominator guards to 0.0.  Pure Column expressions — one
+    embarrassingly parallel scan, zero UDFs, zero shuffles."""
+    text = F.col(text_col)
+    words = tokens_col(text)
+    lines = F.split(text, "\n")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    nw_d = n_words.cast("double")
+    nl_d = n_lines.cast("double")
+    sum_word_len = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_word_len = F.when(
+        n_words > 0, sum_word_len.cast("double") / nw_d
+    ).otherwise(F.lit(0.0))
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("...")))
+    ) / F.lit(3)
+    symbol_word_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis).cast("double") / nw_d
+    ).otherwise(F.lit(0.0))
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("•")
+            | l.startswith("- ")
+            | l.startswith("* "),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    )
+    bullet_line_frac = bullet_lines.cast("double") / nl_d
+    ellipsis_line_frac = ellipsis_lines.cast("double") / nl_d
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    alpha_word_frac = F.when(
+        n_words > 0, alpha_words.cast("double") / nw_d
+    ).otherwise(F.lit(0.0))
+    n_stop_hits = sum(
+        (
+            F.array_contains(words, s).cast("int")
+            for s in GOPHER_STOPWORDS
+        ),
+        F.lit(0),
+    )
+    rules = {
+        "rule_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "rule_mean_word_len": (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0),
+        "rule_symbol_ratio": symbol_word_ratio <= 0.1,
+        "rule_bullet_lines": bullet_line_frac <= 0.9,
+        "rule_ellipsis_lines": ellipsis_line_frac <= 0.3,
+        "rule_alpha_words": alpha_word_frac >= 0.8,
+        "rule_stopwords": n_stop_hits >= 2,
+    }
+    rules_passed = sum(
+        (c.cast("int") for c in rules.values()), F.lit(0)
+    )
+    verdict = None
+    for c in rules.values():
+        verdict = c if verdict is None else (verdict & c)
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_word_ratio.alias("symbol_word_ratio"),
+        bullet_line_frac.alias("bullet_line_frac"),
+        ellipsis_line_frac.alias("ellipsis_line_frac"),
+        alpha_word_frac.alias("alpha_word_frac"),
+        n_stop_hits.cast("int").alias("n_stop_hits"),
+        *[c.alias(name) for name, c in rules.items()],
+        rules_passed.cast("int").alias("rules_passed"),
+        verdict.alias("pass_gopher"),
+    )
+
+
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language ID: score each language by marker-token hits /
     total tokens; argmax with 'und' (undetermined) when no marker hits.

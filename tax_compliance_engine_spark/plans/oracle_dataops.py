@@ -61,6 +61,84 @@ SELECT *,
 FROM stats"""
 
 
+def doc_rule_quality_sql() -> str:
+    """Twin of queries_dataops.doc_rule_quality: the identical Gopher
+    rule arithmetic — shared whitespace words, chr(10) line split with
+    trailing empties, non-overlapping replace-based '#'/'...' counts,
+    distinct-stop-word membership sum, every ratio the same guarded
+    double division, rule booleans and verdict in the same order."""
+    stop_sum = " + ".join(
+        f"(CASE WHEN list_contains(words, '{s}') THEN 1 ELSE 0 END)"
+        for s in textops.GOPHER_STOPWORDS
+    )
+    return f"""WITH base AS (
+  SELECT doc_id, text,
+    {TOKENS.replace("t ->", "w ->").replace("t <>", "w <>")} AS words,
+    string_split(text, chr(10)) AS lines
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    len(lines) AS n_lines,
+    list_reduce(list_prepend(0, list_transform(words, w -> length(w))),
+                (a, x) -> a + x) AS sum_word_len,
+    length(text) - length(replace(text, '#', '')) AS n_hash,
+    (length(text) - length(replace(text, '...', ''))) / 3 AS n_ellipsis,
+    len(list_filter(lines, l -> starts_with(l, '•')
+                              OR starts_with(l, '- ')
+                              OR starts_with(l, '* '))) AS bullet_lines,
+    len(list_filter(lines, l -> ends_with(l, '...')
+                              OR ends_with(l, '…'))) AS ellipsis_lines,
+    len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
+      AS alpha_words,
+    {stop_sum} AS stop_hits
+  FROM base),
+sig AS (
+  SELECT doc_id, n_words,
+    CASE WHEN n_words > 0
+         THEN CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE)
+         ELSE 0.0 END AS mean_word_len,
+    CASE WHEN n_words > 0
+         THEN CAST(n_hash + n_ellipsis AS DOUBLE) / CAST(n_words AS DOUBLE)
+         ELSE 0.0 END AS symbol_word_ratio,
+    CAST(bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+      AS bullet_line_frac,
+    CAST(ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+      AS ellipsis_line_frac,
+    CASE WHEN n_words > 0
+         THEN CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+         ELSE 0.0 END AS alpha_word_frac,
+    CAST(stop_hits AS INTEGER) AS n_stop_hits
+  FROM m),
+ruled AS (
+  SELECT *,
+    (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
+    (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS rule_mean_word_len,
+    (symbol_word_ratio <= 0.1) AS rule_symbol_ratio,
+    (bullet_line_frac <= 0.9) AS rule_bullet_lines,
+    (ellipsis_line_frac <= 0.3) AS rule_ellipsis_lines,
+    (alpha_word_frac >= 0.8) AS rule_alpha_words,
+    (n_stop_hits >= 2) AS rule_stopwords
+  FROM sig)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+       bullet_line_frac, ellipsis_line_frac, alpha_word_frac, n_stop_hits,
+       rule_word_count, rule_mean_word_len, rule_symbol_ratio,
+       rule_bullet_lines, rule_ellipsis_lines, rule_alpha_words,
+       rule_stopwords,
+       CAST((CASE WHEN rule_word_count THEN 1 ELSE 0 END)
+          + (CASE WHEN rule_mean_word_len THEN 1 ELSE 0 END)
+          + (CASE WHEN rule_symbol_ratio THEN 1 ELSE 0 END)
+          + (CASE WHEN rule_bullet_lines THEN 1 ELSE 0 END)
+          + (CASE WHEN rule_ellipsis_lines THEN 1 ELSE 0 END)
+          + (CASE WHEN rule_alpha_words THEN 1 ELSE 0 END)
+          + (CASE WHEN rule_stopwords THEN 1 ELSE 0 END) AS INTEGER)
+         AS rules_passed,
+       (rule_word_count AND rule_mean_word_len AND rule_symbol_ratio
+        AND rule_bullet_lines AND rule_ellipsis_lines
+        AND rule_alpha_words AND rule_stopwords) AS pass_gopher
+FROM ruled ORDER BY doc_id"""
+
+
 def doc_lang_id_sql() -> str:
     score_exprs = []
     for lang, markers in sorted(textops.LANG_MARKERS.items()):
@@ -480,12 +558,14 @@ SELECT 'simhash' AS algo, doc_id, CAST(0 AS INTEGER) AS band,
 FROM simhashes"""
 
 
-def dedup_minhash_pairs_sql(threshold: float = 0.5) -> str:
+def dedup_minhash_pairs_sql(
+    threshold: float = 0.5, source: str = "documents"
+) -> str:
     """Twin of minhash_dup_pairs: same banded candidates, and the exact
     verify intersects per-doc DISTINCT TOKEN-HASH sets (the portable
     30-bit hashes the signatures use) — the hashed-token Jaccard the Spark
     side computes, bit-for-bit."""
-    return f"""WITH {_minhash_sig_ctes()},
+    return f"""WITH {_minhash_sig_ctes(source)},
 candidates AS (
   SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
   FROM band_sigs a JOIN band_sigs b
@@ -2721,6 +2801,16 @@ GEOMETRY_PARAMETRIC_SQL = {
     "embedding_semdedup_screen": lambda n: embedding_semdedup_screen_sql(
         k=similarity.semdedup_k_for_corpus(n)
     ),
+    "embedding_semdedup_screen_prebuilt": (
+        lambda n: embedding_semdedup_screen_sql(
+            k=similarity.semdedup_k_for_corpus(n)
+        )
+    ),
+    # est_pair_quality's knob is the SAMPLING GATE: full form below the
+    # planner threshold, LCG doc sample above it (the scale-safe default)
+    "dedup_est_quality": lambda n: dedup_est_quality_sql(
+        sample_mod=dedup.est_quality_sample_mod_for_corpus(n)
+    ),
 }
 
 
@@ -3096,14 +3186,33 @@ SELECT doc_id, host, url_canon, CAST(host_rank AS INTEGER) AS host_rank
 FROM ranked WHERE host_rank <= {cap} ORDER BY doc_id"""
 
 
-def dedup_est_quality_sql(threshold: float = 0.5) -> str:
+def dedup_est_quality_sql(
+    threshold: float = 0.5, sample_mod: int | None = None
+) -> str:
     """Twin of queries_dataops.dedup_est_quality: the est and exact pair
     CTEs full-outer joined on the pair key, the same integer
     counts/divisions, and the same TWO-LEVEL pinned error fold
     (per-doc1%256-shard in (doc1, doc2) order, shard partials in shard
-    order)."""
-    est_sql = dedup_minhash_est_pairs_sql(threshold)
-    exact_sql = dedup_minhash_pairs_sql(threshold)
+    order).  ``sample_mod`` mirrors the Spark planner gate (LCG sample
+    hash ≡ 0 mod m applied to the documents BEFORE either pair
+    lineage); the parametric registry regenerates it at the swept
+    corpus's count via ``dedup.est_quality_sample_mod_for_corpus``."""
+    from ..operators import corpus
+
+    if sample_mod is None:
+        source = "documents"
+    else:
+        lcg = (
+            f"((doc_id % {corpus.SAMPLE_MOD}) "
+            f"* {corpus.SAMPLE_MULT % corpus.SAMPLE_MOD} "
+            f"+ {corpus.SAMPLE_INC}) % {corpus.SAMPLE_MOD}"
+        )
+        source = (
+            f"(SELECT * FROM documents "
+            f"WHERE ({lcg}) % {sample_mod} = 0)"
+        )
+    est_sql = dedup_minhash_est_pairs_sql(threshold, source=source)
+    exact_sql = dedup_minhash_pairs_sql(threshold, source=source)
     return f"""WITH est AS (
 {est_sql}
 ),

@@ -68,6 +68,80 @@ def test_quality_score_formula(spark):
     assert r.quality_score == pytest.approx(0.5 * 1.0 + 0.3 + 0.2)
 
 
+def test_rule_quality_screen_per_rule_goldens(spark):
+    """Each Gopher rule isolated on a doc that fails EXACTLY that rule
+    (the others pass), plus an all-pass doc — so a threshold or
+    measurement regression is pinned to its rule by name."""
+    # 60 words, stop words present, clean text: passes everything
+    good = ("the cat and dog sat with that one have been " * 6).strip()
+    cases = {
+        "good": (good, None),
+        # 10 words only
+        "short": (
+            "the cat and dog sat with all that have been",
+            "rule_word_count",
+        ),
+        # words of length 1 -> mean word length 1 < 3
+        "tiny_words": (
+            ("a b c d e f g h i j " * 6).strip().replace("a b", "the of"),
+            "rule_mean_word_len",
+        ),
+        # a '#' on most words -> symbol ratio ≈ 0.93 (stop words kept
+        # clean so the membership rule still passes)
+        "symbols": (
+            ("cats# dogs# rats# bats# owls# " * 11).strip()
+            + " the of and that",
+            "rule_symbol_ratio",
+        ),
+        # every line is a bullet (> 90%)
+        "bullets": (
+            "\n".join("- " + good for _ in range(3)),
+            "rule_bullet_lines",
+        ),
+        # every line ends with an ellipsis (> 30%); 3 '...' across 180+
+        # words stays under the 0.1 symbol ratio, so exactly one rule fails
+        "ellipsis": (
+            "\n".join(good + " then..." for _ in range(3)),
+            "rule_ellipsis_lines",
+        ),
+        # 60 numeric words + 8 stopword tokens -> alpha frac < 0.8
+        "numeric": (
+            ("111 222 333 444 555 " * 12).strip()
+            + " the of and that with have one all",
+            "rule_alpha_words",
+        ),
+        # 60 clean words, only one distinct stop word ('the')
+        "no_stops": (
+            ("the cat dog rat bat " * 12).strip(),
+            "rule_stopwords",
+        ),
+    }
+    texts = [t for t, _ in cases.values()]
+    rows = {
+        r.doc_id: r
+        for r in textops.rule_quality_screen(docs_df(spark, texts)).collect()
+    }
+    by_name = dict(zip(cases, rows.values()))
+    g = by_name["good"]
+    assert g.pass_gopher and g.rules_passed == 7
+    assert g.n_words == 60 and g.n_stop_hits >= 2
+    for name, (_, failing_rule) in cases.items():
+        r = by_name[name]
+        if failing_rule is None:
+            continue
+        assert not r[failing_rule], name
+        others = [
+            c for c in r.asDict() if c.startswith("rule_") and c != failing_rule
+        ]
+        assert all(r[c] for c in others), (name, [c for c in others if not r[c]])
+        assert r.rules_passed == 6 and not r.pass_gopher
+    assert by_name["ellipsis"].ellipsis_line_frac == 1.0
+    # empty doc: zero-denominator guards hold, word-count rule fails
+    z = textops.rule_quality_screen(docs_df(spark, [""])).collect()[0]
+    assert z.n_words == 0 and z.mean_word_len == 0.0
+    assert not z.rule_word_count and not z.pass_gopher
+
+
 def test_lang_id(spark):
     df = textops.lang_id(
         docs_df(
@@ -1077,6 +1151,64 @@ def test_est_pair_quality_perfect_agreement(spark):
     assert (row.n_est, row.n_exact, row.n_both) == (2, 2, 2)
     assert row.precision == 1.0 and row.recall == 1.0
     assert row.mean_abs_err == 0.0
+
+
+def test_est_quality_planner_gate_and_sampled_twin(spark):
+    """est_pair_quality's DEFAULT is scale-safe: the pure planner rule
+    keeps the full two-lineage form only up to 20k docs and sizes an
+    LCG sample_mod to ~10k docs above (so the default can never hand a
+    large corpus the plan that OOM'd the 8 GiB driver at 10×); 'auto'
+    on a small corpus equals the forced full form; and the SAMPLED form
+    is bit-exact against its DuckDB twin (the parametric-registry path
+    a beyond-gate sweep takes)."""
+    rule = dedup.est_quality_sample_mod_for_corpus
+    assert rule(500) is None and rule(20_000) is None
+    assert rule(20_001) == 3  # ceil(20001/10000)
+    assert rule(50_000) == 5
+    assert rule(10_000_000) == 1000
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "one two three four five six"),
+            (3, "one two three four five six"),
+            (4, "totally unrelated text payload here"),
+        ],
+        "doc_id long, text string",
+    )
+    auto = dedup.est_pair_quality(docs).collect()[0]
+    full = dedup.est_pair_quality(docs, sample_mod=None).collect()[0]
+    assert auto == full
+    # sampled form vs the DuckDB twin over real parquet (sample_mod=2
+    # keeps ~half of sf0.001's 500 docs; both engines must agree on
+    # every field bit-for-bit, including the two-level error fold)
+    import duckdb
+
+    from tax_compliance_engine_spark.plans import oracle_dataops as od
+
+    sf = "/root/testdata/sf0.001"
+    real = spark.read.parquet(f"{sf}/documents.parquet")
+    srow = dedup.est_pair_quality(
+        real, threshold=0.5, sample_mod=2
+    ).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf}/documents.parquet'"
+    )
+    dcols = con.execute(
+        od.dedup_est_quality_sql(0.5, sample_mod=2)
+    ).fetchone()
+    ddesc = [
+        d[0]
+        for d in con.execute(
+            od.dedup_est_quality_sql(0.5, sample_mod=2)
+        ).description
+    ]
+    drow = dict(zip(ddesc, dcols))
+    for field in srow.asDict():
+        assert srow[field] == drow[field], (field, srow[field], drow[field])
+    assert srow.n_est > 0  # the sample kept real pairs to grade
 
 
 def test_dup_threshold_curve_monotone(spark):
