@@ -1,4 +1,5 @@
-"""Streaming URL/host hygiene: per-host admission control at ingest.
+"""Streaming URL/host hygiene: first-seen URL dedup and per-host
+admission control at ingest.
 
 The batch cap (``operators/webops.per_host_cap_sample``) keeps the
 cap-SMALLEST LCG keys per host — a rule that may displace a previously
@@ -16,6 +17,94 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+URL_DEDUP_OUT_SCHEMA = "doc_id long, host string, url_canon string"
+# one long per distinct canonical URL — the first admitted id.  Re-delivered
+# admitted ids skip (id == canonical), re-delivered duplicates re-reject
+# (state exists, id differs): nothing but the winner is ever stored.
+_URL_DEDUP_STATE_SCHEMA = "canonical_id long"
+
+
+def streaming_url_dedup(
+    stream: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """First-seen canonical-URL ADMISSION screen — the streaming form of
+    ``webops.url_dedup``: the first document to arrive under each
+    canonical URL is admitted (emitted), every later arrival of the
+    same canonical URL is rejected forever.  The batch operator's
+    min-id canonical is a re-mix rule a stream that has already emitted
+    cannot honor; within a micro-batch arrivals process in id order, so
+    a single drain's admitted set IS the batch operator's
+    non-duplicate set bit-for-bit, and across drains the result is the
+    deterministic admission replay over the batch boundaries (the
+    ``streaming_host_cap`` contract).
+
+    Unparseable rows (NULL url_canon) are each their own page identity
+    — they key the state store under a per-row sentinel (never under a
+    shared NULL key, which would wrongly collapse them) and always
+    admit, matching the batch operator's quarantine-not-drop stance.
+
+    Idempotence: an admitted id re-delivered after a checkpoint replay
+    compares equal to the stored canonical and is NOT re-emitted; a
+    rejected id re-derives its rejection from the existing state (the
+    winner never changes), so nothing beyond one long per key is stored
+    and re-drains emit nothing.
+
+    STATE-SIZE BOUNDARY (documented, the winnow-index honesty rule):
+    state grows ∝ distinct canonical URLs ever seen — the unavoidable
+    price of exact forever-dedup.  When that is too much, bound it the
+    way the repo's other standing screens do: (a) event-time TTL via
+    ``streaming_exact_dedup``'s ``dropDuplicatesWithinWatermark`` shape
+    (keys evict past the horizon, late re-crawls re-admit), or (b) the
+    ``streaming_winnow_index_writer`` pattern — persist the admitted
+    key set as a compacted parquet artifact and serve the screen as a
+    per-micro-batch anti-join against it (state store empty, the
+    artifact is the state)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.webops import url_canonicalize
+
+    canon = url_canonicalize(stream, url_col).select(
+        F.col(id_col).alias("doc_id"),
+        "host",
+        "url_canon",
+        F.coalesce(
+            F.col("url_canon"),
+            F.concat(
+                F.lit("\x00unparsed\x00"), F.col(id_col).cast("string")
+            ),
+        ).alias("_key"),
+    )
+
+    def func(key, pdfs, state: "GroupState"):
+        canonical = state.get[0] if state.exists else None
+        arrivals: list[tuple[int, str | None, str | None]] = []
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                arrivals.append((int(r.doc_id), r.host, r.url_canon))
+        arrivals.sort(key=lambda a: a[0])
+        out = []
+        for doc_id, host, url_canon in arrivals:
+            if canonical is None:
+                canonical = doc_id
+                state.update((doc_id,))
+                out.append((doc_id, host, url_canon))
+            # else: re-delivered winner (== canonical) or duplicate —
+            # both deterministically emit nothing
+        if out:
+            yield pd.DataFrame(
+                out, columns=["doc_id", "host", "url_canon"]
+            )
+
+    return canon.groupBy("_key").applyInPandasWithState(
+        func,
+        URL_DEDUP_OUT_SCHEMA,
+        _URL_DEDUP_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
 
 HOST_CAP_OUT_SCHEMA = "doc_id long, host string, url_canon string, host_rank int"
 # admitted keeps ADMISSION ORDER (host_rank = its index + 1).  Rejected

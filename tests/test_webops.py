@@ -265,6 +265,80 @@ def test_streaming_host_cap_admission_control(spark, tmp_path):
     ) == got
 
 
+def test_streaming_url_dedup_first_seen_admission(spark, tmp_path):
+    """Streaming URL dedup: a single drain's admitted set equals the
+    batch operator's non-duplicate set bit-for-bit (id-order processing
+    makes the in-batch winner the min id); later drains reject
+    already-seen canonical URLs and skip re-delivered winners;
+    unparseable rows are each their own identity (never collapsed under
+    a shared NULL key); an empty re-drain emits nothing."""
+    from tax_compliance_engine_spark.streaming.web_stream import (
+        streaming_url_dedup,
+    )
+
+    schema = "doc_id long, url string"
+    first = [
+        (3, "HTTP://A.com:80/x?b=2&a=1"),
+        (1, "http://a.com/x?a=1&b=2"),    # same page as 3 -> 1 wins
+        (7, "http://a.com/x?a=1&b=2#f"),  # same page -> rejected
+        (2, "http://a.com/y"),
+        (9, "junk"),                      # unparseable: admitted
+        (10, "more junk"),                # unparseable: NOT 9's dup
+    ]
+    second = [
+        (1, "http://a.com/x?a=1&b=2"),    # re-delivered winner: skip
+        (0, "http://a.com/x?b=2&a=1"),    # smaller id, URL seen: reject
+        (5, "http://b.com/new"),          # new page: admit
+        (11, "junk again"),               # unparseable: admit
+    ]
+    src, out = tmp_path / "docs", tmp_path / "kept"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            streaming_url_dedup(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.schema(
+            "doc_id long, host string, url_canon string"
+        ).parquet(str(out))
+
+    spark.createDataFrame(first, schema).write.mode("append").parquet(
+        str(src)
+    )
+    got1 = sorted(
+        (r.doc_id, r.host, r.url_canon) for r in drain().collect()
+    )
+    # single drain ≡ batch url_dedup's non-duplicate rows, bit-equal
+    df1 = spark.createDataFrame(first, schema)
+    batch = webops.url_dedup(df1).filter(~F.col("is_url_duplicate"))
+    hosts = webops.url_canonicalize(df1).select("doc_id", "host")
+    want1 = sorted(
+        (r.doc_id, r.host, r.url_canon)
+        for r in batch.join(hosts, "doc_id").collect()
+    )
+    assert got1 == want1
+    assert {d for d, _, _ in got1} == {1, 2, 9, 10}
+    # second drain: only the genuinely new identities are admitted
+    spark.createDataFrame(second, schema).write.mode("append").parquet(
+        str(src)
+    )
+    got2 = sorted(
+        (r.doc_id, r.host, r.url_canon) for r in drain().collect()
+    )
+    assert {d for d, _, _ in got2} == {1, 2, 9, 10, 5, 11}
+    # restart idempotence: an empty re-drain emits nothing new
+    assert sorted(
+        (r.doc_id, r.host, r.url_canon) for r in drain().collect()
+    ) == got2
+
+
 def test_url_dedup_canonical_collapse_and_nulls(spark):
     """URL dedup: rows differing only by default port / param order
     collapse to the smallest id; distinct pages never collapse;
