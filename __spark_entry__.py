@@ -769,6 +769,22 @@ def oracle_sql() -> dict[str, str]:
         "web_domain_cap_sample": (
             oracle_dataops.web_domain_cap_sample_sql()
         ),
+        # web_domain_scorecard: the curation scorecard grouped by
+        # eTLD+1 (r12) — one ranked entity per registrable domain
+        "web_domain_scorecard": (
+            oracle_dataops.web_domain_scorecard_sql()
+        ),
+        # web_extract_text: markup-to-text extraction (r12) — the step
+        # between fetch and every text operator; RE2-safe regex chain
+        "web_extract_text": oracle_dataops.web_extract_text_sql(),
+        # web_robots_screen: RFC 9309 longest-match allow/disallow over
+        # a caller-resolved rule group (r12)
+        "web_robots_screen": oracle_dataops.web_robots_screen_sql(),
+        # corpus_rule_tiered_sample: Gopher passed-rule count as the
+        # curriculum score — classifier-free quality tiering (r12)
+        "corpus_rule_tiered_sample": (
+            oracle_corpus.corpus_rule_tiered_sample_sql()
+        ),
         # dedup_winnow_screen: ingest-time winnowed-fingerprint copy
         # screen (batch slice vs standing corpus fingerprint set;
         # streaming_winnow_screen_writer is its drained ≡ batch twin)

@@ -170,6 +170,10 @@ BENCH_QUERIES = [
     "web_domain_cap_sample",
     "doc_rule_quality",
     "corpus_bpe_fertility_prebuilt",
+    "web_extract_text",
+    "web_robots_screen",
+    "web_domain_scorecard",
+    "corpus_rule_tiered_sample",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

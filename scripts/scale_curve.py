@@ -166,6 +166,23 @@ SCALE_QUERIES = [
     "web_url_dedup",
     "web_blocklist_screen",
     "web_host_scorecard",
+    # r12: percent-encoding rides web_url_canonical; eTLD+1 grouping,
+    # Gopher rule screen, prebuilt serve-only marginals (artifact builds
+    # on run 1, min-over-2 captures the serve cost), and the now
+    # planner-gated est-quality default (full form at 1×, auto-sampled
+    # at 10× — the gate switching is the measured design)
+    "web_registrable_domain",
+    "web_domain_cap_sample",
+    "doc_rule_quality",
+    "embedding_semdedup_screen_prebuilt",
+    "corpus_bpe_fertility_prebuilt",
+    "dedup_est_quality",
+    # r12 session 2: crawl-loop completion — extraction, robots,
+    # domain-grouped scorecard, rule-score curriculum
+    "web_extract_text",
+    "web_robots_screen",
+    "web_domain_scorecard",
+    "corpus_rule_tiered_sample",
 ]
 
 

@@ -1245,13 +1245,18 @@ ORDER BY d.lang"""
 
 
 def corpus_quality_mixture_sql(
-    rates: tuple[float, ...] = (0.1, 0.4, 0.7, 1.0), alpha: int = 1
+    rates: tuple[float, ...] = (0.1, 0.4, 0.7, 1.0),
+    alpha: int = 1,
+    scored_sql: str | None = None,
 ) -> str:
     """Twin of queries_dataops.corpus_quality_mixture: the bigram-LM
     score CTE, the identical floor(score·10¹⁵) zero-padded rank key
     (NULLs → 0.0, ties → doc_id), integer tier arithmetic, the same
-    per-tier rate CASE, and the shared LCG keep comparison."""
-    scored_sql = doc_bigram_lm_sql(alpha)
+    per-tier rate CASE, and the shared LCG keep comparison.
+    ``scored_sql`` swaps in another (doc_id, mean_prob) score source —
+    the rule-screen curriculum twin reuses the whole tier pipeline."""
+    if scored_sql is None:
+        scored_sql = doc_bigram_lm_sql(alpha)
     n_tiers = len(rates)
     rate_case = " ".join(
         f"WHEN {i} THEN CAST({float(r)} AS DOUBLE)"
@@ -1285,6 +1290,21 @@ FROM tiered
 WHERE CAST({_HASH} AS DOUBLE)
       < (CASE tier {rate_case} END) * 1000000007.0
 ORDER BY doc_id"""
+
+
+def corpus_rule_tiered_sample_sql(
+    rates: tuple[float, ...] = (0.1, 0.4, 0.7, 1.0),
+) -> str:
+    """Twin of queries_dataops.corpus_rule_tiered_sample: the Gopher
+    rule screen's passed-rule count (cast to double — 0..7, inside the
+    tier key's [0, 10) ordering domain by construction) fed through the
+    IDENTICAL tier pipeline as the LM-score curriculum twin."""
+    from . import oracle_dataops
+
+    scored = f"""SELECT doc_id,
+       CAST(rules_passed AS DOUBLE) AS mean_prob
+FROM ({oracle_dataops.doc_rule_quality_sql()})"""
+    return corpus_quality_mixture_sql(rates=rates, scored_sql=scored)
 
 
 def corpus_l_diversity_sql(l_threshold: int = 3) -> str:

@@ -17,6 +17,16 @@ from ..functions import hashing
 from ..operators import dedup, similarity, textops
 from . import oracle
 
+# the registrable-domain fixture table (mirrors queries_dataops.
+# PSL_FIXTURE_RULES); defined up top because several twin generators
+# take it as a default argument
+_PSL_FIXTURE = (
+    "com",
+    "example.com",
+    "*.src1.example.com",
+    "!files.src1.example.com",
+)
+
 TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
 TOK_HASH = (
     "list_reduce(list_prepend(CAST(0 AS BIGINT), "
@@ -2996,8 +3006,10 @@ def _url_canon_cte() -> str:
   SELECT doc_id, {_SYNTH_URL_CASE} AS url FROM documents),
 pct AS (
   SELECT doc_id, url,
-         parts[1] || coalesce(array_to_string(
-           list_transform(parts[2:], p -> {piece}), ''), '') AS urln
+         CASE WHEN strpos(url, '%') = 0 THEN url
+              ELSE parts[1] || coalesce(array_to_string(
+                     list_transform(parts[2:], p -> {piece}), ''), '')
+         END AS urln
   FROM (SELECT doc_id, url, string_split(url, '%') AS parts FROM urls)),
 up0 AS (
   SELECT doc_id, url,
@@ -3066,6 +3078,179 @@ SELECT host, n_urls, n_canon_distinct,
 FROM per_host ORDER BY host"""
 
 
+# twin of queries_dataops._synth_html — IDENTICAL strings per doc_id%4
+_SYNTH_HTML_CASE = (
+    "CASE doc_id % 4 "
+    "WHEN 0 THEN '<html><head><style>p {color: red}</style><title>T' "
+    "|| CAST(doc_id AS VARCHAR) || '</title></head><body><h1>Doc ' "
+    "|| CAST(doc_id AS VARCHAR) || '</h1><p>' || text "
+    "|| '</p><!-- crawl: skip --></body></html>' "
+    "WHEN 1 THEN '<div class=\"a\">' || text "
+    "|| '</div><script type=\"text/javascript\">var x = 1 < 2;</script>' "
+    "WHEN 2 THEN '<p>a &amp; b &lt;tag&gt; &quot;q&quot; "
+    "&#39;s&#39;&nbsp;&amp;lt;</p><p>' || text || '</p>' "
+    "ELSE '<ul><li>one</li><li>two</li></ul>' || text "
+    "|| '<br>tail ' || CAST(doc_id AS VARCHAR) END"
+)
+
+
+def web_extract_text_sql() -> str:
+    """Twin of queries_dataops.web_extract_text: the IDENTICAL RE2
+    patterns in the identical order (DuckDB regexp_replace needs the
+    explicit 'g' option — Spark's is global by default), entity
+    replaces with &amp; last, chr(10) as the newline replacement (no
+    escape-string processing), and the \\s-based edge strip instead of
+    the space-only trim()."""
+    steps = [
+        ("regexp_replace(s, '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g')"),
+        ("regexp_replace(s, '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g')"),
+        ("regexp_replace(s, '(?s)<!--.*?-->', ' ', 'g')"),
+        (
+            "regexp_replace(s, "
+            "'(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote|pre)\\b[^>]*>', "
+            "chr(10), 'g')"
+        ),
+        ("regexp_replace(s, '(?s)<[^>]*>', ' ', 'g')"),
+        ("replace(s, '&nbsp;', ' ')"),
+        ("replace(s, '&lt;', '<')"),
+        ("replace(s, '&gt;', '>')"),
+        ("replace(s, '&quot;', '\"')"),
+        ("replace(s, '&#39;', '''')"),
+        ("replace(s, '&apos;', '''')"),
+        ("replace(s, '&amp;', '&')"),
+        ("regexp_replace(s, '[ \\t\\x0b\\f\\r]+', ' ', 'g')"),
+        ("regexp_replace(s, ' ?\\n ?', chr(10), 'g')"),
+        ("regexp_replace(s, '\\n{2,}', chr(10), 'g')"),
+        ("regexp_replace(s, '^\\s+|\\s+$', '', 'g')"),
+    ]
+    ctes = [f"h0 AS (SELECT doc_id, {_SYNTH_HTML_CASE} AS s FROM documents)"]
+    for i, expr in enumerate(steps):
+        ctes.append(f"h{i + 1} AS (SELECT doc_id, {expr} AS s FROM h{i})")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT doc_id, s AS clean_text FROM h{len(steps)} ORDER BY doc_id"
+    )
+
+
+def web_robots_screen_sql(
+    rules: tuple[tuple[str, str], ...] | None = None,
+) -> str:
+    """Twin of queries_dataops.web_robots_screen: per-rule
+    2·len+is_allow scores (coalesced to -1 — DuckDB greatest must never
+    see NULL where Spark's null-skipping greatest is relied on),
+    longest-match winner, first-caller-order label via a CASE chain,
+    allowed = unmatched or odd score, NULL verdicts for unparseable."""
+    from ..operators.webops import _robots_pattern_to_re
+
+    if rules is None:
+        from .queries_dataops import ROBOTS_FIXTURE_RULES
+
+        rules = ROBOTS_FIXTURE_RULES
+    parsed = [
+        (d.lower() == "allow", p, _robots_pattern_to_re(p))
+        for d, p in rules
+    ]
+    score_exprs = [
+        f"coalesce(CASE WHEN regexp_matches(path_q, '{rx}') "
+        f"THEN {2 * len(p) + int(allow)} END, -1)"
+        for allow, p, rx in parsed
+    ]
+    best = "greatest(" + ", ".join(score_exprs + ["-1"]) + ")"
+    label_arms = " ".join(
+        f"WHEN regexp_matches(path_q, '{rx}') "
+        f"AND {2 * len(p) + int(allow)} = best "
+        f"THEN '{'allow' if allow else 'disallow'}:{p}'"
+        for allow, p, rx in parsed
+    )
+    return f"""WITH {_url_canon_cte()},
+tails AS (
+  SELECT doc_id, host,
+         substr(t, strpos(t, '/')) AS path_q
+  FROM (SELECT doc_id, host,
+               substr(url_canon, strpos(url_canon, '://') + 3) AS t
+        FROM canon)),
+scored AS (SELECT doc_id, host, path_q, {best} AS best FROM tails)
+SELECT doc_id,
+       CASE WHEN host IS NOT NULL
+            THEN CASE {label_arms} END END AS robots_rule,
+       CASE WHEN host IS NOT NULL
+            THEN (best = -1 OR best % 2 = 1) END AS robots_allowed
+FROM scored ORDER BY doc_id"""
+
+
+def web_domain_scorecard_sql(
+    blocked_host_suffixes: tuple[str, ...] = ("src1.example.com",),
+    blocked_path_terms: tuple[str, ...] = ("z=1",),
+    suffix_rules: tuple[str, ...] = _PSL_FIXTURE,
+) -> str:
+    """Twin of queries_dataops.web_domain_scorecard: the host-scorecard
+    twin with the aggregation key swapped to coalesce(registrable
+    domain, raw host) — blocklist rules still match the RAW host (the
+    Spark side screens before regrouping), the quality mean keeps the
+    same two-level (group, doc_id%256) pinned fold."""
+    from . import oracle_corpus
+
+    arms = []
+    for s in blocked_host_suffixes:
+        arms.append(
+            f"WHEN c.host = '{s}' OR ends_with(c.host, '.{s}') THEN 1"
+        )
+    for term in blocked_path_terms:
+        arms.append(f"WHEN strpos(path_q, '{term}') > 0 THEN 1")
+    blocked = "COALESCE(CASE " + " ".join(arms) + " END, 0)"
+    scored_sql = oracle_corpus.doc_bigram_lm_sql()
+    return f"""WITH {_url_canon_cte()},
+lab AS (
+  SELECT doc_id, host, string_split(host, '.') AS l,
+         len(string_split(host, '.')) AS n
+  FROM canon WHERE host IS NOT NULL),
+gdom AS (
+  SELECT doc_id,
+         coalesce(CASE WHEN n > s
+                       THEN array_to_string(l[n - s : n], '.') END,
+                  host) AS ghost
+  FROM (SELECT *, {_reg_domain_sql(suffix_rules)} AS s FROM lab)),
+scored AS (
+{scored_sql}
+),
+mins AS (
+  SELECT url_canon, MIN(doc_id) AS canonical_id
+  FROM canon WHERE url_canon IS NOT NULL
+  GROUP BY url_canon),
+flagged AS (
+  SELECT c.doc_id, g.ghost AS host,
+         CASE WHEN c.doc_id <> m.canonical_id THEN 1 ELSE 0 END AS is_dup,
+         {blocked} AS blk,
+         COALESCE(sc.mean_prob, 0.0) AS s0
+  FROM canon c
+  JOIN gdom g USING (doc_id)
+  JOIN mins m USING (url_canon)
+  LEFT JOIN scored sc USING (doc_id)
+  CROSS JOIN LATERAL (
+    SELECT substr(t, strpos(t, '/')) AS path_q
+    FROM (SELECT substr(c.url_canon, strpos(c.url_canon, '://') + 3)
+                   AS t)) pq
+  WHERE c.host IS NOT NULL),
+partials AS (
+  SELECT host, doc_id % 256 AS shard,
+         count(*) AS c, SUM(is_dup) AS d, SUM(blk) AS b,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(s0 ORDER BY doc_id)),
+                     (a, x) -> a + x) AS p
+  FROM flagged GROUP BY host, doc_id % 256)
+SELECT host,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(SUM(d) AS BIGINT) AS n_url_dups,
+       CAST(SUM(b) AS BIGINT) AS n_blocked,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                list(p ORDER BY shard)),
+                   (a, x) -> a + x) / CAST(SUM(c) AS DOUBLE) AS mean_score
+FROM partials
+GROUP BY host
+ORDER BY host"""
+
+
 def web_host_cap_sample_sql(cap: int = 20) -> str:
     """Twin of queries_dataops.web_host_cap_sample: the shared LCG key
     (reduce-before-multiply, same constants), row_number within host
@@ -3121,14 +3306,6 @@ def _reg_domain_sql(
     if exc_arms:
         return "coalesce(" + ", ".join(exc_arms + [norm]) + ")"
     return norm
-
-
-_PSL_FIXTURE = (
-    "com",
-    "example.com",
-    "*.src1.example.com",
-    "!files.src1.example.com",
-)
 
 
 def web_registrable_domain_sql(

@@ -2589,3 +2589,125 @@ def web_host_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocked_host_suffixes=["src1.example.com"],
         blocked_path_terms=["z=1"],
     ).orderBy("host")
+
+
+def web_domain_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation scorecard GROUPED BY REGISTRABLE DOMAIN
+    (webops.host_scorecard with the PSL fixture table): one row per
+    eTLD+1, so a site spraying subdomains reads as one ranked entity
+    instead of fragmenting its row counts, dup counts, and quality mean
+    across hundreds of host rows — the grouping a crawl-curation pass
+    actually ranks by."""
+    from ..operators import textops, webops
+
+    docs = _docs(spark, sf_dir).withColumn("url", _synth_url())
+    scores = textops.bigram_lm_score(docs).select("doc_id", "mean_prob")
+    return webops.host_scorecard(
+        docs,
+        scores,
+        blocked_host_suffixes=["src1.example.com"],
+        blocked_path_terms=["z=1"],
+        suffix_rules=list(PSL_FIXTURE_RULES),
+    ).orderBy("host")
+
+
+def _synth_html() -> F.Column:
+    """Deterministic synthetic HTML per document (doc_id%4 adversarial
+    forms: style+comment page, trailing script, entity soup, block tags
+    + list) — the DuckDB twin builds the IDENTICAL strings, so the
+    extractor, not the fixture, is what the gate exercises."""
+    m = F.col("doc_id") % 4
+    did = F.col("doc_id").cast("string")
+    text = F.col("text")
+    return (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("<html><head><style>p {color: red}</style>"),
+                F.lit("<title>T"), did, F.lit("</title></head><body>"),
+                F.lit("<h1>Doc "), did, F.lit("</h1><p>"), text,
+                F.lit("</p><!-- crawl: skip --></body></html>"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit('<div class="a">'), text,
+                F.lit("</div><script type=\"text/javascript\">var x = 1 < 2;</script>"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("<p>a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;&amp;lt;</p><p>"),
+                text, F.lit("</p>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<ul><li>one</li><li>two</li></ul>"), text,
+                F.lit("<br>tail "), did,
+            )
+        )
+    )
+
+
+def web_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup-to-text extraction (webops.html_extract_text): script/
+    style/comment blocks dropped, block tags → newlines, remaining tags
+    stripped, XML entities + &nbsp; decoded (&amp; last, so '&amp;lt;'
+    yields literal '&lt;'), whitespace collapsed — the step between
+    fetch and every text operator, as a pure RE2-safe Column chain."""
+    from ..operators import webops
+
+    docs = _docs(spark, sf_dir).withColumn("html", _synth_html())
+    return webops.html_extract_text(docs, out_col="clean_text").select(
+        "doc_id", F.col("clean_text")
+    ).orderBy("doc_id")
+
+
+# RFC 9309 rule-group fixture for the robots gate: longest-match
+# (deeper /docs/1 allow overrides the /docs/ disallow), wildcard, a
+# same-length allow/disallow tie on /a/b (allow must win), and a bare
+# '/' allow as the fallback.
+ROBOTS_FIXTURE_RULES = (
+    ("disallow", "/docs/"),
+    ("allow", "/docs/1"),
+    ("allow", "/a/b"),
+    ("disallow", "/a/b"),
+    ("disallow", "/x"),
+    ("allow", "/*?q="),
+    ("disallow", "/f*"),
+    ("allow", "/"),
+)
+
+
+def web_robots_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-exclusion screen (webops.robots_screen, RFC 9309
+    semantics over a caller-resolved rule group): longest matching
+    path pattern wins, allow wins length ties, '*' wildcards and '$'
+    anchors supported, unmatched → allowed, unparseable → NULL."""
+    from ..operators import webops
+
+    docs = _docs(spark, sf_dir).withColumn("url", _synth_url())
+    return webops.robots_screen(
+        docs, list(ROBOTS_FIXTURE_RULES)
+    ).select("doc_id", "robots_rule", "robots_allowed").orderBy("doc_id")
+
+
+def corpus_rule_tiered_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule screen COMPOSED with the curriculum sampler: the
+    passed-rule count (0-7, inside quality_tiered_sample's [0, 10)
+    ordering domain by construction) ranks documents, four
+    equal-population tiers keep at (0.1, 0.4, 0.7, 1.0) — a
+    classifier-free quality curriculum built entirely from the
+    published heuristics (worst rule-breakers thinned to 10%, clean
+    docs kept whole)."""
+    from ..operators import textops
+
+    scored = textops.rule_quality_screen(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("rules_passed").cast("double").alias("rule_score")
+    )
+    return corpus.quality_tiered_sample(
+        scored, score_col="rule_score"
+    ).orderBy("doc_id")

@@ -461,6 +461,85 @@ def test_per_domain_cap_blocks_subdomain_spray(spark):
     ]
 
 
+def test_html_extract_text_goldens(spark):
+    """Extraction pins: script/style/comment blocks dropped whole
+    (including a '<' inside script text), block tags become newlines,
+    inline tags become spaces, entities decode with &amp; last
+    ('&amp;lt;' yields literal '&lt;'), whitespace collapses, edges
+    strip."""
+    cases = {
+        "<html><head><style>p {color:red}</style></head>"
+        "<body><h1>Title</h1><p>hello <b>world</b></p>"
+        "<!-- note --></body></html>": "Title\nhello world",
+        '<div>a</div><script type="x">var y = 1 < 2;</script>': "a",
+        "<p>a &amp; b &lt;t&gt; &quot;q&quot; &#39;s&#39;&nbsp;&amp;lt;</p>":
+            "a & b <t> \"q\" 's' &lt;",
+        "<ul><li>one</li><li>two</li></ul>tail": "one\ntwo\ntail",
+        "plain text, no markup": "plain text, no markup",
+        "  <p>  spaced   out  </p>  ": "spaced out",
+    }
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(cases)], "doc_id long, html string"
+    )
+    got = {
+        r.doc_id: r.text
+        for r in webops.html_extract_text(df).collect()
+    }
+    for i, want in enumerate(cases.values()):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_robots_screen_rfc9309_semantics(spark):
+    """RFC 9309 pins: longest match wins (deep allow overrides shallow
+    disallow), allow wins a length tie, '*' wildcards, '$' anchors,
+    unmatched paths allowed with NULL rule, unparseable rows NULL,
+    bad rule grammar rejected."""
+    import pytest
+
+    rules = [
+        ("disallow", "/docs/"),
+        ("allow", "/docs/pub"),
+        ("allow", "/tie"),
+        ("disallow", "/tie"),
+        ("disallow", "/*.pdf$"),
+        ("allow", "/"),
+    ]
+    cases = {
+        # longest match: /docs/pub (9) beats /docs/ (6)
+        "http://h/docs/pub/x": (True, "allow:/docs/pub"),
+        "http://h/docs/private": (False, "disallow:/docs/"),
+        # tie: allow and disallow both len 4 -> allow wins
+        "http://h/tie": (True, "allow:/tie"),
+        # '$' anchor: .pdf at the END is disallowed...
+        "http://h/a/file.pdf": (False, "disallow:/*.pdf$"),
+        # ...but not mid-path ('/' rule is the longest match left)
+        "http://h/a/file.pdf/ok": (True, "allow:/"),
+        "http://h/open": (True, "allow:/"),
+        "junk": (None, None),
+    }
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(cases)], "doc_id long, url string"
+    )
+    got = {
+        r.doc_id: (r.robots_allowed, r.robots_rule)
+        for r in webops.robots_screen(df, rules).collect()
+    }
+    for i, want in enumerate(cases.values()):
+        assert got[i] == want, (i, got[i], want)
+    # unmatched -> allowed, NULL rule (empty rule group is an error)
+    got2 = webops.robots_screen(
+        spark.createDataFrame([(0, "http://h/zz")], "doc_id long, url string"),
+        [("disallow", "/aa")],
+    ).collect()[0]
+    assert got2.robots_allowed is True and got2.robots_rule is None
+    with pytest.raises(ValueError):
+        webops.robots_screen(df, [])
+    with pytest.raises(ValueError, match="directive"):
+        webops.robots_screen(df, [("deny", "/x")])
+    with pytest.raises(ValueError, match="path pattern"):
+        webops.robots_screen(df, [("allow", "x")])
+
+
 def test_host_scorecard_counts_and_pinned_mean(spark):
     """Scorecard pins: per-host rows/dups/blocked counts exact, the
     quality mean equals the two-level pinned Python fold with missing
