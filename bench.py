@@ -288,13 +288,12 @@ def regression_diff(
         p = prev_q.get(name)
         if p is None or max(p, now_s) < min_sec:
             continue
-        if p <= 0:
-            # round(…, 3) can zero a sub-ms previous timing; a ratio
-            # against it would be float('inf'), which json.dump emits as
-            # bare Infinity — invalid JSON for strict parsers.  No real
-            # query runs in 0 s, so the row is jitter, not a regression.
-            continue
-        ratio = now_s / p
+        # round(…, 3) can zero a sub-ms previous timing; a raw ratio
+        # against it would be float('inf'), which json.dump emits as
+        # bare Infinity — invalid JSON for strict parsers.  Clamp the
+        # denominator to the rounding quantum instead of skipping, so a
+        # genuine sub-ms→seconds jump (now_s >= min_sec) still flags.
+        ratio = now_s / max(p, 0.0005)
         if ratio > threshold:
             regressions.append(
                 {

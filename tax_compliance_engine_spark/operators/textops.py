@@ -133,7 +133,13 @@ def rule_quality_screen(docs: DataFrame, text_col: str = "text") -> DataFrame:
       4. ≤ 90% of lines start with a bullet ('•', '- ', '* ')
       5. ≤ 30% of lines end with an ellipsis ('...' or '…')
       6. ≥ 80% of words contain ≥ 1 alphabetic character
-      7. ≥ 2 distinct Gopher stop words present
+      7. ≥ 2 distinct Gopher stop words present (case-insensitive:
+         sentence-initial 'The'/'Be' count, per the published intent)
+
+    Honesty boundary: rule 6's "alphabetic" is ASCII ``[a-zA-Z]`` only —
+    non-Latin-script words count as non-alphabetic, so the screen is
+    stricter than Rae et al. on non-English text (both engines agree;
+    pair with ``lang_id`` upstream if the corpus is multilingual).
 
     Determinism/portability: words are the shared whitespace
     tokenization (``tokens_col``), lines split on '\\n' (identical
@@ -179,9 +185,10 @@ def rule_quality_screen(docs: DataFrame, text_col: str = "text") -> DataFrame:
     alpha_word_frac = F.when(
         n_words > 0, alpha_words.cast("double") / nw_d
     ).otherwise(F.lit(0.0))
+    words_lc = F.transform(words, F.lower)
     n_stop_hits = sum(
         (
-            F.array_contains(words, s).cast("int")
+            F.array_contains(words_lc, s).cast("int")
             for s in GOPHER_STOPWORDS
         ),
         F.lit(0),

@@ -27,6 +27,14 @@ _PSL_FIXTURE = (
     "!files.src1.example.com",
 )
 
+def _q(s: str) -> str:
+    """Escape a caller-provided string for embedding in a single-quoted
+    SQL literal — a rule/pattern containing ``'`` must generate valid
+    twin SQL (the Spark side takes the same strings as Column literals,
+    so both engines must share one accepted input space)."""
+    return s.replace("'", "''")
+
+
 TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
 TOK_HASH = (
     "list_reduce(list_prepend(CAST(0 AS BIGINT), "
@@ -78,7 +86,8 @@ def doc_rule_quality_sql() -> str:
     distinct-stop-word membership sum, every ratio the same guarded
     double division, rule booleans and verdict in the same order."""
     stop_sum = " + ".join(
-        f"(CASE WHEN list_contains(words, '{s}') THEN 1 ELSE 0 END)"
+        "(CASE WHEN list_contains(list_transform(words, w -> lower(w)),"
+        f" '{s}') THEN 1 ELSE 0 END)"
         for s in textops.GOPHER_STOPWORDS
     )
     return f"""WITH base AS (
@@ -3152,15 +3161,15 @@ def web_robots_screen_sql(
         for d, p in rules
     ]
     score_exprs = [
-        f"coalesce(CASE WHEN regexp_matches(path_q, '{rx}') "
+        f"coalesce(CASE WHEN regexp_matches(path_q, '{_q(rx)}') "
         f"THEN {2 * len(p) + int(allow)} END, -1)"
         for allow, p, rx in parsed
     ]
     best = "greatest(" + ", ".join(score_exprs + ["-1"]) + ")"
     label_arms = " ".join(
-        f"WHEN regexp_matches(path_q, '{rx}') "
+        f"WHEN regexp_matches(path_q, '{_q(rx)}') "
         f"AND {2 * len(p) + int(allow)} = best "
-        f"THEN '{'allow' if allow else 'disallow'}:{p}'"
+        f"THEN '{'allow' if allow else 'disallow'}:{_q(p)}'"
         for allow, p, rx in parsed
     )
     return f"""WITH {_url_canon_cte()},
@@ -3194,10 +3203,11 @@ def web_domain_scorecard_sql(
     arms = []
     for s in blocked_host_suffixes:
         arms.append(
-            f"WHEN c.host = '{s}' OR ends_with(c.host, '.{s}') THEN 1"
+            f"WHEN c.host = '{_q(s)}' OR ends_with(c.host, '.{_q(s)}')"
+            " THEN 1"
         )
     for term in blocked_path_terms:
-        arms.append(f"WHEN strpos(path_q, '{term}') > 0 THEN 1")
+        arms.append(f"WHEN strpos(path_q, '{_q(term)}') > 0 THEN 1")
     blocked = "COALESCE(CASE " + " ".join(arms) + " END, 0)"
     scored_sql = oracle_corpus.doc_bigram_lm_sql()
     return f"""WITH {_url_canon_cte()},
@@ -3287,7 +3297,7 @@ def _reg_domain_sql(
         conds = [f"n >= {k}"]
         for i, lab in enumerate(labels):
             if lab != "*":
-                conds.append(f"l[n - {k} + {1 + i}] = '{lab}'")
+                conds.append(f"l[n - {k} + {1 + i}] = '{_q(lab)}'")
         return " AND ".join(conds)
 
     exc_arms, norm_arms = [], []
@@ -3617,11 +3627,14 @@ def web_blocklist_screen_sql(
     arms = []
     for s in blocked_host_suffixes:
         arms.append(
-            f"WHEN host = '{s}' OR ends_with(host, '.{s}') "
-            f"THEN 'host:{s}'"
+            f"WHEN host = '{_q(s)}' OR ends_with(host, '.{_q(s)}') "
+            f"THEN 'host:{_q(s)}'"
         )
     for term in blocked_path_terms:
-        arms.append(f"WHEN strpos(path_q, '{term}') > 0 THEN 'path:{term}'")
+        arms.append(
+            f"WHEN strpos(path_q, '{_q(term)}') > 0 "
+            f"THEN 'path:{_q(term)}'"
+        )
     case = "CASE " + " ".join(arms) + " END"
     return f"""WITH {_url_canon_cte()},
 tails AS (
@@ -3653,10 +3666,10 @@ def web_host_scorecard_sql(
     arms = []
     for s in blocked_host_suffixes:
         arms.append(
-            f"WHEN host = '{s}' OR ends_with(host, '.{s}') THEN 1"
+            f"WHEN host = '{_q(s)}' OR ends_with(host, '.{_q(s)}') THEN 1"
         )
     for term in blocked_path_terms:
-        arms.append(f"WHEN strpos(path_q, '{term}') > 0 THEN 1")
+        arms.append(f"WHEN strpos(path_q, '{_q(term)}') > 0 THEN 1")
     blocked = "COALESCE(CASE " + " ".join(arms) + " END, 0)"
     scored_sql = oracle_corpus.doc_bigram_lm_sql()
     return f"""WITH {_url_canon_cte()},

@@ -124,6 +124,16 @@ GLOBAL_AGG_OK = {
     "corpus_retrieval_mrr",  # the result IS one scalar eval row
     # (pinned-order reciprocal-rank fold over ≤|probes| rows through
     # the exchange; embeds corpus_bm25_search's scalar N/avgdl stats)
+    "web_domain_scorecard",  # embeds doc_bigram_lm's scalar V aggregate
+    # exactly like the exempted web_host_scorecard sibling — the plan's
+    # one SinglePartition exchange carries a single count partial
+    # (Input [count#L], verified by plan read); domain rollup and the
+    # two-level quality fold stay eTLD+1-keyed
+    "corpus_rule_tiered_sample",  # inherits quality_tiered_sample's
+    # scalar N count for the tier arithmetic exactly like the exempted
+    # corpus_quality_mixture sibling — the one SinglePartition exchange
+    # carries a single count partial (Input [count#L], verified by plan
+    # read); the rank itself is the sharded two-level form
 }
 
 
