@@ -340,7 +340,10 @@ def html_extract_text(
 
 
 def url_dedup(
-    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    precanonicalized: bool = False,
 ) -> DataFrame:
     """URL-level dedup — the FIRST dedup pass a crawl pipeline runs,
     before any text is even fetched/compared: rows whose URLs
@@ -353,10 +356,15 @@ def url_dedup(
     duplicates (a NULL key is not a page identity): they keep
     themselves, flagged ``is_url_duplicate = false`` with
     canonical_id = their own id.  One hash aggregation on the
-    canonical string + a broadcast-or-shuffle rejoin — no windows."""
-    canon = url_canonicalize(df, url_col).select(
-        F.col(id_col), "url_canon"
-    )
+    canonical string + a broadcast-or-shuffle rejoin — no windows.
+
+    ``precanonicalized=True`` skips the parse and trusts an existing
+    ``url_canon`` column (from ``url_canonicalize``) — compositions
+    that already canonicalized (scorecards) avoid re-running the
+    pct-normalize + regex chain per consumer."""
+    canon = (
+        df if precanonicalized else url_canonicalize(df, url_col)
+    ).select(F.col(id_col), "url_canon")
     mins = (
         canon.filter(F.col("url_canon").isNotNull())
         .groupBy("url_canon")
@@ -378,6 +386,7 @@ def url_blocklist_screen(
     blocked_host_suffixes: list[str],
     blocked_path_terms: list[str] | None = None,
     url_col: str = "url",
+    precanonicalized: bool = False,
 ) -> DataFrame:
     """Blocklist screen — the UT1-style pattern pass a crawl pipeline
     runs right after canonicalization: a row is blocked when its
@@ -396,13 +405,36 @@ def url_blocklist_screen(
     'x.ads.com', never 'roads.com'."""
     if not blocked_host_suffixes and not blocked_path_terms:
         raise ValueError("at least one blocklist must be non-empty")
-    blocked_path_terms = blocked_path_terms or []
-    canon = url_canonicalize(df, url_col)
-    host = F.col("host")
-    # path+query = the canonical URL from its first post-authority "/"
-    # (the canonical form guarantees a path, so locate always hits)
-    tail = F.element_at(F.split(F.col("url_canon"), "://", 2), 2)
-    path_q = F.substring(tail, F.locate("/", tail), F.lit(2**31 - 1))
+    canon = (
+        df if precanonicalized else url_canonicalize(df, url_col)
+    )
+    reason = _blocklist_reason(
+        F.col("host"),
+        _path_query(F.col("url_canon")),
+        blocked_host_suffixes,
+        blocked_path_terms or [],
+    )
+    return canon.withColumn("block_reason", reason).withColumn(
+        "blocked", reason.isNotNull()
+    )
+
+
+def _path_query(url_canon: Column) -> Column:
+    """path+query = the canonical URL from its first post-authority '/'
+    (the canonical form guarantees a path, so locate always hits)."""
+    tail = F.element_at(F.split(url_canon, "://", 2), 2)
+    return F.substring(tail, F.locate("/", tail), F.lit(2**31 - 1))
+
+
+def _blocklist_reason(
+    host: Column,
+    path_q: Column,
+    blocked_host_suffixes: list[str],
+    blocked_path_terms: list[str],
+) -> Column:
+    """First-match-wins block_reason when-chain (host rules before path
+    rules, caller list order) — shared between the standalone screen
+    and the scorecard's single-canonicalization lineage."""
     chain: list = []
     for s in blocked_host_suffixes:
         chain.append(
@@ -413,9 +445,7 @@ def url_blocklist_screen(
     reason = F.lit(None).cast("string")
     for hit, label in reversed(chain):
         reason = F.when(hit, label).otherwise(reason)
-    return canon.withColumn("block_reason", reason).withColumn(
-        "blocked", reason.isNotNull()
-    )
+    return reason
 
 
 def _robots_pattern_to_re(path_pattern: str) -> str:
@@ -560,15 +590,30 @@ def host_scorecard(
     from ``doc_scores`` (or NULL-scored) fold as 0.0 — unscorable docs
     drag a host down, which is the curation-correct direction.
     Unparseable-URL rows are excluded (no host).  Output: (host,
-    n_rows, n_url_dups, n_blocked, mean_score), one row per host."""
+    n_rows, n_url_dups, n_blocked, mean_score), one row per host.
+
+    The URL parse is declared once (``url_canonicalize`` projected to
+    (id, url_canon, host)) and shared by both embedded screens via
+    their ``precanonicalized`` fast paths.  A restructure that also
+    collapsed the two id-keyed joins into one url_canon-keyed min-join
+    (2 lineage branches instead of 3) measured ~20% SLOWER at sf0.1
+    under local[32] AQE-broadcast plans, so the id-keyed composition
+    stays — the branches all broadcast, and the bigram-LM score lineage
+    dominates the runtime."""
+    canon = url_canonicalize(df, url_col).select(
+        F.col(id_col), "url_canon", "host"
+    )
     screened = (
         url_blocklist_screen(
-            df, blocked_host_suffixes, blocked_path_terms, url_col
+            canon,
+            blocked_host_suffixes,
+            blocked_path_terms,
+            precanonicalized=True,
         )
         .filter(F.col("host").isNotNull())
         .withColumn("host", _host_group(suffix_rules))
     )
-    dups = url_dedup(df, url_col, id_col).select(
+    dups = url_dedup(canon, url_col, id_col, precanonicalized=True).select(
         id_col, "is_url_duplicate"
     )
     scores = doc_scores.select(
