@@ -780,6 +780,20 @@ def oracle_sql() -> dict[str, str]:
         # web_robots_screen: RFC 9309 longest-match allow/disallow over
         # a caller-resolved rule group (r12)
         "web_robots_screen": oracle_dataops.web_robots_screen_sql(),
+        # web_boilerplate_strip: C4/jusText line-level boilerplate
+        # screen between markup extraction and the text operators (r13)
+        "web_boilerplate_strip": (
+            oracle_dataops.web_boilerplate_strip_sql()
+        ),
+        # web_robots_resolve: RFC 9309 §2.2.1 GROUP resolution from raw
+        # robots.txt bodies — longest product-token prefix, '*'
+        # fallback, tied groups concatenated (r13)
+        "web_robots_resolve": oracle_dataops.web_robots_resolve_sql(),
+        # web_robots_screen_resolved: the end-to-end admission decision
+        # (resolve + longest-match screen, data-driven patterns) (r13)
+        "web_robots_screen_resolved": (
+            oracle_dataops.web_robots_screen_resolved_sql()
+        ),
         # corpus_rule_tiered_sample: Gopher passed-rule count as the
         # curriculum score — classifier-free quality tiering (r12)
         "corpus_rule_tiered_sample": (

@@ -339,6 +339,83 @@ def html_extract_text(
     return df.withColumn(out_col, s)
 
 
+# Line-level boilerplate screen parameters (C4 / jusText family):
+# a line survives when it has ≥ BOILER_MIN_WORDS words AND (ends in
+# terminal punctuation OR its stop-word density ≥ BOILER_STOP_LOW) AND
+# contains no blacklist term.  The density threshold is jusText's
+# stopwords_low (Pomikálek 2011 §4.2 default 0.30); the terminal-
+# punctuation and blacklist rules are C4's line filters (Raffel et al.
+# 2020 §2.2: lines not ending in terminal punctuation dropped, pages
+# with "javascript"/boilerplate markers screened).
+BOILER_MIN_WORDS = 4
+BOILER_STOP_LOW = 0.30
+BOILER_BLACKLIST = (
+    "javascript",
+    "cookie",
+    "©",
+    "all rights reserved",
+)
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Line-level BOILERPLATE screen over extracted text — the pass
+    between ``html_extract_text`` (which turns block tags into
+    newlines, so lines ≈ blocks) and every downstream text operator:
+    nav bars, cookie banners, footers and button labels are short,
+    punctuation-free, stop-word-poor lines, and real prose is not.
+    C4's line filters plus a jusText-style stop-word-density rescue
+    (constants above): a line is KEPT iff it has ≥ 4 words, AND ends
+    in terminal punctuation (``. ! ? "``) or has ≥ 30% stop-word
+    density, AND contains no blacklist term (case-insensitive).
+
+    Heuristic honesty: this is the LINE-LOCAL subset of jusText — no
+    link density (tags are already stripped) and no context-sensitive
+    near-good reclassification (needs sequential block context); the
+    published defaults are tuned for English (the stop list is
+    ``textops.STOPWORDS``).
+
+    Appends ``out_col`` (kept lines re-joined with newlines, '' when
+    nothing survives), ``n_lines`` and ``n_lines_kept``.  One row-local
+    projection (split → per-line higher-order filter → rejoin — the
+    span-strip machinery pattern), zero UDFs, zero shuffles; the HOF
+    is staged as its own aliased projection to keep neighbors
+    codegen'd."""
+    from .textops import STOPWORDS
+
+    def keep(line: Column) -> Column:
+        toks = F.filter(F.split(line, " "), lambda t: t != "")
+        n_words = F.size(toks)
+        stop_hits = F.size(
+            F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))
+        )
+        density = stop_hits.cast("double") / n_words.cast("double")
+        terminal = line.rlike('[.!?"]$')
+        black = None
+        for term in BOILER_BLACKLIST:
+            hit = F.contains(F.lower(line), F.lit(term))
+            black = hit if black is None else (black | hit)
+        return (
+            (n_words >= BOILER_MIN_WORDS)
+            & (terminal | (density >= BOILER_STOP_LOW))
+            & ~black
+        )
+
+    lines = F.split(F.col(text_col), "\n")
+    staged = df.withColumn("_lines", lines).withColumn(
+        "_kept", F.filter(F.col("_lines"), keep)
+    )
+    return staged.select(
+        "*",
+        F.array_join("_kept", "\n").alias(out_col),
+        F.size("_lines").alias("n_lines"),
+        F.size("_kept").alias("n_lines_kept"),
+    ).drop("_lines", "_kept")
+
+
 def url_dedup(
     df: DataFrame,
     url_col: str = "url",
@@ -521,6 +598,223 @@ def robots_screen(
     return canon.withColumn(
         "robots_rule", F.when(parses, rule_label)
     ).withColumn("robots_allowed", F.when(parses, allowed))
+
+
+def robots_resolve(
+    robots: DataFrame,
+    product_token: str,
+    body_col: str = "robots_txt",
+    host_col: str = "host",
+) -> DataFrame:
+    """RFC 9309 §2.2.1 GROUP RESOLUTION — the front half of
+    ``robots_screen``: given raw robots.txt bodies (one per host), find
+    the rule group that applies to ``product_token`` and emit its
+    allow/disallow rules as rows.  This is the piece a real crawl
+    pipeline holds data for (fetched robots bodies), where the batch
+    screen required the caller to have already resolved the group.
+
+    Parse (shared bit-for-bit with the DuckDB twin):
+    - physical lines split on LF, CR stripped first (CRLF files);
+    - comments stripped (first ``#`` to end of line);
+    - a recognized line is ``field: value`` — field matched as
+      ``[A-Za-z][A-Za-z-]*`` case-insensitively, surrounding blanks
+      ignored, value = the first whitespace-free token (RFC tokens and
+      path patterns contain no blanks); unrecognized and empty-value
+      lines are IGNORED (they do not terminate a group, per RFC 9309 —
+      an empty Disallow pattern matches nothing, so dropping it is
+      semantics-preserving);
+    - a group = a maximal run of consecutive ``user-agent`` lines plus
+      the rules that follow it; rules before any user-agent line are
+      ignored.
+
+    Matching (§2.2.1): a user-agent value matches when it is ``*`` or a
+    case-insensitive PREFIX of the crawler's product token ("googlebot"
+    matches token "googlebot-news"); specificity = value length (``*``
+    = 0); the group(s) with the highest specificity win and ties are
+    CONCATENATED into one effective group (multiple ``user-agent: *``
+    groups combine, per the RFC's merge rule).  A host whose file has
+    no matching group emits NO rows — absence means no restrictions.
+
+    Rules whose pattern does not start with ``/`` or ``*`` are dropped
+    (the RFC path grammar; keeps the output valid ``robots_screen``
+    input).  Output: (host, line_no, directive, path_pattern), one row
+    per surviving rule, ``line_no`` 1-based for a stable file order.
+
+    Scale: one explode (bounded — robots bodies cap at ~500 KiB per
+    RFC §2.4), two host-keyed windows over the line rows, host-keyed
+    aggregations and joins; nothing global."""
+    tok = product_token.strip().lower()
+    if not tok:
+        raise ValueError("product_token must be non-empty")
+    from pyspark.sql.window import Window
+
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.split(
+                F.replace(F.col(body_col), F.lit("\r"), F.lit("")), "\n"
+            )
+        ).alias("_pos", "_line"),
+    ).withColumn("line_no", F.col("_pos") + 1)
+    decommented = F.regexp_extract("_line", "^([^#]*)", 1)
+    field = F.lower(
+        F.regexp_extract(decommented, "^[ \t]*([A-Za-z][A-Za-z-]*)[ \t]*:", 1)
+    )
+    value = F.regexp_extract(
+        decommented,
+        "^[ \t]*[A-Za-z][A-Za-z-]*[ \t]*:[ \t]*([^ \t]*)",
+        1,
+    )
+    parsed = (
+        lines.select(
+            "host",
+            "line_no",
+            field.alias("field"),
+            value.alias("value"),
+        )
+        .filter(
+            F.col("field").isin("user-agent", "allow", "disallow")
+            & (F.col("value") != "")
+        )
+    )
+    w = Window.partitionBy("host").orderBy("line_no")
+    is_ua = F.col("field") == "user-agent"
+    new_group = (
+        is_ua & (F.coalesce(F.lag("field").over(w), F.lit("")) != "user-agent")
+    ).cast("int")
+    grouped = parsed.withColumn("group_id", F.sum(new_group).over(w))
+    spec = F.when(F.col("value") == "*", F.lit(0)).when(
+        F.lit(tok).startswith(F.lower(F.col("value"))),
+        F.length("value"),
+    )
+    group_specs = (
+        grouped.filter(is_ua)
+        .groupBy("host", "group_id")
+        .agg(F.max(spec).alias("_spec"))
+    )
+    best = group_specs.groupBy("host").agg(F.max("_spec").alias("_best"))
+    winners = (
+        group_specs.join(best, "host")
+        .filter(F.col("_spec") == F.col("_best"))
+        .select("host", "group_id")
+    )
+    return (
+        grouped.filter(~is_ua & (F.col("group_id") > 0))
+        .join(winners, ["host", "group_id"])
+        .filter(F.col("value").rlike("^[/*]"))
+        .select(
+            "host",
+            "line_no",
+            F.col("field").alias("directive"),
+            F.col("value").alias("path_pattern"),
+        )
+    )
+
+
+def _robots_pattern_rx_col(pattern: Column) -> Column:
+    """Column form of ``_robots_pattern_to_re`` for DATA-driven patterns
+    (resolved from robots bodies, not a config list): trailing ``$``
+    anchors, ``*`` → ``.*``, everything else escaped literal.  The
+    escape class covers every regex metacharacter except ``*`` (handled
+    after) — identical output to the Python form for the shared
+    ``[/*]``-prefixed input space."""
+    anchored = pattern.endswith("$")
+    body = F.when(
+        anchored, F.substring(pattern, 1, F.length(pattern) - 1)
+    ).otherwise(pattern)
+    esc = F.regexp_replace(body, r"([.^$+?(){}\[\]|\\])", r"\\$1")
+    starred = F.replace(esc, F.lit("*"), F.lit(".*"))
+    return F.concat(
+        F.lit("^"), starred, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
+def robots_screen_resolved(
+    df: DataFrame,
+    robots: DataFrame,
+    product_token: str,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    body_col: str = "robots_txt",
+    host_col: str = "host",
+) -> DataFrame:
+    """The END-TO-END robots screen: resolve each host's applicable rule
+    group from raw robots.txt bodies (``robots_resolve``), then apply
+    RFC 9309 longest-match/allow-wins-ties to every document URL — the
+    whole admission decision from (url, robots body) with no
+    caller-side prep.  Same verdict semantics as ``robots_screen``:
+    unmatched → allowed, a host with no applicable group (or no robots
+    row at all) → allowed, unparseable URLs → NULL verdicts.
+
+    The rule patterns are DATA here, so matching runs as a host-keyed
+    join (docs × their host's ≤file-sized rule list) followed by a
+    per-(doc, rule) regex and one id-keyed max — all keyed, no windows
+    over data rows, scale-safe at any corpus size; per-row regex
+    compilation is the honest price of data-driven patterns (config
+    lists should keep using ``robots_screen``'s unrolled form).
+
+    Appends ``robots_rule`` and ``robots_allowed`` to (id, url_canon,
+    host).  Tie-break provenance: among rules with the winning score,
+    the SMALLEST line number labels the row (file order — mirrors the
+    batch screen's first-in-caller-order rule)."""
+    rules = robots_resolve(robots, product_token, body_col, host_col)
+    rules = rules.select(
+        "host",
+        "line_no",
+        (F.col("directive") == "allow").alias("_is_allow"),
+        "path_pattern",
+        _robots_pattern_rx_col(F.col("path_pattern")).alias("_rx"),
+    )
+    canon = url_canonicalize(df, url_col).select(
+        F.col(id_col), "url_canon", "host"
+    )
+    path_q = _path_query(F.col("url_canon"))
+    joined = (
+        canon.filter(F.col("host").isNotNull())
+        .withColumn("_path_q", path_q)
+        .join(rules, "host", "left")
+    )
+    score = F.when(
+        F.col("path_pattern").isNotNull()
+        & F.regexp_like("_path_q", F.col("_rx")),
+        F.lit(2) * F.length("path_pattern") + F.col("_is_allow").cast("int"),
+    )
+    label = F.concat(
+        F.when(F.col("_is_allow"), F.lit("allow:")).otherwise(
+            F.lit("disallow:")
+        ),
+        F.col("path_pattern"),
+    )
+    matched = (
+        joined.withColumn("_score", score)
+        .filter(F.col("_score").isNotNull())
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_score").alias("s"),
+                    (-F.col("line_no")).alias("_neg_ln"),
+                    label.alias("lab"),
+                )
+            ).alias("_top")
+        )
+        .select(
+            id_col,
+            F.col("_top.s").alias("_best"),
+            F.col("_top.lab").alias("_lab"),
+        )
+    )
+    host_ok = F.col("host").isNotNull()
+    return canon.join(matched, id_col, "left").select(
+        id_col,
+        "url_canon",
+        "host",
+        F.when(host_ok, F.col("_lab")).alias("robots_rule"),
+        F.when(
+            host_ok,
+            F.col("_best").isNull() | (F.pmod("_best", F.lit(2)) == 1),
+        ).alias("robots_allowed"),
+    )
 
 
 def host_profile(

@@ -3110,6 +3110,18 @@ def web_extract_text_sql() -> str:
     replaces with &amp; last, chr(10) as the newline replacement (no
     escape-string processing), and the \\s-based edge strip instead of
     the space-only trim()."""
+    ctes, last = _extract_text_ctes()
+    return (
+        "WITH "
+        + ctes
+        + f"\nSELECT doc_id, s AS clean_text FROM {last} ORDER BY doc_id"
+    )
+
+
+def _extract_text_ctes() -> tuple[str, str]:
+    """The markup→text CTE chain over the synthetic-HTML fixture,
+    shared by web_extract_text_sql and the boilerplate twin.  Returns
+    (cte_text, final_cte_name); the final CTE exposes (doc_id, s)."""
     steps = [
         ("regexp_replace(s, '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g')"),
         ("regexp_replace(s, '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g')"),
@@ -3135,11 +3147,55 @@ def web_extract_text_sql() -> str:
     ctes = [f"h0 AS (SELECT doc_id, {_SYNTH_HTML_CASE} AS s FROM documents)"]
     for i, expr in enumerate(steps):
         ctes.append(f"h{i + 1} AS (SELECT doc_id, {expr} AS s FROM h{i})")
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"\nSELECT doc_id, s AS clean_text FROM h{len(steps)} ORDER BY doc_id"
+    return ",\n".join(ctes), f"h{len(steps)}"
+
+
+def web_boilerplate_strip_sql() -> str:
+    """Twin of queries_dataops.web_boilerplate_strip: the shared
+    extraction chain, the same injected nav/cookie/footer noise lines,
+    then the line screen — explode with ordinals, per-line word count /
+    stop-word density / terminal punctuation / blacklist containment
+    (same constants as webops.BOILER_*), kept lines re-joined in line
+    order (coalesced to '' — DuckDB's empty-list array_to_string is
+    NULL)."""
+    from ..operators import webops
+
+    stops = ", ".join(f"'{w}'" for w in textops.STOPWORDS)
+    black = " OR ".join(
+        f"contains(lower(l), '{_q(t)}')" for t in webops.BOILER_BLACKLIST
     )
+    ctes, last = _extract_text_ctes()
+    return f"""WITH {ctes},
+noisy AS (
+  SELECT doc_id,
+         'Home | About | Contact' || chr(10)
+           || 'Accept all cookies to continue' || chr(10) || s || chr(10)
+           || '© 2024 Example Corp All rights reserved' || chr(10)
+           || 'Powered by JavaScript widgets' AS page_text
+  FROM {last}),
+lined AS (SELECT doc_id, string_split(page_text, chr(10)) AS ls FROM noisy),
+lx AS (SELECT doc_id, generate_subscripts(ls, 1) AS i, unnest(ls) AS l
+       FROM lined),
+sig AS (
+  SELECT doc_id, i, l,
+         len(list_filter(string_split(l, ' '), t -> t <> '')) AS nw,
+         len(list_filter(string_split(l, ' '),
+                         t -> t <> '' AND lower(t) IN ({stops}))) AS sh
+  FROM lx),
+keptl AS (
+  SELECT doc_id, i, l FROM sig
+  WHERE nw >= {webops.BOILER_MIN_WORDS}
+    AND (regexp_matches(l, '[.!?"]$')
+         OR (nw > 0 AND CAST(sh AS DOUBLE) / CAST(nw AS DOUBLE)
+                        >= {webops.BOILER_STOP_LOW}))
+    AND NOT ({black})),
+agg AS (SELECT doc_id, list(l ORDER BY i) AS kl FROM keptl GROUP BY doc_id)
+SELECT n.doc_id,
+       coalesce(array_to_string(a.kl, chr(10)), '') AS clean_text,
+       CAST(len(string_split(n.page_text, chr(10))) AS INTEGER) AS n_lines,
+       CAST(coalesce(len(a.kl), 0) AS INTEGER) AS n_lines_kept
+FROM noisy n LEFT JOIN agg a USING (doc_id)
+ORDER BY n.doc_id"""
 
 
 def web_robots_screen_sql(
@@ -3186,6 +3242,141 @@ SELECT doc_id,
        CASE WHEN host IS NOT NULL
             THEN (best = -1 OR best % 2 = 1) END AS robots_allowed
 FROM scored ORDER BY doc_id"""
+
+
+def _robots_resolve_ctes(token: str) -> str:
+    """The RFC 9309 §2.2.1 group-resolution CTE chain over the fixture
+    robots bodies (identical strings to queries_dataops.ROBOTS_BODY_*):
+    CR-stripped LF line split with 1-based ordinals, comment strip,
+    field/value extraction with the same regexes as
+    webops.robots_resolve, lag-based group starts + running-sum group
+    ids, per-group max prefix-match specificity ('*' = 0), per-host
+    best, tied winners concatenated, rules filtered to valid '/'/'*'
+    patterns.  Ends in ``rrules(host, line_no, directive,
+    path_pattern)``; expects a ``canon`` CTE upstream."""
+    from .queries_dataops import (
+        ROBOTS_BODY_APEX,
+        ROBOTS_BODY_FILES,
+        ROBOTS_BODY_WWW,
+    )
+
+    tok = token.strip().lower()
+    return f"""hosts AS (SELECT DISTINCT host FROM canon WHERE host IS NOT NULL),
+bodies AS (
+  SELECT host,
+         CASE WHEN starts_with(host, 'www.') THEN '{_q(ROBOTS_BODY_WWW)}'
+              WHEN starts_with(host, 'files.') THEN '{_q(ROBOTS_BODY_FILES)}'
+              ELSE '{_q(ROBOTS_BODY_APEX)}' END AS body
+  FROM hosts),
+rawlines AS (
+  SELECT host, generate_subscripts(lines, 1) AS line_no, unnest(lines) AS line
+  FROM (SELECT host, string_split(replace(body, chr(13), ''), chr(10)) AS lines
+        FROM bodies)),
+parsedl AS (
+  SELECT host, line_no,
+         lower(regexp_extract(regexp_extract(line, '^([^#]*)', 1),
+                              '^[ \t]*([A-Za-z][A-Za-z-]*)[ \t]*:', 1)) AS field,
+         regexp_extract(regexp_extract(line, '^([^#]*)', 1),
+                        '^[ \t]*[A-Za-z][A-Za-z-]*[ \t]*:[ \t]*([^ \t]*)', 1)
+           AS value
+  FROM rawlines),
+rec AS (SELECT * FROM parsedl
+        WHERE field IN ('user-agent', 'allow', 'disallow') AND value <> ''),
+flagged_l AS (
+  SELECT *,
+         CASE WHEN field = 'user-agent'
+                   AND coalesce(lag(field) OVER (
+                         PARTITION BY host ORDER BY line_no), '')
+                       <> 'user-agent'
+              THEN 1 ELSE 0 END AS ng
+  FROM rec),
+grp AS (SELECT *, SUM(ng) OVER (PARTITION BY host ORDER BY line_no)
+                    AS group_id
+        FROM flagged_l),
+specs AS (
+  SELECT host, group_id,
+         MAX(CASE WHEN value = '*' THEN 0
+                  WHEN starts_with('{_q(tok)}', lower(value))
+                  THEN length(value) END) AS spec
+  FROM grp WHERE field = 'user-agent' GROUP BY host, group_id),
+bestspec AS (SELECT host, MAX(spec) AS best_spec FROM specs GROUP BY host),
+winners AS (SELECT s.host, s.group_id
+            FROM specs s JOIN bestspec b USING (host)
+            WHERE s.spec = b.best_spec),
+rrules AS (
+  SELECT g.host, g.line_no, g.field AS directive, g.value AS path_pattern
+  FROM grp g JOIN winners w USING (host, group_id)
+  WHERE g.field <> 'user-agent' AND g.group_id > 0
+    AND regexp_matches(g.value, '^[/*]'))"""
+
+
+def web_robots_resolve_sql(token: str | None = None) -> str:
+    """Twin of queries_dataops.web_robots_resolve: the group-resolution
+    CTE chain over the shared fixture bodies, winning rules in file
+    order."""
+    if token is None:
+        from .queries_dataops import ROBOTS_TOKEN
+
+        token = ROBOTS_TOKEN
+    return f"""WITH {_url_canon_cte()},
+{_robots_resolve_ctes(token)}
+SELECT host, CAST(line_no AS INTEGER) AS line_no, directive, path_pattern
+FROM rrules ORDER BY host, line_no"""
+
+
+def web_robots_screen_resolved_sql(token: str | None = None) -> str:
+    """Twin of queries_dataops.web_robots_screen_resolved: resolved
+    rules → per-rule anchored regex (same escape class as the Spark
+    Column form), host-keyed left join onto canonical path+query,
+    2·len+is_allow scoring, best score per doc with smallest-line-number
+    label on ties, unmatched/no-group → allowed, unparseable → NULL."""
+    if token is None:
+        from .queries_dataops import ROBOTS_TOKEN
+
+        token = ROBOTS_TOKEN
+    rx_expr = (
+        "'^' || replace(regexp_replace("
+        "CASE WHEN ends_with(path_pattern, '$') "
+        "THEN substr(path_pattern, 1, length(path_pattern) - 1) "
+        "ELSE path_pattern END, "
+        r"'([.^$+?(){}\[\]|\\])', '\\\1', 'g'), "
+        "'*', '.*') "
+        "|| CASE WHEN ends_with(path_pattern, '$') THEN '$' ELSE '' END"
+    )
+    return f"""WITH {_url_canon_cte()},
+{_robots_resolve_ctes(token)},
+rx AS (
+  SELECT host, line_no, (directive = 'allow') AS is_allow, path_pattern,
+         {rx_expr} AS rxp
+  FROM rrules),
+tails AS (
+  SELECT doc_id, host, substr(t, strpos(t, '/')) AS path_q
+  FROM (SELECT doc_id, host,
+               substr(url_canon, strpos(url_canon, '://') + 3) AS t
+        FROM canon WHERE host IS NOT NULL)),
+scoredr AS (
+  SELECT t.doc_id, r.line_no, r.is_allow, r.path_pattern,
+         CASE WHEN regexp_matches(t.path_q, r.rxp)
+              THEN 2 * length(r.path_pattern)
+                   + CASE WHEN r.is_allow THEN 1 ELSE 0 END END AS score
+  FROM tails t LEFT JOIN rx r USING (host)),
+rankedr AS (
+  SELECT doc_id, score, is_allow, path_pattern,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, line_no ASC) AS rn
+  FROM scoredr WHERE score IS NOT NULL),
+topr AS (
+  SELECT doc_id, score,
+         (CASE WHEN is_allow THEN 'allow:' ELSE 'disallow:' END)
+           || path_pattern AS lab
+  FROM rankedr WHERE rn = 1)
+SELECT c.doc_id,
+       CASE WHEN c.host IS NOT NULL THEN t2.lab END AS robots_rule,
+       CASE WHEN c.host IS NOT NULL
+            THEN (t2.doc_id IS NULL OR t2.score % 2 = 1) END
+         AS robots_allowed
+FROM canon c LEFT JOIN topr t2 USING (doc_id)
+ORDER BY c.doc_id"""
 
 
 def web_domain_scorecard_sql(

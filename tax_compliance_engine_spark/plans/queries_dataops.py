@@ -2666,6 +2666,34 @@ def web_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def web_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate screen (webops.boilerplate_strip) over the
+    extraction pipeline's output, with injected nav/cookie/footer noise
+    lines so the gate exercises every rule arm: C4's terminal-
+    punctuation + blacklist line filters plus jusText's stop-word-
+    density rescue — the pass that keeps nav bars, cookie banners and
+    footers out of every downstream text operator."""
+    from ..operators import webops
+
+    docs = _docs(spark, sf_dir).withColumn("html", _synth_html())
+    noisy = webops.html_extract_text(docs, out_col="_ext").withColumn(
+        "page_text",
+        F.concat(
+            F.lit("Home | About | Contact\nAccept all cookies to continue\n"),
+            F.col("_ext"),
+            F.lit(
+                "\n© 2024 Example Corp All rights reserved"
+                "\nPowered by JavaScript widgets"
+            ),
+        ),
+    )
+    return (
+        webops.boilerplate_strip(noisy, text_col="page_text")
+        .select("doc_id", "clean_text", "n_lines", "n_lines_kept")
+        .orderBy("doc_id")
+    )
+
+
 # RFC 9309 rule-group fixture for the robots gate: longest-match
 # (deeper /docs/1 allow overrides the /docs/ disallow), wildcard, a
 # same-length allow/disallow tie on /a/b (allow must win), and a bare
@@ -2692,6 +2720,100 @@ def web_robots_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).withColumn("url", _synth_url())
     return webops.robots_screen(
         docs, list(ROBOTS_FIXTURE_RULES)
+    ).select("doc_id", "robots_rule", "robots_allowed").orderBy("doc_id")
+
+
+# the crawler identity the robots fixtures resolve for
+ROBOTS_TOKEN = "tce-crawler"
+# Raw robots.txt fixture bodies (one per host class — apex / www. /
+# files.), exercising RFC 9309 §2.2.1 precedence end-to-end: multi-UA
+# group stacking, prefix-match specificity ('tce' vs 'tce-crawler' vs
+# 'tce-crawler-img'), '*' fallback, TWO tied '*' groups concatenated,
+# rules before any group ignored, comments / unknown fields / empty
+# patterns ignored, CRLF line endings.  The DuckDB twin embeds the
+# IDENTICAL strings, so the resolver — not the fixture — is the gate.
+ROBOTS_BODY_APEX = "\n".join([
+    "# fixture A",
+    "User-agent: tce-crawler-img",
+    "Disallow: /img/",
+    "User-agent: tce-crawler",
+    "User-agent: otherbot",
+    "Disallow: /docs/",
+    "Allow: /docs/1",
+    "User-agent: *",
+    "Disallow: /",
+])
+ROBOTS_BODY_WWW = "\r\n".join([
+    "Disallow: /ignored-before-group",
+    "User-agent: tce",
+    "Allow: /a/b",
+    "User-agent: TCE-Crawler",
+    "Disallow: /x",
+    "Disallow: /docs/*/draft",
+    "user-agent: *",
+    "Allow: /",
+])
+ROBOTS_BODY_FILES = "\n".join([
+    "User-agent: megabot",
+    "Disallow: /",
+    "User-agent: *",
+    "Disallow: /f*",
+    "Allow: /f1$",
+    "Disallow:",
+    "Crawl-delay: 10",
+    "User-agent: *",
+    "Allow: /path/",
+])
+
+
+def _synth_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic robots.txt body per canonical host of the
+    ``_synth_url`` corpus — apex hosts get the group-precedence body,
+    www. hosts the prefix-specificity body, files. hosts the
+    tied-'*'-groups body."""
+    from ..operators import webops
+
+    docs = _docs(spark, sf_dir).withColumn("url", _synth_url())
+    hosts = (
+        webops.url_canonicalize(docs)
+        .select("host")
+        .filter(F.col("host").isNotNull())
+        .distinct()
+    )
+    body = (
+        F.when(F.col("host").startswith("www."), F.lit(ROBOTS_BODY_WWW))
+        .when(F.col("host").startswith("files."), F.lit(ROBOTS_BODY_FILES))
+        .otherwise(F.lit(ROBOTS_BODY_APEX))
+    )
+    return hosts.withColumn("robots_txt", body)
+
+
+def web_robots_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 §2.2.1 group resolution (webops.robots_resolve): raw
+    robots.txt bodies parsed into groups, longest case-insensitive
+    product-token prefix wins ('tce-crawler' beats 'tce' beats '*'),
+    tied groups concatenate, and the winning group's allow/disallow
+    rules come out as rows — the front half the r12 screen required the
+    caller to have done."""
+    from ..operators import webops
+
+    return webops.robots_resolve(
+        _synth_robots(spark, sf_dir), ROBOTS_TOKEN
+    ).orderBy("host", "line_no")
+
+
+def web_robots_screen_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end robots admission decision
+    (webops.robots_screen_resolved): resolve each host's applicable
+    group from its raw robots.txt body, then longest-match/
+    allow-wins-ties every document URL against its host's resolved
+    rules — data-driven patterns via a host-keyed join + per-(doc,rule)
+    regex + one id-keyed max, no caller-side prep."""
+    from ..operators import webops
+
+    docs = _docs(spark, sf_dir).withColumn("url", _synth_url())
+    return webops.robots_screen_resolved(
+        docs, _synth_robots(spark, sf_dir), ROBOTS_TOKEN
     ).select("doc_id", "robots_rule", "robots_allowed").orderBy("doc_id")
 
 

@@ -574,3 +574,142 @@ def test_host_scorecard_counts_and_pinned_mean(spark):
     b = got["bad.com"]
     assert (b.n_rows, b.n_url_dups, b.n_blocked) == (1, 0, 1)
     assert b.mean_score == 0.125
+
+
+def _robots_fixture(spark):
+    body_a = "\n".join([
+        "# comment-only line",
+        "User-agent: tce-crawler-img",   # longer than token: no match
+        "Disallow: /img/",
+        "User-agent: tce-crawler",       # exact token
+        "User-agent: otherbot",          # multi-UA stack, same group
+        "Disallow: /docs/",
+        "Allow: /docs/1",
+        "User-agent: *",
+        "Disallow: /",
+    ])
+    body_b = "\r\n".join([               # CRLF endings
+        "Disallow: /orphan",             # rule before any group: ignored
+        "User-agent: tce",               # prefix match, spec 3
+        "Allow: /a/b",
+        "User-agent: TCE-Crawler",       # case-insensitive, spec 11 wins
+        "Disallow: /x",
+        "user-agent: *",
+        "Allow: /",
+    ])
+    body_c = "\n".join([
+        "User-agent: megabot",           # no match
+        "Disallow: /",
+        "User-agent: *",                 # fallback group 1
+        "Disallow: /f*",
+        "Allow: /f1$",
+        "Disallow:",                     # empty pattern: ignored
+        "Crawl-delay: 10",               # unknown field: ignored
+        "User-agent: *",                 # tied group 2: concatenated
+        "Allow: /public/",
+    ])
+    return spark.createDataFrame(
+        [("a.com", body_a), ("b.com", body_b), ("c.com", body_c)],
+        "host string, robots_txt string",
+    )
+
+
+def test_robots_resolve_group_precedence(spark):
+    """RFC 9309 §2.2.1: longest case-insensitive product-token prefix
+    wins, '*' is the fallback, tied groups concatenate, multi-UA stacks
+    share rules, orphan rules / comments / unknown fields / empty
+    patterns are ignored, CRLF files parse."""
+    got = [
+        (r.host, r.line_no, r.directive, r.path_pattern)
+        for r in webops.robots_resolve(_robots_fixture(spark), "tce-crawler")
+        .orderBy("host", "line_no")
+        .collect()
+    ]
+    assert got == [
+        # a.com: the exact-token group (NOT tce-crawler-img, NOT *)
+        ("a.com", 6, "disallow", "/docs/"),
+        ("a.com", 7, "allow", "/docs/1"),
+        # b.com: spec 11 'TCE-Crawler' beats spec 3 'tce' and '*'
+        ("b.com", 5, "disallow", "/x"),
+        # c.com: both '*' groups win (tie) and concatenate
+        ("c.com", 4, "disallow", "/f*"),
+        ("c.com", 5, "allow", "/f1$"),
+        ("c.com", 9, "allow", "/public/"),
+    ]
+    # a token nothing matches but '*': the fallback group resolves
+    star = [
+        (r.host, r.path_pattern)
+        for r in webops.robots_resolve(_robots_fixture(spark), "unrelatedbot")
+        .orderBy("host", "line_no")
+        .collect()
+        if r.host == "a.com"
+    ]
+    assert star == [("a.com", "/")]
+
+
+def test_robots_screen_resolved_end_to_end(spark):
+    """Resolve + longest-match screen from raw bodies: anchors, mid-
+    pattern wildcards, no-robots hosts allowed, unparseable NULL."""
+    docs = spark.createDataFrame(
+        [
+            (1, "http://a.com/docs/2"),      # disallow:/docs/
+            (2, "http://a.com/docs/1x"),     # allow:/docs/1 (longer) wins
+            (3, "http://a.com/other"),       # unmatched -> allowed
+            (4, "http://b.com/x1"),          # disallow:/x
+            (5, "http://c.com/f99"),         # disallow:/f*
+            (6, "http://c.com/f1"),          # allow:/f1$ anchor wins
+            (7, "http://c.com/public/y"),    # concatenated group's rule
+            (8, "http://nobots.com/q"),      # host with no robots row
+            (9, "garbage"),                  # unparseable -> NULL
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r.doc_id: (r.robots_rule, r.robots_allowed)
+        for r in webops.robots_screen_resolved(
+            docs, _robots_fixture(spark), "tce-crawler"
+        ).collect()
+    }
+    assert got == {
+        1: ("disallow:/docs/", False),
+        2: ("allow:/docs/1", True),
+        3: (None, True),
+        4: ("disallow:/x", False),
+        5: ("disallow:/f*", False),
+        6: ("allow:/f1$", True),
+        7: ("allow:/public/", True),
+        8: (None, True),
+        9: (None, None),
+    }
+
+
+def test_boilerplate_strip_adversarial_lines(spark):
+    """C4 line filters + jusText stop-word rescue: nav bar, cookie
+    banner, bare menu labels, footer/copyright, javascript marker and
+    short CTAs drop; terminal-punctuated prose and stop-word-dense
+    unpunctuated prose survive."""
+    text = "\n".join([
+        "Home | About | Contact",                       # nav: 4 words but no punct/stops
+        "Accept all cookies to continue",               # cookie banner: blacklist
+        "The quick brown fox jumped over the lazy dog near the river.",  # prose
+        "it is a truth universally acknowledged that a man wants a wife",  # stop-dense, no punct
+        "Menu",                                          # < 4 words
+        "Read more",                                     # < 4 words
+        "© 2024 Example Corp",                           # blacklist ©
+        "This site requires JavaScript to run properly.",  # blacklist
+        "All rights reserved by the company.",           # blacklist phrase
+        "Sign up today!",                                # < 4 words despite punct
+    ])
+    r = webops.boilerplate_strip(
+        spark.createDataFrame([(1, text)], "doc_id long, text string")
+    ).collect()[0]
+    assert r.clean_text == (
+        "The quick brown fox jumped over the lazy dog near the river.\n"
+        "it is a truth universally acknowledged that a man wants a wife"
+    )
+    assert (r.n_lines, r.n_lines_kept) == (10, 2)
+    # nothing survives -> '' (not NULL), counts still real
+    r2 = webops.boilerplate_strip(
+        spark.createDataFrame([(2, "Menu\nRead more")], "doc_id long, text string")
+    ).collect()[0]
+    assert r2.clean_text == "" and (r2.n_lines, r2.n_lines_kept) == (2, 0)
