@@ -39,9 +39,16 @@ artifact and stays out of scope, but the matching *algorithm*
 host-keyed operators accept ``suffix_rules=`` to group by eTLD+1 so a
 subdomain-spraying host can't evade ``per_host_cap_sample``.
 
+IDN normalization (since r13): Unicode host labels are punycode-encoded
+to their RFC 3492 ``xn--`` wire form as the final canonicalization
+stage (``idn_host_ascii``), so a Unicode host and its xn-- form are ONE
+dedup/eTLD+1 key.  Scope: the bootstring algorithm on the lowercased
+label, BMP only — no IDNA2008/UTS-46 mapping table (that's a downloaded
+artifact, like the PSL file), and astral labels pass through unchanged.
+
 Still deliberately OUT of scope (documented boundary, same honesty rule
-as the multimodal codecs): IDN/punycode and non-UTF-8 percent-encoded
-octets ≥ 0x80 (decoding those needs charset guessing, not spec).
+as the multimodal codecs): non-UTF-8 percent-encoded octets ≥ 0x80
+(decoding those needs charset guessing, not spec).
 """
 
 from __future__ import annotations
@@ -170,16 +177,93 @@ def url_canonicalize(
     df: DataFrame, url_col: str = "url"
 ) -> DataFrame:
     """Append ``url_canon`` and ``host`` (both NULL for rows that don't
-    parse as ``scheme://...``) — two narrow projections (the pct fold
-    staged apart from the codegen'd parse, see ``_canon_cols``), no
-    shuffle, no UDF; the dedup/profile/cap operators below consume the
-    output."""
+    parse as ``scheme://...``) — staged narrow projections (the pct
+    fold apart from the codegen'd parse, see ``_canon_cols``; the IDN
+    fold apart from both), no shuffle, no UDF; the dedup/profile/cap
+    operators below consume the output.
+
+    Since r13 the host additionally passes through IDN normalization
+    (``idn_host_ascii``): Unicode labels become their RFC 3492 ``xn--``
+    wire form, so ``https://bücher.example.com/`` and
+    ``https://xn--bcher-kva.example.com/`` collapse to ONE canonical
+    key — the same dup-miss class percent-encoding closed for paths.
+    ASCII hosts take a regex fast path and never reach the fold; when
+    the host changes, ``url_canon`` is rebuilt around it (scheme +
+    userinfo prefix kept, port/path/query tail kept)."""
+    return _idn_stage(_parse_canon(df, url_col))
+
+
+def url_canonicalize_parsed(
+    df: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """``url_canonicalize`` for consumers that DROP unparseable rows:
+    the host-NULL filter runs BETWEEN the parse stage and the IDN stage.
+    Filtering the full output instead would let predicate pushdown
+    substitute the entire staged IDN fold into the Filter condition
+    (measured: a 191-subtree Filter evaluating the fold per row, 4-5×
+    on the dedup family) — here the pushed predicate only ever carries
+    the cheap parse regexes."""
+    return _idn_stage(
+        _parse_canon(df, url_col).filter(F.col("host").isNotNull())
+    )
+
+
+def _parse_canon(df: DataFrame, url_col: str) -> DataFrame:
+    """pct-normalize + parse stages only (url_canon/host pre-IDN)."""
     normed = df.withColumn("_urln", _pct_normalize(F.col(url_col)))
     cols = _canon_cols(F.col("_urln"))
     return (
         normed.withColumn("url_canon", cols["url_canon"])
         .withColumn("host", cols["host"])
         .drop("_urln")
+    )
+
+
+def _idn_stage(raw: DataFrame) -> DataFrame:
+    """Rewrite (url_canon, host) to their IDN-normalized forms — its own
+    projection (the label fold is CodegenFallback, and _hostp is
+    referenced twice below, so CollapseProject keeps it staged: the
+    fold runs once per row and only on non-ASCII hosts).
+
+    The fold is wrapped in a one-element shuffle() — a value-identity
+    NONDETERMINISM FENCE.  Without it, InferFiltersFromConstraints adds
+    ``isnotnull(url_canon)`` above every equi-join/aggregate consumer
+    and PushDownPredicates substitutes the ENTIRE staged fold into that
+    Filter condition (measured: a 762 KB Filter tree re-evaluating the
+    fold per row — 4-8× on the whole url_dedup/scorecard family).
+    Catalyst never pushes predicates through, or duplicates,
+    nondeterministic projections, so the fold stays exactly one staged
+    per-row evaluation; the expression's VALUE is deterministic (a
+    1-element array permutation is the identity), so results, retries
+    and recomputed partitions are unaffected."""
+    idn = raw.withColumn(
+        "_hostp",
+        F.element_at(
+            F.shuffle(F.array(idn_host_ascii(F.col("host")))), 1
+        ),
+    )
+    prefix = F.regexp_extract(
+        "url_canon", "^([a-z0-9+.-]+://([^/]*@)?)", 1
+    )
+    rebuilt = F.concat(
+        prefix,
+        F.col("_hostp"),
+        F.substr(
+            F.col("url_canon"),
+            F.length(prefix) + F.length("host") + 1,
+        ),
+    )
+    return (
+        idn.withColumn(
+            "url_canon",
+            F.when(
+                F.col("host").isNull()
+                | (F.col("_hostp") == F.col("host")),
+                F.col("url_canon"),
+            ).otherwise(rebuilt),
+        )
+        .withColumn("host", F.col("_hostp"))
+        .drop("_hostp")
     )
 
 
@@ -269,6 +353,226 @@ def registrable_domain_col(
             F.slice(labels, n - suffix_len, suffix_len + 1), "."
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFC 3492 punycode (bootstring) ENCODING as pure Column expressions —
+# the IDN half of canonicalization: a Unicode host label and its
+# wire-form xn-- label must collapse to ONE dedup/eTLD+1 key, the same
+# dup-miss class percent-encoding closed for paths.  Encoding (not
+# decoding) is the canonical direction because the output stays ASCII —
+# representable without a unicode chr(), which neither engine's
+# expression language has.
+#
+# Spec constants: base 36, tmin 1, tmax 26, skew 38, damp 700,
+# initial_bias 72, initial_n 128 (RFC 3492 §5).  The encoder's outer
+# while-loop is re-expressed as ONE fold over the non-basic characters
+# sorted by (codepoint, position) — exactly the order the spec's
+# n-sweep emits them — with the inter-emit delta computed in closed
+# form from slice counts (see _punycode_label).  The digit-emission and
+# bias-adaptation loops are bounded (delta ≤ 0x10FFFF·len, digits
+# shrink by ≥×10, adapt by ×35) and unroll to fixed depth.
+_PUNY_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def _idiv(a: Column, b) -> Column:
+    """Non-negative integer division (operands stay ≤ ~2^40, exact in
+    the double intermediate)."""
+    return F.floor(a / b).cast("long")
+
+
+def _puny_adapt(delta: Column, numpoints: Column, firsttime: Column) -> Column:
+    """RFC 3492 §6.1 bias adaptation.  The while-loop runs as a bounded
+    RUNTIME fold over sequence(1, 12) — delta shrinks ×35 per round, so
+    12 rounds cover any 2^53-exact input; a compile-time unroll would
+    square the expression tree per level (each level references the
+    previous twice) and OOM the analyzer."""
+    d0 = _idiv(delta, F.when(firsttime, F.lit(700)).otherwise(F.lit(2)))
+    d1 = d0 + _idiv(d0, numpoints)
+    st = F.aggregate(
+        F.sequence(F.lit(1), F.lit(12)),
+        F.struct(d1.alias("d"), F.lit(0).cast("long").alias("k")),
+        lambda acc, _i: F.struct(
+            F.when(acc["d"] > 455, _idiv(acc["d"], 35))
+            .otherwise(acc["d"])
+            .alias("d"),  # 455 = ((base - tmin) * tmax) / 2
+            F.when(acc["d"] > 455, acc["k"] + 36)
+            .otherwise(acc["k"])
+            .alias("k"),
+        ),
+    )
+    return st["k"] + _idiv(F.lit(36) * st["d"], st["d"] + 38)
+
+
+def _puny_digits(q: Column, bias: Column) -> Column:
+    """RFC 3492 §6.3 inner loop: the variable-length digit string for
+    one delta under the current bias (threshold-clamped base-36, LEAST
+    significant first), as a bounded runtime fold over sequence(1, 14)
+    (radix ≥ 10, so 14 digits cover deltas to 10^14 — far past any real
+    label; same analyzer-safety rationale as _puny_adapt)."""
+    st = F.aggregate(
+        F.sequence(F.lit(1), F.lit(14)),
+        F.struct(
+            q.cast("long").alias("q"),
+            F.lit("").alias("out"),
+            F.lit(False).alias("done"),
+        ),
+        lambda acc, i: _puny_digit_step(acc, i, bias),
+    )
+    return st["out"]
+
+
+def _puny_digit_step(acc: Column, i: Column, bias: Column) -> Column:
+    k = (i.cast("long")) * 36
+    t = (
+        F.when(k <= bias, F.lit(1).cast("long"))
+        .when(k >= bias + 26, F.lit(26).cast("long"))
+        .otherwise(k - bias)
+    )
+    is_last = acc["q"] < t
+    digit = F.when(is_last, acc["q"]).otherwise(
+        t + F.pmod(acc["q"] - t, 36 - t)
+    )
+    ch = F.substr(F.lit(_PUNY_ALPHABET), (digit + 1).cast("int"), F.lit(1))
+    return F.struct(
+        F.when(acc["done"] | is_last, acc["q"])
+        .otherwise(_idiv(acc["q"] - t, 36 - t))
+        .alias("q"),
+        F.when(acc["done"], acc["out"])
+        .otherwise(F.concat(acc["out"], ch))
+        .alias("out"),
+        (acc["done"] | is_last).alias("done"),
+    )
+
+
+def _let(binding: Column, body) -> Column:
+    """Single-use LET-BINDING as a Column: bind ``binding`` (usually a
+    struct of shared subexpressions) once and evaluate ``body`` against
+    the lambda variable.  Column helpers otherwise INLINE a subtree at
+    every reference — the punycode fold referenced its codepoint array
+    ~20× and the resulting ~18 KB tree cost ~1 s of driver-side
+    optimizer time PER ACTION; with lets it is one copy and leaf
+    references."""
+    return F.element_at(F.transform(F.array(binding), body), 1)
+
+
+def _punycode_label(label: Column) -> Column:
+    """One lowercase host label → its IDNA wire form: ASCII labels
+    (including existing xn--) pass through; labels with non-ASCII
+    characters become ``xn--`` + RFC 3492 encoding (basic chars, a
+    ``-`` delimiter when any exist, then the delta digits).
+
+    The spec's n-sweep visits non-basic characters in (codepoint,
+    position) order; folding over exactly that event list, the delta
+    accrued since the previous emit has a closed form from three slice
+    counts over the codepoint array (positions 0-based, ranges
+    half-open; cps = the label's codepoints):
+    - first emit:   (m − 128)·(h+1) + |{q < p : cps[q] < m}|
+    - same pass:    |{prev < q < p : cps[q] < m}|
+    - new pass:     |{q > prev : cps[q] < m_prev}| + 1
+                    + (m − m_prev − 1)·(h+1) + |{q < p : cps[q] < m}|
+    (the tail of the previous scan, the spec's delta++/n++, the skipped
+    whole passes, and the new scan's head).
+
+    Documented boundary (same honesty rule as the codecs): BMP only —
+    a label containing UTF-16 surrogates (astral codepoints, e.g.
+    emoji domains) passes through UNCHANGED rather than mis-encoding;
+    and no IDNA2008/UTS-46 mapping beyond the lowercase the
+    canonicalizer already applied."""
+    chars = F.split(label, "")
+    env = F.struct(
+        F.transform(chars, lambda c: F.ascii(c).cast("long")).alias("cps"),
+        F.filter(chars, lambda c: F.ascii(c) < 128).alias("basic"),
+    )
+    return _let(env, lambda v: _puny_label_body(label, v))
+
+
+def _puny_label_body(label: Column, v: Column) -> Column:
+    cps = v["cps"]
+    basic = v["basic"]
+    total = F.size(cps).cast("long")
+    b = F.size(basic).cast("long")
+    events = F.array_sort(
+        F.filter(
+            F.transform(
+                cps,
+                lambda c, i: F.struct(
+                    c.alias("c"), i.cast("long").alias("p")
+                ),
+            ),
+            lambda e: e["c"] >= 128,
+        )
+    )
+
+    def cnt(lo: Column, hi: Column, lim: Column) -> Column:
+        """|{q in [lo, hi) : cps[q] < lim}| (0-based, half-open)."""
+        return (
+            F.size(
+                F.filter(
+                    F.slice(cps, (lo + 1).cast("int"), (hi - lo).cast("int")),
+                    lambda x: x < lim,
+                )
+            ).cast("long")
+        )
+
+    init = F.struct(
+        F.lit(128).cast("long").alias("m"),
+        b.alias("h"),
+        F.lit(72).cast("long").alias("bias"),
+        F.lit(-1).cast("long").alias("prevp"),
+        F.lit("").alias("out"),
+    )
+
+    def step(acc: Column, ev: Column) -> Column:
+        m = ev["c"]
+        p = ev["p"]
+        first = acc["prevp"] < 0
+        delta = (
+            F.when(first, (m - 128) * (acc["h"] + 1) + cnt(F.lit(0), p, m))
+            .when(m == acc["m"], cnt(acc["prevp"] + 1, p, m))
+            .otherwise(
+                cnt(acc["prevp"] + 1, total, acc["m"])
+                + 1
+                + (m - acc["m"] - 1) * (acc["h"] + 1)
+                + cnt(F.lit(0), p, m)
+            )
+        )
+        # let-bind delta: digits + adapt reference it ~5× combined
+        return _let(
+            F.struct(delta.alias("delta")),
+            lambda d: F.struct(
+                m.alias("m"),
+                (acc["h"] + 1).alias("h"),
+                _puny_adapt(d["delta"], acc["h"] + 1, first).alias("bias"),
+                p.alias("prevp"),
+                F.concat(
+                    acc["out"], _puny_digits(d["delta"], acc["bias"])
+                ).alias("out"),
+            ),
+        )
+
+    encoded = F.aggregate(events, init, step, lambda acc: acc["out"])
+    has_nonascii = F.exists(cps, lambda x: x >= 128)
+    has_surrogate = F.exists(cps, lambda x: (x >= 0xD800) & (x <= 0xDFFF))
+    wire = F.concat(
+        F.lit("xn--"),
+        F.array_join(basic, ""),
+        F.when(b > 0, F.lit("-")).otherwise(F.lit("")),
+        encoded,
+    )
+    return F.when(~has_nonascii | has_surrogate, label).otherwise(wire)
+
+
+def idn_host_ascii(host: Column) -> Column:
+    """Whole-host IDN normalization: every dot-separated label through
+    ``_punycode_label``.  ASCII hosts (the overwhelming case) hit a
+    regex fast path and never touch the fold."""
+    puny = F.array_join(
+        F.transform(F.split(host, "\\."), _punycode_label), "."
+    )
+    return F.when(
+        host.isNull() | host.rlike("^[\\x00-\\x7f]*$"), host
+    ).otherwise(puny)
 
 
 def _host_group(suffix_rules: list[str] | None) -> Column:
@@ -442,10 +746,14 @@ def url_dedup(
     canon = (
         df if precanonicalized else url_canonicalize(df, url_col)
     ).select(F.col(id_col), "url_canon")
-    mins = (
-        canon.filter(F.col("url_canon").isNotNull())
-        .groupBy("url_canon")
-        .agg(F.min(id_col).alias("_canonical_id"))
+    # no NULL-filter before the aggregate: NULL join keys never match
+    # the equi-join below, so the semantics are identical, the null
+    # group's min is map-side-combined, and — decisive — a filter here
+    # would push down past the staged IDN/pct projections, substituting
+    # the whole fold into the Filter condition (measured 4-5× on this
+    # family).
+    mins = canon.groupBy("url_canon").agg(
+        F.min(id_col).alias("_canonical_id")
     )
     return canon.join(mins, "url_canon", "left").select(
         id_col,
@@ -770,7 +1078,8 @@ def robots_screen_resolved(
     )
     path_q = _path_query(F.col("url_canon"))
     joined = (
-        canon.filter(F.col("host").isNotNull())
+        url_canonicalize_parsed(df, url_col)
+        .select(F.col(id_col), "url_canon", "host")
         .withColumn("_path_q", path_q)
         .join(rules, "host", "left")
     )
@@ -836,10 +1145,8 @@ def host_profile(
     partials, so no count_distinct shuffle of raw rows) plus a one-row
     total broadcast back for the share division.  Unparseable rows
     (NULL host) are excluded — they have no host to attribute."""
-    canon = (
-        url_canonicalize(df, url_col)
-        .filter(F.col("host").isNotNull())
-        .withColumn("host", _host_group(suffix_rules))
+    canon = url_canonicalize_parsed(df, url_col).withColumn(
+        "host", _host_group(suffix_rules)
     )
     per_canon = canon.groupBy("host", "url_canon").agg(
         F.count(F.lit(1)).alias("_n")
@@ -894,19 +1201,18 @@ def host_scorecard(
     under local[32] AQE-broadcast plans, so the id-keyed composition
     stays — the branches all broadcast, and the bigram-LM score lineage
     dominates the runtime."""
-    canon = url_canonicalize(df, url_col).select(
+    # parsed variant: the host-NULL cut happens between the parse and
+    # IDN stages (see url_canonicalize_parsed), so no filter sits above
+    # the staged fold; the dedup's min-join ignores NULL keys anyway
+    canon = url_canonicalize_parsed(df, url_col).select(
         F.col(id_col), "url_canon", "host"
     )
-    screened = (
-        url_blocklist_screen(
-            canon,
-            blocked_host_suffixes,
-            blocked_path_terms,
-            precanonicalized=True,
-        )
-        .filter(F.col("host").isNotNull())
-        .withColumn("host", _host_group(suffix_rules))
-    )
+    screened = url_blocklist_screen(
+        canon,
+        blocked_host_suffixes,
+        blocked_path_terms,
+        precanonicalized=True,
+    ).withColumn("host", _host_group(suffix_rules))
     dups = url_dedup(canon, url_col, id_col, precanonicalized=True).select(
         id_col, "is_url_duplicate"
     )
@@ -978,10 +1284,8 @@ def per_host_cap_sample(
         raise ValueError(f"cap must be ≥ 1: {cap}")
     from pyspark.sql.window import Window
 
-    canon = (
-        url_canonicalize(df, url_col)
-        .filter(F.col("host").isNotNull())
-        .withColumn("host", _host_group(suffix_rules))
+    canon = url_canonicalize_parsed(df, url_col).withColumn(
+        "host", _host_group(suffix_rules)
     )
     w = Window.partitionBy("host").orderBy("_key", id_col)
     return (

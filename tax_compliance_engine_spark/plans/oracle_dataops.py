@@ -2991,7 +2991,177 @@ _SYNTH_URL_CASE = """CASE CAST(doc_id % 8 AS INTEGER)
     ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END"""
 
 
-def _url_canon_cte() -> str:
+_PUNY_ALPHA = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def _puny_cnt(lo: str, hi: str, lim: str) -> str:
+    """|{q in [lo, hi) : cps[q] < lim}| over the staged ``cps`` column
+    (0-based half-open → DuckDB's 1-based inclusive slice)."""
+    return (
+        f"CAST(len(list_filter(cps[CAST(({lo}) + 1 AS INTEGER):"
+        f"CAST(({hi}) AS INTEGER)], x -> x < ({lim}))) AS BIGINT)"
+    )
+
+
+def _puny_digits_sql(delta: str, bias: str) -> str:
+    """RFC 3492 §6.3 digit emission as a bounded fold over range(1, 15)
+    — mirrors webops._puny_digits.  Element field ``q`` carries the
+    step index; ``b`` threads the bias through the state (DuckDB
+    lambdas can't close over the outer lambda's variables).
+
+    DuckDB 1.0 list_reduce hazard (empirically pinned): struct fields
+    are evaluated IN DECLARATION ORDER with later fields seeing earlier
+    fields' NEW values — so reader fields must come before the fields
+    they read are overwritten.  Here ``out`` (reads q) precedes ``q``,
+    and the boolean done-flag is folded into a ``q = -1`` sentinel so
+    no field pair reads each other."""
+    t = (
+        "(CASE WHEN s.q * 36 <= a.b THEN CAST(1 AS BIGINT) "
+        "WHEN s.q * 36 >= a.b + 26 THEN CAST(26 AS BIGINT) "
+        "ELSE s.q * 36 - a.b END)"
+    )
+    return f"""list_reduce(
+      list_prepend({{'out': '', 'q': CAST({delta} AS BIGINT),
+                     'b': CAST({bias} AS BIGINT)}},
+        list_transform(range(1, 15),
+          i -> {{'out': '', 'q': CAST(i AS BIGINT),
+                 'b': CAST(0 AS BIGINT)}})),
+      (a, s) -> {{
+        'out': CASE WHEN a.q < 0 THEN a.out
+                    ELSE a.out || substr('{_PUNY_ALPHA}',
+                      CAST((CASE WHEN a.q < {t} THEN a.q
+                            ELSE {t} + (a.q - {t}) % (36 - {t}) END) + 1
+                        AS INTEGER), 1) END,
+        'q': CASE WHEN a.q < 0 THEN a.q
+                  WHEN a.q < {t} THEN CAST(-1 AS BIGINT)
+                  ELSE (a.q - {t}) // (36 - {t}) END,
+        'b': a.b}}).out"""
+
+
+def _puny_adapt_sql(delta: str, numpoints: str, first: str) -> str:
+    """RFC 3492 §6.1 bias adaptation as a bounded fold over
+    range(1, 13) — mirrors webops._puny_adapt.  Field order ``k`` (reads
+    d) before ``d`` (overwrites d), per the list_reduce hazard note on
+    _puny_digits_sql."""
+    d1 = f"(({delta}) // (CASE WHEN {first} THEN 700 ELSE 2 END))"
+    d2 = f"({d1} + {d1} // ({numpoints}))"
+    fold = f"""list_reduce(
+      list_prepend({{'k': CAST(0 AS BIGINT), 'd': CAST({d2} AS BIGINT)}},
+        list_transform(range(1, 13),
+          i -> {{'k': CAST(0 AS BIGINT), 'd': CAST(0 AS BIGINT)}})),
+      (m, n) -> {{'k': CASE WHEN m.d > 455 THEN m.k + 36 ELSE m.k END,
+                  'd': CASE WHEN m.d > 455 THEN m.d // 35 ELSE m.d END}})"""
+    return f"({fold}.k + (36 * {fold}.d) // ({fold}.d + 38))"
+
+
+def _puny_label_sql() -> str:
+    """The per-label punycode-encode expression over the staged columns
+    ``lab`` / ``chars`` / ``cps`` / ``nb`` — the RFC 3492 event fold
+    mirroring webops._punycode_label bit for bit (same closed-form
+    inter-emit deltas, same bounded inner folds).  Passthrough guard:
+    ASCII labels unchanged; astral codepoints unchanged on BOTH engines
+    (Spark sees UTF-16 surrogates 0xD800-0xDFFF, DuckDB sees the real
+    codepoint ≥ 0x10000 — both conditions are in the guard so the two
+    engines agree)."""
+    delta = (
+        "(CASE WHEN acc.prevp < 0 THEN (ev.c - 128) * (acc.h + 1) + "
+        + _puny_cnt("0", "ev.p", "ev.c")
+        + " WHEN ev.c = acc.m THEN "
+        + _puny_cnt("acc.prevp + 1", "ev.p", "ev.c")
+        + " ELSE "
+        + _puny_cnt("acc.prevp + 1", "len(cps)", "acc.m")
+        + " + 1 + (ev.c - acc.m - 1) * (acc.h + 1) + "
+        + _puny_cnt("0", "ev.p", "ev.c")
+        + " END)"
+    )
+    # field order per the list_reduce hazard note on _puny_digits_sql:
+    # readers first — out (reads bias/prevp/m/h via delta), then bias
+    # (reads prevp/m/h), then the plain overwrites h/m/prevp/c/p.
+    events = """list_transform(
+      list_sort(list_filter(
+        list_transform(range(1, len(cps) + 1),
+          i -> {'c': cps[CAST(i AS INTEGER)], 'p': CAST(i - 1 AS BIGINT)}),
+        e -> e.c >= 128)),
+      e -> {'out': '', 'bias': CAST(0 AS BIGINT), 'h': CAST(0 AS BIGINT),
+            'm': CAST(0 AS BIGINT), 'prevp': CAST(0 AS BIGINT),
+            'c': e.c, 'p': e.p})"""
+    init = """{'out': '', 'bias': CAST(72 AS BIGINT), 'h': nb,
+      'm': CAST(128 AS BIGINT), 'prevp': CAST(-1 AS BIGINT),
+      'c': CAST(0 AS BIGINT), 'p': CAST(0 AS BIGINT)}"""
+    step = f"""{{
+      'out': acc.out || {_puny_digits_sql(delta, "acc.bias")},
+      'bias': {_puny_adapt_sql(delta, "acc.h + 1", "acc.prevp < 0")},
+      'h': acc.h + 1, 'm': ev.c, 'prevp': ev.p,
+      'c': ev.c, 'p': ev.p}}"""
+    wire = f"""'xn--'
+      || coalesce(array_to_string(
+           list_filter(chars, c -> unicode(c) < 128), ''), '')
+      || CASE WHEN nb > 0 THEN '-' ELSE '' END
+      || list_reduce(list_prepend({init}, {events}),
+                     (acc, ev) -> {step}).out"""
+    return f"""CASE WHEN len(list_filter(cps, x -> x >= 128)) = 0
+        OR len(list_filter(cps,
+             x -> (x >= 55296 AND x <= 57343) OR x >= 65536)) > 0
+      THEN lab ELSE {wire} END"""
+
+
+def _idn_ctes() -> str:
+    """The IDN stage appended to the canon chain: non-ASCII hosts split
+    into labels (ASCII hosts never leave ``pre_idn`` — the same regex
+    fast path as webops.idn_host_ascii), each label punycode-encoded,
+    re-joined in label order, and ``url_canon`` rebuilt around the new
+    host (scheme + userinfo prefix kept, port/path/query tail kept)."""
+    prefix = (
+        "regexp_extract(p.url_canon, '^([a-z0-9+.-]+://([^/]*@)?)', 1)"
+    )
+    return f"""idn_split AS (
+  SELECT doc_id, generate_subscripts(ls, 1) AS li, unnest(ls) AS lab
+  FROM (SELECT doc_id, string_split(host, '.') AS ls FROM pre_idn
+        WHERE host IS NOT NULL
+          AND NOT regexp_matches(host, '^[\\x00-\\x7f]*$'))),
+idn_cols AS (
+  SELECT doc_id, li, lab, string_split(lab, '') AS chars,
+         list_transform(string_split(lab, ''),
+                        c -> CAST(unicode(c) AS BIGINT)) AS cps,
+         CAST(len(list_filter(list_transform(string_split(lab, ''),
+                c -> CAST(unicode(c) AS BIGINT)), x -> x < 128))
+           AS BIGINT) AS nb
+  FROM idn_split),
+idn_lab AS (SELECT doc_id, li, {_puny_label_sql()} AS plab FROM idn_cols),
+idn_host AS (SELECT doc_id, array_to_string(list(plab ORDER BY li), '.')
+                      AS hostp
+             FROM idn_lab GROUP BY doc_id),
+canon AS (
+  SELECT p.doc_id, p.url,
+    CASE WHEN r.hostp IS NULL OR r.hostp = p.host THEN p.url_canon
+         ELSE {prefix} || r.hostp
+              || substr(p.url_canon,
+                        length({prefix}) + length(p.host) + 1) END
+      AS url_canon,
+    coalesce(r.hostp, p.host) AS host
+  FROM pre_idn p LEFT JOIN idn_host r USING (doc_id))"""
+
+
+# twin of queries_dataops._synth_idn_url — IDENTICAL strings per doc_id%4
+_SYNTH_IDN_URL_CASE = (
+    "CASE CAST(doc_id % 4 AS INTEGER) "
+    "WHEN 0 THEN 'https://BÜCHER.' || source || '.example.com/docs/' "
+    "|| CAST(doc_id AS VARCHAR) "
+    "WHEN 1 THEN 'http://www.münchen-' || source || '.de:80/a?b=2&a=1' "
+    "WHEN 2 THEN 'https://xn--bcher-kva.' || source "
+    "|| '.example.com/docs/' || CAST(doc_id AS VARCHAR) "
+    "ELSE 'https://点看' || CAST(doc_id AS VARCHAR) || '.example.com/p' END"
+)
+
+
+def web_idn_canonical_sql() -> str:
+    """Twin of queries_dataops.web_idn_canonical: the full canon chain
+    (pct + parse + IDN stage) over the unicode-host fixture."""
+    return f"""WITH {_url_canon_cte(_SYNTH_IDN_URL_CASE)}
+SELECT doc_id, url, url_canon, host FROM canon ORDER BY doc_id"""
+
+
+def _url_canon_cte(url_case: str | None = None) -> str:
     """Shared URL-canonicalization CTE chain: the synthetic doc_id%8 URL
     (same CASE arms as queries_dataops._synth_url) parsed and normalized
     with the IDENTICAL RE2-safe regexes and operation order as
@@ -3012,7 +3182,7 @@ def _url_canon_cte() -> str:
                ELSE '%' || upper(substr(p, 1, 2)) || substr(p, 3) END
         ELSE '%' || p END"""
     return f"""urls AS (
-  SELECT doc_id, {_SYNTH_URL_CASE} AS url FROM documents),
+  SELECT doc_id, {url_case or _SYNTH_URL_CASE} AS url FROM documents),
 pct AS (
   SELECT doc_id, url,
          CASE WHEN strpos(url, '%') = 0 THEN url
@@ -3049,7 +3219,7 @@ up5 AS (
                AND NOT (scheme = 'https' AND port = '443')) AS keep_port,
     regexp_matches(host_port, '^[^:\\[\\]]*(:[0-9]+)?$') AS auth_ok
   FROM up4),
-canon AS (
+pre_idn AS (
   SELECT doc_id, url,
     CASE WHEN scheme <> '' AND auth_ok THEN
       scheme || '://'
@@ -3060,7 +3230,8 @@ canon AS (
         || CASE WHEN query_canon <> '' THEN '?' || query_canon ELSE '' END
     END AS url_canon,
     CASE WHEN scheme <> '' AND auth_ok THEN host0 END AS host
-  FROM up5)"""
+  FROM up5),
+{_idn_ctes()}"""
 
 
 def web_url_canonical_sql() -> str:

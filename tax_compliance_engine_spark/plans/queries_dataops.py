@@ -2666,6 +2666,38 @@ def web_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _synth_idn_url() -> F.Column:
+    """Unicode-host URL fixture (doc_id%4 arms): uppercase Unicode label
+    (exercises unicode lower + encode), a www.-prefixed mixed
+    Unicode/hyphen label with default port + unsorted params, the
+    PRE-ENCODED xn-- form of arm 0's label (must canonicalize to the
+    identical key shape), and a per-doc CJK label.  The DuckDB twin
+    builds the IDENTICAL strings."""
+    m = F.col("doc_id") % 4
+    src = F.col("source")
+    did = F.col("doc_id").cast("string")
+    return (
+        F.when(m == 0, F.concat(F.lit("https://BÜCHER."), src, F.lit(".example.com/docs/"), did))
+        .when(m == 1, F.concat(F.lit("http://www.münchen-"), src, F.lit(".de:80/a?b=2&a=1")))
+        .when(m == 2, F.concat(F.lit("https://xn--bcher-kva."), src, F.lit(".example.com/docs/"), did))
+        .otherwise(F.concat(F.lit("https://点看"), did, F.lit(".example.com/p")))
+    )
+
+
+def web_idn_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDN host normalization inside canonicalization
+    (webops.idn_host_ascii / _punycode_label): Unicode host labels
+    collapse to their RFC 3492 xn-- wire form — 'BÜCHER.x.example.com'
+    and 'xn--bcher-kva.x.example.com' become ONE canonical key, closing
+    the same dup-miss class percent-encoding closed for paths."""
+    from ..operators import webops
+
+    docs = _docs(spark, sf_dir).withColumn("url", _synth_idn_url())
+    return webops.url_canonicalize(docs).select(
+        "doc_id", "url", "url_canon", "host"
+    ).orderBy("doc_id")
+
+
 def web_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level boilerplate screen (webops.boilerplate_strip) over the
     extraction pipeline's output, with injected nav/cookie/footer noise
@@ -2775,10 +2807,7 @@ def _synth_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).withColumn("url", _synth_url())
     hosts = (
-        webops.url_canonicalize(docs)
-        .select("host")
-        .filter(F.col("host").isNotNull())
-        .distinct()
+        webops.url_canonicalize_parsed(docs).select("host").distinct()
     )
     body = (
         F.when(F.col("host").startswith("www."), F.lit(ROBOTS_BODY_WWW))

@@ -139,10 +139,10 @@ def streaming_host_cap(
 
     if cap < 1:
         raise ValueError(f"cap must be ≥ 1: {cap}")
-    canon = (
-        url_canonicalize(stream, url_col)
-        .filter(F.col("host").isNotNull())
-        .select(F.col(id_col).alias("doc_id"), "host", "url_canon")
+    from ..operators.webops import url_canonicalize_parsed
+
+    canon = url_canonicalize_parsed(stream, url_col).select(
+        F.col(id_col).alias("doc_id"), "host", "url_canon"
     )
 
     def func(key, pdfs, state: "GroupState"):

@@ -713,3 +713,74 @@ def test_boilerplate_strip_adversarial_lines(spark):
         spark.createDataFrame([(2, "Menu\nRead more")], "doc_id long, text string")
     ).collect()[0]
     assert r2.clean_text == "" and (r2.n_lines, r2.n_lines_kept) == (2, 0)
+
+
+def test_punycode_label_rfc3492_goldens(spark):
+    """RFC 3492 encoding goldens (values cross-checked against the
+    published spec examples / reference encoder): ASCII and existing
+    xn-- labels untouched, single and multi codepoint, all-Unicode
+    labels (empty basic part), CJK."""
+    cases = {
+        "plain": "plain",
+        "xn--bcher-kva": "xn--bcher-kva",   # already wire form
+        "bücher": "xn--bcher-kva",
+        "mañana": "xn--maana-pta",
+        "münchen": "xn--mnchen-3ya",
+        "bücher-größe": "xn--bcher-gre-n1a6wic",
+        "ü": "xn--tda",                      # no basic chars, no '-'
+        "点看": "xn--3pxu8k",                # CJK
+        "": "",
+    }
+    df = spark.createDataFrame([(s,) for s in cases], "label string")
+    got = {
+        r.label: r.puny
+        for r in df.select(
+            "label", webops._punycode_label(F.col("label")).alias("puny")
+        ).collect()
+    }
+    assert got == cases
+
+
+def test_idn_canonicalization_collapse_and_idempotence(spark):
+    """The dup-miss closes: a Unicode host, its MIXED-CASE form, and its
+    pre-encoded xn-- form all canonicalize to ONE key; url_canon is
+    rebuilt around the new host (userinfo/port/query preserved); ASCII
+    hosts untouched; a second canonicalization pass is a fixpoint."""
+    urls = [
+        (0, "https://bücher.example.com/docs/1"),
+        (1, "https://BÜCHER.Example.COM/docs/1"),
+        (2, "https://xn--bcher-kva.example.com/docs/1"),
+        (3, "http://user:pw@MÜNCHEN.de:80/a?b=2&a=1#f"),
+        (4, "https://点看.example.com:8443/path"),
+        (5, "http://plain.example.com/x"),
+        (6, "junk"),
+    ]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    got = {
+        r.doc_id: (r.url_canon, r.host)
+        for r in webops.url_canonicalize(df).collect()
+    }
+    assert got[0] == got[1] == got[2] == (
+        "https://xn--bcher-kva.example.com/docs/1",
+        "xn--bcher-kva.example.com",
+    )
+    assert got[3] == (
+        "http://user:pw@xn--mnchen-3ya.de/a?a=1&b=2",
+        "xn--mnchen-3ya.de",
+    )
+    assert got[4] == (
+        "https://xn--3pxu8k.example.com:8443/path",
+        "xn--3pxu8k.example.com",
+    )
+    assert got[5] == ("http://plain.example.com/x", "plain.example.com")
+    assert got[6] == (None, None)
+    # idempotence: canonicalizing the canonical URLs changes nothing
+    canon_urls = [
+        (k, v[0]) for k, v in got.items() if v[0] is not None
+    ]
+    df2 = spark.createDataFrame(canon_urls, "doc_id long, url string")
+    got2 = {
+        r.doc_id: (r.url_canon, r.host)
+        for r in webops.url_canonicalize(df2).collect()
+    }
+    assert got2 == {k: v for k, v in got.items() if v[0] is not None}
