@@ -852,6 +852,7 @@ def robots_screen(
     df: DataFrame,
     rules: list[tuple[str, str]],
     url_col: str = "url",
+    precanonicalized: bool = False,
 ) -> DataFrame:
     """Robots-exclusion screen (RFC 9309 / the REP semantics every
     crawler implements) against a CALLER-PROVIDED rule group — the
@@ -881,7 +882,7 @@ def robots_screen(
         if not pattern or pattern[0] not in "/*":
             raise ValueError(f"path pattern must start with / or *: {pattern!r}")
         parsed.append((d == "allow", pattern, _robots_pattern_to_re(pattern)))
-    canon = url_canonicalize(df, url_col)
+    canon = df if precanonicalized else url_canonicalize(df, url_col)
     tail = F.element_at(F.split(F.col("url_canon"), "://", 2), 2)
     path_q = F.substring(tail, F.locate("/", tail), F.lit(2**31 - 1))
     scores = [

@@ -176,3 +176,55 @@ def streaming_host_cap(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+ADMISSION_OUT_SCHEMA = "doc_id long, host string, url_canon string"
+
+
+def streaming_admission_screen(
+    stream: DataFrame,
+    blocked_host_suffixes: list[str],
+    blocked_path_terms: list[str] | None = None,
+    robots_rules: list[tuple[str, str]] | None = None,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Blocklist + robots ADMISSION screen at ingest — the crawl loop's
+    remaining batch-only screens as a streaming filter: a document is
+    admitted iff its URL parses, its canonical host/path passes the
+    blocklist (``webops.url_blocklist_screen`` rules), and the
+    caller-resolved robots rule group allows its path
+    (``webops.robots_screen`` semantics; no ``robots_rules`` →
+    everything robots-allowed).  Emits (doc_id, host, url_canon) for
+    admitted rows only; unparseable rows are NOT admitted (no host to
+    screen — quarantine upstream, the batch screens' stance).
+
+    Both screens are pure per-row Column expressions, so this op is
+    STATELESS: a drained run equals the batch composition row-for-row
+    by construction, restart/replay re-derives identical verdicts from
+    the rows alone (no state store, no watermark), and at 100 TB/day it
+    is an embarrassingly parallel map over the ingest stream.  The
+    stateful admission ops (``streaming_url_dedup``,
+    ``streaming_host_cap``) compose AFTER this screen — cheapest
+    filters first, so blocked/disallowed rows never reach the state
+    store."""
+    from ..operators.webops import (
+        robots_screen,
+        url_blocklist_screen,
+        url_canonicalize_parsed,
+    )
+
+    canon = url_canonicalize_parsed(stream, url_col)
+    screened = url_blocklist_screen(
+        canon,
+        blocked_host_suffixes,
+        blocked_path_terms,
+        precanonicalized=True,
+    )
+    if robots_rules:
+        screened = robots_screen(
+            screened, robots_rules, precanonicalized=True
+        ).filter(F.col("robots_allowed"))
+    return screened.filter(~F.col("blocked")).select(
+        F.col(id_col).alias("doc_id"), "host", "url_canon"
+    )

@@ -784,3 +784,78 @@ def test_idn_canonicalization_collapse_and_idempotence(spark):
         for r in webops.url_canonicalize(df2).collect()
     }
     assert got2 == {k: v for k, v in got.items() if v[0] is not None}
+
+
+def test_streaming_admission_screen_batch_equal(spark, tmp_path):
+    """Stateless blocklist+robots admission at ingest: the drained
+    admitted set equals the batch composition (blocklist pass AND robots
+    allow AND parseable) row-for-row; an empty re-drain emits nothing."""
+    from tax_compliance_engine_spark.streaming.web_stream import (
+        streaming_admission_screen,
+    )
+
+    schema = "doc_id long, url string"
+    rows = [
+        (1, "http://good.com/docs/1"),     # admitted
+        (2, "http://ads.com/x"),           # blocklisted host
+        (3, "http://sub.ads.com/x"),       # blocklisted subdomain
+        (4, "http://good.com/a?track=1"),  # blocklisted path term
+        (5, "http://good.com/private/1"),  # robots-disallowed
+        (6, "http://good.com/private/ok"), # robots longest-match allow
+        (7, "not a url"),                  # unparseable: quarantined
+        (8, "http://other.org/y"),         # admitted
+    ]
+    robots = [
+        ("disallow", "/private/"),
+        ("allow", "/private/ok"),
+    ]
+    src, out = tmp_path / "docs", tmp_path / "kept"
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(str(src))
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            streaming_admission_screen(
+                stream,
+                blocked_host_suffixes=["ads.com"],
+                blocked_path_terms=["track="],
+                robots_rules=robots,
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.schema(
+            "doc_id long, host string, url_canon string"
+        ).parquet(str(out))
+
+    got = sorted(
+        (r.doc_id, r.host, r.url_canon) for r in drain().collect()
+    )
+    # batch twin: the same screens composed eagerly
+    from tax_compliance_engine_spark.operators import webops
+
+    df = spark.createDataFrame(rows, schema)
+    batch = webops.robots_screen(
+        webops.url_blocklist_screen(df, ["ads.com"], ["track="]),
+        robots,
+        precanonicalized=True,
+    )
+    want = sorted(
+        (r.doc_id, r.host, r.url_canon)
+        for r in batch.filter(
+            F.col("host").isNotNull()
+            & ~F.col("blocked")
+            & F.col("robots_allowed")
+        ).collect()
+    )
+    assert got == want
+    assert [g[0] for g in got] == [1, 6, 8]
+    # idempotent empty re-drain: nothing new appears
+    assert sorted(
+        (r.doc_id, r.host, r.url_canon) for r in drain().collect()
+    ) == got
