@@ -174,6 +174,12 @@ BENCH_QUERIES = [
     "web_robots_screen",
     "web_domain_scorecard",
     "corpus_rule_tiered_sample",
+    # r13: IDN canonicalization, robots resolution + resolved screen,
+    # line-level boilerplate strip
+    "web_idn_canonical",
+    "web_robots_resolve",
+    "web_robots_screen_resolved",
+    "web_boilerplate_strip",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

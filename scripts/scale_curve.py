@@ -183,6 +183,13 @@ SCALE_QUERIES = [
     "web_robots_screen",
     "web_domain_scorecard",
     "corpus_rule_tiered_sample",
+    # r13: IDN canonicalization (unicode-host fixture), robots group
+    # resolution + resolved screen (data-driven patterns), line-level
+    # boilerplate strip
+    "web_idn_canonical",
+    "web_robots_resolve",
+    "web_robots_screen_resolved",
+    "web_boilerplate_strip",
 ]
 
 
