@@ -780,6 +780,12 @@ def oracle_sql() -> dict[str, str]:
         # web_robots_screen: RFC 9309 longest-match allow/disallow over
         # a caller-resolved rule group (r12)
         "web_robots_screen": oracle_dataops.web_robots_screen_sql(),
+        # web_admission_pipeline: the crawl-side END-TO-END composition
+        # under one hash gate — canonicalize once, blocklist + robots,
+        # URL dedup, extract, boilerplate strip, Gopher screen (r13)
+        "web_admission_pipeline": (
+            oracle_dataops.web_admission_pipeline_sql()
+        ),
         # web_idn_canonical: RFC 3492 punycode host normalization —
         # Unicode and xn-- host forms collapse to one canonical key (r13)
         "web_idn_canonical": oracle_dataops.web_idn_canonical_sql(),

@@ -190,6 +190,7 @@ SCALE_QUERIES = [
     "web_robots_resolve",
     "web_robots_screen_resolved",
     "web_boilerplate_strip",
+    "web_admission_pipeline",
 ]
 
 

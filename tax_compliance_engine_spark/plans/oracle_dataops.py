@@ -79,12 +79,15 @@ SELECT *,
 FROM stats"""
 
 
-def doc_rule_quality_sql() -> str:
+def doc_rule_quality_sql(source: str = "documents") -> str:
     """Twin of queries_dataops.doc_rule_quality: the identical Gopher
     rule arithmetic — shared whitespace words, chr(10) line split with
     trailing empties, non-overlapping replace-based '#'/'...' counts,
     distinct-stop-word membership sum, every ratio the same guarded
-    double division, rule booleans and verdict in the same order."""
+    double division, rule booleans and verdict in the same order.
+    ``source``: any relation exposing (doc_id, text) — the admission
+    pipeline feeds the boilerplate-cleaned text through the same
+    chain."""
     stop_sum = " + ".join(
         "(CASE WHEN list_contains(list_transform(words, w -> lower(w)),"
         f" '{s}') THEN 1 ELSE 0 END)"
@@ -94,7 +97,7 @@ def doc_rule_quality_sql() -> str:
   SELECT doc_id, text,
     {TOKENS.replace("t ->", "w ->").replace("t <>", "w <>")} AS words,
     string_split(text, chr(10)) AS lines
-  FROM documents),
+  FROM {source}),
 m AS (
   SELECT doc_id,
     len(words) AS n_words,
@@ -3289,10 +3292,12 @@ def web_extract_text_sql() -> str:
     )
 
 
-def _extract_text_ctes() -> tuple[str, str]:
-    """The markup→text CTE chain over the synthetic-HTML fixture,
-    shared by web_extract_text_sql and the boilerplate twin.  Returns
-    (cte_text, final_cte_name); the final CTE exposes (doc_id, s)."""
+def _extract_text_ctes(source: str = "documents") -> tuple[str, str]:
+    """The markup→text CTE chain over the synthetic-HTML fixture built
+    from ``source`` (any relation exposing doc_id/text), shared by
+    web_extract_text_sql, the boilerplate twin and the admission
+    pipeline.  Returns (cte_text, final_cte_name); the final CTE
+    exposes (doc_id, s)."""
     steps = [
         ("regexp_replace(s, '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g')"),
         ("regexp_replace(s, '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g')"),
@@ -3315,7 +3320,7 @@ def _extract_text_ctes() -> tuple[str, str]:
         ("regexp_replace(s, '\\n{2,}', chr(10), 'g')"),
         ("regexp_replace(s, '^\\s+|\\s+$', '', 'g')"),
     ]
-    ctes = [f"h0 AS (SELECT doc_id, {_SYNTH_HTML_CASE} AS s FROM documents)"]
+    ctes = [f"h0 AS (SELECT doc_id, {_SYNTH_HTML_CASE} AS s FROM {source})"]
     for i, expr in enumerate(steps):
         ctes.append(f"h{i + 1} AS (SELECT doc_id, {expr} AS s FROM h{i})")
     return ",\n".join(ctes), f"h{len(steps)}"
@@ -3329,12 +3334,6 @@ def web_boilerplate_strip_sql() -> str:
     (same constants as webops.BOILER_*), kept lines re-joined in line
     order (coalesced to '' — DuckDB's empty-list array_to_string is
     NULL)."""
-    from ..operators import webops
-
-    stops = ", ".join(f"'{w}'" for w in textops.STOPWORDS)
-    black = " OR ".join(
-        f"contains(lower(l), '{_q(t)}')" for t in webops.BOILER_BLACKLIST
-    )
     ctes, last = _extract_text_ctes()
     return f"""WITH {ctes},
 noisy AS (
@@ -3344,29 +3343,50 @@ noisy AS (
            || '© 2024 Example Corp All rights reserved' || chr(10)
            || 'Powered by JavaScript widgets' AS page_text
   FROM {last}),
-lined AS (SELECT doc_id, string_split(page_text, chr(10)) AS ls FROM noisy),
+{_boiler_ctes("noisy", "page_text")}
+SELECT doc_id, clean_text, n_lines, n_lines_kept
+FROM bp ORDER BY doc_id"""
+
+
+def _boiler_ctes(src: str, text_col: str) -> str:
+    """The line-screen CTE chain over ``src``'s ``text_col`` — explode
+    with ordinals, per-line word count / stop-word density / terminal
+    punctuation / blacklist containment (same constants as
+    webops.BOILER_*), kept lines re-joined in line order.  Ends in
+    ``bp(doc_id, clean_text, n_lines, n_lines_kept)`` (clean_text
+    coalesced to '' — DuckDB's empty-list array_to_string is NULL)."""
+    from ..operators import webops
+
+    stops = ", ".join(f"'{w}'" for w in textops.STOPWORDS)
+    black = " OR ".join(
+        f"contains(lower(l), '{_q(t)}')" for t in webops.BOILER_BLACKLIST
+    )
+    return f"""lined AS (SELECT doc_id, string_split({text_col}, chr(10)) AS ls
+          FROM {src}),
 lx AS (SELECT doc_id, generate_subscripts(ls, 1) AS i, unnest(ls) AS l
        FROM lined),
-sig AS (
+sig_b AS (
   SELECT doc_id, i, l,
          len(list_filter(string_split(l, ' '), t -> t <> '')) AS nw,
          len(list_filter(string_split(l, ' '),
                          t -> t <> '' AND lower(t) IN ({stops}))) AS sh
   FROM lx),
 keptl AS (
-  SELECT doc_id, i, l FROM sig
+  SELECT doc_id, i, l FROM sig_b
   WHERE nw >= {webops.BOILER_MIN_WORDS}
     AND (regexp_matches(l, '[.!?"]$')
          OR (nw > 0 AND CAST(sh AS DOUBLE) / CAST(nw AS DOUBLE)
                         >= {webops.BOILER_STOP_LOW}))
     AND NOT ({black})),
-agg AS (SELECT doc_id, list(l ORDER BY i) AS kl FROM keptl GROUP BY doc_id)
-SELECT n.doc_id,
-       coalesce(array_to_string(a.kl, chr(10)), '') AS clean_text,
-       CAST(len(string_split(n.page_text, chr(10))) AS INTEGER) AS n_lines,
-       CAST(coalesce(len(a.kl), 0) AS INTEGER) AS n_lines_kept
-FROM noisy n LEFT JOIN agg a USING (doc_id)
-ORDER BY n.doc_id"""
+agg_b AS (SELECT doc_id, list(l ORDER BY i) AS kl
+          FROM keptl GROUP BY doc_id),
+bp AS (
+  SELECT s.doc_id,
+         coalesce(array_to_string(a.kl, chr(10)), '') AS clean_text,
+         CAST(len(string_split(s.{text_col}, chr(10))) AS INTEGER)
+           AS n_lines,
+         CAST(coalesce(len(a.kl), 0) AS INTEGER) AS n_lines_kept
+  FROM {src} s LEFT JOIN agg_b a USING (doc_id))"""
 
 
 def web_robots_screen_sql(
@@ -3548,6 +3568,64 @@ SELECT c.doc_id,
          AS robots_allowed
 FROM canon c LEFT JOIN topr t2 USING (doc_id)
 ORDER BY c.doc_id"""
+
+
+def web_admission_pipeline_sql() -> str:
+    """Twin of queries_dataops.web_admission_pipeline: the crawl-side
+    end-to-end composition — the shared canon chain (pct + parse +
+    IDN), blocklist + robots verdicts on the canonical path, first-id
+    URL dedup among admitted rows, the extraction chain over the
+    sentence-terminated fixture, the boilerplate line screen, and the
+    Gopher rule chain over the CLEANED text (doc_rule_quality_sql with
+    the bp CTE as its source)."""
+    from ..operators.webops import _robots_pattern_to_re
+    from .queries_dataops import ROBOTS_FIXTURE_RULES
+
+    parsed = [
+        (d.lower() == "allow", p, _robots_pattern_to_re(p))
+        for d, p in ROBOTS_FIXTURE_RULES
+    ]
+    score_exprs = [
+        f"coalesce(CASE WHEN regexp_matches(path_q, '{_q(rx)}') "
+        f"THEN {2 * len(p) + int(allow)} END, -1)"
+        for allow, p, rx in parsed
+    ]
+    best = "greatest(" + ", ".join(score_exprs + ["-1"]) + ")"
+    blocked = (
+        "(host = 'src1.example.com' "
+        "OR ends_with(host, '.src1.example.com') "
+        "OR strpos(path_q, 'z=1') > 0)"
+    )
+    ctes_x, last_x = _extract_text_ctes("pipedocs")
+    rq_source = "(SELECT doc_id, clean_text AS text FROM bp)"
+    return f"""WITH pipedocs AS (
+  SELECT doc_id, text || '.' AS text FROM documents),
+{_url_canon_cte()},
+tails_p AS (
+  SELECT doc_id, host, url_canon, substr(t, strpos(t, '/')) AS path_q
+  FROM (SELECT doc_id, host, url_canon,
+               substr(url_canon, strpos(url_canon, '://') + 3) AS t
+        FROM canon WHERE host IS NOT NULL)),
+adm AS (
+  SELECT doc_id, host, url_canon
+  FROM (SELECT *, {best} AS best FROM tails_p)
+  WHERE NOT {blocked} AND (best = -1 OR best % 2 = 1)),
+mins_p AS (SELECT url_canon, MIN(doc_id) AS cid
+           FROM adm GROUP BY url_canon),
+kept AS (SELECT a.doc_id, a.host, a.url_canon
+         FROM adm a JOIN mins_p m USING (url_canon)
+         WHERE a.doc_id = m.cid),
+{ctes_x},
+bsrc AS (SELECT k.doc_id, h.s AS page_text
+         FROM kept k JOIN {last_x} h USING (doc_id)),
+{_boiler_ctes("bsrc", "page_text")},
+rq AS (SELECT doc_id, rules_passed, pass_gopher FROM (
+{doc_rule_quality_sql(source=rq_source)}
+))
+SELECT k.doc_id, k.host, k.url_canon, bp.n_lines_kept,
+       rq.rules_passed, rq.pass_gopher
+FROM kept k JOIN bp USING (doc_id) JOIN rq USING (doc_id)
+ORDER BY k.doc_id"""
 
 
 def web_domain_scorecard_sql(

@@ -2846,6 +2846,55 @@ def web_robots_screen_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "robots_rule", "robots_allowed").orderBy("doc_id")
 
 
+def web_admission_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END crawl admission pipeline under ONE hash gate — the
+    full fetch-side story composed the way a real ingest runs it:
+    canonicalize ONCE (pct + parse + IDN) → blocklist screen → robots
+    screen (caller-resolved group) → first-id URL dedup among admitted
+    rows → markup→text extraction → line-level boilerplate strip →
+    Gopher rule screen on the CLEANED text.  Each stage consumes the
+    previous stage's DataFrame directly; a bug in any stage or handoff
+    breaks the bit-exact twin (the corpus_clean_pipeline discipline,
+    crawl-side)."""
+    from ..operators import textops, webops
+
+    # sentence-terminate the fixture text (the synthetic corpus is one
+    # unpunctuated line per doc, which the boilerplate screen would
+    # rightly drop wholesale — a trailing period makes the content line
+    # survive while the markup noise lines still strip)
+    docs = (
+        _docs(spark, sf_dir)
+        .withColumn("text", F.concat(F.col("text"), F.lit(".")))
+        .withColumn("url", _synth_url())
+        .withColumn("html", _synth_html())
+    )
+    canon = webops.url_canonicalize_parsed(docs)
+    screened = webops.url_blocklist_screen(
+        canon, ["src1.example.com"], ["z=1"], precanonicalized=True
+    )
+    robots = webops.robots_screen(
+        screened, list(ROBOTS_FIXTURE_RULES), precanonicalized=True
+    )
+    admitted = robots.filter(~F.col("blocked") & F.col("robots_allowed"))
+    dd = (
+        webops.url_dedup(admitted, precanonicalized=True)
+        .filter(~F.col("is_url_duplicate"))
+        .select("doc_id")
+    )
+    kept = admitted.join(dd, "doc_id")
+    clean = webops.boilerplate_strip(
+        webops.html_extract_text(kept, out_col="_ext"), text_col="_ext"
+    )
+    ruled = textops.rule_quality_screen(clean, text_col="clean_text").select(
+        "doc_id", "rules_passed", "pass_gopher"
+    )
+    return (
+        clean.select("doc_id", "host", "url_canon", "n_lines_kept")
+        .join(ruled, "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def corpus_rule_tiered_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher rule screen COMPOSED with the curriculum sampler: the
     passed-rule count (0-7, inside quality_tiered_sample's [0, 10)
