@@ -957,34 +957,9 @@ def robots_resolve(
         raise ValueError("product_token must be non-empty")
     from pyspark.sql.window import Window
 
-    lines = robots.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(
-            F.split(
-                F.replace(F.col(body_col), F.lit("\r"), F.lit("")), "\n"
-            )
-        ).alias("_pos", "_line"),
-    ).withColumn("line_no", F.col("_pos") + 1)
-    decommented = F.regexp_extract("_line", "^([^#]*)", 1)
-    field = F.lower(
-        F.regexp_extract(decommented, "^[ \t]*([A-Za-z][A-Za-z-]*)[ \t]*:", 1)
-    )
-    value = F.regexp_extract(
-        decommented,
-        "^[ \t]*[A-Za-z][A-Za-z-]*[ \t]*:[ \t]*([^ \t]*)",
-        1,
-    )
-    parsed = (
-        lines.select(
-            "host",
-            "line_no",
-            field.alias("field"),
-            value.alias("value"),
-        )
-        .filter(
-            F.col("field").isin("user-agent", "allow", "disallow")
-            & (F.col("value") != "")
-        )
+    parsed = _robots_lines(robots, body_col, host_col).filter(
+        F.col("field").isin("user-agent", "allow", "disallow")
+        & (F.col("value") != "")
     )
     w = Window.partitionBy("host").orderBy("line_no")
     is_ua = F.col("field") == "user-agent"
@@ -1017,6 +992,65 @@ def robots_resolve(
             F.col("field").alias("directive"),
             F.col("value").alias("path_pattern"),
         )
+    )
+
+
+def _robots_lines(
+    robots: DataFrame, body_col: str, host_col: str
+) -> DataFrame:
+    """The shared robots.txt line parse: CR-stripped LF split with
+    1-based ordinals, comments cut, case-insensitive ``field: value``
+    recognition (value = first whitespace-free token).  Emits every
+    physical line as (host, line_no, field, value) — callers filter to
+    the record types they consume."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.split(
+                F.replace(F.col(body_col), F.lit("\r"), F.lit("")), "\n"
+            )
+        ).alias("_pos", "_line"),
+    ).withColumn("line_no", F.col("_pos") + 1)
+    decommented = F.regexp_extract("_line", "^([^#]*)", 1)
+    field = F.lower(
+        F.regexp_extract(decommented, "^[ \t]*([A-Za-z][A-Za-z-]*)[ \t]*:", 1)
+    )
+    value = F.regexp_extract(
+        decommented,
+        "^[ \t]*[A-Za-z][A-Za-z-]*[ \t]*:[ \t]*([^ \t]*)",
+        1,
+    )
+    return lines.select(
+        "host", "line_no", field.alias("field"), value.alias("value")
+    )
+
+
+def robots_sitemaps(
+    robots: DataFrame,
+    body_col: str = "robots_txt",
+    host_col: str = "host",
+) -> DataFrame:
+    """SITEMAP DISCOVERY from raw robots.txt bodies — the other record
+    type a crawl pipeline reads from the same fetch: per RFC 9309
+    §2.2.4 (other records) and the sitemaps.org protocol, ``Sitemap:``
+    lines are GROUP-INDEPENDENT (they apply regardless of any
+    user-agent group, so no resolution pass is involved) and their
+    value is an absolute URL.  Emits (host, line_no, sitemap_url) in
+    file order — one row per syntactically valid Sitemap line (the
+    value must parse as ``scheme://…``; relative or junk values are
+    dropped, the quarantine-not-guess stance).  Duplicate declarations
+    are preserved (callers dedup downstream — file order is evidence).
+
+    Same parse contract as ``robots_resolve`` (shared ``_robots_lines``)
+    and the same scale shape: one bounded explode, a row-local filter,
+    no shuffles at all."""
+    return (
+        _robots_lines(robots, body_col, host_col)
+        .filter(
+            (F.col("field") == "sitemap")
+            & F.col("value").rlike(_SCHEME_RE)
+        )
+        .select("host", "line_no", F.col("value").alias("sitemap_url"))
     )
 
 

@@ -3452,25 +3452,7 @@ def _robots_resolve_ctes(token: str) -> str:
     )
 
     tok = token.strip().lower()
-    return f"""hosts AS (SELECT DISTINCT host FROM canon WHERE host IS NOT NULL),
-bodies AS (
-  SELECT host,
-         CASE WHEN starts_with(host, 'www.') THEN '{_q(ROBOTS_BODY_WWW)}'
-              WHEN starts_with(host, 'files.') THEN '{_q(ROBOTS_BODY_FILES)}'
-              ELSE '{_q(ROBOTS_BODY_APEX)}' END AS body
-  FROM hosts),
-rawlines AS (
-  SELECT host, generate_subscripts(lines, 1) AS line_no, unnest(lines) AS line
-  FROM (SELECT host, string_split(replace(body, chr(13), ''), chr(10)) AS lines
-        FROM bodies)),
-parsedl AS (
-  SELECT host, line_no,
-         lower(regexp_extract(regexp_extract(line, '^([^#]*)', 1),
-                              '^[ \t]*([A-Za-z][A-Za-z-]*)[ \t]*:', 1)) AS field,
-         regexp_extract(regexp_extract(line, '^([^#]*)', 1),
-                        '^[ \t]*[A-Za-z][A-Za-z-]*[ \t]*:[ \t]*([^ \t]*)', 1)
-           AS value
-  FROM rawlines),
+    return f"""{_robots_lines_ctes()},
 rec AS (SELECT * FROM parsedl
         WHERE field IN ('user-agent', 'allow', 'disallow') AND value <> ''),
 flagged_l AS (
@@ -3499,6 +3481,52 @@ rrules AS (
   FROM grp g JOIN winners w USING (host, group_id)
   WHERE g.field <> 'user-agent' AND g.group_id > 0
     AND regexp_matches(g.value, '^[/*]'))"""
+
+
+def _robots_lines_ctes() -> str:
+    """The shared robots.txt LINE-PARSE CTEs over the fixture bodies
+    (identical strings to queries_dataops.ROBOTS_BODY_*): CR-stripped
+    LF split with 1-based ordinals, comment strip, field/value
+    extraction — ends in ``parsedl(host, line_no, field, value)``;
+    expects a ``canon`` CTE upstream."""
+    from .queries_dataops import (
+        ROBOTS_BODY_APEX,
+        ROBOTS_BODY_FILES,
+        ROBOTS_BODY_WWW,
+    )
+
+    return f"""hosts AS (SELECT DISTINCT host FROM canon WHERE host IS NOT NULL),
+bodies AS (
+  SELECT host,
+         CASE WHEN starts_with(host, 'www.') THEN '{_q(ROBOTS_BODY_WWW)}'
+              WHEN starts_with(host, 'files.') THEN '{_q(ROBOTS_BODY_FILES)}'
+              ELSE '{_q(ROBOTS_BODY_APEX)}' END AS body
+  FROM hosts),
+rawlines AS (
+  SELECT host, generate_subscripts(lines, 1) AS line_no, unnest(lines) AS line
+  FROM (SELECT host, string_split(replace(body, chr(13), ''), chr(10)) AS lines
+        FROM bodies)),
+parsedl AS (
+  SELECT host, line_no,
+         lower(regexp_extract(regexp_extract(line, '^([^#]*)', 1),
+                              '^[ \t]*([A-Za-z][A-Za-z-]*)[ \t]*:', 1)) AS field,
+         regexp_extract(regexp_extract(line, '^([^#]*)', 1),
+                        '^[ \t]*[A-Za-z][A-Za-z-]*[ \t]*:[ \t]*([^ \t]*)', 1)
+           AS value
+  FROM rawlines)"""
+
+
+def web_robots_sitemaps_sql() -> str:
+    """Twin of queries_dataops.web_robots_sitemaps: the shared line
+    parse, filtered to syntactically valid group-independent Sitemap
+    records in file order."""
+    return f"""WITH {_url_canon_cte()},
+{_robots_lines_ctes()}
+SELECT host, CAST(line_no AS INTEGER) AS line_no, value AS sitemap_url
+FROM parsedl
+WHERE field = 'sitemap'
+  AND regexp_matches(value, '^([A-Za-z][A-Za-z0-9+.-]*)://')
+ORDER BY host, line_no"""
 
 
 def web_robots_resolve_sql(token: str | None = None) -> str:

@@ -2766,17 +2766,20 @@ ROBOTS_TOKEN = "tce-crawler"
 # IDENTICAL strings, so the resolver — not the fixture — is the gate.
 ROBOTS_BODY_APEX = "\n".join([
     "# fixture A",
+    "Sitemap: https://apex.example.com/sitemap.xml",
     "User-agent: tce-crawler-img",
     "Disallow: /img/",
     "User-agent: tce-crawler",
     "User-agent: otherbot",
     "Disallow: /docs/",
     "Allow: /docs/1",
+    "Sitemap: https://apex.example.com/sitemap-2.xml",
     "User-agent: *",
     "Disallow: /",
 ])
 ROBOTS_BODY_WWW = "\r\n".join([
     "Disallow: /ignored-before-group",
+    "Sitemap: relative/sitemap.xml",
     "User-agent: tce",
     "Allow: /a/b",
     "User-agent: TCE-Crawler",
@@ -2793,6 +2796,7 @@ ROBOTS_BODY_FILES = "\n".join([
     "Allow: /f1$",
     "Disallow:",
     "Crawl-delay: 10",
+    "sitemap: HTTPS://files.example.com/s.xml",
     "User-agent: *",
     "Allow: /path/",
 ])
@@ -2892,6 +2896,19 @@ def web_admission_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean.select("doc_id", "host", "url_canon", "n_lines_kept")
         .join(ruled, "doc_id")
         .orderBy("doc_id")
+    )
+
+
+def web_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from raw robots.txt bodies
+    (webops.robots_sitemaps): group-independent ``Sitemap:`` records in
+    file order — absolute-URL values kept verbatim, relative/junk
+    values quarantined, case-insensitive field names, lines between
+    user-agent groups unaffected by any group resolution."""
+    from ..operators import webops
+
+    return webops.robots_sitemaps(_synth_robots(spark, sf_dir)).orderBy(
+        "host", "line_no"
     )
 
 

@@ -859,3 +859,32 @@ def test_streaming_admission_screen_batch_equal(spark, tmp_path):
     assert sorted(
         (r.doc_id, r.host, r.url_canon) for r in drain().collect()
     ) == got
+
+
+def test_robots_sitemaps_group_independent(spark):
+    """Sitemap records: discovered regardless of user-agent groups and
+    position, file order kept, case-insensitive field, relative URLs
+    quarantined, URL case preserved verbatim."""
+    body = "\n".join([
+        "Sitemap: https://a.com/s1.xml",       # before any group
+        "User-agent: somebot",
+        "Disallow: /",
+        "sitemap: HTTPS://a.com/S2.xml",       # inside a group, odd case
+        "Sitemap: relative/s.xml",             # not absolute: dropped
+        "User-agent: *",
+        # '#' starts a comment ANYWHERE in robots.txt, so a literal
+        # fragment is (correctly) cut with the rest of the line
+        "Sitemap: https://cdn.example/s3.xml#frag",
+    ])
+    robots = spark.createDataFrame(
+        [("a.com", body)], "host string, robots_txt string"
+    )
+    got = [
+        (r.line_no, r.sitemap_url)
+        for r in webops.robots_sitemaps(robots).orderBy("line_no").collect()
+    ]
+    assert got == [
+        (1, "https://a.com/s1.xml"),
+        (4, "HTTPS://a.com/S2.xml"),
+        (7, "https://cdn.example/s3.xml"),
+    ]
