@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "web_robots_screen_resolved",
     "web_boilerplate_strip",
     "web_admission_pipeline",
+    "web_robots_sitemaps",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

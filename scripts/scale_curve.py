@@ -191,6 +191,7 @@ SCALE_QUERIES = [
     "web_robots_screen_resolved",
     "web_boilerplate_strip",
     "web_admission_pipeline",
+    "web_robots_sitemaps",
 ]
 
 
