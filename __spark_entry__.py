@@ -806,6 +806,11 @@ def oracle_sql() -> dict[str, str]:
         # web_robots_sitemaps: group-independent Sitemap record
         # discovery from the same raw robots.txt fetch (r13)
         "web_robots_sitemaps": oracle_dataops.web_robots_sitemaps_sql(),
+        # web_robots_crawl_delay: host-level first-valid Crawl-delay
+        # extraction — the defensive-pacing number per host (r13)
+        "web_robots_crawl_delay": (
+            oracle_dataops.web_robots_crawl_delay_sql()
+        ),
         # corpus_rule_tiered_sample: Gopher passed-rule count as the
         # curriculum score — classifier-free quality tiering (r12)
         "corpus_rule_tiered_sample": (

@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "web_boilerplate_strip",
     "web_admission_pipeline",
     "web_robots_sitemaps",
+    "web_robots_crawl_delay",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

@@ -192,6 +192,7 @@ SCALE_QUERIES = [
     "web_boilerplate_strip",
     "web_admission_pipeline",
     "web_robots_sitemaps",
+    "web_robots_crawl_delay",
 ]
 
 

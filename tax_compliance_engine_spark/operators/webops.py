@@ -1054,6 +1054,44 @@ def robots_sitemaps(
     )
 
 
+def robots_crawl_delay(
+    robots: DataFrame,
+    body_col: str = "robots_txt",
+    host_col: str = "host",
+) -> DataFrame:
+    """CRAWL-DELAY extraction from raw robots.txt bodies — the third
+    record type the same fetch carries (non-standard but universally
+    emitted; Bing/Yandex honor it, Google ignores it).  HOST-LEVEL
+    first-value semantics: the FIRST syntactically valid
+    ``Crawl-delay:`` line per file wins regardless of user-agent
+    grouping — the conservative defensive-pacing reading (group-scoped
+    pacing would need the resolver's token + group machinery for a
+    number that callers apply per host anyway; documenting the
+    simplification, same honesty rule as the screens).  Value grammar:
+    non-negative decimal seconds; junk values quarantined.
+
+    Output: (host, line_no, crawl_delay double) — one row per host
+    that declares a valid delay.  One bounded explode + one host-keyed
+    min; no joins."""
+    delays = _robots_lines(robots, body_col, host_col).filter(
+        (F.col("field") == "crawl-delay")
+        & F.col("value").rlike("^[0-9]+(\\.[0-9]+)?$")
+    )
+    first = delays.groupBy("host").agg(
+        F.min(
+            F.struct(
+                F.col("line_no").alias("ln"),
+                F.col("value").cast("double").alias("d"),
+            )
+        ).alias("_first")
+    )
+    return first.select(
+        "host",
+        F.col("_first.ln").alias("line_no"),
+        F.col("_first.d").alias("crawl_delay"),
+    )
+
+
 def _robots_pattern_rx_col(pattern: Column) -> Column:
     """Column form of ``_robots_pattern_to_re`` for DATA-driven patterns
     (resolved from robots bodies, not a config list): trailing ``$``

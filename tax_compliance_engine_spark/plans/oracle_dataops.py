@@ -3529,6 +3529,22 @@ WHERE field = 'sitemap'
 ORDER BY host, line_no"""
 
 
+def web_robots_crawl_delay_sql() -> str:
+    """Twin of queries_dataops.web_robots_crawl_delay: the shared line
+    parse, valid decimal Crawl-delay records, first per host by line
+    number."""
+    return f"""WITH {_url_canon_cte()},
+{_robots_lines_ctes()}
+SELECT host, CAST(line_no AS INTEGER) AS line_no,
+       CAST(value AS DOUBLE) AS crawl_delay
+FROM (SELECT host, line_no, value,
+             row_number() OVER (PARTITION BY host ORDER BY line_no) AS rn
+      FROM parsedl
+      WHERE field = 'crawl-delay'
+        AND regexp_matches(value, '^[0-9]+(\\.[0-9]+)?$'))
+WHERE rn = 1 ORDER BY host"""
+
+
 def web_robots_resolve_sql(token: str | None = None) -> str:
     """Twin of queries_dataops.web_robots_resolve: the group-resolution
     CTE chain over the shared fixture bodies, winning rules in file

@@ -2766,6 +2766,7 @@ ROBOTS_TOKEN = "tce-crawler"
 # IDENTICAL strings, so the resolver — not the fixture — is the gate.
 ROBOTS_BODY_APEX = "\n".join([
     "# fixture A",
+    "Crawl-delay: 1.5",
     "Sitemap: https://apex.example.com/sitemap.xml",
     "User-agent: tce-crawler-img",
     "Disallow: /img/",
@@ -2779,6 +2780,7 @@ ROBOTS_BODY_APEX = "\n".join([
 ])
 ROBOTS_BODY_WWW = "\r\n".join([
     "Disallow: /ignored-before-group",
+    "Crawl-delay: fast",
     "Sitemap: relative/sitemap.xml",
     "User-agent: tce",
     "Allow: /a/b",
@@ -2799,6 +2801,7 @@ ROBOTS_BODY_FILES = "\n".join([
     "sitemap: HTTPS://files.example.com/s.xml",
     "User-agent: *",
     "Allow: /path/",
+    "crawl-delay: 99",
 ])
 
 
@@ -2909,6 +2912,18 @@ def web_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return webops.robots_sitemaps(_synth_robots(spark, sf_dir)).orderBy(
         "host", "line_no"
+    )
+
+
+def web_robots_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay extraction (webops.robots_crawl_delay): host-level
+    first-valid-value semantics over the raw bodies — decimal values
+    parse ('1.5'), junk values quarantine ('fast'), a later declaration
+    never displaces the first ('10' beats the trailing '99')."""
+    from ..operators import webops
+
+    return webops.robots_crawl_delay(_synth_robots(spark, sf_dir)).orderBy(
+        "host"
     )
 
 

@@ -888,3 +888,21 @@ def test_robots_sitemaps_group_independent(spark):
         (4, "HTTPS://a.com/S2.xml"),
         (7, "https://cdn.example/s3.xml"),
     ]
+
+
+def test_robots_crawl_delay_first_valid_wins(spark):
+    """Crawl-delay: decimal values parse, junk quarantines, the FIRST
+    valid declaration per host wins, hosts without one emit no row."""
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "Crawl-delay: fast\nUser-agent: *\ncrawl-delay: 2.5\nCrawl-delay: 9"),
+            ("b.com", "User-agent: *\nDisallow: /"),
+            ("c.com", "CRAWL-DELAY: 10"),
+        ],
+        "host string, robots_txt string",
+    )
+    got = {
+        r.host: (r.line_no, r.crawl_delay)
+        for r in webops.robots_crawl_delay(robots).collect()
+    }
+    assert got == {"a.com": (3, 2.5), "c.com": (1, 10.0)}
