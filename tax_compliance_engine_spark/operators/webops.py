@@ -1134,6 +1134,15 @@ def robots_screen_resolved(
     compilation is the honest price of data-driven patterns (config
     lists should keep using ``robots_screen``'s unrolled form).
 
+    ONE canonicalization lineage feeds everything (r14 — previously a
+    second ``url_canonicalize_parsed`` pass fed the rule join, doubling
+    both the executor parse and the per-action optimizer cost of
+    canon-bearing plans): the LEFT join keeps every doc row (NULL host
+    keys never match, so unparseable rows just carry NULL rule
+    columns), and the per-id max carries ``url_canon``/``host``
+    through the aggregate instead of joining back — one lineage, one
+    join, one shuffle.
+
     Appends ``robots_rule`` and ``robots_allowed`` to (id, url_canon,
     host).  Tie-break provenance: among rules with the winning score,
     the SMALLEST line number labels the row (file order — mirrors the
@@ -1149,13 +1158,9 @@ def robots_screen_resolved(
     canon = url_canonicalize(df, url_col).select(
         F.col(id_col), "url_canon", "host"
     )
-    path_q = _path_query(F.col("url_canon"))
-    joined = (
-        url_canonicalize_parsed(df, url_col)
-        .select(F.col(id_col), "url_canon", "host")
-        .withColumn("_path_q", path_q)
-        .join(rules, "host", "left")
-    )
+    joined = canon.withColumn(
+        "_path_q", _path_query(F.col("url_canon"))
+    ).join(rules, "host", "left")
     score = F.when(
         F.col("path_pattern").isNotNull()
         & F.regexp_like("_path_q", F.col("_rx")),
@@ -1167,34 +1172,30 @@ def robots_screen_resolved(
         ),
         F.col("path_pattern"),
     )
-    matched = (
-        joined.withColumn("_score", score)
-        .filter(F.col("_score").isNotNull())
-        .groupBy(id_col)
-        .agg(
-            F.max(
+    agged = joined.groupBy(id_col).agg(
+        F.max("url_canon").alias("url_canon"),
+        F.max("host").alias("host"),
+        F.max(
+            F.when(
+                score.isNotNull(),
                 F.struct(
-                    F.col("_score").alias("s"),
+                    score.alias("s"),
                     (-F.col("line_no")).alias("_neg_ln"),
                     label.alias("lab"),
-                )
-            ).alias("_top")
-        )
-        .select(
-            id_col,
-            F.col("_top.s").alias("_best"),
-            F.col("_top.lab").alias("_lab"),
-        )
+                ),
+            )
+        ).alias("_top"),
     )
     host_ok = F.col("host").isNotNull()
-    return canon.join(matched, id_col, "left").select(
+    return agged.select(
         id_col,
         "url_canon",
         "host",
-        F.when(host_ok, F.col("_lab")).alias("robots_rule"),
+        F.when(host_ok, F.col("_top.lab")).alias("robots_rule"),
         F.when(
             host_ok,
-            F.col("_best").isNull() | (F.pmod("_best", F.lit(2)) == 1),
+            F.col("_top.s").isNull()
+            | (F.pmod(F.col("_top.s"), F.lit(2)) == 1),
         ).alias("robots_allowed"),
     )
 
