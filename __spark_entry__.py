@@ -811,6 +811,10 @@ def oracle_sql() -> dict[str, str]:
         "web_robots_crawl_delay": (
             oracle_dataops.web_robots_crawl_delay_sql()
         ),
+        # web_sitemap_urls: sitemap DOCUMENT parsing — urlset/
+        # sitemapindex tag-walk, loc CDATA/entity handling,
+        # absolute-URL quarantine, lastmod date part (r14)
+        "web_sitemap_urls": oracle_dataops.web_sitemap_urls_sql(),
         # corpus_rule_tiered_sample: Gopher passed-rule count as the
         # curriculum score — classifier-free quality tiering (r12)
         "corpus_rule_tiered_sample": (

@@ -3381,11 +3381,18 @@ keptl AS (
 agg_b AS (SELECT doc_id, list(l ORDER BY i) AS kl
           FROM keptl GROUP BY doc_id),
 bp AS (
+  -- NULL source text propagates NULL outputs (Spark's split/size/
+  -- array_join NULL semantics); the ''-coalesce only applies to rows
+  -- that HAVE text but kept no lines (r14, ADVICE divergence fix)
   SELECT s.doc_id,
-         coalesce(array_to_string(a.kl, chr(10)), '') AS clean_text,
+         CASE WHEN s.{text_col} IS NOT NULL
+              THEN coalesce(array_to_string(a.kl, chr(10)), '')
+         END AS clean_text,
          CAST(len(string_split(s.{text_col}, chr(10))) AS INTEGER)
            AS n_lines,
-         CAST(coalesce(len(a.kl), 0) AS INTEGER) AS n_lines_kept
+         CASE WHEN s.{text_col} IS NOT NULL
+              THEN CAST(coalesce(len(a.kl), 0) AS INTEGER)
+         END AS n_lines_kept
   FROM {src} s LEFT JOIN agg_b a USING (doc_id))"""
 
 
@@ -3543,6 +3550,73 @@ FROM (SELECT host, line_no, value,
       WHERE field = 'crawl-delay'
         AND regexp_matches(value, '^[0-9]+(\\.[0-9]+)?$'))
 WHERE rn = 1 ORDER BY host"""
+
+
+def web_sitemap_urls_sql() -> str:
+    """Twin of queries_dataops.web_sitemap_urls: identical fixture
+    bodies (shared constants), identical RE2-compatible regexes — kind
+    gate, per-kind block extraction with 1-based ordinals, loc
+    trim/CDATA-unwrap/entity-decode, absolute-URL quarantine, lastmod
+    date part via try_cast."""
+    from .queries_dataops import (
+        SITEMAP_BODY_INDEX,
+        SITEMAP_BODY_JUNK,
+        SITEMAP_BODY_URLSET,
+    )
+
+    return f"""WITH {_url_canon_cte()},
+hosts AS (SELECT DISTINCT host FROM canon WHERE host IS NOT NULL),
+smaps AS (
+  SELECT host, 'https://' || host || '/sitemap.xml' AS sitemap_url,
+         CASE WHEN starts_with(host, 'www.') THEN '{_q(SITEMAP_BODY_URLSET)}'
+              WHEN starts_with(host, 'files.') THEN '{_q(SITEMAP_BODY_INDEX)}'
+              ELSE '{_q(SITEMAP_BODY_JUNK)}' END AS body
+  FROM hosts),
+kinds AS (
+  SELECT *, CASE WHEN regexp_matches(body, '(?is)<sitemapindex\\b')
+                 THEN 'index'
+                 WHEN regexp_matches(body, '(?is)<urlset\\b')
+                 THEN 'urlset' END AS kind
+  FROM smaps),
+blocks AS (
+  SELECT host, sitemap_url, kind,
+         CASE WHEN kind = 'index'
+              THEN regexp_extract_all(body,
+                     '(?is)<sitemap\\b[^>]*>(.*?)</sitemap\\s*>', 1)
+              WHEN kind = 'urlset'
+              THEN regexp_extract_all(body,
+                     '(?is)<url\\b[^>]*>(.*?)</url\\s*>', 1) END AS blks
+  FROM kinds),
+ex AS (
+  SELECT host, sitemap_url, kind,
+         generate_subscripts(blks, 1) AS ord, unnest(blks) AS blk
+  FROM blocks),
+fields AS (
+  SELECT host, sitemap_url, kind, ord,
+         regexp_replace(regexp_extract(blk,
+             '(?is)<loc[^>]*>(.*?)</loc\\s*>', 1),
+             '^\\s+|\\s+$', '', 'g') AS raw_loc,
+         regexp_replace(regexp_extract(blk,
+             '(?is)<lastmod[^>]*>(.*?)</lastmod\\s*>', 1),
+             '^\\s+|\\s+$', '', 'g') AS raw_lm
+  FROM ex),
+locs AS (
+  SELECT host, sitemap_url, kind, ord,
+         CASE WHEN regexp_matches(raw_loc, '(?s)^<!\\[CDATA\\[.*\\]\\]>$')
+              THEN regexp_replace(regexp_extract(raw_loc,
+                     '(?s)^<!\\[CDATA\\[(.*)\\]\\]>$', 1),
+                     '^\\s+|\\s+$', '', 'g')
+              ELSE replace(replace(replace(replace(replace(replace(raw_loc,
+                     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                     '&#39;', ''''), '&apos;', ''''), '&amp;', '&')
+         END AS loc,
+         CASE WHEN regexp_matches(raw_lm, '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}')
+              THEN try_cast(substr(raw_lm, 1, 10) AS DATE) END AS lastmod
+  FROM fields)
+SELECT host, sitemap_url, kind, CAST(ord AS INTEGER) AS ord, loc, lastmod
+FROM locs
+WHERE regexp_matches(loc, '^([A-Za-z][A-Za-z0-9+.-]*)://')
+ORDER BY host, ord"""
 
 
 def web_robots_resolve_sql(token: str | None = None) -> str:

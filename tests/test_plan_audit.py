@@ -414,3 +414,61 @@ def test_refund_claims_salted_plan_fans_hot_state(spark):
     assert fanned, (
         "collect_list does not run under the salted grouping:\n" + plan
     )
+
+
+def test_idn_fence_effect_is_pinned_in_optimized_plans(spark):
+    """The IDN fold's one-element-shuffle NONDETERMINISM FENCE
+    (webops._idn_fenced_cached) only works while Catalyst actually
+    treats it as nondeterministic: if a future Spark version constant-
+    folds or special-cases 1-element shuffle, the fence disappears
+    silently and InferFiltersFromConstraints + PushDownPredicates
+    substitute the ENTIRE fold into inferred isnotnull(join-key)
+    Filters again (the measured 4-8x regression).  Pin the EFFECT, not
+    just the fence's presence (r14 ADVICE fix):
+
+    - the optimized plan still CONTAINS the shuffle wrapper (not
+      folded away), exactly once per canonicalization lineage;
+    - no Filter node's condition contains the fold subtree.
+    """
+    from tax_compliance_engine_spark.operators import webops
+
+    docs = spark.createDataFrame(
+        [(1, "http://a.com/x"), (2, "http://bücher.com/y"), (3, "junk")],
+        "doc_id long, url string",
+    )
+
+    canon_plan = (
+        webops.url_canonicalize(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert canon_plan.count("shuffle(") == 1, (
+        "the 1-element-shuffle fence was folded away (or duplicated) — "
+        "the fold is no longer exactly one staged evaluation"
+    )
+    assert canon_plan.count("xn--") == 1, (
+        "the IDN fold appears more than once in a single "
+        "canonicalization lineage"
+    )
+
+    # a consumer whose equi-join/aggregate historically triggered the
+    # inferred-filter substitution: url_dedup (groupBy url_canon + join
+    # back).  Two lineages by design (the keep-every-row join shape);
+    # what must NEVER happen is a Filter carrying the fold.
+    dedup_plan = (
+        webops.url_dedup(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert dedup_plan.count("shuffle(") == 2, (
+        "url_dedup's fold evaluation count changed — either the fence "
+        "was folded away or a lineage was added/removed; re-audit"
+    )
+    for line in dedup_plan.split("\n"):
+        if "Filter " in line:
+            assert "shuffle(" not in line and "xn--" not in line, (
+                "the IDN fold was substituted into a Filter condition — "
+                "the nondeterminism fence stopped working"
+            )

@@ -906,3 +906,94 @@ def test_robots_crawl_delay_first_valid_wins(spark):
         for r in webops.robots_crawl_delay(robots).collect()
     }
     assert got == {"a.com": (3, 2.5), "c.com": (1, 10.0)}
+
+
+def test_sitemap_urls_goldens(spark):
+    """Sitemap document parse: urlset vs sitemapindex kinds, entity
+    decode, CDATA content literal (no entity decode inside), relative
+    and loc-less entries dropped with ord GAPS, junk lastmod NULL,
+    impossible calendar date NULL, uppercase scheme kept, HTML error
+    page emits nothing (the <url> block inside it never leaks)."""
+    urlset = "\n".join([
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">',
+        "<url><loc>https://a.com/p?x=1&amp;y=2</loc>"
+        "<lastmod>2024-05-07</lastmod></url>",
+        "<url><loc> <![CDATA[https://a.com/cdata&amp;lit]]> </loc>"
+        "<lastmod>2024-01-15T09:30:00+02:00</lastmod></url>",
+        "<url><loc>/relative</loc></url>",
+        "<url><lastmod>2024-06-02</lastmod></url>",
+        "<url><loc>https://a.com/j</loc><lastmod>soon</lastmod></url>",
+        "<url><loc>HTTPS://A.com/up</loc><lastmod>2024-02-30</lastmod></url>",
+        "</urlset>",
+    ])
+    index = (
+        "<sitemapindex><sitemap><loc>https://b.com/s1.xml</loc>"
+        "<lastmod>2024-03-01</lastmod></sitemap>"
+        "<sitemap><loc>rel.xml</loc></sitemap>"
+        "<sitemap><loc>https://b.com/s2.xml</loc></sitemap></sitemapindex>"
+    )
+    junk = (
+        "<html><body><url><loc>https://trap.com/</loc></url></body></html>"
+    )
+    df = spark.createDataFrame(
+        [
+            ("a.com", "https://a.com/sitemap.xml", urlset),
+            ("b.com", "https://b.com/sitemap.xml", index),
+            ("c.com", "https://c.com/sitemap.xml", junk),
+        ],
+        "host string, sitemap_url string, sitemap_xml string",
+    )
+    rows = [
+        (r.host, r.kind, r.ord, r.loc, None if r.lastmod is None else str(r.lastmod))
+        for r in webops.sitemap_urls(df).orderBy("host", "ord").collect()
+    ]
+    assert rows == [
+        ("a.com", "urlset", 1, "https://a.com/p?x=1&y=2", "2024-05-07"),
+        ("a.com", "urlset", 2, "https://a.com/cdata&amp;lit", "2024-01-15"),
+        ("a.com", "urlset", 5, "https://a.com/j", None),
+        ("a.com", "urlset", 6, "HTTPS://A.com/up", None),
+        ("b.com", "index", 1, "https://b.com/s1.xml", "2024-03-01"),
+        ("b.com", "index", 3, "https://b.com/s2.xml", None),
+    ]
+
+
+def test_boilerplate_strip_null_text_twin_parity(spark):
+    """NULL source text must NULL-propagate IDENTICALLY in both engines
+    (clean_text/n_lines/n_lines_kept all NULL) — the fixture space
+    never produces NULL text, so the sweep can't see this divergence
+    class; pinned here directly (r14 ADVICE fix)."""
+    import duckdb
+
+    from tax_compliance_engine_spark.plans import oracle_dataops as od
+
+    rows = [
+        (0, None),
+        (1, "Menu\nThe quick brown fox jumped over the lazy dog."),
+        (2, "Menu"),  # has text, keeps nothing -> '' not NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, page_text string")
+    spark_rows = sorted(
+        (r.doc_id, r.clean_text, r.n_lines, r.n_lines_kept)
+        for r in webops.boilerplate_strip(df, text_col="page_text")
+        .select("doc_id", "clean_text", "n_lines", "n_lines_kept")
+        .collect()
+    )
+    vals = (
+        "(CAST(0 AS BIGINT), CAST(NULL AS VARCHAR)), "
+        "(1, 'Menu' || chr(10)"
+        " || 'The quick brown fox jumped over the lazy dog.'), "
+        "(2, 'Menu')"
+    )
+    duck_rows = sorted(
+        duckdb.connect()
+        .execute(
+            f"WITH src AS (SELECT * FROM (VALUES {vals})"
+            f" AS t(doc_id, page_text)),\n"
+            + od._boiler_ctes("src", "page_text")
+            + "\nSELECT doc_id, clean_text, n_lines, n_lines_kept FROM bp"
+        )
+        .fetchall()
+    )
+    assert spark_rows == duck_rows
+    assert spark_rows[0] == (0, None, None, None)
+    assert spark_rows[2][1] == ""
