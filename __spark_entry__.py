@@ -815,6 +815,9 @@ def oracle_sql() -> dict[str, str]:
         # sitemapindex tag-walk, loc CDATA/entity handling,
         # absolute-URL quarantine, lastmod date part (r14)
         "web_sitemap_urls": oracle_dataops.web_sitemap_urls_sql(),
+        # web_recrawl_budget: scorecard rank × Crawl-delay politeness
+        # -> per-host fetch allocation for the next crawl window (r14)
+        "web_recrawl_budget": oracle_dataops.web_recrawl_budget_sql(),
         # corpus_rule_tiered_sample: Gopher passed-rule count as the
         # curriculum score — classifier-free quality tiering (r12)
         "corpus_rule_tiered_sample": (

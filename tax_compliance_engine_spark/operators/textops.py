@@ -118,7 +118,11 @@ def quality_score(stats: DataFrame) -> DataFrame:
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
-def rule_quality_screen(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def rule_quality_screen(
+    docs: DataFrame,
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+) -> DataFrame:
     """Gopher-style RULE-BASED quality screen (Rae et al. 2021 Appendix
     A; the same heuristic family RedPajama/C4 reuse) — the cheap
     pre-classifier pass every web-corpus build runs before any model
@@ -133,8 +137,13 @@ def rule_quality_screen(docs: DataFrame, text_col: str = "text") -> DataFrame:
       4. ≤ 90% of lines start with a bullet ('•', '- ', '* ')
       5. ≤ 30% of lines end with an ellipsis ('...' or '…')
       6. ≥ 80% of words contain ≥ 1 alphabetic character
-      7. ≥ 2 distinct Gopher stop words present (case-insensitive:
-         sentence-initial 'The'/'Be' count, per the published intent)
+      7. ≥ 2 distinct stop words present (case-insensitive:
+         sentence-initial 'The'/'Be' count, per the published intent).
+         ``stopwords`` swaps the English ``GOPHER_STOPWORDS`` default
+         for a caller-provided list (multilingual corpora pass their
+         language's list, the same caller-data pattern as
+         ``suffix_rules``); values are lowercased, list must be
+         non-empty
 
     Honesty boundary: rule 6's "alphabetic" is ASCII ``[a-zA-Z]`` only —
     non-Latin-script words count as non-alphabetic, so the screen is
@@ -185,12 +194,15 @@ def rule_quality_screen(docs: DataFrame, text_col: str = "text") -> DataFrame:
     alpha_word_frac = F.when(
         n_words > 0, alpha_words.cast("double") / nw_d
     ).otherwise(F.lit(0.0))
+    stops = [
+        w.lower()
+        for w in (GOPHER_STOPWORDS if stopwords is None else stopwords)
+    ]
+    if not stops:
+        raise ValueError("stopwords must be non-empty")
     words_lc = F.transform(words, F.lower)
     n_stop_hits = sum(
-        (
-            F.array_contains(words_lc, s).cast("int")
-            for s in GOPHER_STOPWORDS
-        ),
+        (F.array_contains(words_lc, s).cast("int") for s in stops),
         F.lit(0),
     )
     rules = {

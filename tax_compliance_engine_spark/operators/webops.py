@@ -692,6 +692,8 @@ def boilerplate_strip(
     df: DataFrame,
     text_col: str = "text",
     out_col: str = "clean_text",
+    neighbor_rescue: bool = True,
+    stopwords: list[str] | None = None,
 ) -> DataFrame:
     """Line-level BOILERPLATE screen over extracted text — the pass
     between ``html_extract_text`` (which turns block tags into
@@ -703,25 +705,45 @@ def boilerplate_strip(
     in terminal punctuation (``. ! ? "``) or has ≥ 30% stop-word
     density, AND contains no blacklist term (case-insensitive).
 
-    Heuristic honesty: this is the LINE-LOCAL subset of jusText — no
-    link density (tags are already stripped) and no context-sensitive
-    near-good reclassification (needs sequential block context); the
-    published defaults are tuned for English (the stop list is
-    ``textops.STOPWORDS``).
+    CONTEXT PASS (r14, jusText's near-good reclassification adapted to
+    the line analog; Pomikálek 2011 §3.3): a NEAR-GOOD line — one that
+    fails ONLY the word-count rule (1 ≤ words < 4, still terminal-
+    punctuated or stop-dense, still blacklist-free) — is RESCUED when
+    both its physical neighbors are locally-kept lines, so a short
+    sentence between two kept paragraphs survives while the same line
+    isolated in boilerplate still strips.  Single non-iterative pass
+    (neighbors must be LOCALLY kept, rescued lines don't chain);
+    the punctuation/stop-density and blacklist rules are never
+    forgiven.  ``neighbor_rescue=False`` restores the pure line-local
+    screen.
+
+    Heuristic honesty: no link density (tags are already stripped);
+    the published thresholds are tuned for English and the default stop
+    list is ``textops.STOPWORDS`` — ``stopwords`` swaps it for a
+    caller-provided list (multilingual corpora pass their language's
+    list, the same caller-data pattern as ``suffix_rules``); values are
+    lowercased, list must be non-empty.
 
     Appends ``out_col`` (kept lines re-joined with newlines, '' when
     nothing survives), ``n_lines`` and ``n_lines_kept``.  One row-local
-    projection (split → per-line higher-order filter → rejoin — the
-    span-strip machinery pattern), zero UDFs, zero shuffles; the HOF
-    is staged as its own aliased projection to keep neighbors
-    codegen'd."""
+    projection (split → per-line flag array → index-aware filter →
+    rejoin), zero UDFs, zero SHUFFLES — the context pass is an
+    in-array neighborhood read (``element_at`` on the staged flag
+    array with clamped indexes; Spark's ``&`` doesn't short-circuit,
+    so the bounds guards alone would not prevent an out-of-range
+    element_at error).  The HOF is staged as its own aliased
+    projection to keep neighbors codegen'd."""
     from .textops import STOPWORDS
 
-    def keep(line: Column) -> Column:
+    stops = [w.lower() for w in (STOPWORDS if stopwords is None else stopwords)]
+    if not stops:
+        raise ValueError("stopwords must be non-empty")
+
+    def flags(line: Column) -> Column:
         toks = F.filter(F.split(line, " "), lambda t: t != "")
         n_words = F.size(toks)
         stop_hits = F.size(
-            F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))
+            F.filter(toks, lambda t: F.lower(t).isin(*stops))
         )
         density = stop_hits.cast("double") / n_words.cast("double")
         terminal = line.rlike('[.!?"]$')
@@ -729,22 +751,44 @@ def boilerplate_strip(
         for term in BOILER_BLACKLIST:
             hit = F.contains(F.lower(line), F.lit(term))
             black = hit if black is None else (black | hit)
-        return (
-            (n_words >= BOILER_MIN_WORDS)
-            & (terminal | (density >= BOILER_STOP_LOW))
-            & ~black
+        quality = terminal | (density >= BOILER_STOP_LOW)
+        return F.struct(
+            ((n_words >= BOILER_MIN_WORDS) & quality & ~black).alias("k"),
+            (
+                (n_words >= 1)
+                & (n_words < BOILER_MIN_WORDS)
+                & quality
+                & ~black
+            ).alias("g"),
         )
 
     lines = F.split(F.col(text_col), "\n")
     staged = df.withColumn("_lines", lines).withColumn(
-        "_kept", F.filter(F.col("_lines"), keep)
+        "_flags", F.transform(F.col("_lines"), flags)
+    )
+    n = F.size("_flags")
+
+    def final_keep(line: Column, i: Column) -> Column:
+        cur = F.element_at(F.col("_flags"), i + 1)
+        if not neighbor_rescue:
+            return cur["k"]
+        # clamped indexes: the bounds conjuncts falsify the rescue arm
+        # on edge lines, the clamps keep element_at in range regardless
+        prev = F.element_at(F.col("_flags"), F.greatest(i, F.lit(1)))
+        nxt = F.element_at(F.col("_flags"), F.least(i + 2, n))
+        return cur["k"] | (
+            cur["g"] & (i >= 1) & (i <= n - 2) & prev["k"] & nxt["k"]
+        )
+
+    staged = staged.withColumn(
+        "_kept", F.filter(F.col("_lines"), final_keep)
     )
     return staged.select(
         "*",
         F.array_join("_kept", "\n").alias(out_col),
         F.size("_lines").alias("n_lines"),
         F.size("_kept").alias("n_lines_kept"),
-    ).drop("_lines", "_kept")
+    ).drop("_lines", "_flags", "_kept")
 
 
 def url_dedup(
@@ -1116,6 +1160,135 @@ def robots_crawl_delay(
         "host",
         F.col("_first.ln").alias("line_no"),
         F.col("_first.d").alias("crawl_delay"),
+    )
+
+
+def recrawl_budget(
+    scorecard: DataFrame,
+    robots: DataFrame,
+    window_sec: float = 3600.0,
+    default_delay: float = 1.0,
+    min_delay: float = 0.1,
+    tier_shares: tuple[float, ...] = (1.0, 0.5, 0.25, 0.1),
+    score_col: str = "mean_score",
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """PER-HOST FETCH-BUDGET ALLOCATION — the table a crawler's
+    scheduler actually consumes, composing the two signals the crawl
+    side already produces: ``host_scorecard``'s desirability ranking
+    (which hosts deserve recrawl) and ``robots_crawl_delay``'s declared
+    politeness (how fast each host may be fetched).
+
+    Per host: ``effective_delay`` = the declared Crawl-delay when
+    present, ``default_delay`` otherwise, floored at ``min_delay``
+    (a declared 0 never means unbounded); ``polite_cap`` =
+    floor(window_sec / effective_delay) — the politeness CEILING of
+    fetches per scheduling window (0 when the delay exceeds the
+    window: a slower-than-window host genuinely gets no fetch every
+    window, honesty over convenience).  Hosts are then ranked by
+    ``score_col`` DESCENDING (rank 1 = most desirable; ties by host
+    ascending), cut into len(``tier_shares``) equal-population tiers,
+    and allocated ``floor(polite_cap · share)`` fetches — shares must
+    be NON-INCREASING, so the allocation is monotone in rank for any
+    fixed delay: a better-ranked host never gets fewer fetches than a
+    worse-ranked host with the same politeness cap.
+
+    Score domain contract: ``score_col`` ∈ [0, 10) with NULL → 0.0
+    (the ``quality_tiered_sample`` ordering contract — the rank key is
+    the same floor(score·10¹⁵) zero-padded string, out-of-domain rows
+    raise at execution).
+
+    Scale shape: one host-keyed LEFT join (delays), the audited
+    two-level ``sharded_global_rank`` (never a single-partition sort),
+    one scalar count broadcast, then a projection.  Output: (host,
+    score, rank, tier, share, crawl_delay — NULL when nothing valid
+    declared, effective_delay, polite_cap, allocated_fetches)."""
+    from .topk import sharded_global_rank
+
+    if window_sec <= 0 or min_delay <= 0 or default_delay < 0:
+        raise ValueError(
+            "window_sec and min_delay must be > 0, default_delay >= 0"
+        )
+    if not tier_shares or any(not 0.0 <= r <= 1.0 for r in tier_shares):
+        raise ValueError(
+            f"tier_shares must be non-empty, each in [0,1]: {tier_shares}"
+        )
+    if any(
+        tier_shares[i] < tier_shares[i + 1]
+        for i in range(len(tier_shares) - 1)
+    ):
+        raise ValueError(
+            f"tier_shares must be non-increasing (monotone-in-rank "
+            f"allocation contract): {tier_shares}"
+        )
+    n_tiers = len(tier_shares)
+
+    delays = robots_crawl_delay(robots, body_col, host_col).select(
+        host_col, "crawl_delay"
+    )
+    s = F.coalesce(F.col(score_col), F.lit(0.0))
+    qkey = F.when(
+        (s < 0.0) | (s >= 10.0),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "recrawl_budget: score outside the [0, 10) "
+                    "ordering domain (see docstring): "
+                ),
+                s.cast("string"),
+            )
+        ),
+    ).otherwise(
+        F.lpad(
+            F.floor(s * F.lit(1e15)).cast("long").cast("string"), 16, "0"
+        )
+    )
+    joined = scorecard.join(delays, host_col, "left").select(
+        F.col(host_col),
+        s.alias("score"),
+        qkey.alias("_qkey"),
+        "crawl_delay",
+    )
+    # ascending rank (worst first, ties host DESC) inverted against the
+    # broadcast total => descending rank 1..N with ties host ASC
+    ranked = sharded_global_rank(
+        joined, "_qkey", F.col(host_col).desc(), out="_ar"
+    )
+    total = ranked.agg(F.count(F.lit(1)).alias("_rn"))
+    shares = F.array(*[F.lit(float(r)) for r in tier_shares])
+    eff = F.greatest(
+        F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay))),
+        F.lit(float(min_delay)),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("rank", (F.col("_rn") - F.col("_ar") + 1).cast("long"))
+        .withColumn(
+            "tier",
+            F.expr(f"CAST(((rank - 1) * {n_tiers}) DIV _rn AS INT)"),
+        )
+        .withColumn("share", F.element_at(shares, F.col("tier") + 1))
+        .withColumn("effective_delay", eff)
+        .withColumn(
+            "polite_cap",
+            F.floor(F.lit(float(window_sec)) / F.col("effective_delay")),
+        )
+        .withColumn(
+            "allocated_fetches",
+            F.floor(F.col("polite_cap") * F.col("share")),
+        )
+        .select(
+            host_col,
+            "score",
+            "rank",
+            "tier",
+            "share",
+            "crawl_delay",
+            "effective_delay",
+            "polite_cap",
+            "allocated_fetches",
+        )
     )
 
 

@@ -3352,7 +3352,9 @@ def _boiler_ctes(src: str, text_col: str) -> str:
     """The line-screen CTE chain over ``src``'s ``text_col`` — explode
     with ordinals, per-line word count / stop-word density / terminal
     punctuation / blacklist containment (same constants as
-    webops.BOILER_*), kept lines re-joined in line order.  Ends in
+    webops.BOILER_*), the r14 near-good NEIGHBOR RESCUE (lag/lead over
+    (doc, line ordinal) — the window form of Spark's in-array
+    neighborhood read), kept lines re-joined in line order.  Ends in
     ``bp(doc_id, clean_text, n_lines, n_lines_kept)`` (clean_text
     coalesced to '' — DuckDB's empty-list array_to_string is NULL)."""
     from ..operators import webops
@@ -3360,6 +3362,11 @@ def _boiler_ctes(src: str, text_col: str) -> str:
     stops = ", ".join(f"'{w}'" for w in textops.STOPWORDS)
     black = " OR ".join(
         f"contains(lower(l), '{_q(t)}')" for t in webops.BOILER_BLACKLIST
+    )
+    quality = (
+        "(regexp_matches(l, '[.!?\"]$')"
+        " OR (nw > 0 AND CAST(sh AS DOUBLE) / CAST(nw AS DOUBLE)"
+        f" >= {webops.BOILER_STOP_LOW}))"
     )
     return f"""lined AS (SELECT doc_id, string_split({text_col}, chr(10)) AS ls
           FROM {src}),
@@ -3371,13 +3378,20 @@ sig_b AS (
          len(list_filter(string_split(l, ' '),
                          t -> t <> '' AND lower(t) IN ({stops}))) AS sh
   FROM lx),
-keptl AS (
-  SELECT doc_id, i, l FROM sig_b
-  WHERE nw >= {webops.BOILER_MIN_WORDS}
-    AND (regexp_matches(l, '[.!?"]$')
-         OR (nw > 0 AND CAST(sh AS DOUBLE) / CAST(nw AS DOUBLE)
-                        >= {webops.BOILER_STOP_LOW}))
-    AND NOT ({black})),
+flagged_b AS (
+  SELECT doc_id, i, l,
+         (nw >= {webops.BOILER_MIN_WORDS} AND {quality}
+          AND NOT ({black})) AS k,
+         (nw >= 1 AND nw < {webops.BOILER_MIN_WORDS} AND {quality}
+          AND NOT ({black})) AS g
+  FROM sig_b),
+finb AS (
+  SELECT doc_id, i, l,
+         (k OR (g AND coalesce(lag(k) OVER w, false)
+                  AND coalesce(lead(k) OVER w, false))) AS kf
+  FROM flagged_b
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+keptl AS (SELECT doc_id, i, l FROM finb WHERE kf),
 agg_b AS (SELECT doc_id, list(l ORDER BY i) AS kl
           FROM keptl GROUP BY doc_id),
 bp AS (
@@ -3617,6 +3631,69 @@ SELECT host, sitemap_url, kind, CAST(ord AS INTEGER) AS ord, loc, lastmod
 FROM locs
 WHERE regexp_matches(loc, '^([A-Za-z][A-Za-z0-9+.-]*)://')
 ORDER BY host, ord"""
+
+
+def web_recrawl_budget_sql(
+    window_sec: float = 3600.0,
+    default_delay: float = 1.0,
+    min_delay: float = 0.1,
+    tier_shares: tuple[float, ...] = (1.0, 0.5, 0.25, 0.1),
+) -> str:
+    """Twin of queries_dataops.web_recrawl_budget: the shared scorecard
+    CTE chain, the shared robots line parse's first-valid Crawl-delay,
+    the identical [0,10)-guarded rank key (descending rank via
+    row_number inversion against the window count, ties host ASC),
+    equal-population tier arithmetic and floor allocations."""
+    n_tiers = len(tier_shares)
+    share_case = " ".join(
+        f"WHEN {i} THEN CAST({float(r)} AS DOUBLE)"
+        for i, r in enumerate(tier_shares)
+    )
+    cap = (
+        f"CAST(floor(CAST({float(window_sec)} AS DOUBLE)"
+        " / effective_delay) AS BIGINT)"
+    )
+    return f"""WITH {_url_canon_cte()},
+{_host_scorecard_ctes()},
+{_robots_lines_ctes()},
+delays AS (
+  SELECT host, crawl_delay FROM (
+    SELECT host, CAST(value AS DOUBLE) AS crawl_delay,
+           row_number() OVER (PARTITION BY host ORDER BY line_no) AS rn
+    FROM parsedl
+    WHERE field = 'crawl-delay'
+      AND regexp_matches(value, '^[0-9]+(\\.[0-9]+)?$'))
+  WHERE rn = 1),
+base AS (
+  SELECT s.host, COALESCE(s.mean_score, 0.0) AS score, d.crawl_delay,
+         CASE WHEN COALESCE(s.mean_score, 0.0) < 0.0
+                   OR COALESCE(s.mean_score, 0.0) >= 10.0
+              THEN error('score outside [0, 10) ordering domain')
+              ELSE lpad(CAST(CAST(floor(COALESCE(s.mean_score, 0.0) * 1e15)
+                                  AS BIGINT) AS VARCHAR), 16, '0')
+         END AS qkey
+  FROM sc s LEFT JOIN delays d USING (host)),
+rankedb AS (
+  SELECT *, row_number() OVER (ORDER BY qkey ASC, host DESC) AS ar,
+         count(*) OVER () AS rn
+  FROM base),
+alloc AS (
+  SELECT host, score,
+         CAST(rn - ar + 1 AS BIGINT) AS "rank",
+         CAST(((rn - ar) * {n_tiers}) // rn AS INTEGER) AS tier,
+         crawl_delay,
+         greatest(COALESCE(crawl_delay,
+                           CAST({float(default_delay)} AS DOUBLE)),
+                  CAST({float(min_delay)} AS DOUBLE)) AS effective_delay
+  FROM rankedb)
+SELECT host, score, "rank", tier,
+       CASE tier {share_case} END AS share,
+       crawl_delay, effective_delay,
+       {cap} AS polite_cap,
+       CAST(floor({cap} * (CASE tier {share_case} END)) AS BIGINT)
+         AS allocated_fetches
+FROM alloc
+ORDER BY "rank\""""
 
 
 def web_robots_resolve_sql(token: str | None = None) -> str:
@@ -4211,14 +4288,15 @@ FROM tails
 ORDER BY doc_id"""
 
 
-def web_host_scorecard_sql(
+def _host_scorecard_ctes(
     blocked_host_suffixes: tuple[str, ...] = ("src1.example.com",),
     blocked_path_terms: tuple[str, ...] = ("z=1",),
 ) -> str:
-    """Twin of queries_dataops.web_host_scorecard: the canon CTE, the
-    dup and blocklist flags re-derived with the same rules, the bigram
-    LM score CTE, then the identical two-level (host, doc_id%256)
-    pinned fold for the mean."""
+    """The scorecard CTE chain (dup + blocklist flags, bigram LM score
+    source, the two-level (host, doc_id%256) pinned fold) — ends in
+    ``sc(host, n_rows, n_url_dups, n_blocked, mean_score)``; expects a
+    ``canon`` CTE upstream.  Extracted r14 so the recrawl-budget twin
+    composes the identical scorecard."""
     from . import oracle_corpus
 
     arms = []
@@ -4230,8 +4308,7 @@ def web_host_scorecard_sql(
         arms.append(f"WHEN strpos(path_q, '{_q(term)}') > 0 THEN 1")
     blocked = "COALESCE(CASE " + " ".join(arms) + " END, 0)"
     scored_sql = oracle_corpus.doc_bigram_lm_sql()
-    return f"""WITH {_url_canon_cte()},
-scored AS (
+    return f"""scored AS (
 {scored_sql}
 ),
 mins AS (
@@ -4257,14 +4334,30 @@ partials AS (
          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                                   list(s0 ORDER BY doc_id)),
                      (a, x) -> a + x) AS p
-  FROM flagged GROUP BY host, doc_id % 256)
-SELECT host,
-       CAST(SUM(c) AS BIGINT) AS n_rows,
-       CAST(SUM(d) AS BIGINT) AS n_url_dups,
-       CAST(SUM(b) AS BIGINT) AS n_blocked,
-       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                                list(p ORDER BY shard)),
-                   (a, x) -> a + x) / CAST(SUM(c) AS DOUBLE) AS mean_score
-FROM partials
-GROUP BY host
+  FROM flagged GROUP BY host, doc_id % 256),
+sc AS (
+  SELECT host,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(SUM(d) AS BIGINT) AS n_url_dups,
+         CAST(SUM(b) AS BIGINT) AS n_blocked,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(p ORDER BY shard)),
+                     (a, x) -> a + x) / CAST(SUM(c) AS DOUBLE)
+           AS mean_score
+  FROM partials
+  GROUP BY host)"""
+
+
+def web_host_scorecard_sql(
+    blocked_host_suffixes: tuple[str, ...] = ("src1.example.com",),
+    blocked_path_terms: tuple[str, ...] = ("z=1",),
+) -> str:
+    """Twin of queries_dataops.web_host_scorecard: the canon CTE, the
+    dup and blocklist flags re-derived with the same rules, the bigram
+    LM score CTE, then the identical two-level (host, doc_id%256)
+    pinned fold for the mean."""
+    return f"""WITH {_url_canon_cte()},
+{_host_scorecard_ctes(blocked_host_suffixes, blocked_path_terms)}
+SELECT host, n_rows, n_url_dups, n_blocked, mean_score
+FROM sc
 ORDER BY host"""

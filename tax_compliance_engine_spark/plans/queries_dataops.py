@@ -3043,6 +3043,28 @@ def web_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def web_recrawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host fetch-budget allocation (webops.recrawl_budget): the
+    curation scorecard's quality ranking composed with the declared
+    Crawl-delay politeness into the table a crawler's scheduler
+    consumes — effective delay (declared / default / floor), politeness
+    cap per window, equal-population desirability tiers with
+    non-increasing shares, allocated fetches monotone in rank."""
+    from ..operators import textops, webops
+
+    docs = _docs(spark, sf_dir).withColumn("url", _synth_url())
+    scores = textops.bigram_lm_score(docs).select("doc_id", "mean_prob")
+    sc = webops.host_scorecard(
+        docs,
+        scores,
+        blocked_host_suffixes=["src1.example.com"],
+        blocked_path_terms=["z=1"],
+    )
+    return webops.recrawl_budget(sc, _synth_robots(spark, sf_dir)).orderBy(
+        "rank"
+    )
+
+
 def corpus_rule_tiered_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher rule screen COMPOSED with the curriculum sampler: the
     passed-rule count (0-7, inside quality_tiered_sample's [0, 10)

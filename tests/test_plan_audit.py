@@ -134,6 +134,12 @@ GLOBAL_AGG_OK = {
     # corpus_quality_mixture sibling — the one SinglePartition exchange
     # carries a single count partial (Input [count#L], verified by plan
     # read); the rank itself is the sharded two-level form
+    "web_recrawl_budget",  # embeds web_host_scorecard (doc_bigram_lm's
+    # scalar V aggregate) plus its own scalar host-count N for the tier
+    # arithmetic — all six SinglePartition exchanges carry a single
+    # count partial (Input [count#L], verified by plan read r14); the
+    # desirability rank is the sharded two-level form and the delay
+    # join is host-keyed
 }
 
 

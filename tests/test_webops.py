@@ -997,3 +997,117 @@ def test_boilerplate_strip_null_text_twin_parity(spark):
     assert spark_rows == duck_rows
     assert spark_rows[0] == (0, None, None, None)
     assert spark_rows[2][1] == ""
+
+
+def test_recrawl_budget_goldens(spark):
+    """Fetch-budget allocation: declared delay honored, junk delay ->
+    default, absent robots -> default, delay > window -> 0 fetches,
+    NULL score ranks worst, ties by host ascending, allocation monotone
+    in rank for fixed politeness."""
+    sc = spark.createDataFrame(
+        [
+            ("a.com", 0.9),
+            ("b.com", 0.8),
+            ("c.com", 0.8),
+            ("d.com", 0.1),
+            ("e.com", None),
+        ],
+        "host string, mean_score double",
+    )
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nCrawl-delay: 2.0"),
+            ("b.com", "User-agent: *\nCrawl-delay: fast"),
+            ("d.com", "Crawl-delay: 7200"),
+        ],
+        "host string, robots_txt string",
+    )
+    rows = [
+        (r.host, r.rank, r.tier, r.crawl_delay, r.effective_delay,
+         r.polite_cap, r.allocated_fetches)
+        for r in webops.recrawl_budget(
+            sc, robots, window_sec=3600.0, tier_shares=(1.0, 0.5)
+        ).orderBy("rank").collect()
+    ]
+    assert rows == [
+        ("a.com", 1, 0, 2.0, 2.0, 1800, 1800),
+        ("b.com", 2, 0, None, 1.0, 3600, 3600),
+        ("c.com", 3, 0, None, 1.0, 3600, 3600),
+        ("d.com", 4, 1, 7200.0, 7200.0, 0, 0),
+        ("e.com", 5, 1, None, 1.0, 3600, 1800),
+    ]
+    # monotone in rank for any fixed cap: shares non-increasing by tier
+    import pytest
+
+    with pytest.raises(ValueError, match="non-increasing"):
+        webops.recrawl_budget(sc, robots, tier_shares=(0.5, 1.0))
+    with pytest.raises(ValueError, match="window_sec"):
+        webops.recrawl_budget(sc, robots, window_sec=0.0)
+
+
+def test_boilerplate_neighbor_rescue(spark):
+    """jusText context pass: a short terminal-punctuated line between
+    two locally-kept paragraphs survives; the same line isolated in
+    boilerplate still strips; blacklist/punctuation failures are never
+    forgiven; rescued lines do not chain; neighbor_rescue=False
+    restores the pure line-local screen."""
+    good = "The quick brown fox jumped over the lazy dog near the river."
+    text_rescued = "\n".join([good, "It works.", good])
+    text_isolated = "\n".join(["Menu", "It works.", "Buy now"])
+    text_black = "\n".join([good, "Enable JavaScript now.", good])
+    text_nopunct = "\n".join([good, "Click here maybe", good])
+    text_chain = "\n".join([good, "It works.", "So short.", good])
+    df = spark.createDataFrame(
+        [
+            (0, text_rescued),
+            (1, text_isolated),
+            (2, text_black),
+            (3, text_nopunct),
+            (4, text_chain),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_lines_kept)
+        for r in webops.boilerplate_strip(df).collect()
+    }
+    assert got[0] == ("\n".join([good, "It works.", good]), 3)
+    assert got[1] == ("", 0)
+    assert got[2] == ("\n".join([good, good]), 2)
+    assert got[3] == ("\n".join([good, good]), 2)
+    # no chaining: neither short line has BOTH neighbors locally kept
+    assert got[4] == ("\n".join([good, good]), 2)
+
+    local = {
+        r.doc_id: r.n_lines_kept
+        for r in webops.boilerplate_strip(df, neighbor_rescue=False)
+        .collect()
+    }
+    assert local[0] == 2
+
+
+def test_boilerplate_strip_caller_stopwords(spark):
+    """Non-English stop list as caller data: a German unpunctuated
+    stop-dense line survives under a German list and strips under the
+    English default; the default path is byte-identical to passing
+    textops.STOPWORDS explicitly."""
+    from tax_compliance_engine_spark.operators import textops
+
+    german = ["der", "die", "das", "und", "ist", "ein", "zu", "mit"]
+    text = "das ist ein Haus und die Katze sitzt mit dem Hund"
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    de = webops.boilerplate_strip(df, stopwords=german).collect()[0]
+    en = webops.boilerplate_strip(df).collect()[0]
+    assert de.n_lines_kept == 1 and de.clean_text == text
+    assert en.n_lines_kept == 0 and en.clean_text == ""
+    explicit = webops.boilerplate_strip(
+        df, stopwords=list(textops.STOPWORDS)
+    ).collect()[0]
+    assert (explicit.clean_text, explicit.n_lines_kept) == (
+        en.clean_text,
+        en.n_lines_kept,
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        webops.boilerplate_strip(df, stopwords=[])
