@@ -1111,3 +1111,119 @@ def test_boilerplate_strip_caller_stopwords(spark):
 
     with pytest.raises(ValueError, match="non-empty"):
         webops.boilerplate_strip(df, stopwords=[])
+
+
+def test_robots_resolve_fuzz_vs_stdlib_robotparser(spark):
+    """Cross-check the RFC 9309 resolver against urllib.robotparser on
+    the SEMANTICS-OVERLAP space (the punycode-fuzz discipline applied
+    to the parser): 300 seeded random robots bodies + probe paths where
+    the stdlib's pre-RFC semantics coincide with RFC 9309, generated to
+    avoid the documented divergence classes —
+
+    - agent matching: stdlib is substring-on-first-token, RFC is
+      prefix-specificity -> agents are '*' or EXACTLY the crawler token
+      (plus never-matching distinct others), where both mean the same;
+    - within-group: stdlib is FIRST-match in file order, RFC is
+      longest-match -> rule patterns per file are prefix-free siblings
+      (globally unique fixed-length words), so at most one rule matches
+      any probe and first == longest;
+    - group precedence: stdlib returns the first applying entry but
+      parks '*' as a last-resort default entry -> with unique agents
+      per file this equals RFC exact-beats-star specificity;
+    - ties: stdlib has no tied-group merge -> no duplicate agents;
+    - blank lines TERMINATE stdlib entries but not RFC groups -> blank
+      lines only appear between groups (before a User-agent line);
+    - empty Disallow: stdlib treats as allow-all rule, RFC drops it ->
+      never generated.
+    """
+    import random
+    from urllib import robotparser
+
+    rng = random.Random(45067)
+    token = "fuzzbot"
+    agents_pool = ["otherbot", "thirdbot", "fourthbot"]
+
+    cases = []  # (host, body, [probe paths])
+    for case in range(300):
+        nwords = 0
+
+        def word():
+            nonlocal nwords
+            nwords += 1
+            # fixed-length distinct words: prefix-free by construction
+            return f"w{nwords:03d}{rng.choice('abcdef')}"
+
+        groups = []
+        agent_sets = []
+        others = agents_pool[:]
+        rng.shuffle(others)
+        n_groups = rng.randint(1, 3)
+        has_token_group = rng.random() < 0.7
+        has_star_group = rng.random() < 0.6
+        if has_token_group:
+            ua = [token]
+            if rng.random() < 0.3:
+                ua.append(others.pop())
+            agent_sets.append(ua)
+        if has_star_group:
+            agent_sets.append(["*"])
+        while len(agent_sets) < n_groups and others:
+            agent_sets.append([others.pop()])
+        rng.shuffle(agent_sets)
+        rules_by_pattern = {}
+        lines = []
+        if rng.random() < 0.3:
+            lines.append("# a comment header")
+        for gi, ua in enumerate(agent_sets):
+            if gi > 0 and rng.random() < 0.5:
+                lines.append("")  # blank only BETWEEN groups
+            for a in ua:
+                lines.append(f"User-agent: {a}")
+            for _ in range(rng.randint(1, 4)):
+                w = word()
+                d = rng.choice(["Allow", "Disallow"])
+                pat = f"/{w}/"
+                lines.append(f"{d}: {pat}  # rule")
+                rules_by_pattern[pat] = (ua, d)
+            if rng.random() < 0.2:
+                lines.append(f"Crawl-delay: {rng.randint(1, 9)}")
+            if rng.random() < 0.2:
+                lines.append("Sitemap: https://x.example.com/s.xml")
+        body = "\n".join(lines)
+        host = f"case{case}.example.com"
+        probes = []
+        pats = list(rules_by_pattern)
+        rng.shuffle(pats)
+        for pat in pats[:3]:
+            probes.append(pat + rng.choice(["", "deep", "deep/er.html"]))
+        probes.append("/zz-unmatched/")
+        cases.append((host, body, probes))
+
+    doc_rows = []
+    doc_id = 0
+    expected = {}
+    for host, body, probes in cases:
+        rfp = robotparser.RobotFileParser()
+        rfp.parse(body.split("\n"))
+        for path in probes:
+            url = f"https://{host}{path}"
+            doc_rows.append((doc_id, url))
+            expected[doc_id] = rfp.can_fetch(token, url)
+            doc_id += 1
+
+    docs = spark.createDataFrame(doc_rows, "doc_id long, url string")
+    robots = spark.createDataFrame(
+        [(h, b) for h, b, _ in cases], "host string, robots_txt string"
+    )
+    got = {
+        r.doc_id: r.robots_allowed
+        for r in webops.robots_screen_resolved(docs, robots, token).collect()
+    }
+    mismatches = [
+        (i, expected[i], got[i]) for i in expected if got[i] != expected[i]
+    ]
+    assert len(got) == doc_id
+    assert mismatches == [], (
+        f"{len(mismatches)} verdict mismatches vs urllib.robotparser "
+        f"(first 5: {mismatches[:5]})"
+    )
