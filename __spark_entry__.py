@@ -818,6 +818,9 @@ def oracle_sql() -> dict[str, str]:
         # web_recrawl_budget: scorecard rank × Crawl-delay politeness
         # -> per-host fetch allocation for the next crawl window (r14)
         "web_recrawl_budget": oracle_dataops.web_recrawl_budget_sql(),
+        # web_frontier_urls: sitemap locs canonicalized, collapsed,
+        # anti-joined vs the crawled corpus -> fetch candidates (r14)
+        "web_frontier_urls": oracle_dataops.web_frontier_urls_sql(),
         # corpus_rule_tiered_sample: Gopher passed-rule count as the
         # curriculum score — classifier-free quality tiering (r12)
         "corpus_rule_tiered_sample": (

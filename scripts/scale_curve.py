@@ -193,6 +193,11 @@ SCALE_QUERIES = [
     "web_admission_pipeline",
     "web_robots_sitemaps",
     "web_robots_crawl_delay",
+    # r14: sitemap document parse; scorecard-rank × politeness budget;
+    # sitemap-locs-vs-corpus frontier anti-join
+    "web_sitemap_urls",
+    "web_recrawl_budget",
+    "web_frontier_urls",
 ]
 
 

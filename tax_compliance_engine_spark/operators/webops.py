@@ -1163,6 +1163,72 @@ def robots_crawl_delay(
     )
 
 
+def frontier_urls(
+    sitemap_entries: DataFrame,
+    corpus: DataFrame,
+    url_col: str = "url",
+    loc_col: str = "loc",
+) -> DataFrame:
+    """FRONTIER CONSTRUCTION — the step that closes the discovery loop:
+    given parsed sitemap entries (``sitemap_urls`` output) and the
+    already-crawled corpus, emit the canonical URLs declared in
+    sitemaps that the corpus does NOT yet have — the next crawl's
+    fetch candidates.
+
+    Only ``kind = 'urlset'`` entries are page URLs (index entries name
+    MORE sitemaps and feed the sitemap fetcher, not the page frontier).
+    Candidate locs run through the full canonicalizer
+    (``url_canonicalize_parsed`` — pct + parse + IDN, unparseable locs
+    dropped; the output ``host`` is the loc's canonical TARGET host,
+    the one the fetch and the ``recrawl_budget`` join schedule by — the
+    DECLARING sitemap is the ``sitemap_url`` provenance column), then
+    collapse to one row per canonical URL: provenance = the MIN
+    (sitemap_url, ord) struct (first declaring sitemap in a
+    deterministic order), freshness = the MAX declared lastmod (a URL
+    listed in several sitemaps is as fresh as its newest claim).  The
+    crawled side is the corpus's distinct canonical URLs; a LEFT ANTI
+    join on ``url_canon`` leaves exactly the unseen ones.
+
+    Scale shape: two keyed aggregations (candidate collapse, corpus
+    distinct) and one anti equi-join, all on ``url_canon`` — no
+    windows over data rows, no single-partition stages; at 100 TB the
+    corpus side is the big input and stays a hash-partitioned
+    distinct.  Output: (url_canon, host, sitemap_url, ord, lastmod),
+    one row per NEW canonical URL."""
+    cand = url_canonicalize_parsed(
+        sitemap_entries.filter(F.col("kind") == "urlset"), loc_col
+    )
+    collapsed = (
+        cand.groupBy("url_canon")
+        .agg(
+            # host is functionally dependent on url_canon (same string
+            # parses to the same host) — min is just a deterministic
+            # pick, not a choice
+            F.min("host").alias("host"),
+            F.min(
+                F.struct(
+                    F.col("sitemap_url").alias("s"),
+                    F.col("ord").alias("o"),
+                )
+            ).alias("_prov"),
+            F.max("lastmod").alias("lastmod"),
+        )
+        .select(
+            "url_canon",
+            "host",
+            F.col("_prov.s").alias("sitemap_url"),
+            F.col("_prov.o").alias("ord"),
+            "lastmod",
+        )
+    )
+    crawled = (
+        url_canonicalize_parsed(corpus, url_col)
+        .select("url_canon")
+        .distinct()
+    )
+    return collapsed.join(crawled, "url_canon", "left_anti")
+
+
 def recrawl_budget(
     scorecard: DataFrame,
     robots: DataFrame,

@@ -3164,9 +3164,18 @@ def web_idn_canonical_sql() -> str:
 SELECT doc_id, url, url_canon, host FROM canon ORDER BY doc_id"""
 
 
-def _url_canon_cte(url_case: str | None = None) -> str:
+def _url_canon_cte(
+    url_case: str | None = None,
+    source: str = "documents",
+    prefix: str = "",
+) -> str:
     """Shared URL-canonicalization CTE chain: the synthetic doc_id%8 URL
-    (same CASE arms as queries_dataops._synth_url) parsed and normalized
+    (same CASE arms as queries_dataops._synth_url; ``url_case``/
+    ``source`` swap in any (doc_id, url expression) relation, and
+    ``prefix`` renames every CTE in the chain — word-boundary-safe, no
+    column name collides — so ONE query can run TWO canonicalization
+    chains, e.g. the frontier twin canonicalizing sitemap locs next to
+    the corpus canon) parsed and normalized
     with the IDENTICAL RE2-safe regexes and operation order as
     webops._canon_cols — percent-encoding normalized first (unreserved
     %XX decoded, retained hex uppercased, lone '%' literal), fragment
@@ -3184,8 +3193,8 @@ def _url_canon_cte(url_case: str | None = None) -> str:
                THEN chr(CAST({v} AS INTEGER)) || substr(p, 3)
                ELSE '%' || upper(substr(p, 1, 2)) || substr(p, 3) END
         ELSE '%' || p END"""
-    return f"""urls AS (
-  SELECT doc_id, {url_case or _SYNTH_URL_CASE} AS url FROM documents),
+    sql = f"""urls AS (
+  SELECT doc_id, {url_case or _SYNTH_URL_CASE} AS url FROM {source}),
 pct AS (
   SELECT doc_id, url,
          CASE WHEN strpos(url, '%') = 0 THEN url
@@ -3235,6 +3244,16 @@ pre_idn AS (
     CASE WHEN scheme <> '' AND auth_ok THEN host0 END AS host
   FROM up5),
 {_idn_ctes()}"""
+    if prefix:
+        import re as _re
+
+        for name in (
+            "urls", "pct", "up0", "up1", "up2", "up3", "up4", "up5",
+            "pre_idn", "idn_split", "idn_cols", "idn_lab", "idn_host",
+            "canon",
+        ):
+            sql = _re.sub(rf"\b{name}\b", f"{prefix}{name}", sql)
+    return sql
 
 
 def web_url_canonical_sql() -> str:
@@ -3566,20 +3585,18 @@ FROM (SELECT host, line_no, value,
 WHERE rn = 1 ORDER BY host"""
 
 
-def web_sitemap_urls_sql() -> str:
-    """Twin of queries_dataops.web_sitemap_urls: identical fixture
-    bodies (shared constants), identical RE2-compatible regexes — kind
-    gate, per-kind block extraction with 1-based ordinals, loc
-    trim/CDATA-unwrap/entity-decode, absolute-URL quarantine, lastmod
-    date part via try_cast."""
+def _sitemap_ctes() -> str:
+    """The sitemap parse CTE chain over the shared fixture bodies —
+    ends in ``smloc(host, sitemap_url, kind, ord, loc, lastmod)`` (the
+    quarantine-filtered rows); expects a ``canon`` CTE upstream.
+    Extracted r14 so the frontier twin composes the identical parse."""
     from .queries_dataops import (
         SITEMAP_BODY_INDEX,
         SITEMAP_BODY_JUNK,
         SITEMAP_BODY_URLSET,
     )
 
-    return f"""WITH {_url_canon_cte()},
-hosts AS (SELECT DISTINCT host FROM canon WHERE host IS NOT NULL),
+    return f"""hosts AS (SELECT DISTINCT host FROM canon WHERE host IS NOT NULL),
 smaps AS (
   SELECT host, 'https://' || host || '/sitemap.xml' AS sitemap_url,
          CASE WHEN starts_with(host, 'www.') THEN '{_q(SITEMAP_BODY_URLSET)}'
@@ -3626,11 +3643,62 @@ locs AS (
          END AS loc,
          CASE WHEN regexp_matches(raw_lm, '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}')
               THEN try_cast(substr(raw_lm, 1, 10) AS DATE) END AS lastmod
-  FROM fields)
-SELECT host, sitemap_url, kind, CAST(ord AS INTEGER) AS ord, loc, lastmod
-FROM locs
-WHERE regexp_matches(loc, '^([A-Za-z][A-Za-z0-9+.-]*)://')
+  FROM fields),
+smloc AS (
+  SELECT host, sitemap_url, kind, CAST(ord AS INTEGER) AS ord, loc, lastmod
+  FROM locs
+  WHERE regexp_matches(loc, '^([A-Za-z][A-Za-z0-9+.-]*)://'))"""
+
+
+def web_sitemap_urls_sql() -> str:
+    """Twin of queries_dataops.web_sitemap_urls: identical fixture
+    bodies (shared constants), identical RE2-compatible regexes — kind
+    gate, per-kind block extraction with 1-based ordinals, loc
+    trim/CDATA-unwrap/entity-decode, absolute-URL quarantine, lastmod
+    date part via try_cast."""
+    return f"""WITH {_url_canon_cte()},
+{_sitemap_ctes()}
+SELECT host, sitemap_url, kind, ord, loc, lastmod
+FROM smloc
 ORDER BY host, ord"""
+
+
+def web_frontier_urls_sql() -> str:
+    """Twin of queries_dataops.web_frontier_urls: the corpus canon
+    chain, the shared sitemap parse, a SECOND (prefixed ``f_``)
+    canonicalization chain over the urlset locs, provenance collapse
+    per canonical URL (first (sitemap_url, ord) in order, max lastmod),
+    and the NOT EXISTS anti-join against the corpus's distinct
+    canonical URLs."""
+    loc_src = (
+        "(SELECT CAST(ord AS BIGINT) AS doc_id, loc"
+        " FROM smloc WHERE kind = 'urlset') lsrc"
+    )
+    return f"""WITH {_url_canon_cte()},
+{_sitemap_ctes()},
+{_url_canon_cte(url_case="loc", source=loc_src, prefix="f_")},
+f_map AS (
+  SELECT DISTINCT url, url_canon, host
+  FROM f_canon WHERE host IS NOT NULL),
+joinedf AS (
+  SELECT m.url_canon, m.host, s.sitemap_url, s.ord, s.lastmod
+  FROM smloc s JOIN f_map m ON s.loc = m.url
+  WHERE s.kind = 'urlset'),
+winf AS (
+  SELECT url_canon, host, sitemap_url, ord,
+         row_number() OVER (PARTITION BY url_canon
+                            ORDER BY sitemap_url, ord) AS rn,
+         MAX(lastmod) OVER (PARTITION BY url_canon) AS lastmod
+  FROM joinedf),
+collapsedf AS (
+  SELECT url_canon, host, sitemap_url, ord, lastmod
+  FROM winf WHERE rn = 1),
+corpusd AS (
+  SELECT DISTINCT url_canon FROM canon WHERE url_canon IS NOT NULL)
+SELECT c.url_canon, c.host, c.sitemap_url, c.ord, c.lastmod
+FROM collapsedf c
+WHERE NOT EXISTS (SELECT 1 FROM corpusd k WHERE k.url_canon = c.url_canon)
+ORDER BY c.url_canon"""
 
 
 def web_recrawl_budget_sql(

@@ -2171,15 +2171,20 @@ def web_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     unparseable rows keep NULL url_canon/host.  Pure regex/string
     Column expressions, zero UDFs.
 
-    SORT-FIRST (r14, applied to every narrow doc-level query here): the
-    input is ordered BEFORE the expensive projection instead of
-    ``orderBy`` on the output.  A global sort range-partitions via a
-    SAMPLING pass that re-executes its whole child plan; when the child
-    is a narrow expensive projection (no shuffle boundary for AQE to
-    reuse), the projection runs TWICE per action.  Sorting the cheap
-    scan first costs a sample of the scan only, and ordering survives
-    the narrow projection unchanged (measured: 0.95 → 0.71 s at
-    sf0.1).  Aggregating queries keep output-side orderBy — AQE stage
+    SORT-FIRST (r14): the input is ordered BEFORE the expensive
+    projection instead of ``orderBy`` on the output.  A global sort
+    range-partitions via a SAMPLING pass that re-executes its whole
+    child plan; when the child is a narrow expensive projection (no
+    shuffle boundary for AQE to reuse), the projection runs TWICE per
+    action.  Sorting the cheap scan first costs a sample of the scan
+    only, and ordering survives the narrow projection unchanged.
+    A/B-measured per query shape (idle, warm session): sort-first wins
+    only when the shuffled payload is NARROW (this query, blocklist,
+    registrable-domain: url/host strings — 0.86 vs 0.93 s here); it
+    LOSES when the pre-projection row is wide (text/html riding the
+    exchange: extract 0.65→0.83, boilerplate 0.84→1.49, rule screen
+    1.27→1.56), so those queries keep output-side orderBy.
+    Aggregating queries always keep output-side orderBy — AQE stage
     reuse already protects them."""
     from ..operators import webops
 
@@ -2222,8 +2227,8 @@ def doc_rule_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cheap pre-classifier screen web-corpus builds run first."""
     from ..operators import textops
 
-    return textops.rule_quality_screen(
-        _docs(spark, sf_dir).orderBy("doc_id")
+    return textops.rule_quality_screen(_docs(spark, sf_dir)).orderBy(
+        "doc_id"
     )
 
 
@@ -2683,12 +2688,10 @@ def web_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     fetch and every text operator, as a pure RE2-safe Column chain."""
     from ..operators import webops
 
-    docs = _docs(spark, sf_dir).withColumn("html", _synth_html()).orderBy(
-        "doc_id"
-    )
+    docs = _docs(spark, sf_dir).withColumn("html", _synth_html())
     return webops.html_extract_text(docs, out_col="clean_text").select(
         "doc_id", F.col("clean_text")
-    )
+    ).orderBy("doc_id")
 
 
 @functools.lru_cache(maxsize=1)
@@ -2735,9 +2738,7 @@ def web_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     footers out of every downstream text operator."""
     from ..operators import webops
 
-    docs = _docs(spark, sf_dir).withColumn("html", _synth_html()).orderBy(
-        "doc_id"
-    )
+    docs = _docs(spark, sf_dir).withColumn("html", _synth_html())
     noisy = webops.html_extract_text(docs, out_col="_ext").withColumn(
         "page_text",
         F.concat(
@@ -2751,7 +2752,7 @@ def web_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return webops.boilerplate_strip(noisy, text_col="page_text").select(
         "doc_id", "clean_text", "n_lines", "n_lines_kept"
-    )
+    ).orderBy("doc_id")
 
 
 # RFC 9309 rule-group fixture for the robots gate: longest-match
@@ -2777,12 +2778,10 @@ def web_robots_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchors supported, unmatched → allowed, unparseable → NULL."""
     from ..operators import webops
 
-    docs = _docs(spark, sf_dir).withColumn("url", _synth_url()).orderBy(
-        "doc_id"
-    )
+    docs = _docs(spark, sf_dir).withColumn("url", _synth_url())
     return webops.robots_screen(
         docs, list(ROBOTS_FIXTURE_RULES)
-    ).select("doc_id", "robots_rule", "robots_allowed")
+    ).select("doc_id", "robots_rule", "robots_allowed").orderBy("doc_id")
 
 
 # the crawler identity the robots fixtures resolve for
@@ -2835,17 +2834,24 @@ ROBOTS_BODY_FILES = "\n".join([
 ])
 
 
+@functools.lru_cache(maxsize=16)
+def _synth_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized distinct canonical hosts of the ``_synth_url`` corpus —
+    the shared input of the robots/sitemap fixtures (same plan-reuse
+    rationale as ``_read_spread``: the canon+distinct lineage is an
+    immutable plan, one per (session, sf_dir))."""
+    from ..operators import webops
+
+    docs = _docs(spark, sf_dir).withColumn("url", _synth_url())
+    return webops.url_canonicalize_parsed(docs).select("host").distinct()
+
+
 def _synth_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One deterministic robots.txt body per canonical host of the
     ``_synth_url`` corpus — apex hosts get the group-precedence body,
     www. hosts the prefix-specificity body, files. hosts the
     tied-'*'-groups body."""
-    from ..operators import webops
-
-    docs = _docs(spark, sf_dir).withColumn("url", _synth_url())
-    hosts = (
-        webops.url_canonicalize_parsed(docs).select("host").distinct()
-    )
+    hosts = _synth_hosts(spark, sf_dir)
     body = (
         F.when(F.col("host").startswith("www."), F.lit(ROBOTS_BODY_WWW))
         .when(F.col("host").startswith("files."), F.lit(ROBOTS_BODY_FILES))
@@ -2983,6 +2989,11 @@ SITEMAP_BODY_URLSET = "\n".join([
     "  <url><loc>https://other.example.org/x</loc><lastmod>yesterday</lastmod></url>",
     "  <url><loc>HTTPS://MIXED.example.com/keep</loc></url>",
     "  <url><loc>https://cal.example.com/bad</loc><lastmod>2024-02-30</lastmod></url>",
+    # ALREADY-CRAWLED locs (canonicalize to corpus _synth_url canon
+    # forms: the m%8==2 arm for src1/src2) — the frontier anti-join
+    # must exclude exactly these
+    "  <url><loc>http://src1.example.com:80/a/b?b=2&amp;a=1</loc><lastmod>2024-07-01</lastmod></url>",
+    "  <url><loc>http://src2.example.com/a/b?a=1&amp;b=2</loc></url>",
     "</urlset>",
 ])
 SITEMAP_BODY_INDEX = "\n".join([
@@ -3007,12 +3018,7 @@ def _synth_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ``_synth_url`` corpus — www. hosts get the urlset body (leaf
     entries + every quarantine arm), files. hosts the sitemapindex
     body, apex hosts the HTML-error-page body."""
-    from ..operators import webops
-
-    docs = _docs(spark, sf_dir).withColumn("url", _synth_url())
-    hosts = (
-        webops.url_canonicalize_parsed(docs).select("host").distinct()
-    )
+    hosts = _synth_hosts(spark, sf_dir)
     body = (
         F.when(F.col("host").startswith("www."), F.lit(SITEMAP_BODY_URLSET))
         .when(
@@ -3041,6 +3047,20 @@ def web_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webops.sitemap_urls(_synth_sitemap(spark, sf_dir)).orderBy(
         "host", "ord"
     )
+
+
+def web_frontier_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier construction (webops.frontier_urls): parsed sitemap
+    urlset locs canonicalized (pct + parse + IDN), collapsed per
+    canonical URL (first declaring (sitemap_url, ord), freshest
+    lastmod), anti-joined against the crawled corpus's canonical URLs
+    — the next crawl's fetch candidates; locs the corpus already has
+    (two fixture locs canonicalize into corpus forms) are excluded."""
+    from ..operators import webops
+
+    docs = _docs(spark, sf_dir).withColumn("url", _synth_url())
+    entries = webops.sitemap_urls(_synth_sitemap(spark, sf_dir))
+    return webops.frontier_urls(entries, docs).orderBy("url_canon")
 
 
 def web_recrawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1227,3 +1227,49 @@ def test_robots_resolve_fuzz_vs_stdlib_robotparser(spark):
         f"{len(mismatches)} verdict mismatches vs urllib.robotparser "
         f"(first 5: {mismatches[:5]})"
     )
+
+
+def test_frontier_urls_goldens(spark):
+    """Frontier construction: urlset locs canonicalize and dedup (two
+    spellings of one URL collapse, first declaring sitemap wins, max
+    lastmod), index locs never enter the page frontier, locs already in
+    the corpus are anti-joined away, unparseable locs drop."""
+    import datetime
+
+    entries = spark.createDataFrame(
+        [
+            # same page, two spellings, two sitemaps
+            ("a.com", "https://a.com/s1.xml", "urlset", 1,
+             "https://a.com/p?b=2&a=1", datetime.date(2024, 1, 1)),
+            ("a.com", "https://a.com/s2.xml", "urlset", 1,
+             "HTTPS://A.com/p?a=1&b=2", datetime.date(2024, 3, 1)),
+            # already crawled
+            ("a.com", "https://a.com/s1.xml", "urlset", 2,
+             "https://a.com/old", None),
+            # new page, no lastmod
+            ("b.com", "https://b.com/s.xml", "urlset", 3,
+             "https://b.com/new", None),
+            # index entries are sitemaps, not pages
+            ("c.com", "https://c.com/s.xml", "index", 1,
+             "https://c.com/child.xml", None),
+            # unparseable loc
+            ("d.com", "https://d.com/s.xml", "urlset", 1,
+             "not a url", None),
+        ],
+        "host string, sitemap_url string, kind string, ord int,"
+        " loc string, lastmod date",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "https://a.com/old?")], "doc_id long, url string"
+    )
+    rows = [
+        (r.url_canon, r.host, r.sitemap_url, r.ord, str(r.lastmod))
+        for r in webops.frontier_urls(entries, corpus)
+        .orderBy("url_canon")
+        .collect()
+    ]
+    assert rows == [
+        ("https://a.com/p?a=1&b=2", "a.com", "https://a.com/s1.xml", 1,
+         "2024-03-01"),
+        ("https://b.com/new", "b.com", "https://b.com/s.xml", 3, "None"),
+    ]
