@@ -513,6 +513,23 @@ def lm_coverage(
     )
 
 
+def _ngram_structs(text: Column, n: int) -> Column:
+    """Per-row array of n-gram structs (w1..wn) formed ROW-LOCALLY from
+    the token array — ``arrays_zip`` of n aligned slices, each of length
+    size−(n−1).  Replaces the posexplode + ``lead()``-window formation:
+    the window needed a doc_id Exchange + Sort per n-gram lineage (the
+    LM model/score plans carried three to four of them), while this is
+    a pure projection — the n-gram content and its 0-based position
+    (``posexplode`` of this array = the leading token's position, the
+    exact ``p`` the old path produced) are unchanged (guide §2.4:
+    remove shuffles outright)."""
+    toks = tokens_col(text)
+    width = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    return F.arrays_zip(
+        *[F.slice(toks, i + 1, width).alias(f"w{i + 1}") for i in range(n)]
+    )
+
+
 def bigram_lm_model(
     docs: DataFrame,
     text_col: str = "text",
@@ -523,21 +540,21 @@ def bigram_lm_model(
     context counts, and the one-row distinct-vocabulary size.  Built
     once and cached/persisted, these are the frozen model a scoring
     pass (batch or streaming) probes; all three are map-side-combinable
-    aggregations."""
-    from pyspark.sql.window import Window
+    aggregations.
 
+    Shape (r14): bigrams form row-locally (``_ngram_structs`` — no
+    doc-keyed window shuffle), and c1 derives ALGEBRAICALLY from c12
+    (c1(w1) = Σ_w2 c12(w1,w2) — every bigram contributes exactly once
+    to its context count), so the corpus is scanned once for c12 plus
+    once for the vocabulary instead of three full explode lineages."""
     train_docs = docs if train_pred is None else docs.filter(train_pred)
-    toks = train_docs.select(
-        "doc_id", F.posexplode(tokens_col(F.col(text_col))).alias("p", "w1")
-    )
-    seq_w = Window.partitionBy("doc_id").orderBy("p")
-    bigrams = toks.select(
-        "doc_id", "p", "w1", F.lead("w1").over(seq_w).alias("w2")
-    ).filter(F.col("w2").isNotNull())
-    c12 = bigrams.groupBy("w1", "w2").agg(
+    grams = train_docs.select(
+        F.explode(_ngram_structs(F.col(text_col), 2)).alias("g")
+    ).select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    c12 = grams.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("_c12")
     )
-    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    c1 = c12.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
     v = (
         train_docs.select(
             F.explode(tokens_col(F.col(text_col))).alias("w")
@@ -559,17 +576,21 @@ def bigram_lm_score_against(
     and the fixed model, which is what makes the streaming screen's
     micro-batch-local scoring the global semantics.  Same pinned-order
     float discipline as ``bigram_lm_score`` (exactly-rounded divisions,
-    token-position-ordered fold, one final division)."""
-    from pyspark.sql.window import Window
-
+    token-position-ordered fold, one final division).  Bigrams form
+    row-locally (``_ngram_structs`` — no doc-keyed window shuffle);
+    ``p`` is the leading token's 0-based position, bit-identical to the
+    old posexplode+lead path, so the position-ordered fold is
+    unchanged."""
     c12, c1, v = model
-    toks = docs.select(
-        "doc_id", F.posexplode(tokens_col(F.col(text_col))).alias("p", "w1")
+    bigrams = docs.select(
+        "doc_id",
+        F.posexplode(_ngram_structs(F.col(text_col), 2)).alias("p", "g"),
+    ).select(
+        "doc_id",
+        "p",
+        F.col("g.w1").alias("w1"),
+        F.col("g.w2").alias("w2"),
     )
-    seq_w = Window.partitionBy("doc_id").orderBy("p")
-    bigrams = toks.select(
-        "doc_id", "p", "w1", F.lead("w1").over(seq_w).alias("w2")
-    ).filter(F.col("w2").isNotNull())
     probs = (
         bigrams.join(c12, ["w1", "w2"], "left")
         .join(c1, "w1", "left")
@@ -669,35 +690,29 @@ def trigram_lm_model(
     frame) — trigram counts, bigram counts (BOTH the trigram prefix
     denominator and the backoff numerator probe the same table),
     unigram counts, and the one-row total token count.  All four are
-    map-side-combinable aggregations off ONE posexplode + lead() window
-    pass; built once and cached, they are the frozen model a scoring
-    pass (batch or streaming) probes."""
-    from pyspark.sql.window import Window
+    map-side-combinable aggregations; built once and cached, they are
+    the frozen model a scoring pass (batch or streaming) probes.
 
+    Shape (r14): n-grams form row-locally (``_ngram_structs`` — no
+    doc-keyed window shuffle anywhere in the model build), and the
+    total token count N derives ALGEBRAICALLY from c1 (N = Σ c1), so
+    only three corpus passes remain (c123, c12, c1), each a pure
+    explode + map-side-combinable count."""
     train_docs = docs if train_pred is None else docs.filter(train_pred)
-    toks = train_docs.select(
-        "doc_id", F.posexplode(tokens_col(F.col(text_col))).alias("p", "w1")
+
+    def gram_cols(n: int) -> DataFrame:
+        return train_docs.select(
+            F.explode(_ngram_structs(F.col(text_col), n)).alias("g")
+        ).select(*[F.col(f"g.w{i + 1}").alias(f"w{i + 1}") for i in range(n)])
+
+    c123 = gram_cols(3).groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("_c123")
     )
-    seq_w = Window.partitionBy("doc_id").orderBy("p")
-    grams = toks.select(
-        "doc_id",
-        "p",
-        "w1",
-        F.lead("w1", 1).over(seq_w).alias("w2"),
-        F.lead("w1", 2).over(seq_w).alias("w3"),
+    c12 = gram_cols(2).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("_c12")
     )
-    c123 = (
-        grams.filter(F.col("w3").isNotNull())
-        .groupBy("w1", "w2", "w3")
-        .agg(F.count(F.lit(1)).alias("_c123"))
-    )
-    c12 = (
-        grams.filter(F.col("w2").isNotNull())
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("_c12"))
-    )
-    c1 = toks.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
-    n = toks.agg(F.count(F.lit(1)).alias("_n"))
+    c1 = gram_cols(1).groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    n = c1.agg(F.sum("_c1").alias("_n"))
     return c123, c12, c1, n
 
 
@@ -732,22 +747,21 @@ def trigram_lm_score_against(
     mean_score) — the backoff counters grade HOW the doc scored:
     n_backoff_bi trigrams fell back to the bigram branch,
     n_backoff_uni all the way to unigram (the out-of-distribution
-    tail)."""
-    from pyspark.sql.window import Window
-
+    tail).  Trigrams form row-locally (``_ngram_structs`` — no
+    doc-keyed window shuffle); ``p`` = the leading token's 0-based
+    position, bit-identical to the old posexplode+lead path."""
     c123, c12, c1, n = model
     a = F.lit(float(alpha))
-    toks = docs.select(
-        "doc_id", F.posexplode(tokens_col(F.col(text_col))).alias("p", "w1")
-    )
-    seq_w = Window.partitionBy("doc_id").orderBy("p")
-    tri = toks.select(
+    tri = docs.select(
+        "doc_id",
+        F.posexplode(_ngram_structs(F.col(text_col), 3)).alias("p", "g"),
+    ).select(
         "doc_id",
         "p",
-        "w1",
-        F.lead("w1", 1).over(seq_w).alias("w2"),
-        F.lead("w1", 2).over(seq_w).alias("w3"),
-    ).filter(F.col("w3").isNotNull())
+        F.col("g.w1").alias("w1"),
+        F.col("g.w2").alias("w2"),
+        F.col("g.w3").alias("w3"),
+    )
     ctx12 = c12.select("w1", "w2", F.col("_c12").alias("_ctx12"))
     c23 = c12.select(
         F.col("w1").alias("w2"),

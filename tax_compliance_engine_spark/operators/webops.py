@@ -1310,18 +1310,32 @@ def recrawl_budget(
             F.floor(s * F.lit(1e15)).cast("long").cast("string"), 16, "0"
         )
     )
-    joined = scorecard.join(delays, host_col, "left").select(
-        F.col(host_col),
-        s.alias("score"),
-        qkey.alias("_qkey"),
-        "crawl_delay",
+    # CACHED: everything downstream is per-HOST (small at any corpus
+    # scale — hosts ≪ rows), but its lineage embeds the full scorecard
+    # aggregation over the corpus.  Without the cache the plan
+    # re-evaluates that lineage four times (the rank window side, the
+    # shard-count side, the total-count scalar, each a full corpus
+    # scan+LM pass — measured 36 parquet scans in one plan at sf0.1);
+    # with it the corpus is read once and the rank machinery runs over
+    # the materialized per-host rows (guide §2.4 / §5).
+    joined = (
+        scorecard.join(delays, host_col, "left")
+        .select(
+            F.col(host_col),
+            s.alias("score"),
+            qkey.alias("_qkey"),
+            "crawl_delay",
+        )
+        .cache()
     )
     # ascending rank (worst first, ties host DESC) inverted against the
     # broadcast total => descending rank 1..N with ties host ASC
     ranked = sharded_global_rank(
         joined, "_qkey", F.col(host_col).desc(), out="_ar"
     )
-    total = ranked.agg(F.count(F.lit(1)).alias("_rn"))
+    # rank preserves rows, so the total over the CACHED input is the
+    # same count without re-running the window+offset machinery
+    total = joined.agg(F.count(F.lit(1)).alias("_rn"))
     shares = F.array(*[F.lit(float(r)) for r in tier_shares])
     eff = F.greatest(
         F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay))),
