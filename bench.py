@@ -183,6 +183,12 @@ BENCH_QUERIES = [
     "web_admission_pipeline",
     "web_robots_sitemaps",
     "web_robots_crawl_delay",
+    # r14: sitemap document parsing, per-host fetch-budget allocation,
+    # frontier construction (the interrupted-build additions, benched
+    # from the optimization round so they get a regression history)
+    "web_sitemap_urls",
+    "web_recrawl_budget",
+    "web_frontier_urls",
 ]
 
 # The original 18-query set every round since r1 has recorded — their

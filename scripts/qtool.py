@@ -46,6 +46,18 @@ def main() -> None:
     from tax_compliance_engine_spark import dims as dims_mod
 
     spark = get_spark(app_name="qtool")
+    if runs:
+        # bench.py's warmup discipline: run each query once at sf0.001 so
+        # JIT/codegen/broadcast-planning overhead doesn't pollute the
+        # timed sf-scale runs (cold-JVM minima are NOT comparable to the
+        # bench sidecar's numbers)
+        for name in names:
+            resolve(name)(spark, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        spark.catalog.clearCache()
+        dims_mod._DIMS_CACHE.clear()
+        dims_mod.load_dims(spark)
     for name in names:
         fn = resolve(name)
         if out_dir is not None:

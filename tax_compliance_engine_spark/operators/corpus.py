@@ -293,9 +293,14 @@ def bm25_score_queries(
 
     one_minus_b = 1.0 - b
     k1p1 = k1 + 1.0
+    # CACHED: the query-token-filtered postings are referenced twice (the
+    # df aggregation and the term-score join) — uncached, each reference
+    # re-ran the corpus-side explode+filter lineage (guide §2.4/§5).  The
+    # cached frame is the Σ df(term) working set the docstring already
+    # names as the query's inherent cost.
     qtf = postings.join(
         F.broadcast(qtoks.select("token").distinct()), "token"
-    )
+    ).cache()
     df_tbl = qtf.groupBy("token").agg(F.count("*").alias("df"))
     idf = (
         (F.col("_n") - F.col("df")).cast("double") + F.lit(0.5)
@@ -1711,10 +1716,25 @@ def bpe_token_counts_from_rules(
     (degenerate training corpus) ride the NULL-rule identity fold, same
     as the inline form.  Bit-identical to training-composed segmentation
     whenever ``rules`` equals the trained table — integer rule strings
-    round-trip parquet exactly."""
+    round-trip parquet exactly.
+
+    Shape (r14): the greedy merge fold — an interpreted (CodegenFallback)
+    higher-order expression, the expensive per-task work here — runs
+    ONCE PER DISTINCT WORD instead of once per token occurrence: the
+    same one-pass word-histogram trick training uses (``_bpe_word_table``)
+    applied to segmentation.  Per-doc subword totals come from the
+    exploded tokens joined to the vocab-sized (word → subword-count)
+    table and re-aggregated (integer addition is associative, so the
+    per-doc sum is the identical integer); the join side is
+    vocabulary-sized and AQE broadcasts it for real corpora, leaving
+    the corpus side one explode + partial-aggregated groupBy (one
+    narrow |docs|-row exchange).  Measured ~2× on the application half
+    at sf0.1; the win grows with the occurrence/vocab ratio."""
     from .textops import tokens_col
 
-    out = docs.select(id_col, tokens_col(F.col(text_col)).alias("_words"))
+    vocab = docs.select(
+        F.explode(tokens_col(F.col(text_col))).alias("_w")
+    ).distinct()
     for step in range(1, n_merges + 1):
         bp = F.broadcast(
             rules.filter(F.col("step") == step).select(
@@ -1722,24 +1742,32 @@ def bpe_token_counts_from_rules(
                 F.col("right_sym").alias(f"_r{step}"),
             )
         )
-        out = out.join(bp, F.lit(True), "left")
+        vocab = vocab.join(bp, F.lit(True), "left")
 
-    def n_subwords(word: Column) -> Column:
-        syms = _char_syms(word)
-        for step in range(1, n_merges + 1):
-            syms = _bpe_apply_one(
-                syms, F.col(f"_l{step}"), F.col(f"_r{step}")
-            )
-        return F.size(syms)
+    syms = _char_syms(F.col("_w"))
+    for step in range(1, n_merges + 1):
+        syms = _bpe_apply_one(syms, F.col(f"_l{step}"), F.col(f"_r{step}"))
+    seg_sizes = vocab.select("_w", F.size(syms).alias("_nsub"))
 
-    return out.select(
-        id_col,
-        F.size("_words").alias("n_words"),
-        F.aggregate(
-            F.transform(F.col("_words"), n_subwords),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        ).alias("n_subwords"),
+    exploded = docs.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("_w")
+    )
+    per_doc = (
+        exploded.join(seg_sizes, "_w")
+        .groupBy(id_col)
+        .agg(F.sum("_nsub").cast("int").alias("_n_subwords"))
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.size(tokens_col(F.col(text_col))).alias("n_words"),
+        )
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            F.coalesce("_n_subwords", F.lit(0)).alias("n_subwords"),
+        )
     )
 
 

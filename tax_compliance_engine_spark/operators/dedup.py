@@ -2339,10 +2339,16 @@ def winnow_overlap_pairs(
     hundreds of docs identifies the template, not a copy pair, and is
     exactly the hot key that would quadratically blow up the join).
     Dropped-fingerprint counts are deterministic, so the cap is part of
-    the operator's oracle-checked contract, not a silent truncation."""
+    the operator's oracle-checked contract, not a silent truncation.
+
+    The distinct (doc, fp) table is CACHED (narrow long pairs): it is
+    referenced four times below (the df-cap aggregation and both sides
+    of the value self-join), and each uncached reference re-ran the
+    two-window fingerprint lineage (guide §2.4/§5, the
+    ``_minhash_per_doc`` cache discipline)."""
     fps = winnow_fingerprints(docs, k=k, w=w, text_col=text_col).select(
         "doc_id", "fp_hash"
-    ).distinct()
+    ).distinct().cache()
     rare = (
         fps.groupBy("fp_hash")
         .agg(F.count(F.lit(1)).alias("_df"))

@@ -181,10 +181,19 @@ def triangle_counts(
     identical under ANY orientation — the oracle twin keeps the
     simpler id-oriented SQL.
 
-    Output: (node, n_triangles) for every node in ≥1 triangle."""
+    Output: (node, n_triangles) for every node in ≥1 triangle.
+
+    The canonical edge list and the oriented edge list are CACHED
+    (both narrow id tables): ``e`` is referenced three times (degree
+    union ×2, the keyed join) and ``oriented`` three times (wedge
+    build ×2, the closure semi-join) — uncached, each reference
+    re-evaluates the caller's whole pair-generation lineage (for the
+    embedding graph: the LSH self-join + cosine verify, measured as
+    the repeated SortMergeJoin pyramids in the triangles plan; guide
+    §2.4/§5, the ``pagerank`` cache discipline)."""
     e = edges.select(
         F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")
-    )
+    ).cache()
     deg = (
         e.select(F.col("_u").alias("node"))
         .unionAll(e.select(F.col("_v").alias("node")))
@@ -205,7 +214,7 @@ def triangle_counts(
         F.when(fwd, F.col("_u")).otherwise(F.col("_v")).alias("_a"),
         F.when(fwd, F.col("_v")).otherwise(F.col("_u")).alias("_b"),
         F.when(fwd, F.col("_dv")).otherwise(F.col("_du")).alias("_db"),
-    )
+    ).cache()
     ab = oriented.select("_a", "_b", "_db")
     ac = oriented.select(
         F.col("_a").alias("_a2"),
@@ -268,13 +277,17 @@ def lpa_communities(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     and is voted for, so the retention join never fires a coalesce and
     the result is identical to the src-only formulation.
     """
-    sym = edges.select("src", "dst")
+    # sym + per-round labels cached: labels is referenced twice per
+    # round (the vote join and the retention join), so the uncached
+    # unroll re-evaluates earlier rounds exponentially in n_iter, and
+    # sym re-enters every round (same rationale as bfs_distance)
+    sym = edges.select("src", "dst").cache()
     nodes = (
         sym.select(F.col("src").alias("node"))
         .unionByName(sym.select(F.col("dst").alias("node")))
         .distinct()
     )
-    labels = nodes.select("node", F.col("node").alias("label"))
+    labels = nodes.select("node", F.col("node").alias("label")).cache()
     for _ in range(n_iter):
         votes = (
             sym.join(labels, sym["src"] == labels["node"])
@@ -296,6 +309,7 @@ def lpa_communities(edges: DataFrame, n_iter: int = 3) -> DataFrame:
             .select(
                 "node", F.coalesce("_new", "_prev").alias("label")
             )
+            .cache()
         )
     return labels.select("node", F.col("label").alias("community")).orderBy(
         "node"
@@ -327,12 +341,22 @@ def bfs_distance(
     per-node sort.
 
     ``seeds``: one ``node`` column; ``edges``: (src, dst), pass both
-    directions for undirected semantics."""
-    sym = edges.select("src", "dst")
+    directions for undirected semantics.
+
+    The edge list and each round's distance table are CACHED (narrow
+    id tables): ``sym`` re-enters the plan every round, and ``dist``
+    is referenced TWICE per round (the hop join and the union), so the
+    uncached unroll re-evaluates the caller's pair-generation lineage
+    a number of times EXPONENTIAL in ``max_hops`` (each round doubles
+    the references to the previous round's frame; guide §2.4/§5, the
+    ``pagerank`` cache discipline).  Cached, each round is exactly one
+    join + one groupBy-min over materialized rows."""
+    sym = edges.select("src", "dst").cache()
     dist = (
         seeds.select("node")
         .distinct()
         .select("node", F.lit(0).cast("int").alias("dist"))
+        .cache()
     )
     for i in range(int(max_hops)):
         # per-round aliases: the edge list re-enters the plan every
@@ -348,6 +372,7 @@ def bfs_distance(
             dist.unionByName(hop)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
+            .cache()
         )
     return dist.orderBy("node")
 
