@@ -281,6 +281,7 @@ def bm25_score_queries(
     b: float = 0.75,
     k: int = 10,
     n_shards: int = 16,
+    cache_postings: bool = False,
 ) -> DataFrame:
     """The scoring core of ``bm25_search`` over PREPARED index frames
     and a (query_id, token) frame — exactly the same float-op sequence
@@ -288,19 +289,30 @@ def bm25_score_queries(
     and frame-built query sets score bit-identically.  ``qtoks`` must
     be distinct per (query_id, token) with no empty tokens; per-token
     tf/df are unchanged by pre-filtering the postings to query tokens,
-    which is what keeps the prepared-index path ≡ the in-plan path."""
+    which is what keeps the prepared-index path ≡ the in-plan path.
+
+    ``cache_postings`` caches the query-token-filtered postings frame,
+    which is referenced twice below (the df aggregation and the
+    term-score join).  Default OFF: when ``qtoks`` is a cheap literal
+    frame (``bm25_search``, the streaming per-batch path — where a
+    per-batch cache would also leak an entry per micro-batch), the two
+    references already share one shuffle via ReusedExchange, and the
+    cache replaces that free reuse with a materialization barrier
+    (measured +0.5 s on corpus_bm25_search/corpus_hybrid_search at
+    sf0.1).  Opt IN when ``qtoks`` carries an expensive lineage of its
+    own (``retrieval_self_mrr``'s per-probe top-terms pass): exchange
+    reuse does NOT fire across the probe-derived subtrees there, and
+    the cache removes a full corpus explode+filter re-evaluation
+    (measured −1.4 s on corpus_retrieval_mrr; guide §2.4/§5)."""
     from .topk import top_k_per_group
 
     one_minus_b = 1.0 - b
     k1p1 = k1 + 1.0
-    # CACHED: the query-token-filtered postings are referenced twice (the
-    # df aggregation and the term-score join) — uncached, each reference
-    # re-ran the corpus-side explode+filter lineage (guide §2.4/§5).  The
-    # cached frame is the Σ df(term) working set the docstring already
-    # names as the query's inherent cost.
     qtf = postings.join(
         F.broadcast(qtoks.select("token").distinct()), "token"
-    ).cache()
+    )
+    if cache_postings:
+        qtf = qtf.cache()
     df_tbl = qtf.groupBy("token").agg(F.count("*").alias("df"))
     idf = (
         (F.col("_n") - F.col("df")).cast("double") + F.lit(0.5)
@@ -2041,8 +2053,11 @@ def retrieval_self_mrr(
         .agg(F.count("*").alias("tf"))
     )
     sized, stats = _bm25_doc_stats(docs, text_col)
+    # cache_postings: qtoks here carries the whole per-probe top-terms
+    # lineage, so the filtered-postings cache pays (see
+    # bm25_score_queries docstring; measured −1.4 s at sf0.1)
     ranked = bm25_score_queries(
-        postings, sized, stats, qtoks, k1=k1, b=b, k=k
+        postings, sized, stats, qtoks, k1=k1, b=b, k=k, cache_postings=True
     )
     hits = ranked.filter(F.col("doc_id") == F.col("query_id")).select(
         "query_id", "rank"

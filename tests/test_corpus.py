@@ -455,6 +455,39 @@ def test_bm25_search_validation_and_topk(spark):
         corpus.bm25_search(docs, [(0, ["x"])], k=0)
 
 
+def test_bm25_postings_cache_is_opt_in(spark):
+    """r14: bm25_score_queries caches the query-filtered postings ONLY
+    when asked.  Default OFF — for a literal query set the df/score
+    references share one exchange (ReusedExchange) and a cache is a
+    pure materialization tax (measured +0.5 s on bm25/hybrid search at
+    sf0.1); retrieval_self_mrr opts in because its probe-derived qtoks
+    lineage defeats exchange reuse (measured −1.4 s).  Pin BOTH plan
+    shapes so a future refactor can't silently flip either path, and
+    pin value-equality of the two modes."""
+    docs = docs_df(
+        spark,
+        [(i, f"w{i % 3} common filler", "s") for i in range(12)],
+    )
+    plain = corpus.bm25_search(docs, [(0, ["common", "w1"])], k=5)
+    assert "InMemoryRelation" not in plain._jdf.queryExecution().toString()
+
+    mrr = corpus.retrieval_self_mrr(docs, probe_mod=4, n_terms=1, k=3)
+    assert "InMemoryRelation" in mrr._jdf.queryExecution().toString()
+
+    # cache on/off is value-neutral: same rows either way
+    postings, sized, stats = corpus.bm25_index(docs)
+    qtoks = spark.createDataFrame(
+        [(0, "common"), (0, "w1")], "query_id long, token string"
+    )
+    off = corpus.bm25_score_queries(postings, sized, stats, qtoks, k=5)
+    on = corpus.bm25_score_queries(
+        postings, sized, stats, qtoks, k=5, cache_postings=True
+    )
+    assert sorted(map(tuple, off.collect())) == sorted(
+        map(tuple, on.collect())
+    )
+
+
 def test_hybrid_search_rrf_fusion(spark):
     """RRF fusion must equal the hand-computed 1/(60+r) sums: docs hit
     by both retrievers outrank single-list docs at comparable ranks,
