@@ -969,6 +969,21 @@ def minhash_dup_pairs(
     if plan not in ("auto", "candidates", "bucket_local"):
         raise ValueError(f"plan must be auto|candidates|bucket_local: {plan}")
     per_doc = _minhash_per_doc(docs, text_col, with_token_sets=True).cache()
+    return _dup_pairs_from_per_doc(
+        per_doc, threshold, plan, wide_shuffle_budget_bytes
+    )
+
+
+def _dup_pairs_from_per_doc(
+    per_doc: DataFrame,
+    threshold: float,
+    plan: str = "auto",
+    wide_shuffle_budget_bytes: int = 8 << 30,
+) -> DataFrame:
+    """Exact-verify tail over an already-built (cached, token-set-bearing)
+    per-doc signature frame — shared by ``minhash_dup_pairs`` and callers
+    whose plan already pays a signature aggregation (``est_pair_quality``
+    feeds BOTH its lineages from one frame)."""
     if plan == "auto":
         plan = _choose_verify_plan(per_doc, wide_shuffle_budget_bytes)
     if plan == "bucket_local":
@@ -1047,10 +1062,18 @@ def est_pair_quality(
         docs = docs.filter(
             sample_hash_col(F.col("doc_id")) % sample_mod == 0
         )
-    est = minhash_est_pairs(docs, text_col, threshold).select(
+    # ONE shared per-doc signature aggregation feeds BOTH lineages
+    # (r14, guide §2.4): composing the public operators pays the
+    # tokenize+minhash groupBy twice (each caches its OWN per-doc
+    # frame); the token-set-bearing frame is a superset of what the
+    # est tail reads (_mh0.._mh15 only), so est_jaccard is
+    # bit-identical and the exact tail is exactly minhash_dup_pairs'
+    # own (auto plan choice included).
+    per_doc = _minhash_per_doc(docs, text_col, with_token_sets=True).cache()
+    est = _est_pairs_from_per_doc(per_doc, threshold).select(
         "doc1", "doc2", "est_jaccard"
     )
-    exact = minhash_dup_pairs(docs, text_col=text_col, threshold=threshold)
+    exact = _dup_pairs_from_per_doc(per_doc, threshold)
     joined = est.join(exact, ["doc1", "doc2"], "full_outer").select(
         "doc1",
         "doc2",

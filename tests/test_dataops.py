@@ -1153,6 +1153,36 @@ def test_est_pair_quality_perfect_agreement(spark):
     assert row.mean_abs_err == 0.0
 
 
+def test_est_pair_quality_shares_one_signature_frame(spark):
+    """r14 plan pin: est_pair_quality feeds BOTH its lineages (est pairs
+    + exact verify) from ONE cached per-doc signature frame instead of
+    composing the public operators, which each cache their OWN frame —
+    two tokenize+minhash aggregation passes (and two source scans) over
+    the same corpus.  The shared frame is the token-set-bearing one, so
+    every InMemoryRelation leaf in the optimized plan must carry
+    tok_set: the est side's private (token-set-free) cache reappearing
+    would betray a second aggregation pass.  Sharing is value-neutral —
+    the est tail reads only the _mh component columns, which are
+    identical with or without the extra collect_set aggregate (the
+    perfect-agreement test above pins the values)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "one two three four five six"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.est_pair_quality(docs, threshold=0.5, sample_mod=None)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    rels = [ln for ln in plan.splitlines() if "InMemoryRelation" in ln]
+    assert rels, "expected the shared per-doc frame to be cached"
+    assert all("tok_set" in ln for ln in rels), (
+        "an InMemoryRelation without tok_set means a second, "
+        "est-side-only signature aggregation came back:\n" + "\n".join(rels)
+    )
+
+
 def test_est_quality_planner_gate_and_sampled_twin(spark):
     """est_pair_quality's DEFAULT is scale-safe: the pure planner rule
     keeps the full two-lineage form only up to 20k docs and sizes an
