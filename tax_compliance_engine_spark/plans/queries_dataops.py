@@ -852,8 +852,16 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     this row verifies: a bug in any stage, or in how stages hand off,
     breaks the bit-exact twin."""
     docs = _docs(spark, sf_dir)
-    quality = textops.quality_score(textops.text_stats(docs)).select(
-        "doc_id", "quality_score"
+    # `kept` is consumed by TWO stages (the dedup pass and the
+    # canonical re-join); uncached, each evaluation re-runs the
+    # text_stats tokenization under quality_score.  Caching the narrow
+    # (doc_id, quality_score) frame — not text-bearing `kept` itself —
+    # makes the second evaluation a pruned parquet re-scan + join
+    # (r14, guide §2.4/§5).
+    quality = (
+        textops.quality_score(textops.text_stats(docs))
+        .select("doc_id", "quality_score")
+        .cache()
     )
     kept = docs.join(quality, "doc_id").filter(
         F.col("quality_score") >= 0.73
@@ -2297,7 +2305,12 @@ def dedup_full_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors, so its pair stream never wastes work on byte-copies."""
     docs = _docs(spark, sf_dir)
     emb = _emb(spark, sf_dir)
-    exact = dedup.exact_dedup(docs).select("doc_id", "is_duplicate")
+    # The exact-layer verdict frame is referenced twice (the near
+    # screen's survivor filter AND the final verdict join); uncached,
+    # each reference re-runs the full-text scan + md5 + digest-window
+    # exchange.  Narrow (doc_id, is_duplicate) rows — linear in |docs|,
+    # MEMORY_AND_DISK spill at scale (r14, guide §2.4/§5).
+    exact = dedup.exact_dedup(docs).select("doc_id", "is_duplicate").cache()
     s1 = docs.join(exact.filter(~F.col("is_duplicate")), "doc_id").select(
         "doc_id", "text"
     )
