@@ -235,7 +235,11 @@ def dedup_minhash_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     though c's cluster_id is a (the documented difference between the two
     strategies, now pinned by the oracle)."""
     docs = _docs(spark, sf_dir)
-    pairs = dedup.minhash_dup_pairs(docs, threshold=0.5)
+    # `pairs` feeds BOTH resolution strategies: dup_clusters persists
+    # its own edge projection, but the `losers` branch would re-run the
+    # banded self-join + exact verify from scratch — cache the narrow
+    # (doc1, doc2, jaccard) stream once (r14, guide §2.4/§5).
+    pairs = dedup.minhash_dup_pairs(docs, threshold=0.5).cache()
     clusters = dedup.dup_clusters(docs.select("doc_id"), pairs)
     losers = pairs.select(F.col("doc2").alias("doc_id")).distinct().withColumn(
         "_lost", F.lit(True)
@@ -2941,11 +2945,20 @@ def web_admission_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = webops.boilerplate_strip(
         webops.html_extract_text(kept, out_col="_ext"), text_col="_ext"
     )
-    ruled = textops.rule_quality_screen(clean, text_col="clean_text").select(
+    # `clean` feeds TWO consumers (the rule screen and the final
+    # projection); uncached, each re-ran the whole canonicalize →
+    # screens → dedup-join → extract → boilerplate chain.  Cache the
+    # five columns both consumers need — clean_text is corpus-text-
+    # sized, but one cached copy beats re-running the chain (r14,
+    # guide §2.4/§5).
+    slim = clean.select(
+        "doc_id", "host", "url_canon", "n_lines_kept", "clean_text"
+    ).cache()
+    ruled = textops.rule_quality_screen(slim, text_col="clean_text").select(
         "doc_id", "rules_passed", "pass_gopher"
     )
     return (
-        clean.select("doc_id", "host", "url_canon", "n_lines_kept")
+        slim.select("doc_id", "host", "url_canon", "n_lines_kept")
         .join(ruled, "doc_id")
         .orderBy("doc_id")
     )
