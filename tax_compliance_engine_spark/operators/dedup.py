@@ -455,7 +455,15 @@ def minhash_est_pairs_stats(
 
 def _est_pairs_from_per_doc(per_doc: DataFrame, threshold: float) -> DataFrame:
     """Shared est-pair tail: banded explode + bucket-local in-join scoring
-    over an already-built (and cached) per-doc signature frame."""
+    over an already-built (and cached) per-doc signature frame.
+
+    MUST remain a pure function of ``doc_id`` and the ``_mh*`` component
+    columns: ``est_pair_quality`` feeds it a frame that ALSO carries
+    ``tok_set`` for the exact-verify tail, and the documented bit-identity
+    of ``est_jaccard`` with/without that extra column holds only while
+    this function never reads it (pinned by the plan-string test in
+    tests/test_dataops.py, but don't rely on the test alone when
+    editing)."""
     from functools import reduce
 
     n_perms = len(hashing.MINHASH_PERMS)
