@@ -1653,7 +1653,14 @@ def bpe_merges(
             "wcount",
         )
         if materialize:
-            words = words.localCheckpoint()
+            # LAZY checkpoint: the LogicalRDD wrapper truncates the plan
+            # immediately (the OOM-explaining nested-lineage problem the
+            # docstring describes never forms), while materialization
+            # defers to the first action — each step's word table persists
+            # when the chain first computes through it, so the k-step
+            # training costs ONE action's scheduling instead of k eager
+            # checkpoint jobs, with identical per-step work and results
+            words = words.localCheckpoint(eager=False)
     assert out is not None
     return out
 

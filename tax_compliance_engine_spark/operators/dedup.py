@@ -1284,9 +1284,9 @@ def dup_clusters(
     for level in range(max_iter):
         # HOOK: parent(u) = min(u ∪ N(u)) over the symmetric
         # neighborhood — the union is a no-shuffle plan node, so the big
-        # stream is read once here; on level 0 this eager checkpoint job
-        # doubles as the pass that computes the expensive pair lineage
-        # and fills the DISK_ONLY persist.
+        # stream is read once here; on level 0 the materializing count
+        # below doubles as the pass that computes the expensive pair
+        # lineage and fills the DISK_ONLY persist.
         sym = edges.unionByName(
             edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
@@ -1297,11 +1297,16 @@ def dup_clusters(
                 F.col("a").alias("node"),
                 F.least(F.col("_mb"), F.col("a")).alias("lbl"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        # LAZY checkpoint + one materializing count: the count's scan
+        # computes (and persists) every partition, so it doubles as the
+        # emptiness check — the old eager-checkpoint + isEmpty pair paid
+        # a second driver job per level for the same answer (each job is
+        # a cluster-wide barrier at scale, pure overhead at any scale).
         # m is empty iff the level's edge set is empty — the recursion's
-        # termination signal (cheap: m is checkpoint-materialized)
-        if m.isEmpty():
+        # termination signal.
+        if m.count() == 0:
             converged = True
             break
         # SHORTCUT: pointer-double the parent forest to closure.  Labels
@@ -1321,8 +1326,11 @@ def dup_clusters(
                     F.col("_pl").alias("lbl"),
                     (F.col("_pl") != F.col("lbl")).alias("_chg"),
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
+            # the changed-count scan materializes the lazy checkpoint
+            # (filter is narrow — every partition computes and persists),
+            # fusing the old eager-checkpoint job + count job into one
             changed = m2.filter(F.col("_chg")).count()
             m = m2.select("node", "lbl")
             if changed == 0:
@@ -1342,8 +1350,14 @@ def dup_clusters(
                 F.greatest("_la", "_lb").alias("b"),
             )
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        # materialize via the count that was the fixed-point check anyway
+        # (one job instead of eager-checkpoint + isEmpty); MUST run before
+        # the in_edges.unpersist below — the contract join reads the
+        # persisted pair stream, and unpersisting first would force the
+        # expensive pair lineage to recompute
+        n_super_edges = edges.count()
         if level == 0:
             in_edges.unpersist()
             mapping = m
@@ -1362,11 +1376,15 @@ def dup_clusters(
                 .select(
                     "node", F.coalesce("_l", F.col("lbl")).alias("lbl")
                 )
-                .localCheckpoint()
+                # lazy: the compose is LogicalRDD-over-LogicalRDD (both
+                # inputs already checkpointed), so the plan stays tiny and
+                # the persist fills on the next level's hook job — or at
+                # the caller's action if this was the last level
+                .localCheckpoint(eager=False)
             )
-        # an edgeless supergraph is the fixed point (cheap check: the
-        # contracted edges are checkpoint-materialized)
-        if edges.isEmpty():
+        # an edgeless supergraph is the fixed point (already counted by
+        # the materializing scan above — no extra job)
+        if n_super_edges == 0:
             converged = True
             break
     if not converged:

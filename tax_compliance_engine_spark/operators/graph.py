@@ -424,7 +424,10 @@ def kcore_nodes(
             keep.select(F.col("src").alias("dst")), "dst"
         )
         if materialize:
-            e = e.localCheckpoint()
+            # lazy checkpoint + one materializing count (the count scans
+            # every partition, persisting them) — the eager form paid a
+            # separate checkpoint job per round for the same truncation
+            e = e.localCheckpoint(eager=False)
             n_now = e.count()
             if n_now == n_edges:
                 break  # fixed point: remaining rounds are no-ops
