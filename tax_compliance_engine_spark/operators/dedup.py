@@ -1031,9 +1031,11 @@ def est_pair_quality(
     report that says whether the 16-permutation geometry is adequate
     for THIS corpus before committing a full dedup pass to it.
 
-    Full-outer join on the pair key classifies every pair exactly:
-    both sides → true positive (carrying |est − exact|), est-only →
-    false positive, exact-only → false negative.  All three counts are
+    Both streams share one candidate generation by construction (same
+    band fold, same in-join dedup), so ONE fused self-join scores each
+    candidate both ways and classifies it in-stream: both thresholds →
+    true positive (carrying |est − exact|), est-only → false positive,
+    exact-only → false negative.  All three counts are
     integers; precision/recall are single exactly-rounded divisions and
     the error mean is a TWO-LEVEL pinned fold — per doc1%256 shard in
     (doc1, doc2) order, then shard partials in shard order (a flat
@@ -1070,25 +1072,79 @@ def est_pair_quality(
         docs = docs.filter(
             sample_hash_col(F.col("doc_id")) % sample_mod == 0
         )
-    # ONE shared per-doc signature aggregation feeds BOTH lineages
-    # (r14, guide §2.4): composing the public operators pays the
-    # tokenize+minhash groupBy twice (each caches its OWN per-doc
-    # frame); the token-set-bearing frame is a superset of what the
-    # est tail reads (_mh0.._mh15 only), so est_jaccard is
-    # bit-identical and the exact tail is exactly minhash_dup_pairs'
-    # own (auto plan choice included).
+    # ONE shared per-doc signature aggregation (r14) AND — r15 — ONE
+    # fused candidate self-join scoring BOTH ways (guide §2.4): the est
+    # and exact tails generate the IDENTICAL candidate set by
+    # construction (same 40-bit band fold, same first-shared-band
+    # in-join dedup), differing only in which score gates a pair, so
+    # running them as two banded self-joins plus a full-outer join on
+    # the pair key paid a second banded explode+exchange and a
+    # two-sided pair shuffle for information one join already has.
+    # The fused join carries the 16 components AND the token sets on
+    # the band rows (the bucket_local wide-shuffle shape — linear in
+    # |docs|, and the eval is planner-gated to a ~10k-doc sample above
+    # 20k docs, so the width is bounded), computes est_jaccard and
+    # exact jaccard per candidate row-locally with the same integer/
+    # float math as the public operators (bit-identical scores), and
+    # classifies each pair in-stream: est-only → false positive,
+    # exact-only → false negative, both → true positive carrying
+    # |est − exact|.  Candidates clearing neither threshold contribute
+    # nothing in either formulation and are dropped in-stage.
+    from functools import reduce
+
     per_doc = _minhash_per_doc(docs, text_col, with_token_sets=True).cache()
-    est = _est_pairs_from_per_doc(per_doc, threshold).select(
-        "doc1", "doc2", "est_jaccard"
+    n_perms = len(hashing.MINHASH_PERMS)
+    banded = _banded(
+        per_doc,
+        with_all_sigs=True,
+        sig="long",
+        extra=tuple(f"_mh{i}" for i in range(n_perms)) + ("tok_set",),
     )
-    exact = _dup_pairs_from_per_doc(per_doc, threshold)
-    joined = est.join(exact, ["doc1", "doc2"], "full_outer").select(
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cond = reduce(
+        lambda x, y: x & y,
+        [
+            F.col("a.band") == F.col("b.band"),
+            F.col("a.band_sig") == F.col("b.band_sig"),
+            F.col("a.doc_id") < F.col("b.doc_id"),
+            *first_shared_band_terms(_all_sigs_at, hashing.MINHASH_BANDS),
+        ],
+    )
+    n_match = sum(
+        F.when(F.col(f"a._mh{i}") == F.col(f"b._mh{i}"), 1).otherwise(0)
+        for i in range(n_perms)
+    )
+    n_shared = F.size(
+        F.array_intersect(F.col("a.tok_set"), F.col("b.tok_set"))
+    )
+    scored = (
+        a.join(b, cond)
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            (n_match.cast("double") / F.lit(float(n_perms))).alias(
+                "est_jaccard"
+            ),
+            (
+                n_shared.cast("double")
+                / (
+                    F.size(F.col("a.tok_set"))
+                    + F.size(F.col("b.tok_set"))
+                    - n_shared
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    in_est = F.col("est_jaccard") >= threshold
+    in_exact = F.col("jaccard") >= threshold
+    joined = scored.filter(in_est | in_exact).select(
         "doc1",
         "doc2",
-        F.col("est_jaccard").isNotNull().cast("int").alias("_in_est"),
-        F.col("jaccard").isNotNull().cast("int").alias("_in_exact"),
+        in_est.cast("int").alias("_in_est"),
+        in_exact.cast("int").alias("_in_exact"),
         F.when(
-            F.col("est_jaccard").isNotNull() & F.col("jaccard").isNotNull(),
+            in_est & in_exact,
             F.abs(F.col("est_jaccard") - F.col("jaccard")),
         ).alias("_err"),
     )
