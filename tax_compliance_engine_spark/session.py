@@ -37,6 +37,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow transfer for the pandas-UDF escape hatches (similarity, multimodal).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batch cap 4000 (default 10000): r14 measured the banded-
+        # Levenshtein kernel ~5-15% faster at 4000 but deferred adoption
+        # to an idle box; r15's interleaved A/B confirms it — 4000 won
+        # all 6 editdist/er/png head-to-heads and 9 of 12 including the
+        # binary decoders (the 3 losses all sat in one contended window).
+        # Smaller batches are also the memory-safe direction for the
+        # multi-MB binary cells the decoders move (guide §4.2: lower the
+        # cap for large binary cells).  Env-overridable for cluster
+        # tuning where rows are narrow and numeric.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_ARROW_MAX_RECORDS_PER_BATCH", "4000"),
+        )
         # Dims are KB-sized; keep the default 10 MB broadcast threshold, but be
         # explicit that broadcasting is expected (we also mark joins F.broadcast).
         .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
