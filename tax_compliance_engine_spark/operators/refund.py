@@ -20,8 +20,9 @@ report-sized outputs).
 from __future__ import annotations
 
 import datetime as dt
+import functools
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..dims import Dims
@@ -29,21 +30,11 @@ from ..schemas import DEFAULT_SOL_YEARS, MONEY, RECOVERY_RATE
 from . import tax
 
 
-def analyze_overpayments(
-    txns: DataFrame, dims: Dims, as_of: dt.date, include_reason: bool = True
-) -> DataFrame:
-    """Per-transaction overpayment records (analyze_transaction,
-    refund_analyzer.py:134-189).  Input must be normalized transactions with a
-    ``tax_paid`` column; output keeps only rows with overpayment > 0 (P7).
-
-    ``include_reason=False`` skips the fully-formatted ``reason`` string and
-    emits only ``reason_prefix``.  The prefix (text before the first ':',
-    F11) is statically determined by the branch conditions, so downstream
-    aggregations don't pay for per-row percent formatting + wide decimal
-    division (~4× on the record scan); reports that show the prose keep the
-    default."""
-    results = tax.calculate_tax(txns, dims)
-
+@functools.lru_cache(maxsize=8)
+def _overpay_cols(as_of: dt.date) -> dict[str, Column]:
+    """Memoized Column trees of ``analyze_overpayments`` (keyed by the one
+    parameter that enters them) — the ``tax._calc_cols`` rationale: pure
+    name-based expressions, ~0.3 s of py4j round-trips per build."""
     overpayment = F.round(F.col("tax_paid") - F.col("tax_amount"), 2).cast(MONEY)
 
     # Reason derivation (refund_analyzer.py:155-170).  actual rate =
@@ -84,6 +75,33 @@ def analyze_overpayments(
         .otherwise(F.lit("Overpayment detected"))
     )
 
+    cutoff = F.add_months(F.lit(as_of), -12 * F.col("sol_years"))
+    sol_date = F.add_months(F.col("transaction_date"), 12 * F.col("sol_years"))
+    return {
+        "overpayment": overpayment,
+        "reason": reason,
+        "reason_prefix": static_prefix,
+        "refund_eligible": F.col("transaction_date") >= cutoff,
+        "statute_of_limitations_date": sol_date,
+    }
+
+
+def analyze_overpayments(
+    txns: DataFrame, dims: Dims, as_of: dt.date, include_reason: bool = True
+) -> DataFrame:
+    """Per-transaction overpayment records (analyze_transaction,
+    refund_analyzer.py:134-189).  Input must be normalized transactions with a
+    ``tax_paid`` column; output keeps only rows with overpayment > 0 (P7).
+
+    ``include_reason=False`` skips the fully-formatted ``reason`` string and
+    emits only ``reason_prefix``.  The prefix (text before the first ':',
+    F11) is statically determined by the branch conditions, so downstream
+    aggregations don't pay for per-row percent formatting + wide decimal
+    division (~4× on the record scan); reports that show the prose keep the
+    default."""
+    results = tax.calculate_tax(txns, dims)
+    cols = _overpay_cols(as_of)
+
     # Statute of limitations (refund_analyzer.py:124-132) via broadcast J7 +
     # coalesce default.
     sol = dims.sol_years.select(
@@ -97,19 +115,19 @@ def analyze_overpayments(
         .drop("_sol_state", "_sol_years")
     )
 
-    cutoff = F.add_months(F.lit(as_of), -12 * F.col("sol_years"))
-    sol_date = F.add_months(F.col("transaction_date"), 12 * F.col("sol_years"))
-
     reason_cols = (["reason"] if include_reason else []) + ["reason_prefix"]
     out = (
-        enriched.withColumn("overpayment", overpayment)
+        enriched.withColumn("overpayment", cols["overpayment"])
         .filter(F.col("overpayment") > 0)
-        .withColumn("reason_prefix", static_prefix)
-        .withColumn("refund_eligible", F.col("transaction_date") >= cutoff)
-        .withColumn("statute_of_limitations_date", sol_date)
+        .withColumn("reason_prefix", cols["reason_prefix"])
+        .withColumn("refund_eligible", cols["refund_eligible"])
+        .withColumn(
+            "statute_of_limitations_date",
+            cols["statute_of_limitations_date"],
+        )
     )
     if include_reason:
-        out = out.withColumn("reason", reason)
+        out = out.withColumn("reason", cols["reason"])
     return out.select(
         "transaction_id",
         "transaction_date",

@@ -20,6 +20,8 @@ are all broadcasts.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -48,62 +50,103 @@ def normalize_transactions(df: DataFrame) -> DataFrame:
     # Reference boundary semantics (cli.py:47-67): state is trim+upper'd, but
     # optional strings only go through `or None` — empty string → NULL, inner
     # whitespace preserved (trimming happens at the category-alias lookup, not
-    # here).
+    # here).  One withColumns call over the memoized trees (replacing an
+    # existing column preserves its position, so the schema is identical to
+    # the old per-column chain).
+    return df.withColumns(_norm_cols())
+
+
+@functools.lru_cache(maxsize=1)
+def _norm_cols() -> dict[str, Column]:
+    """Memoized normalization trees (see ``_calc_cols`` for the
+    rationale)."""
     blank_to_null = lambda c: F.nullif(F.col(c), F.lit(""))  # noqa: E731
-    return (
-        df.withColumn("state", F.upper(F.trim("state")))
-        .withColumn("city", blank_to_null("city"))
-        .withColumn("item_category", blank_to_null("item_category"))
-        .withColumn("exemption_certificate", blank_to_null("exemption_certificate"))
-        .withColumn(
-            "tax_paid", F.coalesce(F.col("tax_paid").cast(MONEY), F.lit(0).cast(MONEY))
+    return {
+        "state": F.upper(F.trim("state")),
+        "city": blank_to_null("city"),
+        "item_category": blank_to_null("item_category"),
+        "exemption_certificate": blank_to_null("exemption_certificate"),
+        "tax_paid": F.coalesce(
+            F.col("tax_paid").cast(MONEY), F.lit(0).cast(MONEY)
+        ),
+        "customer_type": F.coalesce("customer_type", F.lit("retail")),
+        "pricing_model": F.coalesce("pricing_model", F.lit("exclusive")),
+    }
+
+
+# Memoized per-Dims projected+broadcast-hinted dim frames: the four
+# select projections cost ~0.2 s of py4j round-trips per plan build and
+# the Dims frames are session-cached, so project them once per Dims
+# instance.  Keyed by id(state_rates) — a rebuilt Dims (new session, or
+# a bench isolation reload) gets fresh entries; stale keys just linger
+# as tiny plan objects.
+_DIM_JOIN_FRAMES: dict[int, tuple[DataFrame, DataFrame, DataFrame, DataFrame]] = {}
+
+
+def _dim_join_frames(
+    dims: Dims,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    key = id(dims.state_rates)
+    cached = _DIM_JOIN_FRAMES.get(key)
+    if cached is not None:
+        return cached
+    sr = F.broadcast(
+        dims.state_rates.select(
+            F.col("state_code").alias("_sr_state"),
+            "state_name",
+            "base_rate",
+            "has_local_taxes",
+            "avg_combined_rate",
         )
-        .withColumn("customer_type", F.coalesce("customer_type", F.lit("retail")))
-        .withColumn("pricing_model", F.coalesce("pricing_model", F.lit("exclusive")))
+    )
+    ca = F.broadcast(
+        dims.category_aliases.select(
+            F.col("alias").alias("_ca_alias"),
+            F.col("category").alias("mapped_category"),
+        )
+    )
+    ex = F.broadcast(
+        dims.state_exemptions.select(
+            F.col("state_code").alias("_ex_state"),
+            F.col("category").alias("_ex_category"),
+            F.lit(True).alias("category_exempt"),
+        )
+    )
+    lr = F.broadcast(
+        dims.local_rates.select(
+            F.col("state_code").alias("_lr_state"),
+            F.lower("jurisdiction").alias("_lr_city"),
+            F.col("rate").alias("city_local_rate"),
+        )
+    )
+    _DIM_JOIN_FRAMES[key] = (sr, ca, ex, lr)
+    return sr, ca, ex, lr
+
+
+@functools.lru_cache(maxsize=1)
+def _join_conds() -> tuple[Column, Column, Column, Column]:
+    """Memoized join conditions — name-based ``F.col`` references resolve
+    identically to the old DataFrame-bound ones (every referenced name is
+    unique on the joined side)."""
+    return (
+        F.col("state") == F.col("_sr_state"),
+        F.lower(F.trim(F.col("item_category"))) == F.col("_ca_alias"),
+        (F.col("state") == F.col("_ex_state"))
+        & (F.col("mapped_category") == F.col("_ex_category")),
+        (F.col("state") == F.col("_lr_state"))
+        & (F.lower(F.col("city")) == F.col("_lr_city")),
     )
 
 
 def _join_dims(txns: DataFrame, dims: Dims) -> DataFrame:
     """The four broadcast dim joins (SURVEY §2.3 J1/J2/P2/J3)."""
-    sr = dims.state_rates.select(
-        F.col("state_code").alias("_sr_state"),
-        "state_name",
-        "base_rate",
-        "has_local_taxes",
-        "avg_combined_rate",
-    )
-    ca = dims.category_aliases.select(
-        F.col("alias").alias("_ca_alias"), F.col("category").alias("mapped_category")
-    )
-    ex = dims.state_exemptions.select(
-        F.col("state_code").alias("_ex_state"),
-        F.col("category").alias("_ex_category"),
-        F.lit(True).alias("category_exempt"),
-    )
-    lr = dims.local_rates.select(
-        F.col("state_code").alias("_lr_state"),
-        F.lower("jurisdiction").alias("_lr_city"),
-        F.col("rate").alias("city_local_rate"),
-    )
+    sr, ca, ex, lr = _dim_join_frames(dims)
+    c_sr, c_ca, c_ex, c_lr = _join_conds()
     return (
-        txns.join(F.broadcast(sr), txns["state"] == sr["_sr_state"], "left")
-        .join(
-            F.broadcast(ca),
-            F.lower(F.trim(txns["item_category"])) == ca["_ca_alias"],
-            "left",
-        )
-        .join(
-            F.broadcast(ex),
-            (F.col("state") == ex["_ex_state"])
-            & (F.col("mapped_category") == ex["_ex_category"]),
-            "left",
-        )
-        .join(
-            F.broadcast(lr),
-            (F.col("state") == lr["_lr_state"])
-            & (F.lower(txns["city"]) == lr["_lr_city"]),
-            "left",
-        )
+        txns.join(sr, c_sr, "left")
+        .join(ca, c_ca, "left")
+        .join(ex, c_ex, "left")
+        .join(lr, c_lr, "left")
         .drop("_sr_state", "_ca_alias", "_ex_state", "_ex_category", "_lr_state", "_lr_city")
     )
 
@@ -113,15 +156,17 @@ def _round2(c: Column) -> Column:
     return F.round(c, 2).cast(MONEY)
 
 
-def calculate_tax(txns: DataFrame, dims: Dims) -> DataFrame:
-    """Per-transaction tax results (reference TaxCalculator.calculate,
-    calculator.py:157-256) over an already-normalized transactions DataFrame.
-
-    Adds: taxable_amount, state_tax, local_tax, tax_amount, effective_rate,
-    is_exempt, exemption_reason, warnings — preserving all input columns.
-    """
-    df = _join_dims(txns, dims)
-
+@functools.lru_cache(maxsize=1)
+def _calc_cols() -> dict[str, Column]:
+    """Memoized result-column tree of ``calculate_tax`` — every
+    expression below is a pure function of input column NAMES (no
+    DataFrame-bound references), i.e. an immutable unresolved tree
+    reusable across any number of plans.  Building it costs ~0.6 s of
+    py4j round-trips (the same per-plan-construction driver tax the
+    webops ``_idn_fenced_cached`` family closed in r14); one cached
+    build amortizes it across every tax/refund/nexus/report plan in
+    the process.  (The cache lives as long as the py4j gateway, which
+    outlives SparkSession restarts.)"""
     unknown_state = F.col("state_name").isNull()
     zero = F.lit(0).cast(RATE)
     no_tax_state = (F.col("base_rate") == zero) & (~F.col("has_local_taxes"))
@@ -211,15 +256,31 @@ def calculate_tax(txns: DataFrame, dims: Dims) -> DataFrame:
         .otherwise(F.array().cast("array<string>"))
     )
 
+    return {
+        "taxable_amount": taxable_amount,
+        "state_tax": state_tax,
+        "local_tax": local_tax,
+        "tax_amount": (state_tax + local_tax).cast(MONEY),
+        "effective_rate": effective_rate,
+        "is_exempt": is_exempt,
+        "exemption_reason": exemption_reason,
+        "warnings": warnings,
+    }
+
+
+def calculate_tax(txns: DataFrame, dims: Dims) -> DataFrame:
+    """Per-transaction tax results (reference TaxCalculator.calculate,
+    calculator.py:157-256) over an already-normalized transactions DataFrame.
+
+    Adds: taxable_amount, state_tax, local_tax, tax_amount, effective_rate,
+    is_exempt, exemption_reason, warnings — preserving all input columns.
+    The result columns come from the memoized ``_calc_cols`` tree and are
+    attached in ONE ``withColumns`` call (a chained ``withColumn`` per
+    column wraps the plan — and pays an analyzer pass — eight times).
+    """
     return (
-        df.withColumn("taxable_amount", taxable_amount)
-        .withColumn("state_tax", state_tax)
-        .withColumn("local_tax", local_tax)
-        .withColumn("tax_amount", (state_tax + local_tax).cast(MONEY))
-        .withColumn("effective_rate", effective_rate)
-        .withColumn("is_exempt", is_exempt)
-        .withColumn("exemption_reason", exemption_reason)
-        .withColumn("warnings", warnings)
+        _join_dims(txns, dims)
+        .withColumns(_calc_cols())
         .drop(
             "state_name",
             "base_rate",

@@ -16,6 +16,7 @@ dates spanning the SOL boundary for ``AS_OF``.
 from __future__ import annotations
 
 import datetime as dt
+import functools
 from decimal import Decimal
 
 from pyspark.sql import DataFrame, SparkSession
@@ -99,45 +100,55 @@ def _mapping_dims(spark: SparkSession) -> tuple[DataFrame, DataFrame, DataFrame]
     return states, cats, cities
 
 
+@functools.lru_cache(maxsize=1)
+def _derived_txn_cols() -> tuple:
+    """Memoized Column trees of ``derive_transactions`` (join conditions +
+    output projection) — pure functions of column names, reusable across
+    plans; building them cost ~0.4 s of py4j round-trips on EVERY
+    tax-family plan construction (the webops ``_pct_normalize_cached``
+    rationale)."""
+    paid = F.lit(None).cast("decimal(6,4)")
+    for i, m in reversed(list(enumerate(PAID_MULTIPLIERS))):
+        cond = F.col("o_orderkey") % 5 == i
+        paid = F.when(cond, F.lit(Decimal(m)).cast("decimal(6,4)")).otherwise(paid)
+    join_states = F.col("o_custkey") % 53 == F.col("sidx")
+    join_cats = F.col("o_orderkey") % 8 == F.col("cidx")
+    join_cities = (F.col("state") == F.col("cm_state")) & (
+        F.col("o_orderkey") % 4 == F.col("cm_idx")
+    )
+    select_cols = (
+        F.col("o_orderkey").cast("string").alias("transaction_id"),
+        F.col("o_orderdate").cast("date").alias("transaction_date"),
+        F.col("o_totalprice").cast(MONEY).alias("amount"),
+        "state",
+        "city",
+        "item_category",
+        F.round(F.col("o_totalprice").cast(MONEY) * paid, 2)
+        .cast(MONEY)
+        .alias("tax_paid"),
+        F.when(
+            F.col("o_orderkey") % 23 == 0,
+            F.concat(F.lit("CERT-"), F.col("o_orderkey").cast("string")),
+        ).alias("exemption_certificate"),
+        F.when(F.col("o_custkey") % 19 == 0, F.lit("wholesale"))
+        .when(F.col("o_custkey") % 19 == 1, F.lit("exempt"))
+        .otherwise(F.lit("retail"))
+        .alias("customer_type"),
+        F.lit("exclusive").alias("pricing_model"),
+    )
+    return join_states, join_cats, join_cities, select_cols
+
+
 def derive_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark side of the shared derivation (oracle.py emits the SQL twin)."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
 
     states, cats, cities = _mapping_dims(spark)
+    join_states, join_cats, join_cities, select_cols = _derived_txn_cols()
 
-    paid = F.lit(None).cast("decimal(6,4)")
-    for i, m in reversed(list(enumerate(PAID_MULTIPLIERS))):
-        cond = F.col("o_orderkey") % 5 == i
-        paid = F.when(cond, F.lit(Decimal(m)).cast("decimal(6,4)")).otherwise(paid)
-
-    df = (
-        orders.join(F.broadcast(states), F.col("o_custkey") % 53 == F.col("sidx"))
-        .join(F.broadcast(cats), F.col("o_orderkey") % 8 == F.col("cidx"), "left")
-        .join(
-            F.broadcast(cities),
-            (F.col("state") == F.col("cm_state"))
-            & (F.col("o_orderkey") % 4 == F.col("cm_idx")),
-            "left",
-        )
-        .select(
-            F.col("o_orderkey").cast("string").alias("transaction_id"),
-            F.col("o_orderdate").cast("date").alias("transaction_date"),
-            F.col("o_totalprice").cast(MONEY).alias("amount"),
-            "state",
-            "city",
-            "item_category",
-            F.round(F.col("o_totalprice").cast(MONEY) * paid, 2)
-            .cast(MONEY)
-            .alias("tax_paid"),
-            F.when(
-                F.col("o_orderkey") % 23 == 0,
-                F.concat(F.lit("CERT-"), F.col("o_orderkey").cast("string")),
-            ).alias("exemption_certificate"),
-            F.when(F.col("o_custkey") % 19 == 0, F.lit("wholesale"))
-            .when(F.col("o_custkey") % 19 == 1, F.lit("exempt"))
-            .otherwise(F.lit("retail"))
-            .alias("customer_type"),
-            F.lit("exclusive").alias("pricing_model"),
-        )
+    return (
+        orders.join(F.broadcast(states), join_states)
+        .join(F.broadcast(cats), join_cats, "left")
+        .join(F.broadcast(cities), join_cities, "left")
+        .select(*select_cols)
     )
-    return df
