@@ -13,6 +13,8 @@ Scale design (100 TB, 1000 executors):
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -230,6 +232,19 @@ def _minhash_per_doc(
     else:
         toks = _doc_tokens(docs, text_col)
     toks = toks.withColumn("tok_hash", hashing.tok_hash_col(F.col("tok")))
+    return toks.groupBy("doc_id").agg(
+        *_minhash_aggs(with_token_sets, with_token_counts)
+    )
+
+
+@functools.lru_cache(maxsize=4)
+def _minhash_aggs(
+    with_token_sets: bool, with_token_counts: bool
+) -> tuple[Column, ...]:
+    """Memoized aggregate trees of ``_minhash_per_doc`` — pure functions
+    of column names; rebuilding the 16 permutation expressions cost
+    ~0.2 s of py4j round-trips on EVERY minhash-family plan build (the
+    webops ``_pct_normalize_cached`` rationale)."""
     aggs = [
         F.min(
             (F.lit(a) * F.col("tok_hash") + F.lit(b)) % hashing.HASH_MOD
@@ -242,7 +257,7 @@ def _minhash_per_doc(
         )
     if with_token_counts:
         aggs.append(F.min("_n_total").cast("int").alias("n_tokens"))
-    return toks.groupBy("doc_id").agg(*aggs)
+    return tuple(aggs)
 
 
 def minhash_components_inline(text: Column) -> list[Column]:
@@ -295,6 +310,17 @@ def _banded(
     ``extra`` names per-doc columns carried through the explode (one copy
     per band row — used by the bucket-local verify to ship token sets
     alongside the band keys)."""
+    explode_cols, cols = _banded_cols(with_all_sigs, sig, extra)
+    return per_doc.select("doc_id", *explode_cols).select(*cols)
+
+
+@functools.lru_cache(maxsize=16)
+def _banded_cols(
+    with_all_sigs: bool, sig: str, extra: tuple[str, ...]
+) -> tuple[tuple, tuple]:
+    """Memoized banding Column trees (explode projection + output list)
+    for ``_banded`` — the band-sig folds cost ~0.1-0.2 s of py4j
+    round-trips per plan build, repeated in every banded dedup query."""
     rpb = len(hashing.MINHASH_PERMS) // hashing.MINHASH_BANDS
 
     def band_sig(b: int) -> Column:
@@ -319,20 +345,27 @@ def _banded(
             for b in range(hashing.MINHASH_BANDS)
         ]
     )
-    cols = ["doc_id", "bb.band", "bb.band_sig"]
-    out = per_doc.select(
-        "doc_id",
+    explode_cols = (
         F.explode(bands).alias("bb"),
         *(
-            [F.array(*[band_sig(b) for b in range(hashing.MINHASH_BANDS)]).alias("all_sigs")]
+            [
+                F.array(
+                    *[band_sig(b) for b in range(hashing.MINHASH_BANDS)]
+                ).alias("all_sigs")
+            ]
             if with_all_sigs
             else []
         ),
         *extra,
     )
-    return out.select(
-        *cols, *(["all_sigs"] if with_all_sigs else []), *extra
+    cols = (
+        "doc_id",
+        "bb.band",
+        "bb.band_sig",
+        *(["all_sigs"] if with_all_sigs else []),
+        *extra,
     )
+    return explode_cols, cols
 
 
 def first_shared_band_terms(band_sig_at, n_bands: int) -> list[Column]:
@@ -357,6 +390,47 @@ def _all_sigs_at(side: str, j: int) -> Column:
     """Band-j signature from the ``all_sigs`` array a banded minhash side
     carries (the accessor ``first_shared_band_terms`` folds over)."""
     return F.element_at(F.col(f"{side}.all_sigs"), j + 1)
+
+
+@functools.lru_cache(maxsize=1)
+def _banded_join_cond() -> Column:
+    """Memoized bucket-local self-join condition (band equality +
+    doc order + first-shared-band in-join dedup) — shared by the est
+    tail, the bucket-local exact verify, and the fused eval."""
+    from functools import reduce
+
+    return reduce(
+        lambda x, y: x & y,
+        [
+            F.col("a.band") == F.col("b.band"),
+            F.col("a.band_sig") == F.col("b.band_sig"),
+            F.col("a.doc_id") < F.col("b.doc_id"),
+            *first_shared_band_terms(_all_sigs_at, hashing.MINHASH_BANDS),
+        ],
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _est_jaccard_col() -> Column:
+    """Memoized signature-estimated Jaccard (matches/16) over the a./b.
+    component columns."""
+    n_perms = len(hashing.MINHASH_PERMS)
+    n_match = sum(
+        F.when(F.col(f"a._mh{i}") == F.col(f"b._mh{i}"), 1).otherwise(0)
+        for i in range(n_perms)
+    )
+    return n_match.cast("double") / F.lit(float(n_perms))
+
+
+@functools.lru_cache(maxsize=1)
+def _exact_jaccard_col() -> Column:
+    """Memoized exact token-set Jaccard over the a./b. tok_set columns."""
+    n_shared = F.size(
+        F.array_intersect(F.col("a.tok_set"), F.col("b.tok_set"))
+    )
+    return n_shared.cast("double") / (
+        F.size(F.col("a.tok_set")) + F.size(F.col("b.tok_set")) - n_shared
+    ).cast("double")
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -464,8 +538,6 @@ def _est_pairs_from_per_doc(per_doc: DataFrame, threshold: float) -> DataFrame:
     this function never reads it (pinned by the plan-string test in
     tests/test_dataops.py, but don't rely on the test alone when
     editing)."""
-    from functools import reduce
-
     n_perms = len(hashing.MINHASH_PERMS)
     banded = _banded(
         per_doc,
@@ -475,27 +547,12 @@ def _est_pairs_from_per_doc(per_doc: DataFrame, threshold: float) -> DataFrame:
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    cond = reduce(
-        lambda x, y: x & y,
-        [
-            F.col("a.band") == F.col("b.band"),
-            F.col("a.band_sig") == F.col("b.band_sig"),
-            F.col("a.doc_id") < F.col("b.doc_id"),
-            *first_shared_band_terms(_all_sigs_at, hashing.MINHASH_BANDS),
-        ],
-    )
-    n_match = sum(
-        F.when(F.col(f"a._mh{i}") == F.col(f"b._mh{i}"), 1).otherwise(0)
-        for i in range(n_perms)
-    )
     return (
-        a.join(b, cond)
+        a.join(b, _banded_join_cond())
         .select(
             F.col("a.doc_id").alias("doc1"),
             F.col("b.doc_id").alias("doc2"),
-            (n_match.cast("double") / F.lit(float(n_perms))).alias(
-                "est_jaccard"
-            ),
+            _est_jaccard_col().alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc1", "doc2", "est_jaccard")
@@ -691,36 +748,17 @@ def _verify_bucket_local(per_doc: DataFrame, threshold: float) -> DataFrame:
     carry) so there is no post-verify DISTINCT.  Wide shuffle bytes are
     BANDS × |docs| × avg-set-width — linear in corpus size, independent
     of candidate count."""
-    from functools import reduce
-
     banded = _banded(
         per_doc, with_all_sigs=True, sig="long", extra=("tok_set",)
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    cond = reduce(
-        lambda x, y: x & y,
-        [
-            F.col("a.band") == F.col("b.band"),
-            F.col("a.band_sig") == F.col("b.band_sig"),
-            F.col("a.doc_id") < F.col("b.doc_id"),
-            *first_shared_band_terms(_all_sigs_at, hashing.MINHASH_BANDS),
-        ],
-    )
-    n_shared = F.size(F.array_intersect(F.col("a.tok_set"), F.col("b.tok_set")))
     return (
-        a.join(b, cond)
+        a.join(b, _banded_join_cond())
         .select(
             F.col("a.doc_id").alias("doc1"),
             F.col("b.doc_id").alias("doc2"),
-            (
-                n_shared.cast("double")
-                / (
-                    F.size(F.col("a.tok_set"))
-                    + F.size(F.col("b.tok_set"))
-                    - n_shared
-                ).cast("double")
-            ).alias("jaccard"),
+            _exact_jaccard_col().alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "jaccard")
@@ -1090,8 +1128,6 @@ def est_pair_quality(
     # exact-only → false negative, both → true positive carrying
     # |est − exact|.  Candidates clearing neither threshold contribute
     # nothing in either formulation and are dropped in-stage.
-    from functools import reduce
-
     per_doc = _minhash_per_doc(docs, text_col, with_token_sets=True).cache()
     n_perms = len(hashing.MINHASH_PERMS)
     banded = _banded(
@@ -1102,38 +1138,13 @@ def est_pair_quality(
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    cond = reduce(
-        lambda x, y: x & y,
-        [
-            F.col("a.band") == F.col("b.band"),
-            F.col("a.band_sig") == F.col("b.band_sig"),
-            F.col("a.doc_id") < F.col("b.doc_id"),
-            *first_shared_band_terms(_all_sigs_at, hashing.MINHASH_BANDS),
-        ],
-    )
-    n_match = sum(
-        F.when(F.col(f"a._mh{i}") == F.col(f"b._mh{i}"), 1).otherwise(0)
-        for i in range(n_perms)
-    )
-    n_shared = F.size(
-        F.array_intersect(F.col("a.tok_set"), F.col("b.tok_set"))
-    )
     scored = (
-        a.join(b, cond)
+        a.join(b, _banded_join_cond())
         .select(
             F.col("a.doc_id").alias("doc1"),
             F.col("b.doc_id").alias("doc2"),
-            (n_match.cast("double") / F.lit(float(n_perms))).alias(
-                "est_jaccard"
-            ),
-            (
-                n_shared.cast("double")
-                / (
-                    F.size(F.col("a.tok_set"))
-                    + F.size(F.col("b.tok_set"))
-                    - n_shared
-                ).cast("double")
-            ).alias("jaccard"),
+            _est_jaccard_col().alias("est_jaccard"),
+            _exact_jaccard_col().alias("jaccard"),
         )
     )
     in_est = F.col("est_jaccard") >= threshold

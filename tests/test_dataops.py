@@ -1174,7 +1174,16 @@ def test_est_pair_quality_shares_one_signature_frame(spark):
         "doc_id long, text string",
     )
     out = dedup.est_pair_quality(docs, threshold=0.5, sample_mod=None)
-    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # The assertion string-matches attribute lists, which toString()
+    # truncates past spark.sql.debug.maxToStringFields (default 25) —
+    # widen it for the duration so a schema growing past 25 columns
+    # can't silently hide tok_set from the rendered plan (r14 advisor).
+    prev = spark.conf.get("spark.sql.debug.maxToStringFields", "25")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "200")
+    try:
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.debug.maxToStringFields", prev)
     rels = [ln for ln in plan.splitlines() if "InMemoryRelation" in ln]
     assert rels, "expected the shared per-doc frame to be cached"
     assert all("tok_set" in ln for ln in rels), (
