@@ -77,10 +77,12 @@ def _norm_cols() -> dict[str, Column]:
 # Memoized per-Dims projected+broadcast-hinted dim frames: the four
 # select projections cost ~0.2 s of py4j round-trips per plan build and
 # the Dims frames are session-cached, so project them once per Dims
-# instance.  Keyed by id(state_rates) — a rebuilt Dims (new session, or
-# a bench isolation reload) gets fresh entries; stale keys just linger
-# as tiny plan objects.
-_DIM_JOIN_FRAMES: dict[int, tuple[DataFrame, DataFrame, DataFrame, DataFrame]] = {}
+# instance.  Keyed by id(state_rates); the VALUE pins the key's
+# referent (first tuple slot), so the id can never be recycled onto a
+# different DataFrame — a rebuilt Dims (new session, or a bench
+# isolation reload) always gets fresh entries, and stale ones just
+# linger as tiny plan objects.
+_DIM_JOIN_FRAMES: dict[int, tuple] = {}
 
 
 def _dim_join_frames(
@@ -89,7 +91,7 @@ def _dim_join_frames(
     key = id(dims.state_rates)
     cached = _DIM_JOIN_FRAMES.get(key)
     if cached is not None:
-        return cached
+        return cached[1:]
     sr = F.broadcast(
         dims.state_rates.select(
             F.col("state_code").alias("_sr_state"),
@@ -119,7 +121,7 @@ def _dim_join_frames(
             F.col("rate").alias("city_local_rate"),
         )
     )
-    _DIM_JOIN_FRAMES[key] = (sr, ca, ex, lr)
+    _DIM_JOIN_FRAMES[key] = (dims.state_rates, sr, ca, ex, lr)
     return sr, ca, ex, lr
 
 
